@@ -1,13 +1,55 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.queries.{Oracles, Queries}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see SURVEY.md §7 + BASELINE.md gates. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query (smoke-checked rows>0 at sf0.001): the reference's
+    * stage-0..2 informative-sampling slice — KDE density profile of
+    * l_extendedprice → inverse-density weights → Efraimidis–Spirakis top-100
+    * informative sample (SURVEY.md §7 "minimum end-to-end slice"). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Queries.q26WeightedSample(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (Queries.q01PricingSummary _),
+    "q02_error_metrics" -> (Queries.q02ErrorMetrics _),
+    "q03_histogram" -> (Queries.q03Histogram _),
+    "q04_trapz" -> (Queries.q04Trapz _),
+    "q05_minmax_scale" -> (Queries.q05MinMaxScale _),
+    "q06_inv_density_weights" -> (Queries.q06InvDensityWeights _),
+    "q07_middle_lookup" -> (Queries.q07MiddleLookup _),
+    "q08_topk" -> (Queries.q08TopK _),
+    "q09_pool_deletion" -> (Queries.q09PoolDeletion _),
+    "q10_dedup_groups" -> (Queries.q10DedupGroups _),
+    "q11_token_stats" -> (Queries.q11TokenStats _),
+    "q12_quality" -> (Queries.q12Quality _),
+    "q13_lang_id" -> (Queries.q13LangId _),
+    "q14_fingerprints" -> (Queries.q14Fingerprints _),
+    "q15_ngram_jaccard" -> (Queries.q15NgramJaccard _),
+    "q16_cosine_topk" -> (Queries.q16CosineTopK _),
+    "q17_embedding_pairs" -> (Queries.q17EmbeddingPairs _),
+    "q18_json" -> (Queries.q18Json _),
+    "q19_hourly" -> (Queries.q19Hourly _),
+    "q20_revenue_by_nation" -> (Queries.q20RevenueByNation _),
+    "q21_profile_orders" -> (Queries.q21ProfileOrders _),
+    "q22_validate" -> (Queries.q22Validate _),
+    "q23_dup_keys" -> (Queries.q23DupKeys _),
+    "q24_window_sums" -> (Queries.q24WindowSums _),
+    "q25_kde" -> (Queries.q25Kde _),
+    "q26_weighted_sample" -> (Queries.q26WeightedSample _),
+    "q27_sliding_windows" -> (Queries.q27SlidingWindows _),
+    "q28_minhash_pairs" -> (Queries.q28MinhashPairs _),
+    "q29_simhash_pairs" -> (Queries.q29SimhashPairs _),
+    "q30_ann_ivf" -> (Queries.q30AnnIvf _),
+    "q31_ann_topk_agg" -> (Queries.q31AnnTopKAgg _)
+  )
+
+  /** DuckDB oracles for every SQL-expressible query above (q13, q25–q31 are
+    * KDE/sampling/LSH/ANN — non-SQL semantics, covered by unit tests and the
+    * driver's rows-only check). */
+  def oracleSql: Map[String, String] = Oracles.all
 }

@@ -1,0 +1,148 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale corpus pipelines:
+  * tokenization, shingling, quality scoring, language ID, fingerprinting.
+  * All builtin Catalyst expressions (regex / array HOFs / hash builtins) —
+  * codegen'd, no UDFs, so a 100 TB `documents` scan stays one
+  * WholeStageCodegen pass.
+  */
+object TextOps {
+
+  /** Whitespace tokens of the trimmed text (empty text → empty array). */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** BPE-ish subword count: letter runs, digits, and single punctuation
+    * marks each count as one token — a cheap deterministic proxy for a BPE
+    * tokenizer's pre-tokenization pass. */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+
+  /** Lowercased letters-and-digits-only normalization used for exact-dup
+    * fingerprints. */
+  def normalized(text: Column): Column =
+    regexp_replace(lower(text), "[^a-z0-9 ]", "")
+
+  /** Character n-grams of the normalized text (deduplicated set). */
+  def charNGrams(text: Column, n: Int): Column = {
+    val t = normalized(text)
+    array_distinct(
+      when(length(t) < n, array(t))
+        .otherwise(transform(sequence(lit(0), length(t) - n),
+          i => substr(t, i + 1, lit(n)))))
+  }
+
+  /** Word w-shingles: joined runs of w consecutive tokens (dedup'd). */
+  def wordShingles(text: Column, w: Int): Column = {
+    val toks = tokens(text)
+    array_distinct(
+      when(size(toks) < w, array(concat_ws(" ", toks)))
+        .otherwise(transform(sequence(lit(0), size(toks) - w),
+          i => concat_ws(" ", slice(toks, i + lit(1), lit(w))))))
+  }
+
+  // --- quality scoring -----------------------------------------------------
+
+  def punctRatio(text: Column): Column = {
+    val n = length(text)
+    when(n === 0, 0.0).otherwise(
+      (n - length(regexp_replace(text, "[!-/:-@\\[-`{-~]", ""))).cast("double") / n)
+  }
+
+  def digitRatio(text: Column): Column = {
+    val n = length(text)
+    when(n === 0, 0.0).otherwise(
+      (n - length(regexp_replace(text, "[0-9]", ""))).cast("double") / n)
+  }
+
+  def upperRatio(text: Column): Column = {
+    val n = length(text)
+    when(n === 0, 0.0).otherwise(
+      (n - length(regexp_replace(text, "[A-Z]", ""))).cast("double") / n)
+  }
+
+  val EnglishStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that",
+    "for", "on", "with", "as", "was", "at", "by", "be", "this", "are", "from")
+
+  /** Fraction of tokens that are (lowercased) stopwords. */
+  def stopwordRatio(text: Column, stopwords: Seq[String] = EnglishStopwords): Column = {
+    val toks = tokens(lower(text))
+    val sw = lit(stopwords.toArray)
+    when(size(toks) === 0, 0.0).otherwise(
+      size(filter(toks, t => array_contains(sw, t))).cast("double") / size(toks))
+  }
+
+  def meanTokenLength(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, 0.0).otherwise(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
+  }
+
+  /** Composite [0,1] quality score: rewards stopword presence and sane token
+    * lengths, penalizes punctuation/digit soup and very short docs. A
+    * heuristic in the spirit of C4/Gopher-style filters, as a single
+    * codegen'd expression. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(tokenCount(text).cast("double") / 20.0, lit(1.0))
+    val swScore = least(stopwordRatio(text) * 3.0, lit(1.0))
+    val punctPenalty = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 3.0)
+    val digitPenalty = greatest(lit(0.0), lit(1.0) - digitRatio(text) * 2.0)
+    val tokLen = meanTokenLength(text)
+    val tokLenScore = when(tokLen >= 3 && tokLen <= 10, 1.0)
+      .when(tokLen === 0, 0.0).otherwise(0.5)
+    round(lenScore * 0.25 + swScore * 0.25 + punctPenalty * 0.2 +
+      digitPenalty * 0.1 + tokLenScore * 0.2, 6)
+  }
+
+  // --- language identification --------------------------------------------
+
+  /** Tiny per-language marker lexicons (top function words). Public-knowledge
+    * lists; enough to separate the fixture languages. */
+  val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "was", "for", "with", "as"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "zu", "den", "von", "mit"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "des", "du", "que", "pas", "pour", "dans"),
+    "es" -> Seq("el", "la", "los", "las", "y", "es", "en", "que", "una", "por", "con", "para"),
+    "it" -> Seq("il", "la", "che", "di", "e", "un", "una", "per", "non", "sono", "con", "del"))
+
+  /** Heuristic language ID: count marker-word hits per language over the
+    * lowercased tokens, pick the argmax (ties → lexicographic language code,
+    * no hits → "und"). Pure expression: one `array_max` over per-language
+    * structs — Spark orders structs field-by-field, so (hits, revLang) max
+    * picks highest hits then smallest code. */
+  def langId(text: Column, markers: Map[String, Seq[String]] = LangMarkers): Column = {
+    val toks = tokens(lower(text))
+    val sorted = markers.toSeq.sortBy(_._1)
+    val scored = sorted.zipWithIndex.map { case ((langCode, words), idx) =>
+      val hits = size(filter(toks, t => array_contains(lit(words.toArray), t)))
+      // rk: earlier lexicographic code wins ties under max
+      struct(hits.as("hits"), lit(sorted.size - idx).as("rk"), lit(langCode).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  // --- fingerprinting ------------------------------------------------------
+
+  /** Content fingerprint: 64-bit xxhash of the normalized text. */
+  def fingerprint64(text: Column): Column = xxhash64(normalized(text))
+
+  /** MD5 fingerprint of normalized text (hex string) — used for the DuckDB
+    * oracle since both engines implement the same MD5 over UTF-8 bytes. */
+  def fingerprintMd5(text: Column): Column = md5(normalized(text).cast("binary"))
+
+  /** Polynomial rolling hash over normalized characters
+    * (h = h*31 + code mod 2^61-1) — an order-sensitive document fingerprint
+    * computed with array HOFs only. */
+  def rollingHash(text: Column): Column = {
+    val codes = transform(split(normalized(text), ""), ch => ascii(ch).cast("long"))
+    aggregate(codes, lit(0L), (acc, c) => pmod(acc * 31 + c, lit(2305843009213693951L)))
+  }
+}

@@ -1,0 +1,175 @@
+package graft.operators
+
+import graft.functions.{TextOps, VectorOps}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus deduplication for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard, embedding-cosine near-dup.
+  *
+  * Scale posture: every variant is blocked/bucketed so candidate generation
+  * is an equi-join on a bucket key (hash shuffle on buckets, never an O(n²)
+  * cross join). Signatures are built with codegen'd hash/array builtins in a
+  * single projection over the corpus scan.
+  */
+object Dedup {
+
+  /** Exact dedup on a content fingerprint: keeps the lowest-id row per
+    * normalized-text hash. One hash-aggregate shuffle on the 64-bit
+    * fingerprint (not the full text — at 100 TB the shuffle carries 8-byte
+    * keys plus ids). */
+  def exactByContent(df: DataFrame, id: Column, text: Column): DataFrame = {
+    df.select(id.as("doc_id"), TextOps.fingerprint64(text).as("fp"))
+      .groupBy("fp").agg(min("doc_id").as("keep_id"), count(lit(1)).as("dups"))
+  }
+
+  /** MinHash signature: for each of `numHashes` hash functions, the min
+    * murmur3 over the document's shingle set. Pure expression:
+    * `transform(seeds, s -> array_min(transform(shingles, sh -> hash(sh, s))))`. */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      s => array_min(transform(shingles, sh => hash(sh, s))))
+
+  /** LSH banding: split the signature into `bands` bands of `rowsPerBand`,
+    * hash each band → (band index, band hash) pairs for bucket joins. */
+  def lshBands(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => struct(b.as("band"), hash(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))).as("bh")))
+
+  /** MinHash/LSH near-duplicate pairs: docs sharing any LSH bucket are
+    * candidates; candidates are verified with exact Jaccard over shingle
+    * sets, keeping pairs ≥ `threshold`.
+    *
+    * Plan shape: projection (shingles+signature) → explode bands →
+    * self-equi-join on (band, bandHash) → distinct pairs → verify. The only
+    * shuffles are the bucket join and pair distinct; no cross join anywhere.
+    */
+  def minhashDedupPairs(df: DataFrame, id: Column, text: Column,
+                        shingleSize: Int = 3, numHashes: Int = 64,
+                        bands: Int = 16, threshold: Double = 0.7): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val docs = df.select(id.cast("long").as("doc_id"),
+        TextOps.wordShingles(text, shingleSize).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    val buckets = docs
+      .select(col("doc_id"), col("sh"),
+        explode(lshBands(col("sig"), bands, rowsPerBand)).as("b"))
+      .select(col("doc_id"), col("sh"), col("b.band").as("band"), col("b.bh").as("bh"))
+    val a = buckets.select(col("band"), col("bh"),
+      col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = buckets.select(col("band"), col("bh"),
+      col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    val cand = a.join(b, Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b")
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .withColumn("jaccard", round(jaccardArrays(col("sh_a"), col("sh_b")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Exact Jaccard over two (already-distinct) array columns. */
+  def jaccardArrays(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = size(a) + size(b) - size(array_intersect(a, b))
+    when(uni === 0, 0.0).otherwise(inter / uni.cast("double"))
+  }
+
+  /** 64-bit SimHash per document: each token votes ±1 on each bit position
+    * (by its xxhash64 bit); the sign of each position's total forms the
+    * fingerprint.
+    *
+    * Shape: explode tokens → one hash per (doc, token) → 64 flat conditional
+    * sums in ONE hash aggregate (map-side combine on doc_id) → fingerprint
+    * assembled from the 64 sums by a shallow literal fold. Deliberately NOT
+    * nested array HOFs — a `aggregate(zip_with(transform(...)))` tower
+    * triggers pathological fixed-point re-analysis in Catalyst type
+    * coercion; 64 scalar aggregates stay codegen-friendly and scale as one
+    * shuffle of 64 longs per doc. */
+  def simhashFingerprints(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val toks = df.select(id.cast("long").as("doc_id"),
+        explode(TextOps.tokens(TextOps.normalized(text))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(call_function("shiftright", col("h"), lit(i))
+        .bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$i")
+    }
+    val fp = (0 until 64).map { i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), fp.as("sh"))
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs within `maxHamming`: candidates block on the
+    * fingerprint split into 4 16-bit chunks (pigeonhole: ≤3 differing bits →
+    * some chunk matches exactly), verified by full Hamming distance. */
+  def simhashDedupPairs(df: DataFrame, id: Column, text: Column,
+                        maxHamming: Int = 3): DataFrame = {
+    val docs = simhashFingerprints(df, id, text)
+    val chunks = docs.select(col("doc_id"), col("sh"),
+      explode(transform(sequence(lit(0), lit(3)),
+        c => struct(c.as("chunk"),
+          call_function("shiftright", col("sh"), c * 16)
+            .bitwiseAND(lit(0xFFFFL)).as("ck")))).as("c"))
+      .select(col("doc_id"), col("sh"), col("c.chunk").as("chunk"), col("c.ck").as("ck"))
+    val a = chunks.select(col("chunk"), col("ck"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = chunks.select(col("chunk"), col("ck"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("chunk", "ck"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", hamming64(col("sh_a"), col("sh_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Character-n-gram Jaccard similarity pairs, blocked by a cheap length
+    * bucket + first-char key so comparisons stay within plausible near-dup
+    * groups instead of all-pairs. */
+  def ngramJaccardPairs(df: DataFrame, id: Column, text: Column,
+                        n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val docs = df.select(id.cast("long").as("doc_id"),
+      TextOps.charNGrams(text, n).as("g"),
+      // block: docs within ±25% length and same first normalized char can match
+      floor(log(greatest(length(TextOps.normalized(text)), lit(1)).cast("double")) / math.log(1.25)).as("lb"),
+      substring(TextOps.normalized(text), 1, 1).as("fc"))
+    val withBlocks = docs.withColumn("blk", explode(array(col("lb"), col("lb") + 1)))
+    val a = withBlocks.select(col("blk"), col("fc"), col("doc_id").as("id_a"), col("g").as("g_a"))
+    val b = docs.select(col("lb").as("blk"), col("fc"), col("doc_id").as("id_b"), col("g").as("g_b"))
+    a.join(b, Seq("blk", "fc"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("jaccard", round(jaccardArrays(col("g_a"), col("g_b")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Embedding-cosine near-duplicate pairs. Buckets by random-hyperplane
+    * sign sketch (an LSH for cosine): vectors agreeing on all `planes` signs
+    * land in one bucket; near-identical vectors almost surely collide.
+    * Verification = exact cosine ≥ threshold inside buckets. */
+  def embeddingNearDupPairs(df: DataFrame, id: Column, vec: Column,
+                            threshold: Double = 0.95, planes: Int = 8,
+                            seed: Long = 42): DataFrame = {
+    val dim = df.select(size(vec)).head().getInt(0)
+    val rnd = new scala.util.Random(seed)
+    val hyper = Array.fill(planes, dim)(rnd.nextGaussian())
+    val sketch = (0 until planes).map { p =>
+      val d = VectorOps.dot(vec.cast("array<double>"), lit(hyper(p)))
+      when(d >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    val docs = df.select(id.cast("long").as("vid"), vec.cast("array<double>").as("v"),
+      sketch.as("bkt"))
+    val a = docs.select(col("bkt"), col("vid").as("id_a"), col("v").as("v_a"))
+    val b = docs.select(col("bkt"), col("vid").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("bkt"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", round(VectorOps.cosine(col("v_a"), col("v_b")), 6))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+}

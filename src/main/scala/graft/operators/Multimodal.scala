@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+
+/** A media asset row: opaque binary payload + typed metadata. */
+case class MediaRow(media_id: Long, kind: String, payload: Array[Byte],
+                    meta_width: Int, meta_height: Int, meta_sample_rate: Int)
+
+/** Decoded feature row produced by the (stubbed) decoder. */
+case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
+                         checksum: Long, features: Array[Float])
+
+/** Multimodal-column plumbing for image/audio/video payloads: binary columns
+  * with typed metadata, batched per-partition decode → feature extraction.
+  *
+  * The decode kernel itself is STUBBED (this container ships no image/audio
+  * codecs): [[StubDecoder]] produces deterministic pseudo-features from the
+  * payload bytes. Everything Spark-side is real and tested — schema, batch
+  * shape (per-partition iterator, so a real decoder amortizes model/codec
+  * init per partition exactly like a Pandas-UDF batch would), partitioning,
+  * and downstream feature consumption (the features column feeds [[Ann]]).
+  */
+object Multimodal {
+
+  /** Pluggable decoder: bytes → fixed-width feature vector. A production
+    * impl would JNI/FFI into a codec + vision/audio model; init cost is
+    * amortized per partition via mapPartitions. */
+  trait Decoder extends Serializable {
+    def featureDim: Int
+    def decode(kind: String, payload: Array[Byte]): Array[Float]
+  }
+
+  /** Deterministic stand-in decoder: a cheap byte-histogram "embedding".
+    * Stable across runs/executors — usable in tests and benchmarks. */
+  class StubDecoder(val featureDim: Int = 16) extends Decoder {
+    def decode(kind: String, payload: Array[Byte]): Array[Float] = {
+      val f = new Array[Float](featureDim)
+      var i = 0
+      while (i < payload.length) {
+        f((payload(i) & 0xFF) % featureDim) += 1.0f
+        i += 1
+      }
+      val n = math.max(payload.length, 1).toFloat
+      var j = 0
+      while (j < featureDim) { f(j) /= n; j += 1 }
+      f
+    }
+  }
+
+  /** Wrap documents as fake media assets (payload = utf-8 bytes) — the
+    * fixture stand-in for a real image/audio table. */
+  def syntheticMedia(documents: DataFrame): Dataset[MediaRow] = {
+    val enc = Encoders.product[MediaRow]
+    documents.select(
+      col("doc_id").as("media_id"),
+      (when(col("doc_id") % 3 === 0, "image")
+        .when(col("doc_id") % 3 === 1, "audio").otherwise("video")).as("kind"),
+      col("text").cast("binary").as("payload"),
+      lit(640).as("meta_width"), lit(480).as("meta_height"),
+      lit(16000).as("meta_sample_rate")).as(enc)
+  }
+
+  /** Batched decode: one decoder instance per partition (the batch shape a
+    * real codec needs), streaming the iterator — no partition-sized
+    * materialization. */
+  def decodeFeatures(media: Dataset[MediaRow], decoder: Decoder): Dataset[MediaFeatures] = {
+    val enc = Encoders.product[MediaFeatures]
+    media.mapPartitions { it =>
+      // per-partition decoder init happens here (amortized like a
+      // pandas-UDF batch init)
+      it.map { m =>
+        val feats = decoder.decode(m.kind, m.payload)
+        var crc = 1469598103934665603L // FNV-1a 64
+        var i = 0
+        while (i < m.payload.length) {
+          crc ^= (m.payload(i) & 0xFFL); crc *= 1099511628211L; i += 1
+        }
+        MediaFeatures(m.media_id, m.kind, m.payload.length.toLong, crc, feats)
+      }
+    }(enc)
+  }
+
+  /** Frame/sample selection on a (conceptual) time axis: keep every k-th
+    * frame index in [0, nFrames) as explode output — the partition-friendly
+    * frame-sampling shape (the decode of each sampled frame is stubbed). */
+  def sampleFrames(media: Dataset[MediaRow], nFrames: Int, stride: Int): DataFrame =
+    media.toDF().select(col("media_id"), col("kind"),
+        explode(sequence(lit(0), lit(nFrames - 1), lit(stride))).as("frame_idx"))
+      .withColumn("frame_key", concat_ws(":", col("media_id"), col("frame_idx")))
+}

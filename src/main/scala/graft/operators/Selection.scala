@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The selection kernel — the heart of the reference's active-sampling
+  * "query" (SURVEY.md §2.5): weighted sampling, argmax / top-k select,
+  * pool deletion, dedup, lookup.
+  *
+  * Every op is a pure `DataFrame => DataFrame`; nothing collects more than
+  * the k selected rows. Top-k plans as TakeOrderedAndProject (distributed
+  * partial top-k per partition, then a k-row exchange — no full sort), and
+  * pool deletion is a broadcast anti-join on the tiny selected side, so each
+  * primitive is a single narrow-ish pass at any scale.
+  */
+object Selection {
+
+  /** Weighted random sampling without replacement via the
+    * Efraimidis–Spirakis exponent key: top-k rows by `rand(seed)^(1/w)`.
+    *
+    * Replaces the reference's `np.random.choice(..., p=w/sum(w))`
+    * (`BigDataQualityAssessment_ActiveSampling.py:56`,
+    * `SDE_forecast_ActiveSampling.py:121`). Semantic divergence, by design:
+    * the reference samples WITH replacement then dedups anyway
+    * (`SDE_forecast_ActiveSampling.py:134-135`); E-S is without replacement
+    * and scale-invariant in w, so the reference's normalize-to-1 pass
+    * (`:52-54`) is unnecessary. One scan + TakeOrderedAndProject; no shuffle
+    * of the input.
+    */
+  def weightedSample(df: DataFrame, weight: Column, k: Int, seed: Long): DataFrame =
+    df.withColumn("__es_key",
+        when(weight > 0, pow(rand(seed), lit(1.0) / weight)).otherwise(lit(-1.0)))
+      .orderBy(desc("__es_key"))
+      .limit(k)
+      .drop("__es_key")
+
+  /** Distributed top-k by score with deterministic tie-breaking.
+    * The reference's `np.argsort(err)[::-1][:k]`
+    * (`SDE_forecast_ActiveSampling.py:220-222`). */
+  def topK(df: DataFrame, score: Column, k: Int, tieBreak: Seq[Column] = Nil): DataFrame =
+    df.orderBy(score.desc +: tieBreak.map(_.asc): _*).limit(k)
+
+  /** Argmax row (k=1 top-k) — the reference's `np.argmax(score)` select
+    * (`BigDataQualityAssessment_ActiveSampling.py:226`). */
+  def argmax(df: DataFrame, score: Column, tieBreak: Seq[Column] = Nil): DataFrame =
+    topK(df, score, 1, tieBreak)
+
+  /** Pool deletion: remove rows whose id appears in `selected` — the
+    * reference's `np.delete(pool, idx)`
+    * (`BigDataQualityAssessment_ActiveSampling.py:236-237`). Broadcast
+    * anti-join: `selected` is k rows, so no shuffle of the pool. */
+  def removeById(pool: DataFrame, selected: DataFrame, idCol: String): DataFrame =
+    pool.join(broadcast(selected.select(idCol)), Seq(idCol), "left_anti")
+
+  /** Select-and-move: take the top-k scored rows out of the pool and append
+    * them to the train set tagged with the explorer name. Returns
+    * (pool', train', selected). One composite step = one reference explorer
+    * iteration (`BigDataQualityAssessment_ActiveSampling.py:222-237`). */
+  def selectAndMove(pool: DataFrame, train: DataFrame, score: Column, k: Int,
+                    idCol: String, explorer: String,
+                    tieBreak: Seq[Column] = Nil): (DataFrame, DataFrame, DataFrame) = {
+    // Materialize the k selected rows: otherwise pool' = anti(pool,
+    // topK(pool)) embeds the pool plan TWICE, and chained select-and-moves
+    // double the logical plan each round (exponential analyzer cost by
+    // iteration 10). localCheckpoint turns the k-row side into a leaf.
+    val selected = topK(pool, score, k, tieBreak).localCheckpoint()
+    val trainCols = train.columns.filter(_ != "explorer")
+    val moved = selected.select(trainCols.map(col).toSeq: _*)
+      .withColumn("explorer", lit(explorer))
+    (removeById(pool, selected, idCol), train.unionByName(moved), selected)
+  }
+
+  /** Whole-row dedup — the reference's `np.unique(X, axis=0)`
+    * (`SDE_forecast_ActiveSampling.py:134-135`; we dedup whole rows, not X
+    * and y independently — the reference's independent dedup is a latent
+    * misalignment bug, SURVEY.md §2.5 O1). */
+  def dedup(df: DataFrame, cols: Seq[String] = Nil): DataFrame =
+    if (cols.isEmpty) df.dropDuplicates() else df.dropDuplicates(cols)
+
+  /** Seeded random permutation — `np.random.permutation`
+    * (`SDE_forecast_ActiveSampling.py:146-149`). */
+  def shuffle(df: DataFrame, seed: Long): DataFrame = df.orderBy(rand(seed))
+
+  /** Value→row lookup picking the MIDDLE duplicate: for each key value,
+    * the ceil(n/2)-th row in `order` — the reference's
+    * `matches[int(len(matches)/2)]` tie resolution
+    * (`BigDataQualityAssessment_ActiveSampling.py:67-69`, SURVEY.md P8/W3). */
+  def middleByKey(df: DataFrame, key: Column, order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__cnt", count(lit(1)).over(Window.partitionBy(key)))
+      .filter(col("__rn") === floor(col("__cnt") / 2) + lit(1))
+      .drop("__rn", "__cnt")
+  }
+}

@@ -1,0 +1,264 @@
+package graft.queries
+
+/** DuckDB oracle SQL for every SQL-expressible query in [[Queries]].
+  * Each statement runs against views named after the parquet fixtures and
+  * must produce the SAME column names and the SAME values (after the
+  * rounding baked into both sides) as the Spark query. Arithmetic mirrors
+  * the Spark expression trees operation-for-operation so doubles agree
+  * bit-for-bit before rounding.
+  */
+object Oracles {
+
+  val q01 = """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus"""
+
+  val q02 = """
+    SELECT round(avg(l_discount * l_discount), 8) AS mse_rel,
+           round(avg(abs(l_discount)), 8) AS mae_rel,
+           round(var_pop(l_quantity), 4) AS var_pop_qty,
+           round(avg(l_quantity), 6) AS mean_qty
+    FROM lineitem"""
+
+  val q03 = """
+    WITH s AS (SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx,
+                      count(*) AS n FROM lineitem)
+    SELECT CAST(least(floor((l_extendedprice - mn) / ((mx - mn) / 32.0)), 31.0) AS BIGINT) AS bucket,
+           count(*) AS cnt,
+           round(count(*)::DOUBLE / any_value(n) / any_value((mx - mn) / 32.0), 8) AS density
+    FROM lineitem, s
+    GROUP BY 1 ORDER BY 1"""
+
+  val q04 = """
+    SELECT round(sum(seg), 4) AS integral FROM (
+      SELECT (value + lag(value) OVER (ORDER BY event_id)) / 2.0
+             * (event_id - lag(event_id) OVER (ORDER BY event_id)) AS seg
+      FROM events)"""
+
+  val q05 = """
+    SELECT o_orderkey,
+           round(CASE WHEN max(o_totalprice) OVER () = min(o_totalprice) OVER () THEN 0.0
+                 ELSE (o_totalprice - min(o_totalprice) OVER ())
+                      / (max(o_totalprice) OVER () - min(o_totalprice) OVER ()) END, 6) AS scaled
+    FROM orders ORDER BY o_orderkey"""
+
+  val q06 = """
+    WITH s AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders),
+    b AS (SELECT o_orderkey,
+                 CAST(least(floor((o_totalprice - mn) / ((mx - mn) / 32.0)), 31.0) AS BIGINT) AS bucket
+          FROM orders, s),
+    r AS (SELECT o_orderkey, bucket,
+                 1.0 / (count(*) OVER (PARTITION BY bucket)) AS raw
+          FROM b)
+    SELECT o_orderkey, bucket, round(raw / sum(raw) OVER (), 8) AS w
+    FROM r ORDER BY o_orderkey"""
+
+  val q07 = """
+    SELECT l_quantity, l_orderkey, l_linenumber FROM (
+      SELECT l_quantity, l_orderkey, l_linenumber,
+             row_number() OVER (PARTITION BY l_quantity ORDER BY l_orderkey, l_linenumber) AS rn,
+             count(*) OVER (PARTITION BY l_quantity) AS cnt
+      FROM lineitem)
+    WHERE rn = floor(cnt / 2) + 1
+    ORDER BY l_quantity"""
+
+  val q08 = """
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 20"""
+
+  val q09 = """
+    WITH top AS (SELECT l_orderkey, l_linenumber FROM lineitem
+                 ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100)
+    SELECT count(*) AS n_remaining,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM top t
+                      WHERE t.l_orderkey = l.l_orderkey
+                        AND t.l_linenumber = l.l_linenumber)"""
+
+  private val normText = "regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')"
+
+  val q10 = s"""
+    SELECT md5($normText) AS fp, min(doc_id) AS keep_id, count(*) AS dups
+    FROM documents GROUP BY 1 ORDER BY 1"""
+
+  val q11 = """
+    SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpeish
+    FROM documents ORDER BY doc_id"""
+
+  // Ratios mirror TextOps: count via length-difference after class removal.
+  val q12 = """
+    WITH t AS (
+      SELECT doc_id, text, length(text) AS n,
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+      FROM documents)
+    SELECT doc_id,
+           round(CASE WHEN n = 0 THEN 0.0 ELSE
+             (n - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')))::DOUBLE / n END, 6) AS punct_ratio,
+           round(CASE WHEN n = 0 THEN 0.0 ELSE
+             (n - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE / n END, 6) AS digit_ratio,
+           round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+             len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by','be','this','are','from'], x)))::DOUBLE
+             / len(toks) END, 6) AS stopword_ratio,
+           round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+             list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks) END, 6) AS mean_tok_len
+    FROM t ORDER BY doc_id"""
+
+  val q14 = s"""
+    SELECT doc_id, md5($normText) AS fp_md5
+    FROM documents ORDER BY doc_id"""
+
+  private val ngrams3 = s"""
+    CASE WHEN length($normText) < 3 THEN [$normText]
+         ELSE list_distinct(list_transform(generate_series(1, length($normText) - 2),
+                i -> substring($normText, i, 3))) END"""
+
+  val q15 = s"""
+    WITH g AS (SELECT doc_id, lang, source, $ngrams3 AS g FROM documents),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             round(CASE WHEN len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) = 0 THEN 0.0
+                   ELSE len(list_intersect(a.g, b.g))::DOUBLE
+                        / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))::DOUBLE END, 6) AS jaccard
+      FROM g a JOIN g b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b, jaccard FROM pairs
+    WHERE jaccard >= 0.5
+    ORDER BY id_a, id_b"""
+
+  // dot/norms as ordered left-folds so doubles match Spark's aggregate() HOF.
+  private def dotD(a: String, b: String) =
+    s"list_reduce(list_prepend(0.0, list_transform(generate_series(1, 64), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (x, y) -> x + y)"
+  private def normSqD(a: String) =
+    s"list_reduce(list_prepend(0.0, list_transform(generate_series(1, 64), i -> $a[i]::DOUBLE * $a[i]::DOUBLE)), (x, y) -> x + y)"
+  private def cosineD(a: String, b: String) =
+    s"""(CASE WHEN sqrt(${normSqD(a)}) * sqrt(${normSqD(b)}) > 0
+         THEN ${dotD(a, b)} / (sqrt(${normSqD(a)}) * sqrt(${normSqD(b)})) ELSE 0.0 END)"""
+
+  val q16 = s"""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(${cosineD("c.embedding", "q.embedding")}, 6) AS score
+      FROM embeddings c, embeddings q WHERE q.vec_id < 8),
+    ranked AS (
+      SELECT query_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS "rank",
+             neighbor_id, score
+      FROM scored)
+    SELECT query_id, "rank", neighbor_id, score FROM ranked
+    WHERE "rank" <= 10
+    ORDER BY query_id, "rank""""
+
+  val q17 = s"""
+    WITH pairs AS (
+      SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
+             round(${cosineD("a.embedding", "b.embedding")}, 6) AS cosine
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE a.vec_id % 10 = 0)
+    SELECT label, id_a, id_b, cosine FROM pairs
+    WHERE cosine >= 0.4
+    ORDER BY id_a, id_b"""
+
+  val q18 = """
+    SELECT event_type, count(*) AS n,
+           round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
+    FROM events GROUP BY event_type ORDER BY event_type"""
+
+  val q19 = """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+           count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1 ORDER BY 1"""
+
+  val q20 = """
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name ORDER BY n_name"""
+
+  private def profileCol(c: String) = s"""
+    SELECT '$c' AS col_name, count(*) AS n_rows,
+           count(*) - count($c) AS n_nulls,
+           round((count(*) - count($c))::DOUBLE / count(*), 6) AS null_rate,
+           count(DISTINCT $c) AS n_distinct,
+           CAST(min($c) AS VARCHAR) AS min_value,
+           CAST(max($c) AS VARCHAR) AS max_value
+    FROM orders"""
+
+  val q21 = Seq("o_custkey", "o_orderstatus", "o_orderpriority")
+    .map(profileCol).mkString("", " UNION ALL ", " ORDER BY col_name")
+
+  private def ruleSql(name: String, pred: String) = s"""
+    SELECT '$name' AS rule,
+           count(CASE WHEN NOT coalesce($pred, false) THEN 1 END) AS violations,
+           count(*) AS n_rows,
+           round(count(CASE WHEN NOT coalesce($pred, false) THEN 1 END)::DOUBLE / count(*), 6) AS violation_rate
+    FROM lineitem"""
+
+  val q22 = Seq(
+    ruleSql("range_l_quantity", "l_quantity IS NOT NULL AND l_quantity >= 1 AND l_quantity <= 50"),
+    ruleSql("non_negative_l_extendedprice", "l_extendedprice IS NOT NULL AND l_extendedprice >= 0"),
+    ruleSql("range_l_discount", "l_discount IS NOT NULL AND l_discount >= 0.0 AND l_discount <= 0.1"),
+    ruleSql("range_l_tax", "l_tax IS NOT NULL AND l_tax >= 0.0 AND l_tax <= 0.08"),
+    ruleSql("not_null_l_shipdate", "l_shipdate IS NOT NULL")
+  ).mkString("", " UNION ALL ", " ORDER BY rule")
+
+  val q23 = """
+    SELECT l_orderkey, count(*) AS dups FROM lineitem
+    GROUP BY l_orderkey HAVING count(*) > 1 ORDER BY l_orderkey"""
+
+  val q24 = """
+    SELECT event_id AS win_id,
+           round(sum(value) OVER (ORDER BY event_id ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING), 4) AS hist_sum,
+           round(sum(value) OVER (ORDER BY event_id ROWS BETWEEN 10 FOLLOWING AND 14 FOLLOWING), 4) AS target_sum
+    FROM events
+    QUALIFY count(value) OVER (ORDER BY event_id ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING) = 10
+        AND count(value) OVER (ORDER BY event_id ROWS BETWEEN 10 FOLLOWING AND 14 FOLLOWING) = 5
+    ORDER BY win_id"""
+
+  /** name → oracle SQL (single-line, driver JSON-escapes anyway). */
+  val all: Map[String, String] = Map(
+    "q01_pricing_summary" -> q01,
+    "q02_error_metrics" -> q02,
+    "q03_histogram" -> q03,
+    "q04_trapz" -> q04,
+    "q05_minmax_scale" -> q05,
+    "q06_inv_density_weights" -> q06,
+    "q07_middle_lookup" -> q07,
+    "q08_topk" -> q08,
+    "q09_pool_deletion" -> q09,
+    "q10_dedup_groups" -> q10,
+    "q11_token_stats" -> q11,
+    "q12_quality" -> q12,
+    "q14_fingerprints" -> q14,
+    "q15_ngram_jaccard" -> q15,
+    "q16_cosine_topk" -> q16,
+    "q17_embedding_pairs" -> q17,
+    "q18_json" -> q18,
+    "q19_hourly" -> q19,
+    "q20_revenue_by_nation" -> q20,
+    "q21_profile_orders" -> q21,
+    "q22_validate" -> q22,
+    "q23_dup_keys" -> q23,
+    "q24_window_sums" -> q24
+  ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
+}

@@ -1,0 +1,324 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{TextOps, VectorOps}
+import graft.operators._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The registered query surface: every operator from SURVEY.md §2 plus the
+  * training-data-pipeline extensions, each as a (SparkSession, sfDir) =>
+  * DataFrame, with ANSI-SQL DuckDB oracles where SQL can express the
+  * semantics (Oracles.scala). Column names and arithmetic shapes mirror the
+  * oracle SQL exactly — the driver hash-compares values after sorting columns
+  * by name.
+  */
+object Queries {
+
+  // ---- §2.4 aggregations / profiling over the star schema -----------------
+
+  /** TPC-H Q1-shaped pricing summary: P1 projections + A-MSE-style sums. */
+  def q01PricingSummary(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_discount"), 6).as("avg_disc"),
+        count(lit(1)).cast("long").as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** A-MSE / A-MVar / A-MAE convergence metrics re-expressed relationally:
+    * pred = discounted price, y = price → relative error = discount. */
+  def q02ErrorMetrics(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).agg(
+      round(avg(pow(col("l_discount"), 2)), 8).as("mse_rel"),
+      round(avg(abs(col("l_discount"))), 8).as("mae_rel"),
+      round(var_pop(col("l_quantity")), 4).as("var_pop_qty"),
+      round(avg(col("l_quantity")), 6).as("mean_qty"))
+
+  /** A-HIST: 32-bin equi-width histogram of l_extendedprice with density —
+    * the reference's np.linspace + hist(density=True) profiling step. */
+  def q03Histogram(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val stats = li.agg(min(col("l_extendedprice")).as("__mn"),
+      max(col("l_extendedprice")).as("__mx"), count(lit(1)).as("__n"))
+    val width = (col("__mx") - col("__mn")) / lit(32.0)
+    li.crossJoin(broadcast(stats))
+      .select(least(floor((col("l_extendedprice") - col("__mn")) / width), lit(31.0))
+          .cast("long").as("bucket"),
+        col("__n"), width.as("__w"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"),
+        first("__n").as("__n"), first("__w").as("__w"))
+      .select(col("bucket"), col("cnt"),
+        round(col("cnt").cast("double") / col("__n") / col("__w"), 8).as("density"))
+      .orderBy("bucket")
+  }
+
+  /** A-TRAPZ: trapezoidal integration of events.value over event_id. */
+  def q04Trapz(s: SparkSession, d: String): DataFrame =
+    Integrate.trapz(Tables.events(s, d), col("event_id"), col("value"))
+      .select(round(col("integral"), 4).as("integral"))
+
+  /** P7 min-max scaling of o_totalprice to [0,1]. */
+  def q05MinMaxScale(s: SparkSession, d: String): DataFrame =
+    Integrate.minMaxScale(Tables.orders(s, d), col("o_totalprice"), "scaled")
+      .select(col("o_orderkey"), round(col("scaled"), 6).as("scaled"))
+      .orderBy("o_orderkey")
+
+  /** P6 inverse-density weights (histogram-density form, SQL-expressible):
+    * w ∝ 1 / bucket-count(o_totalprice), normalized to sum 1. */
+  def q06InvDensityWeights(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val stats = o.agg(min(col("o_totalprice")).as("__mn"), max(col("o_totalprice")).as("__mx"))
+    val width = (col("__mx") - col("__mn")) / lit(32.0)
+    val withBucket = o.crossJoin(broadcast(stats))
+      .withColumn("bucket",
+        least(floor((col("o_totalprice") - col("__mn")) / width), lit(31.0)).cast("long"))
+    val wCnt = Window.partitionBy("bucket")
+    val wAll = Window.partitionBy()
+    withBucket
+      .withColumn("__raw", lit(1.0) / count(lit(1)).over(wCnt))
+      .withColumn("w", round(col("__raw") / sum(col("__raw")).over(wAll), 8))
+      .select(col("o_orderkey"), col("bucket"), col("w"))
+      .orderBy("o_orderkey")
+  }
+
+  /** P8/W3 middle-duplicate lookup: for each quantity value, the middle
+    * matching row (reference tie-resolution semantics). */
+  def q07MiddleLookup(s: SparkSession, d: String): DataFrame =
+    Selection.middleByKey(
+        Tables.lineitem(s, d).select("l_quantity", "l_orderkey", "l_linenumber"),
+        col("l_quantity"), Seq(col("l_orderkey"), col("l_linenumber")))
+      .orderBy("l_quantity")
+
+  /** O-TOPK: top-20 rows by extended price, deterministic tie-break. */
+  def q08TopK(s: SparkSession, d: String): DataFrame =
+    Selection.topK(
+        Tables.lineitem(s, d).select("l_orderkey", "l_linenumber", "l_extendedprice"),
+        col("l_extendedprice"), 20, Seq(col("l_orderkey"), col("l_linenumber")))
+      .orderBy(desc("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+
+  /** J2 pool-deletion: anti-join out the top-100 priced rows, then profile
+    * the remaining pool (the reference's np.delete + refit measurement). */
+  def q09PoolDeletion(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val top = Selection.topK(li.select("l_orderkey", "l_linenumber", "l_extendedprice"),
+      col("l_extendedprice"), 100, Seq(col("l_orderkey"), col("l_linenumber")))
+    li.join(broadcast(top.select("l_orderkey", "l_linenumber")),
+        Seq("l_orderkey", "l_linenumber"), "left_anti")
+      .agg(count(lit(1)).cast("long").as("n_remaining"),
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_price"))
+  }
+
+  // ---- dedup / text / similarity surface ----------------------------------
+
+  /** Exact content dedup groups (md5 of normalized text, min-id keeper). */
+  def q10DedupGroups(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(TextOps.fingerprintMd5(col("text")).as("fp"), col("doc_id"))
+      .groupBy("fp")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("dups"))
+      .orderBy("fp")
+
+  /** Token statistics: whitespace tokens + BPE-ish subword count. */
+  def q11TokenStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        TextOps.bpeishTokenCount(col("text")).as("n_bpeish"))
+      .orderBy("doc_id")
+
+  /** Quality-scoring ratios per document. */
+  def q12Quality(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+        round(TextOps.punctRatio(col("text")), 6).as("punct_ratio"),
+        round(TextOps.digitRatio(col("text")), 6).as("digit_ratio"),
+        round(TextOps.stopwordRatio(col("text")), 6).as("stopword_ratio"),
+        round(TextOps.meanTokenLength(col("text")), 6).as("mean_tok_len"))
+      .orderBy("doc_id")
+
+  /** Language-ID distribution (heuristic marker-word argmax; no SQL oracle —
+    * checked by unit tests). */
+  def q13LangId(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(TextOps.langId(col("text")).as("lang_pred"))
+      .groupBy("lang_pred").agg(count(lit(1)).as("n"))
+      .orderBy("lang_pred")
+
+  /** Document fingerprints (md5 + rolling polynomial hash). */
+  def q14Fingerprints(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+        TextOps.fingerprintMd5(col("text")).as("fp_md5"))
+      .orderBy("doc_id")
+
+  /** N-gram Jaccard near-dup pairs within (lang, source) blocks —
+    * relational semantics shared with the oracle (the LSH-blocked variants
+    * are the no-oracle queries q28/q29). */
+  def q15NgramJaccard(s: SparkSession, d: String): DataFrame = {
+    val g = Tables.documents(s, d).select(col("doc_id"), col("lang"), col("source"),
+      TextOps.charNGrams(col("text"), 3).as("g"))
+    val a = g.select(col("lang"), col("source"), col("doc_id").as("id_a"), col("g").as("g_a"))
+    val b = g.select(col("lang"), col("source"), col("doc_id").as("id_b"), col("g").as("g_b"))
+    a.join(b, Seq("lang", "source"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard", round(Dedup.jaccardArrays(col("g_a"), col("g_b")), 6))
+      .filter(col("jaccard") >= 0.5)
+      .select("id_a", "id_b", "jaccard")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Brute-force cosine top-k: queries = vec_id < 8, k = 10. Window-ranked
+    * on the rounded score for deterministic cross-engine ordering. */
+  def q16CosineTopK(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val c = e.select(col("vec_id").as("nid"), col("embedding").cast("array<double>").as("cv"))
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").cast("array<double>").as("qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .select(col("query_id"), col("nid"),
+        round(VectorOps.cosine(col("cv"), col("qv")), 6).as("score"))
+    val w = Window.partitionBy("query_id").orderBy(desc("score"), col("nid"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("nid").as("neighbor_id"), col("score"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Embedding near-dup pairs (exact, label-blocked, a-side sampled 1-in-10):
+    * the oracle-checkable companion of the LSH variant q30. */
+  def q17EmbeddingPairs(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+    val a = e.filter(col("vec_id") % 10 === 0)
+      .select(col("label"), col("vec_id").as("id_a"), col("v").as("v_a"))
+    val b = e.select(col("label"), col("vec_id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("label"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", round(VectorOps.cosine(col("v_a"), col("v_b")), 6))
+      .filter(col("cosine") >= 0.4)
+      .select(col("label"), col("id_a"), col("id_b"), col("cosine"))
+      .orderBy("id_a", "id_b")
+  }
+
+  // ---- events: json / time / windows --------------------------------------
+
+  /** JSON extraction from events.props. */
+  def q18Json(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).cast("long").as("n"), round(avg(col("k")), 4).as("avg_k"))
+      .orderBy("event_type")
+
+  /** Hourly tumbling aggregation over the event stream (batch form). */
+  def q19Hourly(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00").as("hour"))
+      .agg(count(lit(1)).cast("long").as("n"), round(sum("value"), 2).as("sum_value"))
+      .orderBy("hour")
+
+  /** Star-schema join: revenue per nation (broadcast dims). */
+  def q20RevenueByNation(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).cast("long").as("n_items"))
+      .orderBy("n_name")
+  }
+
+  /** Per-column profile of orders (M9 / north-star profiling). */
+  def q21ProfileOrders(s: SparkSession, d: String): DataFrame =
+    Profiling.profile(Tables.orders(s, d),
+      Seq("o_custkey", "o_orderstatus", "o_orderpriority")).orderBy("col_name")
+
+  /** Validation rules over lineitem in one pass. */
+  def q22Validate(s: SparkSession, d: String): DataFrame =
+    Profiling.validate(Tables.lineitem(s, d), Seq(
+      Profiling.inRange("l_quantity", 1, 50),
+      Profiling.nonNegative("l_extendedprice"),
+      Profiling.inRange("l_discount", 0.0, 0.1),
+      Profiling.inRange("l_tax", 0.0, 0.08),
+      Profiling.notNull("l_shipdate"))).orderBy("rule")
+
+  /** Key-uniqueness violations (duplicate multiplicities) on lineitem. */
+  def q23DupKeys(s: SparkSession, d: String): DataFrame =
+    Profiling.duplicateKeys(Tables.lineitem(s, d), Seq("l_orderkey"))
+      .orderBy("l_orderkey")
+
+  /** W1 sliding-window featurization, scalar (sum) projection for the
+    * oracle; the array-valued operator itself is q27. */
+  def q24WindowSums(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy("event_id")
+    val histW = w.rowsBetween(Window.currentRow, 9)
+    val predW = w.rowsBetween(10, 14)
+    Tables.events(s, d)
+      .select(col("event_id"), col("value"))
+      .withColumn("hist_sum", round(sum("value").over(histW), 4))
+      .withColumn("target_sum", round(sum("value").over(predW), 4))
+      .withColumn("__hc", count("value").over(histW))
+      .withColumn("__tc", count("value").over(predW))
+      .filter(col("__hc") === 10 && col("__tc") === 5)
+      .select(col("event_id").as("win_id"), col("hist_sum"), col("target_sum"))
+      .orderBy("win_id")
+  }
+
+  // ---- no-oracle operators (KDE / sampling / LSH / ANN / windows) ---------
+
+  /** A-KDE: 1024-point Gaussian KDE of l_extendedprice (Scott bandwidth). */
+  def q25Kde(s: SparkSession, d: String): DataFrame =
+    Kde.fit(Tables.lineitem(s, d), col("l_extendedprice")).toDF(s)
+
+  /** The reference's stage-2 informative sampling: KDE → inverse-density
+    * weights → Efraimidis–Spirakis top-100. */
+  def q26WeightedSample(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val kde = Kde.fit(li, col("l_extendedprice"))
+    val weighted = li.withColumn("pdf", kde.interpolate(col("l_extendedprice")))
+      .withColumn("w", lit(1.0) / greatest(col("pdf"), lit(1e-12)))
+    Selection.weightedSample(weighted, col("w"), 100, seed = 42)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice", "pdf", "w")
+  }
+
+  /** W1 as arrays, via the scalable blocked featurizer. */
+  def q27SlidingWindows(s: SparkSession, d: String): DataFrame =
+    SlidingWindows.featurizeByIndex(Tables.events(s, d),
+      col("event_id"), col("value"), history = 10, pred = 5)
+
+  /** MinHash + LSH near-dup candidate pairs, Jaccard-verified. */
+  def q28MinhashPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashDedupPairs(Tables.documents(s, d), col("doc_id"), col("text"),
+      shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      .orderBy("id_a", "id_b")
+
+  /** SimHash near-dup pairs within Hamming ≤ 16 of the 64-bit fingerprint. */
+  def q29SimhashPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashDedupPairs(Tables.documents(s, d), col("doc_id"), col("text"),
+      maxHamming = 16)
+      .orderBy("id_a", "id_b")
+
+  /** IVF-bucketed approximate nearest neighbors (scale path of q16). */
+  def q30AnnIvf(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    Ann.ivfTopK(e, col("vec_id"), col("embedding"),
+      e.filter(col("vec_id") < 8), col("vec_id"), col("embedding"),
+      k = 10, nlist = 16, nprobe = 4)
+  }
+
+  /** Exact brute-force ANN via the map-side TopKAggregator (scale shape). */
+  def q31AnnTopKAgg(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    Ann.bruteForceTopK(e, col("vec_id"), col("embedding"),
+      e.filter(col("vec_id") < 8), col("vec_id"), col("embedding"), k = 10)
+  }
+}

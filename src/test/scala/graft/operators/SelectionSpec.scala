@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SelectionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("topK returns the k max rows with deterministic tie-break") {
+    val df = Seq((1L, 5.0), (2L, 9.0), (3L, 9.0), (4L, 1.0)).toDF("id", "s")
+    val got = Selection.topK(df, col("s"), 2, Seq(col("id"))).as[(Long, Double)].collect()
+    assert(got.toSeq == Seq((2L, 9.0), (3L, 9.0)))
+  }
+
+  test("argmax picks the single best row") {
+    val df = Seq((1L, 5.0), (2L, 9.0), (3L, 7.0)).toDF("id", "s")
+    assert(Selection.argmax(df, col("s")).as[(Long, Double)].head() == ((2L, 9.0)))
+  }
+
+  test("removeById deletes exactly the selected ids") {
+    val pool = spark.range(100).toDF("id")
+    val sel = Seq(3L, 50L, 99L).toDF("id")
+    val left = Selection.removeById(pool, sel, "id")
+    assert(left.count() == 97)
+    assert(left.filter(col("id").isin(3L, 50L, 99L)).count() == 0)
+  }
+
+  test("selectAndMove moves top row from pool to train with explorer tag") {
+    val pool = Seq((1L, 0.1, 5.0), (2L, 0.9, 7.0), (3L, 0.5, 6.0)).toDF("id", "score", "y")
+    val train = Seq((99L, 0.0, 1.0)).toDF("id", "score", "y")
+      .withColumn("explorer", lit("init"))
+    val (p2, t2, sel) = Selection.selectAndMove(pool, train, col("score"), 1, "id", "us")
+    assert(p2.count() == 2 && t2.count() == 2)
+    assert(sel.select("id").as[Long].head() == 2L)
+    assert(t2.filter(col("explorer") === "us").select("id").as[Long].head() == 2L)
+  }
+
+  test("weightedSample is seeded-deterministic and respects weights statistically") {
+    val df = (1 to 1000).map(i => (i.toLong, if (i <= 100) 100.0 else 1.0)).toDF("id", "w")
+    val s1 = Selection.weightedSample(df, col("w"), 50, 42).select("id").as[Long].collect().toSet
+    val s2 = Selection.weightedSample(df, col("w"), 50, 42).select("id").as[Long].collect().toSet
+    assert(s1 == s2, "same seed must give same sample")
+    // heavy ids (10% of rows, 100x weight) should dominate the sample
+    val heavy = s1.count(_ <= 100)
+    assert(heavy > 25, s"expected heavy-weight ids to dominate, got $heavy/50")
+    assert(s1.size == 50)
+  }
+
+  test("middleByKey picks the floor(n/2)+1-th row (reference semantics)") {
+    val df = Seq(
+      (1.0, 10L), (1.0, 20L), (1.0, 30L),      // 3 dups -> 2nd (20)
+      (2.0, 40L), (2.0, 50L),                  // 2 dups -> 2nd (50)
+      (3.0, 60L)                               // 1 -> itself
+    ).toDF("y", "id")
+    val got = Selection.middleByKey(df, col("y"), Seq(col("id")))
+      .orderBy("y").as[(Double, Long)].collect().toSeq
+    assert(got == Seq((1.0, 20L), (2.0, 50L), (3.0, 60L)))
+  }
+
+  test("dedup removes whole-row duplicates") {
+    val df = Seq((1L, "a"), (1L, "a"), (2L, "b")).toDF("id", "v")
+    assert(Selection.dedup(df).count() == 2)
+  }
+
+  test("pool shrinks by exactly 3 per explorer round (ScalaCheck-ish prop)") {
+    var pool = spark.range(50).toDF("id")
+      .withColumn("score", col("id").cast("double"))
+      .withColumn("y", lit(0.0))
+    var train = pool.limit(0).withColumn("explorer", lit(""))
+    for (_ <- 1 to 4) {
+      val before = pool.count()
+      for (tag <- Seq("se", "us", "us_lw")) {
+        val (p, t, _) = Selection.selectAndMove(pool, train, col("score"), 1, "id", tag)
+        pool = p; train = t
+      }
+      assert(pool.count() == before - 3)
+    }
+    assert(train.count() == 12)
+  }
+}

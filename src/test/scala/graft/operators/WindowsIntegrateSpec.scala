@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class WindowsIntegrateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val series =
+    (0 until 1000).map(i => (i.toLong, math.sin(i * 0.01))).toDF("idx", "v")
+
+  test("featurize produces n-history-pred+1 = 986 windows (reference count)") {
+    val w = SlidingWindows.featurize(series, col("idx"), col("v"), 10, 5)
+    assert(w.count() == 986)
+    val first = w.orderBy("win_id").head()
+    assert(first.getAs[collection.Seq[Double]]("hist").size == 10)
+    assert(first.getAs[collection.Seq[Double]]("target").size == 5)
+  }
+
+  test("featurizeByIndex (blocked, scalable) equals the global-sort version") {
+    val a = SlidingWindows.featurize(series, col("idx"), col("v"), 10, 5)
+      .select(col("win_id"), col("hist"), col("target"))
+    // small blockSize to force many blocks + seams
+    val b = SlidingWindows.featurizeByIndex(series, col("idx"), col("v"), 10, 5,
+      blockSize = 64)
+    assert(b.count() == 986)
+    val aRows = a.orderBy("win_id").collect().map(r =>
+      (r.getLong(0), r.getSeq[Double](1), r.getSeq[Double](2)))
+    val bRows = b.orderBy("win_id").collect().map(r =>
+      (r.getLong(0), r.getSeq[Double](1), r.getSeq[Double](2)))
+    assert(aRows.length == bRows.length)
+    aRows.zip(bRows).foreach { case (x, y) => assert(x == y) }
+  }
+
+  test("window contents align: hist = v[i..i+9], target = v[i+10..i+14]") {
+    val w = SlidingWindows.featurizeByIndex(series, col("idx"), col("v"), 10, 5,
+      blockSize = 100)
+    val r = w.filter(col("win_id") === 42L).head()
+    val hist = r.getSeq[Double](1)
+    val target = r.getSeq[Double](2)
+    assert(hist == (42 until 52).map(i => math.sin(i * 0.01)))
+    assert(target == (52 until 57).map(i => math.sin(i * 0.01)))
+  }
+
+  test("trapz of y=x^2 on [0,1] ~ 1/3") {
+    val grid = (0 to 1000).map(i => i / 1000.0).map(x => (x, x * x)).toDF("x", "y")
+    val got = Integrate.trapz(grid, col("x"), col("y")).head().getDouble(0)
+    assert(math.abs(got - 1.0 / 3) < 1e-6, s"got $got")
+  }
+
+  test("minMaxScale maps min->0 max->1") {
+    val df = Seq(10.0, 20.0, 15.0).toDF("v")
+    val got = Integrate.minMaxScale(df, col("v"), "s")
+      .orderBy("v").select("s").as[Double].collect().toSeq
+    assert(got == Seq(0.0, 0.5, 1.0))
+  }
+
+  test("histogram counts and density normalize") {
+    val df = (Seq.fill(30)(0.5) ++ Seq.fill(70)(2.5)).toDF("v")
+    val h = Integrate.histogram(df, col("v"), 0.0, 4.0, 4)
+      .orderBy("bucket").collect()
+    assert(h.map(_.getAs[Long]("cnt")).toSeq == Seq(30L, 70L))
+    // density integrates to 1: sum(density*width) = 1
+    assert(math.abs(h.map(_.getAs[Double]("density")).sum * 1.0 - 1.0) < 1e-12)
+  }
+}
