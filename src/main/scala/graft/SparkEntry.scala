@@ -45,7 +45,10 @@ object SparkEntry {
     "q28_minhash_pairs" -> (Queries.q28MinhashPairs _),
     "q29_simhash_pairs" -> (Queries.q29SimhashPairs _),
     "q30_ann_ivf" -> (Queries.q30AnnIvf _),
-    "q31_ann_topk_agg" -> (Queries.q31AnnTopKAgg _)
+    "q31_ann_topk_agg" -> (Queries.q31AnnTopKAgg _),
+    "q32_grid_source" -> (Queries.q32GridSource _),
+    "q33_lhs_strata" -> (Queries.q33LhsStrata _),
+    "q34_pca_project" -> (Queries.q34PcaProject _)
   )
 
   /** DuckDB oracles for every SQL-expressible query above (q13, q25–q31 are

@@ -1,0 +1,38 @@
+package graft.ml
+
+import graft.operators.KdeResult
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Acquisition functions — the reference's `acquisition_fcn` dispatch
+  * (`core/acquisition_fcn.py:33-69`) over likelihood weights
+  * (`core/likelihood.py:39-58`), re-expressed as pure column scorers applied
+  * to an ensemble-scored pool (columns `pred`, `var`).
+  *
+  * - `us`  — uncertainty sampling: score = var (with an explicit pool the
+  *   reference's nominal weight is 1, `likelihood.py:39-43`).
+  * - `usLw` — likelihood-weighted: score = (fx / fy) * var, where fy is the
+  *   KDE of the predicted mean interpolated at each row's pred and fx the
+  *   input density (1 for an explicit pool).
+  * - `us_lgw` (`likelihood.py:61-78`) is dead code in the reference — never
+  *   reachable from either driver script — and is intentionally not ported
+  *   (SURVEY.md §7 step 9).
+  */
+object Acquisition {
+
+  def us: Column = col("var")
+
+  def usLw(predKde: KdeResult, fx: Column = lit(1.0), eps: Double = 1e-12): Column =
+    (fx / greatest(predKde.interpolate(col("pred")), lit(eps))) * col("var")
+
+  /** Name-dispatched form mirroring the reference's string API
+    * (`acquisition_fcn.py:56-69`); requires the scored pool and, for
+    * "us_lw", the fitted pred-KDE. */
+  def byName(name: String, predKde: Option[KdeResult] = None): Column = name match {
+    case "us" => us
+    case "us_lw" => usLw(predKde.getOrElse(
+      throw new IllegalArgumentException("us_lw needs the predicted-mean KDE")))
+    case other => throw new IllegalArgumentException(
+      s"unknown acquisition '$other' (supported: us, us_lw; us_lgw is dead code in the reference)")
+  }
+}

@@ -87,13 +87,13 @@ object Ann {
     val cents: Array[Array[Double]] = c.select(col("cv"))
       .orderBy(xxhash64(col("nid"), lit(seed)))
       .limit(nlist).collect().map(_.getSeq[Double](0).toArray)
-    // NB: build ONE array of (score, cell) structs and select with
-    // array_max / array_sort — a pairwise when/otherwise reduce would
-    // duplicate each cosine subtree 2x per level (exponential analyzer
-    // blowup).
-    def scoredCells(vec: Column): Column = array(cents.zipWithIndex.map {
-      case (ct, i) => struct(VectorOps.cosine(vec, lit(ct)).as("s"), lit(i).as("cell"))
-    }: _*)
+    // NB: ONE transform lambda over a 2-D centroid literal — the cosine body
+    // is planned/compiled once, not nlist times (and never as a pairwise
+    // when/otherwise reduce, which would duplicate subtrees exponentially).
+    val centArr = typedLit(cents.map(_.toSeq).toSeq)
+    def scoredCells(vec: Column): Column =
+      transform(centArr, (c, i) =>
+        struct(VectorOps.cosine(vec, c).as("s"), i.as("cell")))
     def cellOf(vec: Column): Column = array_max(scoredCells(vec)).getField("cell")
     def probesOf(vec: Column): Column =
       slice(reverse(array_sort(scoredCells(vec))), 1, nprobe).getField("cell")

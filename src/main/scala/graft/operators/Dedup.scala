@@ -64,12 +64,29 @@ object Dedup {
       .select("id_a", "id_b", "sh_a", "sh_b")
       .dropDuplicates("id_a", "id_b")
     cand
-      .withColumn("jaccard", round(jaccardArrays(col("sh_a"), col("sh_b")), 6))
+      // separate projection so the O(n) set-intersection evaluates once;
+      // CollapseProject keeps non-cheap multi-referenced aliases materialized
+      .withColumn("__inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("__na", size(col("sh_a")))
+      .withColumn("__nb", size(col("sh_b")))
+      .select(col("id_a"), col("id_b"),
+        jaccardFromIntersect(col("__inter"), col("__na"), col("__nb")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
   }
 
-  /** Exact Jaccard over two (already-distinct) array columns. */
+  /** Jaccard from a PRE-COMPUTED intersection size. Callers must materialize
+    * `size(array_intersect(...))` in its own projection exactly once —
+    * inlining it here would evaluate the O(|a|+|b|) set build 3x per row
+    * (numerator, denominator, null-guard), which dominated the near-dup scan
+    * at bench scale. */
+  def jaccardFromIntersect(inter: Column, na: Column, nb: Column): Column = {
+    val uni = na + nb - inter
+    round(when(uni === 0, 0.0).otherwise(inter.cast("double") / uni.cast("double")), 6)
+  }
+
+  /** Exact Jaccard over two (already-distinct) array columns — convenience
+    * form for small inputs/tests; see [[jaccardFromIntersect]] for the
+    * hot-path shape. */
   def jaccardArrays(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
     val uni = size(a) + size(b) - size(array_intersect(a, b))
@@ -143,9 +160,12 @@ object Dedup {
     a.join(b, Seq("blk", "fc"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
-      .withColumn("jaccard", round(jaccardArrays(col("g_a"), col("g_b")), 6))
+      .withColumn("__inter", size(array_intersect(col("g_a"), col("g_b"))))
+      .withColumn("__na", size(col("g_a")))
+      .withColumn("__nb", size(col("g_b")))
+      .select(col("id_a"), col("id_b"),
+        jaccardFromIntersect(col("__inter"), col("__na"), col("__nb")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
   }
 
   /** Embedding-cosine near-duplicate pairs. Buckets by random-hyperplane

@@ -124,22 +124,79 @@ object Kde {
   }
 
   /** Fit a weighted KDE over `value`, returning the grid + density.
-    * Two passes: a tiny stats aggregate for bandwidth/grid bounds, then the
-    * single-pass grid aggregate. `bandwidth=None` → Scott's rule;
-    * `bounds=None` → [min - 3bw, max + 3bw] (the auto-grid padding the
-    * reference inherits from FFTKDE). */
+    * Two passes: a tiny stats aggregate for bandwidth/grid bounds, then one
+    * binning pass. `bandwidth=None` → Scott's rule; `bounds=None` →
+    * [min - 3bw, max + 3bw] (the auto-grid padding the reference inherits
+    * from FFTKDE).
+    *
+    * Default method is BINNED (linear binning to the grid + driver-side
+    * kernel convolution over ≤ gridSize bins) — the same
+    * approximation FFTKDE itself makes (`utils.py:120`), and on Spark it
+    * replaces the per-row O(grid) object aggregate with a codegen'd
+    * groupBy over ≤ gridSize+1 keys: a full scan + a ≤1024-row shuffle at
+    * any data size. Set `exact=true` for the direct [[KdeAggregator]]. */
   def fit(df: DataFrame, value: Column, weight: Column = lit(1.0),
           gridSize: Int = 1024, bandwidth: Option[Double] = None,
-          bounds: Option[(Double, Double)] = None): KdeResult = {
+          bounds: Option[(Double, Double)] = None,
+          exact: Boolean = false): KdeResult = {
     val bw = bandwidth.getOrElse(scottBandwidth(df, value, weight))
     val (lo, hi) = bounds.getOrElse {
       val r = df.select(min(value), max(value)).head()
       (r.getDouble(0) - 3 * bw, r.getDouble(1) + 3 * bw)
     }
-    val agg = new KdeAggregator(lo, hi, gridSize, bw)
-    val col = udaf(agg, Encoders.product[KdeIn])
-      .apply(value.cast("double"), weight.cast("double"))
-    val pdf = df.select(col.as("pdf")).head().getSeq[Double](0).toArray
+    if (exact) {
+      val agg = new KdeAggregator(lo, hi, gridSize, bw)
+      val c = udaf(agg, Encoders.product[KdeIn])
+        .apply(value.cast("double"), weight.cast("double"))
+      val pdf = df.select(c.as("pdf")).head().getSeq[Double](0).toArray
+      KdeResult(lo, hi, gridSize, bw, pdf)
+    } else {
+      fitBinned(df, value, weight, gridSize, bw, lo, hi)
+    }
+  }
+
+  /** Linear binning + driver convolution. Each row splits its weight between
+    * the two grid points flanking its value (exactly FFTKDE's linear
+    * binning); bin totals come back as ≤ gridSize+1 rows; the Gaussian
+    * smoothing is an O(grid × support) loop on the driver. */
+  private def fitBinned(df: DataFrame, value: Column, weight: Column,
+                        gridSize: Int, bw: Double, lo: Double, hi: Double): KdeResult = {
+    val step = (hi - lo) / (gridSize - 1)
+    val v = value.cast("double")
+    val w = weight.cast("double")
+    val pos = (v - lit(lo)) / lit(step)
+    val i0 = least(greatest(floor(pos).cast("int"), lit(0)), lit(gridSize - 1))
+    val frac = least(greatest(pos - i0.cast("double"), lit(0.0)), lit(1.0))
+    val pairs = df
+      .filter(v.isNotNull && !isnan(v) && w > 0)
+      .filter(v >= lit(lo) && v <= lit(hi))
+      .select(explode(array(
+        struct(i0.as("bin"), (w * (lit(1.0) - frac)).as("bw")),
+        struct(least(i0 + 1, lit(gridSize - 1)).as("bin"), (w * frac).as("bw")))).as("p"))
+      .groupBy(col("p.bin").as("bin")).agg(sum(col("p.bw")).as("wsum"))
+      .collect()
+    val bins = new Array[Double](gridSize)
+    pairs.foreach(r => bins(r.getAs[Int]("bin")) += r.getAs[Double]("wsum"))
+    val total = bins.sum
+    val pdf = new Array[Double](gridSize)
+    if (total > 0) {
+      val support = math.min(gridSize, math.ceil(8.5 * bw / step).toInt + 1)
+      val kNorm = 1.0 / (bw * math.sqrt(2.0 * math.Pi))
+      var i = 0
+      while (i < gridSize) {
+        if (bins(i) > 0) {
+          val m = bins(i) / total
+          var j = math.max(0, i - support)
+          val jMax = math.min(gridSize - 1, i + support)
+          while (j <= jMax) {
+            val t = (j - i) * step / bw
+            pdf(j) += m * kNorm * math.exp(-0.5 * t * t)
+            j += 1
+          }
+        }
+        i += 1
+      }
+    }
     KdeResult(lo, hi, gridSize, bw, pdf)
   }
 }

@@ -235,6 +235,22 @@ object Oracles {
         AND count(value) OVER (ORDER BY event_id ROWS BETWEEN 10 FOLLOWING AND 14 FOLLOWING) = 5
     ORDER BY win_id"""
 
+  val q32 = """
+    WITH g AS (
+      SELECT a.i * 50 + b.i AS id,
+             -1.0 + a.i * (2.0 / 49) AS x1,
+             -1.0 + b.i * (2.0 / 49) AS x2
+      FROM generate_series(0, 49) a(i), generate_series(0, 49) b(i))
+    SELECT id, x1, x2,
+           round(pow(x1, 3) - x1 + pow(x2, 2) + 0.5 * sin(8 * x1 * x2), 6) AS y
+    FROM g ORDER BY id"""
+
+  // LHS stratification is a structural guarantee: exactly one sample per
+  // stratum per dimension, so the oracle is the closed-form answer.
+  val q33 = """
+    SELECT CAST(64 AS BIGINT) AS d1, CAST(64 AS BIGINT) AS d2,
+           CAST(64 AS BIGINT) AS n"""
+
   /** name → oracle SQL (single-line, driver JSON-escapes anyway). */
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
@@ -259,6 +275,8 @@ object Oracles {
     "q21_profile_orders" -> q21,
     "q22_validate" -> q22,
     "q23_dup_keys" -> q23,
-    "q24_window_sums" -> q24
+    "q24_window_sums" -> q24,
+    "q32_grid_source" -> q32,
+    "q33_lhs_strata" -> q33
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

@@ -160,15 +160,21 @@ object Queries {
     * relational semantics shared with the oracle (the LSH-blocked variants
     * are the no-oracle queries q28/q29). */
   def q15NgramJaccard(s: SparkSession, d: String): DataFrame = {
+    // n-gram sets + sizes computed once per doc BEFORE the pair join; the
+    // O(n) intersection materializes once per pair (see jaccardFromIntersect)
     val g = Tables.documents(s, d).select(col("doc_id"), col("lang"), col("source"),
-      TextOps.charNGrams(col("text"), 3).as("g"))
-    val a = g.select(col("lang"), col("source"), col("doc_id").as("id_a"), col("g").as("g_a"))
-    val b = g.select(col("lang"), col("source"), col("doc_id").as("id_b"), col("g").as("g_b"))
+        TextOps.charNGrams(col("text"), 3).as("g"))
+      .withColumn("n", size(col("g")))
+    val a = g.select(col("lang"), col("source"), col("doc_id").as("id_a"),
+      col("g").as("g_a"), col("n").as("n_a"))
+    val b = g.select(col("lang"), col("source"), col("doc_id").as("id_b"),
+      col("g").as("g_b"), col("n").as("n_b"))
     a.join(b, Seq("lang", "source"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("jaccard", round(Dedup.jaccardArrays(col("g_a"), col("g_b")), 6))
+      .withColumn("__inter", size(array_intersect(col("g_a"), col("g_b"))))
+      .select(col("id_a"), col("id_b"),
+        Dedup.jaccardFromIntersect(col("__inter"), col("n_a"), col("n_b")).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
-      .select("id_a", "id_b", "jaccard")
       .orderBy("id_a", "id_b")
   }
 
@@ -320,5 +326,40 @@ object Queries {
     val e = Tables.embeddings(s, d)
     Ann.bruteForceTopK(e, col("vec_id"), col("embedding"),
       e.filter(col("vec_id") < 8), col("vec_id"), col("embedding"), k = 10)
+  }
+
+  /** S1 grid source + S5 synthetic label — the reference's stage-0 dataset
+    * (100x100 lattice, 2-D -> scalar y), oracle-checked. */
+  def q32GridSource(s: SparkSession, d: String): DataFrame =
+    Sources.grid(s, Domain(Seq((-1.0, 1.0), (-1.0, 1.0))), 50)
+      .withColumn("y", round(graft.functions.Pdfs.syntheticLabel(col("x1"), col("x2")), 6))
+      .select(col("id"), col("x1"), col("x2"), col("y"))
+      .orderBy("id")
+
+  /** S3 Latin-hypercube source: stratification property is oracle-checked
+    * structurally (one sample per stratum per dimension). */
+  def q33LhsStrata(s: SparkSession, d: String): DataFrame = {
+    val n = 64
+    val lhs = Sources.latinHypercube(s, Domain(Seq((0.0, 1.0), (0.0, 1.0))), n, seed = 42)
+    // per dimension: every stratum [i/n,(i+1)/n) holds exactly one sample
+    lhs.select(
+        floor(col("x1") * n).cast("long").as("s1"),
+        floor(col("x2") * n).cast("long").as("s2"))
+      .agg(count_distinct(col("s1")).as("d1"), count_distinct(col("s2")).as("d2"),
+        count(lit(1)).as("n"))
+  }
+
+  /** A-PCA: project lineitem numeric measures onto 2 principal components;
+    * returns per-component summary (rows-only check; exact basis is
+    * sign/rotation ambiguous so no SQL oracle). */
+  def q34PcaProject(s: SparkSession, d: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val li = Tables.lineitem(s, d)
+    val model = Pca.fit(li, cols, 2)
+    Pca.project(li, cols, model)
+      .agg(round(avg(pow(col("pc1"), 2)), 2).as("pc1_var"),
+        round(avg(pow(col("pc2"), 2)), 2).as("pc2_var"),
+        round(avg(col("pc1")), 6).as("pc1_mean"),
+        count(lit(1)).as("n"))
   }
 }

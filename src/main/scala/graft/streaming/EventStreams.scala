@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming form of the event-table operators. The reference has
+  * no streaming (SURVEY.md §2.8 — its "time series" is batch-simulated), so
+  * this is the forward-looking surface for the 100 TB pipeline: the same
+  * windowed aggregations as the batch queries (q19/q24), expressed over
+  * `readStream` with watermarks, so ingest can run continuously and the
+  * batch/stream results agree on closed windows.
+  */
+object EventStreams {
+
+  /** The events schema (readStream needs it explicitly; ts arrives as
+    * nanos-epoch long under the legacy parquet mapping and is normalized to
+    * a timestamp exactly like Tables.events). */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** `dir` must be a DIRECTORY of event parquet files (FileStreamSource
+    * rejects a single-file path) — the natural shape for a streaming ingest
+    * drop zone. Tests stage the fixture file into a temp dir. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(eventsSchema)
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  /** Tumbling hourly aggregate with a 2-hour watermark — the streaming twin
+    * of the batch q19. Output: (window_start, event_type, n, sum_value). */
+  def hourlyByType(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Sliding 30-minute windows every 10 minutes over value — the streaming
+    * profile feed (mean/min/max per window). */
+  def slidingValueStats(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "30 minutes", "10 minutes").as("w"))
+      .agg(count(lit(1)).as("n"), round(avg("value"), 6).as("mean_value"),
+        min("value").as("min_value"), max("value").as("max_value"))
+      .select(col("w.start").as("window_start"), col("n"),
+        col("mean_value"), col("min_value"), col("max_value"))
+
+  /** Run a streaming query to completion against the (static) fixture dir
+    * via the memory sink — the batch-parity harness used by tests: process
+    * all available input, return the materialized result. */
+  def runToMemory(spark: SparkSession, streamed: DataFrame, name: String,
+                  outputMode: String = "append"): DataFrame = {
+    val q = streamed.writeStream.format("memory").queryName(name)
+      .outputMode(outputMode).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+}

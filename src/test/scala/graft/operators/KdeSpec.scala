@@ -17,6 +17,17 @@ class KdeSpec extends SparkSpec {
     assert(math.abs(r.pdf(30) - r.pdf(70)) < 1e-12)
   }
 
+  test("binned KDE matches the exact aggregator closely") {
+    val rnd = new scala.util.Random(13)
+    val df = Seq.fill(3000)(rnd.nextGaussian() * 3 + 1).toDF("v")
+    val binned = Kde.fit(df, col("v"), gridSize = 512)
+    val exact = Kde.fit(df, col("v"), gridSize = 512, exact = true)
+    assert(binned.bandwidth == exact.bandwidth)
+    val maxDiff = binned.pdf.zip(exact.pdf).map { case (a, b) => math.abs(a - b) }.max
+    val peak = exact.pdf.max
+    assert(maxDiff < 0.02 * peak, s"maxDiff=$maxDiff peak=$peak")
+  }
+
   test("KDE integrates to ~1 (trapz over grid)") {
     val rnd = new scala.util.Random(7)
     val df = Seq.fill(2000)(rnd.nextGaussian()).toDF("v")
