@@ -38,14 +38,39 @@ object TextOps {
           i => substr(t, i + 1, lit(n)))))
   }
 
+  /** Character n-grams as 64-bit hashes (deduplicated). Set operations over
+    * long arrays are ~an order of magnitude cheaper than over UTF8 strings,
+    * and 64-bit collisions are negligible (~n^2/2^65 per doc), so
+    * intersection counts match the string-set counts exactly in practice. */
+  def charNGramsHashed(text: Column, n: Int): Column =
+    charNGramsHashedFromNormalized(normalized(text), n)
+
+  /** [[charNGramsHashed]] over ALREADY-NORMALIZED text. Callers doing bulk
+    * work must materialize the normalized text as its own column first:
+    * higher-order functions are CodegenFallback (interpreted), so any
+    * non-attribute subexpression referenced inside the lambda — here the
+    * normalization regex — would re-evaluate PER ARRAY ELEMENT (observed:
+    * ~300 regexp_replace calls per document, dominating the near-dup scan).
+    */
+  def charNGramsHashedFromNormalized(t: Column, n: Int): Column =
+    // sorted ascending: enables the two-pointer SortedLongIntersectSize
+    array_sort(array_distinct(
+      when(length(t) < n, array(xxhash64(t)))
+        .otherwise(transform(sequence(lit(0), length(t) - n),
+          i => xxhash64(substr(t, i + 1, lit(n)))))))
+
   /** Word w-shingles: joined runs of w consecutive tokens (dedup'd). */
-  def wordShingles(text: Column, w: Int): Column = {
-    val toks = tokens(text)
+  def wordShingles(text: Column, w: Int): Column =
+    wordShinglesFromTokens(tokens(text), w)
+
+  /** [[wordShingles]] over a PRE-MATERIALIZED token array column (see
+    * [[charNGramsHashedFromNormalized]] for why bulk callers must split
+    * text → tokens in a separate projection). */
+  def wordShinglesFromTokens(toks: Column, w: Int): Column =
     array_distinct(
       when(size(toks) < w, array(concat_ws(" ", toks)))
         .otherwise(transform(sequence(lit(0), size(toks) - w),
           i => concat_ws(" ", slice(toks, i + lit(1), lit(w))))))
-  }
 
   // --- quality scoring -----------------------------------------------------
 

@@ -48,29 +48,53 @@ object Dedup {
                         shingleSize: Int = 3, numHashes: Int = 64,
                         bands: Int = 16, threshold: Double = 0.7): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val docs = df.select(id.cast("long").as("doc_id"),
-        TextOps.wordShingles(text, shingleSize).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
-    val buckets = docs
-      .select(col("doc_id"), col("sh"),
+    // Shingle sets + signatures are consumed by three plan branches (bucket
+    // explode, A-side verify, B-side verify); materialize them ONCE.
+    // Without this, each branch re-derives them — and if the combined
+    // projection falls out of codegen, interpreted HOF evaluation recomputes
+    // the tokenizer per lambda element (quadratic per doc). At scale these
+    // signatures would be persisted at ingest for the same reason.
+    // Token split materialized BEFORE the shingle lambda, and shingle sets
+    // materialized BEFORE the 64-seed signature lambda: HOFs are interpreted
+    // (CodegenFallback), so any non-attribute subexpression inside a lambda
+    // body re-evaluates per element — a split in the shingle body would run
+    // per shingle, and the shingle pipeline inside the signature transform
+    // would run per hash seed.
+    val docs = df
+      .select(id.cast("long").as("doc_id"), TextOps.tokens(text).as("__toks"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"),
+        array_sort(transform(
+          TextOps.wordShinglesFromTokens(col("__toks"), shingleSize),
+          x => xxhash64(x))).as("sh"))
+      .localCheckpoint()
+    // signatures materialized too: the banding lambda would otherwise
+    // inline (and re-evaluate) the 64-hash signature once per band
+    val sigs = docs.withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .localCheckpoint()
+    // candidate pair ids only — shingle arrays stay OUT of the bucket join
+    // and the pair-dedup shuffle; they re-attach once per distinct pair
+    val buckets = sigs
+      .select(col("doc_id"),
         explode(lshBands(col("sig"), bands, rowsPerBand)).as("b"))
-      .select(col("doc_id"), col("sh"), col("b.band").as("band"), col("b.bh").as("bh"))
-    val a = buckets.select(col("band"), col("bh"),
-      col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val b = buckets.select(col("band"), col("bh"),
-      col("doc_id").as("id_b"), col("sh").as("sh_b"))
-    val cand = a.join(b, Seq("band", "bh"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+    val cand = buckets.select(col("band"), col("bh"), col("doc_id").as("id_a"))
+      .join(buckets.select(col("band"), col("bh"), col("doc_id").as("id_b")),
+        Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b")
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
-    cand
-      // separate projection so the O(n) set-intersection evaluates once;
-      // CollapseProject keeps non-cheap multi-referenced aliases materialized
-      .withColumn("__inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+    val shA = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val shB = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    val verified = cand.join(shA, Seq("id_a")).join(shB, Seq("id_b"))
+      // separate projection so the O(n) set-intersection evaluates once
+      .withColumn("__inter",
+        graft.functions.ArrayExprs.sortedIntersectSize(col("sh_a"), col("sh_b")))
       .withColumn("__na", size(col("sh_a")))
       .withColumn("__nb", size(col("sh_b")))
       .select(col("id_a"), col("id_b"),
         jaccardFromIntersect(col("__inter"), col("__na"), col("__nb")).as("jaccard"))
+    PlanOps.pinPairScore(verified, Seq("id_a", "id_b"), "jaccard")
       .filter(col("jaccard") >= threshold)
   }
 
@@ -150,21 +174,25 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, id: Column, text: Column,
                         n: Int = 3, threshold: Double = 0.5): DataFrame = {
     val docs = df.select(id.cast("long").as("doc_id"),
-      TextOps.charNGrams(text, n).as("g"),
+      TextOps.charNGramsHashed(text, n).as("g"),
       // block: docs within ±25% length and same first normalized char can match
       floor(log(greatest(length(TextOps.normalized(text)), lit(1)).cast("double")) / math.log(1.25)).as("lb"),
       substring(TextOps.normalized(text), 1, 1).as("fc"))
+      .repartition(col("doc_id"))
+      .localCheckpoint() // n-gram sets feed both join sides — compute once
     val withBlocks = docs.withColumn("blk", explode(array(col("lb"), col("lb") + 1)))
     val a = withBlocks.select(col("blk"), col("fc"), col("doc_id").as("id_a"), col("g").as("g_a"))
     val b = docs.select(col("lb").as("blk"), col("fc"), col("doc_id").as("id_b"), col("g").as("g_b"))
-    a.join(b, Seq("blk", "fc"))
+    val verified = a.join(b, Seq("blk", "fc"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
-      .withColumn("__inter", size(array_intersect(col("g_a"), col("g_b"))))
+      .withColumn("__inter",
+        graft.functions.ArrayExprs.sortedIntersectSize(col("g_a"), col("g_b")))
       .withColumn("__na", size(col("g_a")))
       .withColumn("__nb", size(col("g_b")))
       .select(col("id_a"), col("id_b"),
         jaccardFromIntersect(col("__inter"), col("__na"), col("__nb")).as("jaccard"))
+    PlanOps.pinPairScore(verified, Seq("id_a", "id_b"), "jaccard")
       .filter(col("jaccard") >= threshold)
   }
 
@@ -186,10 +214,11 @@ object Dedup {
       sketch.as("bkt"))
     val a = docs.select(col("bkt"), col("vid").as("id_a"), col("v").as("v_a"))
     val b = docs.select(col("bkt"), col("vid").as("id_b"), col("v").as("v_b"))
-    a.join(b, Seq("bkt"))
+    val scored = a.join(b, Seq("bkt"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cosine", round(VectorOps.cosine(col("v_a"), col("v_b")), 6))
-      .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
+    PlanOps.pinPairScore(scored, Seq("id_a", "id_b"), "cosine")
+      .filter(col("cosine") >= threshold)
   }
 }

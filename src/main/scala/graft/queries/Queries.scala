@@ -160,20 +160,33 @@ object Queries {
     * relational semantics shared with the oracle (the LSH-blocked variants
     * are the no-oracle queries q28/q29). */
   def q15NgramJaccard(s: SparkSession, d: String): DataFrame = {
-    // n-gram sets + sizes computed once per doc BEFORE the pair join; the
-    // O(n) intersection materializes once per pair (see jaccardFromIntersect)
-    val g = Tables.documents(s, d).select(col("doc_id"), col("lang"), col("source"),
-        TextOps.charNGrams(col("text"), 3).as("g"))
+    // Pair join carrying the (distinct) n-gram sets, ONE array_intersect per
+    // pair in a pinned projection. Two shapes that lose: (a) filtering on
+    // the computed Jaccard without a barrier lets PushDownPredicate inline
+    // the intersection into the join CONDITION — 3 interpreted evaluations
+    // per pair, ~50x slower; (b) an inverted-index gram join melts down on
+    // heavy-hitter trigrams (every common gram contributes |block|^2 rows).
+    val g = Tables.documents(s, d)
+      // normalization materialized BEFORE the n-gram lambda: HOFs are
+      // interpreted, so the regex must not live inside the per-element body
+      .select(col("doc_id"), col("lang"), col("source"),
+        TextOps.normalized(col("text")).as("__t"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        TextOps.charNGramsHashedFromNormalized(col("__t"), 3).as("g"))
       .withColumn("n", size(col("g")))
+      .localCheckpoint() // gram sets feed both join sides — compute once
     val a = g.select(col("lang"), col("source"), col("doc_id").as("id_a"),
       col("g").as("g_a"), col("n").as("n_a"))
     val b = g.select(col("lang"), col("source"), col("doc_id").as("id_b"),
       col("g").as("g_b"), col("n").as("n_b"))
-    a.join(b, Seq("lang", "source"))
+    val scored = a.join(b, Seq("lang", "source"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("__inter", size(array_intersect(col("g_a"), col("g_b"))))
+      .withColumn("__inter",
+        graft.functions.ArrayExprs.sortedIntersectSize(col("g_a"), col("g_b")))
       .select(col("id_a"), col("id_b"),
         Dedup.jaccardFromIntersect(col("__inter"), col("n_a"), col("n_b")).as("jaccard"))
+    PlanOps.pinPairScore(scored, Seq("id_a", "id_b"), "jaccard")
       .filter(col("jaccard") >= 0.5)
       .orderBy("id_a", "id_b")
   }
@@ -203,11 +216,16 @@ object Queries {
     val a = e.filter(col("vec_id") % 10 === 0)
       .select(col("label"), col("vec_id").as("id_a"), col("v").as("v_a"))
     val b = e.select(col("label"), col("vec_id").as("id_b"), col("v").as("v_b"))
-    a.join(b, Seq("label"))
+    val scored = a.join(b, Seq("label"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cosine", round(VectorOps.cosine(col("v_a"), col("v_b")), 6))
-      .filter(col("cosine") >= 0.4)
       .select(col("label"), col("id_a"), col("id_b"), col("cosine"))
+    // pin: keep the threshold OUT of the join condition (the cosine would
+    // re-evaluate per joined row for each of its references)
+    PlanOps.pinPairScore(scored.withColumn("__lbl", col("label")),
+        Seq("id_a", "id_b", "__lbl"), "cosine")
+      .select(col("__lbl").as("label"), col("id_a"), col("id_b"), col("cosine"))
+      .filter(col("cosine") >= 0.4)
       .orderBy("id_a", "id_b")
   }
 

@@ -1,0 +1,12 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge to the package-private Column <-> Expression converters — the
+  * standard pattern for Spark-extension libraries that define custom
+  * Catalyst expressions (the public `Column` API no longer exposes an
+  * Expression constructor since the Connect refactor). */
+object GraftShims {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

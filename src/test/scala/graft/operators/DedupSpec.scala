@@ -22,6 +22,20 @@ class DedupSpec extends SparkSpec {
     assert(grp.length == 1 && grp(0).getAs[Long]("keep_id") == 0L)
   }
 
+  test("sortedIntersectSize equals size(array_intersect) on random sorted arrays") {
+    val rnd = new scala.util.Random(17)
+    val rows = Seq.fill(200) {
+      val a = Seq.fill(rnd.nextInt(50) + 1)(rnd.nextInt(60).toLong).distinct.sorted
+      val b = Seq.fill(rnd.nextInt(50) + 1)(rnd.nextInt(60).toLong).distinct.sorted
+      (a, b)
+    }
+    val df = rows.toDF("a", "b")
+    val got = df.select(
+      graft.functions.ArrayExprs.sortedIntersectSize(col("a"), col("b")).as("x"),
+      size(array_intersect(col("a"), col("b"))).as("y"))
+    assert(got.filter(col("x") =!= col("y")).count() == 0)
+  }
+
   test("jaccardArrays exact") {
     val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("a", "b")
     val j = df.select(Dedup.jaccardArrays(col("a"), col("b")).as("j")).as[Double].head()
