@@ -142,8 +142,13 @@ object TextOps {
     * no hits → "und"). Pure expression: one `array_max` over per-language
     * structs — Spark orders structs field-by-field, so (hits, revLang) max
     * picks highest hits then smallest code. */
-  def langId(text: Column, markers: Map[String, Seq[String]] = LangMarkers): Column = {
-    val toks = tokens(lower(text))
+  def langId(text: Column, markers: Map[String, Seq[String]] = LangMarkers): Column =
+    langIdFromTokens(tokens(lower(text)), markers)
+
+  /** [[langId]] over a PRE-MATERIALIZED lowercased token array (bulk callers
+    * should project the tokens first — the split would otherwise re-run once
+    * per language inside the interpreted filter lambdas). */
+  def langIdFromTokens(toks: Column, markers: Map[String, Seq[String]] = LangMarkers): Column = {
     val sorted = markers.toSeq.sortBy(_._1)
     val scored = sorted.zipWithIndex.map { case ((langCode, words), idx) =>
       val hits = size(filter(toks, t => array_contains(lit(words.toArray), t)))

@@ -146,7 +146,10 @@ object Queries {
     * checked by unit tests). */
   def q13LangId(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .select(TextOps.langId(col("text")).as("lang_pred"))
+      // tokens in their own projection; the multi-language consumer
+      // references them >1x, so CollapseProject keeps the split materialized
+      .select(TextOps.tokens(lower(col("text"))).as("__toks"))
+      .select(TextOps.langIdFromTokens(col("__toks")).as("lang_pred"))
       .groupBy("lang_pred").agg(count(lit(1)).as("n"))
       .orderBy("lang_pred")
 
