@@ -48,7 +48,10 @@ object SparkEntry {
     "q31_ann_topk_agg" -> (Queries.q31AnnTopKAgg _),
     "q32_grid_source" -> (Queries.q32GridSource _),
     "q33_lhs_strata" -> (Queries.q33LhsStrata _),
-    "q34_pca_project" -> (Queries.q34PcaProject _)
+    "q34_pca_project" -> (Queries.q34PcaProject _),
+    "q35_asof_join" -> (Queries.q35AsOfJoin _),
+    "q36_sessionize" -> (Queries.q36Sessionize _),
+    "q37_cube" -> (Queries.q37Cube _)
   )
 
   /** DuckDB oracles for every SQL-expressible query above (q13, q25–q31 are

@@ -251,6 +251,44 @@ object Oracles {
     SELECT CAST(64 AS BIGINT) AS d1, CAST(64 AS BIGINT) AS d2,
            CAST(64 AS BIGINT) AS n"""
 
+  val q35 = """
+    WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+    purchases AS (SELECT event_id AS p_event_id, user_id, ts AS p_ts, value AS p_value
+                  FROM events WHERE event_type = 'purchase')
+    SELECT c.event_id, c.user_id, p.p_event_id AS purchase_event_id,
+           round(p.p_value, 2) AS purchase_value
+    FROM clicks c ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts >= p.p_ts
+    ORDER BY c.event_id"""
+
+  val q36 = """
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                  WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1
+                  ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    sessions AS (
+      SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked)
+    SELECT user_id, session_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           count(*) AS n_events, round(sum(value), 2) AS sum_value
+    FROM sessions GROUP BY user_id, session_id
+    ORDER BY user_id, session_id"""
+
+  val q37 = """
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           round(sum(l_quantity), 2) AS sum_qty,
+           CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY g_flag, g_status, coalesce(l_returnflag, ''), coalesce(l_linestatus, '')"""
+
   /** name → oracle SQL (single-line, driver JSON-escapes anyway). */
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
@@ -277,6 +315,9 @@ object Oracles {
     "q23_dup_keys" -> q23,
     "q24_window_sums" -> q24,
     "q32_grid_source" -> q32,
-    "q33_lhs_strata" -> q33
+    "q33_lhs_strata" -> q33,
+    "q35_asof_join" -> q35,
+    "q36_sessionize" -> q36,
+    "q37_cube" -> q37
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

@@ -370,6 +370,43 @@ object Queries {
         count(lit(1)).as("n"))
   }
 
+  /** As-of join (backward): each click event picks up the latest purchase
+    * of the same user at or before its timestamp. */
+  def q35AsOfJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event_id"), col("user_id"), col("ts").as("p_ts"),
+        col("value").as("p_value"))
+    Joins.asOfBackward(clicks, purchases, Seq("user_id"),
+        col("ts"), col("p_ts"),
+        Map("p_event_id" -> "purchase_event_id", "p_value" -> "purchase_value"))
+      .select(col("event_id"), col("user_id"),
+        col("purchase_event_id"), round(col("purchase_value"), 2).as("purchase_value"))
+      .orderBy("event_id")
+  }
+
+  /** Gap-based sessionization: 30-minute inactivity breaks a session. */
+  def q36Sessionize(s: SparkSession, d: String): DataFrame =
+    Joins.sessionize(Tables.events(s, d), Seq("user_id"), col("ts"), gapSeconds = 1800)
+      .groupBy("user_id", "session_id")
+      .agg(date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+        count(lit(1)).cast("long").as("n_events"),
+        round(sum("value"), 2).as("sum_value"))
+      .orderBy("user_id", "session_id")
+
+  /** CUBE aggregation over returnflag x linestatus with grouping flags. */
+  def q37Cube(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        grouping(col("l_returnflag")).cast("long").as("g_flag"),
+        grouping(col("l_linestatus")).cast("long").as("g_status"))
+      .orderBy(col("g_flag"), col("g_status"),
+        coalesce(col("l_returnflag"), lit("")), coalesce(col("l_linestatus"), lit("")))
+
   /** A-PCA: project lineitem numeric measures onto 2 principal components;
     * returns per-component summary (rows-only check; exact basis is
     * sign/rotation ambiguous so no SQL oracle). */

@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class JoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("asOfBackward picks the latest right row at or before each left time") {
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100.0),
+      (1L, ts("2024-01-01 10:05:00"), 101.0),
+      (2L, ts("2024-01-01 10:02:00"), 50.0)
+    ).toDF("k", "qt", "price")
+    val trades = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "a"), // equal ts -> matches 100.0
+      (1L, ts("2024-01-01 10:04:59"), "b"), // before second quote -> 100.0
+      (1L, ts("2024-01-01 10:06:00"), "c"), // after -> 101.0
+      (2L, ts("2024-01-01 10:01:00"), "d"), // before any quote -> null
+      (3L, ts("2024-01-01 10:00:00"), "e")  // key never quoted -> null
+    ).toDF("k", "tt", "tag")
+
+    val got = Joins.asOfBackward(trades, quotes, Seq("k"),
+        col("tt"), col("qt"), Map("price" -> "quote_price"))
+      .select("tag", "quote_price").as[(String, Option[Double])]
+      .collect().toMap
+    assert(got("a").contains(100.0))
+    assert(got("b").contains(100.0))
+    assert(got("c").contains(101.0))
+    assert(got("d").isEmpty)
+    assert(got("e").isEmpty)
+  }
+
+  test("sessionize splits on gaps and numbers sessions per key") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-01 10:10:00")),  // same session
+      (1L, ts("2024-01-01 11:00:00")),  // 50 min gap -> new session
+      (2L, ts("2024-01-01 09:00:00"))
+    ).toDF("user_id", "t")
+    val got = Joins.sessionize(events, Seq("user_id"), col("t"), gapSeconds = 1800)
+      .select("user_id", "t", "session_id")
+      .as[(Long, java.sql.Timestamp, Long)].collect()
+      .map { case (u, t, s) => (u, t.toString.take(19), s) }.toSet
+    assert(got == Set(
+      (1L, "2024-01-01 10:00:00", 1L),
+      (1L, "2024-01-01 10:10:00", 1L),
+      (1L, "2024-01-01 11:00:00", 2L),
+      (2L, "2024-01-01 09:00:00", 1L)))
+  }
+
+  test("sessionize: exactly-at-gap boundary stays in the same session") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-01 10:30:00"))   // exactly 30 min -> NOT a break
+    ).toDF("user_id", "t")
+    val got = Joins.sessionize(events, Seq("user_id"), col("t"), gapSeconds = 1800)
+      .select("session_id").as[Long].collect().toSet
+    assert(got == Set(1L))
+  }
+}
