@@ -51,7 +51,9 @@ object SparkEntry {
     "q34_pca_project" -> (Queries.q34PcaProject _),
     "q35_asof_join" -> (Queries.q35AsOfJoin _),
     "q36_sessionize" -> (Queries.q36Sessionize _),
-    "q37_cube" -> (Queries.q37Cube _)
+    "q37_cube" -> (Queries.q37Cube _),
+    "q38_ranking" -> (Queries.q38Ranking _),
+    "q39_percentiles" -> (Queries.q39Percentiles _)
   )
 
   /** DuckDB oracles for every SQL-expressible query above (q13, q25–q31 are

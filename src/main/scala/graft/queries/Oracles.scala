@@ -289,6 +289,26 @@ object Oracles {
     GROUP BY CUBE (l_returnflag, l_linestatus)
     ORDER BY g_flag, g_status, coalesce(l_returnflag, ''), coalesce(l_linestatus, '')"""
 
+  val q38 = """
+    WITH ranked AS (
+      SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+             rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rnk,
+             dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS drnk,
+             ntile(4) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS price_quartile
+      FROM orders)
+    SELECT o_custkey, o_orderkey, price, rn, rnk, drnk, price_quartile
+    FROM ranked WHERE rn <= 3
+    ORDER BY o_custkey, rn"""
+
+  val q39 = """
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.25), 4) AS p25,
+           round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+           round(quantile_cont(l_quantity, 0.75), 4) AS p75,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS price_p90
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
   /** name → oracle SQL (single-line, driver JSON-escapes anyway). */
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
@@ -318,6 +338,8 @@ object Oracles {
     "q33_lhs_strata" -> q33,
     "q35_asof_join" -> q35,
     "q36_sessionize" -> q36,
-    "q37_cube" -> q37
+    "q37_cube" -> q37,
+    "q38_ranking" -> q38,
+    "q39_percentiles" -> q39
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

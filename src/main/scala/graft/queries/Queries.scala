@@ -407,6 +407,36 @@ object Queries {
       .orderBy(col("g_flag"), col("g_status"),
         coalesce(col("l_returnflag"), lit("")), coalesce(col("l_linestatus"), lit("")))
 
+  /** Window ranking surface: top-3 orders per customer with row_number /
+    * rank / dense_rank (ties on price exercised by the rank variants) and a
+    * global price quartile. */
+  def q38Ranking(s: SparkSession, d: String): DataFrame = {
+    val byPrice = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"))
+    val det = Window.partitionBy("o_custkey")
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+    val global = Window.orderBy(desc("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"),
+        row_number().over(det).cast("long").as("rn"),
+        rank().over(byPrice).cast("long").as("rnk"),
+        dense_rank().over(byPrice).cast("long").as("drnk"),
+        ntile(4).over(global).cast("long").as("price_quartile"))
+      .filter(col("rn") <= 3)
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Exact interpolated percentiles of quantity per return flag. */
+  def q39Percentiles(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.25)"), 4).as("p25"),
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_quantity, 0.75)"), 4).as("p75"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("price_p90"))
+      .orderBy("l_returnflag")
+
   /** A-PCA: project lineitem numeric measures onto 2 principal components;
     * returns per-component summary (rows-only check; exact basis is
     * sign/rotation ambiguous so no SQL oracle). */
