@@ -4,6 +4,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+/** Custom stream state: last event time (µs), running session/event counts. */
+case class SessionState(lastTs: Long, sessions: Long, events: Long)
+
+/** Stateful-streaming output row: per-user running session statistics. */
+case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
+
 /** Structured Streaming form of the event-table operators. The reference has
   * no streaming (SURVEY.md §2.8 — its "time series" is batch-simulated), so
   * this is the forward-looking surface for the 100 TB pipeline: the same
@@ -51,6 +57,39 @@ object EventStreams {
         min("value").as("min_value"), max("value").as("max_value"))
       .select(col("w.start").as("window_start"), col("n"),
         col("mean_value"), col("min_value"), col("max_value"))
+
+  /** Per-user session statistics via custom state
+    * (`mapGroupsWithState`): state = (last-event time, session count); a
+    * gap > `gapSeconds` starts a new session. Emits one row per user per
+    * trigger with the running totals — the stateful-streaming twin of
+    * `Joins.sessionize`. */
+  def statefulSessionCounts(events: DataFrame, gapSeconds: Long): DataFrame = {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import org.apache.spark.sql.{Encoders, Row}
+    val rowEnc = Encoders.row(eventMicrosSchema)
+    val stateEnc = Encoders.product[SessionState]
+    val outEnc = Encoders.product[UserSessions]
+    val byUser = events
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .as(Encoders.row(new StructType()
+        .add("user_id", LongType).add("ts_us", LongType)))
+      .groupByKey((r: Row) => r.getLong(0))(Encoders.scalaLong)
+    byUser.mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+      (userId: Long, rows: Iterator[Row],
+       state: org.apache.spark.sql.streaming.GroupState[SessionState]) => {
+        val sorted = rows.map(_.getLong(1)).toArray.sorted
+        var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
+        sorted.foreach { t =>
+          val isNew = st.lastTs == Long.MinValue || t - st.lastTs > gapSeconds * 1000000L
+          st = SessionState(t, st.sessions + (if (isNew) 1 else 0), st.events + 1)
+        }
+        state.update(st)
+        UserSessions(userId, st.sessions, st.events)
+      })(stateEnc, outEnc).toDF()
+  }
+
+  private val eventMicrosSchema = new StructType()
+    .add("user_id", LongType).add("ts_us", LongType)
 
   /** Run a streaming query to completion against the (static) fixture dir
     * via the memory sink — the batch-parity harness used by tests: process

@@ -28,6 +28,22 @@ class EventStreamsSpec extends SparkSpec {
     assert(got.exceptAll(batch).count() == 0, "stream/batch mismatch")
   }
 
+  test("stateful session counts (mapGroupsWithState) match batch sessionize") {
+    val streamed = EventStreams.statefulSessionCounts(
+      EventStreams.readEvents(spark, eventsDir), gapSeconds = 1800)
+    val got = EventStreams.runToMemory(spark, streamed, "sessions_test", "update")
+      .groupBy("user_id")
+      .agg(max("n_sessions").as("n_sessions"), max("n_events").as("n_events"))
+
+    val batch = graft.operators.Joins.sessionize(
+        Tables.events(spark, sf001), Seq("user_id"), col("ts"), gapSeconds = 1800)
+      .groupBy("user_id")
+      .agg(countDistinct("session_id").as("n_sessions"), count(lit(1)).as("n_events"))
+
+    assert(got.count() == batch.count())
+    assert(got.exceptAll(batch).count() == 0, "stateful stream != batch sessionize")
+  }
+
   test("sliding windows emit overlapping frames with sane stats") {
     val streamed = EventStreams.slidingValueStats(EventStreams.readEvents(spark, eventsDir))
     val got = EventStreams.runToMemory(spark, streamed, "sliding_test", "complete")
