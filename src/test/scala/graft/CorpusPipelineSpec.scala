@@ -1,0 +1,47 @@
+package graft
+
+import graft.functions.TextOps
+import graft.operators.{Dedup, Selection}
+import org.apache.spark.sql.functions._
+
+/** Composite training-data pipeline over the documents fixture: quality
+  * filter → exact dedup → language split → near-dup candidate pruning —
+  * the end-to-end shape the extended operators exist for. */
+class CorpusPipelineSpec extends SparkSpec {
+
+  test("quality -> dedup -> langid -> near-dup pipeline composes lazily and sanely") {
+    val docs = Tables.documents(spark, sf001)
+    val n0 = docs.count()
+
+    // stage 1: quality floor
+    val scored = docs.withColumn("q", TextOps.qualityScore(col("text")))
+    val kept = scored.filter(col("q") >= 0.3)
+    val n1 = kept.count()
+    assert(n1 > 0 && n1 <= n0)
+
+    // stage 2: exact dedup on content fingerprint (fixture has none — count
+    // must be preserved)
+    val grouped = Dedup.exactByContent(kept, col("doc_id"), col("text"))
+    assert(grouped.agg(sum("dups")).head().getLong(0) == n1)
+    val uniques = kept.join(
+      grouped.select(col("keep_id").as("doc_id")), Seq("doc_id"), "left_semi")
+    assert(uniques.count() == grouped.count())
+
+    // stage 3: language distribution covers the corpus
+    val langDist = uniques
+      .select(TextOps.tokens(lower(col("text"))).as("__toks"))
+      .select(TextOps.langIdFromTokens(col("__toks")).as("lang"))
+      .groupBy("lang").count()
+    assert(langDist.agg(sum("count")).head().getLong(0) == uniques.count())
+
+    // stage 4: near-dup pairs among the kept docs (planted dups at sf0.001
+    // share long prefixes -> minhash finds a nonzero, bounded candidate set)
+    val pairs = Dedup.minhashDedupPairs(uniques, col("doc_id"), col("text"),
+      threshold = 0.4)
+    val np = pairs.count()
+    assert(np < n1, s"near-dup pairs ($np) should be sparse vs corpus ($n1)")
+
+    // whole-row dedup idempotence over the final set
+    assert(Selection.dedup(uniques).count() == uniques.count())
+  }
+}

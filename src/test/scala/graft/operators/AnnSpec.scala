@@ -50,6 +50,23 @@ class AnnSpec extends SparkSpec {
     assert(merged.map(_.id) == Seq(9L, 2L, 5L))
   }
 
+  test("ivfTopK recall@5 vs brute force is reasonable on fixture embeddings") {
+    val e = graft.Tables.embeddings(spark, sf001)
+    val queries = e.filter(col("vec_id") < 10)
+    def neighborSets(res: org.apache.spark.sql.DataFrame) = res
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = neighborSets(Ann.bruteForceTopK(e, col("vec_id"), col("embedding"),
+      queries, col("vec_id"), col("embedding"), k = 5))
+    val approx = neighborSets(Ann.ivfTopK(e, col("vec_id"), col("embedding"),
+      queries, col("vec_id"), col("embedding"), k = 5, nlist = 8, nprobe = 3))
+    val recalls = exact.keys.toSeq.map { q =>
+      approx.get(q).map(a => (a & exact(q)).size.toDouble / exact(q).size).getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.5, s"mean recall@5 = $mean (want >= 0.5 at nprobe=3/8)")
+  }
+
   test("ivfTopK returns self as top hit and plausible neighbors") {
     val queries = df.filter(col("vec_id") < 3)
     val got = Ann.ivfTopK(df, col("vec_id"), col("embedding"),
