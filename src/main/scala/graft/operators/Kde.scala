@@ -95,6 +95,12 @@ case class KdeResult(gridMin: Double, gridMax: Double, gridSize: Int,
     * clamped to edge values outside the grid). */
   def interpolate(y: Column): Column = Interp.linearUniform(y, gridMin, step, pdf)
 
+  /** Derivative of the piecewise-linear density at column y — the slope of
+    * the grid interval containing y (the k=1 spline derivative the reference
+    * takes at `likelihood.py:74`). */
+  def derivative(y: Column): Column =
+    Interp.derivativeUniform(y, gridMin, step, pdf)
+
   /** Driver-side scalar interpolation (same semantics as [[interpolate]]). */
   def interpolateValue(y: Double): Double = {
     val pos = (y - gridMin) / step
@@ -217,5 +223,16 @@ object Interp {
     val v0 = element_at(arr, idx + 1)
     val v1 = element_at(arr, idx + 2)
     v0 + (v1 - v0) * frac
+  }
+
+  /** Slope of the interval containing y (piecewise-constant derivative of
+    * the linear interpolant; clamped to the edge intervals outside). */
+  def derivativeUniform(y: Column, gridMin: Double, step: Double,
+                        values: Array[Double]): Column = {
+    val n = values.length
+    val arr = lit(values)
+    val pos = (y.cast("double") - lit(gridMin)) / lit(step)
+    val idx = least(greatest(floor(pos).cast("int"), lit(0)), lit(n - 2))
+    (element_at(arr, idx + 2) - element_at(arr, idx + 1)) / lit(step)
   }
 }
