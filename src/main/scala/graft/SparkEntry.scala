@@ -53,7 +53,8 @@ object SparkEntry {
     "q36_sessionize" -> (Queries.q36Sessionize _),
     "q37_cube" -> (Queries.q37Cube _),
     "q38_ranking" -> (Queries.q38Ranking _),
-    "q39_percentiles" -> (Queries.q39Percentiles _)
+    "q39_percentiles" -> (Queries.q39Percentiles _),
+    "q40_left_join" -> (Queries.q40LeftJoin _)
   )
 
   /** DuckDB oracles for every SQL-expressible query above (q13, q25–q31 are

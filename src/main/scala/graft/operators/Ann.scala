@@ -79,14 +79,32 @@ object Ann {
     */
   def ivfTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
               queries: DataFrame, queryId: Column, queryVec: Column,
-              k: Int, nlist: Int = 16, nprobe: Int = 4, seed: Long = 42): DataFrame = {
+              k: Int, nlist: Int = 16, nprobe: Int = 4, seed: Long = 42,
+              refineIters: Int = 1): DataFrame = {
     val c = corpus.select(corpusId.cast("long").as("nid"),
       corpusVec.cast("array<double>").as("cv"))
-    // centroids: deterministic sample of nlist corpus vectors (kmeans init
-    // without the iterations — adequate cell structure, zero extra jobs)
-    val cents: Array[Array[Double]] = c.select(col("cv"))
+    // centroids: deterministic sample of nlist corpus vectors (kmeans init),
+    // then `refineIters` Lloyd steps — each step is one distributed
+    // assignment pass + a posexplode/groupBy mean (nlist x dim rows back to
+    // the driver). Tighter cells raise recall at the same nprobe.
+    var cents: Array[Array[Double]] = c.select(col("cv"))
       .orderBy(xxhash64(col("nid"), lit(seed)))
       .limit(nlist).collect().map(_.getSeq[Double](0).toArray)
+    for (_ <- 1 to refineIters) {
+      val centArr0 = typedLit(cents.map(_.toSeq).toSeq)
+      val cell0 = array_max(transform(centArr0, (ct, i) =>
+        struct(VectorOps.cosine(col("cv"), ct).as("s"), i.as("cell")))).getField("cell")
+      val means = c.select(col("cv"), cell0.as("cell"))
+        .select(col("cell"), posexplode(col("cv")).as(Seq("pos", "v")))
+        .groupBy("cell", "pos").agg(avg("v").as("m"))
+        .collect()
+      val dim = cents(0).length
+      val refined = cents.map(_.clone())
+      means.foreach { r =>
+        refined(r.getAs[Int]("cell"))(r.getAs[Int]("pos")) = r.getAs[Double]("m")
+      }
+      cents = refined
+    }
     // NB: ONE transform lambda over a 2-D centroid literal — the cosine body
     // is planned/compiled once, not nlist times (and never as a pairwise
     // when/otherwise reduce, which would duplicate subtrees exponentially).

@@ -309,6 +309,12 @@ object Oracles {
            round(quantile_cont(l_extendedprice, 0.9), 4) AS price_p90
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 
+  val q40 = """
+    SELECT c_custkey, count(o_orderkey) AS n_orders,
+           round(coalesce(sum(o_totalprice), 0.0), 2) AS total_spend
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey ORDER BY c_custkey"""
+
   /** name → oracle SQL (single-line, driver JSON-escapes anyway). */
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
@@ -340,6 +346,7 @@ object Oracles {
     "q36_sessionize" -> q36,
     "q37_cube" -> q37,
     "q38_ranking" -> q38,
-    "q39_percentiles" -> q39
+    "q39_percentiles" -> q39,
+    "q40_left_join" -> q40
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

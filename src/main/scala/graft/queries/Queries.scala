@@ -437,6 +437,16 @@ object Queries {
         round(expr("percentile(l_extendedprice, 0.9)"), 4).as("price_p90"))
       .orderBy("l_returnflag")
 
+  /** Left outer join with empty-group preservation: order stats per
+    * customer including order-less customers. */
+  def q40LeftJoin(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).cast("long").as("n_orders"),
+        round(coalesce(sum("o_totalprice"), lit(0.0)), 2).as("total_spend"))
+      .orderBy("c_custkey")
+
   /** A-PCA: project lineitem numeric measures onto 2 principal components;
     * returns per-component summary (rows-only check; exact basis is
     * sign/rotation ambiguous so no SQL oracle). */
