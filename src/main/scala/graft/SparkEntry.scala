@@ -54,7 +54,8 @@ object SparkEntry {
     "q37_cube" -> (Queries.q37Cube _),
     "q38_ranking" -> (Queries.q38Ranking _),
     "q39_percentiles" -> (Queries.q39Percentiles _),
-    "q40_left_join" -> (Queries.q40LeftJoin _)
+    "q40_left_join" -> (Queries.q40LeftJoin _),
+    "q41_multi_distinct" -> (Queries.q41MultiDistinct _)
   )
 
   /** DuckDB oracles for every SQL-expressible query above (q13, q25–q31 are

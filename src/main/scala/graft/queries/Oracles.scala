@@ -315,6 +315,14 @@ object Oracles {
     FROM customer LEFT JOIN orders ON c_custkey = o_custkey
     GROUP BY c_custkey ORDER BY c_custkey"""
 
+  val q41 = """
+    SELECT count(DISTINCT l_partkey) AS d_parts,
+           count(DISTINCT l_suppkey) AS d_supps,
+           count(DISTINCT (l_returnflag, l_linestatus)) AS d_flag_status,
+           count(DISTINCT l_quantity) AS d_qty,
+           count(*) AS n
+    FROM lineitem"""
+
   /** name → oracle SQL (single-line, driver JSON-escapes anyway). */
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
@@ -347,6 +355,7 @@ object Oracles {
     "q37_cube" -> q37,
     "q38_ranking" -> q38,
     "q39_percentiles" -> q39,
-    "q40_left_join" -> q40
+    "q40_left_join" -> q40,
+    "q41_multi_distinct" -> q41
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

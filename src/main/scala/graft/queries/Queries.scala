@@ -447,6 +447,16 @@ object Queries {
         round(coalesce(sum("o_totalprice"), lit(0.0)), 2).as("total_spend"))
       .orderBy("c_custkey")
 
+  /** Multi-distinct aggregation (Catalyst Expand path): several independent
+    * COUNT(DISTINCT ...) in one statement. */
+  def q41MultiDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).agg(
+      count_distinct(col("l_partkey")).as("d_parts"),
+      count_distinct(col("l_suppkey")).as("d_supps"),
+      count_distinct(col("l_returnflag"), col("l_linestatus")).as("d_flag_status"),
+      count_distinct(col("l_quantity")).as("d_qty"),
+      count(lit(1)).cast("long").as("n"))
+
   /** A-PCA: project lineitem numeric measures onto 2 principal components;
     * returns per-component summary (rows-only check; exact basis is
     * sign/rotation ambiguous so no SQL oracle). */
