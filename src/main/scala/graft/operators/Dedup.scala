@@ -147,16 +147,38 @@ object Dedup {
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /** SimHash near-dup pairs within `maxHamming`: candidates block on the
-    * fingerprint split into 4 16-bit chunks (pigeonhole: ≤3 differing bits →
-    * some chunk matches exactly), verified by full Hamming distance. */
+    * fingerprint split into `maxHamming + 1` contiguous chunks — by
+    * pigeonhole, any pair differing in ≤ maxHamming bits shares at least one
+    * chunk exactly, so candidate recall is 1.0 at the configured radius.
+    * Candidates are verified by full Hamming distance. Chunk count scales
+    * with the radius (radius 3 → 4×16-bit chunks, radius 7 → 8×8-bit);
+    * larger radii mean smaller chunks → bigger buckets → more candidates,
+    * which is the inherent LSH recall/cost trade, made explicit here. */
+  /** (offset, width) of each blocking chunk for a given radius: maxHamming+1
+    * contiguous chunks covering all 64 fingerprint bits (widths differ by at
+    * most one bit). Exposed for the pigeonhole property test. */
+  private[graft] def simhashChunkBounds(maxHamming: Int): Seq[(Int, Int)] = {
+    require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 63]")
+    val numChunks = maxHamming + 1
+    val baseW = 64 / numChunks
+    val rem = 64 % numChunks
+    val widths = Array.tabulate(numChunks)(c => baseW + (if (c < rem) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    (0 until numChunks).map(c => (offsets(c), widths(c)))
+  }
+
   def simhashDedupPairs(df: DataFrame, id: Column, text: Column,
                         maxHamming: Int = 3): DataFrame = {
+    val bounds = simhashChunkBounds(maxHamming)
     val docs = simhashFingerprints(df, id, text)
+    val chunkStructs = bounds.zipWithIndex.map { case ((off, width), c) =>
+      val mask = if (width == 64) -1L else (1L << width) - 1L
+      struct(lit(c).as("chunk"),
+        call_function("shiftright", col("sh"), lit(off))
+          .bitwiseAND(lit(mask)).as("ck"))
+    }
     val chunks = docs.select(col("doc_id"), col("sh"),
-      explode(transform(sequence(lit(0), lit(3)),
-        c => struct(c.as("chunk"),
-          call_function("shiftright", col("sh"), c * 16)
-            .bitwiseAND(lit(0xFFFFL)).as("ck")))).as("c"))
+        explode(array(chunkStructs: _*)).as("c"))
       .select(col("doc_id"), col("sh"), col("c.chunk").as("chunk"), col("c.ck").as("ck"))
     val a = chunks.select(col("chunk"), col("ck"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val b = chunks.select(col("chunk"), col("ck"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
@@ -180,7 +202,12 @@ object Dedup {
       substring(TextOps.normalized(text), 1, 1).as("fc"))
       .repartition(col("doc_id"))
       .localCheckpoint() // n-gram sets feed both join sides — compute once
-    val withBlocks = docs.withColumn("blk", explode(array(col("lb"), col("lb") + 1)))
+    // a-side explodes to {lb-1, lb, lb+1} against b's exact lb so any pair
+    // within one length bucket matches regardless of which doc has the lower
+    // id (a one-sided {lb, lb+1} explode would drop pairs where the lower-id
+    // doc sits a bucket ABOVE the higher-id one).
+    val withBlocks = docs.withColumn("blk",
+      explode(array(col("lb") - 1, col("lb"), col("lb") + 1)))
     val a = withBlocks.select(col("blk"), col("fc"), col("doc_id").as("id_a"), col("g").as("g_a"))
     val b = docs.select(col("lb").as("blk"), col("fc"), col("doc_id").as("id_b"), col("g").as("g_b"))
     val verified = a.join(b, Seq("blk", "fc"))

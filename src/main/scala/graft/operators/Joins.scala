@@ -28,30 +28,41 @@ object Joins {
   def asOfBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
                    leftTime: Column, rightTime: Column,
                    rightValues: Map[String, String]): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
     val leftCols = left.columns.filterNot(keys.contains)
     val rightSchema = right.schema
+    // Carry ONE struct of all right values (not one last() per column):
+    // ASOF semantics attach a single matched right row, so all carried
+    // columns must come from the same row and a genuine NULL in a payload
+    // column must survive — per-column last(ignoreNulls) would skip it and
+    // leak an older row's value in.
+    val rvPairs = rightValues.toSeq
+    val rvType = StructType(rvPairs.map { case (rc, out) =>
+      StructField(out, rightSchema(rc).dataType)
+    })
     val l = left
       .withColumn("__t", leftTime.cast("timestamp"))
       .withColumn("__side", lit(1))
-    val lAligned = rightValues.foldLeft(l) { case (df, (rc, out)) =>
-      df.withColumn(out, lit(null).cast(rightSchema(rc).dataType))
-    }
+      .withColumn("__rv", lit(null).cast(rvType))
     val r0 = right
       .withColumn("__t", rightTime.cast("timestamp"))
       .withColumn("__side", lit(0))
-    val rAligned = leftCols.foldLeft(
-      rightValues.foldLeft(r0) { case (df, (rc, out)) => df.withColumn(out, col(rc)) }
-    ) { case (df, lc) => df.withColumn(lc, lit(null).cast(left.schema(lc).dataType)) }
-    val outCols = keys ++ Seq("__t", "__side") ++ leftCols ++ rightValues.values.toSeq
-    val u = lAligned.select(outCols.map(col): _*)
+      .withColumn("__rv",
+        struct(rvPairs.map { case (rc, out) => col(rc).as(out) }: _*))
+    val rAligned = leftCols.foldLeft(r0) { case (df, lc) =>
+      df.withColumn(lc, lit(null).cast(left.schema(lc).dataType))
+    }
+    val outCols = keys ++ Seq("__t", "__side", "__rv") ++ leftCols
+    val u = l.select(outCols.map(col): _*)
       .unionByName(rAligned.select(outCols.map(col): _*))
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rightValues.values.foldLeft(u) { case (df, out) =>
-      df.withColumn(out, last(col(out), ignoreNulls = true).over(w))
+    val filled = u.withColumn("__rv", last(col("__rv"), ignoreNulls = true).over(w))
+    val unpacked = rvPairs.foldLeft(filled) { case (df, (_, out)) =>
+      df.withColumn(out, col("__rv").getField(out))
     }
-    filled.filter(col("__side") === 1).drop("__t", "__side")
+    unpacked.filter(col("__side") === 1).drop("__t", "__side", "__rv")
   }
 
   /** Gap-based sessionization: assign a session id per key that increments

@@ -44,13 +44,19 @@ class KdeAggregator(val gridMin: Double, val gridMax: Double,
     if (!in.v.isNaN && !in.v.isInfinite && in.w > 0) {
       val lo = math.max(0, math.ceil((in.v - cut * bandwidth - gridMin) / step).toInt)
       val hi = math.min(gridSize - 1, math.floor((in.v + cut * bandwidth - gridMin) / step).toInt)
-      var i = lo
-      while (i <= hi) {
-        val t = (gridMin + i * step - in.v) * invBw
-        buf(i) += in.w * kNorm * math.exp(-0.5 * t * t)
-        i += 1
+      // A row whose support misses the grid entirely (hi < lo) contributes
+      // no density mass — it must not count toward the normalizing total
+      // either, matching fitBinned's in-bounds filter; otherwise exact=true
+      // and the binned default disagree under caller-narrowed bounds.
+      if (hi >= lo) {
+        var i = lo
+        while (i <= hi) {
+          val t = (gridMin + i * step - in.v) * invBw
+          buf(i) += in.w * kNorm * math.exp(-0.5 * t * t)
+          i += 1
+        }
+        buf(gridSize) += in.w
       }
-      buf(gridSize) += in.w
     }
     buf
   }

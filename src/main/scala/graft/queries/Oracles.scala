@@ -142,10 +142,12 @@ object Oracles {
     ORDER BY id_a, id_b"""
 
   // dot/norms as ordered left-folds so doubles match Spark's aggregate() HOF.
+  // Length-driven (len(a), not a literal dim) so the oracle tracks the
+  // fixture's actual embedding dimension.
   private def dotD(a: String, b: String) =
-    s"list_reduce(list_prepend(0.0, list_transform(generate_series(1, 64), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (x, y) -> x + y)"
+    s"list_reduce(list_prepend(0.0, list_transform(generate_series(1, len($a)), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (x, y) -> x + y)"
   private def normSqD(a: String) =
-    s"list_reduce(list_prepend(0.0, list_transform(generate_series(1, 64), i -> $a[i]::DOUBLE * $a[i]::DOUBLE)), (x, y) -> x + y)"
+    s"list_reduce(list_prepend(0.0, list_transform(generate_series(1, len($a)), i -> $a[i]::DOUBLE * $a[i]::DOUBLE)), (x, y) -> x + y)"
   private def cosineD(a: String, b: String) =
     s"""(CASE WHEN sqrt(${normSqD(a)}) * sqrt(${normSqD(b)}) > 0
          THEN ${dotD(a, b)} / (sqrt(${normSqD(a)}) * sqrt(${normSqD(b)})) ELSE 0.0 END)"""
@@ -235,6 +237,25 @@ object Oracles {
         AND count(value) OVER (ORDER BY event_id ROWS BETWEEN 10 FOLLOWING AND 14 FOLLOWING) = 5
     ORDER BY win_id"""
 
+  // Sliding windows as position-weighted digests: the fold is an ordered
+  // left-fold (list_prepend 0.0) so doubles agree with Spark's aggregate().
+  val q27 = """
+    WITH w AS (
+      SELECT event_id AS win_id,
+             list(value) OVER (ORDER BY event_id ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING) AS hist,
+             list(value) OVER (ORDER BY event_id ROWS BETWEEN 10 FOLLOWING AND 14 FOLLOWING) AS target
+      FROM events)
+    SELECT win_id,
+           round(list_reduce(list_prepend(0.0, list_transform(generate_series(1, 10), i -> hist[i] * CAST(i AS DOUBLE))), (a, b) -> a + b), 4) AS hist_wsum,
+           round(list_reduce(list_prepend(0.0, list_transform(generate_series(1, 5), i -> target[i] * CAST(i AS DOUBLE))), (a, b) -> a + b), 4) AS target_wsum,
+           round(hist[1], 4) AS hist_first,
+           round(hist[10], 4) AS hist_last,
+           round(target[1], 4) AS target_first,
+           round(target[5], 4) AS target_last
+    FROM w
+    WHERE len(hist) = 10 AND len(target) = 5
+    ORDER BY win_id"""
+
   val q32 = """
     WITH g AS (
       SELECT a.i * 50 + b.i AS id,
@@ -275,8 +296,9 @@ object Oracles {
                               ROWS UNBOUNDED PRECEDING) AS session_id
       FROM marked)
     SELECT user_id, session_id,
-           strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
-           count(*) AS n_events, round(sum(value), 2) AS sum_value
+           epoch_us(CAST(min(ts) AS TIMESTAMP)) AS session_start,
+           count(*) AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_value
     FROM sessions GROUP BY user_id, session_id
     ORDER BY user_id, session_id"""
 
@@ -348,6 +370,7 @@ object Oracles {
     "q22_validate" -> q22,
     "q23_dup_keys" -> q23,
     "q24_window_sums" -> q24,
+    "q27_sliding_windows" -> q27,
     "q32_grid_source" -> q32,
     "q33_lhs_strata" -> q33,
     "q35_asof_join" -> q35,

@@ -317,10 +317,33 @@ object Queries {
       .select("l_orderkey", "l_linenumber", "l_extendedprice", "pdf", "w")
   }
 
-  /** W1 as arrays, via the scalable blocked featurizer. */
-  def q27SlidingWindows(s: SparkSession, d: String): DataFrame =
-    SlidingWindows.featurizeByIndex(Tables.events(s, d),
+  /** W1 via the scalable blocked featurizer. The operator's output is
+    * array-valued (hist[10], target[5]); the driver's checker can't hash
+    * array cells, so the registered query projects a position-weighted
+    * digest of each array — any misplaced/missing element changes the sum —
+    * plus the endpoints. The digest is an ordered left-fold so the DuckDB
+    * oracle (list_reduce over list_prepend) reproduces it bit-for-bit. */
+  def q27SlidingWindows(s: SparkSession, d: String): DataFrame = {
+    val wins = SlidingWindows.featurizeByIndex(Tables.events(s, d),
       col("event_id"), col("value"), history = 10, pred = 5)
+    def wsum(arr: Column, n: Int): Column = {
+      val weighted = zip_with(arr,
+        sequence(lit(1), lit(n)).cast("array<double>"), (v, i) => v * i)
+      round(aggregate(weighted, lit(0.0), (acc, x) => acc + x), 4)
+    }
+    wins
+      // digests in their own projection (HOFs are interpreted; keep each
+      // fold evaluated exactly once, not inlined into the final select)
+      .withColumn("hist_wsum", wsum(col("hist"), 10))
+      .withColumn("target_wsum", wsum(col("target"), 5))
+      .select(col("win_id"),
+        col("hist_wsum"), col("target_wsum"),
+        round(element_at(col("hist"), 1), 4).as("hist_first"),
+        round(element_at(col("hist"), 10), 4).as("hist_last"),
+        round(element_at(col("target"), 1), 4).as("target_first"),
+        round(element_at(col("target"), 5), 4).as("target_last"))
+      .orderBy("win_id")
+  }
 
   /** MinHash + LSH near-dup candidate pairs, Jaccard-verified. */
   def q28MinhashPairs(s: SparkSession, d: String): DataFrame =
@@ -328,10 +351,12 @@ object Queries {
       shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)
       .orderBy("id_a", "id_b")
 
-  /** SimHash near-dup pairs within Hamming ≤ 16 of the 64-bit fingerprint. */
+  /** SimHash near-dup pairs within Hamming ≤ 7 of the 64-bit fingerprint.
+    * Radius 7 ↔ 8×8-bit chunk blocking: the pigeonhole guarantee covers the
+    * configured radius exactly (recall 1.0 — see Dedup.simhashDedupPairs). */
   def q29SimhashPairs(s: SparkSession, d: String): DataFrame =
     Dedup.simhashDedupPairs(Tables.documents(s, d), col("doc_id"), col("text"),
-      maxHamming = 16)
+      maxHamming = 7)
       .orderBy("id_a", "id_b")
 
   /** IVF-bucketed approximate nearest neighbors (scale path of q16). */
@@ -387,13 +412,16 @@ object Queries {
       .orderBy("event_id")
   }
 
-  /** Gap-based sessionization: 30-minute inactivity breaks a session. */
+  /** Gap-based sessionization: 30-minute inactivity breaks a session.
+    * Hash-robust output shape: session_start as unix micros (BIGINT — no
+    * cross-engine timestamp formatting), sum_value summed as decimal so the
+    * result is independent of partial-sum order, then rounded as double. */
   def q36Sessionize(s: SparkSession, d: String): DataFrame =
     Joins.sessionize(Tables.events(s, d), Seq("user_id"), col("ts"), gapSeconds = 1800)
       .groupBy("user_id", "session_id")
-      .agg(date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+      .agg(unix_micros(min(col("ts"))).as("session_start"),
         count(lit(1)).cast("long").as("n_events"),
-        round(sum("value"), 2).as("sum_value"))
+        round(sum(col("value").cast("decimal(18,6)")).cast("double"), 2).as("sum_value"))
       .orderBy("user_id", "session_id")
 
   /** CUBE aggregation over returnflag x linestatus with grouping flags. */

@@ -69,12 +69,69 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("simhash chunk blocking: pigeonhole guarantees a shared chunk at the configured radius") {
+    val rnd = new scala.util.Random(23)
+    for (maxHamming <- Seq(3, 7, 16)) {
+      val bounds = Dedup.simhashChunkBounds(maxHamming)
+      assert(bounds.map(_._2).sum == 64, "chunks must cover all 64 bits")
+      assert(bounds.head._1 == 0)
+      bounds.sliding(2).foreach {
+        case Seq((o1, w1), (o2, _)) => assert(o2 == o1 + w1, "chunks must be contiguous")
+        case _ =>
+      }
+      def chunksOf(fp: Long): Seq[Long] = bounds.map { case (off, w) =>
+        val mask = if (w == 64) -1L else (1L << w) - 1L
+        (fp >>> off) & mask
+      }
+      for (_ <- 0 until 200) {
+        val a = rnd.nextLong()
+        val flipped = rnd.shuffle((0 until 64).toList).take(maxHamming)
+        val b = flipped.foldLeft(a)((x, i) => x ^ (1L << i))
+        assert(chunksOf(a).zip(chunksOf(b)).exists { case (x, y) => x == y },
+          s"radius $maxHamming: planted pair at hamming $maxHamming shares no chunk")
+      }
+    }
+  }
+
+  test("simhashDedupPairs at radius 7 equals the exact all-pairs hamming filter") {
+    import org.apache.spark.sql.functions.col
+    val words = base.split(" ")
+    // graded variants: replace the first k words -> a spread of hamming distances
+    val variants = (1 to 8).map { k =>
+      (10L + k, (words.indices.map(i => if (i < k) s"sub$i" else words(i))).mkString(" "))
+    }
+    val d = (Seq((0L, base), (1L, nearDup), (2L, other), (3L, base)) ++ variants)
+      .toDF("doc_id", "text")
+    val fps = Dedup.simhashFingerprints(d, col("doc_id"), col("text"))
+      .as[(Long, Long)].collect().toMap
+    val ids = fps.keys.toSeq.sorted
+    val expected = (for {
+      i <- ids; j <- ids if i < j
+      if java.lang.Long.bitCount(fps(i) ^ fps(j)) <= 7
+    } yield (i, j)).toSet
+    val got = Dedup.simhashDedupPairs(d, col("doc_id"), col("text"), maxHamming = 7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == expected, s"got $got expected $expected")
+    assert(expected.nonEmpty, "fixture should plant at least one pair within radius")
+  }
+
   test("ngramJaccardPairs finds near-dups within blocks") {
     val pairs = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
       n = 3, threshold = 0.5)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((0L, 3L)))
     assert(pairs.contains((0L, 1L)))
+  }
+
+  test("ngramJaccardPairs finds cross-bucket pairs regardless of id order") {
+    // The LONGER doc gets the LOWER id: base and nearDup land in adjacent
+    // length buckets, so a one-sided {lb, lb+1} explode would drop the pair
+    // (the lower-id doc sits a bucket above the higher-id one).
+    val d = Seq((0L, nearDup), (1L, base), (2L, other)).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(d, col("doc_id"), col("text"),
+      n = 3, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)), s"cross-bucket near-dup missing: $pairs")
   }
 
   test("embeddingNearDupPairs finds duplicated vectors") {

@@ -33,6 +33,21 @@ class JoinsSpec extends SparkSpec {
     assert(got("e").isEmpty)
   }
 
+  test("asOfBackward carries all columns from ONE matched row, preserving its NULLs") {
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), Option(100.0), "m1"),
+      (1L, ts("2024-01-01 10:05:00"), None: Option[Double], "m2") // later row, NULL price
+    ).toDF("k", "qt", "price", "mark")
+    val trades = Seq((1L, ts("2024-01-01 10:06:00"), "x")).toDF("k", "tt", "tag")
+    val got = Joins.asOfBackward(trades, quotes, Seq("k"),
+        col("tt"), col("qt"), Map("price" -> "quote_price", "mark" -> "quote_mark"))
+      .select("quote_price", "quote_mark").as[(Option[Double], String)].head()
+    // matched row is the 10:05 quote: its genuine NULL price must survive
+    // (per-column last(ignoreNulls) would leak 100.0 from the older row)
+    assert(got._1.isEmpty, s"NULL payload leaked an older value: $got")
+    assert(got._2 == "m2")
+  }
+
   test("sessionize splits on gaps and numbers sessions per key") {
     val events = Seq(
       (1L, ts("2024-01-01 10:00:00")),
