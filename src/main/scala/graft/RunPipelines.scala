@@ -48,8 +48,11 @@ object RunPipelines {
       case "sde" =>
         val n = if (args.length > 2) args(2).toInt else 1000
         val iters = if (args.length > 3) args(3).toInt else 5
-        val scorer = TreeEnsembleScorer((0 until 10).map(i => s"h$i"), "y", n = 2)
-        val (train, metrics) = SdeForecast.run(spark, scorer, n = n, iterations = iters)
+        // one tree-ensemble member per forecast horizon (the reference's
+        // 5-output LSTM head), all scored in one pool pass
+        val scorerFor = (lbl: String) =>
+          TreeEnsembleScorer((0 until 10).map(i => s"h$i"), lbl, n = 2)
+        val (train, metrics) = SdeForecast.run(spark, scorerFor, n = n, iterations = iters)
         train.write.mode("overwrite").parquet(s"$outDir/sde_train")
         metrics.foreach(m => println(
           f"iter ${m.iter}%2d  mae=${m.mae}%.6f  train=${m.trainSize}"))

@@ -11,7 +11,7 @@ object SparkEntry {
     * l_extendedprice → inverse-density weights → Efraimidis–Spirakis top-100
     * informative sample (SURVEY.md §7 "minimum end-to-end slice"). */
   def entry(spark: SparkSession): DataFrame =
-    Queries.q26WeightedSample(spark, "/root/testdata/sf0.001")
+    Queries.flagshipKdeSample(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -143,7 +143,29 @@ object TextOps {
     * structs — Spark orders structs field-by-field, so (hits, revLang) max
     * picks highest hits then smallest code. */
   def langId(text: Column, markers: Map[String, Seq[String]] = LangMarkers): Column =
-    langIdFromTokens(tokens(lower(text)), markers)
+    langIdCjkAware(text, tokens(lower(text)), markers)
+
+  /** CJK-aware language ID. CJK scripts don't whitespace-tokenize, so the
+    * marker-word argmax can never see them; a codepoint-class ratio branch
+    * runs first: if ≥30% of characters are Han/Kana/Hangul, classify by
+    * script (kana ≥5% → ja, since Japanese mixes Han+Kana; else Hangul vs
+    * Han majority → ko / zh). Otherwise fall through to the marker argmax.
+    * Counts are length-differences after class removal — the same regex
+    * shape the quality ratios use, so the DuckDB oracle mirrors it. */
+  def langIdCjkAware(text: Column, toks: Column,
+                     markers: Map[String, Seq[String]] = LangMarkers): Column = {
+    val n = length(text)
+    // ranges: Han 一-鿿, Kana ぀-ヿ, Hangul 가-힣
+    val nHan = n - length(regexp_replace(text, "[一-鿿]", ""))
+    val nKana = n - length(regexp_replace(text, "[぀-ヿ]", ""))
+    val nHangul = n - length(regexp_replace(text, "[가-힣]", ""))
+    val cjkTotal = nHan + nKana + nHangul
+    when(n > 0 && cjkTotal * 10 >= n * 3,
+      when(nKana * 20 >= n, lit("ja"))
+        .when(nHangul > nHan, lit("ko"))
+        .otherwise(lit("zh")))
+      .otherwise(langIdFromTokens(toks, markers))
+  }
 
   /** [[langId]] over a PRE-MATERIALIZED lowercased token array (bulk callers
     * should project the tokens first — the split would otherwise re-run once

@@ -14,9 +14,9 @@ import org.apache.spark.sql.functions._
   * - `usLw` — likelihood-weighted: score = (fx / fy) * var, where fy is the
   *   KDE of the predicted mean interpolated at each row's pred and fx the
   *   input density (1 for an explicit pool).
-  * - `us_lgw` (`likelihood.py:61-78`) is dead code in the reference — never
-  *   reachable from either driver script — and is intentionally not ported
-  *   (SURVEY.md §7 step 9).
+  * - `usLgw` — higher-order likelihood weight (`likelihood.py:61-78`;
+  *   dead code in the reference, implemented here from the published
+  *   formula — see the method doc).
   */
 object Acquisition {
 

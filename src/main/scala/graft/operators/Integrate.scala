@@ -26,6 +26,31 @@ object Integrate {
       .agg(sum("__seg").cast("double").as("integral"))
   }
 
+  /** Multi-dimensional trapezoidal integration over a rectilinear grid — the
+    * reference's `grid_nint` (`core/utils.py:43-52`), which integrates an
+    * N-D gridded function one axis at a time. Each step pairs adjacent
+    * points along the integrated axis with a lag window PARTITIONED by the
+    * remaining axes (parallel across grid lines — the only global window is
+    * the final 1-D reduction over a single grid line) and sums segments via
+    * groupBy. Emits a single row `(integral: double)`. */
+  def trapzGrid(df: DataFrame, axes: Seq[String], y: Column): DataFrame = {
+    require(axes.nonEmpty, "need at least one axis")
+    var cur = df.select(axes.map(col) :+ y.cast("double").as("__y"): _*)
+    for (i <- axes.indices.reverse) {
+      val axis = axes(i)
+      val rest = axes.take(i)
+      val w =
+        if (rest.isEmpty) Window.orderBy(col(axis))
+        else Window.partitionBy(rest.map(col): _*).orderBy(col(axis))
+      cur = cur
+        .withColumn("__seg", (col("__y") + lag("__y", 1).over(w)) / 2.0
+          * (col(axis) - lag(axis, 1).over(w)))
+        .groupBy(rest.map(col): _*)
+        .agg(sum("__seg").as("__y"))
+    }
+    cur.select(col("__y").cast("double").as("integral"))
+  }
+
   /** Min-max scale a column to [0,1] — the reference's sklearn
     * `MinMaxScaler` step (`SDE_forecast_ActiveSampling.py:50-52`).
     * Two-phase: tiny global agg broadcast via cross join (Catalyst turns the
@@ -49,13 +74,17 @@ object Integrate {
     val bucket = least(greatest(
       floor((value.cast("double") - lit(lo)) / lit(width)).cast("long"), lit(0L)),
       lit(nbins - 1L))
-    val total = df.count().toDouble
-    df.filter(value >= lo && value <= hi)
+    // Density normalizes over the IN-RANGE total (so it integrates to 1 even
+    // when out-of-range rows exist), computed inside the same aggregation —
+    // no separate eager count() pass over the input.
+    val counted = df.filter(value >= lo && value <= hi)
       .groupBy(bucket.as("bucket"))
       .agg(count(lit(1)).as("cnt"))
+    counted
+      .crossJoin(broadcast(counted.agg(sum("cnt").cast("double").as("__total"))))
       .withColumn("lo", lit(lo) + col("bucket") * lit(width))
       .withColumn("hi", lit(lo) + (col("bucket") + 1) * lit(width))
-      .withColumn("density", col("cnt") / lit(total) / lit(width))
+      .withColumn("density", col("cnt") / col("__total") / lit(width))
       .select("bucket", "lo", "hi", "cnt", "density")
   }
 }

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scale-safe global ranking. A bare `Window.orderBy(...)` (no partitioning)
+  * collapses the whole input into ONE task — correct at fixture scale,
+  * fatal at 100 TB. The operators here produce the exact same numbers with
+  * a range-repartition + per-partition window + prefix offsets: every stage
+  * is parallel, and the only driver-side data is one count per partition.
+  */
+object Ranking {
+
+  /** Exact global row_number over `sortCols` without a single-task sort:
+    * range-repartition on the sort key (so partition p holds a contiguous
+    * key range, in order), number rows within each partition with a
+    * partitioned window, then add the number of rows in all earlier
+    * partitions (collected counts — ≤ `partitions` scalars).
+    *
+    * The two passes (counts, numbering) must see identical partition
+    * contents, so the ranged input is pinned with localCheckpoint. */
+  def globalRowNumber(df: DataFrame, sortCols: Seq[Column],
+                      out: String = "rn", partitions: Int = 32): DataFrame = {
+    val ranged = df.repartitionByRange(partitions, sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val counts = ranged.groupBy("__pid").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getAs[Int]("__pid") -> r.getAs[Long]("c")).toMap
+    val offsets = Array.tabulate(partitions) { p =>
+      (0 until p).map(counts.getOrElse(_, 0L)).sum
+    }
+    val w = Window.partitionBy("__pid").orderBy(sortCols: _*)
+    ranged
+      .withColumn(out,
+        row_number().over(w).cast("long") + element_at(lit(offsets), col("__pid") + 1))
+      .drop("__pid")
+  }
+
+  /** ntile bucket from a 1-based global rank `r` of `n` rows — the exact
+    * SQL ntile(k) remainder semantics (first n%k buckets get one extra
+    * row), as pure integer arithmetic so it composes with
+    * [[globalRowNumber]] instead of requiring a global window. */
+  def ntileFromRank(r: Column, n: Column, k: Int): Column = {
+    // Column./ is double division; via floor it is exact integer division
+    // for operands < 2^53 (n is a row count — always true here).
+    def idiv(a: Column, b: Column): Column =
+      floor(a.cast("double") / b.cast("double")).cast("long")
+    val qf = idiv(n, lit(k)) // base bucket size
+    val rem = n.cast("long") % k
+    val big = rem * (qf + 1) // rows living in the (qf+1)-sized buckets
+    when(r <= big, idiv(r + qf, qf + 1)) // = ceil(r / (qf+1))
+      .otherwise(rem + idiv(r - big + qf - 1, qf))
+  }
+}

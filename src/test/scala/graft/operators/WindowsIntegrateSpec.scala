@@ -48,6 +48,29 @@ class WindowsIntegrateSpec extends SparkSpec {
     assert(math.abs(got - 1.0 / 3) < 1e-6, s"got $got")
   }
 
+  test("trapzGrid: bilinear integrand is exact; separable quadratic converges") {
+    // y = x1*x2 on [0,1]^2 -> 1/4, exact for the trapezoid rule (bilinear)
+    val n = 40
+    val grid2 = (for (i <- 0 to n; j <- 0 to n)
+      yield (i.toDouble / n, j.toDouble / n, (i.toDouble / n) * (j.toDouble / n)))
+      .toDF("x1", "x2", "y")
+    val got = Integrate.trapzGrid(grid2, Seq("x1", "x2"), col("y"))
+      .head().getDouble(0)
+    assert(math.abs(got - 0.25) < 1e-12, s"got $got")
+    // y = x1^2 * x2^2 -> 1/9, trapezoid error O(h^2)
+    val grid3 = (for (i <- 0 to n; j <- 0 to n)
+      yield (i.toDouble / n, j.toDouble / n,
+        math.pow(i.toDouble / n, 2) * math.pow(j.toDouble / n, 2)))
+      .toDF("x1", "x2", "y")
+    val got3 = Integrate.trapzGrid(grid3, Seq("x1", "x2"), col("y"))
+      .head().getDouble(0)
+    assert(math.abs(got3 - 1.0 / 9) < 1e-3, s"got $got3")
+    // 1-D degenerates to trapz
+    val line = (0 to 1000).map(i => (i / 1000.0, i / 1000.0 * (i / 1000.0))).toDF("x", "y")
+    val got1 = Integrate.trapzGrid(line, Seq("x"), col("y")).head().getDouble(0)
+    assert(math.abs(got1 - 1.0 / 3) < 1e-6, s"got $got1")
+  }
+
   test("minMaxScale maps min->0 max->1") {
     val df = Seq(10.0, 20.0, 15.0).toDF("v")
     val got = Integrate.minMaxScale(df, col("v"), "s")

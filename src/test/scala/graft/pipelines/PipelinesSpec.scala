@@ -75,11 +75,25 @@ class PipelinesSpec extends SparkSpec {
   }
 
   test("SDE forecast loop runs end-to-end and grows train set") {
-    val scorer = TreeEnsembleScorer((0 until 10).map(i => s"h$i"), "y", n = 2, maxDepth = 4)
-    val (train, iters) = SdeForecast.run(spark, scorer, n = 400,
+    val scorerFor = (lbl: String) =>
+      TreeEnsembleScorer((0 until 10).map(i => s"h$i"), lbl, n = 2, maxDepth = 4)
+    val (train, iters) = SdeForecast.run(spark, scorerFor, n = 400,
       initK = 30, iterations = 2, batch = 10)
     assert(iters.size == 2)
     assert(iters.forall(i => !i.mae.isNaN && i.mae >= 0))
     assert(iters(1).trainSize > iters(0).trainSize - 10) // grew by batch each iter
+  }
+
+  test("SDE forecast scores ALL five horizons (summed L1, reference SDE:220)") {
+    // analytic per-horizon scorer: pred_h = y_h + 0.1*(h+1) exactly, so every
+    // window's summed L1 error is 0.1*(1+2+3+4+5) = 1.5 — the mae equals 1.5
+    // ONLY if all five horizon models contribute to the ranking error
+    val scorerFor = (lbl: String) => {
+      val bias = 0.1 * (lbl.drop(1).toInt + 1)
+      AnalyticScorer(_ => col(lbl) + lit(bias), _ => lit(0.0))
+    }
+    val (_, iters) = SdeForecast.run(spark, scorerFor, n = 200,
+      initK = 20, iterations = 1, batch = 5)
+    assert(math.abs(iters.head.mae - 1.5) < 1e-9, s"mae ${iters.head.mae}")
   }
 }
