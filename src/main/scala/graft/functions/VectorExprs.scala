@@ -1,0 +1,174 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+
+/** Native (codegen'd) vector kernels for the similarity hot paths.
+  *
+  * Spark's higher-order functions (`aggregate`/`zip_with`/`transform`) are
+  * CodegenFallback — interpreted, with per-element closure dispatch. For the
+  * ANN/dedup workloads here the inner product over a 64-dim embedding is THE
+  * inner loop (corpus × queries evaluations), so these expressions emit the
+  * tight loop directly and stay inside whole-stage codegen.
+  *
+  * Accumulation order is ascending-index left-fold — bit-for-bit identical
+  * to the `aggregate()` HOF formulation AND to the DuckDB oracle's
+  * `list_reduce(list_prepend(0.0, ...))`, so swapping these in does not
+  * perturb any oracle-checked value.
+  *
+  * Inputs must be ArrayType(DoubleType) with non-null elements (callers
+  * cast embeddings once per scan).
+  */
+case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
+/** Cosine similarity in ONE pass over both arrays (dot + both norms), with
+  * the all-zero-vector guard returning 0.0 — operation-for-operation the
+  * same arithmetic as `dot/(sqrt(na)*sqrt(nb))` over ascending-index folds,
+  * so values match the HOF form and the DuckDB oracle bit-for-bit. */
+case class CosineSimilarity(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = x.getDouble(i); val yv = y.getDouble(i)
+      dot += xv * yv; na += xv * xv; nb += yv * yv
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom > 0) dot / denom else 0.0
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb"); val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv"); val denom = ctx.freshName("denom")
+      s"""
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xv = $a.getDouble($i);
+         |  double $yv = $b.getDouble($i);
+         |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |}
+         |double $denom = Math.sqrt($na) * Math.sqrt($nb);
+         |${ev.value} = ($denom > 0) ? ($dot / $denom) : 0.0;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
+/** 64-bit SimHash of a token array in one pass — each token's xxhash64
+  * (same `XXH64.hashUTF8String(_, 42)` the builtin uses) votes ±1 on every
+  * bit position; the sign of each position's total forms the fingerprint.
+  *
+  * Replaces the explode → 64-conditional-sums aggregate shape: the
+  * fingerprint becomes a single codegen'd projection over the corpus scan —
+  * no explode blow-up, no shuffle at all (the old shape shuffled 64 longs
+  * per document). Duplicate tokens vote once each, matching the exploded
+  * formulation. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(in: Any): Any = {
+    val arr = in.asInstanceOf[ArrayData]
+    val counts = new Array[Int](64)
+    val n = arr.numElements()
+    var t = 0
+    while (t < n) {
+      val h = XXH64.hashUTF8String(arr.getUTF8String(t), 42L)
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
+        i += 1
+      }
+      t += 1
+    }
+    var fp = 0L
+    var i = 0
+    while (i < 64) { if (counts(i) > 0) fp |= (1L << i); i += 1 }
+    fp
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val counts = ctx.addMutableState("int[]", "simhashCounts",
+      v => s"$v = new int[64];")
+    nullSafeCodeGen(ctx, ev, a => {
+      val t = ctx.freshName("t"); val i = ctx.freshName("i")
+      val h = ctx.freshName("h"); val fp = ctx.freshName("fp")
+      val n = ctx.freshName("n")
+      s"""
+         |java.util.Arrays.fill($counts, 0);
+         |int $n = $a.numElements();
+         |for (int $t = 0; $t < $n; $t++) {
+         |  long $h = org.apache.spark.sql.catalyst.expressions.XXH64
+         |    .hashUTF8String($a.getUTF8String($t), 42L);
+         |  for (int $i = 0; $i < 64; $i++) {
+         |    if ((($h >>> $i) & 1L) == 1L) $counts[$i]++; else $counts[$i]--;
+         |  }
+         |}
+         |long $fp = 0L;
+         |for (int $i = 0; $i < 64; $i++) {
+         |  if ($counts[$i] > 0) $fp |= (1L << $i);
+         |}
+         |${ev.value} = $fp;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object VectorExprs {
+  import org.apache.spark.sql.GraftShims.{column, expression}
+
+  def dot(a: Column, b: Column): Column =
+    column(DotProduct(expression(a), expression(b)))
+
+  def cosine(a: Column, b: Column): Column =
+    column(CosineSimilarity(expression(a), expression(b)))
+
+  def simhash64(toks: Column): Column =
+    column(SimHash64(expression(toks)))
+}

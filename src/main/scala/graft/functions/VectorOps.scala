@@ -3,9 +3,14 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Dense-vector math over ArrayType columns via higher-order functions —
-  * codegen'd builtins, no UDFs, so they stay inside whole-stage codegen at
-  * scale. Element type may be float or double; results are double.
+/** Dense-vector math over ArrayType columns. The similarity hot-path
+  * kernels (dot, cosine) are native codegen'd expressions
+  * ([[VectorExprs]]) — Spark's array HOFs are CodegenFallback
+  * (interpreted), which dominated the corpus×queries scoring loops; the
+  * rest stay as HOFs (cold paths). Same ascending-index fold arithmetic
+  * either way, so values are bit-identical across both forms and the
+  * DuckDB oracles. Inputs to dot/cosine must be array<double> (callers
+  * cast once per scan).
   *
   * Replaces the reference's NumPy vector algebra (`np.dot`, `np.linalg.norm`
   * — reference `core/likelihood.py:77`, `SDE_forecast_ActiveSampling.py:96-98`)
@@ -13,19 +18,16 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
-  /** sum_i a_i*b_i */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  /** sum_i a_i*b_i (native single-pass kernel). */
+  def dot(a: Column, b: Column): Column = VectorExprs.dot(a, b)
 
   /** L2 norm. */
   def l2Norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v * v))
 
-  /** Cosine similarity; 0 when either vector is all-zero. */
-  def cosine(a: Column, b: Column): Column = {
-    val denom = l2Norm(a) * l2Norm(b)
-    when(denom > 0, dot(a, b) / denom).otherwise(lit(0.0))
-  }
+  /** Cosine similarity; 0 when either vector is all-zero (native
+    * single-pass kernel: dot + both norms in one loop). */
+  def cosine(a: Column, b: Column): Column = VectorExprs.cosine(a, b)
 
   /** Squared euclidean distance. */
   def sqDist(a: Column, b: Column): Column =

@@ -121,27 +121,20 @@ object Dedup {
     * (by its xxhash64 bit); the sign of each position's total forms the
     * fingerprint.
     *
-    * Shape: explode tokens → one hash per (doc, token) → 64 flat conditional
-    * sums in ONE hash aggregate (map-side combine on doc_id) → fingerprint
-    * assembled from the 64 sums by a shallow literal fold. Deliberately NOT
-    * nested array HOFs — a `aggregate(zip_with(transform(...)))` tower
-    * triggers pathological fixed-point re-analysis in Catalyst type
-    * coercion; 64 scalar aggregates stay codegen-friendly and scale as one
-    * shuffle of 64 longs per doc. */
-  def simhashFingerprints(df: DataFrame, id: Column, text: Column): DataFrame = {
-    val toks = df.select(id.cast("long").as("doc_id"),
-        explode(TextOps.tokens(TextOps.normalized(text))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { i =>
-      sum(when(call_function("shiftright", col("h"), lit(i))
-        .bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$i")
-    }
-    val fp = (0 until 64).map { i =>
-      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-    toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), fp.as("sh"))
-  }
+    * Shape: ONE native codegen'd expression ([[graft.functions.VectorExprs
+    * .simhash64]]) over the token array — a pure projection on the corpus
+    * scan with NO explode and NO shuffle. (The previous shape — explode →
+    * 64 conditional sums in a hash aggregate — shuffled 64 longs per doc
+    * and was the single most expensive query in the bench; the expression
+    * form computes identical fingerprints, same xxhash64 seed 42.)
+    * Empty-token docs are dropped, matching the exploded formulation where
+    * they produced no aggregate row. */
+  def simhashFingerprints(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(id.cast("long").as("doc_id"),
+        TextOps.tokens(TextOps.normalized(text)).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .select(col("doc_id"),
+        graft.functions.VectorExprs.simhash64(col("__toks")).as("sh"))
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -170,7 +163,12 @@ object Dedup {
   def simhashDedupPairs(df: DataFrame, id: Column, text: Column,
                         maxHamming: Int = 3): DataFrame = {
     val bounds = simhashChunkBounds(maxHamming)
+    // fingerprints are a pure projection now (no aggregate boundary), so
+    // BOTH join sides would re-tokenize + re-hash the corpus without this
+    // pin; the checkpoint is 16 bytes per doc
     val docs = simhashFingerprints(df, id, text)
+      .repartition(col("doc_id"))
+      .localCheckpoint()
     val chunkStructs = bounds.zipWithIndex.map { case ((off, width), c) =>
       val mask = if (width == 64) -1L else (1L << width) - 1L
       struct(lit(c).as("chunk"),
