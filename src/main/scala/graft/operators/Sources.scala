@@ -46,17 +46,20 @@ object Sources {
 
   /** S3: Latin hypercube (reference `inputs.py:54-56`, pyDOE.lhs "classic"):
     * per dimension, an independent random permutation of the n strata with a
-    * uniform offset inside each stratum. The permutation is a row_number
-    * over a seeded random order — a global window (single task) acceptable
-    * for design-of-experiments sizes; for huge n swap in a zipWithIndex over
-    * a sorted sample. */
+    * uniform offset inside each stratum. The permutation is a global
+    * row_number over a seeded random order, produced by
+    * [[Ranking.globalRowNumber]] — range-partitioned, no single-task sort,
+    * so the source scales past design-of-experiments sizes. */
   def latinHypercube(spark: SparkSession, domain: Domain, n: Int, seed: Long): DataFrame =
     domain.bounds.zipWithIndex.foldLeft(spark.range(n).select(col("id"))) {
       case (df, ((lo, hi), i)) =>
-        val perm = row_number().over(Window.orderBy(rand(seed + 2 * i))) - 1
+        val permuted = Ranking.globalRowNumber(
+          df.withColumn("__r", rand(seed + 2 * i)),
+          Seq(col("__r"), col("id")), out = "__perm")
         val u = rand(seed + 2 * i + 1)
-        df.withColumn(s"x${i + 1}",
-          lit(lo) + (perm.cast("double") + u) / n * lit(hi - lo))
+        permuted.withColumn(s"x${i + 1}",
+          lit(lo) + ((col("__perm") - 1).cast("double") + u) / n * lit(hi - lo))
+          .drop("__r", "__perm")
     }
 
   /** S4: multivariate-Gaussian-distributed source (reference

@@ -58,6 +58,18 @@ object EventStreams {
       .select(col("w.start").as("window_start"), col("n"),
         col("mean_value"), col("min_value"), col("max_value"))
 
+  /** Streaming exact dedup — the continuous-ingest twin of
+    * `Dedup.exactByContent` for a training-data pipeline: keep the FIRST
+    * event per `event_id` (the dedup key), with state bounded by the
+    * watermark via `dropDuplicatesWithinWatermark` (duplicates are only
+    * possible within the ingest-replay horizon, so expired keys age out of
+    * state instead of accumulating forever — the property that makes
+    * streaming dedup viable at 100 TB/day). */
+  def dedupEvents(events: DataFrame, watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Per-user session statistics via custom state
     * (`mapGroupsWithState`): state = (last-event time, session count); a
     * gap > `gapSeconds` starts a new session. Emits one row per user per

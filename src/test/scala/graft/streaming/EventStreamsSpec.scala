@@ -44,6 +44,24 @@ class EventStreamsSpec extends SparkSpec {
     assert(got.exceptAll(batch).count() == 0, "stateful stream != batch sessionize")
   }
 
+  test("streaming dedup keeps one row per key and matches batch distinct") {
+    // duplicate the fixture file so every event arrives twice
+    val dupDir = java.nio.file.Files.createTempDirectory("graft-stream-dup")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf001/events.parquet"),
+      dupDir.resolve("a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf001/events.parquet"),
+      dupDir.resolve("b.parquet"))
+    val streamed = EventStreams.dedupEvents(
+      EventStreams.readEvents(spark, dupDir.toString))
+    val got = EventStreams.runToMemory(spark, streamed, "dedup_test", "append")
+    val batch = Tables.events(spark, sf001)
+    assert(got.count() == batch.count(),
+      s"dedup kept ${got.count()} of 2x${batch.count()} rows")
+    assert(got.select("event_id").distinct().count() == batch.count())
+  }
+
   test("sliding windows emit overlapping frames with sane stats") {
     val streamed = EventStreams.slidingValueStats(EventStreams.readEvents(spark, eventsDir))
     val got = EventStreams.runToMemory(spark, streamed, "sliding_test", "complete")
