@@ -163,29 +163,49 @@ object Dedup {
   def simhashDedupPairs(df: DataFrame, id: Column, text: Column,
                         maxHamming: Int = 3): DataFrame = {
     val bounds = simhashChunkBounds(maxHamming)
-    // fingerprints are a pure projection now (no aggregate boundary), so
-    // BOTH join sides would re-tokenize + re-hash the corpus without this
-    // pin; the checkpoint is 16 bytes per doc
+    // Collapse identical fingerprints BEFORE candidate generation: on
+    // duplicate-heavy corpora (the realistic dedup workload) thousands of
+    // docs share a fingerprint, and bucket-joining doc-level rows makes
+    // every shared chunk value quadratic in CLUSTER size (measured 13.5M
+    // candidate rows for a 40k-pair result at sf0.1). Over distinct
+    // fingerprints the bucket join is quadratic only in DISTINCT-value
+    // counts; doc pairs re-expand from the per-fingerprint id lists at the
+    // end — output-sized work, which is the lower bound anyway.
     val docs = simhashFingerprints(df, id, text)
-      .repartition(col("doc_id"))
-      .localCheckpoint()
+    val groups = docs.groupBy("sh").agg(collect_list("doc_id").as("ids"))
+      .localCheckpoint() // feeds the chunk explode AND both expansion joins
     val chunkStructs = bounds.zipWithIndex.map { case ((off, width), c) =>
       val mask = if (width == 64) -1L else (1L << width) - 1L
       struct(lit(c).as("chunk"),
         call_function("shiftright", col("sh"), lit(off))
           .bitwiseAND(lit(mask)).as("ck"))
     }
-    val chunks = docs.select(col("doc_id"), col("sh"),
-        explode(array(chunkStructs: _*)).as("c"))
-      .select(col("doc_id"), col("sh"), col("c.chunk").as("chunk"), col("c.ck").as("ck"))
-    val a = chunks.select(col("chunk"), col("ck"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val b = chunks.select(col("chunk"), col("ck"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("chunk", "ck"))
-      .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    val chunks = groups.select(col("sh"), explode(array(chunkStructs: _*)).as("c"))
+      .select(col("sh"), col("c.chunk").as("chunk"), col("c.ck").as("ck"))
+    val a = chunks.select(col("chunk"), col("ck"), col("sh").as("sh_a"))
+    val b = chunks.select(col("chunk"), col("ck"), col("sh").as("sh_b"))
+    val fpPairs = a.join(b, Seq("chunk", "ck"))
+      .filter(col("sh_a") < col("sh_b"))
+      .dropDuplicates("sh_a", "sh_b")
       .withColumn("hamming", hamming64(col("sh_a"), col("sh_b")))
       .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
+    // cross-group doc pairs: every (a-doc, b-doc) combination inherits the
+    // fingerprint pair's hamming; id order normalized per doc pair
+    val cross = fpPairs
+      .join(groups.select(col("sh").as("sh_a"), col("ids").as("ids_a")), Seq("sh_a"))
+      .join(groups.select(col("sh").as("sh_b"), col("ids").as("ids_b")), Seq("sh_b"))
+      .select(explode(col("ids_a")).as("ia"), col("ids_b"), col("hamming"))
+      .select(col("ia"), explode(col("ids_b")).as("ib"), col("hamming"))
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"), col("hamming"))
+    // intra-group doc pairs: identical fingerprints, hamming 0
+    val intra = groups.filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("ia"), col("ids"))
+      .select(col("ia"), explode(col("ids")).as("ib"))
+      .filter(col("ia") < col("ib"))
+      .select(col("ia").as("id_a"), col("ib").as("id_b"),
+        lit(0).as("hamming"))
+    cross.unionByName(intra).select("id_a", "id_b", "hamming")
   }
 
   /** Character-n-gram Jaccard similarity pairs, blocked by a cheap length
