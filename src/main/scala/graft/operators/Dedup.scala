@@ -67,35 +67,62 @@ object Dedup {
         array_sort(transform(
           TextOps.wordShinglesFromTokens(col("__toks"), shingleSize),
           x => xxhash64(x))).as("sh"))
+    // Collapse identical shingle SETS before LSH: duplicate-heavy corpora
+    // (the realistic dedup workload) put whole duplicate clusters into the
+    // same buckets, making the bucket join quadratic in CLUSTER size. Over
+    // distinct sets it is quadratic only in distinct-set bucket counts;
+    // signatures and verification run once per distinct set, and doc pairs
+    // expand from the per-set id lists at the end (output-sized work).
+    // gid = structural hash of the set (collision odds ~ groups²/2⁶⁵ —
+    // far below the LSH pipeline's own false-negative rate).
+    val groups = docs.groupBy("sh").agg(collect_list("doc_id").as("ids"))
+      .withColumn("gid", xxhash64(col("sh")))
       .localCheckpoint()
     // signatures materialized too: the banding lambda would otherwise
     // inline (and re-evaluate) the 64-hash signature once per band
-    val sigs = docs.withColumn("sig", minhashSignature(col("sh"), numHashes))
+    val sigs = groups.select(col("gid"),
+        minhashSignature(col("sh"), numHashes).as("sig"))
       .localCheckpoint()
-    // candidate pair ids only — shingle arrays stay OUT of the bucket join
+    // candidate pair gids only — shingle arrays stay OUT of the bucket join
     // and the pair-dedup shuffle; they re-attach once per distinct pair
     val buckets = sigs
-      .select(col("doc_id"),
-        explode(lshBands(col("sig"), bands, rowsPerBand)).as("b"))
-      .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
-    val cand = buckets.select(col("band"), col("bh"), col("doc_id").as("id_a"))
-      .join(buckets.select(col("band"), col("bh"), col("doc_id").as("id_b")),
+      .select(col("gid"), explode(lshBands(col("sig"), bands, rowsPerBand)).as("b"))
+      .select(col("gid"), col("b.band").as("band"), col("b.bh").as("bh"))
+    val cand = buckets.select(col("band"), col("bh"), col("gid").as("g_a"))
+      .join(buckets.select(col("band"), col("bh"), col("gid").as("g_b")),
         Seq("band", "bh"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .dropDuplicates("id_a", "id_b")
-    val shA = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val shB = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
-    val verified = cand.join(shA, Seq("id_a")).join(shB, Seq("id_b"))
+      .filter(col("g_a") < col("g_b"))
+      .select("g_a", "g_b")
+      .dropDuplicates("g_a", "g_b")
+    val shA = groups.select(col("gid").as("g_a"), col("sh").as("sh_a"))
+    val shB = groups.select(col("gid").as("g_b"), col("sh").as("sh_b"))
+    val verified = cand.join(shA, Seq("g_a")).join(shB, Seq("g_b"))
       // separate projection so the O(n) set-intersection evaluates once
       .withColumn("__inter",
         graft.functions.ArrayExprs.sortedIntersectSize(col("sh_a"), col("sh_b")))
       .withColumn("__na", size(col("sh_a")))
       .withColumn("__nb", size(col("sh_b")))
-      .select(col("id_a"), col("id_b"),
+      .select(col("g_a"), col("g_b"),
         jaccardFromIntersect(col("__inter"), col("__na"), col("__nb")).as("jaccard"))
-    PlanOps.pinPairScore(verified, Seq("id_a", "id_b"), "jaccard")
+    val passing = PlanOps.pinPairScore(verified, Seq("g_a", "g_b"), "jaccard")
       .filter(col("jaccard") >= threshold)
+    // cross-group doc pairs inherit the set pair's jaccard
+    val cross = passing
+      .join(groups.select(col("gid").as("g_a"), col("ids").as("ids_a")), Seq("g_a"))
+      .join(groups.select(col("gid").as("g_b"), col("ids").as("ids_b")), Seq("g_b"))
+      .select(explode(col("ids_a")).as("ia"), col("ids_b"), col("jaccard"))
+      .select(col("ia"), explode(col("ids_b")).as("ib"), col("jaccard"))
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"), col("jaccard"))
+    // intra-group doc pairs: identical sets, jaccard exactly 1.0 (identical
+    // signatures collide in every band, so the pre-collapse form always
+    // surfaced these as candidates too)
+    val intra = groups.filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("ia"), col("ids"))
+      .select(col("ia"), explode(col("ids")).as("ib"))
+      .filter(col("ia") < col("ib"))
+      .select(col("ia").as("id_a"), col("ib").as("id_b"), lit(1.0).as("jaccard"))
+    cross.unionByName(intra).select("id_a", "id_b", "jaccard")
   }
 
   /** Jaccard from a PRE-COMPUTED intersection size. Callers must materialize
