@@ -1,7 +1,5 @@
 package graft.operators
 
-import org.apache.spark.mllib.linalg.{Vectors => MlVectors}
-import org.apache.spark.mllib.linalg.distributed.RowMatrix
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -15,30 +13,43 @@ case class PcaModel(eigenvalues: Array[Double], components: Array[Array[Double]]
 /** PCA — the reference's `comp_pca` (`core/utils.py:7-40`: Gram-matrix
   * eigendecomposition, eigenvalues sorted descending, top n_trunc basis).
   *
-  * Executor-side: centering projection + the distributed Gram/covariance
-  * accumulation inside RowMatrix; driver-side: the tiny d×d eigensolve —
-  * the same split as the reference's in-process LAPACK call, but the O(n·d²)
-  * part distributes. Projection back onto the basis is a codegen'd column
-  * expression (no UDF).
+  * Executor-side: ONE codegen'd aggregate pass computing n, per-column
+  * sums, and the upper-triangle sums-of-products (d(d+3)/2 + 1 scalars);
+  * driver-side: assemble the d×d covariance and eigensolve with breeze —
+  * the same split as the reference's in-process LAPACK call, but the
+  * O(n·d²) accumulation distributes with map-side combine and no RDD
+  * row-object conversion. Sized for the reference's small d (2–15, d²
+  * aggregate columns); for very wide d use mllib RowMatrix instead.
+  * Projection back onto the basis is a codegen'd column expression (no
+  * UDF).
   */
 object Pca {
 
   def fit(df: DataFrame, cols: Seq[String], k: Int): PcaModel = {
-    val meansRow = df.select(cols.map(c => avg(col(c))): _*).head()
-    val means = cols.indices.map(meansRow.getDouble).toArray
-    val centered = df.select(cols.zipWithIndex.map { case (c, i) =>
-      (col(c) - lit(means(i))).as(c)
-    }: _*)
-    val rows = centered.rdd.map { r =>
-      MlVectors.dense(cols.indices.map(i => r.getDouble(i)).toArray)
+    val d = cols.size
+    val sumAggs = cols.map(c => sum(col(c)))
+    val prodAggs = for (i <- 0 until d; j <- i until d)
+      yield sum(col(cols(i)) * col(cols(j)))
+    val aggs = count(lit(1)).cast("double") +: (sumAggs ++ prodAggs)
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    val n = r.getDouble(0)
+    val s = Array.tabulate(d)(i => r.getDouble(1 + i))
+    val means = s.map(_ / n)
+    val denom = math.max(n - 1, 1)
+    val cov = Array.ofDim[Double](d, d)
+    var idx = 1 + d
+    for (i <- 0 until d; j <- i until d) {
+      val c = (r.getDouble(idx) - s(i) * s(j) / n) / denom
+      cov(i)(j) = c; cov(j)(i) = c
+      idx += 1
     }
-    val mat = new RowMatrix(rows)
-    val kEff = math.min(k, cols.size)
-    val svd = mat.computeSVD(kEff, computeU = false)
-    // eigenvalues of covariance = s^2 / (n-1); svd.s is descending already
-    val n = mat.numRows().toDouble
-    val eig = svd.s.toArray.map(s => s * s / math.max(n - 1, 1))
-    val comp = Array.tabulate(cols.size, kEff)((i, j) => svd.V(i, j))
+    val es = breeze.linalg.eigSym(
+      new breeze.linalg.DenseMatrix(d, d, cov.flatten))
+    // eigSym returns ascending eigenvalues; take the top k descending
+    val kEff = math.min(k, d)
+    val order = es.eigenvalues.toArray.zipWithIndex.sortBy(-_._1).take(kEff)
+    val eig = order.map(_._1)
+    val comp = Array.tabulate(d, kEff)((i, j) => es.eigenvectors(i, order(j)._2))
     PcaModel(eig, comp, means)
   }
 
