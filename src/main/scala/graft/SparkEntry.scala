@@ -55,7 +55,9 @@ object SparkEntry {
     "q38_ranking" -> (Queries.q38Ranking _),
     "q39_percentiles" -> (Queries.q39Percentiles _),
     "q40_left_join" -> (Queries.q40LeftJoin _),
-    "q41_multi_distinct" -> (Queries.q41MultiDistinct _)
+    "q41_multi_distinct" -> (Queries.q41MultiDistinct _),
+    "q42_stratified_sample" -> (Queries.q42StratifiedSample _),
+    "q43_contamination" -> (Queries.q43Contamination _)
   )
 
   /** DuckDB oracles for every SQL-expressible query above (q13, q25–q31 are

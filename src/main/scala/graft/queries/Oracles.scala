@@ -496,6 +496,39 @@ object Oracles {
            count(*) AS n
     FROM lineitem"""
 
+  // Deterministic stratified sample: same md5 cell-order on both engines.
+  val q42 = """
+    WITH t AS (SELECT lang, source, doc_id,
+                      md5(concat_ws('|', lang, source, doc_id)) AS h
+               FROM documents),
+    r AS (SELECT lang, source, doc_id,
+                 row_number() OVER (PARTITION BY lang, source ORDER BY h) AS rn,
+                 count(*) OVER (PARTITION BY lang, source) AS n_cell
+          FROM t)
+    SELECT lang, source, doc_id FROM r
+    WHERE rn <= ceil(n_cell * 0.1)
+    ORDER BY lang, source, doc_id"""
+
+  // Contamination: corpus docs sharing any word 5-shingle with the
+  // benchmark set (doc_id < 10). String shingles here; the Spark side uses
+  // xxhash64 of the same shingles (distinct counts agree — 64-bit
+  // collisions are ~n²/2⁶⁵).
+  val q43 = """
+    WITH t AS (SELECT doc_id,
+                      CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                           ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+               FROM documents),
+    g AS (SELECT doc_id,
+                 CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+                      ELSE list_distinct(list_transform(generate_series(1, len(toks) - 4),
+                             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])) END AS sh
+          FROM t),
+    bench AS (SELECT DISTINCT unnest(sh) AS s FROM g WHERE doc_id < 10),
+    corpus AS (SELECT doc_id, unnest(sh) AS s FROM g WHERE doc_id >= 10)
+    SELECT doc_id, count(DISTINCT s) AS n_shared
+    FROM corpus WHERE s IN (SELECT s FROM bench)
+    GROUP BY doc_id ORDER BY doc_id"""
+
   /** name → oracle SQL (single-line, driver JSON-escapes anyway). */
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
@@ -536,6 +569,8 @@ object Oracles {
     "q38_ranking" -> q38,
     "q39_percentiles" -> q39,
     "q40_left_join" -> q40,
-    "q41_multi_distinct" -> q41
+    "q41_multi_distinct" -> q41,
+    "q42_stratified_sample" -> q42,
+    "q43_contamination" -> q43
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

@@ -551,6 +551,46 @@ object Queries {
       count_distinct(col("l_quantity")).as("d_qty"),
       count(lit(1)).cast("long").as("n"))
 
+  /** Stratified corpus sampling with exact per-cell quotas — the
+    * domain-mixing step of a training-data pipeline: within every
+    * (lang, source) cell take ceil(10%) of documents, chosen by a
+    * deterministic md5 order so any engine reproduces the same sample.
+    * Partitioned window — parallel across cells at any scale. */
+  def q42StratifiedSample(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "lang", "source")
+      .withColumn("__h", md5(
+        concat_ws("|", col("lang"), col("source"), col("doc_id")).cast("binary")))
+    val cell = Window.partitionBy("lang", "source")
+    docs
+      .withColumn("rn", row_number().over(cell.orderBy("__h")))
+      .withColumn("n_cell", count(lit(1)).over(cell))
+      .filter(col("rn") <= ceil(col("n_cell") * lit(0.1)))
+      .select("lang", "source", "doc_id")
+      .orderBy("lang", "source", "doc_id")
+  }
+
+  /** Benchmark-contamination scan: which corpus documents share any word
+    * 5-shingle with the benchmark set (doc_id < 10)? The benchmark's hashed
+    * shingles are a broadcast set; the corpus side is one explode +
+    * broadcast semi-join + per-doc distinct count — no all-pairs anything,
+    * the shape that works when the corpus is 100 TB and the benchmark is
+    * MB-sized. */
+  def q43Contamination(s: SparkSession, d: String): DataFrame = {
+    val shingled = Tables.documents(s, d)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("__toks"))
+      .select(col("doc_id"),
+        transform(TextOps.wordShinglesFromTokens(col("__toks"), 5),
+          x => xxhash64(x)).as("sh"))
+    val bench = shingled.filter(col("doc_id") < 10)
+      .select(explode(col("sh")).as("s")).distinct()
+    val corpus = shingled.filter(col("doc_id") >= 10)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+    corpus.join(broadcast(bench), Seq("s"))
+      .groupBy("doc_id")
+      .agg(count_distinct(col("s")).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
   /** A-PCA: project lineitem numeric measures onto 2 principal components;
     * returns per-component summary (rows-only check; exact basis is
     * sign/rotation ambiguous so no SQL oracle). */
