@@ -264,13 +264,19 @@ object Oracles {
     SELECT l_orderkey, count(*) AS dups FROM lineitem
     GROUP BY l_orderkey HAVING count(*) > 1 ORDER BY l_orderkey"""
 
+  // Sums as ordered left-folds over the window lists (not window SUMs) so
+  // doubles match Spark's aggregate() over the featurizer's arrays exactly.
   val q24 = """
-    SELECT event_id AS win_id,
-           round(sum(value) OVER (ORDER BY event_id ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING), 4) AS hist_sum,
-           round(sum(value) OVER (ORDER BY event_id ROWS BETWEEN 10 FOLLOWING AND 14 FOLLOWING), 4) AS target_sum
-    FROM events
-    QUALIFY count(value) OVER (ORDER BY event_id ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING) = 10
-        AND count(value) OVER (ORDER BY event_id ROWS BETWEEN 10 FOLLOWING AND 14 FOLLOWING) = 5
+    WITH w AS (
+      SELECT event_id AS win_id,
+             list(value) OVER (ORDER BY event_id ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING) AS hist,
+             list(value) OVER (ORDER BY event_id ROWS BETWEEN 10 FOLLOWING AND 14 FOLLOWING) AS target
+      FROM events)
+    SELECT win_id,
+           round(list_reduce(list_prepend(0.0, hist), (a, b) -> a + b), 4) AS hist_sum,
+           round(list_reduce(list_prepend(0.0, target), (a, b) -> a + b), 4) AS target_sum
+    FROM w
+    WHERE len(hist) = 10 AND len(target) = 5
     ORDER BY win_id"""
 
   // Fixed-parameter KDE (lo=900, hi=105000, g=1024, bw=2000): replays

@@ -285,19 +285,18 @@ object Queries {
       .orderBy("l_orderkey")
 
   /** W1 sliding-window featurization, scalar (sum) projection for the
-    * oracle; the array-valued operator itself is q27. */
+    * oracle; the array-valued operator itself is q27. Built on the BLOCKED
+    * featurizer (not a global unpartitioned window — that is a single task
+    * at scale); sums are ordered left-folds over the window arrays so the
+    * DuckDB oracle reproduces them bit-for-bit. */
   def q24WindowSums(s: SparkSession, d: String): DataFrame = {
-    val w = Window.orderBy("event_id")
-    val histW = w.rowsBetween(Window.currentRow, 9)
-    val predW = w.rowsBetween(10, 14)
-    Tables.events(s, d)
-      .select(col("event_id"), col("value"))
-      .withColumn("hist_sum", round(sum("value").over(histW), 4))
-      .withColumn("target_sum", round(sum("value").over(predW), 4))
-      .withColumn("__hc", count("value").over(histW))
-      .withColumn("__tc", count("value").over(predW))
-      .filter(col("__hc") === 10 && col("__tc") === 5)
-      .select(col("event_id").as("win_id"), col("hist_sum"), col("target_sum"))
+    def fsum(arr: Column): Column =
+      round(aggregate(arr, lit(0.0), (acc, x) => acc + x), 4)
+    SlidingWindows.featurizeByIndex(Tables.events(s, d),
+        col("event_id"), col("value"), history = 10, pred = 5)
+      .withColumn("hist_sum", fsum(col("hist")))
+      .withColumn("target_sum", fsum(col("target")))
+      .select(col("win_id"), col("hist_sum"), col("target_sum"))
       .orderBy("win_id")
   }
 
