@@ -45,19 +45,14 @@ object TextOps {
   def charNGramsHashed(text: Column, n: Int): Column =
     charNGramsHashedFromNormalized(normalized(text), n)
 
-  /** [[charNGramsHashed]] over ALREADY-NORMALIZED text. Callers doing bulk
-    * work must materialize the normalized text as its own column first:
-    * higher-order functions are CodegenFallback (interpreted), so any
-    * non-attribute subexpression referenced inside the lambda — here the
-    * normalization regex — would re-evaluate PER ARRAY ELEMENT (observed:
-    * ~300 regexp_replace calls per document, dominating the near-dup scan).
-    */
+  /** [[charNGramsHashed]] over ALREADY-NORMALIZED text — a native one-pass
+    * expression ([[VectorExprs.hashedCharNGrams]]): the HOF formulation it
+    * replaces dispatched an interpreted `xxhash64(substr(...))` expression
+    * tree per gram (~1700 per document). Output is sorted-distinct hashes,
+    * ready for the two-pointer SortedLongIntersectSize; values are
+    * identical to the HOF form (same substring semantics, same seed). */
   def charNGramsHashedFromNormalized(t: Column, n: Int): Column =
-    // sorted ascending: enables the two-pointer SortedLongIntersectSize
-    array_sort(array_distinct(
-      when(length(t) < n, array(xxhash64(t)))
-        .otherwise(transform(sequence(lit(0), length(t) - n),
-          i => xxhash64(substr(t, i + 1, lit(n)))))))
+    VectorExprs.hashedCharNGrams(t, n)
 
   /** Word w-shingles: joined runs of w consecutive tokens (dedup'd). */
   def wordShingles(text: Column, w: Int): Column =

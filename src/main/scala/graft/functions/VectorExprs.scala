@@ -160,6 +160,118 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Sorted distinct xxhash64 values of all character n-grams of a string —
+  * one pass, no per-gram Column-expression dispatch. Identical values to
+  * `array_sort(array_distinct(transform(sequence(...), i ->
+  * xxhash64(substr(t, i+1, n)))))` (the interpreted-HOF formulation this
+  * replaces): same `substringSQL` codepoint semantics, same seed-42 hash,
+  * same sorted-unique output (ready for the two-pointer intersect). Strings
+  * shorter than n hash whole, matching the HOF form's `< n` branch. */
+case class HashedCharNGrams(child: Expression, n: Int) extends UnaryExpression {
+  require(n > 0)
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(in: Any): Any = {
+    val s = in.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    val len = s.numChars()
+    val out =
+      if (len < n) Array(XXH64.hashUTF8String(s, 42L))
+      else {
+        val m = len - n + 1
+        val hs = new Array[Long](m)
+        var i = 0
+        while (i < m) {
+          hs(i) = XXH64.hashUTF8String(s.substringSQL(i + 1, n), 42L)
+          i += 1
+        }
+        java.util.Arrays.sort(hs)
+        // in-place dedupe of the sorted hashes
+        var w = 0; var r = 0
+        while (r < m) {
+          if (w == 0 || hs(r) != hs(w - 1)) { hs(w) = hs(r); w += 1 }
+          r += 1
+        }
+        if (w == m) hs else java.util.Arrays.copyOf(hs, w)
+      }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  // Interpreted eval is already allocation-lean; the win over the HOF form
+  // is avoiding per-element expression-tree evaluation, which this gets on
+  // both paths — so codegen delegates to eval via the default fallback.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("hashedNGrams", this,
+      classOf[HashedCharNGrams].getName)
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)
+         |  $ref.nullSafeEval($a);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Sorted distinct xxhash64 values of all word w-shingles of a token array
+  * (shingle text = tokens joined by a single space) — one pass, replacing
+  * the interpreted `transform(shingles, xxhash64)` over
+  * `concat_ws(" ", slice(toks, i, w))` lambdas (~hundreds of expression
+  * dispatches per document). Fewer tokens than w hash the whole joined
+  * array, matching the HOF form's `size < w` branch. */
+case class HashedWordShingles(child: Expression, w: Int) extends UnaryExpression {
+  require(w > 0)
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(in: Any): Any = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val arr = in.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val sep = UTF8String.fromString(" ")
+    val out =
+      if (n < w) {
+        val toks = Array.tabulate(n)(arr.getUTF8String)
+        Array(XXH64.hashUTF8String(UTF8String.concatWs(sep, toks: _*), 42L))
+      } else {
+        val m = n - w + 1
+        val hs = new Array[Long](m)
+        val window = new Array[UTF8String](w)
+        var i = 0
+        while (i < m) {
+          var j = 0
+          while (j < w) { window(j) = arr.getUTF8String(i + j); j += 1 }
+          hs(i) = XXH64.hashUTF8String(UTF8String.concatWs(sep, window: _*), 42L)
+          i += 1
+        }
+        java.util.Arrays.sort(hs)
+        var wr = 0; var r = 0
+        while (r < m) {
+          if (wr == 0 || hs(r) != hs(wr - 1)) { hs(wr) = hs(r); wr += 1 }
+          r += 1
+        }
+        if (wr == m) hs else java.util.Arrays.copyOf(hs, wr)
+      }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("hashedShingles", this,
+      classOf[HashedWordShingles].getName)
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)
+         |  $ref.nullSafeEval($a);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExprs {
   import org.apache.spark.sql.GraftShims.{column, expression}
 
@@ -171,4 +283,10 @@ object VectorExprs {
 
   def simhash64(toks: Column): Column =
     column(SimHash64(expression(toks)))
+
+  def hashedCharNGrams(t: Column, n: Int): Column =
+    column(HashedCharNGrams(expression(t), n))
+
+  def hashedWordShingles(toks: Column, w: Int): Column =
+    column(HashedWordShingles(expression(toks), w))
 }

@@ -64,9 +64,8 @@ object Dedup {
       .select(id.cast("long").as("doc_id"), TextOps.tokens(text).as("__toks"))
       .repartition(col("doc_id"))
       .select(col("doc_id"),
-        array_sort(transform(
-          TextOps.wordShinglesFromTokens(col("__toks"), shingleSize),
-          x => xxhash64(x))).as("sh"))
+        graft.functions.VectorExprs
+          .hashedWordShingles(col("__toks"), shingleSize).as("sh"))
     // Collapse identical shingle SETS before LSH: duplicate-heavy corpora
     // (the realistic dedup workload) put whole duplicate clusters into the
     // same buckets, making the bucket join quadratic in CLUSTER size. Over

@@ -578,8 +578,7 @@ object Queries {
     val shingled = Tables.documents(s, d)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("__toks"))
       .select(col("doc_id"),
-        transform(TextOps.wordShinglesFromTokens(col("__toks"), 5),
-          x => xxhash64(x)).as("sh"))
+        graft.functions.VectorExprs.hashedWordShingles(col("__toks"), 5).as("sh"))
     val bench = shingled.filter(col("doc_id") < 10)
       .select(explode(col("sh")).as("s")).distinct()
     val corpus = shingled.filter(col("doc_id") >= 10)

@@ -63,6 +63,42 @@ class TextOpsSpec extends SparkSpec {
     assert(h1 == h2 && h1 != h3) // order-sensitive
   }
 
+  test("native hashedCharNGrams equals the HOF xxhash64-substr formulation") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(31)
+    val alphabet = "abcdefg 012"
+    val rows = Seq("", "a", "ab", "abc", "aaaaaaa") ++
+      Seq.fill(100)(Seq.fill(rnd.nextInt(80) + 1)(
+        alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val df = rows.toDF("t")
+    for (n <- Seq(1, 3, 5)) {
+      val hof = array_sort(array_distinct(
+        when(length(col("t")) < n, array(xxhash64(col("t"))))
+          .otherwise(transform(sequence(lit(0), length(col("t")) - n),
+            i => xxhash64(substr(col("t"), i + 1, lit(n)))))))
+      val got = df.select(
+        TextOps.charNGramsHashedFromNormalized(col("t"), n).as("a"),
+        hof.as("b"))
+      assert(got.filter(not(col("a") === col("b"))).count() == 0, s"n=$n")
+    }
+  }
+
+  test("native hashedWordShingles equals the sorted HOF formulation") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(41)
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "x", "12")
+    val rows = Seq("", "one", "one two") ++
+      Seq.fill(80)(Seq.fill(rnd.nextInt(30) + 1)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    val df = rows.toDF("t").select(TextOps.tokens(col("t")).as("toks"))
+    for (w <- Seq(2, 3, 5)) {
+      val hof = array_sort(transform(
+        TextOps.wordShinglesFromTokens(col("toks"), w), x => xxhash64(x)))
+      val got = df.select(
+        VectorExprs.hashedWordShingles(col("toks"), w).as("a"), hof.as("b"))
+      assert(got.filter(not(col("a") === col("b"))).count() == 0, s"w=$w")
+    }
+  }
+
   test("qualityScore ranks clean prose above punct soup") {
     val clean = "the quick brown fox jumps over the lazy dog and it was good for all of them"
     val soup = "@@@ ### !!! 123 456 789 ,,, ... ;;;"
