@@ -26,6 +26,21 @@ object Integrate {
       .agg(sum("__seg").cast("double").as("integral"))
   }
 
+  /** Trapezoidal integration over a series carrying a DENSE integer index
+    * (consecutive values, e.g. `events.event_id`): adjacent points pair via
+    * a self equi-join on `idx = idx − 1` instead of a global window — fully
+    * parallel (hash join + partial-aggregated sum), the shape that survives
+    * any series length. [[trapz]] stays for small grids / non-dense axes. */
+  def trapzByIndex(df: DataFrame, idx: Column, x: Column, y: Column): DataFrame = {
+    val cur = df.select(idx.cast("long").as("__i"),
+      x.cast("double").as("__x"), y.cast("double").as("__y"))
+    val prev = cur.select((col("__i") + 1).as("__i"),
+      col("__x").as("__xp"), col("__y").as("__yp"))
+    cur.join(prev, Seq("__i"))
+      .select(((col("__y") + col("__yp")) / 2.0 * (col("__x") - col("__xp"))).as("__seg"))
+      .agg(sum("__seg").cast("double").as("integral"))
+  }
+
   /** Multi-dimensional trapezoidal integration over a rectilinear grid — the
     * reference's `grid_nint` (`core/utils.py:43-52`), which integrates an
     * N-D gridded function one axis at a time. Each step pairs adjacent

@@ -59,9 +59,12 @@ object Queries {
       .orderBy("bucket")
   }
 
-  /** A-TRAPZ: trapezoidal integration of events.value over event_id. */
+  /** A-TRAPZ: trapezoidal integration of events.value over event_id —
+    * the dense-index form (adjacent-pair equi-join), not the global-window
+    * form, so the only single-partition step is the 1-row total. */
   def q04Trapz(s: SparkSession, d: String): DataFrame =
-    Integrate.trapz(Tables.events(s, d), col("event_id"), col("value"))
+    Integrate.trapzByIndex(Tables.events(s, d),
+        col("event_id"), col("event_id"), col("value"))
       .select(round(col("integral"), 4).as("integral"))
 
   /** P7 min-max scaling of o_totalprice to [0,1]. */

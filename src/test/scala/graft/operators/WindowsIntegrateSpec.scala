@@ -48,6 +48,14 @@ class WindowsIntegrateSpec extends SparkSpec {
     assert(math.abs(got - 1.0 / 3) < 1e-6, s"got $got")
   }
 
+  test("trapzByIndex (join form) equals trapz (window form) on a dense series") {
+    val s = (0 until 2000).map(i => (i.toLong, i / 2000.0, math.sin(i * 0.01)))
+      .toDF("i", "x", "y")
+    val a = Integrate.trapz(s, col("x"), col("y")).head().getDouble(0)
+    val b = Integrate.trapzByIndex(s, col("i"), col("x"), col("y")).head().getDouble(0)
+    assert(math.abs(a - b) < 1e-9, s"$a vs $b")
+  }
+
   test("trapzGrid: bilinear integrand is exact; separable quadratic converges") {
     // y = x1*x2 on [0,1]^2 -> 1/4, exact for the trapezoid rule (bilinear)
     val n = 40
