@@ -74,7 +74,10 @@ object Queries {
       .orderBy("o_orderkey")
 
   /** P6 inverse-density weights (histogram-density form, SQL-expressible):
-    * w ∝ 1 / bucket-count(o_totalprice), normalized to sum 1. */
+    * w ∝ 1 / bucket-count(o_totalprice), normalized to sum 1. The
+    * normalizing total is a broadcast 1-row aggregate, NOT an unpartitioned
+    * window (which would be a single task at scale); per-bucket counts stay
+    * a partitioned window. */
   def q06InvDensityWeights(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d)
     val stats = o.agg(min(col("o_totalprice")).as("__mn"), max(col("o_totalprice")).as("__mx"))
@@ -82,11 +85,11 @@ object Queries {
     val withBucket = o.crossJoin(broadcast(stats))
       .withColumn("bucket",
         least(floor((col("o_totalprice") - col("__mn")) / width), lit(31.0)).cast("long"))
-    val wCnt = Window.partitionBy("bucket")
-    val wAll = Window.partitionBy()
-    withBucket
-      .withColumn("__raw", lit(1.0) / count(lit(1)).over(wCnt))
-      .withColumn("w", round(col("__raw") / sum(col("__raw")).over(wAll), 8))
+    val withRaw = withBucket
+      .withColumn("__raw", lit(1.0) / count(lit(1)).over(Window.partitionBy("bucket")))
+    val total = withRaw.agg(sum(col("__raw")).as("__total"))
+    withRaw.crossJoin(broadcast(total))
+      .withColumn("w", round(col("__raw") / col("__total"), 8))
       .select(col("o_orderkey"), col("bucket"), col("w"))
       .orderBy("o_orderkey")
   }

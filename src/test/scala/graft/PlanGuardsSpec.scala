@@ -1,0 +1,59 @@
+package graft
+
+import graft.queries.Queries
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
+import org.apache.spark.sql.execution.joins.CartesianProductExec
+
+/** Plan-shape regression guards: the properties that make queries survive a
+  * 100× scale-up are plan properties, not result properties — assert them
+  * directly so a refactor can't silently reintroduce a single-task sort or
+  * an accidental cartesian join. (q16 and the small-grid trapz/LHS forms are
+  * intentionally windowed oracle companions and are excluded.) */
+class PlanGuardsSpec extends SparkSpec {
+
+  private def assertNoGlobalWindow(df: DataFrame, name: String): Unit =
+    df.queryExecution.optimizedPlan.foreach {
+      case w: LogicalWindow =>
+        assert(w.partitionSpec.nonEmpty,
+          s"$name plans an UNPARTITIONED window (single task at scale)")
+      case _ => ()
+    }
+
+  test("scale-sensitive queries plan no unpartitioned windows") {
+    val qs: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+      "q04_trapz" -> (Queries.q04Trapz _),
+      "q05_minmax" -> (Queries.q05MinMaxScale _),
+      "q06_inv_density" -> (Queries.q06InvDensityWeights _),
+      "q07_middle" -> (Queries.q07MiddleLookup _),
+      "q24_window_sums" -> (Queries.q24WindowSums _),
+      "q27_sliding" -> (Queries.q27SlidingWindows _),
+      "q35_asof" -> (Queries.q35AsOfJoin _),
+      "q36_sessionize" -> (Queries.q36Sessionize _),
+      "q38_ranking" -> (Queries.q38Ranking _),
+      "q42_stratified" -> (Queries.q42StratifiedSample _))
+    qs.foreach { case (n, fn) => assertNoGlobalWindow(fn(spark, sf001), n) }
+  }
+
+  test("no lazily-constructed query plans a cartesian product") {
+    // queries whose construction is fully lazy (no driver-side fit/collect);
+    // the checkpointing/fitting ones are covered by the Explain audit
+    val lazyOnes = Seq(
+      "q01_pricing_summary", "q02_error_metrics", "q03_histogram", "q04_trapz",
+      "q05_minmax_scale", "q06_inv_density_weights", "q07_middle_lookup",
+      "q08_topk", "q09_pool_deletion", "q10_dedup_groups", "q11_token_stats",
+      "q12_quality", "q13_lang_id", "q14_fingerprints", "q16_cosine_topk",
+      "q17_embedding_pairs", "q18_json", "q19_hourly", "q20_revenue_by_nation",
+      "q21_profile_orders", "q22_validate", "q23_dup_keys", "q24_window_sums",
+      "q27_sliding_windows", "q31_ann_topk_agg", "q35_asof_join",
+      "q36_sessionize", "q37_cube", "q39_percentiles", "q40_left_join",
+      "q41_multi_distinct", "q42_stratified_sample", "q43_contamination")
+    lazyOnes.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sf001)
+      val cartesians = df.queryExecution.executedPlan.collect {
+        case c: CartesianProductExec => c
+      }
+      assert(cartesians.isEmpty, s"$name plans a CartesianProduct")
+    }
+  }
+}
