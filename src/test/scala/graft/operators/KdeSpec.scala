@@ -28,6 +28,26 @@ class KdeSpec extends SparkSpec {
     assert(maxDiff < 0.02 * peak, s"maxDiff=$maxDiff peak=$peak")
   }
 
+  test("exact and binned KDE agree under caller-narrowed bounds (off-grid rows excluded)") {
+    // rows far outside the grid must not count toward the normalizing total
+    // in EITHER path; before the fix the exact aggregator added their
+    // weight while contributing no mass, deflating the density
+    val rnd = new scala.util.Random(19)
+    val inRange = Seq.fill(1000)(rnd.nextGaussian() * 0.5)
+    val farOut = Seq.fill(500)(100.0 + rnd.nextGaussian())
+    val df = (inRange ++ farOut).toDF("v")
+    val bounds = Some((-3.0, 3.0))
+    val binned = Kde.fit(df, col("v"), gridSize = 256, bandwidth = Some(0.3), bounds = bounds)
+    val exact = Kde.fit(df, col("v"), gridSize = 256, bandwidth = Some(0.3),
+      bounds = bounds, exact = true)
+    val maxDiff = binned.pdf.zip(exact.pdf).map { case (a, b) => math.abs(a - b) }.max
+    assert(maxDiff < 0.02 * exact.pdf.max, s"maxDiff=$maxDiff peak=${exact.pdf.max}")
+    // and the density over the grid still integrates to ~1 in the exact path
+    val step = exact.step
+    val integral = exact.pdf.sum * step
+    assert(math.abs(integral - 1.0) < 0.05, s"integral=$integral")
+  }
+
   test("KDE integrates to ~1 (trapz over grid)") {
     val rnd = new scala.util.Random(7)
     val df = Seq.fill(2000)(rnd.nextGaussian()).toDF("v")
