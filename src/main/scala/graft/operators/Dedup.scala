@@ -236,7 +236,9 @@ object Dedup {
 
   /** Character-n-gram Jaccard similarity pairs, blocked by a cheap length
     * bucket + first-char key so comparisons stay within plausible near-dup
-    * groups instead of all-pairs. */
+    * groups instead of all-pairs. Like the MinHash/SimHash paths, candidate
+    * generation and verification run over DISTINCT n-gram sets (duplicate
+    * clusters collapse); doc pairs expand from the per-set id lists. */
   def ngramJaccardPairs(df: DataFrame, id: Column, text: Column,
                         n: Int = 3, threshold: Double = 0.5): DataFrame = {
     val docs = df.select(id.cast("long").as("doc_id"),
@@ -244,27 +246,43 @@ object Dedup {
       // block: docs within ±25% length and same first normalized char can match
       floor(log(greatest(length(TextOps.normalized(text)), lit(1)).cast("double")) / math.log(1.25)).as("lb"),
       substring(TextOps.normalized(text), 1, 1).as("fc"))
-      .repartition(col("doc_id"))
-      .localCheckpoint() // n-gram sets feed both join sides — compute once
+    // identical g implies identical normalized text, hence identical blocks
+    val groups = docs.groupBy("g", "lb", "fc")
+      .agg(collect_list("doc_id").as("ids"))
+      .withColumn("gid", xxhash64(col("g")))
+      .localCheckpoint() // feeds both join sides + both expansion joins
     // a-side explodes to {lb-1, lb, lb+1} against b's exact lb so any pair
-    // within one length bucket matches regardless of which doc has the lower
-    // id (a one-sided {lb, lb+1} explode would drop pairs where the lower-id
-    // doc sits a bucket ABOVE the higher-id one).
-    val withBlocks = docs.withColumn("blk",
+    // within one length bucket matches regardless of which set has the lower
+    // gid (a one-sided {lb, lb+1} explode would drop pairs where the
+    // lower-gid set sits a bucket ABOVE the higher-gid one).
+    val withBlocks = groups.withColumn("blk",
       explode(array(col("lb") - 1, col("lb"), col("lb") + 1)))
-    val a = withBlocks.select(col("blk"), col("fc"), col("doc_id").as("id_a"), col("g").as("g_a"))
-    val b = docs.select(col("lb").as("blk"), col("fc"), col("doc_id").as("id_b"), col("g").as("g_b"))
+    val a = withBlocks.select(col("blk"), col("fc"), col("gid").as("g_a"), col("g").as("ga"))
+    val b = groups.select(col("lb").as("blk"), col("fc"), col("gid").as("g_b"), col("g").as("gb"))
     val verified = a.join(b, Seq("blk", "fc"))
-      .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+      .filter(col("g_a") < col("g_b"))
+      .dropDuplicates("g_a", "g_b")
       .withColumn("__inter",
-        graft.functions.ArrayExprs.sortedIntersectSize(col("g_a"), col("g_b")))
-      .withColumn("__na", size(col("g_a")))
-      .withColumn("__nb", size(col("g_b")))
-      .select(col("id_a"), col("id_b"),
+        graft.functions.ArrayExprs.sortedIntersectSize(col("ga"), col("gb")))
+      .withColumn("__na", size(col("ga")))
+      .withColumn("__nb", size(col("gb")))
+      .select(col("g_a"), col("g_b"),
         jaccardFromIntersect(col("__inter"), col("__na"), col("__nb")).as("jaccard"))
-    PlanOps.pinPairScore(verified, Seq("id_a", "id_b"), "jaccard")
+    val passing = PlanOps.pinPairScore(verified, Seq("g_a", "g_b"), "jaccard")
       .filter(col("jaccard") >= threshold)
+    val cross = passing
+      .join(groups.select(col("gid").as("g_a"), col("ids").as("ids_a")), Seq("g_a"))
+      .join(groups.select(col("gid").as("g_b"), col("ids").as("ids_b")), Seq("g_b"))
+      .select(explode(col("ids_a")).as("ia"), col("ids_b"), col("jaccard"))
+      .select(col("ia"), explode(col("ids_b")).as("ib"), col("jaccard"))
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"), col("jaccard"))
+    val intra = groups.filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("ia"), col("ids"))
+      .select(col("ia"), explode(col("ids")).as("ib"))
+      .filter(col("ia") < col("ib"))
+      .select(col("ia").as("id_a"), col("ib").as("id_b"), lit(1.0).as("jaccard"))
+    cross.unionByName(intra).select("id_a", "id_b", "jaccard")
   }
 
   /** Embedding-cosine near-duplicate pairs. Buckets by random-hyperplane
