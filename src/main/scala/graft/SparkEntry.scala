@@ -57,7 +57,8 @@ object SparkEntry {
     "q40_left_join" -> (Queries.q40LeftJoin _),
     "q41_multi_distinct" -> (Queries.q41MultiDistinct _),
     "q42_stratified_sample" -> (Queries.q42StratifiedSample _),
-    "q43_contamination" -> (Queries.q43Contamination _)
+    "q43_contamination" -> (Queries.q43Contamination _),
+    "q44_dedup_clusters" -> (Queries.q44DedupClusters _)
   )
 
   /** DuckDB oracles for every SQL-expressible query above (q13, q25–q31 are

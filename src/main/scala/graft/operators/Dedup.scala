@@ -285,6 +285,43 @@ object Dedup {
     cross.unionByName(intra).select("id_a", "id_b", "jaccard")
   }
 
+  /** Connected components over near-dup pairs: iterative min-label
+    * propagation (label starts as the doc id; each round every doc takes
+    * the min of its own and its neighbors' labels). Converges in
+    * O(cluster diameter) rounds — near-dup clusters are near-cliques, so
+    * 2–3 in practice; each round is one join + one aggregate, checkpointed
+    * so lineage stays flat. Returns (doc_id, cluster_id) for every id in
+    * `ids`, cluster_id = min doc id of the component (singletons map to
+    * themselves) — the canonical keeper, so the deduplicated corpus is
+    * `filter(doc_id === cluster_id)`. */
+  def clusters(pairs: DataFrame, ids: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
+    var labels = ids.select(col("doc_id").cast("long").as("doc_id"))
+      .withColumn("cluster_id", col("doc_id")).localCheckpoint()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("dst"), col("cluster_id")), Seq("dst"))
+        .groupBy(col("src").as("doc_id"))
+        .agg(min("cluster_id").as("__nbr"))
+      val updated = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("__nbr"), col("cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint()
+      converged = updated
+        .join(labels.withColumnRenamed("cluster_id", "__old"), Seq("doc_id"))
+        .filter(col("cluster_id") =!= col("__old"))
+        .limit(1).count() == 0
+      labels = updated
+      it += 1
+    }
+    labels
+  }
+
   /** Embedding-cosine near-duplicate pairs. Buckets by random-hyperplane
     * sign sketch (an LSH for cosine): vectors agreeing on all `planes` signs
     * land in one bucket; near-identical vectors almost surely collide.

@@ -535,6 +535,24 @@ object Oracles {
     FROM corpus WHERE s IN (SELECT s FROM bench)
     GROUP BY doc_id ORDER BY doc_id"""
 
+  // Connected components over the q28 pair set (proven equal to the LSH
+  // output): recursive label closure, then min label per doc. `pairs` is
+  // the q28 oracle body minus its final ORDER BY.
+  val q44: String = {
+    val pairsBody = q28.trim.stripSuffix("ORDER BY id_a, id_b").trim
+    s"""
+    WITH RECURSIVE pr AS ($pairsBody),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pr
+              UNION ALL SELECT id_b, id_a FROM pr),
+    lbl(id, label) AS (
+        SELECT doc_id, doc_id FROM documents
+      UNION
+        SELECT e.src, l.label FROM edges e JOIN lbl l ON l.id = e.dst
+    )
+    SELECT id AS doc_id, min(label) AS cluster_id
+    FROM lbl GROUP BY id ORDER BY doc_id"""
+  }
+
   /** name → oracle SQL (single-line, driver JSON-escapes anyway). */
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
@@ -577,6 +595,7 @@ object Oracles {
     "q40_left_join" -> q40,
     "q41_multi_distinct" -> q41,
     "q42_stratified_sample" -> q42,
-    "q43_contamination" -> q43
+    "q43_contamination" -> q43,
+    "q44_dedup_clusters" -> q44
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

@@ -596,6 +596,20 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Near-dup cluster resolution — the step that turns pair lists into a
+    * deduplicated corpus: connected components over the MinHash near-dup
+    * pairs (min-label propagation), emitting each document's canonical
+    * cluster id (the component's min doc id; keeper = doc_id ==
+    * cluster_id). The oracle replays the components with a recursive CTE
+    * over the same (proven-equal) pair set. */
+  def q44DedupClusters(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.minhashDedupPairs(docs, col("doc_id"), col("text"),
+      shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)
+    Dedup.clusters(pairs, docs.select("doc_id"))
+      .orderBy("doc_id")
+  }
+
   /** A-PCA: project lineitem numeric measures onto 2 principal components;
     * returns per-component summary (rows-only check; exact basis is
     * sign/rotation ambiguous so no SQL oracle). */

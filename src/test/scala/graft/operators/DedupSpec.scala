@@ -134,6 +134,16 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((0L, 1L)), s"cross-bucket near-dup missing: $pairs")
   }
 
+  test("clusters: min-label connected components with singletons intact") {
+    // components: {0,1,2} via a chain (diameter 2), {5,6}; 3,4,7 singletons
+    val pairs = Seq((0L, 1L), (1L, 2L), (5L, 6L)).toDF("id_a", "id_b")
+    val ids = (0L to 7L).toDF("doc_id")
+    val got = Dedup.clusters(pairs, ids)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L), s"got $got")
+  }
+
   test("embeddingNearDupPairs finds duplicated vectors") {
     val rnd = new scala.util.Random(5)
     def vec() = Array.fill(16)(rnd.nextGaussian().toFloat)
