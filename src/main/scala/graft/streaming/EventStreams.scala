@@ -7,6 +7,13 @@ import org.apache.spark.sql.types._
 /** Custom stream state: last event time (µs), running session/event counts. */
 case class SessionState(lastTs: Long, sessions: Long, events: Long)
 
+/** Stateful-featurizer buffer: index of the first buffered value + the
+  * buffered values (at most history+pred-1 between micro-batches). */
+case class FeaturizeBuffer(headIdx: Long, values: Seq[Double])
+
+/** Stateful-featurizer output row (matches the batch featurizer schema). */
+case class FeaturizedWindow(win_id: Long, hist: Seq[Double], target: Seq[Double])
+
 /** Stateful-streaming output row: per-user running session statistics. */
 case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
 
@@ -30,10 +37,12 @@ object EventStreams {
   /** `dir` must be a DIRECTORY of event parquet files (FileStreamSource
     * rejects a single-file path) — the natural shape for a streaming ingest
     * drop zone. Tests stage the fixture file into a temp dir. */
-  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+  def readEvents(spark: SparkSession, dir: String,
+                 maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(eventsSchema)
-      .parquet(dir)
+    val reader = spark.readStream.schema(eventsSchema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
 
@@ -102,6 +111,49 @@ object EventStreams {
 
   private val eventMicrosSchema = new StructType()
     .add("user_id", LongType).add("ts_us", LongType)
+
+  /** Streaming twin of `SlidingWindows.featurizeByIndex` via
+    * `flatMapGroupsWithState`: windows form continuously as a series
+    * streams in, with custom state carrying ONLY the last
+    * history+pred−1 values across micro-batch boundaries (the seam) —
+    * bounded state, append-mode output, each window emitted exactly once.
+    * The series must arrive in index order per key (the replay /
+    * partition-per-series ingest shape; the reference's W1 is a batch
+    * array, so in-order is its natural streaming analogue). One state
+    * group per series — parallel across series. */
+  def statefulFeaturize(events: DataFrame, history: Int, pred: Int): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.{Encoders, Row}
+    val span = history + pred
+    val rowsEnc = Encoders.row(new StructType()
+      .add("series", LongType).add("idx", LongType).add("v", DoubleType))
+    val byKey = events
+      .select(lit(0L).as("series"), col("event_id").as("idx"),
+        col("value").cast("double").as("v"))
+      .as(rowsEnc)
+      .groupByKey((r: Row) => r.getLong(0))(Encoders.scalaLong)
+    byKey.flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      (_: Long, rows: Iterator[Row],
+       state: org.apache.spark.sql.streaming.GroupState[FeaturizeBuffer]) => {
+        val batch = rows.map(r => (r.getLong(1), r.getDouble(2))).toArray.sortBy(_._1)
+        val prior = state.getOption.getOrElse(
+          FeaturizeBuffer(if (batch.isEmpty) 0L else batch.head._1, Seq.empty))
+        val buf = prior.values.toArray ++ batch.map(_._2)
+        val head = prior.headIdx
+        val nWindows = math.max(0, buf.length - span + 1)
+        val out = (0 until nWindows).iterator.map { i =>
+          FeaturizedWindow(head + i,
+            buf.slice(i, i + history).toSeq,
+            buf.slice(i + history, i + span).toSeq)
+        }
+        val keep = math.min(span - 1, buf.length)
+        state.update(FeaturizeBuffer(head + buf.length - keep,
+          buf.takeRight(keep).toSeq))
+        out
+      })(Encoders.product[FeaturizeBuffer], Encoders.product[FeaturizedWindow])
+      .toDF()
+  }
 
   /** Run a streaming query to completion against the (static) fixture dir
     * via the memory sink — the batch-parity harness used by tests: process

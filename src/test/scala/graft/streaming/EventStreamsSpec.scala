@@ -62,6 +62,41 @@ class EventStreamsSpec extends SparkSpec {
     assert(got.select("event_id").distinct().count() == batch.count())
   }
 
+  test("stateful streaming featurizer equals the batch featurizer across seams") {
+    import org.apache.spark.sql.functions._
+    // stage the series as 3 event-range files processed one per micro-batch
+    // (oldest-first), so windows straddle the batch boundaries and the
+    // carried state seam is genuinely exercised
+    val raw = spark.read.parquet(s"$sf001/events.parquet")
+    val maxId = raw.agg(max("event_id")).head().getLong(0)
+    val cut1 = maxId / 3; val cut2 = 2 * maxId / 3
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-feat")
+    Seq(("a", 0L, cut1), ("b", cut1 + 1, cut2), ("c", cut2 + 1, maxId))
+      .foreach { case (name, lo, hi) =>
+        val tmp = java.nio.file.Files.createTempDirectory(s"graft-slice-$name")
+        raw.filter(col("event_id").between(lo, hi))
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+          .find(_.endsWith(".parquet")).get
+        java.nio.file.Files.copy(java.nio.file.Paths.get(part),
+          dir.resolve(s"$name.parquet"))
+        Thread.sleep(1100) // distinct mtimes -> deterministic oldest-first order
+      }
+    val streamed = EventStreams.statefulFeaturize(
+      EventStreams.readEvents(spark, dir.toString, maxFilesPerTrigger = Some(1)),
+      history = 10, pred = 5)
+    val got = EventStreams.runToMemory(spark, streamed, "feat_parity", "append")
+      .orderBy("win_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getSeq[Double](2)))
+    val batch = graft.operators.SlidingWindows.featurizeByIndex(
+        graft.Tables.events(spark, sf001), col("event_id"), col("value"),
+        history = 10, pred = 5)
+      .orderBy("win_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getSeq[Double](2)))
+    assert(got.length == batch.length, s"${got.length} vs ${batch.length}")
+    got.zip(batch).foreach { case (a, b) => assert(a == b) }
+  }
+
   test("sliding windows emit overlapping frames with sane stats") {
     val streamed = EventStreams.slidingValueStats(EventStreams.readEvents(spark, eventsDir))
     val got = EventStreams.runToMemory(spark, streamed, "sliding_test", "complete")
