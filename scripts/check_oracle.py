@@ -9,23 +9,36 @@ import math
 import sys
 
 import duckdb
+import numpy as np
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
 def canon(v):
-    if isinstance(v, float):
+    # Type-tagged so an int64 Spark column vs a HUGEINT/float64 oracle column
+    # (e.g. DuckDB sum() over integers -> HUGEINT -> pandas float64) is a
+    # FAIL locally, matching the driver's dtype-sensitive hasher.
+    if isinstance(v, (bool, np.bool_)):
+        return f"b:{v}"
+    if isinstance(v, (float, np.floating)):
         if math.isnan(v):
-            return "nan"
-        return f"{v:.9g}"
+            return "f:nan"
+        return f"f:{v:.9g}"
+    if isinstance(v, (int, np.integer)):
+        return f"i:{v}"
     return str(v)
 
 
-def frame(rows, cols):
-    idx = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(canon(r[i]) for i in idx) for r in rows]
-    return sorted(cols), sorted(out)
+def frame(rel):
+    # Go through pandas (.df()) like the driver does: DuckDB HUGEINT becomes
+    # float64 there (not Python int as with fetchall), so dtype drift between
+    # the Spark output and the oracle is visible locally.
+    df = rel.df()
+    cols = sorted(df.columns)
+    df = df[cols]
+    out = sorted(tuple(canon(v) for v in row) for row in df.itertuples(index=False, name=None))
+    return cols, out
 
 
 def main(sf_dir, out_dir):
@@ -36,16 +49,14 @@ def main(sf_dir, out_dir):
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
-            got_rel = con.sql(
-                f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-            got = frame(got_rel.fetchall(), got_rel.columns)
+            got = frame(con.sql(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'"))
         except Exception as e:
             print(f"FAIL {name}: spark output unreadable: {e}")
             n_fail += 1
             continue
         try:
-            exp_rel = con.sql(sql)
-            exp = frame(exp_rel.fetchall(), exp_rel.columns)
+            exp = frame(con.sql(sql))
         except Exception as e:
             print(f"FAIL {name}: oracle sql error: {e}")
             n_fail += 1

@@ -246,10 +246,14 @@ object Dedup {
       // block: docs within ±25% length and same first normalized char can match
       floor(log(greatest(length(TextOps.normalized(text)), lit(1)).cast("double")) / math.log(1.25)).as("lb"),
       substring(TextOps.normalized(text), 1, 1).as("fc"))
-    // identical g implies identical normalized text, hence identical blocks
+    // NOTE identical g does NOT imply identical block: periodic texts (e.g.
+    // "buy now " ×4 vs ×5) share the distinct-n-gram set but differ in
+    // length, landing in different (g, lb, fc) groups. gid must therefore be
+    // unique per GROUP (g + block), or the g_a < g_b candidate filter would
+    // silently drop equal-set cross-block pairs as "same group".
     val groups = docs.groupBy("g", "lb", "fc")
       .agg(collect_list("doc_id").as("ids"))
-      .withColumn("gid", xxhash64(col("g")))
+      .withColumn("gid", xxhash64(col("g"), col("lb"), col("fc")))
       .localCheckpoint() // feeds both join sides + both expansion joins
     // a-side explodes to {lb-1, lb, lb+1} against b's exact lb so any pair
     // within one length bucket matches regardless of which set has the lower
@@ -287,14 +291,18 @@ object Dedup {
 
   /** Connected components over near-dup pairs: iterative min-label
     * propagation (label starts as the doc id; each round every doc takes
-    * the min of its own and its neighbors' labels). Converges in
-    * O(cluster diameter) rounds — near-dup clusters are near-cliques, so
-    * 2–3 in practice; each round is one join + one aggregate, checkpointed
-    * so lineage stays flat. Returns (doc_id, cluster_id) for every id in
-    * `ids`, cluster_id = min doc id of the component (singletons map to
+    * the min of its own and its neighbors' labels) plus a pointer-jumping
+    * shortcut (each doc also takes its label's label — labels are doc ids,
+    * so label(label) is a plain self-join), giving O(log diameter)
+    * convergence even on chain-shaped components. Each round is two joins +
+    * one aggregate, checkpointed so lineage stays flat. Runs until a fixed
+    * point; `maxIters` is a runaway guard that THROWS rather than return
+    * partial labels (silent non-convergence would break oracle parity with
+    * the recursive-CTE closure). Returns (doc_id, cluster_id) for every id
+    * in `ids`, cluster_id = min doc id of the component (singletons map to
     * themselves) — the canonical keeper, so the deduplicated corpus is
     * `filter(doc_id === cluster_id)`. */
-  def clusters(pairs: DataFrame, ids: DataFrame, maxIters: Int = 20): DataFrame = {
+  def clusters(pairs: DataFrame, ids: DataFrame, maxIters: Int = 64): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint()
@@ -307,9 +315,17 @@ object Dedup {
         .join(labels.select(col("doc_id").as("dst"), col("cluster_id")), Seq("dst"))
         .groupBy(col("src").as("doc_id"))
         .agg(min("cluster_id").as("__nbr"))
-      val updated = labels.join(nbrMin, Seq("doc_id"), "left")
+      val propagated = labels.join(nbrMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("__nbr"), col("cluster_id")))
+            .as("cluster_id"))
+      // pointer jump: cluster_id is itself a doc_id, so shortcut to its label
+      val updated = propagated.alias("l")
+        .join(propagated.select(col("doc_id").as("cluster_id"),
+            col("cluster_id").as("__grand")).alias("g"),
+          Seq("cluster_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("__grand"), col("cluster_id")))
             .as("cluster_id"))
         .localCheckpoint()
       converged = updated
@@ -319,6 +335,10 @@ object Dedup {
       labels = updated
       it += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"Dedup.clusters did not converge in $maxIters rounds — component " +
+          "structure is pathological; raise maxIters rather than use partial labels")
     labels
   }
 

@@ -13,8 +13,11 @@ case class PcaModel(eigenvalues: Array[Double], components: Array[Array[Double]]
 /** PCA — the reference's `comp_pca` (`core/utils.py:7-40`: Gram-matrix
   * eigendecomposition, eigenvalues sorted descending, top n_trunc basis).
   *
-  * Executor-side: ONE codegen'd aggregate pass computing n, per-column
-  * sums, and the upper-triangle sums-of-products (d(d+3)/2 + 1 scalars);
+  * Executor-side: a tiny first aggregate for n and per-column means, then
+  * ONE codegen'd aggregate pass over sums of CENTERED products
+  * (d(d+1)/2 scalars) — two passes instead of one, but numerically stable:
+  * the one-pass raw-sums form cov = (E[xy]·n − sx·sy/n)/(n−1) is the
+  * textbook catastrophic-cancellation formula when |mean| ≫ stddev;
   * driver-side: assemble the d×d covariance and eigensolve with breeze —
   * the same split as the reference's in-process LAPACK call, but the
   * O(n·d²) accumulation distributes with map-side combine and no RDD
@@ -27,19 +30,20 @@ object Pca {
 
   def fit(df: DataFrame, cols: Seq[String], k: Int): PcaModel = {
     val d = cols.size
-    val sumAggs = cols.map(c => sum(col(c)))
+    // pass 1 (tiny): n + means
+    val meanAggs = count(lit(1)).cast("double") +: cols.map(c => avg(col(c)))
+    val m = df.agg(meanAggs.head, meanAggs.tail: _*).head()
+    val n = m.getDouble(0)
+    val means = Array.tabulate(d)(i => m.getDouble(1 + i))
+    // pass 2: sums of centered products — no cancellation when |mean| >> sd
     val prodAggs = for (i <- 0 until d; j <- i until d)
-      yield sum(col(cols(i)) * col(cols(j)))
-    val aggs = count(lit(1)).cast("double") +: (sumAggs ++ prodAggs)
-    val r = df.agg(aggs.head, aggs.tail: _*).head()
-    val n = r.getDouble(0)
-    val s = Array.tabulate(d)(i => r.getDouble(1 + i))
-    val means = s.map(_ / n)
+      yield sum((col(cols(i)) - lit(means(i))) * (col(cols(j)) - lit(means(j))))
+    val r = df.agg(prodAggs.head, prodAggs.tail: _*).head()
     val denom = math.max(n - 1, 1)
     val cov = Array.ofDim[Double](d, d)
-    var idx = 1 + d
+    var idx = 0
     for (i <- 0 until d; j <- i until d) {
-      val c = (r.getDouble(idx) - s(i) * s(j) / n) / denom
+      val c = r.getDouble(idx) / denom
       cov(i)(j) = c; cov(j)(i) = c
       idx += 1
     }

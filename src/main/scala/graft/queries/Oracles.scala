@@ -452,7 +452,7 @@ object Oracles {
              sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
                               ROWS UNBOUNDED PRECEDING) AS session_id
       FROM marked)
-    SELECT user_id, session_id,
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
            epoch_us(CAST(min(ts) AS TIMESTAMP)) AS session_start,
            count(*) AS n_events,
            round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_value

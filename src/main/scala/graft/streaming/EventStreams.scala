@@ -139,6 +139,24 @@ object EventStreams {
         val batch = rows.map(r => (r.getLong(1), r.getDouble(2))).toArray.sortBy(_._1)
         val prior = state.getOption.getOrElse(
           FeaturizeBuffer(if (batch.isEmpty) 0L else batch.head._1, Seq.empty))
+        // Enforce the documented in-order contract instead of assuming it:
+        // a gap or out-of-order micro-batch would otherwise silently emit
+        // windows mixing non-adjacent values under misaligned win_ids.
+        if (batch.nonEmpty) {
+          val expectedHead = prior.headIdx + prior.values.length
+          if (state.exists && batch.head._1 != expectedHead)
+            throw new IllegalStateException(
+              s"statefulFeaturize: batch starts at idx ${batch.head._1}, " +
+                s"expected $expectedHead — input is gapped or out of order")
+          var i = 1
+          while (i < batch.length) {
+            if (batch(i)._1 != batch(i - 1)._1 + 1)
+              throw new IllegalStateException(
+                s"statefulFeaturize: non-consecutive indices " +
+                  s"${batch(i - 1)._1} -> ${batch(i)._1} within a micro-batch")
+            i += 1
+          }
+        }
         val buf = prior.values.toArray ++ batch.map(_._2)
         val head = prior.headIdx
         val nWindows = math.max(0, buf.length - span + 1)
