@@ -98,16 +98,42 @@ case class CosineSimilarity(left: Expression, right: Expression) extends BinaryE
       newRight: Expression): Expression = copy(left = newLeft, right = newRight)
 }
 
-/** 64-bit SimHash of a token array in one pass — each token's xxhash64
-  * (same `XXH64.hashUTF8String(_, 42)` the builtin uses) votes ±1 on every
-  * bit position; the sign of each position's total forms the fingerprint.
+/** Engine-portable 64-bit token hash: the first 8 bytes of md5, folded
+  * big-endian — i.e. the integer a SQL engine gets by parsing the first 16
+  * hex digits of `md5(token)`. Used by [[SimHash64]]'s portable mode so a
+  * DuckDB oracle can replay the fingerprint bit-for-bit (xxhash64 has no
+  * SQL twin; md5 does — the q14/q26 precedent). */
+object PortableHash {
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def md5Long(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val digest = md.get()
+    digest.reset()
+    val bytes = digest.digest(s.getBytes)
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (bytes(i) & 0xffL); i += 1 }
+    h
+  }
+}
+
+/** 64-bit SimHash of a token array in one pass — each token's 64-bit hash
+  * votes ±1 on every bit position; the sign of each position's total forms
+  * the fingerprint. Token hash is xxhash64 seed 42 (fast path, same
+  * `XXH64.hashUTF8String` the builtin uses) or md5-derived
+  * ([[PortableHash.md5Long]]) when `portable` — identical structure, but a
+  * SQL engine can replay the md5 form exactly.
   *
   * Replaces the explode → 64-conditional-sums aggregate shape: the
   * fingerprint becomes a single codegen'd projection over the corpus scan —
   * no explode blow-up, no shuffle at all (the old shape shuffled 64 longs
   * per document). Duplicate tokens vote once each, matching the exploded
   * formulation. */
-case class SimHash64(child: Expression) extends UnaryExpression {
+case class SimHash64(child: Expression, portable: Boolean = false)
+    extends UnaryExpression {
   override def dataType: DataType = LongType
 
   override def nullSafeEval(in: Any): Any = {
@@ -116,7 +142,9 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     val n = arr.numElements()
     var t = 0
     while (t < n) {
-      val h = XXH64.hashUTF8String(arr.getUTF8String(t), 42L)
+      val h =
+        if (portable) PortableHash.md5Long(arr.getUTF8String(t))
+        else XXH64.hashUTF8String(arr.getUTF8String(t), 42L)
       var i = 0
       while (i < 64) {
         if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
@@ -137,12 +165,16 @@ case class SimHash64(child: Expression) extends UnaryExpression {
       val t = ctx.freshName("t"); val i = ctx.freshName("i")
       val h = ctx.freshName("h"); val fp = ctx.freshName("fp")
       val n = ctx.freshName("n")
+      val hashCall =
+        if (portable)
+          s"graft.functions.PortableHash.md5Long($a.getUTF8String($t))"
+        else
+          s"org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String($a.getUTF8String($t), 42L)"
       s"""
          |java.util.Arrays.fill($counts, 0);
          |int $n = $a.numElements();
          |for (int $t = 0; $t < $n; $t++) {
-         |  long $h = org.apache.spark.sql.catalyst.expressions.XXH64
-         |    .hashUTF8String($a.getUTF8String($t), 42L);
+         |  long $h = $hashCall;
          |  for (int $i = 0; $i < 64; $i++) {
          |    if ((($h >>> $i) & 1L) == 1L) $counts[$i]++; else $counts[$i]--;
          |  }
@@ -281,8 +313,8 @@ object VectorExprs {
   def cosine(a: Column, b: Column): Column =
     column(CosineSimilarity(expression(a), expression(b)))
 
-  def simhash64(toks: Column): Column =
-    column(SimHash64(expression(toks)))
+  def simhash64(toks: Column, portable: Boolean = false): Column =
+    column(SimHash64(expression(toks), portable))
 
   def hashedCharNGrams(t: Column, n: Int): Column =
     column(HashedCharNGrams(expression(t), n))

@@ -154,13 +154,18 @@ object Dedup {
     * and was the single most expensive query in the bench; the expression
     * form computes identical fingerprints, same xxhash64 seed 42.)
     * Empty-token docs are dropped, matching the exploded formulation where
-    * they produced no aggregate row. */
-  def simhashFingerprints(df: DataFrame, id: Column, text: Column): DataFrame =
+    * they produced no aggregate row.
+    *
+    * `portable = true` swaps the token hash for the md5-derived 64-bit form
+    * ([[graft.functions.PortableHash]]) that a SQL engine can replay —
+    * same fingerprint structure, oracle-checkable bit-for-bit. */
+  def simhashFingerprints(df: DataFrame, id: Column, text: Column,
+                          portable: Boolean = false): DataFrame =
     df.select(id.cast("long").as("doc_id"),
         TextOps.tokens(TextOps.normalized(text)).as("__toks"))
       .filter(size(col("__toks")) > 0)
       .select(col("doc_id"),
-        graft.functions.VectorExprs.simhash64(col("__toks")).as("sh"))
+        graft.functions.VectorExprs.simhash64(col("__toks"), portable).as("sh"))
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -187,7 +192,7 @@ object Dedup {
   }
 
   def simhashDedupPairs(df: DataFrame, id: Column, text: Column,
-                        maxHamming: Int = 3): DataFrame = {
+                        maxHamming: Int = 3, portable: Boolean = false): DataFrame = {
     val bounds = simhashChunkBounds(maxHamming)
     // Collapse identical fingerprints BEFORE candidate generation: on
     // duplicate-heavy corpora (the realistic dedup workload) thousands of
@@ -197,7 +202,7 @@ object Dedup {
     // fingerprints the bucket join is quadratic only in DISTINCT-value
     // counts; doc pairs re-expand from the per-fingerprint id lists at the
     // end — output-sized work, which is the lower bound anyway.
-    val docs = simhashFingerprints(df, id, text)
+    val docs = simhashFingerprints(df, id, text, portable)
     val groups = docs.groupBy("sh").agg(collect_list("doc_id").as("ids"))
       .localCheckpoint() // feeds the chunk explode AND both expansion joins
     val chunkStructs = bounds.zipWithIndex.map { case ((off, width), c) =>

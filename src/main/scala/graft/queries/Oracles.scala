@@ -429,6 +429,58 @@ object Oracles {
     SELECT CAST(64 AS BIGINT) AS d1, CAST(64 AS BIGINT) AS d2,
            CAST(64 AS BIGINT) AS n"""
 
+  // SimHash pairs, replayed from scratch: q29 runs in portable-hash mode
+  // (token hash = first 8 bytes of md5, big-endian — exactly the integer
+  // parsed from the first 16 hex digits of md5(token)), so the oracle can
+  // rebuild every fingerprint bit-for-bit: per-token bit votes from the hex
+  // digits (bit i lives in digit 16 - i//4 at in-nibble position i%4), sign
+  // of each bit's total, then ALL-PAIRS hamming ≤ 7 — an exhaustive ground
+  // truth that also proves the blocked pipeline's candidate recall is 1.0.
+  val q29 = """
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(nt)) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(nt), '\s+') END AS toks
+      FROM (SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g') AS nt
+            FROM documents)),
+    tok AS (SELECT doc_id, md5(unnest(toks)) AS m FROM t WHERE len(toks) > 0),
+    votes AS (
+      SELECT doc_id, b.i,
+             sum(CASE WHEN ((CAST(strpos('0123456789abcdef',
+                              substring(m, 16 - b.i // 4, 1)) - 1 AS INT)
+                             >> (b.i % 4)) & 1) = 1
+                      THEN 1 ELSE -1 END) AS s
+      FROM tok, generate_series(0, 63) b(i)
+      GROUP BY doc_id, b.i),
+    fp AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN s > 0 THEN
+                     CASE WHEN i = 63 THEN CAST(-9223372036854775808 AS HUGEINT)
+                          ELSE CAST(CAST(1 AS BIGINT) << i AS HUGEINT) END
+                   ELSE 0 END) AS BIGINT) AS sh
+      FROM votes GROUP BY doc_id)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh, b.sh)) <= 7
+    ORDER BY id_a, id_b"""
+
+  // PCA gate: the basis is sign/rotation ambiguous, but total variance
+  // (trace of the covariance) is engine-checkable via the same var_samp
+  // aggregates, to 4 significant digits; the eigen invariants (Σλ = trace,
+  // orthonormality, per-component projection variance = λ·(n−1)/n against
+  // the distributed data) are Spark-side 1/0 flags the oracle pins to 1.
+  val q34 = """
+    SELECT CAST(cnt AS BIGINT) AS n,
+           CAST(round(t / pow(10, floor(log10(t)) - 3)) AS BIGINT) AS trace_sig4,
+           CAST(1 AS BIGINT) AS eig_trace_ok,
+           CAST(1 AS BIGINT) AS ortho_ok,
+           CAST(1 AS BIGINT) AS pcvar_ok
+    FROM (SELECT count(*) AS cnt,
+                 var_samp(l_quantity) + var_samp(l_extendedprice)
+                 + var_samp(l_discount) + var_samp(l_tax) AS t
+          FROM lineitem)"""
+
   val q35 = """
     WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
     purchases AS (SELECT event_id AS p_event_id, user_id, ts AS p_ts, value AS p_value
@@ -583,10 +635,12 @@ object Oracles {
     "q26_weighted_sample" -> q26,
     "q27_sliding_windows" -> q27,
     "q28_minhash_pairs" -> q28,
+    "q29_simhash_pairs" -> q29,
     "q30_ann_ivf" -> q30,
     "q31_ann_topk_agg" -> q31,
     "q32_grid_source" -> q32,
     "q33_lhs_strata" -> q33,
+    "q34_pca_project" -> q34,
     "q35_asof_join" -> q35,
     "q36_sessionize" -> q36,
     "q37_cube" -> q37,

@@ -402,10 +402,16 @@ object Queries {
 
   /** SimHash near-dup pairs within Hamming ≤ 7 of the 64-bit fingerprint.
     * Radius 7 ↔ 8×8-bit chunk blocking: the pigeonhole guarantee covers the
-    * configured radius exactly (recall 1.0 — see Dedup.simhashDedupPairs). */
+    * configured radius exactly (recall 1.0 — see Dedup.simhashDedupPairs).
+    * Registered in PORTABLE-hash mode (md5-derived token hash,
+    * [[graft.functions.PortableHash]]) so the DuckDB oracle replays the
+    * fingerprints bit-for-bit and checks the blocked pipeline — candidate
+    * recall included — against an all-pairs hamming ground truth; the
+    * xxhash64 fast path stays the library default, covered by DedupSpec. */
   def q29SimhashPairs(s: SparkSession, d: String): DataFrame =
     Dedup.simhashDedupPairs(Tables.documents(s, d), col("doc_id"), col("text"),
-      maxHamming = 7)
+      maxHamming = 7, portable = true)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
       .orderBy("id_a", "id_b")
 
   /** IVF-bucketed approximate nearest neighbors (scale path of q16),
@@ -610,17 +616,47 @@ object Queries {
       .orderBy("doc_id")
   }
 
-  /** A-PCA: project lineitem numeric measures onto 2 principal components;
-    * returns per-component summary (rows-only check; exact basis is
-    * sign/rotation ambiguous so no SQL oracle). */
+  /** A-PCA as an oracle-checkable gate (the exact basis is sign/rotation
+    * ambiguous, so the eigenvectors themselves can't be SQL-compared; the
+    * eigen-INVARIANTS can):
+    *   - `trace_sig4`: total variance Σ var_samp(col) to 4 significant
+    *     digits — computed via the SAME var_samp aggregate in both engines
+    *     (a genuine cross-engine check of the covariance accumulation;
+    *     fixture traces sit ≥0.22 of a quantum from the rounding boundary
+    *     at every sf, so the 4-digit mantissa is environment-robust).
+    *   - `eig_trace_ok`: Σ all-d eigenvalues == trace (ties the eigensolve
+    *     to the hashed trace).
+    *   - `ortho_ok`: ‖VᵀV − I‖∞ ≤ 1e-9 over the full basis.
+    *   - `pcvar_ok`: avg(pc_j²) over the DISTRIBUTED projection equals
+    *     λ_j·(n−1)/n for every component — v_j really is an eigenvector
+    *     with eigenvalue λ_j, verified against the data, not the model. */
   def q34PcaProject(s: SparkSession, d: String): DataFrame = {
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val dDim = cols.size
     val li = Tables.lineitem(s, d)
-    val model = Pca.fit(li, cols, 2)
-    Pca.project(li, cols, model)
-      .agg(round(avg(pow(col("pc1"), 2)), 2).as("pc1_var"),
-        round(avg(pow(col("pc2"), 2)), 2).as("pc2_var"),
-        round(avg(col("pc1")), 6).as("pc1_mean"),
-        count(lit(1)).as("n"))
+    val model = Pca.fit(li, cols, dDim) // full basis: trace + per-λ checks
+    val projAggs = (0 until dDim).map(j => avg(pow(col(s"pc${j + 1}"), 2))) ++
+      Seq(count(lit(1)).cast("double")) ++
+      cols.map(c => var_samp(col(c)))
+    val r = Pca.project(li, cols, model).agg(projAggs.head, projAggs.tail: _*).head()
+    val pcVar = Array.tabulate(dDim)(j => r.getDouble(j))
+    val n = r.getDouble(dDim)
+    val trace = (0 until dDim).map(i => r.getDouble(dDim + 1 + i)).sum
+    val traceSig4 = math.round(trace / math.pow(10, math.floor(math.log10(trace)) - 3))
+    val eigSum = model.eigenvalues.sum
+    val eigTraceOk = math.abs(eigSum - trace) <= 1e-9 * trace
+    val orthoErr = (for (a <- 0 until dDim; b <- 0 until dDim) yield {
+      val dot = (0 until dDim).map(i => model.components(i)(a) * model.components(i)(b)).sum
+      math.abs(dot - (if (a == b) 1.0 else 0.0))
+    }).max
+    val pcvarOk = (0 until dDim).forall { j =>
+      math.abs(pcVar(j) - model.eigenvalues(j) * (n - 1) / n) <= 1e-6 * model.eigenvalues(0)
+    }
+    s.range(1).select(
+      lit(n.toLong).as("n"),
+      lit(traceSig4).as("trace_sig4"),
+      lit(if (eigTraceOk) 1L else 0L).as("eig_trace_ok"),
+      lit(if (orthoErr <= 1e-9) 1L else 0L).as("ortho_ok"),
+      lit(if (pcvarOk) 1L else 0L).as("pcvar_ok"))
   }
 }

@@ -115,6 +115,62 @@ class DedupSpec extends SparkSpec {
     assert(expected.nonEmpty, "fixture should plant at least one pair within radius")
   }
 
+  test("PortableHash.md5Long matches the first-16-hex-digits-of-md5 integer") {
+    // md5("hello") = 5d41402abc4b2a76... -> 0x5d41402abc4b2a76 as signed i64
+    val got = graft.functions.PortableHash.md5Long(
+      org.apache.spark.unsafe.types.UTF8String.fromString("hello"))
+    assert(got == 0x5d41402abc4b2a76L)
+  }
+
+  test("portable simhash mode: pairs equal the exact all-pairs filter too") {
+    import org.apache.spark.sql.functions.col
+    val words = base.split(" ")
+    val variants = (1 to 8).map { k =>
+      (10L + k, (words.indices.map(i => if (i < k) s"sub$i" else words(i))).mkString(" "))
+    }
+    val d = (Seq((0L, base), (1L, nearDup), (2L, other), (3L, base)) ++ variants)
+      .toDF("doc_id", "text")
+    val fps = Dedup.simhashFingerprints(d, col("doc_id"), col("text"), portable = true)
+      .as[(Long, Long)].collect().toMap
+    val xxFps = Dedup.simhashFingerprints(d, col("doc_id"), col("text"))
+      .as[(Long, Long)].collect().toMap
+    assert(fps != xxFps, "portable hash should differ from xxhash64 fingerprints")
+    val ids = fps.keys.toSeq.sorted
+    val expected = (for {
+      i <- ids; j <- ids if i < j
+      if java.lang.Long.bitCount(fps(i) ^ fps(j)) <= 7
+    } yield (i, j)).toSet
+    val got = Dedup.simhashDedupPairs(d, col("doc_id"), col("text"),
+      maxHamming = 7, portable = true)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == expected, s"got $got expected $expected")
+  }
+
+  test("ngramJaccardPairs pairs equal-ngram-set docs across length buckets") {
+    // Periodic texts: identical distinct 3-gram sets, lengths one bucket
+    // apart (80 vs 100 chars with 1.25-ratio buckets: 19 vs 20). A gid
+    // keyed on the set alone would collapse them into "the same group" and
+    // the g_a < g_b candidate filter would drop the pair despite
+    // jaccard = 1.0.
+    val unit = "buy cheap stuff now "
+    val d = Seq((0L, unit * 4), (1L, unit * 5), (2L, other)).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(d, col("doc_id"), col("text"),
+      n = 3, threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)), s"equal-set cross-bucket pair missing: $pairs")
+  }
+
+  test("clusters converges on a long chain (beyond the old iteration cap)") {
+    // Path graph 0-1-2-...-40: diameter 40 > the previous maxIters=20;
+    // pointer jumping must still converge and label every node 0.
+    val n = 41
+    val pairs = (0 until n - 1).map(i => (i.toLong, i.toLong + 1))
+      .toDF("id_a", "id_b")
+    val ids = (0 until n).map(_.toLong).toDF("doc_id")
+    val labels = Dedup.clusters(pairs, ids).as[(Long, Long)].collect().toMap
+    assert(labels.size == n && labels.values.forall(_ == 0L), s"bad labels: $labels")
+  }
+
   test("ngramJaccardPairs finds near-dups within blocks") {
     val pairs = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
       n = 3, threshold = 0.5)

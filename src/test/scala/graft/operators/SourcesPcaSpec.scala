@@ -67,6 +67,29 @@ class SourcesPcaSpec extends SparkSpec {
     assert(math.abs(m) < 1e-9)
   }
 
+  test("PCA is stable under a huge mean offset (centered two-pass covariance)") {
+    // |mean| / stddev ~ 1e8: the one-pass raw-sums covariance loses most
+    // significant digits here; the centered form must still recover the
+    // same eigenstructure as the zero-mean cloud.
+    val rnd = new scala.util.Random(7)
+    val pts = Seq.fill(2000) {
+      val t = rnd.nextGaussian() * 5
+      val e = rnd.nextGaussian() * 0.3
+      (t + e, t - e)
+    }
+    val off = 1.0e8
+    val base = Pca.fit(pts.toDF("a", "b"), Seq("a", "b"), 2)
+    val shifted = Pca.fit(
+      pts.map { case (a, b) => (a + off, b + off) }.toDF("a", "b"),
+      Seq("a", "b"), 2)
+    for (j <- 0 until 2)
+      assert(math.abs(shifted.eigenvalues(j) - base.eigenvalues(j))
+        <= 1e-4 * math.max(base.eigenvalues(0), 1.0),
+        s"eigenvalue $j drifted: ${shifted.eigenvalues(j)} vs ${base.eigenvalues(j)}")
+    val c = shifted.components.map(_(0))
+    assert(math.abs(math.abs(c(0)) - math.abs(c(1))) < 0.05)
+  }
+
   test("acquisition dispatch mirrors the reference API") {
     val scored = Seq((1L, 0.5, 0.1), (2L, 0.2, 0.9)).toDF("id", "pred", "var")
     val top = Selection.argmax(scored, Acquisition.byName("us"))
