@@ -30,7 +30,10 @@ object Bench {
           size(filter(split(trim(col("t")), "\\s+"), w => length(w) > 2)).as("f"),
           aggregate(split(trim(col("t")), "\\s+"), lit(0L),
             (acc, w) => acc + length(w)).as("a"))
-        .agg(count(col("m")), sum(col("x")), sum(col("f")), sum(col("a")))
+        // double-sum the hashes: ANSI mode makes sum(random longs) an
+        // ARITHMETIC_OVERFLOW, which aborted the whole warmup block mid-run
+        .agg(count(col("m")), sum(col("x").cast("double")),
+          sum(col("f")), sum(col("a")))
         .collect()
       val ev = Tables.load(spark, sfDir, "events")
         .select(col("event_id"), col("value")).limit(20000)
