@@ -58,11 +58,13 @@ object SparkEntry {
     "q41_multi_distinct" -> (Queries.q41MultiDistinct _),
     "q42_stratified_sample" -> (Queries.q42StratifiedSample _),
     "q43_contamination" -> (Queries.q43Contamination _),
-    "q44_dedup_clusters" -> (Queries.q44DedupClusters _)
+    "q44_dedup_clusters" -> (Queries.q44DedupClusters _),
+    "q45_quality_gate" -> (Queries.q45QualityGate _),
+    "q46_repetition" -> (Queries.q46Repetition _)
   )
 
-  /** DuckDB oracles for every SQL-expressible query above (q13, q25–q31 are
-    * KDE/sampling/LSH/ANN — non-SQL semantics, covered by unit tests and the
-    * driver's rows-only check). */
+  /** DuckDB oracles for EVERY query above — since round 3 none are
+    * rows-only: the non-SQL-native ops (KDE, sampling, LSH, ANN, PCA) run
+    * in engine-portable modes or emit closed-form invariant gates. */
   def oracleSql: Map[String, String] = Oracles.all
 }

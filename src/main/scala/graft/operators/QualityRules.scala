@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextOps, VectorExprs}
+
+/** Corpus-curation rule gates in the Gopher/C4 style (Rae et al. 2021,
+  * "Scaling Language Models", table A1; Raffel et al. 2020 §2.2): cheap
+  * per-document heuristics that LLM-data pipelines run over the whole
+  * corpus before any model-based filtering. Two surfaces:
+  *
+  *   - [[gopherFlags]]: pure single-pass rule flags (word-count bounds,
+  *     mean word length, stopword evidence, punctuation density) — one
+  *     codegen'd projection over the scan, no shuffle, 100 TB-safe by
+  *     construction.
+  *   - [[repetitionStats]]: repetition ratios (top-word fraction, duplicate
+  *     2-/3-gram fractions) — the "repetitious content" family of Gopher
+  *     rules. Needs per-(doc, word) counts, so it aggregates twice on
+  *     (doc_id, word) then doc_id: both shuffles are keyed by doc_id
+  *     prefixes (map-side combinable, no skew beyond document length), and
+  *     the n-gram fractions ride along as constant-per-doc projections
+  *     computed BEFORE the explode — no join needed.
+  */
+object QualityRules {
+
+  /** Per-document rule flags, 1/0 BIGINTs (checker-hashable, SQL-mirrorable):
+    *   - `w_ok`: word count in [minWords, maxWords]
+    *   - `mwl_ok`: mean word length in [minMeanLen, maxMeanLen]
+    *   - `stop_ok`: at least `minStopHits` stopword occurrences
+    *   - `punct_ok`: punctuation ratio ≤ maxPunct
+    *   - `pass`: conjunction of the four.
+    * Defaults follow the published Gopher thresholds where the fixture can
+    * exercise them (50–100k words, mean length 3–10, ≥2 stopword hits). */
+  def gopherFlags(df: DataFrame, id: Column, text: Column,
+                  minWords: Long = 50L, maxWords: Long = 100000L,
+                  minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                  minStopHits: Int = 2, maxPunct: Double = 0.1): DataFrame = {
+    val sw = lit(TextOps.EnglishStopwords.toArray)
+    val flag = (c: Column) => when(c, 1L).otherwise(0L)
+    df.select(id.cast("long").as("doc_id"),
+        TextOps.tokenCount(text).as("__nw"),
+        TextOps.meanTokenLength(text).as("__mwl"),
+        size(filter(TextOps.tokens(lower(text)),
+          t => array_contains(sw, t))).as("__stop"),
+        TextOps.punctRatio(text).as("__punct"))
+      .select(col("doc_id"),
+        flag(col("__nw").between(minWords, maxWords)).as("w_ok"),
+        flag(col("__mwl").between(minMeanLen, maxMeanLen)).as("mwl_ok"),
+        flag(col("__stop") >= minStopHits).as("stop_ok"),
+        flag(col("__punct") <= maxPunct).as("punct_ok"))
+      .withColumn("pass",
+        col("w_ok") * col("mwl_ok") * col("stop_ok") * col("punct_ok"))
+  }
+
+  /** Repetition ratios per document (empty-token docs are dropped):
+    *   - `top_word_frac`: occurrences of the most frequent word / total words
+    *   - `dup_2gram_frac`, `dup_3gram_frac`: 1 − distinct/total n-grams
+    *     (0 when the doc has fewer than n words).
+    * The n-gram distinct counts use the native sorted-distinct xxhash64
+    * shingle expression (collision odds ~n²/2⁶⁵ — the q43 precedent), so
+    * they stay a pure projection; only the word counts aggregate. */
+  def repetitionStats(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val base = df.select(id.cast("long").as("doc_id"),
+        TextOps.tokens(text).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+    def dupFrac(n: Int): Column =
+      when(size(col("__toks")) < n, 0.0).otherwise(
+        lit(1.0) -
+          size(VectorExprs.hashedWordShingles(col("__toks"), n)).cast("double") /
+          (size(col("__toks")) - (n - 1)).cast("double"))
+    val exploded = base.select(col("doc_id"),
+        dupFrac(2).as("__d2"), dupFrac(3).as("__d3"),
+        explode(col("__toks")).as("__w"))
+    exploded
+      .groupBy("doc_id", "__w")
+      .agg(count(lit(1)).as("__c"), first("__d2").as("__d2"), first("__d3").as("__d3"))
+      .groupBy("doc_id")
+      .agg((max("__c").cast("double") / sum("__c").cast("double")).as("__twf"),
+        first("__d2").as("__d2"), first("__d3").as("__d3"))
+      .select(col("doc_id"),
+        round(col("__twf"), 6).as("top_word_frac"),
+        round(col("__d2"), 6).as("dup_2gram_frac"),
+        round(col("__d3"), 6).as("dup_3gram_frac"))
+  }
+}

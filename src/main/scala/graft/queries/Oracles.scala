@@ -605,6 +605,64 @@ object Oracles {
     FROM lbl GROUP BY id ORDER BY doc_id"""
   }
 
+  // Gopher-rule flags: thresholds compare UNROUNDED ratios on both sides;
+  // every ratio is an exact IEEE division of integer aggregates, so the
+  // boundary decisions are bit-identical across engines.
+  val q45 = """
+    WITH t AS (
+      SELECT doc_id, text, length(text) AS n,
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+      FROM documents),
+    f AS (
+      SELECT doc_id, len(toks) AS nw,
+             CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+               list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks) END AS mwl,
+             len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by','be','this','are','from'], x))) AS stop_hits,
+             CASE WHEN n = 0 THEN 0.0 ELSE
+               (n - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')))::DOUBLE / n END AS punct
+      FROM t)
+    SELECT doc_id,
+           CAST(CASE WHEN nw BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS BIGINT) AS w_ok,
+           CAST(CASE WHEN mwl BETWEEN 3.0 AND 10.0 THEN 1 ELSE 0 END AS BIGINT) AS mwl_ok,
+           CAST(CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END AS BIGINT) AS stop_ok,
+           CAST(CASE WHEN punct <= 0.1 THEN 1 ELSE 0 END AS BIGINT) AS punct_ok,
+           CAST(CASE WHEN nw BETWEEN 50 AND 100000 AND mwl BETWEEN 3.0 AND 10.0
+                      AND stop_hits >= 2 AND punct <= 0.1
+                THEN 1 ELSE 0 END AS BIGINT) AS pass
+    FROM f ORDER BY doc_id"""
+
+  // Repetition ratios: the Spark side distinct-counts n-grams via sorted
+  // xxhash64 shingles (collision odds ~n²/2⁶⁵ — q43 precedent); the oracle
+  // distinct-counts the strings themselves. Word counts aggregate exactly.
+  val q46 = """
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+      FROM documents),
+    nz AS (SELECT doc_id, toks FROM t WHERE len(toks) > 0),
+    w AS (SELECT doc_id, unnest(toks) AS w FROM nz),
+    wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w),
+    top AS (SELECT doc_id, max(c)::DOUBLE / sum(c)::DOUBLE AS twf
+            FROM wc GROUP BY doc_id),
+    g AS (SELECT doc_id,
+            CASE WHEN len(toks) < 2 THEN 0.0 ELSE
+              1.0 - len(list_distinct(list_transform(generate_series(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i+1])))::DOUBLE
+                    / (len(toks) - 1)::DOUBLE END AS d2,
+            CASE WHEN len(toks) < 3 THEN 0.0 ELSE
+              1.0 - len(list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))::DOUBLE
+                    / (len(toks) - 2)::DOUBLE END AS d3
+          FROM nz)
+    SELECT g.doc_id,
+           round(twf, 6) AS top_word_frac,
+           round(d2, 6) AS dup_2gram_frac,
+           round(d3, 6) AS dup_3gram_frac
+    FROM g JOIN top ON g.doc_id = top.doc_id
+    ORDER BY g.doc_id"""
+
   /** name → oracle SQL (single-line, driver JSON-escapes anyway). */
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
@@ -650,6 +708,8 @@ object Oracles {
     "q41_multi_distinct" -> q41,
     "q42_stratified_sample" -> q42,
     "q43_contamination" -> q43,
-    "q44_dedup_clusters" -> q44
+    "q44_dedup_clusters" -> q44,
+    "q45_quality_gate" -> q45,
+    "q46_repetition" -> q46
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

@@ -616,6 +616,19 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Gopher-style corpus quality gate: per-document rule flags (word-count
+    * bounds, mean word length, stopword evidence, punctuation density) as
+    * 1/0 BIGINTs — one codegen'd projection pass, no shuffle. */
+  def q45QualityGate(s: SparkSession, d: String): DataFrame =
+    QualityRules.gopherFlags(Tables.documents(s, d), col("doc_id"), col("text"))
+      .orderBy("doc_id")
+
+  /** Repetition ratios (Gopher's "repetitious content" rules): top-word
+    * fraction + duplicate 2-/3-gram fractions per document. */
+  def q46Repetition(s: SparkSession, d: String): DataFrame =
+    QualityRules.repetitionStats(Tables.documents(s, d), col("doc_id"), col("text"))
+      .orderBy("doc_id")
+
   /** A-PCA as an oracle-checkable gate (the exact basis is sign/rotation
     * ambiguous, so the eigenvectors themselves can't be SQL-compared; the
     * eigen-INVARIANTS can):
