@@ -69,9 +69,14 @@ object QualityRules {
         lit(1.0) -
           size(VectorExprs.hashedWordShingles(col("__toks"), n)).cast("double") /
           (size(col("__toks")) - (n - 1)).cast("double"))
-    val exploded = base.select(col("doc_id"),
-        dupFrac(2).as("__d2"), dupFrac(3).as("__d3"),
-        explode(col("__toks")).as("__w"))
+    // Two selects, NOT one: with the dup fractions inlined next to the
+    // explode, the planner puts that projection ABOVE the Generate and the
+    // O(n) shingle expression runs once per exploded WORD (O(n²) per doc).
+    // A separate projection below the Generate evaluates them once per doc.
+    val withFracs = base.select(col("doc_id"),
+      dupFrac(2).as("__d2"), dupFrac(3).as("__d3"), col("__toks"))
+    val exploded = withFracs.select(col("doc_id"), col("__d2"), col("__d3"),
+      explode(col("__toks")).as("__w"))
     exploded
       .groupBy("doc_id", "__w")
       .agg(count(lit(1)).as("__c"), first("__d2").as("__d2"), first("__d3").as("__d3"))
