@@ -60,7 +60,8 @@ object SparkEntry {
     "q43_contamination" -> (Queries.q43Contamination _),
     "q44_dedup_clusters" -> (Queries.q44DedupClusters _),
     "q45_quality_gate" -> (Queries.q45QualityGate _),
-    "q46_repetition" -> (Queries.q46Repetition _)
+    "q46_repetition" -> (Queries.q46Repetition _),
+    "q47_range_join" -> (Queries.q47RangeJoin _)
   )
 
   /** DuckDB oracles for EVERY query above — since round 3 none are

@@ -65,6 +65,36 @@ object Joins {
     unpacked.filter(col("__side") === 1).drop("__t", "__side", "__rv")
   }
 
+  /** Bucketized interval (range) join: inner-join every left "point" row to
+    * the right rows whose [start, end] interval contains it, within equal
+    * `keys`. A plain equi-join on the keys followed by a range filter
+    * multiplies per-key cardinalities (quadratic in rows per key — Spark's
+    * default plan for this query); bucketizing time into `bucketSeconds`
+    * cells and equi-joining on (keys, cell) bounds the fan-out to
+    * intervalLength/bucketSeconds + 1 join rows per interval — the
+    * standard distributed interval-join shape. Pick bucketSeconds ≈ the
+    * typical interval length: longer intervals add join rows linearly,
+    * never quadratically. Both sides shuffle once on (keys, cell); the
+    * exact containment filter runs post-join. Point/start/end must be
+    * castable to timestamp; column names must not collide across inputs. */
+  def rangeJoin(points: DataFrame, intervals: DataFrame, keys: Seq[String],
+                point: Column, start: Column, end: Column,
+                bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    val w = bucketSeconds * 1000000L
+    val p = points
+      .withColumn("__p", unix_micros(point.cast("timestamp")))
+      .withColumn("__cell", floor(col("__p") / w))
+    val i = intervals
+      .withColumn("__s", unix_micros(start.cast("timestamp")))
+      .withColumn("__e", unix_micros(end.cast("timestamp")))
+      .withColumn("__cell",
+        explode(sequence(floor(col("__s") / w), floor(col("__e") / w))))
+    p.join(i, keys :+ "__cell")
+      .filter(col("__p").between(col("__s"), col("__e")))
+      .drop("__cell", "__p", "__s", "__e")
+  }
+
   /** Gap-based sessionization: assign a session id per key that increments
     * whenever the time since the previous event exceeds `gapSeconds`.
     * One hash-partition + in-partition sort; session ids are 1-based per

@@ -663,6 +663,21 @@ object Oracles {
     FROM g JOIN top ON g.doc_id = top.doc_id
     ORDER BY g.doc_id"""
 
+  // Range join: DuckDB's planner handles the BETWEEN predicate directly
+  // (IEJoin); the Spark side gets the same rows from the bucketized cell
+  // join. Window END is inclusive on both sides.
+  val q47 = """
+    WITH c AS (SELECT event_id AS click_id, user_id,
+                      epoch_us(CAST(ts AS TIMESTAMP)) AS p
+               FROM events WHERE event_type = 'click'),
+    pu AS (SELECT event_id AS purchase_id, user_id,
+                  epoch_us(CAST(ts AS TIMESTAMP)) AS s
+           FROM events WHERE event_type = 'purchase')
+    SELECT c.click_id, pu.purchase_id, c.user_id, c.p - pu.s AS dt_us
+    FROM c JOIN pu
+      ON c.user_id = pu.user_id AND c.p BETWEEN pu.s AND pu.s + 1800000000
+    ORDER BY c.click_id, pu.purchase_id"""
+
   /** name → oracle SQL (single-line, driver JSON-escapes anyway). */
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
@@ -710,6 +725,7 @@ object Oracles {
     "q43_contamination" -> q43,
     "q44_dedup_clusters" -> q44,
     "q45_quality_gate" -> q45,
-    "q46_repetition" -> q46
+    "q46_repetition" -> q46,
+    "q47_range_join" -> q47
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

@@ -629,6 +629,25 @@ object Queries {
     QualityRules.repetitionStats(Tables.documents(s, d), col("doc_id"), col("text"))
       .orderBy("doc_id")
 
+  /** Interval (range) join via Joins.rangeJoin: every click landing inside
+    * a 30-minute attribution window that starts at a same-user purchase.
+    * The bucketized equi-join (30-min cells) replaces the quadratic
+    * per-user equi-join + range-filter plan Spark would pick by default. */
+  def q47RangeJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id"), col("ts").as("p_ts"))
+    Joins.rangeJoin(clicks, purchases, Seq("user_id"),
+        col("ts"), col("p_ts"),
+        col("p_ts") + expr("INTERVAL 30 MINUTES"), bucketSeconds = 1800L)
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        (unix_micros(col("ts")) - unix_micros(col("p_ts"))).as("dt_us"))
+      .orderBy("click_id", "purchase_id")
+  }
+
   /** A-PCA as an oracle-checkable gate (the exact basis is sign/rotation
     * ambiguous, so the eigenvectors themselves can't be SQL-compared; the
     * eigen-INVARIANTS can):

@@ -47,7 +47,8 @@ class PlanGuardsSpec extends SparkSpec {
       "q21_profile_orders", "q22_validate", "q23_dup_keys", "q24_window_sums",
       "q27_sliding_windows", "q31_ann_topk_agg", "q35_asof_join",
       "q36_sessionize", "q37_cube", "q39_percentiles", "q40_left_join",
-      "q41_multi_distinct", "q42_stratified_sample", "q43_contamination")
+      "q41_multi_distinct", "q42_stratified_sample", "q43_contamination",
+      "q45_quality_gate", "q46_repetition", "q47_range_join")
     lazyOnes.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf001)
       val cartesians = df.queryExecution.executedPlan.collect {

@@ -75,4 +75,30 @@ class JoinsSpec extends SparkSpec {
       .select("session_id").as[Long].collect().toSet
     assert(got == Set(1L))
   }
+
+  test("rangeJoin matches a naive equi-join + range filter, boundaries inclusive") {
+    val points = Seq(
+      (1L, 100L, ts("2024-01-01 10:00:00")),  // == interval start
+      (1L, 101L, ts("2024-01-01 10:29:00")),  // inside
+      (1L, 102L, ts("2024-01-01 10:30:00")),  // == interval end (inclusive)
+      (1L, 103L, ts("2024-01-01 10:31:00")),  // outside
+      (1L, 104L, ts("2024-01-01 11:59:00")),  // inside second interval
+      (2L, 105L, ts("2024-01-01 10:15:00")),  // right time, WRONG key
+      (3L, 106L, ts("2024-01-01 10:15:00"))   // key with no intervals
+    ).toDF("user_id", "pid", "t")
+    val intervals = Seq(
+      (1L, 200L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:30:00")),
+      (1L, 201L, ts("2024-01-01 11:45:00"), ts("2024-01-01 12:10:00")),
+      (2L, 202L, ts("2024-01-01 22:00:00"), ts("2024-01-01 23:00:00"))
+    ).toDF("user_id", "iid", "s", "e")
+    // bucket smaller than the interval length: intervals span several cells
+    val got = Joins.rangeJoin(points, intervals, Seq("user_id"),
+        col("t"), col("s"), col("e"), bucketSeconds = 600)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    val naive = points.join(intervals, "user_id")
+      .filter(col("t").between(col("s"), col("e")))
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(got == Set((100L, 200L), (101L, 200L), (102L, 200L), (104L, 201L)))
+    assert(got == naive)
+  }
 }
