@@ -678,6 +678,16 @@ object Oracles {
       ON c.user_id = pu.user_id AND c.p BETWEEN pu.s AND pu.s + 1800000000
     ORDER BY c.click_id, pu.purchase_id"""
 
+  // Sketch gates: exact distinct counts anchor the hash check; the HLL and
+  // t-digest error flags are Spark-side (the sketches themselves are not
+  // portable across engines, their errors vs exact are).
+  val q48 = """
+    SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orderkeys,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_partkeys,
+           CAST(1 AS BIGINT) AS hll_ok,
+           CAST(1 AS BIGINT) AS pctl_ok
+    FROM lineitem"""
+
   /** name → oracle SQL (single-line, driver JSON-escapes anyway). */
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
@@ -726,6 +736,7 @@ object Oracles {
     "q44_dedup_clusters" -> q44,
     "q45_quality_gate" -> q45,
     "q46_repetition" -> q46,
-    "q47_range_join" -> q47
+    "q47_range_join" -> q47,
+    "q48_sketch_gates" -> q48
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

@@ -648,6 +648,36 @@ object Queries {
       .orderBy("click_id", "purchase_id")
   }
 
+  /** Sketch gates — the 100 TB profiling path. Exact distinct counts and
+    * exact percentiles shuffle full value sets; the scale substitutes are
+    * HyperLogLog++ (`approx_count_distinct`, fixed-size sketch, one pass)
+    * and t-digest-style `percentile_approx`. This query anchors BOTH: the
+    * exact values hash-check against DuckDB, and the sketches gate against
+    * the exact values with closed-form error flags (HLL++ at rsd 0.01,
+    * gated at 5% — the default 5%-rsd sketch deterministically misses that
+    * gate on the sf0.001 cardinalities; percentile_approx rank error
+    * n/accuracy → well under 1% in value on the price distribution). */
+  def q48SketchGates(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val r = li.agg(
+      countDistinct(col("l_orderkey")).as("n_ok"),
+      countDistinct(col("l_partkey")).as("n_pk"),
+      approx_count_distinct(col("l_orderkey"), 0.01).as("h_ok"),
+      approx_count_distinct(col("l_partkey"), 0.01).as("h_pk"),
+      expr("percentile(l_extendedprice, 0.5)").as("p_exact"),
+      percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p_apx"))
+      .head()
+    val nOk = r.getLong(0); val nPk = r.getLong(1)
+    val hllOk = math.abs(r.getLong(2).toDouble / nOk - 1.0) <= 0.05 &&
+      math.abs(r.getLong(3).toDouble / nPk - 1.0) <= 0.05
+    val pctlOk = math.abs(r.getDouble(5) / r.getDouble(4) - 1.0) <= 0.01
+    s.range(1).select(
+      lit(nOk).as("n_orderkeys"),
+      lit(nPk).as("n_partkeys"),
+      lit(if (hllOk) 1L else 0L).as("hll_ok"),
+      lit(if (pctlOk) 1L else 0L).as("pctl_ok"))
+  }
+
   /** A-PCA as an oracle-checkable gate (the exact basis is sign/rotation
     * ambiguous, so the eigenvectors themselves can't be SQL-compared; the
     * eigen-INVARIANTS can):
