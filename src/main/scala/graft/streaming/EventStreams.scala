@@ -173,6 +173,31 @@ object EventStreams {
       .toDF()
   }
 
+  /** Stream-stream interval join — the streaming twin of the batch
+    * `Joins.rangeJoin` attribution query (q47): clicks join same-user
+    * purchases whose [p_ts, p_ts + windowMinutes] window contains them.
+    * Both sides carry event-time watermarks, and the join condition bounds
+    * event-time distance, so Spark's state store evicts rows as watermarks
+    * advance — bounded state on an unbounded stream, append-mode output,
+    * each matched pair emitted exactly once. (Batch rangeJoin bounds the
+    * join by bucketized time cells; the streaming form bounds it by the
+    * same window in the join condition — same pairs, dual mechanisms.) */
+  def attributionJoin(events: DataFrame, windowMinutes: Int = 30,
+                      watermarkDelay: String = "1 hour"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+      .withWatermark("ts", watermarkDelay)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermarkDelay)
+    clicks.join(purchases,
+        expr(s"""user_id = p_user_id AND
+                 ts >= p_ts AND ts <= p_ts + INTERVAL $windowMinutes MINUTES"""))
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        (unix_micros(col("ts")) - unix_micros(col("p_ts"))).as("dt_us"))
+  }
+
   /** Run a streaming query to completion against the (static) fixture dir
     * via the memory sink — the batch-parity harness used by tests: process
     * all available input, return the materialized result. */

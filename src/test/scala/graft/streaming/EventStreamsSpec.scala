@@ -110,4 +110,15 @@ class EventStreamsSpec extends SparkSpec {
     val events = Tables.events(spark, sf001).count()
     assert(totalN == 3 * events, s"$totalN != 3*$events")
   }
+
+  test("stream-stream attribution join matches the batch range join (q47)") {
+    val streamed = EventStreams.attributionJoin(
+      EventStreams.readEvents(spark, eventsDir))
+    val got = EventStreams.runToMemory(spark, streamed, "attr_test", "append")
+      .select("click_id", "purchase_id", "user_id", "dt_us")
+    val batch = graft.queries.Queries.q47RangeJoin(spark, sf001)
+    assert(got.count() == batch.count())
+    assert(got.exceptAll(batch).count() == 0, "stream/batch attribution mismatch")
+    assert(batch.count() > 0, "fixture should produce at least one attribution pair")
+  }
 }
