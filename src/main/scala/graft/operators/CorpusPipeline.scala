@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus curation — the composition a training-data pipeline
+  * actually runs, chaining the library's gates in the standard order
+  * (cheap row-local rules first, pair-generating dedup last):
+  *
+  *   1. rule gate        — [[QualityRules.gopherFlags]] `pass = 1`
+  *   2. repetition cap   — [[QualityRules.repetitionStats]] top-word
+  *      fraction ≤ `maxTopWordFrac`
+  *   3. exact dedup      — [[Dedup.exactByContent]] keepers (min doc id per
+  *      normalized content)
+  *   4. near-dup dedup   — [[Dedup.minhashDedupPairs]] →
+  *      [[Dedup.clusters]]; keep each component's canonical doc
+  *   5. decontamination  — drop docs sharing any word-5-shingle with the
+  *      `benchmark` set (the q43 scan as a filter; benchmark shingles are
+  *      corpus-independent and broadcast)
+  *
+  * Every stage is a left-semi/anti join against a doc_id set, so the
+  * curated frame keeps the input's full schema and the whole DAG stays
+  * lazy — one action runs the pipeline end to end. Stage order matters at
+  * scale: the single-pass filters (1, 2-lite) shrink the corpus before the
+  * shuffle-bearing stages (3, 4) touch it. */
+object CorpusPipeline {
+
+  def curate(docs: DataFrame, id: Column, text: Column,
+             benchmark: Option[DataFrame] = None,
+             maxTopWordFrac: Double = 0.5,
+             minhashThreshold: Double = 0.5): DataFrame = {
+    val keyed = docs.withColumn("__cid", id.cast("long"))
+
+    // 1: single-pass rule flags
+    val ruleIds = QualityRules.gopherFlags(keyed, col("__cid"), text)
+      .filter(col("pass") === 1L).select(col("doc_id").as("__cid"))
+    val afterRules = keyed.join(ruleIds, Seq("__cid"), "left_semi")
+
+    // 2: repetition cap (aggregating stage, runs on the rule-gated subset)
+    val repIds = QualityRules.repetitionStats(afterRules, col("__cid"), text)
+      .filter(col("top_word_frac") <= maxTopWordFrac)
+      .select(col("doc_id").as("__cid"))
+    val afterRep = afterRules.join(repIds, Seq("__cid"), "left_semi")
+
+    // 3: exact-content keepers
+    val exactIds = Dedup.exactByContent(afterRep, col("__cid"), text)
+      .select(col("keep_id").as("__cid"))
+    val afterExact = afterRep.join(exactIds, Seq("__cid"), "left_semi")
+
+    // 4: near-dup cluster keepers
+    val pairs = Dedup.minhashDedupPairs(afterExact, col("__cid"), text,
+      threshold = minhashThreshold)
+    val keeperIds = Dedup.clusters(pairs,
+        afterExact.select(col("__cid").as("doc_id")))
+      .filter(col("doc_id") === col("cluster_id"))
+      .select(col("doc_id").as("__cid"))
+    val afterNear = afterExact.join(keeperIds, Seq("__cid"), "left_semi")
+
+    // 5: benchmark decontamination (anti-join on shared shingles)
+    val curated = benchmark match {
+      case None => afterNear
+      case Some(b) =>
+        // `text` must resolve in BOTH frames (same column name) — the
+        // benchmark is a document table too.
+        val shingles = (df: DataFrame) =>
+          df.select(graft.functions.TextOps.tokens(text).as("__tk"))
+        val benchShingles = shingles(b)
+          .select(graft.functions.VectorExprs
+            .hashedWordShingles(col("__tk"), 5).as("__sh"))
+          .select(explode(col("__sh")).as("__s")).distinct()
+        val contaminated = afterNear
+          .select(col("__cid"), graft.functions.TextOps.tokens(text).as("__tk"))
+          .select(col("__cid"), graft.functions.VectorExprs
+            .hashedWordShingles(col("__tk"), 5).as("__sh"))
+          .select(col("__cid"), explode(col("__sh")).as("__s"))
+          .join(broadcast(benchShingles), Seq("__s"))
+          .select("__cid").distinct()
+        afterNear.join(contaminated, Seq("__cid"), "left_anti")
+    }
+    curated.drop("__cid")
+  }
+}

@@ -44,4 +44,37 @@ class CorpusPipelineSpec extends SparkSpec {
     // whole-row dedup idempotence over the final set
     assert(Selection.dedup(uniques).count() == uniques.count())
   }
+
+  test("CorpusPipeline.curate applies every gate on planted documents") {
+    import spark.implicits._
+    import graft.operators.CorpusPipeline
+    // 2-stopword prefix: enough for stop_ok, but SHORTER than a 5-shingle
+    // so distinct-seed docs share no complete word-5-shingle with the
+    // benchmark (a 5-stopword prefix would decontaminate every doc).
+    val stop = "the of "
+    def longDoc(seed: String): String =
+      stop + Seq.tabulate(60)(i => s"$seed$i").mkString(" ")
+    val good = longDoc("alpha")
+    val nearDupOfGood = good + " tail"         // minhash near-dup of `good`
+    val exactDupOfGood = good                  // exact dup of `good`
+    val tooShort = stop + "tiny doc"           // fails word-count rule
+    val repetitious = stop +                   // top-word fraction ~0.97
+      Seq.fill(60)("spam").mkString(" ")
+    val benchLeak = longDoc("bench")           // shares 5-shingles w/ benchmark
+    val docs = Seq(
+      (0L, good), (1L, exactDupOfGood), (2L, nearDupOfGood),
+      (3L, tooShort), (4L, repetitious), (5L, benchLeak),
+      (6L, longDoc("clean"))
+    ).toDF("doc_id", "text")
+    val benchmark = Seq((100L, longDoc("bench"))).toDF("doc_id", "text")
+
+    val curated = CorpusPipeline.curate(docs, col("doc_id"), col("text"),
+      benchmark = Some(benchmark))
+    val ids = curated.select("doc_id").as[Long].collect().toSet
+    // 0 survives (keeper of {0,1,2}); 3 rule-gated; 4 repetition-gated;
+    // 5 decontaminated; 6 clean
+    assert(ids == Set(0L, 6L), s"curated ids: $ids")
+    // schema preserved
+    assert(curated.columns.toSeq == Seq("doc_id", "text"))
+  }
 }
