@@ -105,6 +105,18 @@ object TextOps {
       aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
   }
 
+  /** One-pass token statistics over `tokens(lower(text))` — the codegen'd
+    * fast path for bulk corpus-quality scans ([[graft.functions.TokenStats]]
+    * replaces the interpreted `filter`/`aggregate` HOF lambdas of
+    * [[stopwordRatio]]/[[meanTokenLength]]). Returns
+    * `struct<n_tokens, sum_len, stop_hits>`; token count and lengths match
+    * the unlowered forms on any cased text (lower() preserves codepoint
+    * counts for the fixture's scripts), and the DuckDB oracles already
+    * measure lengths on lowered tokens. */
+  def tokenStatsOf(text: Column,
+                   stopwords: Seq[String] = EnglishStopwords): Column =
+    graft.functions.VectorExprs.tokenStats(tokens(lower(text)), stopwords)
+
   /** Composite [0,1] quality score: rewards stopword presence and sane token
     * lengths, penalizes punctuation/digit soup and very short docs. A
     * heuristic in the spirit of C4/Gopher-style filters, as a single

@@ -304,6 +304,59 @@ case class HashedWordShingles(child: Expression, w: Int) extends UnaryExpression
     copy(child = newChild)
 }
 
+/** Single-pass token statistics over a (lowercased) token array:
+  * `struct<n_tokens: long, sum_len: long, stop_hits: long>` — the three
+  * aggregates every corpus-quality scan needs (token count, mean-length
+  * numerator, stopword evidence). Replaces two interpreted HOF lambdas
+  * (`filter` + `aggregate`, per-token closure dispatch) with one tight
+  * loop over the array; the stopword set is hashed once at plan time.
+  * Token lengths count codepoints, matching `length()` in both engines. */
+case class TokenStats(child: Expression, stopwords: Seq[String])
+    extends UnaryExpression {
+  import org.apache.spark.sql.types.{StructField, StructType}
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("sum_len", LongType, nullable = false),
+    StructField("stop_hits", LongType, nullable = false)))
+
+  @transient private lazy val stopSet = {
+    val s = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
+    stopwords.foreach(w =>
+      s.add(org.apache.spark.unsafe.types.UTF8String.fromString(w)))
+    s
+  }
+
+  override def nullSafeEval(in: Any): Any = {
+    val arr = in.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var sumLen = 0L
+    var hits = 0L
+    var i = 0
+    while (i < n) {
+      val t = arr.getUTF8String(i)
+      sumLen += t.numChars()
+      if (stopSet.contains(t)) hits += 1
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n.toLong, sumLen, hits))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tokenStats", this, classOf[TokenStats].getName)
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |${ev.value} = (org.apache.spark.sql.catalyst.InternalRow)
+         |  $ref.nullSafeEval($a);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExprs {
   import org.apache.spark.sql.GraftShims.{column, expression}
 
@@ -321,4 +374,7 @@ object VectorExprs {
 
   def hashedWordShingles(toks: Column, w: Int): Column =
     column(HashedWordShingles(expression(toks), w))
+
+  def tokenStats(toks: Column, stopwords: Seq[String]): Column =
+    column(TokenStats(expression(toks), stopwords))
 }

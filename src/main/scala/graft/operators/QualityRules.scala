@@ -36,14 +36,18 @@ object QualityRules {
                   minWords: Long = 50L, maxWords: Long = 100000L,
                   minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
                   minStopHits: Int = 2, maxPunct: Double = 0.1): DataFrame = {
-    val sw = lit(TextOps.EnglishStopwords.toArray)
     val flag = (c: Column) => when(c, 1L).otherwise(0L)
-    df.select(id.cast("long").as("doc_id"),
-        TextOps.tokenCount(text).as("__nw"),
-        TextOps.meanTokenLength(text).as("__mwl"),
-        size(filter(TextOps.tokens(lower(text)),
-          t => array_contains(sw, t))).as("__stop"),
-        TextOps.punctRatio(text).as("__punct"))
+    // TokenStats = one codegen'd pass for count/length/stopword aggregates
+    // (its own projection so it evaluates once, not once per field)
+    df.select(id.cast("long").as("doc_id"), text.as("__text"),
+        TextOps.tokenStatsOf(text).as("__ts"))
+      .select(col("doc_id"),
+        col("__ts.n_tokens").as("__nw"),
+        when(col("__ts.n_tokens") === 0, 0.0)
+          .otherwise(col("__ts.sum_len").cast("double") /
+            col("__ts.n_tokens").cast("double")).as("__mwl"),
+        col("__ts.stop_hits").as("__stop"),
+        TextOps.punctRatio(col("__text")).as("__punct"))
       .select(col("doc_id"),
         flag(col("__nw").between(minWords, maxWords)).as("w_ok"),
         flag(col("__mwl").between(minMeanLen, maxMeanLen)).as("mwl_ok"),

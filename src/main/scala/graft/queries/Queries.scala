@@ -141,11 +141,20 @@ object Queries {
 
   /** Quality-scoring ratios per document. */
   def q12Quality(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d).select(col("doc_id"),
+    Tables.documents(s, d)
+      // TokenStats in its own projection: one codegen'd pass computes the
+      // three token aggregates (vs two interpreted HOF lambdas per doc)
+      .select(col("doc_id"), col("text"),
+        TextOps.tokenStatsOf(col("text")).as("__ts"))
+      .select(col("doc_id"),
         round(TextOps.punctRatio(col("text")), 6).as("punct_ratio"),
         round(TextOps.digitRatio(col("text")), 6).as("digit_ratio"),
-        round(TextOps.stopwordRatio(col("text")), 6).as("stopword_ratio"),
-        round(TextOps.meanTokenLength(col("text")), 6).as("mean_tok_len"))
+        round(when(col("__ts.n_tokens") === 0, 0.0)
+          .otherwise(col("__ts.stop_hits").cast("double") /
+            col("__ts.n_tokens").cast("double")), 6).as("stopword_ratio"),
+        round(when(col("__ts.n_tokens") === 0, 0.0)
+          .otherwise(col("__ts.sum_len").cast("double") /
+            col("__ts.n_tokens").cast("double")), 6).as("mean_tok_len"))
       .orderBy("doc_id")
 
   /** Language-ID distribution: CJK codepoint-ratio branch first, then the
