@@ -62,7 +62,8 @@ object SparkEntry {
     "q45_quality_gate" -> (Queries.q45QualityGate _),
     "q46_repetition" -> (Queries.q46Repetition _),
     "q47_range_join" -> (Queries.q47RangeJoin _),
-    "q48_sketch_gates" -> (Queries.q48SketchGates _)
+    "q48_sketch_gates" -> (Queries.q48SketchGates _),
+    "q49_interp_join" -> (Queries.q49InterpJoin _)
   )
 
   /** DuckDB oracles for EVERY query above — since round 3 none are

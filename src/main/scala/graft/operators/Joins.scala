@@ -65,6 +65,61 @@ object Joins {
     unpacked.filter(col("__side") === 1).drop("__t", "__side", "__rv")
   }
 
+  /** Interpolation join — `np.interp` as a distributed operator (SURVEY
+    * J3 generalized beyond the uniform grid): for every left "probe" row
+    * with coordinate `leftX`, linearly interpolate `rightY` between the
+    * nearest enclosing right "knots" within the same key group; clamp to
+    * the nearest knot outside the knot range (np.interp edge semantics);
+    * NULL when the key has no knots at all. Probes sitting exactly on a
+    * knot return that knot's y.
+    *
+    * Shape: ONE shuffle — tag + union both inputs, hash-partition by key,
+    * in-partition sort by (x, side); the previous knot arrives via
+    * `last(ignoreNulls)` over the preceding frame and the next knot via
+    * `first(ignoreNulls)` over the following frame — both frames share the
+    * single sort (one WindowExec), so this costs the same as the as-of
+    * join, with no range-join explosion. */
+  def interpolationJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                        leftX: Column, rightX: Column, rightY: Column,
+                        out: String = "y_interp"): DataFrame = {
+    val leftCols = left.columns.filterNot(keys.contains)
+    val l = left
+      .withColumn("__x", leftX.cast("double"))
+      .withColumn("__side", lit(1))
+      .withColumn("__knot",
+        lit(null).cast("struct<kx:double,ky:double>"))
+    val r0 = right
+      .withColumn("__x", rightX.cast("double"))
+      .withColumn("__side", lit(0))
+      .withColumn("__knot",
+        struct(rightX.cast("double").as("kx"), rightY.cast("double").as("ky")))
+    val rAligned = leftCols.foldLeft(r0) { case (df, lc) =>
+      df.withColumn(lc, lit(null).cast(left.schema(lc).dataType))
+    }
+    val outCols = keys ++ Seq("__x", "__side", "__knot") ++ leftCols
+    val u = l.select(outCols.map(col): _*)
+      .unionByName(rAligned.select(outCols.map(col): _*))
+    // knots sort before probes at equal x, so a probe ON a knot sees it as
+    // its "previous" and the zero-distance lerp returns the knot's y exactly
+    val ord = Seq(col("__x"), col("__side"))
+    val base = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+    val wPrev = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val interp = u
+      .withColumn("__p", last(col("__knot"), ignoreNulls = true).over(wPrev))
+      .withColumn("__n", first(col("__knot"), ignoreNulls = true).over(wNext))
+      .filter(col("__side") === 1)
+      .withColumn(out,
+        when(col("__p").isNull && col("__n").isNull, lit(null).cast("double"))
+          .when(col("__p").isNull, col("__n.ky"))
+          .when(col("__n").isNull, col("__p.ky"))
+          .when(col("__n.kx") === col("__p.kx"), col("__p.ky"))
+          .otherwise(col("__p.ky") +
+            (col("__n.ky") - col("__p.ky")) *
+              (col("__x") - col("__p.kx")) / (col("__n.kx") - col("__p.kx"))))
+    interp.drop("__x", "__side", "__knot", "__p", "__n")
+  }
+
   /** Bucketized interval (range) join: inner-join every left "point" row to
     * the right rows whose [start, end] interval contains it, within equal
     * `keys`. A plain equi-join on the keys followed by a range filter

@@ -688,6 +688,30 @@ object Oracles {
            CAST(1 AS BIGINT) AS pctl_ok
     FROM lineitem"""
 
+  // Interpolation join: prev knot via backward ASOF, next knot via forward
+  // ASOF (both inclusive on ties, matching the Spark window frames), then
+  // the SAME lerp arithmetic op-for-op. Probes on a knot take the zero-
+  // distance branch on both sides.
+  val q49 = """
+    WITH c AS (SELECT event_id, user_id,
+                      epoch_us(CAST(ts AS TIMESTAMP))::DOUBLE AS x
+               FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP))::DOUBLE AS kx,
+                 value AS ky
+          FROM events WHERE event_type = 'purchase'),
+    prev AS (SELECT c.event_id, c.user_id, c.x, p.kx AS px, p.ky AS pv
+             FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.x >= p.kx),
+    nxt AS (SELECT c.event_id, p.kx AS nx, p.ky AS nv
+            FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.x <= p.kx)
+    SELECT prev.event_id, prev.user_id,
+           round(CASE WHEN px IS NULL AND nx IS NULL THEN NULL
+                      WHEN px IS NULL THEN nv
+                      WHEN nx IS NULL THEN pv
+                      WHEN nx = px THEN pv
+                      ELSE pv + (nv - pv) * (x - px) / (nx - px) END, 6) AS v_interp
+    FROM prev JOIN nxt USING (event_id)
+    ORDER BY prev.event_id"""
+
   /** name → oracle SQL (single-line, driver JSON-escapes anyway). */
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
@@ -737,6 +761,7 @@ object Oracles {
     "q45_quality_gate" -> q45,
     "q46_repetition" -> q46,
     "q47_range_join" -> q47,
-    "q48_sketch_gates" -> q48
+    "q48_sketch_gates" -> q48,
+    "q49_interp_join" -> q49
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

@@ -657,6 +657,24 @@ object Queries {
       .orderBy("click_id", "purchase_id")
   }
 
+  /** Interpolation join (SURVEY J3 as a general operator): for every click,
+    * linearly interpolate the same user's purchase `value` series at the
+    * click's timestamp — np.interp semantics (clamp at the edges, NULL for
+    * users with no purchases), one shuffle. Coordinates are epoch-µs
+    * doubles (exact: µs < 2^53 until year ~2255). */
+  def q49InterpJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("value"))
+    Joins.interpolationJoin(clicks, purchases, Seq("user_id"),
+        unix_micros(col("ts")), unix_micros(col("p_ts")), col("value"))
+      .select(col("event_id"), col("user_id"),
+        round(col("y_interp"), 6).as("v_interp"))
+      .orderBy("event_id")
+  }
+
   /** Sketch gates — the 100 TB profiling path. Exact distinct counts and
     * exact percentiles shuffle full value sets; the scale substitutes are
     * HyperLogLog++ (`approx_count_distinct`, fixed-size sketch, one pass)

@@ -76,6 +76,24 @@ class JoinsSpec extends SparkSpec {
     assert(got == Set(1L))
   }
 
+  test("interpolationJoin lerps between knots with np.interp edge semantics") {
+    val probes = Seq(
+      (1L, 10L, 5.0),   // before first knot -> clamp to y(10)=1.0
+      (1L, 11L, 10.0),  // exactly on a knot -> 1.0
+      (1L, 12L, 15.0),  // midway 10..20 -> 1.5
+      (1L, 13L, 17.5),  // 3/4 of the way -> 1.75
+      (1L, 14L, 25.0),  // past last knot -> clamp to y(20)=2.0
+      (2L, 15L, 1.0)    // key with no knots -> NULL
+    ).toDF("k", "pid", "x")
+    val knots = Seq((1L, 10.0, 1.0), (1L, 20.0, 2.0)).toDF("k", "kx", "ky")
+    val got = Joins.interpolationJoin(probes, knots, Seq("k"),
+        col("x"), col("kx"), col("ky"))
+      .select("pid", "y_interp").as[(Long, Option[Double])].collect().toMap
+    assert(got == Map(
+      10L -> Some(1.0), 11L -> Some(1.0), 12L -> Some(1.5),
+      13L -> Some(1.75), 14L -> Some(2.0), 15L -> None), s"$got")
+  }
+
   test("rangeJoin matches a naive equi-join + range filter, boundaries inclusive") {
     val points = Seq(
       (1L, 100L, ts("2024-01-01 10:00:00")),  // == interval start
