@@ -150,6 +150,25 @@ object Joins {
       .drop("__cell", "__p", "__s", "__e")
   }
 
+  /** Salted equi-join for skewed keys: a hot key sends ALL its rows to one
+    * task in a plain shuffle join; salting splits each key into `salt`
+    * sub-keys — the large side gets a per-row salt (deterministic:
+    * row-position mod salt), the small side replicates each row across all
+    * salts — so a hot key spreads over `salt` tasks at the cost of
+    * replicating the SMALL side ×salt. Same rows as the plain equi-join.
+    * (AQE's skew-join handles sort-merge skew automatically at runtime;
+    * salting remains the explicit tool when AQE can't split — e.g.
+    * aggregate-below-join shapes or deliberate partitioning reuse.) */
+  def saltedJoin(large: DataFrame, small: DataFrame, keys: Seq[String],
+                 salt: Int, joinType: String = "inner"): DataFrame = {
+    require(salt > 0, "salt must be positive")
+    val l = large.withColumn("__salt",
+      pmod(monotonically_increasing_id(), lit(salt.toLong)).cast("int"))
+    val s = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salt - 1))))
+    l.join(s, keys :+ "__salt", joinType).drop("__salt")
+  }
+
   /** Gap-based sessionization: assign a session id per key that increments
     * whenever the time since the previous event exceeds `gapSeconds`.
     * One hash-partition + in-partition sort; session ids are 1-based per

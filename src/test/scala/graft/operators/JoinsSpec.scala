@@ -76,6 +76,19 @@ class JoinsSpec extends SparkSpec {
     assert(got == Set(1L))
   }
 
+  test("saltedJoin returns exactly the plain equi-join rows on a skewed key") {
+    // 90% of the large side lands on key 1 (the skew case salting exists for)
+    val large = (0 until 1000).map(i => (if (i < 900) 1L else i.toLong, i))
+      .toDF("k", "payload")
+    val small = Seq((1L, "hot"), (5L, "cold"), (901L, "x")).toDF("k", "name")
+    val salted = Joins.saltedJoin(large, small, Seq("k"), salt = 8)
+      .select("k", "payload", "name").as[(Long, Int, String)].collect().sorted
+    val plain = large.join(small, "k")
+      .select("k", "payload", "name").as[(Long, Int, String)].collect().sorted
+    assert(salted.sameElements(plain))
+    assert(salted.length == 901) // 900 hot + k=901 (k=5 has no large rows)
+  }
+
   test("interpolationJoin lerps between knots with np.interp edge semantics") {
     val probes = Seq(
       (1L, 10L, 5.0),   // before first knot -> clamp to y(10)=1.0
