@@ -31,7 +31,8 @@ class PlanGuardsSpec extends SparkSpec {
       "q35_asof" -> (Queries.q35AsOfJoin _),
       "q36_sessionize" -> (Queries.q36Sessionize _),
       "q38_ranking" -> (Queries.q38Ranking _),
-      "q42_stratified" -> (Queries.q42StratifiedSample _))
+      "q42_stratified" -> (Queries.q42StratifiedSample _),
+      "q49_interp_join" -> (Queries.q49InterpJoin _))
     qs.foreach { case (n, fn) => assertNoGlobalWindow(fn(spark, sf001), n) }
   }
 
@@ -48,7 +49,8 @@ class PlanGuardsSpec extends SparkSpec {
       "q27_sliding_windows", "q31_ann_topk_agg", "q35_asof_join",
       "q36_sessionize", "q37_cube", "q39_percentiles", "q40_left_join",
       "q41_multi_distinct", "q42_stratified_sample", "q43_contamination",
-      "q45_quality_gate", "q46_repetition", "q47_range_join")
+      "q45_quality_gate", "q46_repetition", "q47_range_join",
+      "q49_interp_join")
     lazyOnes.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf001)
       val cartesians = df.queryExecution.executedPlan.collect {
