@@ -63,7 +63,8 @@ object SparkEntry {
     "q46_repetition" -> (Queries.q46Repetition _),
     "q47_range_join" -> (Queries.q47RangeJoin _),
     "q48_sketch_gates" -> (Queries.q48SketchGates _),
-    "q49_interp_join" -> (Queries.q49InterpJoin _)
+    "q49_interp_join" -> (Queries.q49InterpJoin _),
+    "q50_heavy_hitters" -> (Queries.q50HeavyHitters _)
   )
 
   /** DuckDB oracles for EVERY query above — since round 3 none are

@@ -712,6 +712,17 @@ object Oracles {
     FROM prev JOIN nxt USING (event_id)
     ORDER BY prev.event_id"""
 
+  // Heavy hitters: exact counts with deterministic tie order; the
+  // Misra-Gries containment flag is Spark-side (sketch vs exact, data-
+  // verified), pinned to 1 here.
+  val q50 = """
+    WITH t AS (SELECT CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                           ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+               FROM documents),
+    w AS (SELECT unnest(toks) AS word FROM t)
+    SELECT word, count(*) AS cnt, CAST(1 AS BIGINT) AS mg_ok
+    FROM w GROUP BY word ORDER BY cnt DESC, word LIMIT 20"""
+
   /** name → oracle SQL (single-line, driver JSON-escapes anyway). */
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
@@ -762,6 +773,7 @@ object Oracles {
     "q46_repetition" -> q46,
     "q47_range_join" -> q47,
     "q48_sketch_gates" -> q48,
-    "q49_interp_join" -> q49
+    "q49_interp_join" -> q49,
+    "q50_heavy_hitters" -> q50
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

@@ -675,6 +675,21 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** Corpus heavy hitters: exact top-20 tokens (count desc, token asc —
+    * deterministic, hash-checked vs DuckDB) plus a gate that the one-pass
+    * Misra-Gries summary (capacity 200, the bounded-memory 100 TB path)
+    * contains every exact top-20 token — the sketch's frequency guarantee,
+    * verified against the data. */
+  def q50HeavyHitters(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val exact = HeavyHitters.exactTopK(docs, col("text"), 20)
+    val cands = HeavyHitters.misraGriesCandidates(docs, col("text"), capacity = 200)
+    val topWords = exact.select("word").collect().map(_.getString(0)) // ≤ 20 rows
+    val contained = topWords.forall(cands.contains)
+    exact.withColumn("mg_ok", lit(if (contained) 1L else 0L))
+      .orderBy(desc("cnt"), col("word"))
+  }
+
   /** Sketch gates — the 100 TB profiling path. Exact distinct counts and
     * exact percentiles shuffle full value sets; the scale substitutes are
     * HyperLogLog++ (`approx_count_distinct`, fixed-size sketch, one pass)
