@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place for the session configuration the engine is designed around —
+  * local runs and a real cluster share everything but `master` and the
+  * partition counts.
+  *
+  * The knobs that matter at 100 TB, and why they're set:
+  *  - `spark.sql.adaptive.enabled` + `skewJoin.enabled` (explicit, though
+  *    default-on in Spark 4): runtime re-planning is load-bearing for the
+  *    dedup/join family — AQE coalesces the post-filter small sides this
+  *    library produces and splits skewed sort-merge partitions; the
+  *    explicit `Joins.saltedJoin` remains for shapes AQE can't split.
+  *  - `spark.sql.shuffle.partitions`: cores locally; on a cluster size it
+  *    to ~2-3x total executor cores (and let AQE coalesce down).
+  *  - `spark.sql.files.maxPartitionBytes` 256m: scan-task sizing — at
+  *    100 TB this yields ~400k scan tasks whose per-task footprint
+  *    (column batches + shuffle write buffers) fits executor memory;
+  *    smaller values explode task counts, larger ones risk spill.
+  *  - `spark.sql.legacy.parquet.nanosAsLong`: the events fixture (and any
+  *    TIMESTAMP(NANOS) parquet) reads as epoch-nanos longs, normalized to
+  *    µs timestamps by Tables.load.
+  *  - UTC session timezone: timestamp arithmetic must match the DuckDB
+  *    oracles bit-for-bit.
+  */
+object GraftSession {
+
+  def builder(cpus: String): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", "256m")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+
+  /** Local session sized from SPARK_GRAFT_CPUS (the driver contract). */
+  def local(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val s = builder(cpus).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -4,7 +4,6 @@ import graft.functions.Pdfs
 import graft.ml.TreeEnsembleScorer
 import graft.operators.{Domain, Sources}
 import graft.pipelines.{ActiveSampling, ActiveSamplingConfig, SdeForecast}
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Runnable flagship pipelines (the reference's two driver scripts as CLI
@@ -19,14 +18,7 @@ object RunPipelines {
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("bdqa")
     val outDir = if (args.length > 1) args(1) else "/tmp/graft-pipelines"
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = GraftSession.local()
 
     mode match {
       case "bdqa" =>

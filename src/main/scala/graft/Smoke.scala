@@ -1,16 +1,11 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 
 /** Driver-contract smoke: `SparkEntry.entry` must return rows > 0 at
   * sf0.001 (mirrors the driver's t0 gate). */
 object Smoke {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = GraftSession.local()
     spark.sparkContext.setLogLevel("ERROR")
     val n = SparkEntry.entry(spark).count()
     println(s"[smoke] entry rows = $n")
