@@ -39,7 +39,7 @@ object GraftSession {
 
   /** Local session sized from SPARK_GRAFT_CPUS (the driver contract). */
   def local(): SparkSession = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val s = builder(cpus).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

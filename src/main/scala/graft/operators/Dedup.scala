@@ -324,6 +324,9 @@ object Dedup {
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("__nbr"), col("cluster_id")))
             .as("cluster_id"))
+        // feeds BOTH sides of the pointer-jump self-join below — without a
+        // checkpoint the edges-join + min aggregate would run twice a round
+        .localCheckpoint()
       // pointer jump: cluster_id is itself a doc_id, so shortcut to its label
       val updated = propagated.alias("l")
         .join(propagated.select(col("doc_id").as("cluster_id"),

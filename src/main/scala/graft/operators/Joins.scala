@@ -83,16 +83,27 @@ object Joins {
                         leftX: Column, rightX: Column, rightY: Column,
                         out: String = "y_interp"): DataFrame = {
     val leftCols = left.columns.filterNot(keys.contains)
-    val l = left
+    val keyNotNull = keys.map(col(_).isNotNull).reduce(_ && _)
+    // NULL-key/NULL-x probes yield NULL (an equality join never matches
+    // NULL keys — Window.partitionBy would happily group them); NULL-key/
+    // NULL-x knots are dropped for the same reason. Duplicate-x knots are
+    // ordered by y so the pick is deterministic; callers wanting defined
+    // duplicate semantics should pre-aggregate knots per (keys, x).
+    val l0 = left
       .withColumn("__x", leftX.cast("double"))
       .withColumn("__side", lit(1))
       .withColumn("__knot",
         lit(null).cast("struct<kx:double,ky:double>"))
+    val lNull = l0.filter(!(keyNotNull && col("__x").isNotNull))
+      .withColumn(out, lit(null).cast("double"))
+      .drop("__x", "__side", "__knot")
+    val l = l0.filter(keyNotNull && col("__x").isNotNull)
     val r0 = right
       .withColumn("__x", rightX.cast("double"))
       .withColumn("__side", lit(0))
       .withColumn("__knot",
         struct(rightX.cast("double").as("kx"), rightY.cast("double").as("ky")))
+      .filter(keyNotNull && col("__x").isNotNull)
     val rAligned = leftCols.foldLeft(r0) { case (df, lc) =>
       df.withColumn(lc, lit(null).cast(left.schema(lc).dataType))
     }
@@ -100,8 +111,9 @@ object Joins {
     val u = l.select(outCols.map(col): _*)
       .unionByName(rAligned.select(outCols.map(col): _*))
     // knots sort before probes at equal x, so a probe ON a knot sees it as
-    // its "previous" and the zero-distance lerp returns the knot's y exactly
-    val ord = Seq(col("__x"), col("__side"))
+    // its "previous" and the zero-distance lerp returns the knot's y
+    // exactly; __knot.ky last in the order makes duplicate-x picks stable
+    val ord = Seq(col("__x"), col("__side"), col("__knot.ky"))
     val base = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
     val wPrev = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wNext = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
@@ -117,7 +129,8 @@ object Joins {
           .otherwise(col("__p.ky") +
             (col("__n.ky") - col("__p.ky")) *
               (col("__x") - col("__p.kx")) / (col("__n.kx") - col("__p.kx"))))
-    interp.drop("__x", "__side", "__knot", "__p", "__n")
+    val joined = interp.drop("__x", "__side", "__knot", "__p", "__n")
+    joined.unionByName(lNull.select(joined.columns.map(col): _*))
   }
 
   /** Bucketized interval (range) join: inner-join every left "point" row to
@@ -162,6 +175,13 @@ object Joins {
   def saltedJoin(large: DataFrame, small: DataFrame, keys: Seq[String],
                  salt: Int, joinType: String = "inner"): DataFrame = {
     require(salt > 0, "salt must be positive")
+    // right/full outer would emit one null-padded row PER SALT for an
+    // unmatched small-side key (the explode replicates it); only join
+    // types that never emit unmatched small-side rows are salt-safe.
+    val safe = Set("inner", "left", "left_outer", "leftouter",
+      "left_semi", "leftsemi", "left_anti", "leftanti", "cross")
+    require(safe.contains(joinType.toLowerCase.replace(" ", "")),
+      s"saltedJoin: joinType '$joinType' would duplicate unmatched small-side rows x$salt")
     val l = large.withColumn("__salt",
       pmod(monotonically_increasing_id(), lit(salt.toLong)).cast("int"))
     val s = small.withColumn("__salt",

@@ -676,16 +676,23 @@ object Queries {
   }
 
   /** Corpus heavy hitters: exact top-20 tokens (count desc, token asc —
-    * deterministic, hash-checked vs DuckDB) plus a gate that the one-pass
-    * Misra-Gries summary (capacity 200, the bounded-memory 100 TB path)
-    * contains every exact top-20 token — the sketch's frequency guarantee,
-    * verified against the data. */
+    * deterministic, hash-checked vs DuckDB) plus a gate on the property
+    * Misra-Gries actually guarantees: every token with exact frequency
+    * > n/(capacity+1) must survive the one-pass summary (capacity 1024,
+    * the bounded-memory 100 TB path). Gating raw "top-20 ⊆ candidates"
+    * would be data-dependent — a rank-20 token sitting below the n/(c+1)
+    * threshold may legitimately be evicted. */
   def q50HeavyHitters(s: SparkSession, d: String): DataFrame = {
+    val capacity = 1024
     val docs = Tables.documents(s, d)
     val exact = HeavyHitters.exactTopK(docs, col("text"), 20)
-    val cands = HeavyHitters.misraGriesCandidates(docs, col("text"), capacity = 200)
-    val topWords = exact.select("word").collect().map(_.getString(0)) // ≤ 20 rows
-    val contained = topWords.forall(cands.contains)
+    val cands = HeavyHitters.misraGriesCandidates(docs, col("text"), capacity)
+    val n = docs.select(explode(TextOps.tokens(col("text"))))
+      .count() // total token count: the guarantee's denominator
+    val top = exact.select("word", "cnt").collect() // ≤ 20 rows
+    val mustSurvive = top.filter(_.getLong(1) > n / (capacity + 1))
+      .map(_.getString(0))
+    val contained = mustSurvive.forall(cands.contains)
     exact.withColumn("mg_ok", lit(if (contained) 1L else 0L))
       .orderBy(desc("cnt"), col("word"))
   }

@@ -107,6 +107,24 @@ class JoinsSpec extends SparkSpec {
       13L -> Some(1.75), 14L -> Some(2.0), 15L -> None), s"$got")
   }
 
+  test("interpolationJoin: NULL keys/x yield NULL, never cross-NULL matches") {
+    val probes = Seq(
+      (Option(1L), 20L, Option(15.0)),   // normal
+      (Option.empty[Long], 21L, Option(15.0)), // NULL key -> NULL
+      (Option(1L), 22L, Option.empty[Double])  // NULL x -> NULL
+    ).toDF("k", "pid", "x")
+    val knots = Seq(
+      (Option(1L), Option(10.0), 1.0),
+      (Option(1L), Option(20.0), 2.0),
+      (Option.empty[Long], Option(10.0), 99.0), // NULL-key knot: ignored
+      (Option(1L), Option.empty[Double], 77.0)  // NULL-x knot: ignored
+    ).toDF("k", "kx", "ky")
+    val got = Joins.interpolationJoin(probes, knots, Seq("k"),
+        col("x"), col("kx"), col("ky"))
+      .select("pid", "y_interp").as[(Long, Option[Double])].collect().toMap
+    assert(got == Map(20L -> Some(1.5), 21L -> None, 22L -> None), s"$got")
+  }
+
   test("rangeJoin matches a naive equi-join + range filter, boundaries inclusive") {
     val points = Seq(
       (1L, 100L, ts("2024-01-01 10:00:00")),  // == interval start
