@@ -64,7 +64,8 @@ object SparkEntry {
     "q47_range_join" -> (Queries.q47RangeJoin _),
     "q48_sketch_gates" -> (Queries.q48SketchGates _),
     "q49_interp_join" -> (Queries.q49InterpJoin _),
-    "q50_heavy_hitters" -> (Queries.q50HeavyHitters _)
+    "q50_heavy_hitters" -> (Queries.q50HeavyHitters _),
+    "q51_robust_outliers" -> (Queries.q51RobustOutliers _)
   )
 
   /** DuckDB oracles for EVERY query above — since round 3 none are

@@ -68,4 +68,36 @@ object Profiling {
   def duplicateKeys(df: DataFrame, keys: Seq[String]): DataFrame =
     df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("dups"))
       .filter(col("dups") > 1)
+
+  /** Robust per-column outlier scan: median/MAD z-scores (Iglewicz-Hoaglin;
+    * 1.4826·MAD estimates σ under normality), which — unlike mean/stddev
+    * scoring — don't let the outliers drag their own threshold. Three full
+    * passes, each ONE aggregate over all columns (exact medians via
+    * `percentile`): medians → MADs (|x−median| medians) → outlier counts.
+    * Tall output: (column, median, mad, n_outliers). At 100 TB swap the
+    * exact percentiles for `percentile_approx` (q48 gates that the sketch
+    * tracks the exact value). */
+  def robustOutliers(df: DataFrame, cols: Seq[String],
+                     z: Double = 3.5): DataFrame = {
+    val medAggs = cols.map(c => expr(s"percentile($c, 0.5)"))
+    val medRow = df.agg(medAggs.head, medAggs.tail: _*).head()
+    val med = cols.indices.map(medRow.getDouble).toArray
+    val madAggs = cols.zipWithIndex.map { case (c, i) =>
+      expr(s"percentile(abs($c - ${med(i)}), 0.5)")
+    }
+    val madRow = df.agg(madAggs.head, madAggs.tail: _*).head()
+    val mad = cols.indices.map(madRow.getDouble).toArray
+    val cntAggs = cols.zipWithIndex.map { case (c, i) =>
+      sum(when(abs(col(c) - med(i)) > z * 1.4826 * mad(i), 1L).otherwise(0L))
+    }
+    val cntRow = df.agg(cntAggs.head, cntAggs.tail: _*).head()
+    val rows = cols.zipWithIndex.map { case (c, i) =>
+      struct(lit(c).as("column"),
+        round(lit(med(i)), 6).as("median"),
+        round(lit(mad(i)), 6).as("mad"),
+        lit(cntRow.getLong(i)).as("n_outliers"))
+    }
+    df.sparkSession.range(1)
+      .select(explode(array(rows: _*)).as("v")).select("v.*")
+  }
 }

@@ -723,6 +723,23 @@ object Oracles {
     SELECT word, count(*) AS cnt, CAST(1 AS BIGINT) AS mg_ok
     FROM w GROUP BY word ORDER BY cnt DESC, word LIMIT 20"""
 
+  // Robust outliers: per-column median/MAD replayed with quantile_cont
+  // (exact interpolated percentile — the q39-proven twin of Spark's
+  // `percentile`); the count compares against DuckDB's own median/MAD, so
+  // both engines are self-consistent and the rounded stats hash-match.
+  val q51: String = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    cols.map { c =>
+      s"""SELECT '$c' AS "column", round(m, 6) AS median, round(d, 6) AS mad,
+                 CAST(n AS BIGINT) AS n_outliers
+          FROM (SELECT quantile_cont($c, 0.5) AS m FROM lineitem) mm,
+               LATERAL (SELECT quantile_cont(abs($c - mm.m), 0.5) AS d
+                        FROM lineitem) dd,
+               LATERAL (SELECT count(*) AS n FROM lineitem
+                        WHERE abs($c - mm.m) > 3.5 * 1.4826 * dd.d) cc"""
+    }.mkString("", "\n    UNION ALL\n    ", "\n    ORDER BY \"column\"")
+  }
+
   /** name → oracle SQL (single-line, driver JSON-escapes anyway). */
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
@@ -774,6 +791,7 @@ object Oracles {
     "q47_range_join" -> q47,
     "q48_sketch_gates" -> q48,
     "q49_interp_join" -> q49,
-    "q50_heavy_hitters" -> q50
+    "q50_heavy_hitters" -> q50,
+    "q51_robust_outliers" -> q51
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

@@ -675,6 +675,14 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** Robust per-column outlier profile of the lineitem measures:
+    * median/MAD z-scores (outliers can't drag their own threshold the way
+    * mean/stddev scoring lets them). */
+  def q51RobustOutliers(s: SparkSession, d: String): DataFrame =
+    Profiling.robustOutliers(Tables.lineitem(s, d),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+      .orderBy("column")
+
   /** Corpus heavy hitters: exact top-20 tokens (count desc, token asc —
     * deterministic, hash-checked vs DuckDB) plus a gate on the property
     * Misra-Gries actually guarantees: every token with exact frequency

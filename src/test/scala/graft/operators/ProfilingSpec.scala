@@ -43,4 +43,17 @@ class ProfilingSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getAs[Long]("dups")).toMap
     assert(got == Map(1L -> 2L, 3L -> 3L))
   }
+
+  test("robustOutliers flags planted spikes and not the bulk") {
+    // 103 values: -900, 0..100, 1000 -> median 50; abs deviations sorted
+    // run 0,1,1,2,2,... so the 51st (0-based) is 26 -> MAD 26; both spikes
+    // sit at |x-50| = 950 >> 3.5 * 1.4826 * 26 ≈ 134.9
+    val vals = (0 to 100).map(_.toDouble) ++ Seq(1000.0, -900.0)
+    val d = vals.map(v => (v, v / 2)).toDF("a", "b")
+    val got = Profiling.robustOutliers(d, Seq("a", "b"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(got("a") == ((50.0, 26.0, 2L)), s"${got("a")}")
+    assert(got("b") == ((25.0, 13.0, 2L)), s"${got("b")}")
+  }
 }
