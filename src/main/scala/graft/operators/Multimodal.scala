@@ -48,6 +48,75 @@ object Multimodal {
     }
   }
 
+  /** REAL audio decoder for WAV / 16-bit PCM — the one mainstream media
+    * container parseable with plain byte arithmetic, no codec library:
+    * RIFF chunk walk → fmt (PCM, channels, sample rate) → data chunk →
+    * channel-averaged samples. Features (fixed width 4):
+    * `[duration_sec, rms, zero_crossing_rate, peak]`, amplitudes
+    * normalized to [-1, 1]. Demonstrates that the [[decodeFeatures]]
+    * plumbing runs an actual byte-level decoder end-to-end; compressed
+    * formats (jpeg/mp3/h264) remain behind [[StubDecoder]], documented as
+    * requiring codecs this container doesn't ship. Throws on malformed
+    * payloads — route by `kind` upstream. */
+  class WavPcmDecoder extends Decoder {
+    val featureDim = 4
+
+    private def u16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+    private def u32(b: Array[Byte], o: Int): Long =
+      (b(o) & 0xFFL) | ((b(o + 1) & 0xFFL) << 8) |
+        ((b(o + 2) & 0xFFL) << 16) | ((b(o + 3) & 0xFFL) << 24)
+    private def tag(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    def decode(kind: String, payload: Array[Byte]): Array[Float] = {
+      require(payload.length >= 44 && tag(payload, 0) == "RIFF" &&
+        tag(payload, 8) == "WAVE", "not a RIFF/WAVE payload")
+      var off = 12
+      var channels = 0; var sampleRate = 0; var bits = 0
+      var dataOff = -1; var dataLen = 0
+      while (off + 8 <= payload.length && (dataOff < 0 || channels == 0)) {
+        val id = tag(payload, off)
+        val size = u32(payload, off + 4).toInt
+        if (id == "fmt ") {
+          require(u16(payload, off + 8) == 1, "only PCM (format 1) supported")
+          channels = u16(payload, off + 10)
+          sampleRate = u32(payload, off + 12).toInt
+          bits = u16(payload, off + 22)
+          require(bits == 16, s"only 16-bit PCM supported, got $bits")
+        } else if (id == "data") {
+          dataOff = off + 8; dataLen = math.min(size, payload.length - dataOff)
+        }
+        off += 8 + size + (size & 1) // chunks pad to even length
+      }
+      require(channels > 0 && sampleRate > 0 && dataOff >= 0, "missing fmt/data chunk")
+      val frames = dataLen / (2 * channels)
+      var sumSq = 0.0; var peak = 0.0; var crossings = 0L; var prev = 0.0
+      var i = 0
+      while (i < frames) {
+        var mix = 0.0
+        var c = 0
+        while (c < channels) {
+          val o = dataOff + 2 * (i * channels + c)
+          mix += ((payload(o) & 0xFF) | (payload(o + 1).toInt << 8)) / 32768.0
+          c += 1
+        }
+        val x = mix / channels
+        sumSq += x * x
+        if (math.abs(x) > peak) peak = math.abs(x)
+        if (i > 0 && ((prev < 0 && x >= 0) || (prev >= 0 && x < 0))) crossings += 1
+        prev = x
+        i += 1
+      }
+      val n = math.max(frames, 1)
+      Array(
+        frames.toFloat / sampleRate,
+        math.sqrt(sumSq / n).toFloat,
+        if (frames > 1) crossings.toFloat / (frames - 1) else 0.0f,
+        peak.toFloat)
+    }
+  }
+
   /** Wrap documents as fake media assets (payload = utf-8 bytes) — the
     * fixture stand-in for a real image/audio table. */
   def syntheticMedia(documents: DataFrame): Dataset[MediaRow] = {

@@ -47,4 +47,48 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.filter(col("media_id") === 0).select("frame_idx")
       .as[Int].collect().toSet == Set(0, 3, 6, 9))
   }
+
+  /** Minimal RIFF/WAVE writer: 16-bit PCM, interleaved channels. */
+  private def wavBytes(sampleRate: Int, channels: Int,
+                       samples: Array[Array[Short]]): Array[Byte] = {
+    val frames = samples(0).length
+    val dataLen = frames * channels * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes); bb.putInt(36 + dataLen); bb.put("WAVE".getBytes)
+    bb.put("fmt ".getBytes); bb.putInt(16); bb.putShort(1)
+    bb.putShort(channels.toShort); bb.putInt(sampleRate)
+    bb.putInt(sampleRate * channels * 2); bb.putShort((channels * 2).toShort)
+    bb.putShort(16)
+    bb.put("data".getBytes); bb.putInt(dataLen)
+    for (i <- 0 until frames; c <- 0 until channels) bb.putShort(samples(c)(i))
+    bb.array()
+  }
+
+  test("WavPcmDecoder recovers sine-wave stats through the batched decode path") {
+    val sr = 16000; val freq = 440.0; val amp = 16000.0; val secs = 0.5
+    val n = (sr * secs).toInt
+    val sine = Array.tabulate(n)(i =>
+      (amp * math.sin(2 * math.Pi * freq * i / sr)).toShort)
+    val mono = wavBytes(sr, 1, Array(sine))
+    val stereo = wavBytes(sr, 2, Array(sine, sine)) // identical channels
+    val media = Seq(
+      MediaRow(1L, "audio", mono, 0, 0, sr),
+      MediaRow(2L, "audio", stereo, 0, 0, sr)
+    ).toDS()
+    val feats = Multimodal.decodeFeatures(media, new Multimodal.WavPcmDecoder)
+      .collect().map(f => f.media_id -> f.features).toMap
+    for (id <- Seq(1L, 2L)) {
+      val Array(dur, rms, zcr, peak) = feats(id)
+      assert(math.abs(dur - secs) < 1e-3, s"dur $dur")
+      // RMS of a sine of normalized amplitude a is a/sqrt(2)
+      val a = amp / 32768.0
+      assert(math.abs(rms - a / math.sqrt(2)) < 0.01 * a, s"rms $rms")
+      // a 440 Hz tone crosses zero 2*440 times/sec -> zcr ~ 2f/sr
+      assert(math.abs(zcr - 2 * freq / sr) < 0.005, s"zcr $zcr")
+      assert(math.abs(peak - a) < 0.01, s"peak $peak")
+    }
+    // channel mixdown of identical channels == mono features
+    assert(feats(1L).zip(feats(2L)).forall { case (x, y) => math.abs(x - y) < 1e-6 })
+  }
 }
