@@ -117,6 +117,77 @@ object Multimodal {
     }
   }
 
+  /** REAL image decoder for binary PGM (netpbm P5) — like WAV, parseable
+    * with plain bytes: ASCII header (`P5 <w> <h> <maxval>`, `#` comments)
+    * then w·h gray samples. Features (fixed width 4):
+    * `[width, height, mean, std]` with intensities normalized by maxval.
+    * Compressed image formats (jpeg/png) stay behind [[StubDecoder]]. */
+  class PgmDecoder extends Decoder {
+    val featureDim = 4
+
+    /** (width, height, maxval, pixel offset) from a P5 header. */
+    private[operators] def header(b: Array[Byte]): (Int, Int, Int, Int) = {
+      require(b.length > 2 && b(0) == 'P' && b(1) == '5', "not a P5 PGM payload")
+      var off = 2
+      val fields = new Array[Int](3)
+      var got = 0
+      while (got < 3) {
+        while (off < b.length &&
+          (Character.isWhitespace(b(off)) || b(off) == '#')) {
+          if (b(off) == '#') while (off < b.length && b(off) != '\n') off += 1
+          else off += 1
+        }
+        var v = 0
+        require(off < b.length && b(off) >= '0' && b(off) <= '9', "bad PGM header")
+        while (off < b.length && b(off) >= '0' && b(off) <= '9') {
+          v = v * 10 + (b(off) - '0'); off += 1
+        }
+        fields(got) = v; got += 1
+      }
+      require(off < b.length && Character.isWhitespace(b(off)), "bad PGM header")
+      off += 1 // exactly ONE whitespace byte before pixel data, per spec
+      require(fields(2) > 0 && fields(2) < 256, "only 8-bit PGM supported")
+      (fields(0), fields(1), fields(2), off)
+    }
+
+    def decode(kind: String, payload: Array[Byte]): Array[Float] = {
+      val (w, h, maxval, off) = header(payload)
+      val n = math.min(w.toLong * h, payload.length - off).toInt
+      var sum = 0.0; var sumSq = 0.0
+      var i = 0
+      while (i < n) {
+        val x = (payload(off + i) & 0xFF).toDouble / maxval
+        sum += x; sumSq += x * x
+        i += 1
+      }
+      val m = if (n > 0) sum / n else 0.0
+      val variance = if (n > 0) math.max(sumSq / n - m * m, 0.0) else 0.0
+      Array(w.toFloat, h.toFloat, m.toFloat, math.sqrt(variance).toFloat)
+    }
+
+    /** Nearest-neighbor resize → a new P5 payload (the brief's "resize"
+      * media transform, runnable inside the same mapPartitions batch). */
+    def resize(payload: Array[Byte], ow: Int, oh: Int): Array[Byte] = {
+      val (w, h, maxval, off) = header(payload)
+      val head = s"P5\n$ow $oh\n$maxval\n"
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      val out = new Array[Byte](head.length + ow * oh)
+      System.arraycopy(head, 0, out, 0, head.length)
+      var y = 0
+      while (y < oh) {
+        val sy = (y.toLong * h / oh).toInt
+        var x = 0
+        while (x < ow) {
+          val sx = (x.toLong * w / ow).toInt
+          out(head.length + y * ow + x) = payload(off + sy * w + sx)
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+  }
+
   /** Wrap documents as fake media assets (payload = utf-8 bytes) — the
     * fixture stand-in for a real image/audio table. */
   def syntheticMedia(documents: DataFrame): Dataset[MediaRow] = {

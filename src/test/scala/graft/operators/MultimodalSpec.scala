@@ -91,4 +91,26 @@ class MultimodalSpec extends SparkSpec {
     // channel mixdown of identical channels == mono features
     assert(feats(1L).zip(feats(2L)).forall { case (x, y) => math.abs(x - y) < 1e-6 })
   }
+
+  test("PgmDecoder parses P5 images and resizes by nearest neighbor") {
+    val w = 64; val h = 32
+    // horizontal ramp: pixel value = x * 255 / (w-1)
+    val head = s"P5\n# synthetic ramp\n$w $h\n255\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val img = head ++ Array.tabulate(h * w)(i => (i % w * 255 / (w - 1)).toByte)
+    val dec = new Multimodal.PgmDecoder
+    val Array(fw, fh, mean, std) = dec.decode("image", img)
+    assert(fw == w && fh == h)
+    // uniform ramp over [0,1]: mean 0.5, std ~ 1/sqrt(12)
+    assert(math.abs(mean - 0.5) < 0.02, s"mean $mean")
+    assert(math.abs(std - 1 / math.sqrt(12)) < 0.02, s"std $std")
+    val small = dec.resize(img, 16, 8)
+    val Array(sw, sh, smean, _) = dec.decode("image", small)
+    assert(sw == 16 && sh == 8)
+    assert(math.abs(smean - mean) < 0.05, s"resized mean $smean vs $mean")
+    // corners survive nearest-neighbor: left edge dark, right edge bright
+    val (_, _, _, off) = dec.header(small)
+    assert((small(off) & 0xFF) == 0)
+    assert((small(off + 15) & 0xFF) > 220)
+  }
 }
