@@ -65,7 +65,8 @@ object SparkEntry {
     "q48_sketch_gates" -> (Queries.q48SketchGates _),
     "q49_interp_join" -> (Queries.q49InterpJoin _),
     "q50_heavy_hitters" -> (Queries.q50HeavyHitters _),
-    "q51_robust_outliers" -> (Queries.q51RobustOutliers _)
+    "q51_robust_outliers" -> (Queries.q51RobustOutliers _),
+    "q52_wav_roundtrip" -> (Queries.q52WavRoundtrip _)
   )
 
   /** DuckDB oracles for EVERY query above — since round 3 none are

@@ -115,6 +115,54 @@ object Multimodal {
         if (frames > 1) crossings.toFloat / (frames - 1) else 0.0f,
         peak.toFloat)
     }
+
+    /** Exact integer statistics of a MONO payload's decoded samples:
+      * (n, Σq, Σq², max q) — order-independent and overflow-safe for
+      * ≤ ~8.5e9 samples at full scale, so a SQL oracle can recompute them
+      * from the source values and any byte-level encode/decode defect
+      * breaks the equality (the q52 round-trip gate). */
+    def rawStats(payload: Array[Byte]): (Long, Long, Long, Long) = {
+      require(payload.length >= 44 && tag(payload, 0) == "RIFF" &&
+        tag(payload, 8) == "WAVE", "not a RIFF/WAVE payload")
+      var off = 12
+      var dataOff = -1; var dataLen = 0; var channels = 0
+      while (off + 8 <= payload.length && (dataOff < 0 || channels == 0)) {
+        val id = tag(payload, off)
+        val size = u32(payload, off + 4).toInt
+        if (id == "fmt ") channels = u16(payload, off + 10)
+        else if (id == "data") {
+          dataOff = off + 8; dataLen = math.min(size, payload.length - dataOff)
+        }
+        off += 8 + size + (size & 1)
+      }
+      require(channels == 1 && dataOff >= 0, "rawStats expects mono PCM")
+      val frames = dataLen / 2
+      var sumQ = 0L; var sumQ2 = 0L; var peak = Long.MinValue
+      var i = 0
+      while (i < frames) {
+        val o = dataOff + 2 * i
+        val q = ((payload(o) & 0xFF) | (payload(o + 1).toInt << 8)).toLong
+        sumQ += q; sumQ2 += q * q
+        if (q > peak) peak = q
+        i += 1
+      }
+      (frames.toLong, sumQ, sumQ2, if (frames == 0) 0L else peak)
+    }
+  }
+
+  /** Encode 16-bit mono PCM samples as a WAV payload (the synthesis half
+    * of the round-trip gate: encode → [[WavPcmDecoder]] → exact stats). */
+  def encodeWavPcm(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes); bb.putInt(36 + dataLen); bb.put("WAVE".getBytes)
+    bb.put("fmt ".getBytes); bb.putInt(16); bb.putShort(1); bb.putShort(1)
+    bb.putInt(sampleRate); bb.putInt(sampleRate * 2); bb.putShort(2)
+    bb.putShort(16)
+    bb.put("data".getBytes); bb.putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
   }
 
   /** REAL image decoder for binary PGM (netpbm P5) — like WAV, parseable

@@ -740,6 +740,20 @@ object Oracles {
     }.mkString("", "\n    UNION ALL\n    ", "\n    ORDER BY \"column\"")
   }
 
+  // WAV round-trip: the Spark side encodes each user's quantized values as
+  // a real WAV payload and decodes it back byte-by-byte; the stats are
+  // exact integers, so this replay from the raw table catches any
+  // encode/parse defect.
+  val q52 = """
+    WITH s AS (SELECT user_id,
+                      CAST(LEAST(floor(value * 60), 32767) AS BIGINT) AS q
+               FROM events)
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum(q) AS BIGINT) AS sum_q,
+           CAST(sum(q * q) AS BIGINT) AS sum_q2,
+           CAST(max(q) AS BIGINT) AS peak_q
+    FROM s GROUP BY user_id ORDER BY user_id"""
+
   /** name → oracle SQL (single-line, driver JSON-escapes anyway). */
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
@@ -792,6 +806,7 @@ object Oracles {
     "q48_sketch_gates" -> q48,
     "q49_interp_join" -> q49,
     "q50_heavy_hitters" -> q50,
-    "q51_robust_outliers" -> q51
+    "q51_robust_outliers" -> q51,
+    "q52_wav_roundtrip" -> q52
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

@@ -675,6 +675,29 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** Multimodal round-trip gate: per user, quantize the event-value series
+    * to 16-bit PCM, ENCODE it as a real WAV payload, DECODE it back with
+    * the byte-level WavPcmDecoder, and emit exact integer sample stats
+    * (n, Σq, Σq², max q — order-independent, no fp). The oracle recomputes
+    * the same stats from the raw table, so any defect in the RIFF
+    * encode/parse/sample arithmetic breaks the hash equality — the decode
+    * plumbing becomes driver-checked, not just unit-tested. */
+  def q52WavRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val q = least(floor(col("value") * 60), lit(32767L)).cast("int")
+    Tables.events(s, d)
+      .select(col("user_id"), q.as("q"))
+      .groupBy("user_id").agg(collect_list("q").as("qs"))
+      .as[(Long, Seq[Int])]
+      .map { case (u, qs) =>
+        val wav = Multimodal.encodeWavPcm(16000, qs.map(_.toShort).toArray)
+        val (n, sq, sq2, pk) = new Multimodal.WavPcmDecoder().rawStats(wav)
+        (u, n, sq, sq2, pk)
+      }
+      .toDF("user_id", "n_samples", "sum_q", "sum_q2", "peak_q")
+      .orderBy("user_id")
+  }
+
   /** Robust per-column outlier profile of the lineitem measures:
     * median/MAD z-scores (outliers can't drag their own threshold the way
     * mean/stddev scoring lets them). */
