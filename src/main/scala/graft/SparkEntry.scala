@@ -66,7 +66,8 @@ object SparkEntry {
     "q49_interp_join" -> (Queries.q49InterpJoin _),
     "q50_heavy_hitters" -> (Queries.q50HeavyHitters _),
     "q51_robust_outliers" -> (Queries.q51RobustOutliers _),
-    "q52_wav_roundtrip" -> (Queries.q52WavRoundtrip _)
+    "q52_wav_roundtrip" -> (Queries.q52WavRoundtrip _),
+    "q53_pgm_roundtrip" -> (Queries.q53PgmRoundtrip _)
   )
 
   /** DuckDB oracles for EVERY query above — since round 3 none are

@@ -307,7 +307,17 @@ object Dedup {
     * in `ids`, cluster_id = min doc id of the component (singletons map to
     * themselves) — the canonical keeper, so the deduplicated corpus is
     * `filter(doc_id === cluster_id)`. */
-  def clusters(pairs: DataFrame, ids: DataFrame, maxIters: Int = 64): DataFrame = {
+  def clusters(pairs: DataFrame, ids: DataFrame, maxIters: Int = 64): DataFrame =
+    clustersWithRounds(pairs, ids, maxIters)._1
+
+  /** [[clusters]] plus the number of rounds it ran — the rounds count lets
+    * tests assert the per-round job budget (TWO jobs per round: the
+    * propagate checkpoint and the jump checkpoint; the convergence test is
+    * an accumulator filled INSIDE the jump job, not a third action). */
+  def clustersWithRounds(pairs: DataFrame, ids: DataFrame,
+                         maxIters: Int = 64): (DataFrame, Int) = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint()
@@ -321,25 +331,32 @@ object Dedup {
         .groupBy(col("src").as("doc_id"))
         .agg(min("cluster_id").as("__nbr"))
       val propagated = labels.join(nbrMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("cluster_id").as("__old"),
           least(col("cluster_id"), coalesce(col("__nbr"), col("cluster_id")))
             .as("cluster_id"))
         // feeds BOTH sides of the pointer-jump self-join below — without a
         // checkpoint the edges-join + min aggregate would run twice a round
         .localCheckpoint()
       // pointer jump: cluster_id is itself a doc_id, so shortcut to its label
-      val updated = propagated.alias("l")
+      val jumped = propagated.alias("l")
         .join(propagated.select(col("doc_id").as("cluster_id"),
             col("cluster_id").as("__grand")).alias("g"),
           Seq("cluster_id"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("__old"),
           least(col("cluster_id"), coalesce(col("__grand"), col("cluster_id")))
             .as("cluster_id"))
-        .localCheckpoint()
-      converged = updated
-        .join(labels.withColumnRenamed("cluster_id", "__old"), Seq("doc_id"))
-        .filter(col("cluster_id") =!= col("__old"))
-        .limit(1).count() == 0
+      // convergence test rides the checkpoint job: count changed labels in an
+      // accumulator while materializing. Task retries can only OVERcount —
+      // a truly-unchanged round adds 0 from any retry — so `value == 0` is
+      // retry-stable, which is all the loop test needs.
+      val changed = spark.sparkContext.longAccumulator(s"clusters_changed_$it")
+      val updated = jumped.as[(Long, Long, Long)].mapPartitions { rows =>
+        rows.map { case (docId, old, cid) =>
+          if (cid != old) changed.add(1L)
+          (docId, cid)
+        }
+      }.toDF("doc_id", "cluster_id").localCheckpoint()
+      converged = changed.value == 0
       labels = updated
       it += 1
     }
@@ -347,7 +364,7 @@ object Dedup {
       throw new IllegalStateException(
         s"Dedup.clusters did not converge in $maxIters rounds — component " +
           "structure is pathological; raise maxIters rather than use partial labels")
-    labels
+    (labels, it)
   }
 
   /** Embedding-cosine near-duplicate pairs. Buckets by random-hyperplane

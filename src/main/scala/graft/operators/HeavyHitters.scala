@@ -23,11 +23,18 @@ import graft.functions.TextOps
   */
 object HeavyHitters {
 
+  /** Exact per-word counts: explode → two-level hash aggregate (map-side
+    * combine; one shuffled row per distinct word). The total token count is
+    * `sum(cnt)` over this result — derive it here rather than re-tokenizing
+    * the corpus. */
+  def wordCounts(df: DataFrame, text: Column): DataFrame =
+    df.select(explode(TextOps.tokens(text)).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
   /** Exact top-k tokens by count, ties broken by token ascending
     * (deterministic, SQL-mirrorable). */
   def exactTopK(df: DataFrame, text: Column, k: Int): DataFrame =
-    df.select(explode(TextOps.tokens(text)).as("word"))
-      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    wordCounts(df, text)
       .orderBy(desc("cnt"), col("word"))
       .limit(k)
 

@@ -72,22 +72,26 @@ object Multimodal {
     def decode(kind: String, payload: Array[Byte]): Array[Float] = {
       require(payload.length >= 44 && tag(payload, 0) == "RIFF" &&
         tag(payload, 8) == "WAVE", "not a RIFF/WAVE payload")
-      var off = 12
+      // chunk offset walks in Long: a corrupt size near 2^32 must overshoot
+      // the payload and exit the loop, not wrap negative and stall it
+      var off = 12L
       var channels = 0; var sampleRate = 0; var bits = 0
       var dataOff = -1; var dataLen = 0
       while (off + 8 <= payload.length && (dataOff < 0 || channels == 0)) {
-        val id = tag(payload, off)
-        val size = u32(payload, off + 4).toInt
+        val o = off.toInt
+        val id = tag(payload, o)
+        val size = u32(payload, o + 4) // unsigned — never negative
         if (id == "fmt ") {
-          require(u16(payload, off + 8) == 1, "only PCM (format 1) supported")
-          channels = u16(payload, off + 10)
-          sampleRate = u32(payload, off + 12).toInt
-          bits = u16(payload, off + 22)
+          require(u16(payload, o + 8) == 1, "only PCM (format 1) supported")
+          channels = u16(payload, o + 10)
+          sampleRate = u32(payload, o + 12).toInt
+          bits = u16(payload, o + 22)
           require(bits == 16, s"only 16-bit PCM supported, got $bits")
         } else if (id == "data") {
-          dataOff = off + 8; dataLen = math.min(size, payload.length - dataOff)
+          dataOff = o + 8
+          dataLen = math.min(size, (payload.length - dataOff).toLong).toInt
         }
-        off += 8 + size + (size & 1) // chunks pad to even length
+        off += 8L + size + (size & 1L) // chunks pad to even length
       }
       require(channels > 0 && sampleRate > 0 && dataOff >= 0, "missing fmt/data chunk")
       val frames = dataLen / (2 * channels)
@@ -124,16 +128,18 @@ object Multimodal {
     def rawStats(payload: Array[Byte]): (Long, Long, Long, Long) = {
       require(payload.length >= 44 && tag(payload, 0) == "RIFF" &&
         tag(payload, 8) == "WAVE", "not a RIFF/WAVE payload")
-      var off = 12
+      var off = 12L // Long walk: corrupt sizes overshoot instead of wrapping
       var dataOff = -1; var dataLen = 0; var channels = 0
       while (off + 8 <= payload.length && (dataOff < 0 || channels == 0)) {
-        val id = tag(payload, off)
-        val size = u32(payload, off + 4).toInt
-        if (id == "fmt ") channels = u16(payload, off + 10)
+        val o = off.toInt
+        val id = tag(payload, o)
+        val size = u32(payload, o + 4)
+        if (id == "fmt ") channels = u16(payload, o + 10)
         else if (id == "data") {
-          dataOff = off + 8; dataLen = math.min(size, payload.length - dataOff)
+          dataOff = o + 8
+          dataLen = math.min(size, (payload.length - dataOff).toLong).toInt
         }
-        off += 8 + size + (size & 1)
+        off += 8L + size + (size & 1L)
       }
       require(channels == 1 && dataOff >= 0, "rawStats expects mono PCM")
       val frames = dataLen / 2
@@ -200,7 +206,9 @@ object Multimodal {
 
     def decode(kind: String, payload: Array[Byte]): Array[Float] = {
       val (w, h, maxval, off) = header(payload)
-      val n = math.min(w.toLong * h, payload.length - off).toInt
+      // partial images fail loudly, matching WavPcmDecoder's contract
+      require(payload.length - off >= w.toLong * h, "truncated PGM payload")
+      val n = w * h
       var sum = 0.0; var sumSq = 0.0
       var i = 0
       while (i < n) {
@@ -213,10 +221,29 @@ object Multimodal {
       Array(w.toFloat, h.toFloat, m.toFloat, math.sqrt(variance).toFloat)
     }
 
+    /** Exact integer statistics of the RAW (unnormalized, 0..maxval) pixel
+      * bytes: (n, Σp, Σp², max p) — order-independent and overflow-safe, the
+      * PGM twin of [[WavPcmDecoder.rawStats]] for the q53 round-trip gate. */
+    def rawStats(payload: Array[Byte]): (Long, Long, Long, Long) = {
+      val (w, h, _, off) = header(payload)
+      require(payload.length - off >= w.toLong * h, "truncated PGM payload")
+      val n = w * h
+      var sum = 0L; var sumSq = 0L; var mx = Long.MinValue
+      var i = 0
+      while (i < n) {
+        val p = (payload(off + i) & 0xFF).toLong
+        sum += p; sumSq += p * p
+        if (p > mx) mx = p
+        i += 1
+      }
+      (n.toLong, sum, sumSq, if (n == 0) 0L else mx)
+    }
+
     /** Nearest-neighbor resize → a new P5 payload (the brief's "resize"
       * media transform, runnable inside the same mapPartitions batch). */
     def resize(payload: Array[Byte], ow: Int, oh: Int): Array[Byte] = {
       val (w, h, maxval, off) = header(payload)
+      require(payload.length - off >= w.toLong * h, "truncated PGM payload")
       val head = s"P5\n$ow $oh\n$maxval\n"
         .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
       val out = new Array[Byte](head.length + ow * oh)
@@ -233,6 +260,39 @@ object Multimodal {
         y += 1
       }
       out
+    }
+  }
+
+  /** Encode 8-bit gray pixels (row-major, 0..255) as a binary-PGM (P5)
+    * payload — the synthesis half of the q53 round-trip gate. */
+  def encodePgm(w: Int, h: Int, pixels: Array[Int], maxval: Int = 255): Array[Byte] = {
+    require(pixels.length == w * h, "pixels must be w*h")
+    val head = s"P5\n$w $h\n$maxval\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val out = new Array[Byte](head.length + pixels.length)
+    System.arraycopy(head, 0, out, 0, head.length)
+    var i = 0
+    while (i < pixels.length) {
+      out(head.length + i) = pixels(i).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Kind-routing decoder: dispatch each row's payload to the decoder
+    * registered for its `kind`, falling back to `fallback` for unrouted
+    * kinds — so a MIXED media table decodes in ONE [[decodeFeatures]] pass
+    * instead of requiring an upstream split (each member decoder still
+    * throws on payloads malformed FOR ITS KIND). Feature vectors are
+    * zero-padded to the widest member dim so downstream consumers (e.g.
+    * [[Ann]]) see one fixed width. */
+  class RoutingDecoder(routes: Map[String, Decoder], fallback: Decoder)
+      extends Decoder {
+    val featureDim: Int = (routes.values.map(_.featureDim).toSeq :+
+      fallback.featureDim).max
+    def decode(kind: String, payload: Array[Byte]): Array[Float] = {
+      val f = routes.getOrElse(kind, fallback).decode(kind, payload)
+      if (f.length == featureDim) f else java.util.Arrays.copyOf(f, featureDim)
     }
   }
 

@@ -12,18 +12,38 @@ import org.apache.spark.sql.functions._
   */
 object Profiling {
 
-  /** Per-column profile: rows, nulls, null_rate, distinct (exact),
-    * min/max/mean as strings (type-erased for a uniform tall schema).
-    * One wide aggregate → one scan + one 1-row result. */
-  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val aggs = cols.flatMap { c =>
+  /** Per-column profile: rows, nulls, null_rate, distinct,
+    * min/max as strings (type-erased for a uniform tall schema).
+    *
+    * Distinct counts are the scale hazard: several exact `count_distinct`s
+    * in ONE aggregate make Catalyst Expand the input ×(distincts+1) and
+    * shuffle full value sets — the q48 lesson. So:
+    *   - `approxDistinct = true` (the 100 TB default): ONE scan, all columns
+    *     profiled in a single aggregate with HLL++ sketches
+    *     (`approx_count_distinct` is not a distinct-rewrite aggregate — no
+    *     Expand, fixed-size buffers).
+    *   - `approxDistinct = false` (the oracle-exact companion): the
+    *     non-distinct stats stay in one scan; each exact distinct runs as
+    *     its OWN single-column aggregate (a single distinct never Expands,
+    *     and column pruning means each pass reads one column from parquet),
+    *     joined back as broadcast 1-row results. */
+  def profile(df: DataFrame, cols: Seq[String],
+              approxDistinct: Boolean = true, rsd: Double = 0.01): DataFrame = {
+    val baseAggs = cols.flatMap { c =>
       Seq(count(col(c)).as(s"__cnt_$c"),
-          count_distinct(col(c)).as(s"__dst_$c"),
           min(col(c)).cast("string").as(s"__min_$c"),
-          max(col(c)).cast("string").as(s"__max_$c"))
+          max(col(c)).cast("string").as(s"__max_$c")) ++
+        (if (approxDistinct)
+           Seq(approx_count_distinct(col(c), rsd).as(s"__dst_$c")) else Nil)
     }
     val total = count(lit(1)).as("__total")
-    val wide = df.agg(total, aggs: _*)
+    val base = df.agg(total, baseAggs: _*)
+    val wide =
+      if (approxDistinct) base
+      else cols.foldLeft(base) { (acc, c) =>
+        acc.crossJoin(broadcast(
+          df.select(col(c)).agg(count_distinct(col(c)).as(s"__dst_$c"))))
+      }
     // pivot the single wide row to a tall (column, metric...) table
     val stacked = cols.map { c =>
       struct(lit(c).as("col_name"),
@@ -71,22 +91,39 @@ object Profiling {
 
   /** Robust per-column outlier scan: median/MAD z-scores (Iglewicz-Hoaglin;
     * 1.4826·MAD estimates σ under normality), which — unlike mean/stddev
-    * scoring — don't let the outliers drag their own threshold. Three full
-    * passes, each ONE aggregate over all columns (exact medians via
-    * `percentile`): medians → MADs (|x−median| medians) → outlier counts.
-    * Tall output: (column, median, mad, n_outliers). At 100 TB swap the
-    * exact percentiles for `percentile_approx` (q48 gates that the sketch
-    * tracks the exact value). */
-  def robustOutliers(df: DataFrame, cols: Seq[String],
-                     z: Double = 3.5): DataFrame = {
-    val medAggs = cols.map(c => expr(s"percentile($c, 0.5)"))
-    val medRow = df.agg(medAggs.head, medAggs.tail: _*).head()
-    val med = cols.indices.map(medRow.getDouble).toArray
-    val madAggs = cols.zipWithIndex.map { case (c, i) =>
-      expr(s"percentile(abs($c - ${med(i)}), 0.5)")
-    }
-    val madRow = df.agg(madAggs.head, madAggs.tail: _*).head()
-    val mad = cols.indices.map(madRow.getDouble).toArray
+    * scoring — don't let the outliers drag their own threshold. Three
+    * passes: medians → MADs (|x−median| medians) → outlier counts. Tall
+    * output: (column, median, mad, n_outliers).
+    *
+    * `approx = true` (the 100 TB default) uses `percentile_approx` — a
+    * fixed-size t-digest-style sketch per column, one aggregate per pass,
+    * bounded memory ([[approxOutlierGate]] anchors the sketch to the data).
+    * `approx = false` is the oracle-exact companion: exact `percentile`
+    * buffers the full per-column value map in one final task, so each
+    * column runs as its OWN single-column aggregate and the columns run as
+    * CONCURRENT jobs (per-task buffer = one column, wall-clock ≈ one
+    * column's pass). */
+  def robustOutliers(df: DataFrame, cols: Seq[String], z: Double = 3.5,
+                     approx: Boolean = true, accuracy: Int = 10000): DataFrame = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    def p50(c: Column): Column =
+      if (approx) percentile_approx(c, lit(0.5), lit(accuracy))
+      else call_function("percentile", c, lit(0.5))
+    def medianPass(exprs: Seq[Column]): Array[Double] =
+      if (approx) {
+        val r = df.agg(p50(exprs.head), exprs.tail.map(p50): _*).head()
+        cols.indices.map(r.getDouble).toArray
+      } else {
+        val futs = exprs.map(e =>
+          Future(df.select(e.as("__x")).agg(p50(col("__x"))).head().getDouble(0)))
+        futs.map(Await.result(_, Duration.Inf)).toArray
+      }
+    val med = medianPass(cols.map(col))
+    val mad = medianPass(cols.zipWithIndex.map { case (c, i) =>
+      abs(col(c) - med(i))
+    })
     val cntAggs = cols.zipWithIndex.map { case (c, i) =>
       sum(when(abs(col(c) - med(i)) > z * 1.4826 * mad(i), 1L).otherwise(0L))
     }
@@ -99,5 +136,39 @@ object Profiling {
     }
     df.sparkSession.range(1)
       .select(explode(array(rows: _*)).as("v")).select("v.*")
+  }
+
+  /** q48-style sketch gate for [[robustOutliers]]'s approx mode: for every
+    * column, the EXACT rank of the sketch median must sit within n·delta of
+    * n/2 (`percentile_approx`'s contract is rank error ≤ n/accuracy, so
+    * delta = 0.01 leaves a 100× deterministic margin at the default
+    * accuracy), and likewise the sketch MAD's rank within the |x − med~|
+    * distribution. Duplicate-heavy columns are handled by interval logic:
+    * a value's rank is the interval (count(<v), count(≤v)], which must
+    * intersect the target band. Cost: two bounded-sketch aggregates + ONE
+    * counting scan — no full-value buffers anywhere. Returns column → 1/0. */
+  def approxOutlierGate(df: DataFrame, cols: Seq[String],
+                        accuracy: Int = 10000, delta: Double = 0.01): Map[String, Long] = {
+    val medAggs = cols.map(c => percentile_approx(col(c), lit(0.5), lit(accuracy)))
+    val medRow = df.agg(medAggs.head, medAggs.tail: _*).head()
+    val apxMed = cols.indices.map(medRow.getDouble).toArray
+    val madAggs = cols.zipWithIndex.map { case (c, i) =>
+      percentile_approx(abs(col(c) - apxMed(i)), lit(0.5), lit(accuracy))
+    }
+    val madRow = df.agg(madAggs.head, madAggs.tail: _*).head()
+    val apxMad = cols.indices.map(madRow.getDouble).toArray
+    val cnts = cols.zipWithIndex.flatMap { case (c, i) =>
+      val dev = abs(col(c) - apxMed(i))
+      Seq(count(when(col(c) < apxMed(i), 1)), count(when(col(c) <= apxMed(i), 1)),
+        count(when(dev < apxMad(i), 1)), count(when(dev <= apxMad(i), 1)))
+    } :+ count(lit(1))
+    val r = df.agg(cnts.head, cnts.tail: _*).head()
+    val n = r.getLong(4 * cols.size).toDouble
+    val lo = n * (0.5 - delta); val hi = n * (0.5 + delta)
+    cols.zipWithIndex.map { case (c, i) =>
+      val medOk = r.getLong(4 * i) <= hi && r.getLong(4 * i + 1) >= lo
+      val madOk = r.getLong(4 * i + 2) <= hi && r.getLong(4 * i + 3) >= lo
+      c -> (if (medOk && madOk) 1L else 0L)
+    }.toMap
   }
 }

@@ -44,26 +44,21 @@ object SdeForecast {
     * LAPACK call). Returns the per-window modal coefficients as array col
     * `coeff` (length nModes). */
   def podCoefficients(windows: DataFrame, nModes: Int = 5): DataFrame = {
-    val spark = windows.sparkSession
     val assembled = windows.select(col("win_id"),
       concat(col("hist"), col("target")).as("v"))
     val rows = assembled.select("v").rdd
       .map(r => MlVectors.dense(r.getSeq[Double](0).toArray))
     val mat = new RowMatrix(rows)
     val svd = mat.computeSVD(nModes, computeU = false)
-    val vBroadcast = spark.sparkContext.broadcast(svd.V.toArray) // col-major (nCols x k)
+    val vArr = svd.V.toArray // col-major (nCols x k); tiny — a plan literal
     val nCols = svd.V.numRows
     val k = svd.V.numCols
-    val coeffUdf = udf { (v: Seq[Double]) =>
-      val vt = vBroadcast.value
-      Array.tabulate(k)(m => {
-        var s = 0.0
-        var j = 0
-        while (j < nCols) { s += v(j) * vt(m * nCols + j); j += 1 }
-        s
-      })
-    }
-    assembled.withColumn("coeff", coeffUdf(col("v"))).drop("v")
+    // per-mode projection as codegen'd DotProduct expressions (the
+    // Pca.project pattern) — no UDF, so Catalyst can prune/codegen through
+    val coeffs = array((0 until k).map { m =>
+      VectorOps.dot(col("v"), lit(vArr.slice(m * nCols, (m + 1) * nCols)))
+    }: _*)
+    assembled.withColumn("coeff", coeffs).drop("v")
   }
 
   /** Density-weighted initial window sample: per mode m, KDE the coefficient,

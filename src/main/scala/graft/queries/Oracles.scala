@@ -697,8 +697,8 @@ object Oracles {
                       epoch_us(CAST(ts AS TIMESTAMP))::DOUBLE AS x
                FROM events WHERE event_type = 'click'),
     p AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP))::DOUBLE AS kx,
-                 value AS ky
-          FROM events WHERE event_type = 'purchase'),
+                 avg(value) AS ky
+          FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
     prev AS (SELECT c.event_id, c.user_id, c.x, p.kx AS px, p.ky AS pv
              FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.x >= p.kx),
     nxt AS (SELECT c.event_id, p.kx AS nx, p.ky AS nv
@@ -731,7 +731,7 @@ object Oracles {
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
     cols.map { c =>
       s"""SELECT '$c' AS "column", round(m, 6) AS median, round(d, 6) AS mad,
-                 CAST(n AS BIGINT) AS n_outliers
+                 CAST(n AS BIGINT) AS n_outliers, CAST(1 AS BIGINT) AS apx_ok
           FROM (SELECT quantile_cont($c, 0.5) AS m FROM lineitem) mm,
                LATERAL (SELECT quantile_cont(abs($c - mm.m), 0.5) AS d
                         FROM lineitem) dd,
@@ -746,13 +746,31 @@ object Oracles {
   // encode/parse defect.
   val q52 = """
     WITH s AS (SELECT user_id,
-                      CAST(LEAST(floor(value * 60), 32767) AS BIGINT) AS q
+                      CAST(GREATEST(LEAST(floor(value * 60), 32767), -32768) AS BIGINT) AS q
                FROM events)
     SELECT user_id, CAST(count(*) AS BIGINT) AS n_samples,
            CAST(sum(q) AS BIGINT) AS sum_q,
            CAST(sum(q * q) AS BIGINT) AS sum_q2,
            CAST(max(q) AS BIGINT) AS peak_q
     FROM s GROUP BY user_id ORDER BY user_id"""
+
+  // PGM round-trip: replays the quantize → encode → decode → resize chain
+  // from the raw table; the resize is replayed through the SAME integer
+  // source-index arithmetic (sx = x*w/ow) via 1-based list indexing.
+  val q53 = """
+    WITH s AS (SELECT user_id, event_id,
+                      CAST(GREATEST(LEAST(floor(value), 255), 0) AS BIGINT) AS p
+               FROM events),
+    g AS (SELECT user_id, list(p ORDER BY event_id) AS ps FROM s GROUP BY user_id)
+    SELECT user_id,
+           CAST(len(ps) AS BIGINT) AS n_px,
+           CAST(list_sum(ps) AS BIGINT) AS sum_p,
+           CAST(list_sum(list_transform(ps, p -> p * p)) AS BIGINT) AS sum_p2,
+           CAST(list_max(ps) AS BIGINT) AS max_p,
+           CAST(LEAST(len(ps), 7) AS BIGINT) AS n_resized,
+           CAST(list_sum(list_transform(range(LEAST(len(ps), 7)),
+                x -> ps[(x * len(ps) // LEAST(len(ps), 7)) + 1])) AS BIGINT) AS sum_resized
+    FROM g ORDER BY user_id"""
 
   /** name → oracle SQL (single-line, driver JSON-escapes anyway). */
   val all: Map[String, String] = Map(
@@ -807,6 +825,7 @@ object Oracles {
     "q49_interp_join" -> q49,
     "q50_heavy_hitters" -> q50,
     "q51_robust_outliers" -> q51,
-    "q52_wav_roundtrip" -> q52
+    "q52_wav_roundtrip" -> q52,
+    "q53_pgm_roundtrip" -> q53
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

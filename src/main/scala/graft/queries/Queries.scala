@@ -280,10 +280,14 @@ object Queries {
       .orderBy("n_name")
   }
 
-  /** Per-column profile of orders (M9 / north-star profiling). */
+  /** Per-column profile of orders (M9 / north-star profiling). Registered in
+    * the exact-distinct mode so DuckDB's count(DISTINCT) replays it; exact
+    * distincts run as per-column single-distinct aggregates (no Expand —
+    * the q48 lesson). `approxDistinct = true` is the one-scan 100 TB path. */
   def q21ProfileOrders(s: SparkSession, d: String): DataFrame =
     Profiling.profile(Tables.orders(s, d),
-      Seq("o_custkey", "o_orderstatus", "o_orderpriority")).orderBy("col_name")
+      Seq("o_custkey", "o_orderstatus", "o_orderpriority"),
+      approxDistinct = false).orderBy("col_name")
 
   /** Validation rules over lineitem in one pass. */
   def q22Validate(s: SparkSession, d: String): DataFrame =
@@ -464,16 +468,21 @@ object Queries {
       .orderBy("id")
 
   /** S3 Latin-hypercube source: stratification property is oracle-checked
-    * structurally (one sample per stratum per dimension). */
+    * structurally (one sample per stratum per dimension). The two distinct
+    * counts run as separate single-distinct aggregates (two distincts in
+    * one agg would take Catalyst's Expand path — q48 lesson; trivial here
+    * but the plan guard holds every registered query to it). */
   def q33LhsStrata(s: SparkSession, d: String): DataFrame = {
     val n = 64
     val lhs = Sources.latinHypercube(s, Domain(Seq((0.0, 1.0), (0.0, 1.0))), n, seed = 42)
-    // per dimension: every stratum [i/n,(i+1)/n) holds exactly one sample
-    lhs.select(
+      .select(
         floor(col("x1") * n).cast("long").as("s1"),
         floor(col("x2") * n).cast("long").as("s2"))
-      .agg(count_distinct(col("s1")).as("d1"), count_distinct(col("s2")).as("d2"),
-        count(lit(1)).as("n"))
+      .localCheckpoint()
+    // per dimension: every stratum [i/n,(i+1)/n) holds exactly one sample
+    lhs.agg(count_distinct(col("s1")).as("d1"), count(lit(1)).as("n"))
+      .crossJoin(broadcast(lhs.agg(count_distinct(col("s2")).as("d2"))))
+      .select(col("d1"), col("d2"), col("n"))
   }
 
   /** As-of join (backward): each click event picks up the latest purchase
@@ -541,7 +550,12 @@ object Queries {
       .orderBy("o_custkey", "rn")
   }
 
-  /** Exact interpolated percentiles of quantity per return flag. */
+  /** Exact interpolated percentiles of quantity per return flag — the
+    * labeled EXACT-percentile oracle companion of q48's sketch path (the
+    * q15/q16 labeling convention): at 100 TB the registered substitute is
+    * `percentile_approx`, which q48 and q51 gate against exact values;
+    * this query pins the exact `percentile` ↔ `quantile_cont` parity the
+    * gates rely on. Small per-group value maps here (grouped by flag). */
   def q39Percentiles(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy("l_returnflag")
@@ -666,8 +680,11 @@ object Queries {
     val ev = Tables.events(s, d)
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("event_id"), col("user_id"), col("ts"))
+    // knots pre-aggregated per (user, ts): duplicate-timestamp purchases
+    // would otherwise make the ASOF-oracle tie-break undefined
     val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("ts").as("p_ts"), col("value"))
+      .groupBy(col("user_id"), col("ts").as("p_ts"))
+      .agg(avg("value").as("value"))
     Joins.interpolationJoin(clicks, purchases, Seq("user_id"),
         unix_micros(col("ts")), unix_micros(col("p_ts")), col("value"))
       .select(col("event_id"), col("user_id"),
@@ -684,7 +701,10 @@ object Queries {
     * plumbing becomes driver-checked, not just unit-tested. */
   def q52WavRoundtrip(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val q = least(floor(col("value") * 60), lit(32767L)).cast("int")
+    // clamp BOTH ends: an unclamped negative would wrap in toShort while the
+    // oracle sums the unwrapped value — latent hash break on new fixtures
+    val q = greatest(least(floor(col("value") * 60), lit(32767L)), lit(-32768L))
+      .cast("int")
     Tables.events(s, d)
       .select(col("user_id"), q.as("q"))
       .groupBy("user_id").agg(collect_list("q").as("qs"))
@@ -698,13 +718,57 @@ object Queries {
       .orderBy("user_id")
   }
 
+  /** PGM image round-trip gate — q52's image twin: per user, quantize the
+    * event-value series (ordered by event_id) to 8-bit gray, ENCODE it as a
+    * real binary-PGM payload, byte-DECODE it back, nearest-neighbor RESIZE
+    * to width 7, and emit exact integer pixel stats of both images. The
+    * oracle replays everything from the raw table — including the resize's
+    * source-index arithmetic (`sx = x·w/ow`, integer division) via list
+    * indexing — so any defect in the header encode/parse, pixel layout, or
+    * resize mapping breaks the hash equality. */
+  def q53PgmRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val p = greatest(least(floor(col("value")), lit(255L)), lit(0L)).cast("int")
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), p.as("p"))
+      .groupBy("user_id")
+      // sort_array over (event_id, p) structs: deterministic pixel order
+      // (event_id is unique) without a global sort
+      .agg(sort_array(collect_list(struct(col("event_id"), col("p")))).as("px"))
+      .as[(Long, Seq[(Long, Int)])]
+      .map { case (u, px) =>
+        val pixels = px.map(_._2).toArray
+        val w = pixels.length
+        val img = Multimodal.encodePgm(w, 1, pixels)
+        val dec = new Multimodal.PgmDecoder()
+        val (n, sp, sp2, mx) = dec.rawStats(img)
+        val ow = math.min(w, 7)
+        val (rn, rsp, _, _) = dec.rawStats(dec.resize(img, ow, 1))
+        (u, n, sp, sp2, mx, rn, rsp)
+      }
+      .toDF("user_id", "n_px", "sum_p", "sum_p2", "max_p",
+        "n_resized", "sum_resized")
+      .orderBy("user_id")
+  }
+
   /** Robust per-column outlier profile of the lineitem measures:
     * median/MAD z-scores (outliers can't drag their own threshold the way
-    * mean/stddev scoring lets them). */
-  def q51RobustOutliers(s: SparkSession, d: String): DataFrame =
-    Profiling.robustOutliers(Tables.lineitem(s, d),
-        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
-      .orderBy("column")
+    * mean/stddev scoring lets them). q48-pattern gate query: the EXACT
+    * stats are the hash anchor (per-column concurrent single-column
+    * aggregates — the oracle-parity companion, like q39), and `apx_ok`
+    * gates the bounded-memory `percentile_approx` path — the mode a 100 TB
+    * run uses standalone (`Profiling.robustOutliers(approx = true)`) — by
+    * rank-checking the sketch medians/MADs against the data. */
+  def q51RobustOutliers(s: SparkSession, d: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val li = Tables.lineitem(s, d)
+    val exact = Profiling.robustOutliers(li, cols, approx = false)
+    val gate = Profiling.approxOutlierGate(li, cols)
+    val flag = cols.foldLeft(lit(null).cast("long")) { (acc, c) =>
+      when(col("column") === lit(c), lit(gate(c))).otherwise(acc)
+    }
+    exact.withColumn("apx_ok", flag).orderBy("column")
+  }
 
   /** Corpus heavy hitters: exact top-20 tokens (count desc, token asc —
     * deterministic, hash-checked vs DuckDB) plus a gate on the property
@@ -716,10 +780,13 @@ object Queries {
   def q50HeavyHitters(s: SparkSession, d: String): DataFrame = {
     val capacity = 1024
     val docs = Tables.documents(s, d)
-    val exact = HeavyHitters.exactTopK(docs, col("text"), 20)
+    // TWO corpus scans total: the word-count aggregate (checkpointed — it
+    // feeds both the top-k and the total-count denominator, distinct-word
+    // sized) and the Misra-Gries sketch pass it gates.
+    val counts = HeavyHitters.wordCounts(docs, col("text")).localCheckpoint()
+    val n = counts.agg(sum("cnt")).head().getLong(0)
+    val exact = counts.orderBy(desc("cnt"), col("word")).limit(20)
     val cands = HeavyHitters.misraGriesCandidates(docs, col("text"), capacity)
-    val n = docs.select(explode(TextOps.tokens(col("text"))))
-      .count() // total token count: the guarantee's denominator
     val top = exact.select("word", "cnt").collect() // ≤ 20 rows
     val mustSurvive = top.filter(_.getLong(1) > n / (capacity + 1))
       .map(_.getString(0))
@@ -738,21 +805,30 @@ object Queries {
     * gate on the sf0.001 cardinalities; percentile_approx rank error
     * n/accuracy → well under 1% in value on the price distribution). */
   def q48SketchGates(s: SparkSession, d: String): DataFrame = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
     val li = Tables.lineitem(s, d)
-    // THREE separate aggregations, deliberately: mixing two exact
-    // count-distincts with `percentile` in one agg makes Spark Expand the
-    // input x3 and build the percentile value-map on every expanded branch
-    // (measured 115 s at sf0.1 vs ~2 s split).
-    val sk = li.agg(
+    // SEPARATE aggregations, deliberately: mixing exact count-distincts
+    // with `percentile` in one agg makes Spark Expand the input x3 and
+    // build the percentile value-map on every expanded branch (measured
+    // 115 s at sf0.1 vs ~2 s split); even two exact distincts alone Expand
+    // x3, so each runs as its own single-distinct, single-column aggregate
+    // (column-pruned scan) — all four passes submitted concurrently.
+    val skF = Future(li.agg(
       approx_count_distinct(col("l_orderkey"), 0.01).as("h_ok"),
       approx_count_distinct(col("l_partkey"), 0.01).as("h_pk"),
       percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p_apx"))
-      .head()
-    val ex = li.agg(
-      countDistinct(col("l_orderkey")).as("n_ok"),
-      countDistinct(col("l_partkey")).as("n_pk")).head()
-    val pEx = li.agg(expr("percentile(l_extendedprice, 0.5)")).head().getDouble(0)
-    val nOk = ex.getLong(0); val nPk = ex.getLong(1)
+      .head())
+    val okF = Future(li.select(col("l_orderkey"))
+      .agg(countDistinct(col("l_orderkey"))).head().getLong(0))
+    val pkF = Future(li.select(col("l_partkey"))
+      .agg(countDistinct(col("l_partkey"))).head().getLong(0))
+    val pF = Future(li.agg(expr("percentile(l_extendedprice, 0.5)")).head().getDouble(0))
+    val sk = Await.result(skF, Duration.Inf)
+    val nOk = Await.result(okF, Duration.Inf)
+    val nPk = Await.result(pkF, Duration.Inf)
+    val pEx = Await.result(pF, Duration.Inf)
     val hllOk = math.abs(sk.getLong(0).toDouble / nOk - 1.0) <= 0.05 &&
       math.abs(sk.getLong(1).toDouble / nPk - 1.0) <= 0.05
     val pctlOk = math.abs(sk.getDouble(2) / pEx - 1.0) <= 0.01

@@ -2,8 +2,9 @@ package graft
 
 import graft.queries.Queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
+import org.apache.spark.sql.catalyst.plans.logical.{Expand, Window => LogicalWindow}
 import org.apache.spark.sql.execution.joins.CartesianProductExec
+import org.apache.spark.sql.functions.{col, count_distinct}
 
 /** Plan-shape regression guards: the properties that make queries survive a
   * 100× scale-up are plan properties, not result properties — assert them
@@ -36,21 +37,22 @@ class PlanGuardsSpec extends SparkSpec {
     qs.foreach { case (n, fn) => assertNoGlobalWindow(fn(spark, sf001), n) }
   }
 
+  // queries whose construction is fully lazy (no driver-side fit/collect);
+  // the checkpointing/fitting ones are covered by the Explain audit
+  private val lazyOnes = Seq(
+    "q01_pricing_summary", "q02_error_metrics", "q03_histogram", "q04_trapz",
+    "q05_minmax_scale", "q06_inv_density_weights", "q07_middle_lookup",
+    "q08_topk", "q09_pool_deletion", "q10_dedup_groups", "q11_token_stats",
+    "q12_quality", "q13_lang_id", "q14_fingerprints", "q16_cosine_topk",
+    "q17_embedding_pairs", "q18_json", "q19_hourly", "q20_revenue_by_nation",
+    "q21_profile_orders", "q22_validate", "q23_dup_keys", "q24_window_sums",
+    "q27_sliding_windows", "q31_ann_topk_agg", "q35_asof_join",
+    "q36_sessionize", "q37_cube", "q39_percentiles", "q40_left_join",
+    "q41_multi_distinct", "q42_stratified_sample", "q43_contamination",
+    "q45_quality_gate", "q46_repetition", "q47_range_join",
+    "q49_interp_join")
+
   test("no lazily-constructed query plans a cartesian product") {
-    // queries whose construction is fully lazy (no driver-side fit/collect);
-    // the checkpointing/fitting ones are covered by the Explain audit
-    val lazyOnes = Seq(
-      "q01_pricing_summary", "q02_error_metrics", "q03_histogram", "q04_trapz",
-      "q05_minmax_scale", "q06_inv_density_weights", "q07_middle_lookup",
-      "q08_topk", "q09_pool_deletion", "q10_dedup_groups", "q11_token_stats",
-      "q12_quality", "q13_lang_id", "q14_fingerprints", "q16_cosine_topk",
-      "q17_embedding_pairs", "q18_json", "q19_hourly", "q20_revenue_by_nation",
-      "q21_profile_orders", "q22_validate", "q23_dup_keys", "q24_window_sums",
-      "q27_sliding_windows", "q31_ann_topk_agg", "q35_asof_join",
-      "q36_sessionize", "q37_cube", "q39_percentiles", "q40_left_join",
-      "q41_multi_distinct", "q42_stratified_sample", "q43_contamination",
-      "q45_quality_gate", "q46_repetition", "q47_range_join",
-      "q49_interp_join")
     lazyOnes.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf001)
       val cartesians = df.queryExecution.executedPlan.collect {
@@ -58,5 +60,28 @@ class PlanGuardsSpec extends SparkSpec {
       }
       assert(cartesians.isEmpty, s"$name plans a CartesianProduct")
     }
+  }
+
+  private def expandNodes(df: DataFrame): Seq[Expand] =
+    df.queryExecution.optimizedPlan.collect { case e: Expand => e }.toSeq
+
+  test("no registered query plans an Expand over its input") {
+    // Expand replicates every input row once per branch — the multi-distinct
+    // scale trap (q48 lesson: 115 s vs 2 s at sf0.1). q37 (CUBE is Expand by
+    // definition) and q41 (the deliberate multi-distinct surface) are the
+    // two documented exceptions.
+    val exceptions = Set("q37_cube", "q41_multi_distinct")
+    lazyOnes.filterNot(exceptions).foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sf001)
+      assert(expandNodes(df).isEmpty,
+        s"$name plans an Expand (multi-distinct/grouping-sets replication)")
+    }
+  }
+
+  test("the Expand guard detects a deliberately-bad multi-distinct probe") {
+    val bad = Tables.lineitem(spark, sf001).agg(
+      count_distinct(col("l_partkey")), count_distinct(col("l_suppkey")))
+    assert(expandNodes(bad).nonEmpty,
+      "probe with two exact distincts should plan an Expand — guard is blind")
   }
 }

@@ -200,6 +200,36 @@ class DedupSpec extends SparkSpec {
       5L -> 5L, 6L -> 5L, 7L -> 7L), s"got $got")
   }
 
+  test("clusters runs ≤ 2 actions per round (convergence count rides the jump job)") {
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    val pairs = Seq((0L, 1L), (1L, 2L), (5L, 6L)).toDF("id_a", "id_b")
+    val ids = (0L to 7L).toDF("doc_id")
+    val actions = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new QueryExecutionListener {
+      override def onSuccess(f: String, qe: QueryExecution, ns: Long): Unit = {
+        actions.incrementAndGet(); ()
+      }
+      override def onFailure(f: String, qe: QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val (labels, rounds) = Dedup.clustersWithRounds(pairs, ids)
+      assert(labels.count() == 8)
+      // listener events are async — wait for the bus to drain
+      var last = -1
+      while (actions.get() != last) { last = actions.get(); Thread.sleep(300) }
+      // budget: 2 setup checkpoints (edges, labels) + 2 ACTIONS per round
+      // (propagate checkpoint + jump checkpoint; the convergence test is an
+      // accumulator filled inside the jump job, not a third action) + 1 for
+      // the count() above. The old shape spent a 3rd action per round on a
+      // limit(1).count convergence probe.
+      val budget = 2 + 2 * rounds + 1
+      assert(actions.get() <= budget,
+        s"clusters ran ${actions.get()} actions for $rounds rounds (budget $budget)")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("embeddingNearDupPairs finds duplicated vectors") {
     val rnd = new scala.util.Random(5)
     def vec() = Array.fill(16)(rnd.nextGaussian().toFloat)

@@ -92,6 +92,61 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(1L).zip(feats(2L)).forall { case (x, y) => math.abs(x - y) < 1e-6 })
   }
 
+  test("RoutingDecoder decodes a MIXED media table in one pass") {
+    val sine = Array.tabulate(800)(i =>
+      (8000 * math.sin(2 * math.Pi * 440 * i / 16000)).toShort)
+    val wav = wavBytes(16000, 1, Array(sine))
+    val pgm = Multimodal.encodePgm(4, 2, Array(0, 64, 128, 255, 10, 20, 30, 40))
+    val txt = "plain text payload".getBytes
+    val media = Seq(
+      MediaRow(1L, "audio", wav, 0, 0, 16000),
+      MediaRow(2L, "image", pgm, 4, 2, 0),
+      MediaRow(3L, "video", txt, 0, 0, 0)
+    ).toDS()
+    val router = new Multimodal.RoutingDecoder(
+      Map("audio" -> new Multimodal.WavPcmDecoder,
+        "image" -> new Multimodal.PgmDecoder),
+      fallback = new Multimodal.StubDecoder(16))
+    assert(router.featureDim == 16)
+    val feats = Multimodal.decodeFeatures(media, router)
+      .collect().map(f => f.media_id -> f.features).toMap
+    assert(feats.values.forall(_.length == 16), "all vectors padded to one width")
+    assert(math.abs(feats(1L)(0) - 800.0 / 16000) < 1e-4, "audio routed to WAV decoder")
+    assert(feats(2L)(0) == 4.0f && feats(2L)(1) == 2.0f, "image routed to PGM decoder")
+    assert(feats(1L).drop(4).forall(_ == 0.0f), "short vectors zero-padded")
+    assert(math.abs(feats(3L).map(_.toDouble).sum - 1.0) < 1e-5, "fallback histogram")
+  }
+
+  test("corrupt RIFF chunk sizes throw instead of hanging the walk") {
+    val sine = Array.tabulate(100)(i => (1000 * math.sin(i / 7.0)).toShort)
+    val wav = wavBytes(16000, 1, Array(sine))
+    // corrupt the fmt chunk size to 0xFFFFFFF8 (-8 as a signed int: the old
+    // Int walk stopped advancing; the Long walk overshoots and throws)
+    val bad = wav.clone()
+    bad(16) = 0xF8.toByte; bad(17) = 0xFF.toByte
+    bad(18) = 0xFF.toByte; bad(19) = 0xFF.toByte
+    val dec = new Multimodal.WavPcmDecoder
+    intercept[IllegalArgumentException](dec.decode("audio", bad))
+    intercept[IllegalArgumentException](dec.rawStats(bad))
+  }
+
+  test("truncated PGM payloads fail loudly in decode, resize, and rawStats") {
+    val full = Multimodal.encodePgm(8, 4, Array.tabulate(32)(i => i * 7 % 256))
+    val truncated = full.dropRight(10)
+    val dec = new Multimodal.PgmDecoder
+    intercept[IllegalArgumentException](dec.decode("image", truncated))
+    intercept[IllegalArgumentException](dec.resize(truncated, 4, 2))
+    intercept[IllegalArgumentException](dec.rawStats(truncated))
+  }
+
+  test("encodePgm → rawStats round-trip matches closed-form integer stats") {
+    val px = Array.tabulate(21)(i => (i * 12) % 256)
+    val img = Multimodal.encodePgm(21, 1, px)
+    val (n, s1, s2, mx) = new Multimodal.PgmDecoder().rawStats(img)
+    assert(n == 21 && s1 == px.map(_.toLong).sum)
+    assert(s2 == px.map(p => p.toLong * p).sum && mx == px.max.toLong)
+  }
+
   test("PgmDecoder parses P5 images and resizes by nearest neighbor") {
     val w = 64; val h = 32
     // horizontal ramp: pixel value = x * 255 / (w-1)

@@ -50,10 +50,27 @@ class ProfilingSpec extends SparkSpec {
     // sit at |x-50| = 950 >> 3.5 * 1.4826 * 26 ≈ 134.9
     val vals = (0 to 100).map(_.toDouble) ++ Seq(1000.0, -900.0)
     val d = vals.map(v => (v, v / 2)).toDF("a", "b")
-    val got = Profiling.robustOutliers(d, Seq("a", "b"))
-      .collect().map(r => r.getString(0) ->
-        ((r.getDouble(1), r.getDouble(2), r.getLong(3)))).toMap
-    assert(got("a") == ((50.0, 26.0, 2L)), s"${got("a")}")
-    assert(got("b") == ((25.0, 13.0, 2L)), s"${got("b")}")
+    for (approx <- Seq(true, false)) {
+      // both modes agree here: at n=103 the sketch is exact and the odd
+      // count makes the interpolated median a data value
+      val got = Profiling.robustOutliers(d, Seq("a", "b"), approx = approx)
+        .collect().map(r => r.getString(0) ->
+          ((r.getDouble(1), r.getDouble(2), r.getLong(3)))).toMap
+      assert(got("a") == ((50.0, 26.0, 2L)), s"approx=$approx: ${got("a")}")
+      assert(got("b") == ((25.0, 13.0, 2L)), s"approx=$approx: ${got("b")}")
+    }
+  }
+
+  test("approxOutlierGate passes when the sketch tracks the data") {
+    val vals = (0 to 100).map(_.toDouble) ++ Seq(1000.0, -900.0)
+    val d = vals.map(v => (v, v / 2)).toDF("a", "b")
+    assert(Profiling.approxOutlierGate(d, Seq("a", "b")) ==
+      Map("a" -> 1L, "b" -> 1L))
+  }
+
+  test("profile exact mode matches approx mode on small-cardinality data") {
+    val exact = Profiling.profile(df, Seq("x", "s"), approxDistinct = false)
+      .collect().map(r => r.getAs[String]("col_name") -> r.getAs[Long]("n_distinct")).toMap
+    assert(exact == Map("x" -> 2L, "s" -> 2L))
   }
 }
