@@ -112,4 +112,63 @@ object ActiveSampling {
     import spark.implicits._
     ms.toDF()
   }
+
+  /** Deterministic flagship-loop trace (the q54 oracle gate): runs the REAL
+    * active-sampling machinery — inverse-density Efraimidis–Spirakis init
+    * sample, then per iteration the three explorer [[Selection.selectAndMove]]
+    * top-1 picks (SE / US / US-LW) over the shrinking pool — in the
+    * oracle-parity configuration (the q25/q26 convention):
+    *
+    *   - fixture = the 50×50 grid + synthetic label (the q32 stage-0 set);
+    *   - scorer surrogate = closed-form pred/var column expressions (the
+    *     tree ensemble is not SQL-replayable; [[AnalyticScorer]] precedent);
+    *   - density = a FIXED-parameter Gaussian N(0.5, 0.5) instead of the
+    *     refit KDE (the KDE-weighted form stays the flagship `run`,
+    *     exercised by unit tests and the entry smoke);
+    *   - sampling uniform u = 52-bit md5 of the id (exact in a double on
+    *     any engine — the q26 device) instead of rand(seed).
+    *
+    * Every selection is then a pure deterministic function of the fixture,
+    * so DuckDB can replay the full 9-pick trace — init removal included —
+    * with a recursive CTE, and any defect in the select-and-move loop
+    * (scoring, tie-break, pool bookkeeping) breaks the hash equality.
+    * Returns (iter, explorer, selected_id, score). */
+  def deterministicTrace(spark: SparkSession, iterations: Int = 3,
+                         initK: Int = 100): DataFrame = {
+    import graft.operators.{Domain, Sources}
+    import spark.implicits._
+    def dens(v: Column): Column = {
+      val t = (v - lit(0.5)) / lit(0.5)
+      exp(lit(-0.5) * (t * t)) / (lit(0.5) * sqrt(lit(2.0) * lit(math.Pi)))
+    }
+    val pred = Pdfs.syntheticLabel(col("x1") * lit(0.9), col("x2") * lit(0.9))
+    val vvar = lit(0.05) + lit(0.3) * (col("x1") * col("x1") + col("x2") * col("x2"))
+    val u = conv(substring(md5(col("id").cast("string").cast("binary")), 1, 13),
+      16, 10).cast("long").cast("double") / lit(4503599627370496.0)
+    val scored = Sources.grid(spark, Domain(Seq((-1.0, 1.0), (-1.0, 1.0))), 50)
+      .withColumn("y", Pdfs.syntheticLabel(col("x1"), col("x2")))
+      .select(col("id"), col("y"), pred.as("pred"), vvar.as("var"), u.as("u"))
+      .withColumn("se", (col("pred") - col("y")) * (col("pred") - col("y")))
+      .withColumn("us", col("var"))
+      .withColumn("lw", col("var") / greatest(dens(col("pred")), lit(1e-12)))
+      .withColumn("es_key", log(col("u")) * dens(col("y")))
+      .localCheckpoint()
+    val init = scored.orderBy(desc("es_key"), col("id")).limit(initK)
+      .select("id").localCheckpoint()
+    var pool = Selection.removeById(scored, init, "id").localCheckpoint()
+    var train = scored.join(broadcast(init), Seq("id"))
+      .withColumn("explorer", lit("init"))
+    val picks = Seq.newBuilder[(Long, String, Long, Double)]
+    for (it <- 1 to iterations) {
+      for ((nm, sc) <- Seq("se" -> col("se"), "us" -> col("us"),
+          "us_lw" -> col("lw"))) {
+        val (p2, t2, sel) = Selection.selectAndMove(pool, train, sc, 1, "id",
+          nm, Seq(col("id")))
+        val r = sel.select(col("id"), sc.as("score")).head()
+        picks += ((it.toLong, nm, r.getLong(0), r.getDouble(1)))
+        pool = p2; train = t2
+      }
+    }
+    picks.result().toDF("iter", "explorer", "selected_id", "score")
+  }
 }

@@ -772,6 +772,66 @@ object Oracles {
                 x -> ps[(x * len(ps) // LEAST(len(ps), 7)) + 1])) AS BIGINT) AS sum_resized
     FROM g ORDER BY user_id"""
 
+  // BDQA flagship-loop trace: replays the md5-deterministic init sample and
+  // the nine explorer picks with a recursive CTE that carries the picked-id
+  // list (the pool shrinks by exactly the picked set — the loop's only
+  // state). Arithmetic mirrors ActiveSampling.deterministicTrace
+  // operation-for-operation: the fixed N(0.5, 0.5) density surrogate, the
+  // q26 52-bit md5 uniform, ln(u)·dens(y) E-S keys, and score DESC, id
+  // tie-breaks.
+  val q54 = """
+    WITH RECURSIVE g AS (
+      SELECT a.i * 50 + b.i AS id,
+             -1.0 + a.i * (2.0 / 49) AS x1,
+             -1.0 + b.i * (2.0 / 49) AS x2
+      FROM generate_series(0, 49) a(i), generate_series(0, 49) b(i)),
+    b AS (
+      SELECT id,
+             pow(x1, 3) - x1 + pow(x2, 2) + 0.5 * sin(8 * x1 * x2) AS y,
+             pow(x1 * 0.9, 3) - (x1 * 0.9) + pow(x2 * 0.9, 2)
+               + 0.5 * sin(8 * (x1 * 0.9) * (x2 * 0.9)) AS pred,
+             0.05 + 0.3 * (x1 * x1 + x2 * x2) AS var
+      FROM g),
+    h AS (SELECT *, substr(md5(CAST(id AS VARCHAR)), 1, 13) AS hx FROM b),
+    uu AS (SELECT *, list_reduce(list_prepend(0.0,
+               list_transform(generate_series(1, 13),
+                 k -> CAST(strpos('0123456789abcdef', substr(hx, k, 1)) - 1 AS DOUBLE)
+                      * pow(16.0, 13 - k))),
+             (a, x) -> a + x) / 4503599627370496.0 AS u
+           FROM h),
+    sc AS (
+      SELECT id,
+             (pred - y) * (pred - y) AS se,
+             var AS us,
+             var / GREATEST(exp(-0.5 * (((pred - 0.5) / 0.5) * ((pred - 0.5) / 0.5)))
+                            / (0.5 * sqrt(2 * pi())), 1e-12) AS lw,
+             ln(u) * (exp(-0.5 * (((y - 0.5) / 0.5) * ((y - 0.5) / 0.5)))
+                      / (0.5 * sqrt(2 * pi()))) AS es_key
+      FROM uu),
+    init AS (SELECT id FROM sc ORDER BY es_key DESC, id LIMIT 100),
+    p AS (SELECT sc.* FROM sc WHERE id NOT IN (SELECT id FROM init)),
+    sim(step, explorer, id, score, picked) AS (
+      SELECT 0, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+             CAST(NULL AS DOUBLE), []::BIGINT[]
+      UNION ALL
+      SELECT t.step + 1,
+             CASE t.step % 3 WHEN 0 THEN 'se' WHEN 1 THEN 'us' ELSE 'us_lw' END,
+             (SELECT id FROM p WHERE NOT list_contains(t.picked, id)
+              ORDER BY CASE t.step % 3 WHEN 0 THEN se WHEN 1 THEN us ELSE lw END DESC, id
+              LIMIT 1),
+             (SELECT CASE t.step % 3 WHEN 0 THEN se WHEN 1 THEN us ELSE lw END
+              FROM p WHERE NOT list_contains(t.picked, id)
+              ORDER BY CASE t.step % 3 WHEN 0 THEN se WHEN 1 THEN us ELSE lw END DESC, id
+              LIMIT 1),
+             list_append(t.picked,
+               (SELECT id FROM p WHERE NOT list_contains(t.picked, id)
+                ORDER BY CASE t.step % 3 WHEN 0 THEN se WHEN 1 THEN us ELSE lw END DESC, id
+                LIMIT 1))
+      FROM sim t WHERE t.step < 9)
+    SELECT CAST((step + 2) // 3 AS BIGINT) AS iter, explorer,
+           id AS selected_id, round(score, 6) AS score
+    FROM sim WHERE step >= 1 ORDER BY iter, explorer"""
+
   /** name → oracle SQL (single-line, driver JSON-escapes anyway). */
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
@@ -826,6 +886,7 @@ object Oracles {
     "q50_heavy_hitters" -> q50,
     "q51_robust_outliers" -> q51,
     "q52_wav_roundtrip" -> q52,
-    "q53_pgm_roundtrip" -> q53
+    "q53_pgm_roundtrip" -> q53,
+    "q54_bdqa_trace" -> q54
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

@@ -839,6 +839,16 @@ object Queries {
       lit(if (pctlOk) 1L else 0L).as("pctl_ok"))
   }
 
+  /** The flagship BDQA active-sampling LOOP as a driver-checked trace
+    * (see [[graft.pipelines.ActiveSampling.deterministicTrace]]): 3
+    * iterations × 3 explorer select-and-moves after an md5-deterministic
+    * inverse-density init sample on the grid fixture; DuckDB replays every
+    * pick — init removal included — with a recursive CTE. */
+  def q54BdqaTrace(s: SparkSession, d: String): DataFrame =
+    graft.pipelines.ActiveSampling.deterministicTrace(s)
+      .withColumn("score", round(col("score"), 6))
+      .orderBy("iter", "explorer")
+
   /** A-PCA as an oracle-checkable gate (the exact basis is sign/rotation
     * ambiguous, so the eigenvectors themselves can't be SQL-compared; the
     * eigen-INVARIANTS can):

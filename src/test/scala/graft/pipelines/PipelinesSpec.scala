@@ -84,6 +84,20 @@ class PipelinesSpec extends SparkSpec {
     assert(iters(1).trainSize > iters(0).trainSize - 10) // grew by batch each iter
   }
 
+  test("deterministic trace: 9 unique picks cycling se/us/us_lw, us = corner argmax") {
+    val trace = ActiveSampling.deterministicTrace(spark)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(trace.length == 9)
+    assert(trace.map(_._3).distinct.length == 9, "picks must never repeat")
+    assert((1 to 3).forall(i =>
+      trace.filter(_._1 == i).map(_._2).sorted.toSeq == Seq("se", "us", "us_lw")))
+    // var = 0.05 + 0.3*(x1²+x2²) peaks at the four grid corners (0.65) —
+    // the US explorer must take them in id order (deterministic tie-break)
+    val us = trace.filter(_._2 == "us").sortBy(_._1)
+    assert(us.map(_._3).startsWith(Seq(0L, 49L)), s"us picks: ${us.toSeq}")
+    assert(us.forall(p => math.abs(p._4 - 0.65) < 1e-9))
+  }
+
   test("SDE forecast scores ALL five horizons (summed L1, reference SDE:220)") {
     // analytic per-horizon scorer: pred_h = y_h + 0.1*(h+1) exactly, so every
     // window's summed L1 error is 0.1*(1+2+3+4+5) = 1.5 — the mae equals 1.5
