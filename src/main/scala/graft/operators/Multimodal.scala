@@ -14,12 +14,16 @@ case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
 /** Multimodal-column plumbing for image/audio/video payloads: binary columns
   * with typed metadata, batched per-partition decode → feature extraction.
   *
-  * The decode kernel itself is STUBBED (this container ships no image/audio
-  * codecs): [[StubDecoder]] produces deterministic pseudo-features from the
-  * payload bytes. Everything Spark-side is real and tested — schema, batch
-  * shape (per-partition iterator, so a real decoder amortizes model/codec
-  * init per partition exactly like a Pandas-UDF batch would), partitioning,
-  * and downstream feature consumption (the features column feeds [[Ann]]).
+  * Real decoders: [[WavPcmDecoder]] (RIFF/16-bit PCM, plain byte walk),
+  * [[PgmDecoder]] (netpbm P5, plain byte walk), and [[ImageIoDecoder]]
+  * (PNG/JPEG/BMP/GIF via the JDK's bundled `javax.imageio` readers — no
+  * external codec dependency). Compressed AUDIO/VIDEO (mp3/aac/h264) stay
+  * behind [[StubDecoder]] — the JRE ships no such codecs — which produces
+  * deterministic pseudo-features from the payload bytes. Everything
+  * Spark-side is real and tested — schema, batch shape (per-partition
+  * iterator, so a decoder amortizes codec/model init per partition exactly
+  * like a Pandas-UDF batch would), partitioning, and downstream feature
+  * consumption (the features column feeds [[Ann]]).
   */
 object Multimodal {
 
@@ -261,6 +265,92 @@ object Multimodal {
       }
       out
     }
+  }
+
+  /** REAL compressed-image decoder backed by the JDK's bundled
+    * `javax.imageio` readers — PNG, JPEG, BMP, GIF, and WBMP ship with
+    * every JRE, so this adds NO external codec dependency and closes the
+    * "compressed images stay stubbed" gap. Features (fixed width 4):
+    * `[width, height, mean, std]` over 8-bit integer luma normalized by
+    * 255 — the raw raster sample for single-band (gray) images, ITU-R
+    * BT.601 integer luma `(77R + 150G + 29B + 128) >> 8` for color (the
+    * raster path matters: `getRGB` on a gray image applies a colorspace
+    * transform and would destroy the exactness the q55 round-trip gate
+    * hashes). Throws on undecodable payloads, matching [[WavPcmDecoder]]'s
+    * contract. Compressed audio/video stay behind [[StubDecoder]]. */
+  class ImageIoDecoder extends Decoder {
+    val featureDim = 4
+
+    private def read(payload: Array[Byte]): java.awt.image.BufferedImage = {
+      // no temp-file cache: per-record disk churn in a tight partition loop
+      javax.imageio.ImageIO.setUseCache(false)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      require(img != null, "undecodable image payload (no ImageIO reader matched)")
+      img
+    }
+
+    /** Exact integer 8-bit luma stats (n, Σy, Σy², max y) — for LOSSLESS
+      * formats (PNG/BMP) over gray sources these equal the source pixel
+      * stats, so a SQL oracle can replay them from the raw values straight
+      * through the deflate round-trip (the q55 gate); the PNG/JPEG twin of
+      * [[PgmDecoder.rawStats]]. */
+    def rawStats(payload: Array[Byte]): (Long, Long, Long, Long) =
+      statsOf(read(payload))
+
+    private def statsOf(img: java.awt.image.BufferedImage): (Long, Long, Long, Long) = {
+      val w = img.getWidth; val h = img.getHeight
+      val raster = img.getRaster
+      val gray = raster.getNumBands == 1 && img.getColorModel.getPixelSize == 8
+      var sum = 0L; var sumSq = 0L; var mx = Long.MinValue
+      val rgbRow = if (gray) null else new Array[Int](w)
+      val grayRow = if (gray) new Array[Int](w) else null
+      var y = 0
+      while (y < h) {
+        if (gray) raster.getSamples(0, y, w, 1, 0, grayRow)
+        else img.getRGB(0, y, w, 1, rgbRow, 0, w)
+        var x = 0
+        while (x < w) {
+          val v =
+            if (gray) grayRow(x).toLong
+            else {
+              val p = rgbRow(x)
+              ((77 * ((p >> 16) & 0xFF) + 150 * ((p >> 8) & 0xFF) +
+                29 * (p & 0xFF) + 128) >> 8).toLong
+            }
+          sum += v; sumSq += v * v
+          if (v > mx) mx = v
+          x += 1
+        }
+        y += 1
+      }
+      (w.toLong * h, sum, sumSq, if (w * h == 0) 0L else mx)
+    }
+
+    def decode(kind: String, payload: Array[Byte]): Array[Float] = {
+      val img = read(payload)
+      val (n, s1, s2, _) = statsOf(img)
+      val m = if (n > 0) s1.toDouble / n / 255.0 else 0.0
+      val ex2 = if (n > 0) s2.toDouble / n / (255.0 * 255.0) else 0.0
+      Array(img.getWidth.toFloat, img.getHeight.toFloat, m.toFloat,
+        math.sqrt(math.max(ex2 - m * m, 0.0)).toFloat)
+    }
+  }
+
+  /** Encode 8-bit gray pixels (row-major, 0..255) through a REAL JDK image
+    * writer (`"png"`, `"jpg"`, `"bmp"`, `"gif"`) — the synthesis half of
+    * the q55 round-trip gate: PNG is lossless, so
+    * `ImageIoDecoder.rawStats(encodeImage(..., "png"))` must equal the
+    * source pixel stats through an actual deflate compress/decompress. */
+  def encodeImage(w: Int, h: Int, pixels: Array[Int], format: String): Array[Byte] = {
+    require(pixels.length == w * h, "pixels must be w*h")
+    javax.imageio.ImageIO.setUseCache(false)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setSamples(0, 0, w, h, 0, pixels)
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, format, bos),
+      s"no ImageIO writer for format '$format'")
+    bos.toByteArray
   }
 
   /** Encode 8-bit gray pixels (row-major, 0..255) as a binary-PGM (P5)

@@ -772,6 +772,21 @@ object Oracles {
                 x -> ps[(x * len(ps) // LEAST(len(ps), 7)) + 1])) AS BIGINT) AS sum_resized
     FROM g ORDER BY user_id"""
 
+  // PNG round-trip: PNG is lossless, so the exact integer stats survive a
+  // REAL deflate encode/decode and replay straight from the raw table; the
+  // jpeg_ok gate flag is Spark-side (lossy path, dims + bounded mean),
+  // pinned to 1 here.
+  val q55 = """
+    WITH s AS (SELECT user_id,
+                      CAST(GREATEST(LEAST(floor(value), 255), 0) AS BIGINT) AS p
+               FROM events)
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_px,
+           CAST(sum(p) AS BIGINT) AS sum_p,
+           CAST(sum(p * p) AS BIGINT) AS sum_p2,
+           CAST(max(p) AS BIGINT) AS max_p,
+           CAST(1 AS BIGINT) AS jpeg_ok
+    FROM s GROUP BY user_id ORDER BY user_id"""
+
   // BDQA flagship-loop trace: replays the md5-deterministic init sample and
   // the nine explorer picks with a recursive CTE that carries the picked-id
   // list (the pool shrinks by exactly the picked set — the loop's only
@@ -887,6 +902,7 @@ object Oracles {
     "q51_robust_outliers" -> q51,
     "q52_wav_roundtrip" -> q52,
     "q53_pgm_roundtrip" -> q53,
-    "q54_bdqa_trace" -> q54
+    "q54_bdqa_trace" -> q54,
+    "q55_png_roundtrip" -> q55
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

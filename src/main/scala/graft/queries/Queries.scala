@@ -751,6 +751,40 @@ object Queries {
       .orderBy("user_id")
   }
 
+  /** COMPRESSED-image round-trip gate — q53's twin through a REAL codec:
+    * per user, quantize the event-value series (ordered by event_id) to
+    * 8-bit gray, ENCODE it as an actual PNG (JDK ImageIO writer — deflate
+    * compression), DECODE it back with [[Multimodal.ImageIoDecoder]], and
+    * emit exact integer pixel stats. PNG is lossless, so the oracle replays
+    * the stats from the raw table and any defect in the codec plumbing,
+    * the gray-raster read path, or the luma arithmetic breaks the hash
+    * equality. `jpeg_ok` additionally routes the SAME pixels through the
+    * lossy JPEG writer and gates dims-exact + mean-within-4-gray-levels
+    * (DCT DC quantization at the default quality moves a block mean well
+    * under one gray level; 4 leaves deterministic margin), pinned to 1 in
+    * the oracle — so the JPEG read path is data-verified too. */
+  def q55PngRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val p = greatest(least(floor(col("value")), lit(255L)), lit(0L)).cast("int")
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), p.as("p"))
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(struct(col("event_id"), col("p")))).as("px"))
+      .as[(Long, Seq[(Long, Int)])]
+      .map { case (u, px) =>
+        val pixels = px.map(_._2).toArray
+        val w = pixels.length
+        val dec = new Multimodal.ImageIoDecoder()
+        val (n, sp, sp2, mx) = dec.rawStats(Multimodal.encodeImage(w, 1, pixels, "png"))
+        val jf = dec.decode("jpeg", Multimodal.encodeImage(w, 1, pixels, "jpg"))
+        val jpegOk = jf(0) == w.toFloat && jf(1) == 1.0f &&
+          math.abs(jf(2) * 255.0 - sp.toDouble / n) <= 4.0
+        (u, n, sp, sp2, mx, if (jpegOk) 1L else 0L)
+      }
+      .toDF("user_id", "n_px", "sum_p", "sum_p2", "max_p", "jpeg_ok")
+      .orderBy("user_id")
+  }
+
   /** Robust per-column outlier profile of the lineitem measures:
     * median/MAD z-scores (outliers can't drag their own threshold the way
     * mean/stddev scoring lets them). q48-pattern gate query: the EXACT
@@ -760,10 +794,17 @@ object Queries {
     * run uses standalone (`Profiling.robustOutliers(approx = true)`) — by
     * rank-checking the sketch medians/MADs against the data. */
   def q51RobustOutliers(s: SparkSession, d: String): DataFrame = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
     val li = Tables.lineitem(s, d)
+    // the sketch gate's 3 passes and the exact anchor's 3 passes are
+    // independent until the final flag column — run them as concurrent jobs
+    // (each pass is internally sequential: MAD needs the median first)
+    val gateFut = Future(Profiling.approxOutlierGate(li, cols))
     val exact = Profiling.robustOutliers(li, cols, approx = false)
-    val gate = Profiling.approxOutlierGate(li, cols)
+    val gate = Await.result(gateFut, Duration.Inf)
     val flag = cols.foldLeft(lit(null).cast("long")) { (acc, c) =>
       when(col("column") === lit(c), lit(gate(c))).otherwise(acc)
     }

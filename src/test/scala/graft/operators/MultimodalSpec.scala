@@ -147,6 +147,61 @@ class MultimodalSpec extends SparkSpec {
     assert(s2 == px.map(p => p.toLong * p).sum && mx == px.max.toLong)
   }
 
+  test("ImageIoDecoder: PNG round-trip preserves exact gray pixel stats") {
+    val px = Array.tabulate(200)(i => (i * 37 + 11) % 256)
+    val png = Multimodal.encodeImage(20, 10, px, "png")
+    // a real PNG: magic bytes present, payload actually deflate-compressed
+    assert((png(0) & 0xFF) == 0x89 && png(1) == 'P' && png(2) == 'N' && png(3) == 'G')
+    val dec = new Multimodal.ImageIoDecoder
+    val (n, s1, s2, mx) = dec.rawStats(png)
+    assert(n == 200 && s1 == px.map(_.toLong).sum)
+    assert(s2 == px.map(p => p.toLong * p).sum && mx == px.max.toLong)
+    val Array(w, h, mean, std) = dec.decode("image", png)
+    assert(w == 20f && h == 10f)
+    assert(math.abs(mean - px.sum.toDouble / 200 / 255) < 1e-6)
+    assert(std > 0)
+  }
+
+  test("ImageIoDecoder: JPEG decodes with exact dims and near-exact mean") {
+    val px = Array.tabulate(256)(i => (128 + 100 * math.sin(i / 9.0)).toInt)
+    val jpg = Multimodal.encodeImage(16, 16, px, "jpg")
+    assert((jpg(0) & 0xFF) == 0xFF && (jpg(1) & 0xFF) == 0xD8, "JFIF magic")
+    val Array(w, h, mean, _) = new Multimodal.ImageIoDecoder().decode("image", jpg)
+    assert(w == 16f && h == 16f)
+    val exact = px.sum.toDouble / 256 / 255
+    assert(math.abs(mean - exact) * 255 < 4.0, s"jpeg mean ${mean * 255} vs ${exact * 255}")
+  }
+
+  test("ImageIoDecoder: color BMP uses integer BT.601 luma; garbage throws") {
+    // 2x1 BMP, one red + one white pixel, via an RGB BufferedImage
+    val img = new java.awt.image.BufferedImage(2, 1, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xFF0000); img.setRGB(1, 0, 0xFFFFFF)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "bmp", bos))
+    val dec = new Multimodal.ImageIoDecoder
+    val (n, s1, _, mx) = dec.rawStats(bos.toByteArray)
+    // luma(red) = (77*255 + 128) >> 8 = 77, luma(white) = 255
+    assert(n == 2 && s1 == 77L + 255L && mx == 255L)
+    intercept[IllegalArgumentException](
+      dec.decode("image", "definitely not an image".getBytes))
+  }
+
+  test("ImageIoDecoder routes through decodeFeatures alongside other kinds") {
+    val png = Multimodal.encodeImage(4, 2, Array(0, 64, 128, 255, 10, 20, 30, 40), "png")
+    val pgm = Multimodal.encodePgm(4, 2, Array(0, 64, 128, 255, 10, 20, 30, 40))
+    val media = Seq(
+      MediaRow(1L, "png", png, 4, 2, 0),
+      MediaRow(2L, "pgm", pgm, 4, 2, 0)
+    ).toDS()
+    val router = new Multimodal.RoutingDecoder(
+      Map("png" -> new Multimodal.ImageIoDecoder, "pgm" -> new Multimodal.PgmDecoder),
+      fallback = new Multimodal.StubDecoder(4))
+    val feats = Multimodal.decodeFeatures(media, router)
+      .collect().map(f => f.media_id -> f.features).toMap
+    // identical pixels through two different containers -> identical features
+    assert(feats(1L).sameElements(feats(2L)))
+  }
+
   test("PgmDecoder parses P5 images and resizes by nearest neighbor") {
     val w = 64; val h = 32
     // horizontal ramp: pixel value = x * 255 / (w-1)
