@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.{BooleanType, IntegerType}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DoubleType, IntegerType, NumericType}
 
 import graft.functions._
 
@@ -49,6 +49,17 @@ object GraftExtensions {
         s"$fn: $arg must be a BOOLEAN literal, got $other")
   }
 
+  /** The vector kernels read doubles from the array storage (their
+    * documented contract — Column-API callers cast once per scan); the SQL
+    * surface coerces numeric arrays here so `graft_dot(embedding, ...)`
+    * over an `array<float>` parquet column is correct, not garbage-bits. */
+  private def asDoubleArray(e: Expression): Expression =
+    if (e.resolved) e.dataType match {
+      case ArrayType(DoubleType, _) => e
+      case ArrayType(_: NumericType, cn) => Cast(e, ArrayType(DoubleType, cn))
+      case _ => e // non-numeric arrays: let the analyzer report the type error
+    } else Cast(e, ArrayType(DoubleType, containsNull = true))
+
   private def arity(fn: String, es: Seq[Expression], ns: Int*): Unit =
     require(ns.contains(es.length),
       s"$fn expects ${ns.mkString(" or ")} arguments, got ${es.length}")
@@ -62,11 +73,13 @@ object GraftExtensions {
     Seq(
       d("graft_dot",
         "graft_dot(a, b) - dot product of two float/double arrays") { es =>
-        arity("graft_dot", es, 2); DotProduct(es(0), es(1))
+        arity("graft_dot", es, 2)
+        DotProduct(asDoubleArray(es(0)), asDoubleArray(es(1)))
       },
       d("graft_cosine",
         "graft_cosine(a, b) - cosine similarity of two float/double arrays") { es =>
-        arity("graft_cosine", es, 2); CosineSimilarity(es(0), es(1))
+        arity("graft_cosine", es, 2)
+        CosineSimilarity(asDoubleArray(es(0)), asDoubleArray(es(1)))
       },
       d("graft_simhash64",
         "graft_simhash64(tokens[, portable]) - 64-bit SimHash of a token array") { es =>

@@ -69,7 +69,8 @@ object SparkEntry {
     "q52_wav_roundtrip" -> (Queries.q52WavRoundtrip _),
     "q53_pgm_roundtrip" -> (Queries.q53PgmRoundtrip _),
     "q54_bdqa_trace" -> (Queries.q54BdqaTrace _),
-    "q55_png_roundtrip" -> (Queries.q55PngRoundtrip _)
+    "q55_png_roundtrip" -> (Queries.q55PngRoundtrip _),
+    "q56_aiff_roundtrip" -> (Queries.q56AiffRoundtrip _)
   )
 
   /** DuckDB oracles for EVERY query above — since round 3 none are

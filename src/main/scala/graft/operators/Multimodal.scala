@@ -267,6 +267,115 @@ object Multimodal {
     }
   }
 
+  /** Audio decoder backed by the JDK's bundled `javax.sound.sampled`
+    * service providers: AIFF / AU / WAV containers, and — via the JRE's
+    * G.711 codecs — µ-law/a-law COMPRESSED payloads, expanded to linear
+    * 16-bit PCM with `AudioSystem.getAudioInputStream(targetFormat, in)`.
+    * Same feature contract as [[WavPcmDecoder]]
+    * (`[duration_sec, rms, zero_crossing_rate, peak]`, amplitudes in
+    * [-1, 1]); throws on unrecognized payloads. [[WavPcmDecoder]] remains
+    * the zero-dependency byte-walk reference implementation the q52 gate
+    * exercises; this one widens the container/codec matrix (q56 gates the
+    * AIFF path end-to-end). */
+  class AudioSystemDecoder extends Decoder {
+    val featureDim = 4
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+
+    /** Payload → mono-mixed normalized samples via the JDK providers. */
+    private def samples(payload: Array[Byte]): (Array[Double], Float) = {
+      val in0 =
+        try AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+        catch {
+          case e: javax.sound.sampled.UnsupportedAudioFileException =>
+            throw new IllegalArgumentException(s"unrecognized audio payload: $e")
+        }
+      val f0 = in0.getFormat
+      val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        f0.getSampleRate, 16, f0.getChannels, f0.getChannels * 2,
+        f0.getSampleRate, false)
+      val in = if (f0.matches(target)) in0
+               else AudioSystem.getAudioInputStream(target, in0)
+      val bytes = in.readAllBytes()
+      val ch = target.getChannels
+      val frames = bytes.length / (2 * ch)
+      val out = new Array[Double](frames)
+      var i = 0
+      while (i < frames) {
+        var mix = 0.0
+        var c = 0
+        while (c < ch) {
+          val o = 2 * (i * ch + c)
+          mix += ((bytes(o) & 0xFF) | (bytes(o + 1).toInt << 8)) / 32768.0
+          c += 1
+        }
+        out(i) = mix / ch
+        i += 1
+      }
+      (out, target.getSampleRate)
+    }
+
+    def decode(kind: String, payload: Array[Byte]): Array[Float] = {
+      val (xs, rate) = samples(payload)
+      var sumSq = 0.0; var peak = 0.0; var crossings = 0L
+      var i = 0
+      while (i < xs.length) {
+        val x = xs(i)
+        sumSq += x * x
+        if (math.abs(x) > peak) peak = math.abs(x)
+        if (i > 0 && ((xs(i - 1) < 0 && x >= 0) || (xs(i - 1) >= 0 && x < 0)))
+          crossings += 1
+        i += 1
+      }
+      val n = math.max(xs.length, 1)
+      Array(xs.length.toFloat / rate, math.sqrt(sumSq / n).toFloat,
+        if (xs.length > 1) crossings.toFloat / (xs.length - 1) else 0.0f,
+        peak.toFloat)
+    }
+
+    /** Exact integer stats of a MONO 16-bit payload's samples
+      * (n, Σq, Σq², max q) — [[WavPcmDecoder.rawStats]]'s contract through
+      * the JDK provider chain, for the q56 AIFF round-trip gate. */
+    def rawStats(payload: Array[Byte]): (Long, Long, Long, Long) = {
+      val (xs, _) = samples(payload)
+      var sumQ = 0L; var sumQ2 = 0L; var peak = Long.MinValue
+      var i = 0
+      while (i < xs.length) {
+        val q = math.round(xs(i) * 32768.0)
+        sumQ += q; sumQ2 += q * q
+        if (q > peak) peak = q
+        i += 1
+      }
+      (xs.length.toLong, sumQ, sumQ2, if (xs.isEmpty) 0L else peak)
+    }
+  }
+
+  /** Encode 16-bit mono PCM samples through a REAL JDK audio writer —
+    * `javax.sound.sampled.AudioFileFormat.Type` AIFF (big-endian) or AU —
+    * the synthesis half of the q56 round-trip gate and [[encodeWavPcm]]'s
+    * provider-backed twin. */
+  def encodeAudio(sampleRate: Int, samples: Array[Short],
+                  fileType: String = "AIFF"): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val bigEndian = fileType != "WAVE"
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+      sampleRate.toFloat, 16, 1, 2, sampleRate.toFloat, bigEndian)
+    val raw = java.nio.ByteBuffer.allocate(samples.length * 2)
+      .order(if (bigEndian) java.nio.ByteOrder.BIG_ENDIAN
+             else java.nio.ByteOrder.LITTLE_ENDIAN)
+    samples.foreach(raw.putShort)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(raw.array()), fmt, samples.length.toLong)
+    val tpe = fileType match {
+      case "AIFF" => AudioFileFormat.Type.AIFF
+      case "AU"   => AudioFileFormat.Type.AU
+      case "WAVE" => AudioFileFormat.Type.WAVE
+      case other  => throw new IllegalArgumentException(s"unsupported type $other")
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, tpe, bos)
+    bos.toByteArray
+  }
+
   /** REAL compressed-image decoder backed by the JDK's bundled
     * `javax.imageio` readers — PNG, JPEG, BMP, GIF, and WBMP ship with
     * every JRE, so this adds NO external codec dependency and closes the

@@ -787,6 +787,18 @@ object Oracles {
            CAST(1 AS BIGINT) AS jpeg_ok
     FROM s GROUP BY user_id ORDER BY user_id"""
 
+  // AIFF round-trip: same replay as q52 — the Spark side produced the stats
+  // through the JDK audio provider chain instead of the byte-walk decoder.
+  val q56 = """
+    WITH s AS (SELECT user_id,
+                      CAST(GREATEST(LEAST(floor(value * 60), 32767), -32768) AS BIGINT) AS q
+               FROM events)
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum(q) AS BIGINT) AS sum_q,
+           CAST(sum(q * q) AS BIGINT) AS sum_q2,
+           CAST(max(q) AS BIGINT) AS peak_q
+    FROM s GROUP BY user_id ORDER BY user_id"""
+
   // BDQA flagship-loop trace: replays the md5-deterministic init sample and
   // the nine explorer picks with a recursive CTE that carries the picked-id
   // list (the pool shrinks by exactly the picked set — the loop's only
@@ -903,6 +915,7 @@ object Oracles {
     "q52_wav_roundtrip" -> q52,
     "q53_pgm_roundtrip" -> q53,
     "q54_bdqa_trace" -> q54,
-    "q55_png_roundtrip" -> q55
+    "q55_png_roundtrip" -> q55,
+    "q56_aiff_roundtrip" -> q56
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

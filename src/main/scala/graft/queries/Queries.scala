@@ -751,6 +751,31 @@ object Queries {
       .orderBy("user_id")
   }
 
+  /** AIFF round-trip gate — q52's twin through the JDK's audio provider
+    * chain: per user, quantize the event-value series to 16-bit PCM,
+    * ENCODE it as a real big-endian AIFF via `javax.sound.sampled`, DECODE
+    * it back with [[Multimodal.AudioSystemDecoder]] (container parse +
+    * endianness conversion through the JRE's own codecs), and emit exact
+    * integer sample stats. The oracle replays them from the raw table —
+    * identical SQL to q52, so the two gates differ ONLY in which codec
+    * stack produced the numbers. */
+  def q56AiffRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val q = greatest(least(floor(col("value") * 60), lit(32767L)), lit(-32768L))
+      .cast("int")
+    Tables.events(s, d)
+      .select(col("user_id"), q.as("q"))
+      .groupBy("user_id").agg(collect_list("q").as("qs"))
+      .as[(Long, Seq[Int])]
+      .map { case (u, qs) =>
+        val aiff = Multimodal.encodeAudio(16000, qs.map(_.toShort).toArray, "AIFF")
+        val (n, sq, sq2, pk) = new Multimodal.AudioSystemDecoder().rawStats(aiff)
+        (u, n, sq, sq2, pk)
+      }
+      .toDF("user_id", "n_samples", "sum_q", "sum_q2", "peak_q")
+      .orderBy("user_id")
+  }
+
   /** COMPRESSED-image round-trip gate — q53's twin through a REAL codec:
     * per user, quantize the event-value series (ordered by event_id) to
     * 8-bit gray, ENCODE it as an actual PNG (JDK ImageIO writer — deflate

@@ -9,7 +9,9 @@ class GraftExtensionsSpec extends SparkSpec {
   GraftExtensions.register(spark)
 
   test("SQL graft_cosine / graft_dot match the Column API on the embeddings fixture") {
-    val emb = Tables.embeddings(spark, sf001).limit(50)
+    // filter, not limit: an unordered limit is partition-order dependent,
+    // and the SQL/Column plans must read the SAME rows
+    val emb = Tables.embeddings(spark, sf001).filter("vec_id < 50")
     emb.createOrReplaceTempView("__ext_emb")
     val viaSql = spark.sql(
       """SELECT a.vec_id AS qa, b.vec_id AS qb,
@@ -17,7 +19,9 @@ class GraftExtensionsSpec extends SparkSpec {
                 graft_dot(a.embedding, b.embedding) AS dot
          FROM __ext_emb a JOIN __ext_emb b ON a.vec_id < b.vec_id
          ORDER BY qa, qb LIMIT 40""").collect()
-    val e2 = emb.select(col("vec_id"), col("embedding"))
+    // Column callers cast once per scan (the kernel contract); the SQL
+    // surface does the same coercion inside the builder
+    val e2 = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
     val viaCol = e2.as("a").join(e2.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("qa"), col("b.vec_id").as("qb"),
         VectorExprs.cosine(col("a.embedding"), col("b.embedding")).as("cos"),
@@ -31,7 +35,7 @@ class GraftExtensionsSpec extends SparkSpec {
   }
 
   test("SQL graft_simhash64 and graft_token_stats match the Column API on documents") {
-    Tables.documents(spark, sf001).limit(30).createOrReplaceTempView("__ext_docs")
+    Tables.documents(spark, sf001).filter("doc_id < 30").createOrReplaceTempView("__ext_docs")
     val viaSql = spark.sql(
       """SELECT doc_id, graft_simhash64(split(lower(text), '\\s+')) AS sh,
                 graft_token_stats(split(lower(text), '\\s+')).n_tokens AS nt

@@ -147,6 +147,44 @@ class MultimodalSpec extends SparkSpec {
     assert(s2 == px.map(p => p.toLong * p).sum && mx == px.max.toLong)
   }
 
+  test("AudioSystemDecoder: AIFF round-trip preserves exact sample stats") {
+    val qs = Array.tabulate(500)(i => ((i * 131 + 7) % 65536 - 32768).toShort)
+    val aiff = Multimodal.encodeAudio(8000, qs, "AIFF")
+    assert(new String(aiff, 0, 4) == "FORM", "real AIFF container")
+    val dec = new Multimodal.AudioSystemDecoder
+    val (n, s1, s2, mx) = dec.rawStats(aiff)
+    assert(n == 500 && s1 == qs.map(_.toLong).sum)
+    assert(s2 == qs.map(q => q.toLong * q).sum && mx == qs.max.toLong)
+    // identical samples through the byte-walk WAV path -> identical features
+    val viaJdk = dec.decode("audio", aiff)
+    val viaWav = new Multimodal.WavPcmDecoder()
+      .decode("audio", Multimodal.encodeWavPcm(8000, qs))
+    assert(viaJdk.sameElements(viaWav), "AIFF features == WAV features")
+  }
+
+  test("AudioSystemDecoder: G.711 µ-law payloads expand to the textbook table") {
+    // AU container around all 256 µ-law codes (decode-direction test: the
+    // JRE's G.711 codec must reproduce the public ITU expansion exactly)
+    val hdr = java.nio.ByteBuffer.allocate(24 + 256)
+    hdr.putInt(0x2e736e64); hdr.putInt(24); hdr.putInt(256)
+    hdr.putInt(1); hdr.putInt(8000); hdr.putInt(1) // encoding 1 = 8-bit µ-law
+    for (i <- 0 until 256) hdr.put(i.toByte)
+    def expand(u: Int): Long = {
+      val b = ~u & 0xFF
+      val x = ((((b & 0x0F) << 3) + 0x84) << ((b >> 4) & 7)) - 0x84
+      if ((b & 0x80) != 0) -x else x
+    }
+    val expected = (0 until 256).map(expand)
+    val (n, s1, s2, mx) = new Multimodal.AudioSystemDecoder().rawStats(hdr.array())
+    assert(n == 256 && s1 == expected.sum)
+    assert(s2 == expected.map(q => q * q).sum && mx == expected.max)
+  }
+
+  test("AudioSystemDecoder rejects unrecognized payloads") {
+    intercept[IllegalArgumentException](
+      new Multimodal.AudioSystemDecoder().decode("audio", "not audio".getBytes))
+  }
+
   test("ImageIoDecoder: PNG round-trip preserves exact gray pixel stats") {
     val px = Array.tabulate(200)(i => (i * 37 + 11) % 256)
     val png = Multimodal.encodeImage(20, 10, px, "png")
