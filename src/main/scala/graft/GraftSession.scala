@@ -29,6 +29,7 @@ object GraftSession {
   def builder(cpus: String): SparkSession.Builder =
     SparkSession.builder()
       .master(s"local[$cpus]")
+      .withExtensions(new GraftExtensions) // SQL surface for the native kernels
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -41,6 +42,9 @@ object GraftSession {
   def local(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val s = builder(cpus).getOrCreate()
+    // getOrCreate can return a pre-existing session (whose builder never saw
+    // withExtensions) — register the SQL functions on it directly, too
+    GraftExtensions.register(s)
     s.sparkContext.setLogLevel("WARN")
     s
   }
