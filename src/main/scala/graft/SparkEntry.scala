@@ -70,7 +70,8 @@ object SparkEntry {
     "q53_pgm_roundtrip" -> (Queries.q53PgmRoundtrip _),
     "q54_bdqa_trace" -> (Queries.q54BdqaTrace _),
     "q55_png_roundtrip" -> (Queries.q55PngRoundtrip _),
-    "q56_aiff_roundtrip" -> (Queries.q56AiffRoundtrip _)
+    "q56_aiff_roundtrip" -> (Queries.q56AiffRoundtrip _),
+    "q57_ann_pq" -> (Queries.q57AnnPq _)
   )
 
   /** DuckDB oracles for EVERY query above — since round 3 none are

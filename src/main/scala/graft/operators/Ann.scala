@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.VectorOps
+import graft.functions.{PqExprs, VectorExprs, VectorOps}
 import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
@@ -123,5 +123,118 @@ object Ann {
       .select(col("query_id"), col("nid"),
         VectorOps.cosine(col("cv"), col("qv")).as("score"))
     topKFromScores(scored, k)
+  }
+
+  /** Product-quantization codebooks: flat layout
+    * `codebook[(m·K + j)·sub + t]`, sub = dim/M (see [[graft.functions.PqEncode]]). */
+  case class PqModel(m: Int, k: Int, dim: Int, codebook: Array[Double])
+
+  /** Unit-normalize in two projections: the norm is materialized FIRST so
+    * the interpreted `transform` lambda divides by a bound value instead of
+    * re-evaluating the dot product once per element (the BENCH.md HOF
+    * lesson). Runs once per row at ingest; zero vectors pass through. */
+  private def unitNorm(df: DataFrame, id: Column, vec: Column,
+                       idName: String): DataFrame =
+    df.select(id.cast("long").as(idName), vec.cast("array<double>").as("__v"))
+      .select(col(idName), col("__v"),
+        sqrt(VectorExprs.dot(col("__v"), col("__v"))).as("__n"))
+      .select(col(idName),
+        when(col("__n") > 0, transform(col("__v"), x => x / col("__n")))
+          .otherwise(col("__v")).as("cv"))
+
+  /** Train PQ codebooks: per-subspace Lloyd k-means on a DETERMINISTIC
+    * driver-side sample (hash-ordered ids, fixed iteration count, strict-<
+    * tie-breaks, empty clusters keep their previous centroid) — bounded
+    * memory (sampleN·dim doubles) like ivfTopK's centroid pull, and the
+    * whole model is a pure function of the data, so gates replay. Vectors
+    * are expected pre-normalized when the downstream metric is cosine. */
+  def pqTrain(corpus: DataFrame, id: Column, vec: Column, m: Int, k: Int,
+              sampleN: Int = 2048, iters: Int = 8, seed: Long = 42): PqModel = {
+    val sample: Array[Array[Double]] = corpus
+      .select(vec.cast("array<double>").as("v"))
+      .orderBy(xxhash64(id.cast("string"), lit(seed)))
+      .limit(sampleN).collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "pqTrain: empty corpus")
+    val dim = sample(0).length
+    require(dim % m == 0, s"pqTrain: dim $dim not divisible by m=$m")
+    val sub = dim / m
+    val cb = new Array[Double](m * k * sub)
+    var mm = 0
+    while (mm < m) {
+      // init: k subvectors spread across the hash-shuffled sample
+      var cents = Array.tabulate(k)(j =>
+        java.util.Arrays.copyOfRange(
+          sample((j.toLong * sample.length / k).toInt), mm * sub, (mm + 1) * sub))
+      for (_ <- 1 to iters) {
+        val sums = Array.fill(k)(new Array[Double](sub))
+        val counts = new Array[Int](k)
+        sample.foreach { v =>
+          var best = 0; var bestD = Double.MaxValue
+          var j = 0
+          while (j < k) {
+            var d = 0.0; var t = 0
+            while (t < sub) {
+              val diff = v(mm * sub + t) - cents(j)(t); d += diff * diff; t += 1
+            }
+            if (d < bestD) { bestD = d; best = j }
+            j += 1
+          }
+          var t = 0
+          while (t < sub) { sums(best)(t) += v(mm * sub + t); t += 1 }
+          counts(best) += 1
+        }
+        cents = Array.tabulate(k)(j =>
+          if (counts(j) == 0) cents(j) else sums(j).map(_ / counts(j)))
+      }
+      var j = 0
+      while (j < k) {
+        System.arraycopy(cents(j), 0, cb, (mm * k + j) * sub, sub)
+        j += 1
+      }
+      mm += 1
+    }
+    PqModel(m, k, dim, cb)
+  }
+
+  /** PQ-compressed ANN (Jégou et al. 2011): encode the (unit-normalized)
+    * corpus to M centroid codes per vector — a ×(8·dim/M) storage cut, the
+    * form a 100 TB index actually keeps in memory — then score queries
+    * entirely in the compressed domain: per-query LUT (M·K inner products)
+    * + [[graft.functions.PqAdc]] (M adds/pair, whole-stage codegen), and
+    * the same map-side-bounded [[TopKAggregator]] reduction as brute force.
+    * One corpus scan, k rows/partition/query exchanged; no raw vectors move.
+    * Approximate by construction — gate recall against [[bruteForceTopK]]
+    * (q57), the q30 IVF precedent. Compose with IVF cell routing upstream
+    * when even one compressed scan is too much (encode, then filter cells). */
+  def pqTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+             queries: DataFrame, queryId: Column, queryVec: Column,
+             k: Int, m: Int = 16, codesPerSub: Int = 32, refine: Int = 0,
+             sampleN: Int = 2048, iters: Int = 8, seed: Long = 42): DataFrame = {
+    val c = unitNorm(corpus, corpusId, corpusVec, "nid")
+    val model = pqTrain(c, col("nid"), col("cv"), m, codesPerSub, sampleN, iters, seed)
+    // ingest shape: after this projection only codes flow — never raw vectors
+    val coded = c.select(col("nid"),
+      PqExprs.pqEncode(col("cv"), model.codebook, m, codesPerSub).as("codes"))
+    val qn = unitNorm(queries, queryId, queryVec, "query_id")
+    val q = qn.select(col("query_id"),
+      PqExprs.pqLut(col("cv"), model.codebook, m, codesPerSub).as("lut"))
+    val scored = coded.crossJoin(broadcast(q))
+      .select(col("query_id"), col("nid"),
+        PqExprs.pqAdc(col("codes"), col("lut")).as("score"))
+    if (refine <= 0) topKFromScores(scored, k)
+    else {
+      // refine stage (the production IVF-PQ "shortlist + rescore" shape):
+      // ADC picks a top-`refine` shortlist in the compressed domain, then
+      // ONLY those Q·refine ids fetch their raw vectors for exact cosine —
+      // the full corpus is still never scanned in raw form twice, and the
+      // shortlist join is a broadcast (Q·refine rows)
+      val shortlist = topKFromScores(scored, refine)
+        .select(col("query_id"), col("neighbor_id"))
+      val rescored = c.join(broadcast(shortlist), col("nid") === col("neighbor_id"))
+        .join(broadcast(qn.select(col("query_id"), col("cv").as("qv"))), Seq("query_id"))
+        .select(col("query_id"), col("nid"),
+          VectorOps.cosine(col("cv"), col("qv")).as("score"))
+      topKFromScores(rescored, k)
+    }
   }
 }

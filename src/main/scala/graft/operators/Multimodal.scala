@@ -11,6 +11,12 @@ case class MediaRow(media_id: Long, kind: String, payload: Array[Byte],
 case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
                          checksum: Long, features: Array[Float])
 
+/** [[MediaFeatures]] plus a quarantine column: `decode_error` is null for
+  * good rows; failed rows carry the message and null features. */
+case class MediaFeaturesSafe(media_id: Long, kind: String, n_bytes: Long,
+                             checksum: Long, features: Array[Float],
+                             decode_error: String)
+
 /** Multimodal-column plumbing for image/audio/video payloads: binary columns
   * with typed metadata, batched per-partition decode → feature extraction.
   *
@@ -524,6 +530,38 @@ object Multimodal {
           crc ^= (m.payload(i) & 0xFFL); crc *= 1099511628211L; i += 1
         }
         MediaFeatures(m.media_id, m.kind, m.payload.length.toLong, crc, feats)
+      }
+    }(enc)
+  }
+
+  /** Fault-tolerant batched decode — the INGEST shape at scale: a malformed
+    * payload yields (null features, error message) instead of failing the
+    * task, because at 100 TB one corrupt record among billions must not
+    * kill a 400k-task job. Strict [[decodeFeatures]] stays the right call
+    * for trusted payloads (fail fast, loudly — the decoders' documented
+    * contract); this is the quarantine path: route
+    * `decode_error IS NOT NULL` to a dead-letter sink and keep going.
+    * Only decode failures are caught — OOM/interrupts still propagate. */
+  def decodeFeaturesSafe(media: Dataset[MediaRow],
+                         decoder: Decoder): Dataset[MediaFeaturesSafe] = {
+    val enc = Encoders.product[MediaFeaturesSafe]
+    media.mapPartitions { it =>
+      it.map { m =>
+        var crc = 1469598103934665603L // FNV-1a 64
+        var i = 0
+        while (i < m.payload.length) {
+          crc ^= (m.payload(i) & 0xFFL); crc *= 1099511628211L; i += 1
+        }
+        try {
+          val feats = decoder.decode(m.kind, m.payload)
+          MediaFeaturesSafe(m.media_id, m.kind, m.payload.length.toLong, crc,
+            feats, null)
+        } catch {
+          case e @ (_: IllegalArgumentException | _: java.io.IOException |
+                    _: IndexOutOfBoundsException) =>
+            MediaFeaturesSafe(m.media_id, m.kind, m.payload.length.toLong, crc,
+              null, s"${e.getClass.getSimpleName}: ${e.getMessage}")
+        }
       }
     }(enc)
   }

@@ -799,6 +799,12 @@ object Oracles {
            CAST(max(q) AS BIGINT) AS peak_q
     FROM s GROUP BY user_id ORDER BY user_id"""
 
+  // PQ ANN recall gate: like q30, the pass/fail flag is computed Spark-side
+  // against the exact brute-force baseline; the oracle pins it.
+  val q57 = """
+    SELECT CAST(1 AS BIGINT) AS recall_pass, CAST(8 AS BIGINT) AS n_queries,
+           CAST(10 AS BIGINT) AS k"""
+
   // BDQA flagship-loop trace: replays the md5-deterministic init sample and
   // the nine explorer picks with a recursive CTE that carries the picked-id
   // list (the pool shrinks by exactly the picked set — the loop's only
@@ -916,6 +922,7 @@ object Oracles {
     "q53_pgm_roundtrip" -> q53,
     "q54_bdqa_trace" -> q54,
     "q55_png_roundtrip" -> q55,
-    "q56_aiff_roundtrip" -> q56
+    "q56_aiff_roundtrip" -> q56,
+    "q57_ann_pq" -> q57
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

@@ -79,4 +79,79 @@ class AnnSpec extends SparkSpec {
         s"query $q should find itself first: ${got.get(q)}")
     }
   }
+  test("PqAdc equals the explicit LUT sum and stays in codegen") {
+    import graft.functions.PqExprs
+    // tiny hand model: dim 4, m 2, k 2; codebook[(m*2+j)*2+t]
+    val cb = Array(0.0, 0.0, 1.0, 1.0, /* m0: c0=(0,0) c1=(1,1) */
+                   0.5, 0.5, 2.0, 2.0) /* m1: c0=(.5,.5) c1=(2,2) */
+    val df = Seq((1L, Seq(0.9, 1.1, 0.4, 0.6)), (2L, Seq(0.1, 0.0, 1.9, 2.1)))
+      .toDF("id", "v")
+    val coded = df.select(col("id"),
+      PqExprs.pqEncode(col("v"), cb, 2, 2).as("codes"),
+      PqExprs.pqLut(col("v"), cb, 2, 2).as("lut"))
+    val rows = coded.select(col("id"), col("codes"), col("lut"),
+        PqExprs.pqAdc(col("codes"), col("lut")).as("adc"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[Int](1), r.getSeq[Double](2), r.getDouble(3))).toMap
+    // row 1: (0.9,1.1) nearest (1,1) -> code 1; (0.4,0.6) nearest (.5,.5) -> code 0
+    assert(rows(1L)._1 == Seq(1, 0))
+    // row 2: (0.1,0.0) -> code 0; (1.9,2.1) -> code 1
+    assert(rows(2L)._1 == Seq(0, 1))
+    rows.values.foreach { case (codes, lut, adc) =>
+      val expected = codes.zipWithIndex.map { case (c, m) => lut(m * 2 + c) }.sum
+      assert(math.abs(adc - expected) < 1e-12)
+    }
+    // lut entries are plain inner products
+    assert(math.abs(rows(1L)._2(1) - (0.9 * 1.0 + 1.1 * 1.0)) < 1e-12)
+  }
+
+  test("pqTrain is deterministic and reconstruction improves with codebook size") {
+    val e = graft.Tables.embeddings(spark, sf001)
+    val m1 = Ann.pqTrain(e, col("vec_id"), col("embedding"), m = 8, k = 4)
+    val m2 = Ann.pqTrain(e, col("vec_id"), col("embedding"), m = 8, k = 4)
+    assert(m1.codebook.sameElements(m2.codebook), "same data+seed -> same model")
+    // quantization error (sample MSE to nearest centroid) shrinks as k grows
+    def mse(k: Int): Double = {
+      val model = Ann.pqTrain(e, col("vec_id"), col("embedding"), m = 8, k = k)
+      val sub = model.dim / model.m
+      val vecs = e.select(col("embedding").cast("array<double>"))
+        .limit(200).collect().map(_.getSeq[Double](0).toArray)
+      vecs.map { v =>
+        (0 until model.m).map { mm =>
+          (0 until k).map { j =>
+            (0 until sub).map { t =>
+              val d = v(mm * sub + t) - model.codebook((mm * k + j) * sub + t); d * d
+            }.sum
+          }.min
+        }.sum
+      }.sum / vecs.length
+    }
+    val coarse = mse(2); val fine = mse(16)
+    assert(fine < coarse, s"mse k=16 ($fine) must beat k=2 ($coarse)")
+  }
+
+  test("pqTopK recall@10 vs brute force clears the q57 gate on the fixture") {
+    val e = graft.Tables.embeddings(spark, sf001)
+    val queries = e.filter(col("vec_id") < 8)
+    def pairs(res: org.apache.spark.sql.DataFrame) = res
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = pairs(Ann.bruteForceTopK(e, col("vec_id"), col("embedding"),
+      queries, col("vec_id"), col("embedding"), k = 10))
+    val pqRaw = pairs(Ann.pqTopK(e, col("vec_id"), col("embedding"),
+      queries, col("vec_id"), col("embedding"), k = 10))
+    val rawRecall = (exact intersect pqRaw).size.toDouble / exact.size
+    info(s"PQ ADC-only recall@10 = $rawRecall (${(exact intersect pqRaw).size}/${exact.size})")
+    val pq = pairs(Ann.pqTopK(e, col("vec_id"), col("embedding"),
+      queries, col("vec_id"), col("embedding"), k = 10, refine = 50))
+    val recall = (exact intersect pq).size.toDouble / exact.size
+    info(s"PQ refined recall@10 = $recall (${(exact intersect pq).size}/${exact.size})")
+    assert(recall >= 0.8, s"recall $recall")
+    assert(recall >= rawRecall, "rescoring must not hurt recall")
+    // the q57 driver gate must also hold on the biggest fixture (2000
+    // vectors, same worst-case uniform distribution, refine = 100)
+    val r01 = graft.queries.Queries.q57AnnPq(spark, "/root/testdata/sf0.1").head()
+    assert(r01.getLong(0) == 1L, "q57 recall gate at sf0.1")
+    // the PQ scan moved codes, not vectors: 16 ints vs 64 doubles per row
+  }
+
 }

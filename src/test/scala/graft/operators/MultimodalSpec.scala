@@ -147,6 +147,27 @@ class MultimodalSpec extends SparkSpec {
     assert(s2 == px.map(p => p.toLong * p).sum && mx == px.max.toLong)
   }
 
+  test("decodeFeaturesSafe quarantines corrupt payloads instead of failing the job") {
+    val sine = Array.tabulate(200)(i => (2000 * math.sin(i / 5.0)).toShort)
+    val good = Multimodal.encodeWavPcm(8000, sine)
+    val media = Seq(
+      MediaRow(1L, "audio", good, 0, 0, 8000),
+      MediaRow(2L, "audio", "corrupt bytes".getBytes, 0, 0, 8000),
+      MediaRow(3L, "audio", good.dropRight(30), 0, 0, 8000) // truncated data chunk
+    ).toDS()
+    // strict mode fails the whole job on the corrupt row
+    intercept[Exception](
+      Multimodal.decodeFeatures(media, new Multimodal.WavPcmDecoder).collect())
+    // safe mode: every row survives, bad ones carry the error
+    val rows = Multimodal.decodeFeaturesSafe(media, new Multimodal.WavPcmDecoder)
+      .collect().map(r => r.media_id -> r).toMap
+    assert(rows.size == 3)
+    assert(rows(1L).decode_error == null && rows(1L).features.length == 4)
+    assert(rows(2L).decode_error != null && rows(2L).features == null)
+    assert(rows(3L).decode_error == null, "short data chunk is decodable (bounded len)")
+    assert(rows(2L).n_bytes == "corrupt bytes".getBytes.length.toLong)
+  }
+
   test("AudioSystemDecoder: AIFF round-trip preserves exact sample stats") {
     val qs = Array.tabulate(500)(i => ((i * 131 + 7) % 65536 - 32768).toShort)
     val aiff = Multimodal.encodeAudio(8000, qs, "AIFF")
