@@ -71,7 +71,9 @@ object SparkEntry {
     "q54_bdqa_trace" -> (Queries.q54BdqaTrace _),
     "q55_png_roundtrip" -> (Queries.q55PngRoundtrip _),
     "q56_aiff_roundtrip" -> (Queries.q56AiffRoundtrip _),
-    "q57_ann_pq" -> (Queries.q57AnnPq _)
+    "q57_ann_pq" -> (Queries.q57AnnPq _),
+    "q58_mp3_metadata" -> (Queries.q58Mp3Metadata _),
+    "q59_mp4_metadata" -> (Queries.q59Mp4Metadata _)
   )
 
   /** DuckDB oracles for EVERY query above — since round 3 none are

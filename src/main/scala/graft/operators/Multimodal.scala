@@ -484,6 +484,275 @@ object Multimodal {
     out
   }
 
+  /** MP3 (MPEG-1/2 Audio Layer III) frame-HEADER walk — container metadata
+    * WITHOUT audio decode. The JRE ships no MP3 codec, but none is needed
+    * for the first stage of a 100 TB media pipeline: filtering/routing by
+    * duration, bitrate, and sample rate only requires walking the public
+    * frame-header layout (11-bit sync, version/layer bits, bitrate and
+    * sample-rate table indices, padding bit) and summing per-frame sizes —
+    * `frameBytes = 144000·kbps/sampleRate + padding` for MPEG-1 Layer III.
+    * Handles VBR streams exactly (every frame header is visited, not just
+    * the first), skips a leading ID3v2 tag (syncsafe size) and a trailing
+    * 128-byte ID3v1 tag, and throws on junk/truncation like the other
+    * decoders (route untrusted payloads via [[decodeFeaturesSafe]]).
+    * Features (fixed width 4): `[duration_sec, mean_kbps, sample_rate,
+    * n_frames]`. Audio SAMPLE decode (Huffman/MDCT) stays behind
+    * [[StubDecoder]] — that genuinely needs a codec. */
+  class Mp3HeaderDecoder extends Decoder {
+    val featureDim = 4
+
+    private val kbpsV1 = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160,
+      192, 224, 256, 320)
+    private val kbpsV2 = Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112,
+      128, 144, 160)
+    private val srV1 = Array(44100, 48000, 32000)
+
+    /** (n_frames, Σkbps, Σframe_bytes, Σsamples, sample_rate). Exact
+      * integers — the q58 oracle replays the per-frame length arithmetic
+      * from the raw table. */
+    def walk(payload: Array[Byte]): (Long, Long, Long, Long, Int) = {
+      var off = 0L
+      // ID3v2: "ID3" ver(2) flags(1) syncsafe-size(4); footer flag adds 10
+      if (payload.length >= 10 && payload(0) == 'I' && payload(1) == 'D' &&
+          payload(2) == '3') {
+        val size = ((payload(6) & 0x7FL) << 21) | ((payload(7) & 0x7FL) << 14) |
+          ((payload(8) & 0x7FL) << 7) | (payload(9) & 0x7FL)
+        off = 10L + size + (if ((payload(5) & 0x10) != 0) 10L else 0L)
+      }
+      var frames = 0L; var sumKbps = 0L; var sumBytes = 0L; var sumSamples = 0L
+      var sampleRate = 0
+      var done = false
+      while (!done && off < payload.length) {
+        val o = off.toInt
+        if (payload.length - off == 128 && payload(o) == 'T' &&
+            payload(o + 1) == 'A' && payload(o + 2) == 'G') {
+          done = true // trailing ID3v1 tag
+        } else {
+          require(off + 4 <= payload.length, "truncated MP3 frame header")
+          val b1 = payload(o) & 0xFF; val b2 = payload(o + 1) & 0xFF
+          val b3 = payload(o + 2) & 0xFF
+          require(b1 == 0xFF && (b2 & 0xE0) == 0xE0, "lost MP3 frame sync")
+          val version = (b2 >> 3) & 3 // 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+          require(version != 1, "reserved MPEG version")
+          require(((b2 >> 1) & 3) == 1, "only Layer III supported")
+          val bi = (b3 >> 4) & 15
+          require(bi >= 1 && bi <= 14, "free/bad bitrate index")
+          val si = (b3 >> 2) & 3
+          require(si != 3, "reserved sample-rate index")
+          val pad = (b3 >> 1) & 1
+          val v1 = version == 3
+          val kbps = if (v1) kbpsV1(bi) else kbpsV2(bi)
+          val sr = srV1(si) >> (if (v1) 0 else if (version == 2) 1 else 2)
+          require(sampleRate == 0 || sr == sampleRate,
+            "sample rate changed mid-stream")
+          sampleRate = sr
+          val len = (if (v1) 144000L else 72000L) * kbps / sr + pad
+          require(off + len <= payload.length, "truncated MP3 frame")
+          frames += 1; sumKbps += kbps; sumBytes += len
+          sumSamples += (if (v1) 1152L else 576L)
+          off += len
+        }
+      }
+      require(frames > 0, "no MP3 frames found")
+      (frames, sumKbps, sumBytes, sumSamples, sampleRate)
+    }
+
+    def decode(kind: String, payload: Array[Byte]): Array[Float] = {
+      val (frames, sumKbps, _, samples, sr) = walk(payload)
+      Array(samples.toFloat / sr, sumKbps.toFloat / frames, sr.toFloat,
+        frames.toFloat)
+    }
+  }
+
+  /** Synthesize a structurally-valid MPEG-1 Layer III stream from
+    * per-frame (bitrateIndex 1..14, padding 0|1) pairs at 44.1 kHz, with a
+    * deterministic ID3v2 prefix (exercises the skip path) and filler frame
+    * bodies — the synthesis half of the q58 gate. The parser never reads
+    * sample data, so structural validity (headers + exact frame lengths)
+    * is what's under test, mirroring how a real pipeline triages media
+    * before paying for decode. */
+  def encodeMp3Frames(frames: Array[(Int, Int)]): Array[Byte] = {
+    val id3 = Array[Byte]('I', 'D', '3', 4, 0, 0, 0, 0, 0, 12,
+      'T', 'X', 'X', 'X', 0, 0, 0, 2, 0, 0, 0, 'g') // 10 hdr + 12 body
+    val lens = frames.map { case (bi, pad) =>
+      require(bi >= 1 && bi <= 14 && (pad == 0 || pad == 1), "bad frame spec")
+      (144000L * Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+        224, 256, 320)(bi) / 44100 + pad).toInt
+    }
+    val out = new Array[Byte](id3.length + lens.sum)
+    System.arraycopy(id3, 0, out, 0, id3.length)
+    var off = id3.length
+    var i = 0
+    while (i < frames.length) {
+      val (bi, pad) = frames(i)
+      out(off) = 0xFF.toByte
+      out(off + 1) = 0xFB.toByte // sync|MPEG1|LayerIII|no-CRC
+      out(off + 2) = ((bi << 4) | pad << 1).toByte // sr index 0 = 44100
+      out(off + 3) = 0xC0.toByte // single channel
+      var j = 4 // deterministic filler "audio" bytes
+      while (j < lens(i)) { out(off + j) = ((i * 31 + j) & 0x7F).toByte; j += 1 }
+      off += lens(i)
+      i += 1
+    }
+    out
+  }
+
+  /** MP4 / ISO base-media (ISO/IEC 14496-12) box walk — VIDEO container
+    * metadata WITHOUT an h264/aac decoder: movie timescale + duration
+    * (`moov/mvhd`), per-track dimensions (`trak/tkhd`, 16.16 fixed point),
+    * and sample-entry codec fourccs (`stbl/stsd`), via the public
+    * `[u32 size][4cc type]` box layout (64-bit `largesize` and
+    * size-0-to-end supported, unknown boxes skipped). Like
+    * [[Mp3HeaderDecoder]], this is the triage stage a 100 TB pipeline runs
+    * BEFORE paying for decode — filter by duration/resolution/codec, route
+    * the survivors. Throws on malformed payloads. Features (fixed width
+    * 4): `[duration_sec, video_width, video_height, n_tracks]`. */
+  class Mp4BoxDecoder extends Decoder {
+    val featureDim = 4
+
+    case class Mp4Meta(timescale: Long, duration: Long, nTracks: Int,
+                       videoW: Long, videoH: Long, codecs: Seq[String])
+
+    private def u32(b: Array[Byte], o: Int): Long =
+      ((b(o) & 0xFFL) << 24) | ((b(o + 1) & 0xFFL) << 16) |
+        ((b(o + 2) & 0xFFL) << 8) | (b(o + 3) & 0xFFL)
+    private def u64(b: Array[Byte], o: Int): Long =
+      (u32(b, o) << 32) | u32(b, o + 4)
+    private def tag(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    private val containers = Set("moov", "trak", "mdia", "minf", "stbl")
+
+    def walk(payload: Array[Byte]): Mp4Meta = {
+      var timescale = 0L; var duration = -1L; var nTracks = 0
+      var videoW = 0L; var videoH = 0L
+      val codecs = scala.collection.mutable.ArrayBuffer.empty[String]
+
+      def boxes(start: Long, end: Long): Unit = {
+        var off = start
+        while (off < end) {
+          require(off + 8 <= end, "truncated MP4 box header")
+          val o = off.toInt
+          val size0 = u32(payload, o)
+          val tpe = tag(payload, o + 4)
+          val (bodyOff, size) =
+            if (size0 == 1) {
+              require(off + 16 <= end, "truncated largesize box")
+              (off + 16, u64(payload, o + 8))
+            } else if (size0 == 0) (off + 8, end - off)
+            else (off + 8, size0)
+          require(size >= bodyOff - off && off + size <= end,
+            s"bad box size for '$tpe'")
+          val bodyEnd = off + size
+          tpe match {
+            case t if containers(t) =>
+              if (t == "trak") nTracks += 1
+              boxes(bodyOff, bodyEnd)
+            case "mvhd" =>
+              val b = bodyOff.toInt
+              val v = payload(b) & 0xFF
+              if (v == 1) { timescale = u32(payload, b + 20); duration = u64(payload, b + 24) }
+              else { timescale = u32(payload, b + 12); duration = u32(payload, b + 16) }
+            case "tkhd" =>
+              val b = bodyOff.toInt
+              val wOff = b + (if ((payload(b) & 0xFF) == 1) 88 else 76)
+              val w = u32(payload, wOff) >> 16 // 16.16 fixed → integer part
+              val h = u32(payload, wOff + 4) >> 16
+              if (w > 0 && videoW == 0) { videoW = w; videoH = h }
+            case "stsd" =>
+              val b = bodyOff.toInt
+              val entries = u32(payload, b + 4)
+              var eo = b + 8
+              var i = 0L
+              while (i < entries) {
+                require(eo + 8 <= bodyEnd, "truncated stsd entry")
+                codecs += tag(payload, eo + 4)
+                val esize = u32(payload, eo)
+                require(esize >= 8, "bad stsd entry size") // 0 would stall the walk
+                eo += esize.toInt
+                i += 1
+              }
+            case _ => // unknown box: skip
+          }
+          off = bodyEnd
+        }
+      }
+      boxes(0L, payload.length.toLong)
+      require(timescale > 0 && duration >= 0, "missing moov/mvhd")
+      Mp4Meta(timescale, duration, nTracks, videoW, videoH, codecs.toSeq)
+    }
+
+    def decode(kind: String, payload: Array[Byte]): Array[Float] = {
+      val m = walk(payload)
+      Array(m.duration.toFloat / m.timescale, m.videoW.toFloat,
+        m.videoH.toFloat, m.nTracks.toFloat)
+    }
+  }
+
+  /** Synthesize a minimal-but-valid ISO-BMFF payload (`ftyp` + `free` junk
+    * box + `moov(mvhd, trak(tkhd, mdia(minf(stbl(stsd)))))…`) from movie
+    * metadata — the synthesis half of the q59 gate. Tracks are
+    * (width, height, fourcc); width/height land in `tkhd` as 16.16 fixed
+    * point. The box walker never reads sample data (there is none), so
+    * structural validity of the box tree is what's under test. */
+  def encodeMp4Meta(timescale: Long, duration: Long,
+                    tracks: Seq[(Int, Int, String)]): Array[Byte] = {
+    def box(tpe: String, body: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + body.length)
+      bb.putInt(8 + body.length)
+      bb.put(tpe.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      bb.put(body)
+      bb.array()
+    }
+    val mvhd = {
+      val bb = java.nio.ByteBuffer.allocate(100)
+      bb.putInt(0) // version 0 + flags
+      bb.putInt(0); bb.putInt(0) // creation/modification
+      bb.putInt(timescale.toInt); bb.putInt(duration.toInt)
+      bb.putInt(0x00010000); bb.putShort(0x0100.toShort) // rate 1.0, volume
+      bb.position(bb.position() + 10) // reserved
+      Array(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+        .foreach(bb.putInt) // unity matrix
+      bb.position(bb.position() + 24) // pre_defined
+      bb.putInt(tracks.length + 1) // next_track_ID
+      box("mvhd", bb.array())
+    }
+    val traks = tracks.zipWithIndex.map { case ((w, h, fourcc), i) =>
+      val tk = {
+        val bb = java.nio.ByteBuffer.allocate(84)
+        bb.putInt(7) // version 0, flags enabled|in-movie|in-preview
+        bb.putInt(0); bb.putInt(0) // creation/modification
+        bb.putInt(i + 1); bb.putInt(0) // track_ID, reserved
+        bb.putInt(duration.toInt)
+        bb.position(bb.position() + 8) // reserved
+        bb.putShort(0); bb.putShort(0) // layer, alternate_group
+        bb.putShort(0); bb.putShort(0) // volume, reserved
+        Array(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+          .foreach(bb.putInt)
+        bb.putInt(w << 16); bb.putInt(h << 16) // 16.16 fixed
+        box("tkhd", bb.array())
+      }
+      val entry = {
+        val bb = java.nio.ByteBuffer.allocate(16)
+        bb.putInt(16)
+        bb.put(fourcc.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+        bb.array() // 6 reserved + data_ref_index stay zero
+      }
+      val stsd = {
+        val bb = java.nio.ByteBuffer.allocate(8 + entry.length)
+        bb.putInt(0); bb.putInt(1) // version/flags, entry_count
+        bb.put(entry)
+        box("stsd", bb.array())
+      }
+      box("trak", tk ++ box("mdia", box("minf", box("stbl", stsd))))
+    }
+    val ftyp = box("ftyp",
+      "isom".getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++
+        Array[Byte](0, 0, 0, 0))
+    val free = box("free", Array.tabulate[Byte](12)(i => (i * 7).toByte))
+    ftyp ++ free ++ box("moov", mvhd ++ traks.flatten.toArray)
+  }
+
   /** Kind-routing decoder: dispatch each row's payload to the decoder
     * registered for its `kind`, falling back to `fallback` for unrouted
     * kinds — so a MIXED media table decodes in ONE [[decodeFeatures]] pass

@@ -799,6 +799,41 @@ object Oracles {
            CAST(max(q) AS BIGINT) AS peak_q
     FROM s GROUP BY user_id ORDER BY user_id"""
 
+  // MP3 metadata round-trip: replays the MPEG-1 Layer III frame-length
+  // arithmetic (144000*kbps/44100 + padding, kbps via the public bitrate
+  // table) from the raw table — the Spark side produced the same numbers by
+  // encoding real frame headers and sync-walking them back.
+  val q58 = """
+    WITH s AS (SELECT user_id,
+                      (event_id % 14) + 1 AS bi,
+                      event_id % 2 AS pad
+               FROM events),
+    f AS (SELECT user_id,
+                 [32,40,48,56,64,80,96,112,128,160,192,224,256,320][bi] AS kbps,
+                 pad
+          FROM s)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_frames,
+           CAST(sum(kbps) AS BIGINT) AS sum_kbps,
+           CAST(sum(144000 * kbps // 44100 + pad) AS BIGINT) AS sum_bytes,
+           CAST(count(*) * 1152 * 1000 // 44100 AS BIGINT) AS dur_ms
+    FROM f GROUP BY user_id ORDER BY user_id"""
+
+  // MP4 metadata round-trip: replays the duration/dims derivations from the
+  // raw table — the Spark side carried the same numbers through a real
+  // ISO-BMFF box tree (mvhd/tkhd 16.16 fixed point/stsd fourccs) and back.
+  val q59 = """
+    WITH s AS (SELECT user_id,
+                      CAST(sum(CAST(GREATEST(LEAST(floor(value * 100), 100000), 0) AS BIGINT)) AS BIGINT) AS du
+               FROM events GROUP BY user_id)
+    SELECT user_id, du AS dur_units,
+           CAST(du * 1000 // 600 AS BIGINT) AS dur_ms,
+           CAST(2 AS BIGINT) AS n_tracks,
+           CAST(16 + user_id % 1904 AS BIGINT) AS video_w,
+           CAST(16 + user_id % 1064 AS BIGINT) AS video_h,
+           'avc1,mp4a' AS codecs
+    FROM s ORDER BY user_id"""
+
   // PQ ANN recall gate: like q30, the pass/fail flag is computed Spark-side
   // against the exact brute-force baseline; the oracle pins it.
   val q57 = """
@@ -923,6 +958,8 @@ object Oracles {
     "q54_bdqa_trace" -> q54,
     "q55_png_roundtrip" -> q55,
     "q56_aiff_roundtrip" -> q56,
-    "q57_ann_pq" -> q57
+    "q57_ann_pq" -> q57,
+    "q58_mp3_metadata" -> q58,
+    "q59_mp4_metadata" -> q59
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

@@ -833,6 +833,67 @@ object Queries {
       .orderBy("user_id")
   }
 
+  /** MP3 metadata round-trip gate — media triage WITHOUT decode: per user,
+    * derive a per-event (bitrate-index, padding) frame spec, ENCODE a
+    * structurally-valid MPEG-1 Layer III stream (real header layout +
+    * ID3v2 prefix), WALK it back with [[Multimodal.Mp3HeaderDecoder]], and
+    * emit exact integer stream stats (frames, Σkbps, Σframe-bytes,
+    * duration-ms). The oracle replays the public frame-length arithmetic
+    * (`144000·kbps/44100 + pad`) from the raw table via the bitrate lookup
+    * table, so any defect in the header encode, the sync walk, the table
+    * indexing, or the ID3 skip breaks the hash equality. This is the
+    * 100 TB first-stage shape: filter/route compressed media by metadata
+    * before paying for sample decode. */
+  def q58Mp3Metadata(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        (pmod(col("event_id"), lit(14)) + 1).cast("int").as("bi"),
+        pmod(col("event_id"), lit(2)).cast("int").as("pad"))
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(struct(col("event_id"), col("bi"),
+        col("pad")))).as("fs"))
+      .as[(Long, Seq[(Long, Int, Int)])]
+      .map { case (u, fs) =>
+        val mp3 = Multimodal.encodeMp3Frames(fs.map(f => (f._2, f._3)).toArray)
+        val (frames, sumKbps, sumBytes, samples, sr) =
+          new Multimodal.Mp3HeaderDecoder().walk(mp3)
+        (u, frames, sumKbps, sumBytes, samples * 1000L / sr)
+      }
+      .toDF("user_id", "n_frames", "sum_kbps", "sum_bytes", "dur_ms")
+      .orderBy("user_id")
+  }
+
+  /** MP4 metadata round-trip gate — q58's video twin: per user, derive
+    * movie duration from the event values (timescale 600 — the ISO-BMFF
+    * default) and track dims from the user id, ENCODE a valid ISO-BMFF box
+    * tree, WALK it back with [[Multimodal.Mp4BoxDecoder]], and emit the
+    * recovered metadata (duration units, integer milliseconds, video dims,
+    * codec list). The oracle replays the derivations from the raw table,
+    * so any defect in the box encode, the recursive walk, the 16.16
+    * fixed-point dims, or the stsd entry scan breaks the hash equality.
+    * h264/aac SAMPLE decode stays stubbed (needs a codec); container
+    * triage — what a 100 TB pipeline filters on — does not. */
+  def q59Mp4Metadata(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val du = greatest(least(floor(col("value") * 100), lit(100000L)), lit(0L))
+    Tables.events(s, d)
+      .groupBy("user_id").agg(sum(du.cast("long")).as("dur_units"))
+      .as[(Long, Long)]
+      .map { case (u, dur) =>
+        val tracks = Seq(
+          ((16 + u % 1904).toInt, (16 + u % 1064).toInt, "avc1"),
+          (0, 0, "mp4a"))
+        val mp4 = Multimodal.encodeMp4Meta(600L, dur, tracks)
+        val m = new Multimodal.Mp4BoxDecoder().walk(mp4)
+        (u, m.duration, m.duration * 1000L / m.timescale, m.nTracks.toLong,
+          m.videoW, m.videoH, m.codecs.mkString(","))
+      }
+      .toDF("user_id", "dur_units", "dur_ms", "n_tracks", "video_w",
+        "video_h", "codecs")
+      .orderBy("user_id")
+  }
+
   /** Robust per-column outlier profile of the lineitem measures:
     * median/MAD z-scores (outliers can't drag their own threshold the way
     * mean/stddev scoring lets them). q48-pattern gate query: the EXACT

@@ -261,6 +261,74 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(1L).sameElements(feats(2L)))
   }
 
+  test("Mp3HeaderDecoder walks synthesized frames to exact closed-form stats") {
+    // 3 frames: (bi=9 → 128 kbps, pad 0), (bi=14 → 320, pad 1), (bi=1 → 32, pad 0)
+    val mp3 = Multimodal.encodeMp3Frames(Array((9, 0), (14, 1), (1, 0)))
+    val dec = new Multimodal.Mp3HeaderDecoder
+    val (frames, sumKbps, sumBytes, samples, sr) = dec.walk(mp3)
+    assert(frames == 3 && sr == 44100 && samples == 3 * 1152)
+    assert(sumKbps == 128 + 320 + 32)
+    val expBytes = 144000L * 128 / 44100 + (144000L * 320 / 44100 + 1) +
+      144000L * 32 / 44100
+    assert(sumBytes == expBytes)
+    // payload = ID3v2 prefix (22 bytes) + frame bytes exactly
+    assert(mp3.length == 22 + expBytes)
+    val Array(dur, meanKbps, rate, nf) = dec.decode("mp3", mp3)
+    assert(nf == 3.0f && rate == 44100.0f)
+    assert(math.abs(dur - 3.0 * 1152 / 44100) < 1e-6)
+    assert(math.abs(meanKbps - (128 + 320 + 32) / 3.0) < 1e-4)
+  }
+
+  test("Mp3HeaderDecoder skips ID3v1 trailers and rejects malformed streams") {
+    val dec = new Multimodal.Mp3HeaderDecoder
+    val base = Multimodal.encodeMp3Frames(Array((9, 0), (9, 1)))
+    val v1 = new Array[Byte](128)
+    v1(0) = 'T'; v1(1) = 'A'; v1(2) = 'G'
+    val (frames, _, _, _, _) = dec.walk(base ++ v1)
+    assert(frames == 2)
+    // truncated final frame
+    intercept[IllegalArgumentException](dec.walk(base.dropRight(1)))
+    // junk after last frame (not a 128-byte TAG block) loses sync
+    intercept[IllegalArgumentException](dec.walk(base :+ 0x00.toByte))
+    // free bitrate index rejected
+    val free = base.clone()
+    free(24) = (free(24) & 0x0F).toByte // zero the bitrate nibble (after 22-byte ID3 + 2)
+    intercept[IllegalArgumentException](dec.walk(free))
+    // corrupt ID3v2 size: skip overshoots payload -> no frames found
+    intercept[IllegalArgumentException] {
+      val bad = base.clone(); bad(9) = 0x7F.toByte; dec.walk(bad)
+    }
+  }
+
+  test("Mp4BoxDecoder recovers movie metadata through the box tree") {
+    val mp4 = Multimodal.encodeMp4Meta(600L, 123456L,
+      Seq((1920, 1080, "avc1"), (0, 0, "mp4a")))
+    val dec = new Multimodal.Mp4BoxDecoder
+    val m = dec.walk(mp4)
+    assert(m.timescale == 600L && m.duration == 123456L)
+    assert(m.nTracks == 2 && m.videoW == 1920L && m.videoH == 1080L)
+    assert(m.codecs == Seq("avc1", "mp4a"))
+    val Array(dur, w, h, nt) = dec.decode("mp4", mp4)
+    assert(math.abs(dur - 123456.0 / 600) < 1e-3)
+    assert(w == 1920.0f && h == 1080.0f && nt == 2.0f)
+  }
+
+  test("Mp4BoxDecoder rejects malformed box trees instead of stalling") {
+    val dec = new Multimodal.Mp4BoxDecoder
+    val good = Multimodal.encodeMp4Meta(600L, 100L, Seq((64, 48, "avc1")))
+    // truncation mid-box
+    intercept[IllegalArgumentException](dec.walk(good.dropRight(5)))
+    // no moov/mvhd at all
+    intercept[IllegalArgumentException](
+      dec.walk(good.take(16))) // just the ftyp box
+    // corrupt inner box size (zero would stall a naive walk)
+    val bad = good.clone()
+    val moovOff = good.indexOfSlice("moov".getBytes) - 4
+    bad(moovOff + 8) = 0; bad(moovOff + 9) = 0
+    bad(moovOff + 10) = 0; bad(moovOff + 11) = 4 // mvhd size 4 < header
+    intercept[IllegalArgumentException](dec.walk(bad))
+  }
+
   test("PgmDecoder parses P5 images and resizes by nearest neighbor") {
     val w = 64; val h = 32
     // horizontal ramp: pixel value = x * 255 / (w-1)
