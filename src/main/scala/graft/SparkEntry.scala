@@ -73,7 +73,8 @@ object SparkEntry {
     "q56_aiff_roundtrip" -> (Queries.q56AiffRoundtrip _),
     "q57_ann_pq" -> (Queries.q57AnnPq _),
     "q58_mp3_metadata" -> (Queries.q58Mp3Metadata _),
-    "q59_mp4_metadata" -> (Queries.q59Mp4Metadata _)
+    "q59_mp4_metadata" -> (Queries.q59Mp4Metadata _),
+    "q60_bloom_decontaminate" -> (Queries.q60BloomDecontaminate _)
   )
 
   /** DuckDB oracles for EVERY query above — since round 3 none are

@@ -960,6 +960,9 @@ object Oracles {
     "q56_aiff_roundtrip" -> q56,
     "q57_ann_pq" -> q57,
     "q58_mp3_metadata" -> q58,
-    "q59_mp4_metadata" -> q59
+    "q59_mp4_metadata" -> q59,
+    // same exact semantics as q43 through the bloom-prefiltered path: the
+    // direct-replay oracle makes any bloom false negative a hash break
+    "q60_bloom_decontaminate" -> q43
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

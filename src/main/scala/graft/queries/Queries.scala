@@ -894,6 +894,39 @@ object Queries {
       .orderBy("user_id")
   }
 
+  /** Bloom-prefiltered decontamination — q43's 100 TB-blocklist form: build
+    * a compact Bloom filter over the benchmark shingle hashes (mergeable
+    * per-partition bit arrays, one distributed aggregate), prefilter the
+    * corpus shingles with the codegen'd k-probe, and run the exact
+    * verification join ONLY on the survivors. Bloom filters have zero
+    * false negatives by construction, so this path must produce EXACTLY
+    * q43's answer — and the oracle replays the direct exact computation,
+    * so any dropped contaminated doc (a false negative — i.e. a broken
+    * build/probe) breaks the hash. False-positive rate is a perf property,
+    * asserted empirically in BloomSpec. The broadcast-join q43 stays the
+    * right call while the blocklist fits as rows; this is the shape when
+    * it is hundreds of millions of fingerprints (bits stay m/8 bytes). */
+  def q60BloomDecontaminate(s: SparkSession, d: String): DataFrame = {
+    val shingled = Tables.documents(s, d)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("__toks"))
+      .select(col("doc_id"),
+        graft.functions.VectorExprs.hashedWordShingles(col("__toks"), 5).as("sh"))
+      .localCheckpoint() // shared by bench (twice: sizing + verify) + corpus
+    val bench = shingled.filter(col("doc_id") < 10)
+      .select(explode(col("sh")).as("s")).distinct()
+    // sizing count: bounded driver action (one long); a production blocklist
+    // ships its cardinality (or an HLL estimate — q48's sketch) with it
+    val nBench = math.max(bench.count(), 1L)
+    val filter = Bloom.build(bench, "s", nBench, fpp = 0.01)
+    val corpus = shingled.filter(col("doc_id") >= 10)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+    corpus.filter(Bloom.mightContain(filter, col("s")))
+      .join(broadcast(bench), Seq("s")) // exact verify on survivors only
+      .groupBy("doc_id")
+      .agg(count_distinct(col("s")).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
   /** Robust per-column outlier profile of the lineitem measures:
     * median/MAD z-scores (outliers can't drag their own threshold the way
     * mean/stddev scoring lets them). q48-pattern gate query: the EXACT
