@@ -74,7 +74,10 @@ object SparkEntry {
     "q57_ann_pq" -> (Queries.q57AnnPq _),
     "q58_mp3_metadata" -> (Queries.q58Mp3Metadata _),
     "q59_mp4_metadata" -> (Queries.q59Mp4Metadata _),
-    "q60_bloom_decontaminate" -> (Queries.q60BloomDecontaminate _)
+    "q60_bloom_decontaminate" -> (Queries.q60BloomDecontaminate _),
+    "q61_sequence_packing" -> (Queries.q61SequencePacking _),
+    "q62_mixture_sample" -> (Queries.q62MixtureSample _),
+    "q63_zorder_cells" -> (Queries.q63ZOrderCells _)
   )
 
   /** DuckDB oracles for EVERY query above — since round 3 none are

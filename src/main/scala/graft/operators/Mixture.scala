@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-mixture sampling — reweighting corpus sources into a training mix
+  * ("wiki ×2.5, web ×0.15, …"), the step that turns a curated corpus into
+  * a recipe. Per document, the target weight `w` for its source yields
+  * `floor(w)` guaranteed epochs plus one more with probability
+  * `frac(w)` — deterministic, via the engine-portable 52-bit md5 uniform
+  * (the q26 construction), so the sample is reproducible run-to-run,
+  * executor-count-independent, and exactly replayable in SQL (the q62
+  * oracle). One projection + one generate: no shuffle, no state; at
+  * 100 TB this runs at scan speed and the downstream shuffle (packing,
+  * shard writes) sees the already-reweighted stream. */
+object Mixture {
+
+  /** Engine-portable uniform in [0, 1): the top 52 bits of md5(key|salt)
+    * as a double mantissa — identical in any engine with md5. */
+  def portableUniform(key: Column, salt: String): Column =
+    conv(substring(md5(concat_ws("|", key, lit(salt)).cast("binary")), 1, 13),
+      16, 10).cast("long").cast("double") / lit(4503599627370496.0)
+
+  /** Weight column from a source→weight table (unmatched sources get
+    * `default`). Weights may exceed 1 (upsampling). */
+  def weightFor(source: Column, weights: Map[String, Double],
+                default: Double): Column =
+    weights.foldLeft(lit(default)) { case (acc, (s, w)) =>
+      when(source === lit(s), lit(w)).otherwise(acc)
+    }
+
+  /** Expand each document into its mixture epochs: rows (…, epoch) with
+    * epoch in [0, nCopies) where
+    * `nCopies = floor(w) + (u < frac(w) ? 1 : 0)`. Documents drawn zero
+    * times disappear. Deterministic in (id, salt). */
+  def epochs(docs: DataFrame, id: Column, weight: Column,
+             salt: String = "mix"): DataFrame = {
+    val u = portableUniform(id, salt)
+    val copies = (floor(weight) +
+      when(u < weight - floor(weight), 1.0).otherwise(0.0)).cast("long")
+    docs
+      .withColumn("n_copies", copies)
+      .filter(col("n_copies") > 0)
+      .withColumn("epoch", explode(sequence(lit(0L), col("n_copies") - 1)))
+      .drop("n_copies")
+  }
+}

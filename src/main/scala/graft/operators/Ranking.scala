@@ -37,6 +37,32 @@ object Ranking {
       .drop("__pid")
   }
 
+  /** Exact global running sum of `value` (a long) over the `sortCols`
+    * total order, with the same no-single-task-sort construction as
+    * [[globalRowNumber]]: range-repartition, per-partition window sum,
+    * plus the prefix sum of earlier partitions' totals (≤ `partitions`
+    * scalars on the driver). `sortCols` must be a TOTAL order (include a
+    * unique id) — ties would make the running sum include the whole tie
+    * group for every tied row. The inclusive cum for a row r is
+    * `sum(value) over rows ≤ r`. */
+  def globalCumSum(df: DataFrame, sortCols: Seq[Column], value: Column,
+                   out: String = "cum", partitions: Int = 32): DataFrame = {
+    val ranged = df.repartitionByRange(partitions, sortCols: _*)
+      .withColumn("__v", value.cast("long"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val sums = ranged.groupBy("__pid").agg(sum("__v").as("s"))
+      .collect().map(r => r.getAs[Int]("__pid") -> r.getAs[Long]("s")).toMap
+    val offsets = Array.tabulate(partitions) { p =>
+      (0 until p).map(sums.getOrElse(_, 0L)).sum
+    }
+    val w = Window.partitionBy("__pid").orderBy(sortCols: _*)
+    ranged
+      .withColumn(out,
+        sum(col("__v")).over(w) + element_at(lit(offsets), col("__pid") + 1))
+      .drop("__pid", "__v")
+  }
+
   /** ntile bucket from a 1-based global rank `r` of `n` rows — the exact
     * SQL ntile(k) remainder semantics (first n%k buckets get one extra
     * row), as pure integer arithmetic so it composes with

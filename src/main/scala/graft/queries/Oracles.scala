@@ -834,6 +834,57 @@ object Oracles {
            'avc1,mp4a' AS codecs
     FROM s ORDER BY user_id"""
 
+  // Sequence packing: replays the concat-and-cut layout with a plain window
+  // cumsum — the Spark side computed the same numbers through the
+  // range-partitioned globalCumSum (no single-task window).
+  val q61 = """
+    WITH t AS (SELECT doc_id,
+                      CASE WHEN length(trim(text)) = 0 THEN 0
+                           ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS tok
+               FROM documents),
+    c AS (SELECT doc_id, tok, sum(tok) OVER (ORDER BY doc_id) AS cum FROM t)
+    SELECT doc_id,
+           CAST(tok AS BIGINT) AS n_tok,
+           CAST((cum - tok) // 512 AS BIGINT) AS first_bin,
+           CAST(CASE WHEN tok > 0 THEN (cum - 1) // 512
+                     ELSE (cum - tok) // 512 END AS BIGINT) AS last_bin,
+           CAST((cum - tok) % 512 AS BIGINT) AS bin_off
+    FROM c ORDER BY doc_id"""
+
+  // Mixture sampling: replays the md5-uniform epoch draw (floor(w)
+  // guaranteed + 1 with probability frac(w)) and the epoch expansion — the
+  // whole training mix is deterministic in (doc_id, salt).
+  val q62 = """
+    WITH s AS (SELECT doc_id, source,
+                      CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 1.0
+                           WHEN 'src2' THEN 0.4 ELSE 0.15 END AS w,
+                      substr(md5(concat_ws('|', doc_id, 'mix')), 1, 13) AS hx
+               FROM documents),
+    u AS (SELECT doc_id, source, w,
+                 list_reduce(list_prepend(0.0,
+                     list_transform(generate_series(1, 13),
+                       k -> CAST(strpos('0123456789abcdef', substr(hx, k, 1)) - 1 AS DOUBLE)
+                            * pow(16.0, 13 - k))),
+                   (a, x) -> a + x) / 4503599627370496.0 AS u
+          FROM s),
+    c AS (SELECT doc_id, source,
+                 CAST(floor(w) + CASE WHEN u < w - floor(w) THEN 1 ELSE 0 END AS BIGINT) AS n
+          FROM u)
+    SELECT doc_id, source, CAST(unnest(range(n)) AS BIGINT) AS epoch
+    FROM c WHERE n > 0 ORDER BY doc_id, epoch"""
+
+  // Z-order cells: replays the Morton interleave (bit i of column j →
+  // output bit i*d + j) with the same bitwise arithmetic.
+  val q63 = """
+    WITH s AS (SELECT l_orderkey % 1024 AS x, l_partkey % 1024 AS y FROM lineitem),
+    z AS (SELECT CAST(list_sum(list_transform(range(10),
+                   i -> (((x >> i) & 1) << (2*i)) + (((y >> i) & 1) << (2*i + 1))))
+                 AS BIGINT) AS z
+          FROM s)
+    SELECT z >> 14 AS cell, CAST(count(*) AS BIGINT) AS n,
+           min(z) AS z_min, max(z) AS z_max
+    FROM z GROUP BY cell ORDER BY cell"""
+
   // PQ ANN recall gate: like q30, the pass/fail flag is computed Spark-side
   // against the exact brute-force baseline; the oracle pins it.
   val q57 = """
@@ -963,6 +1014,9 @@ object Oracles {
     "q59_mp4_metadata" -> q59,
     // same exact semantics as q43 through the bloom-prefiltered path: the
     // direct-replay oracle makes any bloom false negative a hash break
-    "q60_bloom_decontaminate" -> q43
+    "q60_bloom_decontaminate" -> q43,
+    "q61_sequence_packing" -> q61,
+    "q62_mixture_sample" -> q62,
+    "q63_zorder_cells" -> q63
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

@@ -927,6 +927,56 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Sequence packing (GPT-style concat-and-cut): concatenate the corpus
+    * in doc_id order and cut every 512 tokens; per document, emit the
+    * first/last training-window index and the offset inside the first
+    * window. The running token sum is the range-partitioned
+    * [[Ranking.globalCumSum]] (no single-task global window); the oracle
+    * replays it with a plain SQL window cumsum + integer arithmetic, so
+    * the scale-safe construction is held to the exact relational
+    * semantics. The no-split variant ([[Packing.packGreedyPerShard]]) is
+    * inherently sequential per shard and is property-tested in
+    * PackingSpec. */
+  def q61SequencePacking(s: SparkSession, d: String): DataFrame =
+    Packing.concatAndCut(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        order = Seq(col("doc_id")), tok = TextOps.tokenCount(col("text")),
+        budget = 512L)
+      .select(col("doc_id"), col("n_tok"), col("first_bin"), col("last_bin"),
+        col("bin_off"))
+      .orderBy("doc_id")
+
+  /** Data-mixture sampling: reweight the documents table into a training
+    * mix (src0 ×2.5 upsampled, src1 ×1.0, src2 ×0.4, everything else
+    * ×0.15) and expand the drawn epochs. Deterministic md5 uniforms make
+    * the whole sample — which docs survive AND how many epochs each gets —
+    * exactly replayable in the oracle, q26-style. */
+  def q62MixtureSample(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    val w = Mixture.weightFor(col("source"),
+      Map("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.4), default = 0.15)
+    Mixture.epochs(docs, col("doc_id"), w, salt = "mix")
+      .select(col("doc_id"), col("source"), col("epoch"))
+      .orderBy("doc_id", "epoch")
+  }
+
+  /** Z-order layout cells: Morton-interleave two lineitem key coordinates
+    * onto a 1024×1024 grid and histogram the 64 top-level z-cells (count +
+    * z min/max per cell). The interleave is pure built-in bitwise
+    * arithmetic ([[Layout.zValue]]), so the oracle replays it bit-for-bit;
+    * the per-cell min/max columns are exactly the file statistics a
+    * z-clustered table would expose to pruning ([[Layout.clusterByZ]] —
+    * the pruning property itself is asserted in LayoutSpec). */
+  def q63ZOrderCells(s: SparkSession, d: String): DataFrame = {
+    val x = pmod(col("l_orderkey"), lit(1024L)).cast("long")
+    val y = pmod(col("l_partkey"), lit(1024L)).cast("long")
+    Tables.lineitem(s, d)
+      .select(Layout.zValue(Seq(x, y), bits = 10).as("z"))
+      .groupBy(shiftright(col("z"), 14).as("cell"))
+      .agg(count(lit(1)).as("n"), min("z").as("z_min"), max("z").as("z_max"))
+      .orderBy("cell")
+  }
+
   /** Robust per-column outlier profile of the lineitem measures:
     * median/MAD z-scores (outliers can't drag their own threshold the way
     * mean/stddev scoring lets them). q48-pattern gate query: the EXACT

@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MixtureSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(n: Int) =
+    (0 until n).map(i => (i.toLong, s"src${i % 4}")).toDF("doc_id", "source")
+
+  test("epochs guarantees floor(w) copies and caps at ceil(w)") {
+    val w = Mixture.weightFor(col("source"),
+      Map("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.4), default = 0.15)
+    val counts = Mixture.epochs(docs(2000), col("doc_id"), w)
+      .groupBy("doc_id", "source").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    counts.foreach {
+      case ("src0", n) => assert(n == 2L || n == 3L)
+      case ("src1", n) => assert(n == 1L)
+      case ("src2", n) => assert(n == 1L) // kept docs have exactly 1 epoch
+      case ("src3", n) => assert(n == 1L)
+      case other       => fail(s"unexpected $other")
+    }
+    // epoch indices are dense 0..n-1 per doc
+    val eps = Mixture.epochs(docs(100), col("doc_id"), w)
+      .groupBy("doc_id").agg(collect_list("epoch").as("e"))
+      .collect().map(_.getSeq[Long](1).sorted)
+    eps.foreach(e => assert(e == (0L until e.length.toLong)))
+  }
+
+  test("realized mix tracks the target weights") {
+    val n = 4000
+    val w = Mixture.weightFor(col("source"),
+      Map("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.4), default = 0.15)
+    val mix = Mixture.epochs(docs(n), col("doc_id"), w)
+      .groupBy("source").agg(count(lit(1)).as("rows"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val perSource = n / 4.0
+    def ratio(s: String) = mix.getOrElse(s, 0L) / perSource
+    assert(math.abs(ratio("src0") - 2.5) < 0.15, s"src0 ${ratio("src0")}")
+    assert(ratio("src1") == 1.0)
+    assert(math.abs(ratio("src2") - 0.4) < 0.1, s"src2 ${ratio("src2")}")
+    assert(math.abs(ratio("src3") - 0.15) < 0.1, s"src3 ${ratio("src3")}")
+  }
+
+  test("sample is deterministic in (id, salt) and changes with the salt") {
+    val w = Mixture.weightFor(col("source"), Map("src0" -> 0.5), default = 0.5)
+    def kept(salt: String) = Mixture.epochs(docs(1000), col("doc_id"), w, salt)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val a = kept("mix"); val b = kept("mix"); val c = kept("other-salt")
+    assert(a == b, "same salt must reproduce the same sample")
+    assert(a != c, "different salt should draw a different sample")
+  }
+}
