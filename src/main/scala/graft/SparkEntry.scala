@@ -77,7 +77,8 @@ object SparkEntry {
     "q60_bloom_decontaminate" -> (Queries.q60BloomDecontaminate _),
     "q61_sequence_packing" -> (Queries.q61SequencePacking _),
     "q62_mixture_sample" -> (Queries.q62MixtureSample _),
-    "q63_zorder_cells" -> (Queries.q63ZOrderCells _)
+    "q63_zorder_cells" -> (Queries.q63ZOrderCells _),
+    "q64_ann_ivfpq" -> (Queries.q64AnnIvfPq _)
   )
 
   /** DuckDB oracles for EVERY query above — since round 3 none are

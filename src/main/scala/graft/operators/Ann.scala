@@ -83,47 +83,54 @@ object Ann {
               refineIters: Int = 1): DataFrame = {
     val c = corpus.select(corpusId.cast("long").as("nid"),
       corpusVec.cast("array<double>").as("cv"))
-    // centroids: deterministic sample of nlist corpus vectors (kmeans init),
-    // then `refineIters` Lloyd steps — each step is one distributed
-    // assignment pass + a posexplode/groupBy mean (nlist x dim rows back to
-    // the driver). Tighter cells raise recall at the same nprobe.
+    val cents = trainIvfCentroids(c, nlist, seed, refineIters)
+    // NB: ONE transform lambda over a 2-D centroid literal — the cosine body
+    // is planned/compiled once, not nlist times (and never as a pairwise
+    // when/otherwise reduce, which would duplicate subtrees exponentially).
+    val centArr = typedLit(cents.map(_.toSeq).toSeq)
+    val cc = c.withColumn("cell", ivfCellOf(centArr, col("cv")))
+    val q = queries.select(queryId.cast("long").as("query_id"),
+        queryVec.cast("array<double>").as("qv"))
+      .withColumn("cell", explode(ivfProbesOf(centArr, col("qv"), nprobe)))
+    val scored = cc.join(broadcast(q), Seq("cell"))
+      .select(col("query_id"), col("nid"),
+        VectorOps.cosine(col("cv"), col("qv")).as("score"))
+    topKFromScores(scored, k)
+  }
+
+  /** IVF coarse centroids: deterministic sample of nlist corpus vectors
+    * (kmeans init), then `refineIters` Lloyd steps — each step is one
+    * distributed assignment pass + a posexplode/groupBy mean (nlist x dim
+    * rows back to the driver). Tighter cells raise recall at the same
+    * nprobe. */
+  private def trainIvfCentroids(c: DataFrame, nlist: Int, seed: Long,
+                                refineIters: Int): Array[Array[Double]] = {
     var cents: Array[Array[Double]] = c.select(col("cv"))
       .orderBy(xxhash64(col("nid"), lit(seed)))
       .limit(nlist).collect().map(_.getSeq[Double](0).toArray)
     for (_ <- 1 to refineIters) {
       val centArr0 = typedLit(cents.map(_.toSeq).toSeq)
-      val cell0 = array_max(transform(centArr0, (ct, i) =>
-        struct(VectorOps.cosine(col("cv"), ct).as("s"), i.as("cell")))).getField("cell")
-      val means = c.select(col("cv"), cell0.as("cell"))
+      val means = c.select(col("cv"), ivfCellOf(centArr0, col("cv")).as("cell"))
         .select(col("cell"), posexplode(col("cv")).as(Seq("pos", "v")))
         .groupBy("cell", "pos").agg(avg("v").as("m"))
         .collect()
-      val dim = cents(0).length
       val refined = cents.map(_.clone())
       means.foreach { r =>
         refined(r.getAs[Int]("cell"))(r.getAs[Int]("pos")) = r.getAs[Double]("m")
       }
       cents = refined
     }
-    // NB: ONE transform lambda over a 2-D centroid literal — the cosine body
-    // is planned/compiled once, not nlist times (and never as a pairwise
-    // when/otherwise reduce, which would duplicate subtrees exponentially).
-    val centArr = typedLit(cents.map(_.toSeq).toSeq)
-    def scoredCells(vec: Column): Column =
-      transform(centArr, (c, i) =>
-        struct(VectorOps.cosine(vec, c).as("s"), i.as("cell")))
-    def cellOf(vec: Column): Column = array_max(scoredCells(vec)).getField("cell")
-    def probesOf(vec: Column): Column =
-      slice(reverse(array_sort(scoredCells(vec))), 1, nprobe).getField("cell")
-    val cc = c.withColumn("cell", cellOf(col("cv")))
-    val q = queries.select(queryId.cast("long").as("query_id"),
-        queryVec.cast("array<double>").as("qv"))
-      .withColumn("cell", explode(probesOf(col("qv"))))
-    val scored = cc.join(broadcast(q), Seq("cell"))
-      .select(col("query_id"), col("nid"),
-        VectorOps.cosine(col("cv"), col("qv")).as("score"))
-    topKFromScores(scored, k)
+    cents
   }
+
+  private def ivfScoredCells(centArr: Column, vec: Column): Column =
+    transform(centArr, (c, i) =>
+      struct(VectorOps.cosine(vec, c).as("s"), i.as("cell")))
+  private def ivfCellOf(centArr: Column, vec: Column): Column =
+    array_max(ivfScoredCells(centArr, vec)).getField("cell")
+  private def ivfProbesOf(centArr: Column, vec: Column, nprobe: Int): Column =
+    slice(reverse(array_sort(ivfScoredCells(centArr, vec))), 1, nprobe)
+      .getField("cell")
 
   /** Product-quantization codebooks: flat layout
     * `codebook[(m·K + j)·sub + t]`, sub = dim/M (see [[graft.functions.PqEncode]]). */
@@ -236,5 +243,51 @@ object Ann {
           VectorOps.cosine(col("cv"), col("qv")).as("score"))
       topKFromScores(rescored, k)
     }
+  }
+
+  /** IVF-PQ — the production billion-vector index shape (coarse quantizer
+    * + product codes, Jégou et al. 2011): route each query to its nprobe
+    * nearest IVF cells AND score candidates entirely in the compressed
+    * domain (ADC over M-byte codes), then exact-rescore only the
+    * per-query shortlist. Combines both throughput dials:
+    * cells cut the fraction of the corpus scanned (nprobe/nlist), codes
+    * cut the bytes per scanned row (×8·dim/M) — at 100 TB the index that
+    * actually fits in cluster memory is exactly this one. The ingest
+    * shape computes (cell, codes) once per vector; queries ship only
+    * (cell, LUT) pairs via broadcast. Recall gated against
+    * [[bruteForceTopK]] (q64; q30/q57 precedent). */
+  def ivfPqTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+                queries: DataFrame, queryId: Column, queryVec: Column,
+                k: Int, nlist: Int = 16, nprobe: Int = 4, m: Int = 16,
+                codesPerSub: Int = 32, refine: Int = 64,
+                sampleN: Int = 2048, iters: Int = 8, seed: Long = 42): DataFrame = {
+    val c = unitNorm(corpus, corpusId, corpusVec, "nid")
+    val cents = trainIvfCentroids(c, nlist, seed, refineIters = 1)
+    val centArr = typedLit(cents.map(_.toSeq).toSeq)
+    val model = pqTrain(c, col("nid"), col("cv"), m, codesPerSub, sampleN, iters, seed)
+    // ingest: one projection computes the routing cell + the compressed
+    // codes; downstream, raw vectors are touched only by the rescore join
+    val coded = c.select(col("nid"),
+        ivfCellOf(centArr, col("cv")).as("cell"),
+        PqExprs.pqEncode(col("cv"), model.codebook, m, codesPerSub).as("codes"))
+      .localCheckpoint() // feeds both the ADC scan and nothing else; pinned
+                         // so the (cell, codes) ingest isn't recomputed
+    val qn = unitNorm(queries, queryId, queryVec, "query_id")
+      .localCheckpoint() // feeds probes, LUTs, and the rescore join
+    val q = qn
+      .select(col("query_id"), col("cv"),
+        explode(ivfProbesOf(centArr, col("cv"), nprobe)).as("cell"))
+      .select(col("query_id"), col("cell"),
+        PqExprs.pqLut(col("cv"), model.codebook, m, codesPerSub).as("lut"))
+    val scored = coded.join(broadcast(q), Seq("cell"))
+      .select(col("query_id"), col("nid"),
+        PqExprs.pqAdc(col("codes"), col("lut")).as("score"))
+    val shortlist = topKFromScores(scored, refine)
+      .select(col("query_id"), col("neighbor_id"))
+    val rescored = c.join(broadcast(shortlist), col("nid") === col("neighbor_id"))
+      .join(broadcast(qn.select(col("query_id"), col("cv").as("qv"))), Seq("query_id"))
+      .select(col("query_id"), col("nid"),
+        VectorOps.cosine(col("cv"), col("qv")).as("score"))
+    topKFromScores(rescored, k)
   }
 }

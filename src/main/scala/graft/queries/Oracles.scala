@@ -891,6 +891,12 @@ object Oracles {
     SELECT CAST(1 AS BIGINT) AS recall_pass, CAST(8 AS BIGINT) AS n_queries,
            CAST(10 AS BIGINT) AS k"""
 
+  // IVF-PQ recall gate: like q30/q57, the pass flag is computed Spark-side
+  // against exact brute force; the oracle pins it.
+  val q64 = """
+    SELECT CAST(1 AS BIGINT) AS recall_pass, CAST(8 AS BIGINT) AS n_queries,
+           CAST(10 AS BIGINT) AS k"""
+
   // BDQA flagship-loop trace: replays the md5-deterministic init sample and
   // the nine explorer picks with a recursive CTE that carries the picked-id
   // list (the pool shrinks by exactly the picked set — the loop's only
@@ -1017,6 +1023,7 @@ object Oracles {
     "q60_bloom_decontaminate" -> q43,
     "q61_sequence_packing" -> q61,
     "q62_mixture_sample" -> q62,
-    "q63_zorder_cells" -> q63
+    "q63_zorder_cells" -> q63,
+    "q64_ann_ivfpq" -> q64
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

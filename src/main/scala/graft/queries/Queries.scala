@@ -977,6 +977,27 @@ object Queries {
       .orderBy("cell")
   }
 
+  /** IVF-PQ recall gate (q30/q57 pattern): the combined production index —
+    * coarse cells route each query to nprobe/nlist of the corpus, product
+    * codes score the routed fraction in the compressed domain, and only
+    * the shortlist is exactly rescored. Both approximations stack, so the
+    * gate threshold carries margin below the measured recall; the pinned
+    * oracle makes any recall collapse a driver-red row. */
+  def q64AnnIvfPq(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < 8)
+    val ivfpq = Ann.ivfPqTopK(e, col("vec_id"), col("embedding"),
+      q, col("vec_id"), col("embedding"), k = 10,
+      nlist = 16, nprobe = 8, refine = 100)
+    val brute = Ann.bruteForceTopK(e, col("vec_id"), col("embedding"),
+      q, col("vec_id"), col("embedding"), k = 10)
+    ivfpq.select("query_id", "neighbor_id")
+      .join(brute.select("query_id", "neighbor_id"), Seq("query_id", "neighbor_id"))
+      .agg(count(lit(1)).as("__hits"))
+      .select((col("__hits") >= lit(48L)).cast("long").as("recall_pass"),
+        lit(8L).as("n_queries"), lit(10L).as("k"))
+  }
+
   /** Robust per-column outlier profile of the lineitem measures:
     * median/MAD z-scores (outliers can't drag their own threshold the way
     * mean/stddev scoring lets them). q48-pattern gate query: the EXACT

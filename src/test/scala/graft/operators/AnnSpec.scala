@@ -154,4 +154,29 @@ class AnnSpec extends SparkSpec {
     // the PQ scan moved codes, not vectors: 16 ints vs 64 doubles per row
   }
 
+  test("ivfPqTopK recall@10 clears the q64 gate at both fixture scales") {
+    val e = graft.Tables.embeddings(spark, sf001)
+    val queries = e.filter(col("vec_id") < 8)
+    def pairs(res: org.apache.spark.sql.DataFrame) = res
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = pairs(Ann.bruteForceTopK(e, col("vec_id"), col("embedding"),
+      queries, col("vec_id"), col("embedding"), k = 10))
+    val ivfpq = pairs(Ann.ivfPqTopK(e, col("vec_id"), col("embedding"),
+      queries, col("vec_id"), col("embedding"), k = 10,
+      nlist = 16, nprobe = 8, refine = 100))
+    val recall = (exact intersect ivfpq).size.toDouble / exact.size
+    info(s"IVF-PQ recall@10 = $recall (${(exact intersect ivfpq).size}/${exact.size})")
+    // both approximations stack (cells drop candidates, codes blur ranks):
+    // gate at 0.6 with margin; q64's driver threshold is 48/80
+    assert(recall >= 0.6, s"recall $recall")
+    // ranked output shape matches the other ANN variants
+    val out = Ann.ivfPqTopK(e, col("vec_id"), col("embedding"),
+      queries, col("vec_id"), col("embedding"), k = 10,
+      nlist = 16, nprobe = 8, refine = 100)
+    assert(out.columns.toSeq == Seq("query_id", "rank", "neighbor_id", "score"))
+    // the driver gate must hold on the biggest fixture too
+    val r01 = graft.queries.Queries.q64AnnIvfPq(spark, "/root/testdata/sf0.1").head()
+    assert(r01.getLong(0) == 1L, "q64 recall gate at sf0.1")
+  }
+
 }
