@@ -79,4 +79,25 @@ object CorpusPipeline {
     }
     curated.drop("__cid")
   }
+
+  /** Corpus → dataloader: [[curate]] then reweight into a training mix
+    * ([[Mixture.epochs]] — deterministic md5 draws, so the recipe is
+    * reproducible) then lay the epoch stream into fixed-token windows
+    * ([[Packing.concatAndCut]], ordered by (doc_id, epoch) so repeated
+    * epochs of a doc don't pack adjacently by accident of partitioning).
+    * Output: curated schema + `epoch`, `n_tok`, `first_bin`, `last_bin`,
+    * `bin_off` — everything a shard writer needs. The whole chain is one
+    * lazy DAG on top of [[curate]]; the only shuffles are the ones its
+    * stages already pay (packing's range partition at the end). */
+  def toDataloader(docs: DataFrame, id: Column, text: Column,
+                   sourceWeights: Map[String, Double], defaultWeight: Double,
+                   source: Column, tokenBudget: Long,
+                   benchmark: Option[DataFrame] = None,
+                   salt: String = "mix"): DataFrame = {
+    val curated = curate(docs, id, text, benchmark)
+    val w = Mixture.weightFor(source, sourceWeights, defaultWeight)
+    val mixed = Mixture.epochs(curated, id, w, salt)
+    Packing.concatAndCut(mixed, order = Seq(id, col("epoch")),
+      tok = graft.functions.TextOps.tokenCount(text), budget = tokenBudget)
+  }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.TextOps
-import graft.operators.{Dedup, Selection}
+import graft.operators.{CorpusPipeline, Dedup, Selection}
 import org.apache.spark.sql.functions._
 
 /** Composite training-data pipeline over the documents fixture: quality
@@ -76,5 +76,41 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(ids == Set(0L, 6L), s"curated ids: $ids")
     // schema preserved
     assert(curated.columns.toSeq == Seq("doc_id", "text"))
+  }
+
+  test("toDataloader chains curate -> mixture -> packing into one DAG") {
+    import spark.implicits._
+    val stop = "the of "
+    def longDoc(seed: String): String =
+      stop + Seq.tabulate(60)(i => s"$seed$i").mkString(" ")
+    // 20 distinct clean docs across two sources, plus one rule-gated runt
+    val docs = ((0L until 20L).map(i =>
+        (i, longDoc(s"d$i"), if (i % 2 == 0) "wiki" else "web")) :+
+        (99L, stop + "tiny", "web"))
+      .toSeq.toDF("doc_id", "text", "source")
+    val packed = CorpusPipeline.toDataloader(docs, col("doc_id"), col("text"),
+      sourceWeights = Map("wiki" -> 2.0), defaultWeight = 1.0,
+      source = col("source"), tokenBudget = 100L)
+    val rows = packed.select("doc_id", "epoch", "n_tok", "first_bin",
+      "last_bin", "bin_off").collect()
+    // the runt was curated out; wiki docs appear exactly twice (w=2.0 is
+    // deterministic), web docs exactly once
+    val byDoc = rows.groupBy(_.getLong(0)).map { case (d, g) => d -> g.length }
+    assert(!byDoc.contains(99L), "rule-gated doc leaked into the dataloader")
+    byDoc.foreach { case (d, n) =>
+      assert(n == (if (d % 2 == 0) 2 else 1), s"doc $d drawn $n times")
+    }
+    // packing invariants: every doc is 62 tokens, budget 100 -> each window
+    // holds at most 2 (possibly split) docs and offsets stay < budget
+    assert(rows.forall(_.getLong(2) == 62L))
+    assert(rows.forall(r => r.getLong(5) >= 0L && r.getLong(5) < 100L))
+    // epochs of the same doc occupy different windows (they are distinct
+    // rows in the concat stream)
+    val spans = rows.map(r => (r.getLong(0), r.getLong(1)) ->
+      (r.getLong(3), r.getLong(4))).toMap
+    assert(spans.size == rows.length)
+    // total stream length = sum of tokens; last window index matches
+    val total = rows.map(_.getLong(2)).sum
+    assert(rows.map(_.getLong(4)).max == (total - 1) / 100L)
   }
 }
