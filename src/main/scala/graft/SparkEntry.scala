@@ -78,7 +78,8 @@ object SparkEntry {
     "q61_sequence_packing" -> (Queries.q61SequencePacking _),
     "q62_mixture_sample" -> (Queries.q62MixtureSample _),
     "q63_zorder_cells" -> (Queries.q63ZOrderCells _),
-    "q64_ann_ivfpq" -> (Queries.q64AnnIvfPq _)
+    "q64_ann_ivfpq" -> (Queries.q64AnnIvfPq _),
+    "q65_incremental_dedup" -> (Queries.q65IncrementalDedup _)
   )
 
   /** DuckDB oracles for EVERY query above — since round 3 none are

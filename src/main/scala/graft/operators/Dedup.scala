@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.{TextOps, VectorOps}
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus deduplication for training-data pipelines: exact, MinHash+LSH,
@@ -391,5 +392,71 @@ object Dedup {
       .select("id_a", "id_b", "cosine")
     PlanOps.pinPairScore(scored, Seq("id_a", "id_b"), "cosine")
       .filter(col("cosine") >= threshold)
+  }
+
+  /** Daily-ingest admission — the INCREMENTAL dedup shape: a new batch is
+    * admitted against an already-deduplicated historical corpus without
+    * ever generating history×history pairs, so a day's increment costs
+    * O(|batch| + candidates), not another full-corpus dedup. Three gates,
+    * each a flag column (1 = duplicate, doc rejected):
+    *
+    *  - `exact_hist`: content fingerprint already in history (semi-join on
+    *    the md5 fingerprint — 16-byte keys shuffle, not text);
+    *  - `exact_batch`: an earlier-id doc in the SAME batch has the same
+    *    fingerprint (min-id-per-fp window — first occurrence is admitted);
+    *  - `near_hist`: SimHash within `maxHamming` of ANY history doc —
+    *    asymmetric pigeonhole blocking: both sides collapse to DISTINCT
+    *    fingerprints (history needs only existence, so it never
+    *    re-expands), chunks join batch×history only, full-Hamming verify.
+    *
+    * `admitted = 1` iff all three are 0. Deterministic, and with
+    * `portable = true` every gate is SQL-replayable (q65). */
+  def incrementalAdmit(batch: DataFrame, history: DataFrame, id: Column,
+                       text: Column, maxHamming: Int = 7,
+                       portable: Boolean = false): DataFrame = {
+    val bFp = batch.select(id.cast("long").as("doc_id"),
+      TextOps.fingerprintMd5(text).as("fp"))
+    val hFp = history.select(TextOps.fingerprintMd5(text).as("fp")).distinct()
+    val exactHist = bFp.join(hFp, Seq("fp"), "left_semi")
+      .select(col("doc_id"), lit(1L).as("exact_hist"))
+    val wFp = Window.partitionBy("fp")
+    val exactBatch = bFp
+      .withColumn("__min", min("doc_id").over(wFp))
+      .filter(col("doc_id") > col("__min"))
+      .select(col("doc_id"), lit(1L).as("exact_batch"))
+    // near-dup vs history: distinct fingerprints on BOTH sides (the q29
+    // duplicate-cluster lesson); history stays collapsed — only the batch
+    // side re-expands to doc ids
+    val bounds = simhashChunkBounds(maxHamming)
+    def chunksOf(fps: DataFrame): DataFrame = {
+      val chunkStructs = bounds.zipWithIndex.map { case ((off, width), c) =>
+        val mask = if (width == 64) -1L else (1L << width) - 1L
+        struct(lit(c).as("chunk"),
+          call_function("shiftright", col("sh"), lit(off))
+            .bitwiseAND(lit(mask)).as("ck"))
+      }
+      fps.select(col("sh"), explode(array(chunkStructs: _*)).as("c"))
+        .select(col("sh"), col("c.chunk").as("chunk"), col("c.ck").as("ck"))
+    }
+    val bSh = simhashFingerprints(batch, id, text, portable)
+    val bGroups = bSh.groupBy("sh").agg(collect_list("doc_id").as("ids"))
+      .localCheckpoint() // feeds the chunk explode AND the id re-expansion
+    val hSh = simhashFingerprints(history, id, text, portable)
+      .select("sh").distinct().localCheckpoint()
+    val nearFps = chunksOf(bGroups.select("sh"))
+      .join(chunksOf(hSh).select(col("chunk"), col("ck"), col("sh").as("sh_h")),
+        Seq("chunk", "ck"))
+      .filter(hamming64(col("sh"), col("sh_h")) <= maxHamming)
+      .select("sh").distinct()
+    val nearHist = bGroups.join(nearFps, Seq("sh"), "left_semi")
+      .select(explode(col("ids")).as("doc_id"), lit(1L).as("near_hist"))
+    bFp.select("doc_id")
+      .join(exactHist, Seq("doc_id"), "left")
+      .join(exactBatch, Seq("doc_id"), "left")
+      .join(nearHist, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("exact_hist", "exact_batch", "near_hist"))
+      .withColumn("admitted",
+        when(col("exact_hist") + col("exact_batch") + col("near_hist") === 0L,
+          1L).otherwise(0L))
   }
 }

@@ -891,6 +891,52 @@ object Oracles {
     SELECT CAST(1 AS BIGINT) AS recall_pass, CAST(8 AS BIGINT) AS n_queries,
            CAST(10 AS BIGINT) AS k"""
 
+  // Incremental dedup admission: md5 exact gates + ALL-PAIRS batch×history
+  // portable-SimHash Hamming as the near-dup ground truth (the Spark side
+  // used asymmetric pigeonhole blocking — equality proves its recall).
+  val q65 = s"""
+    WITH t AS (
+      SELECT doc_id, md5($normText) AS fp,
+             CASE WHEN length(trim(nt)) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(nt), '\\s+') END AS toks
+      FROM (SELECT doc_id, text, $normText AS nt FROM documents)),
+    tok AS (SELECT doc_id, md5(unnest(toks)) AS m FROM t WHERE len(toks) > 0),
+    votes AS (
+      SELECT doc_id, b.i,
+             sum(CASE WHEN ((CAST(strpos('0123456789abcdef',
+                              substring(m, 16 - b.i // 4, 1)) - 1 AS INT)
+                             >> (b.i % 4)) & 1) = 1
+                      THEN 1 ELSE -1 END) AS s
+      FROM tok, generate_series(0, 63) b(i)
+      GROUP BY doc_id, b.i),
+    shf AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN s > 0 THEN
+                     CASE WHEN i = 63 THEN CAST(-9223372036854775808 AS HUGEINT)
+                          ELSE CAST(CAST(1 AS BIGINT) << i AS HUGEINT) END
+                   ELSE 0 END) AS BIGINT) AS sh
+      FROM votes GROUP BY doc_id),
+    b AS (SELECT doc_id, fp FROM t WHERE doc_id % 4 = 0),
+    h AS (SELECT doc_id, fp FROM t WHERE doc_id % 4 <> 0),
+    flags AS (
+      SELECT b.doc_id,
+             CASE WHEN b.fp IN (SELECT fp FROM h) THEN 1 ELSE 0 END AS exact_hist,
+             CASE WHEN EXISTS (SELECT 1 FROM b b2
+                               WHERE b2.fp = b.fp AND b2.doc_id < b.doc_id)
+                  THEN 1 ELSE 0 END AS exact_batch,
+             CASE WHEN EXISTS (SELECT 1 FROM shf bs, shf hs
+                               WHERE bs.doc_id = b.doc_id
+                                 AND hs.doc_id % 4 <> 0
+                                 AND bit_count(xor(bs.sh, hs.sh)) <= 7)
+                  THEN 1 ELSE 0 END AS near_hist
+      FROM b)
+    SELECT doc_id, CAST(exact_hist AS BIGINT) AS exact_hist,
+           CAST(exact_batch AS BIGINT) AS exact_batch,
+           CAST(near_hist AS BIGINT) AS near_hist,
+           CAST(CASE WHEN exact_hist + exact_batch + near_hist = 0
+                THEN 1 ELSE 0 END AS BIGINT) AS admitted
+    FROM flags ORDER BY doc_id"""
+
   // IVF-PQ recall gate: like q30/q57, the pass flag is computed Spark-side
   // against exact brute force; the oracle pins it.
   val q64 = """
@@ -1024,6 +1070,7 @@ object Oracles {
     "q61_sequence_packing" -> q61,
     "q62_mixture_sample" -> q62,
     "q63_zorder_cells" -> q63,
-    "q64_ann_ivfpq" -> q64
+    "q64_ann_ivfpq" -> q64,
+    "q65_incremental_dedup" -> q65
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

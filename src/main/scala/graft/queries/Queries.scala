@@ -998,6 +998,23 @@ object Queries {
         lit(8L).as("n_queries"), lit(10L).as("k"))
   }
 
+  /** Incremental (daily-ingest) dedup admission: docs with `doc_id % 4 == 0`
+    * play the incoming batch, the rest the already-deduplicated history.
+    * Each batch doc gets exact-vs-history / exact-within-batch /
+    * near-vs-history flags and an admission verdict, computed WITHOUT any
+    * history×history pair generation. The oracle recomputes near-dups by
+    * ALL-PAIRS batch×history Hamming over the portable SimHash — so the
+    * hash equality doubles as a recall-1.0 proof for the asymmetric
+    * pigeonhole blocking, the q28/q29 precedent. */
+  def q65IncrementalDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val batch = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+    val history = docs.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+    Dedup.incrementalAdmit(batch, history, col("doc_id"), col("text"),
+        maxHamming = 7, portable = true)
+      .orderBy("doc_id")
+  }
+
   /** Robust per-column outlier profile of the lineitem measures:
     * median/MAD z-scores (outliers can't drag their own threshold the way
     * mean/stddev scoring lets them). q48-pattern gate query: the EXACT

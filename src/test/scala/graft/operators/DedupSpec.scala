@@ -16,6 +16,31 @@ class DedupSpec extends SparkSpec {
     (0L, base), (1L, nearDup), (2L, other), (3L, base)
   ).toDF("doc_id", "text")
 
+  test("incrementalAdmit gates a batch against history without history pairs") {
+    val history = Seq((0L, base), (1L, other)).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, base),            // exact dup of history doc 0
+      (11L, nearDup),         // near-dup (1 appended word) of history doc 0
+      (12L, "fresh content entirely unlike anything stored with many new words " +
+        "about distributed query engines and columnar storage formats"),
+      (13L, "fresh content entirely unlike anything stored with many new words " +
+        "about distributed query engines and columnar storage formats"), // dup of 12 within batch
+      (14L, "another genuinely novel document describing watermark semantics " +
+        "in streaming systems with stateful operators and exactly once sinks")
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalAdmit(batch, history, col("doc_id"), col("text"),
+        maxHamming = 7)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    assert(out(10L)._1 == 1L && out(10L)._4 == 0L, "exact history dup must be rejected")
+    assert(out(11L)._3 == 1L && out(11L)._4 == 0L, "near history dup must be rejected")
+    assert(out(12L) == ((0L, 0L, 0L, 1L)), "first fresh doc admitted")
+    assert(out(13L)._2 == 1L && out(13L)._4 == 0L, "within-batch dup rejected, first kept")
+    assert(out(14L) == ((0L, 0L, 0L, 1L)), "novel doc admitted")
+    // asymmetry: admission says nothing about history (no history rows out)
+    assert(out.keySet == Set(10L, 11L, 12L, 13L, 14L))
+  }
+
   test("exactByContent groups identical normalized docs") {
     val g = Dedup.exactByContent(docs, col("doc_id"), col("text"))
     val grp = g.filter(col("dups") === 2).collect()

@@ -300,6 +300,30 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("container parsers route through decodeFeaturesSafe in a mixed media table") {
+    val mp3 = Multimodal.encodeMp3Frames(Array((9, 0), (9, 1)))
+    val mp4 = Multimodal.encodeMp4Meta(600L, 1200L, Seq((640, 480, "avc1")))
+    val wav = Multimodal.encodeWavPcm(16000, Array[Short](0, 100, -100, 50))
+    val media = Seq(
+      MediaRow(1L, "mp3", mp3, 0, 0, 44100),
+      MediaRow(2L, "mp4", mp4, 640, 480, 0),
+      MediaRow(3L, "wav", wav, 0, 0, 16000),
+      MediaRow(4L, "mp3", Array[Byte](1, 2, 3), 0, 0, 0) // corrupt
+    ).toDS()
+    val router = new Multimodal.RoutingDecoder(
+      Map("mp3" -> new Multimodal.Mp3HeaderDecoder,
+          "mp4" -> new Multimodal.Mp4BoxDecoder,
+          "wav" -> new Multimodal.WavPcmDecoder),
+      fallback = new Multimodal.StubDecoder(4))
+    val out = Multimodal.decodeFeaturesSafe(media, router)
+      .collect().map(f => f.media_id -> f).toMap
+    assert(out(1L).decode_error == null && out(1L).features(3) == 2.0f) // 2 frames
+    assert(out(2L).decode_error == null && out(2L).features(1) == 640.0f)
+    assert(out(3L).decode_error == null && out(3L).features(0) == 4.0f / 16000)
+    assert(out(4L).decode_error != null && out(4L).features == null,
+      "corrupt mp3 must quarantine, not fail the task")
+  }
+
   test("Mp4BoxDecoder recovers movie metadata through the box tree") {
     val mp4 = Multimodal.encodeMp4Meta(600L, 123456L,
       Seq((1920, 1080, "avc1"), (0, 0, "mp4a")))
