@@ -2,9 +2,9 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftShims.{column, expression}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.spark.sql.types.{BooleanType, DataType, LongType}
 
 /** Native membership probe against a Bloom-filter bit array that rides in
   * the expression node (broadcast with the plan — the filter is compact by
@@ -23,11 +23,15 @@ import org.apache.spark.sql.types.{BooleanType, DataType}
   */
 case class BloomMightContain(child: Expression, words: Array[Long],
                              numBits: Long, numHashes: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
   require(numBits > 0 && numBits == words.length * 64L,
     "numBits must equal words.length * 64")
   require(numHashes >= 1, "need at least one hash")
 
+  // a non-long hash input would CCE in interpreted eval but silently
+  // compute different probe indices under codegen — declare the contract
+  // so the analyzer inserts the cast (or rejects) instead
+  override def inputTypes: Seq[DataType] = Seq(LongType)
   override def dataType: DataType = BooleanType
 
   override def nullSafeEval(input: Any): Any = {

@@ -197,6 +197,16 @@ object TextOps {
     * oracle since both engines implement the same MD5 over UTF-8 bytes. */
   def fingerprintMd5(text: Column): Column = md5(normalized(text).cast("binary"))
 
+  /** THE engine-portable uniform in [0, 1): top 52 bits of md5(key) as a
+    * double mantissa — exact in a double, identical in any engine with md5
+    * (the division by 2^52 is a mantissa shift). `key` is a string column;
+    * every deterministic-sampling site (E–S weighted sampling, mixture
+    * draws, the BDQA trace) MUST route through this single definition so
+    * the construction can never drift from the DuckDB oracles' replay. */
+  def portableUniform52(key: Column): Column =
+    conv(substring(md5(key.cast("binary")), 1, 13), 16, 10)
+      .cast("long").cast("double") / lit(4503599627370496.0)
+
   /** Polynomial rolling hash over normalized characters
     * (h = h*31 + code mod 2^61-1) — an order-sensitive document fingerprint
     * computed with array HOFs only. */

@@ -83,8 +83,9 @@ object CorpusPipeline {
   /** Corpus → dataloader: [[curate]] then reweight into a training mix
     * ([[Mixture.epochs]] — deterministic md5 draws, so the recipe is
     * reproducible) then lay the epoch stream into fixed-token windows
-    * ([[Packing.concatAndCut]], ordered by (doc_id, epoch) so repeated
-    * epochs of a doc don't pack adjacently by accident of partitioning).
+    * ([[Packing.concatAndCut]], ordered by (epoch, doc_id): all first
+    * epochs lay out before any repeat, so a doc's copies land far apart in
+    * the stream instead of back-to-back in the same training window).
     * Output: curated schema + `epoch`, `n_tok`, `first_bin`, `last_bin`,
     * `bin_off` — everything a shard writer needs. The whole chain is one
     * lazy DAG on top of [[curate]]; the only shuffles are the ones its
@@ -97,7 +98,7 @@ object CorpusPipeline {
     val curated = curate(docs, id, text, benchmark)
     val w = Mixture.weightFor(source, sourceWeights, defaultWeight)
     val mixed = Mixture.epochs(curated, id, w, salt)
-    Packing.concatAndCut(mixed, order = Seq(id, col("epoch")),
+    Packing.concatAndCut(mixed, order = Seq(col("epoch"), id),
       tok = graft.functions.TextOps.tokenCount(text), budget = tokenBudget)
   }
 }

@@ -15,11 +15,11 @@ import org.apache.spark.sql.functions._
   * shard writes) sees the already-reweighted stream. */
 object Mixture {
 
-  /** Engine-portable uniform in [0, 1): the top 52 bits of md5(key|salt)
-    * as a double mantissa — identical in any engine with md5. */
+  /** Engine-portable uniform in [0, 1) keyed by (key, salt) — delegates to
+    * the single canonical construction in
+    * [[graft.functions.TextOps.portableUniform52]]. */
   def portableUniform(key: Column, salt: String): Column =
-    conv(substring(md5(concat_ws("|", key, lit(salt)).cast("binary")), 1, 13),
-      16, 10).cast("long").cast("double") / lit(4503599627370496.0)
+    graft.functions.TextOps.portableUniform52(concat_ws("|", key, lit(salt)))
 
   /** Weight column from a source→weight table (unmatched sources get
     * `default`). Weights may exceed 1 (upsampling). */

@@ -498,11 +498,16 @@ object Multimodal {
     * Features (fixed width 4): `[duration_sec, mean_kbps, sample_rate,
     * n_frames]`. Audio SAMPLE decode (Huffman/MDCT) stays behind
     * [[StubDecoder]] — that genuinely needs a codec. */
+  /** MPEG-1 Layer III bitrate table (kbps, index 1..14) — shared by the
+    * walker and the synthesis half so the q58 round-trip can't be satisfied
+    * by two diverged copies. */
+  private val Mp3KbpsV1 = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160,
+    192, 224, 256, 320)
+
   class Mp3HeaderDecoder extends Decoder {
     val featureDim = 4
 
-    private val kbpsV1 = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160,
-      192, 224, 256, 320)
+    private val kbpsV1 = Mp3KbpsV1
     private val kbpsV2 = Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112,
       128, 144, 160)
     private val srV1 = Array(44100, 48000, 32000)
@@ -576,8 +581,7 @@ object Multimodal {
       'T', 'X', 'X', 'X', 0, 0, 0, 2, 0, 0, 0, 'g') // 10 hdr + 12 body
     val lens = frames.map { case (bi, pad) =>
       require(bi >= 1 && bi <= 14 && (pad == 0 || pad == 1), "bad frame spec")
-      (144000L * Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
-        224, 256, 320)(bi) / 44100 + pad).toInt
+      (144000L * Mp3KbpsV1(bi) / 44100 + pad).toInt
     }
     val out = new Array[Byte](id3.length + lens.sum)
     System.arraycopy(id3, 0, out, 0, id3.length)
@@ -650,17 +654,26 @@ object Multimodal {
               boxes(bodyOff, bodyEnd)
             case "mvhd" =>
               val b = bodyOff.toInt
+              require(bodyEnd - bodyOff >= 1, "truncated mvhd")
               val v = payload(b) & 0xFF
+              // fields must fit INSIDE the declared box, not merely the
+              // payload — an undersized-but-valid-size box would otherwise
+              // silently read the next box's bytes as metadata
+              require(bodyEnd - bodyOff >= (if (v == 1) 32 else 20),
+                "mvhd box too small for its version")
               if (v == 1) { timescale = u32(payload, b + 20); duration = u64(payload, b + 24) }
               else { timescale = u32(payload, b + 12); duration = u32(payload, b + 16) }
             case "tkhd" =>
               val b = bodyOff.toInt
+              require(bodyEnd - bodyOff >= 1, "truncated tkhd")
               val wOff = b + (if ((payload(b) & 0xFF) == 1) 88 else 76)
+              require(bodyEnd >= wOff + 8, "tkhd box too small for its version")
               val w = u32(payload, wOff) >> 16 // 16.16 fixed → integer part
               val h = u32(payload, wOff + 4) >> 16
               if (w > 0 && videoW == 0) { videoW = w; videoH = h }
             case "stsd" =>
               val b = bodyOff.toInt
+              require(bodyEnd - bodyOff >= 8, "stsd box too small")
               val entries = u32(payload, b + 4)
               var eo = b + 8
               var i = 0L
@@ -697,6 +710,10 @@ object Multimodal {
     * structural validity of the box tree is what's under test. */
   def encodeMp4Meta(timescale: Long, duration: Long,
                     tracks: Seq[(Int, Int, String)]): Array[Byte] = {
+    // version-0 boxes store these as u32 — reject instead of silently
+    // wrapping in .toInt below
+    require(timescale > 0 && timescale <= 0xFFFFFFFFL, s"timescale $timescale not u32")
+    require(duration >= 0 && duration <= 0xFFFFFFFFL, s"duration $duration not u32")
     def box(tpe: String, body: Array[Byte]): Array[Byte] = {
       val bb = java.nio.ByteBuffer.allocate(8 + body.length)
       bb.putInt(8 + body.length)

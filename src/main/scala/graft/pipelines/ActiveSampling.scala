@@ -143,8 +143,7 @@ object ActiveSampling {
     }
     val pred = Pdfs.syntheticLabel(col("x1") * lit(0.9), col("x2") * lit(0.9))
     val vvar = lit(0.05) + lit(0.3) * (col("x1") * col("x1") + col("x2") * col("x2"))
-    val u = conv(substring(md5(col("id").cast("string").cast("binary")), 1, 13),
-      16, 10).cast("long").cast("double") / lit(4503599627370496.0)
+    val u = graft.functions.TextOps.portableUniform52(col("id").cast("string"))
     val scored = Sources.grid(spark, Domain(Seq((-1.0, 1.0), (-1.0, 1.0))), 50)
       .withColumn("y", Pdfs.syntheticLabel(col("x1"), col("x2")))
       .select(col("id"), col("y"), pred.as("pred"), vvar.as("var"), u.as("u"))

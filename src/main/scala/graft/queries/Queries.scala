@@ -350,11 +350,10 @@ object Queries {
       .crossJoin(broadcast(stats))
       .withColumn("bucket",
         least(floor((col("l_extendedprice") - col("__mn")) / width), lit(31.0)).cast("long"))
-    // 52-bit uniform from md5 of the row key: exact in a double, identical
-    // in any engine that has md5 (the division by 2^52 is a mantissa shift)
-    val u = conv(substring(md5(
-        concat_ws("|", col("l_orderkey"), col("l_linenumber")).cast("binary")), 1, 13),
-      16, 10).cast("long").cast("double") / lit(4503599627370496.0)
+    // 52-bit uniform from md5 of the row key (the canonical portable
+    // construction — see TextOps.portableUniform52)
+    val u = TextOps.portableUniform52(
+      concat_ws("|", col("l_orderkey"), col("l_linenumber")))
     withBucket
       .withColumn("cnt", count(lit(1)).over(Window.partitionBy("bucket")))
       .withColumn("u", u)
@@ -854,11 +853,13 @@ object Queries {
       .agg(sort_array(collect_list(struct(col("event_id"), col("bi"),
         col("pad")))).as("fs"))
       .as[(Long, Seq[(Long, Int, Int)])]
-      .map { case (u, fs) =>
-        val mp3 = Multimodal.encodeMp3Frames(fs.map(f => (f._2, f._3)).toArray)
-        val (frames, sumKbps, sumBytes, samples, sr) =
-          new Multimodal.Mp3HeaderDecoder().walk(mp3)
-        (u, frames, sumKbps, sumBytes, samples * 1000L / sr)
+      .mapPartitions { it =>
+        val dec = new Multimodal.Mp3HeaderDecoder() // amortized per partition
+        it.map { case (u, fs) =>
+          val mp3 = Multimodal.encodeMp3Frames(fs.map(f => (f._2, f._3)).toArray)
+          val (frames, sumKbps, sumBytes, samples, sr) = dec.walk(mp3)
+          (u, frames, sumKbps, sumBytes, samples * 1000L / sr)
+        }
       }
       .toDF("user_id", "n_frames", "sum_kbps", "sum_bytes", "dur_ms")
       .orderBy("user_id")
@@ -880,14 +881,16 @@ object Queries {
     Tables.events(s, d)
       .groupBy("user_id").agg(sum(du.cast("long")).as("dur_units"))
       .as[(Long, Long)]
-      .map { case (u, dur) =>
-        val tracks = Seq(
-          ((16 + u % 1904).toInt, (16 + u % 1064).toInt, "avc1"),
-          (0, 0, "mp4a"))
-        val mp4 = Multimodal.encodeMp4Meta(600L, dur, tracks)
-        val m = new Multimodal.Mp4BoxDecoder().walk(mp4)
-        (u, m.duration, m.duration * 1000L / m.timescale, m.nTracks.toLong,
-          m.videoW, m.videoH, m.codecs.mkString(","))
+      .mapPartitions { it =>
+        val dec = new Multimodal.Mp4BoxDecoder() // amortized per partition
+        it.map { case (u, dur) =>
+          val tracks = Seq(
+            ((16 + u % 1904).toInt, (16 + u % 1064).toInt, "avc1"),
+            (0, 0, "mp4a"))
+          val m = dec.walk(Multimodal.encodeMp4Meta(600L, dur, tracks))
+          (u, m.duration, m.duration * 1000L / m.timescale, m.nTracks.toLong,
+            m.videoW, m.videoH, m.codecs.mkString(","))
+        }
       }
       .toDF("user_id", "dur_units", "dur_ms", "n_tracks", "video_w",
         "video_h", "codecs")

@@ -104,11 +104,19 @@ class CorpusPipelineSpec extends SparkSpec {
     // holds at most 2 (possibly split) docs and offsets stay < budget
     assert(rows.forall(_.getLong(2) == 62L))
     assert(rows.forall(r => r.getLong(5) >= 0L && r.getLong(5) < 100L))
-    // epochs of the same doc occupy different windows (they are distinct
-    // rows in the concat stream)
+    // (epoch, doc_id) layout: every epoch-0 row precedes every epoch-1 row
+    // in the stream, so a doc's two copies never share a training window
     val spans = rows.map(r => (r.getLong(0), r.getLong(1)) ->
       (r.getLong(3), r.getLong(4))).toMap
     assert(spans.size == rows.length)
+    val maxE0End = rows.filter(_.getLong(1) == 0L).map(_.getLong(4)).max
+    rows.filter(_.getLong(1) == 1L).foreach { r =>
+      val d = r.getLong(0)
+      assert(spans((d, 1L))._1 > spans((d, 0L))._2,
+        s"doc $d: repeat epoch shares a window with its first copy")
+    }
+    assert(rows.filter(_.getLong(1) == 1L).map(_.getLong(3)).min >=
+      maxE0End - 1, "epoch-1 rows must lay out after the epoch-0 block")
     // total stream length = sum of tokens; last window index matches
     val total = rows.map(_.getLong(2)).sum
     assert(rows.map(_.getLong(4)).max == (total - 1) / 100L)

@@ -351,6 +351,14 @@ class MultimodalSpec extends SparkSpec {
     bad(moovOff + 8) = 0; bad(moovOff + 9) = 0
     bad(moovOff + 10) = 0; bad(moovOff + 11) = 4 // mvhd size 4 < header
     intercept[IllegalArgumentException](dec.walk(bad))
+    // undersized-but-valid-size mvhd: fields would read the NEXT box's
+    // bytes as metadata — must throw, not return garbage
+    val small = good.clone()
+    small(moovOff + 11) = 16 // mvhd claims 16 bytes: header + 8 < v0's 20
+    intercept[IllegalArgumentException](dec.walk(small))
+    // encodeMp4Meta rejects durations that would wrap the v0 u32 field
+    intercept[IllegalArgumentException](
+      Multimodal.encodeMp4Meta(600L, 5000000000L, Seq((64, 48, "avc1"))))
   }
 
   test("PgmDecoder parses P5 images and resizes by nearest neighbor") {
