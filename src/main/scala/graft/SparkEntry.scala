@@ -79,7 +79,8 @@ object SparkEntry {
     "q62_mixture_sample" -> (Queries.q62MixtureSample _),
     "q63_zorder_cells" -> (Queries.q63ZOrderCells _),
     "q64_ann_ivfpq" -> (Queries.q64AnnIvfPq _),
-    "q65_incremental_dedup" -> (Queries.q65IncrementalDedup _)
+    "q65_incremental_dedup" -> (Queries.q65IncrementalDedup _),
+    "q66_corpus_to_dataloader" -> (Queries.q66CorpusToDataloader _)
   )
 
   /** DuckDB oracles for EVERY query above — since round 3 none are

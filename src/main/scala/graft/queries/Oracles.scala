@@ -937,6 +937,108 @@ object Oracles {
                 THEN 1 ELSE 0 END AS BIGINT) AS admitted
     FROM flags ORDER BY doc_id"""
 
+  // Corpus-to-dataloader: the q45/q46/q10/q28+q44/q43/q62/q61 fragments
+  // chained into one replay of CorpusPipeline.toDataloader — rules →
+  // repetition cap → exact keepers → near-dup cluster keepers →
+  // decontamination → mixture epochs → concat-and-cut packing. Stage 3
+  // groups by md5 where Spark groups by xxhash64: both are collision-free
+  // on the fixture, so the partitions (and min-id keepers) coincide.
+  val q66 = s"""
+    WITH RECURSIVE
+    corpus AS (SELECT doc_id, text, source FROM documents WHERE doc_id >= 10),
+    g1t AS (SELECT doc_id, text, length(text) AS n,
+                   CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                        ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS toks
+            FROM corpus),
+    g1f AS (SELECT doc_id, len(toks) AS nw,
+                   CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+                     list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks) END AS mwl,
+                   len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by','be','this','are','from'], x))) AS stop_hits,
+                   CASE WHEN n = 0 THEN 0.0 ELSE
+                     (n - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')))::DOUBLE / n END AS punct
+            FROM g1t),
+    s1 AS (SELECT doc_id FROM g1f
+           WHERE nw BETWEEN 50 AND 100000 AND mwl BETWEEN 3.0 AND 10.0
+             AND stop_hits >= 2 AND punct <= 0.1),
+    r2t AS (SELECT c.doc_id,
+                   CASE WHEN length(trim(c.text)) = 0 THEN []::VARCHAR[]
+                        ELSE regexp_split_to_array(trim(c.text), '\\s+') END AS toks
+            FROM corpus c JOIN s1 USING (doc_id)),
+    r2c AS (SELECT doc_id, w, count(*) AS c
+            FROM (SELECT doc_id, unnest(toks) AS w FROM r2t WHERE len(toks) > 0)
+            GROUP BY doc_id, w),
+    s2 AS (SELECT doc_id FROM (SELECT doc_id, max(c)::DOUBLE / sum(c)::DOUBLE AS twf
+                               FROM r2c GROUP BY doc_id)
+           WHERE twf <= 0.5),
+    e3 AS (SELECT c.doc_id, md5($normText) AS fp
+           FROM corpus c JOIN s2 USING (doc_id)),
+    s3 AS (SELECT min(doc_id) AS doc_id FROM e3 GROUP BY fp),
+    n4g AS (SELECT t.doc_id,
+                   CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                        ELSE list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END AS sh
+            FROM (SELECT c.doc_id,
+                         CASE WHEN length(trim(c.text)) = 0 THEN []::VARCHAR[]
+                              ELSE regexp_split_to_array(trim(c.text), '\\s+') END AS toks
+                  FROM corpus c JOIN s3 USING (doc_id)) t),
+    n4j AS (SELECT id_a, id_b FROM (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     len(list_intersect(a.sh, b.sh)) AS inter,
+                     len(a.sh) AS na, len(b.sh) AS nb
+              FROM n4g a JOIN n4g b ON a.doc_id < b.doc_id)
+            WHERE round(CASE WHEN na + nb - inter = 0 THEN 0.0
+                        ELSE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE)
+                        END, 6) >= 0.5),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM n4j
+              UNION ALL SELECT id_b, id_a FROM n4j),
+    lbl(id, label) AS (
+        SELECT doc_id, doc_id FROM s3
+      UNION
+        SELECT e.src, l.label FROM edges e JOIN lbl l ON l.id = e.dst),
+    s4 AS (SELECT id AS doc_id FROM lbl GROUP BY id HAVING id = min(label)),
+    dg AS (SELECT doc_id,
+                  CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+                       ELSE list_distinct(list_transform(generate_series(1, len(toks) - 4),
+                              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])) END AS sh
+           FROM (SELECT doc_id,
+                        CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                             ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+                 FROM documents) t),
+    benchsh AS (SELECT DISTINCT unnest(sh) AS s5 FROM dg WHERE doc_id < 10),
+    contam AS (SELECT DISTINCT doc_id
+               FROM (SELECT doc_id, unnest(sh) AS s5 FROM dg WHERE doc_id >= 10) g
+               JOIN benchsh USING (s5)),
+    curated AS (SELECT doc_id FROM s4
+                WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+    mu AS (SELECT c.doc_id,
+                  CASE d.source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 1.0
+                       WHEN 'src2' THEN 0.4 ELSE 0.15 END AS wgt,
+                  list_reduce(list_prepend(0.0,
+                      list_transform(generate_series(1, 13),
+                        k -> CAST(strpos('0123456789abcdef',
+                               substr(substr(md5(concat_ws('|', c.doc_id, 'mix')), 1, 13), k, 1)) - 1 AS DOUBLE)
+                             * pow(16.0, 13 - k))),
+                    (a, x) -> a + x) / 4503599627370496.0 AS u
+           FROM curated c JOIN documents d USING (doc_id)),
+    ep AS (SELECT doc_id, CAST(unnest(range(nc)) AS BIGINT) AS epoch
+           FROM (SELECT doc_id,
+                        CAST(floor(wgt) + CASE WHEN u < wgt - floor(wgt) THEN 1 ELSE 0 END AS BIGINT) AS nc
+                 FROM mu)
+           WHERE nc > 0),
+    tk AS (SELECT doc_id,
+                  CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS tok
+           FROM documents),
+    st AS (SELECT ep.doc_id, ep.epoch, tk.tok,
+                  sum(tk.tok) OVER (ORDER BY ep.epoch, ep.doc_id) AS cum
+           FROM ep JOIN tk USING (doc_id))
+    SELECT doc_id, epoch, CAST(tok AS BIGINT) AS n_tok,
+           CAST((cum - tok) // 512 AS BIGINT) AS first_bin,
+           CAST(CASE WHEN tok > 0 THEN (cum - 1) // 512
+                     ELSE (cum - tok) // 512 END AS BIGINT) AS last_bin,
+           CAST((cum - tok) % 512 AS BIGINT) AS bin_off
+    FROM st ORDER BY doc_id, epoch"""
+
   // IVF-PQ recall gate: like q30/q57, the pass flag is computed Spark-side
   // against exact brute force; the oracle pins it.
   val q64 = """
@@ -1071,6 +1173,7 @@ object Oracles {
     "q62_mixture_sample" -> q62,
     "q63_zorder_cells" -> q63,
     "q64_ann_ivfpq" -> q64,
-    "q65_incremental_dedup" -> q65
+    "q65_incremental_dedup" -> q65,
+    "q66_corpus_to_dataloader" -> q66
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

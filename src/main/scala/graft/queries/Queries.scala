@@ -1018,6 +1018,27 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** The FULL corpus-to-dataloader composition, driver-gated: docs < 10
+    * play the benchmark, the rest run curate (rules → repetition → exact
+    * dedup → near-dup clusters → decontamination) → mixture → packing as
+    * ONE lazy DAG ([[CorpusPipeline.toDataloader]]). The oracle replays
+    * every stage from the raw table — the gate fragments of
+    * q45/q46/q10/q28+q44/q43/q62/q61 chained into one WITH RECURSIVE — so
+    * a defect in ANY stage, or in how the stages hand off, breaks the
+    * hash. This is the q54 treatment (composition itself verified, not
+    * just the pieces) applied to the library's flagship pipeline. */
+  def q66CorpusToDataloader(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    CorpusPipeline.toDataloader(
+        docs.filter(col("doc_id") >= 10), col("doc_id"), col("text"),
+        sourceWeights = Map("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.4),
+        defaultWeight = 0.15, source = col("source"), tokenBudget = 512L,
+        benchmark = Some(docs.filter(col("doc_id") < 10)))
+      .select(col("doc_id"), col("epoch"), col("n_tok"), col("first_bin"),
+        col("last_bin"), col("bin_off"))
+      .orderBy("doc_id", "epoch")
+  }
+
   /** Robust per-column outlier profile of the lineitem measures:
     * median/MAD z-scores (outliers can't drag their own threshold the way
     * mean/stddev scoring lets them). q48-pattern gate query: the EXACT
