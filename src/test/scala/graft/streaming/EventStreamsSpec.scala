@@ -14,6 +14,30 @@ class EventStreamsSpec extends SparkSpec {
     dir.toString
   }
 
+  test("mixture sampling runs unchanged on a stream and matches batch") {
+    import graft.operators.Mixture
+    // stateless projection + generate: the SAME operator code drives both
+    // engines — the ingest-time shape for a continuously arriving corpus
+    val docsDir = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-stream-docs")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sf001/documents.parquet"),
+        dir.resolve("documents.parquet"))
+      dir.toString
+    }
+    val schema = Tables.documents(spark, sf001).schema
+    val streamDocs = spark.readStream.schema(schema).parquet(docsDir)
+    val w = Mixture.weightFor(col("source"),
+      Map("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.4), default = 0.15)
+    def mix(df: org.apache.spark.sql.DataFrame) =
+      Mixture.epochs(df.select(col("doc_id"), col("source")), col("doc_id"), w)
+    val got = EventStreams.runToMemory(spark, mix(streamDocs), "mix_stream")
+      .select("doc_id", "epoch")
+    val batch = mix(Tables.documents(spark, sf001)).select("doc_id", "epoch")
+    assert(got.count() == batch.count())
+    assert(got.exceptAll(batch).count() == 0, "stream/batch mixture mismatch")
+  }
+
   test("streaming hourly agg matches the batch result on closed windows") {
     val streamed = EventStreams.hourlyByType(EventStreams.readEvents(spark, eventsDir))
     // complete mode over the static fixture: every window closes
