@@ -80,7 +80,9 @@ object SparkEntry {
     "q63_zorder_cells" -> (Queries.q63ZOrderCells _),
     "q64_ann_ivfpq" -> (Queries.q64AnnIvfPq _),
     "q65_incremental_dedup" -> (Queries.q65IncrementalDedup _),
-    "q66_corpus_to_dataloader" -> (Queries.q66CorpusToDataloader _)
+    "q66_corpus_to_dataloader" -> (Queries.q66CorpusToDataloader _),
+    "q67_key_skew" -> (Queries.q67KeySkew _),
+    "q68_vocab_encode" -> (Queries.q68VocabEncode _)
   )
 
   /** DuckDB oracles for EVERY query above — since round 3 none are

@@ -171,4 +171,26 @@ object Profiling {
       c -> (if (medOk && madOk) 1L else 0L)
     }.toMap
   }
+
+  /** Join-key skew diagnostic — the measurement that decides between a
+    * plain shuffle join, AQE skew splitting, and [[Joins.saltedJoin]]: the
+    * `topK` hottest key values with their row counts, alongside the
+    * global total / distinct-key count / mean so the skew ratio
+    * (`cnt · n_keys / total`) reads directly off each row. One hash
+    * aggregate on the key plus a TakeOrdered of `topK` rows — the scan
+    * shuffles only (key, count) pairs, and the only driver-side data is
+    * the topK result. Deterministic (cnt desc, key asc) for the q67
+    * oracle. */
+  def keySkew(df: DataFrame, key: Column, topK: Int = 5): DataFrame = {
+    val counts = df.groupBy(key.cast("string").as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val stats = counts.agg(sum("cnt").as("total_rows"),
+      count(lit(1)).as("n_keys"))
+    counts.orderBy(desc("cnt"), col("key")).limit(topK)
+      .crossJoin(broadcast(stats))
+      .select(col("key"), col("cnt"), col("total_rows"), col("n_keys"),
+        round(col("cnt") * col("n_keys") / col("total_rows"), 6)
+          .as("skew_ratio"))
+      .orderBy(desc("cnt"), col("key"))
+  }
 }

@@ -1039,6 +1039,40 @@ object Oracles {
            CAST((cum - tok) % 512 AS BIGINT) AS bin_off
     FROM st ORDER BY doc_id, epoch"""
 
+  // Key-skew diagnostic: exact top-5 hot keys + global ratio.
+  val q67 = """
+    WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS cnt
+               FROM events GROUP BY 1),
+    s AS (SELECT sum(cnt) AS total_rows, count(*) AS n_keys FROM c)
+    SELECT key, CAST(cnt AS BIGINT) AS cnt,
+           CAST(total_rows AS BIGINT) AS total_rows,
+           CAST(n_keys AS BIGINT) AS n_keys,
+           round(cnt * n_keys / total_rows, 6) AS skew_ratio
+    FROM c, s ORDER BY cnt DESC, key LIMIT 5"""
+
+  // Vocab encoding: replays the top-100 vocabulary (cnt desc, token asc
+  // ids) and the per-doc digests incl. the order-sensitive
+  // position-weighted sum.
+  val q68 = """
+    WITH t AS (SELECT doc_id,
+                      CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                           ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+               FROM documents),
+    vc AS (SELECT token, count(*) AS cnt
+           FROM (SELECT unnest(toks) AS token FROM t) GROUP BY token),
+    v AS (SELECT token, row_number() OVER (ORDER BY cnt DESC, token) - 1 AS id
+          FROM vc ORDER BY cnt DESC, token LIMIT 100),
+    p AS (SELECT doc_id, unnest(generate_series(1, len(toks))) AS i,
+                 unnest(toks) AS token
+          FROM t WHERE len(toks) > 0),
+    e AS (SELECT p.doc_id, p.i, coalesce(v.id, 100) AS tid
+          FROM p LEFT JOIN v USING (token))
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+           CAST(sum(CASE WHEN tid = 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_unk,
+           CAST(sum(tid) AS BIGINT) AS sum_ids,
+           CAST(sum(i * tid) AS BIGINT) AS possum_ids
+    FROM e GROUP BY doc_id ORDER BY doc_id"""
+
   // IVF-PQ recall gate: like q30/q57, the pass flag is computed Spark-side
   // against exact brute force; the oracle pins it.
   val q64 = """
@@ -1174,6 +1208,8 @@ object Oracles {
     "q63_zorder_cells" -> q63,
     "q64_ann_ivfpq" -> q64,
     "q65_incremental_dedup" -> q65,
-    "q66_corpus_to_dataloader" -> q66
+    "q66_corpus_to_dataloader" -> q66,
+    "q67_key_skew" -> q67,
+    "q68_vocab_encode" -> q68
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

@@ -1039,6 +1039,26 @@ object Queries {
       .orderBy("doc_id", "epoch")
   }
 
+  /** Join-key skew diagnostic over the events fan-in key: the top-5
+    * hottest user_ids with exact counts and the global skew ratio — the
+    * measurement that decides between a plain shuffle join, AQE skew
+    * splitting, and the salted join. */
+  def q67KeySkew(s: SparkSession, d: String): DataFrame =
+    Profiling.keySkew(Tables.events(s, d), col("user_id"), topK = 5)
+
+  /** Vocabulary encoding digests: build the top-100 token vocabulary
+    * (deterministic cnt-desc/token-asc ids via the range-partitioned
+    * global row number) and encode every document against it. The
+    * position-weighted sum is an order-sensitive digest, so the oracle
+    * replay catches any defect in tokenization order, vocab ranking, or
+    * the UNK rule — the dataloader's final text→ids step, driver-gated. */
+  def q68VocabEncode(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val vocab = Vocab.build(docs, col("text"), size = 100)
+    Vocab.encode(docs, col("doc_id"), col("text"), vocab, vocabSize = 100)
+      .orderBy("doc_id")
+  }
+
   /** Robust per-column outlier profile of the lineitem measures:
     * median/MAD z-scores (outliers can't drag their own threshold the way
     * mean/stddev scoring lets them). q48-pattern gate query: the EXACT
