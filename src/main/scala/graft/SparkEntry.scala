@@ -82,7 +82,8 @@ object SparkEntry {
     "q65_incremental_dedup" -> (Queries.q65IncrementalDedup _),
     "q66_corpus_to_dataloader" -> (Queries.q66CorpusToDataloader _),
     "q67_key_skew" -> (Queries.q67KeySkew _),
-    "q68_vocab_encode" -> (Queries.q68VocabEncode _)
+    "q68_vocab_encode" -> (Queries.q68VocabEncode _),
+    "q69_compaction" -> (Queries.q69Compaction _)
   )
 
   /** DuckDB oracles for EVERY query above — since round 3 none are

@@ -1073,6 +1073,20 @@ object Oracles {
            CAST(sum(i * tid) AS BIGINT) AS possum_ids
     FROM e GROUP BY doc_id ORDER BY doc_id"""
 
+  // Log compaction: latest row per key under the (ts, event_id) total
+  // order, replayed with a window argmax.
+  val q69 = """
+    WITH s AS (SELECT user_id, event_type,
+                      epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id,
+                      round(value, 6) AS value,
+                      row_number() OVER (PARTITION BY user_id, event_type
+                                         ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) DESC,
+                                                  event_id DESC) AS rn
+               FROM events)
+    SELECT user_id, event_type, CAST(ts_us AS BIGINT) AS ts_us,
+           event_id, value
+    FROM s WHERE rn = 1 ORDER BY user_id, event_type"""
+
   // IVF-PQ recall gate: like q30/q57, the pass flag is computed Spark-side
   // against exact brute force; the oracle pins it.
   val q64 = """
@@ -1210,6 +1224,7 @@ object Oracles {
     "q65_incremental_dedup" -> q65,
     "q66_corpus_to_dataloader" -> q66,
     "q67_key_skew" -> q67,
-    "q68_vocab_encode" -> q68
+    "q68_vocab_encode" -> q68,
+    "q69_compaction" -> q69
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

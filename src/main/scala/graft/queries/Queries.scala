@@ -1059,6 +1059,22 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Log compaction: the events change-stream compacts to the latest
+    * event per (user_id, event_type) — versioned by (ts, event_id), the
+    * unique id breaking same-timestamp ties — in one hash aggregate (no
+    * per-key sort window). The oracle replays it with max_by-style
+    * argmax over the same ordering. */
+  def q69Compaction(s: SparkSession, d: String): DataFrame =
+    Compaction.latestByKey(
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("ts_us"), col("event_id"),
+            round(col("value"), 6).as("value")),
+        keys = Seq("user_id", "event_type"),
+        version = Seq("ts_us", "event_id"),
+        payload = Seq("value"))
+      .orderBy("user_id", "event_type")
+
   /** Robust per-column outlier profile of the lineitem measures:
     * median/MAD z-scores (outliers can't drag their own threshold the way
     * mean/stddev scoring lets them). q48-pattern gate query: the EXACT
