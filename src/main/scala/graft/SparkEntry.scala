@@ -83,7 +83,8 @@ object SparkEntry {
     "q66_corpus_to_dataloader" -> (Queries.q66CorpusToDataloader _),
     "q67_key_skew" -> (Queries.q67KeySkew _),
     "q68_vocab_encode" -> (Queries.q68VocabEncode _),
-    "q69_compaction" -> (Queries.q69Compaction _)
+    "q69_compaction" -> (Queries.q69Compaction _),
+    "q70_equidepth_bins" -> (Queries.q70EquiDepthBins _)
   )
 
   /** DuckDB oracles for EVERY query above — since round 3 none are

@@ -63,6 +63,21 @@ object Ranking {
       .drop("__pid", "__v")
   }
 
+  /** Equi-depth (quantile) binning — feature discretization: assign each
+    * row its k-quantile `bucket` (exact SQL ntile semantics) without a
+    * single-task global window, via [[globalRowNumber]] +
+    * [[ntileFromRank]]. `tieBreak` must make (value, tieBreak…) a total
+    * order so bucket assignment is deterministic at bucket boundaries. */
+  def equiDepth(df: DataFrame, value: Column, tieBreak: Seq[Column], k: Int,
+                out: String = "bucket", partitions: Int = 32): DataFrame = {
+    val ranked = globalRowNumber(df, value +: tieBreak, out = "__edr",
+      partitions = partitions)
+    ranked
+      .crossJoin(broadcast(ranked.agg(count(lit(1)).as("__edn"))))
+      .withColumn(out, ntileFromRank(col("__edr"), col("__edn"), k))
+      .drop("__edr", "__edn")
+  }
+
   /** ntile bucket from a 1-based global rank `r` of `n` rows — the exact
     * SQL ntile(k) remainder semantics (first n%k buckets get one extra
     * row), as pure integer arithmetic so it composes with

@@ -1087,6 +1087,17 @@ object Oracles {
            event_id, value
     FROM s WHERE rn = 1 ORDER BY user_id, event_type"""
 
+  // Equi-depth binning: plain ntile replay of the range-partitioned form.
+  val q70 = """
+    WITH r AS (SELECT l_extendedprice,
+                      ntile(10) OVER (ORDER BY l_extendedprice, l_orderkey,
+                                      l_linenumber) AS bucket
+               FROM lineitem)
+    SELECT CAST(bucket AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n,
+           round(min(l_extendedprice), 2) AS lo,
+           round(max(l_extendedprice), 2) AS hi
+    FROM r GROUP BY bucket ORDER BY bucket"""
+
   // IVF-PQ recall gate: like q30/q57, the pass flag is computed Spark-side
   // against exact brute force; the oracle pins it.
   val q64 = """
@@ -1225,6 +1236,7 @@ object Oracles {
     "q66_corpus_to_dataloader" -> q66,
     "q67_key_skew" -> q67,
     "q68_vocab_encode" -> q68,
-    "q69_compaction" -> q69
+    "q69_compaction" -> q69,
+    "q70_equidepth_bins" -> q70
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

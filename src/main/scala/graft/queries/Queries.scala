@@ -1075,6 +1075,24 @@ object Queries {
         payload = Seq("value"))
       .orderBy("user_id", "event_type")
 
+  /** Equi-depth decile binning of lineitem prices (feature
+    * discretization): exact ntile semantics through the range-partitioned
+    * rank — no single-task window — then per-bucket count and price
+    * bounds. The oracle replays with a plain ntile window, holding the
+    * scale-safe construction to the exact SQL semantics (q61 precedent
+    * for the cumsum; this is the rank twin). */
+  def q70EquiDepthBins(s: SparkSession, d: String): DataFrame =
+    Ranking.equiDepth(
+        Tables.lineitem(s, d)
+          .select("l_orderkey", "l_linenumber", "l_extendedprice"),
+        col("l_extendedprice"),
+        Seq(col("l_orderkey"), col("l_linenumber")), k = 10)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        round(min("l_extendedprice"), 2).as("lo"),
+        round(max("l_extendedprice"), 2).as("hi"))
+      .orderBy("bucket")
+
   /** Robust per-column outlier profile of the lineitem measures:
     * median/MAD z-scores (outliers can't drag their own threshold the way
     * mean/stddev scoring lets them). q48-pattern gate query: the EXACT

@@ -6,6 +6,7 @@ import org.apache.spark.sql.types._
 
 /** Custom stream state: last event time (µs), running session/event counts. */
 case class SessionState(lastTs: Long, sessions: Long, events: Long)
+case class LatestState(key: String, ts_us: Long, seq: Long, value: Double)
 
 /** Stateful-featurizer buffer: index of the first buffered value + the
   * buffered values (at most history+pred-1 between micro-batches). */
@@ -207,5 +208,40 @@ object EventStreams {
       .outputMode(outputMode).start()
     try q.processAllAvailable() finally q.stop()
     spark.table(name)
+  }
+
+  /** Streaming twin of [[graft.operators.Compaction.latestByKey]]: a
+    * continuously arriving change stream keeps per-key CURRENT state via
+    * `mapGroupsWithState` — state = the (version…, payload) of the
+    * newest row seen so far (one tiny tuple per key, not history), each
+    * trigger emitting the key's refreshed state (update output mode).
+    * Version order = (ts_us, seq) lexicographic, the same total order
+    * the batch operator uses, so replaying a closed stream yields
+    * exactly the batch compaction. */
+  def streamingLatestState(changes: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import org.apache.spark.sql.{Encoders, Row}
+    val schema = new StructType()
+      .add("key", StringType).add("ts_us", LongType)
+      .add("seq", LongType).add("value", DoubleType)
+    val stateEnc = Encoders.product[LatestState]
+    val byKey = changes
+      .select(col("key").cast("string"), col("ts_us").cast("long"),
+        col("seq").cast("long"), col("value").cast("double"))
+      .as(Encoders.row(schema))
+      .groupByKey((r: Row) => r.getString(0))(Encoders.STRING)
+    byKey.mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+      (key: String, rows: Iterator[Row],
+       state: org.apache.spark.sql.streaming.GroupState[LatestState]) => {
+        var st = state.getOption.getOrElse(LatestState("", Long.MinValue,
+          Long.MinValue, 0.0))
+        rows.foreach { r =>
+          val (t, q, v) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+          if (t > st.ts_us || (t == st.ts_us && q > st.seq))
+            st = LatestState(key, t, q, v)
+        }
+        state.update(st)
+        st
+      })(stateEnc, stateEnc).toDF()
   }
 }

@@ -38,6 +38,25 @@ class EventStreamsSpec extends SparkSpec {
     assert(got.exceptAll(batch).count() == 0, "stream/batch mixture mismatch")
   }
 
+  test("streaming latest-state equals batch compaction on a closed stream") {
+    import graft.operators.Compaction
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.select(
+      concat_ws("|", col("user_id"), col("event_type")).as("key"),
+      unix_micros(col("ts")).as("ts_us"), col("event_id").as("seq"),
+      round(col("value"), 6).as("value"))
+    val streamed = EventStreams.streamingLatestState(
+      keyed(EventStreams.readEvents(spark, eventsDir)))
+    // update mode re-emits refreshed state each trigger; compact the sink
+    // table so multi-trigger runs compare cleanly (state rows are monotone)
+    val got = Compaction.latestByKey(
+      EventStreams.runToMemory(spark, streamed, "latest_state", "update"),
+      Seq("key"), Seq("ts_us", "seq"), Seq("value"))
+    val batch = Compaction.latestByKey(keyed(Tables.events(spark, sf001)),
+      Seq("key"), Seq("ts_us", "seq"), Seq("value"))
+    assert(got.count() == batch.count())
+    assert(got.exceptAll(batch).count() == 0, "stream/batch latest-state mismatch")
+  }
+
   test("streaming hourly agg matches the batch result on closed windows") {
     val streamed = EventStreams.hourlyByType(EventStreams.readEvents(spark, eventsDir))
     // complete mode over the static fixture: every window closes
