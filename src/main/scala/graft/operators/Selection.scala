@@ -46,6 +46,29 @@ object Selection {
   def argmax(df: DataFrame, score: Column, tieBreak: Seq[Column] = Nil): DataFrame =
     topK(df, score, 1, tieBreak)
 
+  /** Top-k rows PER GROUP — group-limit at scale: the
+    * `row_number().over(partitionBy(group).orderBy(...)) <= k` window
+    * form sorts every group's full contents; this uses the bounded
+    * [[graft.operators.TopKAggregator]] instead, so the exchange carries
+    * at most k (score, id) pairs per group per map partition and nothing
+    * ever sorts more than k elements. Rows are identified by a LONG `id`
+    * column (join the payload back, or pass a key you can decode).
+    * Deterministic: score desc, id asc tie-break. Output:
+    * (group columns…, rank, id, score). */
+  def topKPerGroup(df: DataFrame, groups: Seq[String], score: Column,
+                   id: Column, k: Int): DataFrame = {
+    val topk = udaf(new TopKAggregator(k),
+      org.apache.spark.sql.Encoders.product[ScoredId])
+    df.select(groups.map(col) :+ score.cast("double").as("__s") :+
+        id.cast("long").as("__id"): _*)
+      .groupBy(groups.map(col): _*)
+      .agg(topk(col("__s"), col("__id")).as("__nn"))
+      .select(groups.map(col) :+ posexplode(col("__nn")).as(Seq("__r0", "__n")): _*)
+      .select(groups.map(col) ++ Seq(
+        (col("__r0") + 1).cast("long").as("rank"),
+        col("__n.id").as("id"), col("__n.score").as("score")): _*)
+  }
+
   /** Pool deletion: remove rows whose id appears in `selected` — the
     * reference's `np.delete(pool, idx)`
     * (`BigDataQualityAssessment_ActiveSampling.py:236-237`). Broadcast

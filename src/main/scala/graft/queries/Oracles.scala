@@ -1098,6 +1098,16 @@ object Oracles {
            round(max(l_extendedprice), 2) AS hi
     FROM r GROUP BY bucket ORDER BY bucket"""
 
+  // Group-limit: window-form replay of the bounded-aggregator top-3.
+  val q71 = """
+    WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice,
+                      row_number() OVER (PARTITION BY o_custkey
+                                         ORDER BY o_totalprice DESC, o_orderkey) AS rank
+               FROM orders)
+    SELECT o_custkey, CAST(rank AS BIGINT) AS rank, o_orderkey,
+           round(o_totalprice, 2) AS price
+    FROM r WHERE rank <= 3 ORDER BY o_custkey, rank"""
+
   // IVF-PQ recall gate: like q30/q57, the pass flag is computed Spark-side
   // against exact brute force; the oracle pins it.
   val q64 = """
@@ -1237,6 +1247,7 @@ object Oracles {
     "q67_key_skew" -> q67,
     "q68_vocab_encode" -> q68,
     "q69_compaction" -> q69,
-    "q70_equidepth_bins" -> q70
+    "q70_equidepth_bins" -> q70,
+    "q71_group_limit" -> q71
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

@@ -1093,6 +1093,19 @@ object Queries {
         round(max("l_extendedprice"), 2).as("hi"))
       .orderBy("bucket")
 
+  /** Group-limit at scale: top-3 orders by price per customer via the
+    * bounded [[TopKAggregator]] — the exchange carries ≤ 3 rows per
+    * customer per map partition, where the `row_number()` window form
+    * (q38's shape, right for small groups) sorts every customer's full
+    * history. The oracle replays with the window form, so the two
+    * formulations are proven equivalent. */
+  def q71GroupLimit(s: SparkSession, d: String): DataFrame =
+    Selection.topKPerGroup(Tables.orders(s, d), groups = Seq("o_custkey"),
+        score = col("o_totalprice"), id = col("o_orderkey"), k = 3)
+      .select(col("o_custkey"), col("rank"), col("id").as("o_orderkey"),
+        round(col("score"), 2).as("price"))
+      .orderBy("o_custkey", "rank")
+
   /** Robust per-column outlier profile of the lineitem measures:
     * median/MAD z-scores (outliers can't drag their own threshold the way
     * mean/stddev scoring lets them). q48-pattern gate query: the EXACT

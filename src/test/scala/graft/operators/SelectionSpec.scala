@@ -77,4 +77,23 @@ class SelectionSpec extends SparkSpec {
     }
     assert(train.count() == 12)
   }
+
+  test("topKPerGroup equals the window form with deterministic ties") {
+    import spark.implicits._
+    val rows = (0L until 1000L)
+      .map(i => (i % 13, i, (i * 7 % 50).toDouble)).toDF("grp", "rid", "sc")
+    val viaAgg = Selection.topKPerGroup(rows, Seq("grp"), col("sc"),
+        col("rid"), k = 4)
+      .select("grp", "rank", "id", "score")
+      .orderBy("grp", "rank").collect().map(_.toSeq).toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy(desc("sc"), col("rid"))
+    val viaWindow = rows
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 4)
+      .select(col("grp"), col("rank"), col("rid").as("id"),
+        col("sc").as("score"))
+      .orderBy("grp", "rank").collect().map(_.toSeq).toSeq
+    assert(viaAgg == viaWindow)
+  }
 }
