@@ -98,9 +98,10 @@ object CorpusPipeline {
     * epochs lay out before any repeat, so a doc's copies land far apart in
     * the stream instead of back-to-back in the same training window).
     * Output: curated schema + `epoch`, `n_tok`, `first_bin`, `last_bin`,
-    * `bin_off` — everything a shard writer needs. The whole chain is one
-    * lazy DAG on top of [[curate]]; the only shuffles are the ones its
-    * stages already pay (packing's range partition at the end). */
+    * `bin_off` — everything a shard writer needs. NOTE: [[curate]]'s
+    * stage pins are EAGER (localCheckpoint), so constructing this frame
+    * already runs the curation stages — the stage-table shape, not a
+    * fully lazy plan; mixture and packing stay lazy on top. */
   def toDataloader(docs: DataFrame, id: Column, text: Column,
                    sourceWeights: Map[String, Double], defaultWeight: Double,
                    source: Column, tokenBudget: Long,

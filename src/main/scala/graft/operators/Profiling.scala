@@ -182,15 +182,21 @@ object Profiling {
     * the topK result. Deterministic (cnt desc, key asc) for the q67
     * oracle. */
   def keySkew(df: DataFrame, key: Column, topK: Int = 5): DataFrame = {
+    // pinned: the (key, count) frame feeds BOTH the stats aggregate and
+    // the TakeOrdered branch — unpinned, the source would be scanned and
+    // hash-aggregated twice (the diagnostic's dominant cost, doubled)
     val counts = df.groupBy(key.cast("string").as("key"))
       .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     val stats = counts.agg(sum("cnt").as("total_rows"),
       count(lit(1)).as("n_keys"))
-    counts.orderBy(desc("cnt"), col("key")).limit(topK)
+    // NULL keys explicitly last, matching the oracle engine's default —
+    // Spark's asc default is nulls-first, which would diverge at the cut
+    counts.orderBy(desc("cnt"), asc_nulls_last("key")).limit(topK)
       .crossJoin(broadcast(stats))
       .select(col("key"), col("cnt"), col("total_rows"), col("n_keys"),
         round(col("cnt") * col("n_keys") / col("total_rows"), 6)
           .as("skew_ratio"))
-      .orderBy(desc("cnt"), col("key"))
+      .orderBy(desc("cnt"), asc_nulls_last("key"))
   }
 }

@@ -53,7 +53,10 @@ object Selection {
     * at most k (score, id) pairs per group per map partition and nothing
     * ever sorts more than k elements. Rows are identified by a LONG `id`
     * column (join the payload back, or pass a key you can decode).
-    * Deterministic: score desc, id asc tie-break. Output:
+    * Deterministic: score desc, id asc tie-break. Rows whose score or id
+    * is NULL (incl. failed casts) are EXCLUDED — the aggregator's buffer
+    * is non-nullable; `coalesce` upstream if they must rank (the window
+    * form would put null scores last). Output:
     * (group columns…, rank, id, score). */
   def topKPerGroup(df: DataFrame, groups: Seq[String], score: Column,
                    id: Column, k: Int): DataFrame = {
@@ -61,6 +64,7 @@ object Selection {
       org.apache.spark.sql.Encoders.product[ScoredId])
     df.select(groups.map(col) :+ score.cast("double").as("__s") :+
         id.cast("long").as("__id"): _*)
+      .filter(col("__s").isNotNull && col("__id").isNotNull)
       .groupBy(groups.map(col): _*)
       .agg(topk(col("__s"), col("__id")).as("__nn"))
       .select(groups.map(col) :+ posexplode(col("__nn")).as(Seq("__r0", "__n")): _*)

@@ -1021,7 +1021,8 @@ object Queries {
   /** The FULL corpus-to-dataloader composition, driver-gated: docs < 10
     * play the benchmark, the rest run curate (rules → repetition → exact
     * dedup → near-dup clusters → decontamination) → mixture → packing as
-    * ONE lazy DAG ([[CorpusPipeline.toDataloader]]). The oracle replays
+    * ONE composed pipeline ([[CorpusPipeline.toDataloader]]; curate's
+    * stage frames pin eagerly — the stage-table shape). The oracle replays
     * every stage from the raw table — the gate fragments of
     * q45/q46/q10/q28+q44/q43/q62/q61 chained into one WITH RECURSIVE — so
     * a defect in ANY stage, or in how the stages hand off, breaks the

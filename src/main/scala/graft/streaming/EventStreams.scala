@@ -228,19 +228,26 @@ object EventStreams {
     val byKey = changes
       .select(col("key").cast("string"), col("ts_us").cast("long"),
         col("seq").cast("long"), col("value").cast("double"))
+      // NULL version/value rows (e.g. malformed tombstones) are dropped
+      // rather than NPE-ing the whole query — the quarantine stance the
+      // decode path takes; route them to a dead-letter sink upstream
+      .filter(col("key").isNotNull && col("ts_us").isNotNull &&
+        col("seq").isNotNull && col("value").isNotNull)
       .as(Encoders.row(schema))
       .groupByKey((r: Row) => r.getString(0))(Encoders.STRING)
     byKey.mapGroupsWithState(GroupStateTimeout.NoTimeout)(
       (key: String, rows: Iterator[Row],
        state: org.apache.spark.sql.streaming.GroupState[LatestState]) => {
-        var st = state.getOption.getOrElse(LatestState("", Long.MinValue,
-          Long.MinValue, 0.0))
+        // seed from the first row, not a sentinel: a sentinel's MinValue
+        // fields would lose the strictly-greater test to a row that
+        // legitimately carries MinValue and then emit a bogus "" key
+        var st = state.getOption.orNull
         rows.foreach { r =>
           val (t, q, v) = (r.getLong(1), r.getLong(2), r.getDouble(3))
-          if (t > st.ts_us || (t == st.ts_us && q > st.seq))
+          if (st == null || t > st.ts_us || (t == st.ts_us && q > st.seq))
             st = LatestState(key, t, q, v)
         }
-        state.update(st)
+        state.update(st) // groups are only invoked with >= 1 row
         st
       })(stateEnc, stateEnc).toDF()
   }
