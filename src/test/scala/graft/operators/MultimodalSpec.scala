@@ -361,6 +361,42 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.encodeMp4Meta(600L, 5000000000L, Seq((64, 48, "avc1"))))
   }
 
+  test("media walkers never hang or escape on fuzzed payloads") {
+    // byte-flip / truncate / extend mutations of valid payloads: every
+    // parse must either succeed or throw IllegalArgumentException —
+    // nothing else (no OOB, no NPE), and always terminate. This is the
+    // contract decodeFeaturesSafe quarantines on.
+    val rnd = new scala.util.Random(20260813)
+    val mp3 = Multimodal.encodeMp3Frames(Array((9, 0), (14, 1), (3, 0)))
+    val mp4 = Multimodal.encodeMp4Meta(600L, 4242L,
+      Seq((640, 480, "avc1"), (0, 0, "mp4a")))
+    val wav = Multimodal.encodeWavPcm(8000, Array.tabulate[Short](64)(i => (i * 97).toShort))
+    val cases = Seq[(String, Array[Byte] => Any)](
+      ("mp3", b => new Multimodal.Mp3HeaderDecoder().walk(b)),
+      ("mp4", b => new Multimodal.Mp4BoxDecoder().walk(b)),
+      ("wav", b => new Multimodal.WavPcmDecoder().decode("wav", b)))
+    val bases = Map("mp3" -> mp3, "mp4" -> mp4, "wav" -> wav)
+    for ((kind, parse) <- cases; trial <- 0 until 300) {
+      val base = bases(kind)
+      val m = base.clone()
+      val mutated = rnd.nextInt(3) match {
+        case 0 => // flip 1-4 random bytes
+          (0 until 1 + rnd.nextInt(4)).foreach { _ =>
+            m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+          }
+          m
+        case 1 => m.take(rnd.nextInt(m.length + 1)) // truncate
+        case 2 => m ++ Array.fill[Byte](1 + rnd.nextInt(16))(rnd.nextInt(256).toByte)
+      }
+      try parse(mutated)
+      catch {
+        case _: IllegalArgumentException => // the documented contract
+        case e: Throwable =>
+          fail(s"$kind trial $trial escaped with ${e.getClass.getName}: ${e.getMessage}")
+      }
+    }
+  }
+
   test("PgmDecoder parses P5 images and resizes by nearest neighbor") {
     val w = 64; val h = 32
     // horizontal ramp: pixel value = x * 255 / (w-1)
