@@ -85,7 +85,8 @@ object SparkEntry {
     "q68_vocab_encode" -> (Queries.q68VocabEncode _),
     "q69_compaction" -> (Queries.q69Compaction _),
     "q70_equidepth_bins" -> (Queries.q70EquiDepthBins _),
-    "q71_group_limit" -> (Queries.q71GroupLimit _)
+    "q71_group_limit" -> (Queries.q71GroupLimit _),
+    "q72_pii_redaction" -> (Queries.q72PiiRedaction _)
   )
 
   /** DuckDB oracles for EVERY query above — since round 3 none are

@@ -29,6 +29,41 @@ object TextOps {
   def normalized(text: Column): Column =
     regexp_replace(lower(text), "[^a-z0-9 ]", "")
 
+  // --- PII redaction --------------------------------------------------
+
+  /** Conservative PII patterns (kept to syntax both Java regex and RE2
+    * accept identically, so the q72 oracle replays them verbatim):
+    * email, dotted-quad IPv4, international-ish phone (7+ digits with
+    * optional separators). Order matters — emails first so local-part
+    * digits aren't half-eaten, and ipv4 BEFORE phone because a dotted
+    * quad is digits-and-dots and the phone rule would swallow it. */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"),
+    ("ipv4", "([0-9]{1,3}\\.){3}[0-9]{1,3}"),
+    ("phone", "\\+?[0-9][0-9()\\-. ]{5,}[0-9]"))
+
+  /** Mask every PII match with `<TYPE>` tokens — the standard
+    * corpus-curation scrub, as pure `regexp_replace` chains (codegen'd,
+    * one projection, no UDF). Idempotent: the replacement tokens match
+    * none of the patterns. */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (name, p)) =>
+      regexp_replace(c, p, s"<${name.toUpperCase}>")
+    }
+
+  /** Per-type PII match counts as a struct column (email, phone, ipv4) —
+    * the audit side of [[redactPii]]: counts come from the SAME patterns
+    * applied in the SAME order to the progressively redacted text, so
+    * `sum(counts) == 0` after a second pass is the idempotence check. */
+  def piiCounts(text: Column): Column = {
+    val (structFields, _) = piiPatterns.foldLeft(
+      (Seq.empty[Column], text)) { case ((acc, t), (name, p)) =>
+      (acc :+ size(regexp_extract_all(t, lit(p), lit(0))).cast("long").as(name),
+        regexp_replace(t, p, s"<${name.toUpperCase}>"))
+    }
+    struct(structFields: _*)
+  }
+
   /** Character n-grams of the normalized text (deduplicated set). */
   def charNGrams(text: Column, n: Int): Column = {
     val t = normalized(text)

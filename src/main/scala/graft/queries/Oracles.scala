@@ -1108,6 +1108,35 @@ object Oracles {
            round(o_totalprice, 2) AS price
     FROM r WHERE rank <= 3 ORDER BY o_custkey, rank"""
 
+  // PII redaction: plants the same doc_id-derived PII and scrubs with the
+  // same patterns in the same order ('g' = global, matching Spark's
+  // replace-all default); the md5 of the redacted text breaks on any
+  // pattern/order/token divergence.
+  val q72 = """
+    WITH t AS (SELECT doc_id,
+                      text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+                      '@example.com or +1 (555) 01' || CAST(doc_id AS VARCHAR) ||
+                      ' node 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' ||
+                      CAST(doc_id % 100 AS VARCHAR) AS pt
+               FROM documents),
+    r1 AS (SELECT doc_id, pt,
+                  len(regexp_extract_all(pt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+                  regexp_replace(pt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+           FROM t),
+    r2 AS (SELECT doc_id, n_email,
+                  len(regexp_extract_all(t1, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS n_ipv4,
+                  regexp_replace(t1, '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IPV4>', 'g') AS t2
+           FROM r1),
+    r3 AS (SELECT doc_id, n_email, n_ipv4,
+                  len(regexp_extract_all(t2, '\+?[0-9][0-9()\-. ]{5,}[0-9]')) AS n_phone,
+                  regexp_replace(t2, '\+?[0-9][0-9()\-. ]{5,}[0-9]', '<PHONE>', 'g') AS t3
+           FROM r2)
+    SELECT doc_id, CAST(n_email AS BIGINT) AS n_email,
+           CAST(n_ipv4 AS BIGINT) AS n_ipv4,
+           CAST(n_phone AS BIGINT) AS n_phone,
+           md5(t3) AS redacted_md5
+    FROM r3 ORDER BY doc_id"""
+
   // IVF-PQ recall gate: like q30/q57, the pass flag is computed Spark-side
   // against exact brute force; the oracle pins it.
   val q64 = """
@@ -1248,6 +1277,7 @@ object Oracles {
     "q68_vocab_encode" -> q68,
     "q69_compaction" -> q69,
     "q70_equidepth_bins" -> q70,
-    "q71_group_limit" -> q71
+    "q71_group_limit" -> q71,
+    "q72_pii_redaction" -> q72
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

@@ -1107,6 +1107,27 @@ object Queries {
         round(col("score"), 2).as("price"))
       .orderBy("o_custkey", "rank")
 
+  /** PII redaction gate: plant deterministic PII (email/IPv4/phone built
+    * from doc_id) into each document, scrub with [[TextOps.redactPii]],
+    * and emit per-type match counts plus the md5 of the redacted text.
+    * The oracle plants and scrubs with the SAME patterns in SQL, so any
+    * divergence in pattern semantics, application order, or replacement
+    * tokens breaks the hash — the corpus-scrub step, driver-gated. */
+  def q72PiiRedaction(s: SparkSession, d: String): DataFrame = {
+    val planted = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com or +1 (555) 01"), col("doc_id").cast("string"),
+      lit(" node 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
+      lit("."), pmod(col("doc_id"), lit(100)).cast("string"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextOps.piiCounts(planted).as("__c"),
+        md5(TextOps.redactPii(planted).cast("binary")).as("redacted_md5"))
+      .select(col("doc_id"), col("__c.email").as("n_email"),
+        col("__c.ipv4").as("n_ipv4"), col("__c.phone").as("n_phone"),
+        col("redacted_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Robust per-column outlier profile of the lineitem measures:
     * median/MAD z-scores (outliers can't drag their own threshold the way
     * mean/stddev scoring lets them). q48-pattern gate query: the EXACT

@@ -106,4 +106,21 @@ class TextOpsSpec extends SparkSpec {
     val q2 = one[Double](TextOps.qualityScore(col("text")), soup)
     assert(q1 > q2 + 0.3, s"clean=$q1 soup=$q2")
   }
+
+  test("redactPii masks email/ipv4/phone and is idempotent") {
+    val dirty = "mail a.b-c_9@sub.example.org, call +44 (020) 7946-0958, " +
+      "or ssh to 192.168.001.42 after 5pm; short 12345 stays"
+    val red = one[String](TextOps.redactPii(col("text")), dirty)
+    assert(red == "mail <EMAIL>, call <PHONE>, or ssh to <IPV4> after 5pm; " +
+      "short 12345 stays", red)
+    // idempotent: a second pass changes nothing
+    assert(one[String](TextOps.redactPii(TextOps.redactPii(col("text"))), dirty) == red)
+    // counts align with what was masked, in the documented order
+    val c = one[org.apache.spark.sql.Row](TextOps.piiCounts(col("text")), dirty)
+    assert((c.getLong(0), c.getLong(1), c.getLong(2)) == ((1L, 1L, 1L)))
+    // ipv4 runs before phone: a dotted quad is NOT swallowed as a phone
+    val ipOnly = one[org.apache.spark.sql.Row](
+      TextOps.piiCounts(col("text")), "host 10.1.2.3 up")
+    assert((ipOnly.getLong(0), ipOnly.getLong(1), ipOnly.getLong(2)) == ((0L, 1L, 0L)))
+  }
 }
