@@ -67,4 +67,31 @@ class PropertiesSpec extends SparkSpec {
       assert(got.sorted == want.sorted)
     }
   }
+
+  test("property: concat-and-cut packing invariants under random budgets") {
+    import graft.operators.Packing
+    val gen = Gen.zip(Gen.choose(1L, 200L), Gen.choose(20, 120),
+      Gen.listOfN(120, Gen.choose(0L, 50L)))
+    for ((budget, n, tokList) <- cases(gen, 4)) {
+      val toks = tokList.take(n)
+      val docs = toks.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "t")
+      val rows = Packing.concatAndCut(docs, Seq(col("doc_id")), col("t"), budget)
+        .select("doc_id", "n_tok", "first_bin", "last_bin", "bin_off")
+        .orderBy("doc_id").collect()
+      // replay the layout sequentially
+      var cum = 0L
+      rows.zipWithIndex.foreach { case (r, i) =>
+        val t = toks(i)
+        assert(r.getLong(1) == t)
+        assert(r.getLong(2) == cum / budget, s"first_bin doc $i budget $budget")
+        val lastExp = if (t > 0) (cum + t - 1) / budget else cum / budget
+        assert(r.getLong(3) == lastExp, s"last_bin doc $i budget $budget")
+        assert(r.getLong(4) == cum % budget, s"bin_off doc $i budget $budget")
+        // a doc spans exactly ceil((off + t)/budget) windows
+        assert(r.getLong(3) - r.getLong(2) + 1 >= 1)
+        cum += t
+      }
+    }
+  }
 }
