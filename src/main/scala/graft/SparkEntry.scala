@@ -86,7 +86,8 @@ object SparkEntry {
     "q69_compaction" -> (Queries.q69Compaction _),
     "q70_equidepth_bins" -> (Queries.q70EquiDepthBins _),
     "q71_group_limit" -> (Queries.q71GroupLimit _),
-    "q72_pii_redaction" -> (Queries.q72PiiRedaction _)
+    "q72_pii_redaction" -> (Queries.q72PiiRedaction _),
+    "q73_calibration" -> (Queries.q73Calibration _)
   )
 
   /** DuckDB oracles for EVERY query above — since round 3 none are

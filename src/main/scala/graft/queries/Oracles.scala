@@ -1137,6 +1137,22 @@ object Oracles {
            md5(t3) AS redacted_md5
     FROM r3 ORDER BY doc_id"""
 
+  // UQ-calibration reliability table: deterministic surrogate (exact
+  // integer-derived predicted variance, closed-form squared error)
+  // replayed through a plain ntile + per-bin averages.
+  val q73 = """
+    WITH s AS (SELECT event_id,
+                      0.05 + CAST(event_id % 97 AS DOUBLE) / 100.0 AS var_pred,
+                      value * 0.1 * value * 0.1 AS sq_err
+               FROM events),
+    b AS (SELECT var_pred, sq_err,
+                 ntile(10) OVER (ORDER BY var_pred, event_id) AS bucket
+          FROM s)
+    SELECT CAST(bucket AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n,
+           round(avg(var_pred), 6) AS expected_var,
+           round(avg(sq_err), 6) AS realized_mse
+    FROM b GROUP BY bucket ORDER BY bucket"""
+
   // IVF-PQ recall gate: like q30/q57, the pass flag is computed Spark-side
   // against exact brute force; the oracle pins it.
   val q64 = """
@@ -1278,6 +1294,7 @@ object Oracles {
     "q69_compaction" -> q69,
     "q70_equidepth_bins" -> q70,
     "q71_group_limit" -> q71,
-    "q72_pii_redaction" -> q72
+    "q72_pii_redaction" -> q72,
+    "q73_calibration" -> q73
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

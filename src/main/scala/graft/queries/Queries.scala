@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.{TextOps, VectorOps}
+import graft.ml.Calibration
 import graft.operators._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -1126,6 +1127,23 @@ object Queries {
         col("__c.ipv4").as("n_ipv4"), col("__c.phone").as("n_phone"),
         col("redacted_md5"))
       .orderBy("doc_id")
+  }
+
+  /** UQ-calibration reliability table over a deterministic surrogate
+    * scorer (q54's trick: closed-form pred/var so the oracle replays the
+    * model exactly): predicted variance from exact integer arithmetic on
+    * event_id, realized squared error from the 0.9-biased prediction.
+    * Ten equi-depth variance bins, each reporting expected vs realized —
+    * the audit of the acquisition signal the reference's whole loop
+    * trusts ([[graft.ml.Calibration]]). */
+  def q73Calibration(s: SparkSession, d: String): DataFrame = {
+    val scored = Tables.events(s, d)
+      .select(col("event_id"),
+        (lit(0.05) + pmod(col("event_id"), lit(97)).cast("double") / lit(100.0))
+          .as("var_pred"),
+        (col("value") * lit(0.1) * col("value") * lit(0.1)).as("sq_err"))
+    Calibration.reliability(scored, col("var_pred"), col("sq_err"),
+      col("event_id"), bins = 10)
   }
 
   /** Robust per-column outlier profile of the lineitem measures:
