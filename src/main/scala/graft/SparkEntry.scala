@@ -87,7 +87,8 @@ object SparkEntry {
     "q70_equidepth_bins" -> (Queries.q70EquiDepthBins _),
     "q71_group_limit" -> (Queries.q71GroupLimit _),
     "q72_pii_redaction" -> (Queries.q72PiiRedaction _),
-    "q73_calibration" -> (Queries.q73Calibration _)
+    "q73_calibration" -> (Queries.q73Calibration _),
+    "q74_embedding_lsh_recall" -> (Queries.q74EmbeddingLshRecall _)
   )
 
   /** DuckDB oracles for EVERY query above — since round 3 none are

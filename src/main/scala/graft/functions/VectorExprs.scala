@@ -304,6 +304,66 @@ case class HashedWordShingles(child: Expression, w: Int) extends UnaryExpression
     copy(child = newChild)
 }
 
+/** Multi-table random-hyperplane sign sketches (cosine LSH, Charikar 2002)
+  * in one pass: `tables` independent sketches of `planesPerTable` sign bits
+  * each over a dense double vector. Bit p of table t = sign of the inner
+  * product with hyperplane `planes[(t·r + p)·dim ..]` (flat row-major
+  * layout, [[graft.operators.Ann.PqModel]] codebook convention). Output is
+  * `array<long>` of length `tables` — callers posexplode into (table,
+  * sketch) bucket keys, so the banded any-table-collision candidate join
+  * stays an equi-join. One tight loop, tables·r·dim mult-adds per row;
+  * interpreted eval is already allocation-lean so codegen delegates to it
+  * (the [[HashedCharNGrams]] pattern). */
+case class HyperplaneSketches(child: Expression, planes: Array[Double],
+                              tables: Int, planesPerTable: Int)
+    extends UnaryExpression {
+  require(tables > 0 && planesPerTable > 0 && planesPerTable < 64,
+    s"HyperplaneSketches: need 0 < planesPerTable < 64, 0 < tables; " +
+      s"got tables=$tables r=$planesPerTable")
+  require(planes.length % (tables * planesPerTable) == 0,
+    "HyperplaneSketches: planes length must be tables*planesPerTable*dim")
+  private val dim = planes.length / (tables * planesPerTable)
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(in: Any): Any = {
+    val v = in.asInstanceOf[ArrayData]
+    val n = math.min(v.numElements(), dim)
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var sk = 0L
+      var p = 0
+      while (p < planesPerTable) {
+        val base = (t * planesPerTable + p) * dim
+        var acc = 0.0
+        var i = 0
+        while (i < n) { acc += v.getDouble(i) * planes(base + i); i += 1 }
+        if (acc >= 0) sk |= (1L << p)
+        p += 1
+      }
+      out(t) = sk
+      t += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("hyperSketches", this,
+      classOf[HyperplaneSketches].getName)
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)
+         |  $ref.nullSafeEval($a);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Single-pass token statistics over a (lowercased) token array:
   * `struct<n_tokens: long, sum_len: long, stop_hits: long>` — the three
   * aggregates every corpus-quality scan needs (token count, mean-length
@@ -377,4 +437,8 @@ object VectorExprs {
 
   def tokenStats(toks: Column, stopwords: Seq[String]): Column =
     column(TokenStats(expression(toks), stopwords))
+
+  def hyperplaneSketches(vec: Column, planes: Array[Double], tables: Int,
+                         planesPerTable: Int): Column =
+    column(HyperplaneSketches(expression(vec), planes, tables, planesPerTable))
 }

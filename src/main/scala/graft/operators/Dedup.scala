@@ -368,30 +368,87 @@ object Dedup {
     (labels, it)
   }
 
-  /** Embedding-cosine near-duplicate pairs. Buckets by random-hyperplane
-    * sign sketch (an LSH for cosine): vectors agreeing on all `planes` signs
-    * land in one bucket; near-identical vectors almost surely collide.
-    * Verification = exact cosine ≥ threshold inside buckets. */
+  /** Embedding-cosine near-duplicate pairs — banded multi-table random-
+    * hyperplane LSH (cosine LSH, Charikar 2002, banded the MinHash way):
+    * `tables` independent sketch tables of `planesPerTable` (= r) sign bits
+    * each; a pair is a candidate iff ALL r bits of ANY table agree.
+    * Per-table collision probability is p^r with p = 1 − θ/π, so recall =
+    * 1 − (1 − p^r)^tables: r dials bucket count (2^r per table — size r
+    * toward log2(corpus/target-occupancy) as the corpus grows), `tables`
+    * dials recall back up. Candidates are verified with ONE exact codegen'd
+    * cosine per distinct-vector pair, so false candidates never reach the
+    * output. (A single-table wide-r sketch has recall → 0 for anything not
+    * bit-identical; a single-table narrow-r sketch — the previous shape,
+    * r=8 → 256 buckets — has bucket occupancy growing linearly with the
+    * corpus, i.e. O(n²/2^r) in-bucket pair work at scale. Banding is the
+    * standard way out, same as the q28 MinHash path.)
+    *
+    * Scale shape: bit-identical vectors collapse to one group BEFORE
+    * sketching (exact-dup clusters — the dominant mass of a dup-heavy
+    * corpus — cost output-sized intra-group expansion at cosine 1.0, never
+    * in-bucket joins); sketches are one native expression pass per distinct
+    * vector; the bucket join carries (table, sketch, gid) only — vectors
+    * re-attach once per distinct candidate pair; doc-id pairs expand from
+    * per-group id lists at the end (output-sized). */
   def embeddingNearDupPairs(df: DataFrame, id: Column, vec: Column,
-                            threshold: Double = 0.95, planes: Int = 8,
+                            threshold: Double = 0.95, tables: Int = 16,
+                            planesPerTable: Int = 16,
                             seed: Long = 42): DataFrame = {
+    val (groups, cand) =
+      embeddingGroupsAndCandidates(df, id, vec, tables, planesPerTable, seed)
+    val verified = cand
+      .join(groups.select(col("gid").as("g_a"), col("v").as("v_a")), Seq("g_a"))
+      .join(groups.select(col("gid").as("g_b"), col("v").as("v_b")), Seq("g_b"))
+      .select(col("g_a"), col("g_b"),
+        round(VectorOps.cosine(col("v_a"), col("v_b")), 6).as("cosine"))
+    val passing = PlanOps.pinPairScore(verified, Seq("g_a", "g_b"), "cosine")
+      .filter(col("cosine") >= threshold)
+    val cross = passing
+      .join(groups.select(col("gid").as("g_a"), col("ids").as("ids_a")), Seq("g_a"))
+      .join(groups.select(col("gid").as("g_b"), col("ids").as("ids_b")), Seq("g_b"))
+      .select(explode(col("ids_a")).as("ia"), col("ids_b"), col("cosine"))
+      .select(col("ia"), explode(col("ids_b")).as("ib"), col("cosine"))
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"), col("cosine"))
+    // bit-identical vectors are near-dups by definition (cosine 1.0; this
+    // includes all-zero pairs, which the threshold path scores 0 by the
+    // zero-vector guard)
+    val intra = groups.filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("ia"), col("ids"))
+      .select(col("ia"), explode(col("ids")).as("ib"))
+      .filter(col("ia") < col("ib"))
+      .select(col("ia").as("id_a"), col("ib").as("id_b"), lit(1.0).as("cosine"))
+    cross.unionByName(intra).select("id_a", "id_b", "cosine")
+  }
+
+  /** The collapse + banded-sketch candidate stages of
+    * [[embeddingNearDupPairs]], exposed so the candidate volume itself is
+    * observable (DedupSpec asserts it tracks duplicate-cluster count, not
+    * corpus² — the property that makes the operator usable at 100 TB).
+    * Returns (distinct-vector groups, candidate gid pairs). */
+  def embeddingGroupsAndCandidates(df: DataFrame, id: Column, vec: Column,
+                                   tables: Int = 16, planesPerTable: Int = 16,
+                                   seed: Long = 42): (DataFrame, DataFrame) = {
     val dim = df.select(size(vec)).head().getInt(0)
     val rnd = new scala.util.Random(seed)
-    val hyper = Array.fill(planes, dim)(rnd.nextGaussian())
-    val sketch = (0 until planes).map { p =>
-      val d = VectorOps.dot(vec.cast("array<double>"), lit(hyper(p)))
-      when(d >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-    val docs = df.select(id.cast("long").as("vid"), vec.cast("array<double>").as("v"),
-      sketch.as("bkt"))
-    val a = docs.select(col("bkt"), col("vid").as("id_a"), col("v").as("v_a"))
-    val b = docs.select(col("bkt"), col("vid").as("id_b"), col("v").as("v_b"))
-    val scored = a.join(b, Seq("bkt"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", round(VectorOps.cosine(col("v_a"), col("v_b")), 6))
-      .select("id_a", "id_b", "cosine")
-    PlanOps.pinPairScore(scored, Seq("id_a", "id_b"), "cosine")
-      .filter(col("cosine") >= threshold)
+    val planes = Array.fill(tables * planesPerTable * dim)(rnd.nextGaussian())
+    val docs = df.select(id.cast("long").as("vid"),
+      vec.cast("array<double>").as("v"))
+    // distinct-vector collapse (the q28 distinct-shingle-set lesson):
+    // groups feed sketching, BOTH verify sides, and the id expansion
+    val groups = docs.groupBy("v").agg(collect_list("vid").as("ids"))
+      .withColumn("gid", xxhash64(col("v")))
+      .localCheckpoint()
+    val buckets = groups.select(col("gid"),
+        posexplode(graft.functions.VectorExprs.hyperplaneSketches(
+          col("v"), planes, tables, planesPerTable)).as(Seq("tbl", "sk")))
+    val cand = buckets.select(col("tbl"), col("sk"), col("gid").as("g_a"))
+      .join(buckets.select(col("tbl"), col("sk"), col("gid").as("g_b")),
+        Seq("tbl", "sk"))
+      .filter(col("g_a") < col("g_b"))
+      .select("g_a", "g_b")
+      .dropDuplicates("g_a", "g_b")
+    (groups, cand)
   }
 
   /** Daily-ingest admission — the INCREMENTAL dedup shape: a new batch is

@@ -1219,6 +1219,13 @@ object Oracles {
            id AS selected_id, round(score, 6) AS score
     FROM sim WHERE step >= 1 ORDER BY iter, explorer"""
 
+  // Embedding-LSH recall gate (q30/q57/q64 pattern): truth is planted
+  // Spark-side with exact-cosine verification and the pass flag is computed
+  // there; the oracle pins it (a recall collapse = driver-red row).
+  val q74 = """
+    SELECT CAST(1 AS BIGINT) AS recall_pass, CAST(0.8 AS DOUBLE) AS gate,
+           CAST(16 AS BIGINT) AS tables, CAST(16 AS BIGINT) AS planes"""
+
   /** name → oracle SQL (single-line, driver JSON-escapes anyway). */
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
@@ -1295,6 +1302,7 @@ object Oracles {
     "q70_equidepth_bins" -> q70,
     "q71_group_limit" -> q71,
     "q72_pii_redaction" -> q72,
-    "q73_calibration" -> q73
+    "q73_calibration" -> q73,
+    "q74_embedding_lsh_recall" -> q74
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

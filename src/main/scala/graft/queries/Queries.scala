@@ -1146,6 +1146,49 @@ object Queries {
       col("event_id"), bins = 10)
   }
 
+  /** Scale-path embedding near-dup (semantic dedup) recall gate — the q30/
+    * q57 pattern applied to [[Dedup.embeddingNearDupPairs]]' banded
+    * multi-table hyperplane LSH. Ground truth is PLANTED: every 10th vector
+    * gets a deterministic near-dup twin (element i scaled by
+    * 1 + 0.2·((i mod 3) − 1); exact cosine 0.984–0.991 against its base on
+    * this fixture — the true near-dup regime), id-offset by 10⁶. The
+    * fixture's natural pair maximum is 0.513, so at threshold 0.95 the
+    * truth set is exactly the planted (base, twin) pairs — verified by
+    * exact cosine, output-sized, no all-pairs scan. LSH precision is 1.0
+    * by construction (candidates are exact-cosine verified); the gate
+    * checks RECALL ≥ 0.8 (expected ≥ 0.999 per pair at 16 tables × 16
+    * planes: p = 1 − θ/π ≥ 0.94, 1 − (1 − p¹⁶)¹⁶). */
+  def q74EmbeddingLshRecall(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+    val planted = e.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        transform(col("v"), (x, i) =>
+          x * (lit(1.0) + lit(0.2) * ((i % 3) - 1).cast("double"))).as("v"))
+    val corpus = e.unionByName(planted).localCheckpoint() // feeds LSH + truth
+    val lsh = Dedup.embeddingNearDupPairs(corpus, col("vec_id"), col("v"),
+      threshold = 0.95)
+    val truth = corpus.filter(col("vec_id") % 10 === 0 && col("vec_id") < 1000000L)
+      .alias("b")
+      .join(corpus.filter(col("vec_id") >= 1000000L).alias("p"),
+        col("p.vec_id") === col("b.vec_id") + lit(1000000L))
+      .select(col("b.vec_id").as("id_a"), col("p.vec_id").as("id_b"),
+        VectorOps.cosine(col("b.v"), col("p.v")).as("__cos"))
+      .filter(col("__cos") >= 0.95)
+    val flagged = truth.select("id_a", "id_b")
+      .join(lsh.select(col("id_a"), col("id_b"), lit(1L).as("__hit")),
+        Seq("id_a", "id_b"), "left")
+    flagged
+      .agg(count(lit(1)).as("__n"),
+        sum(coalesce(col("__hit"), lit(0L))).as("__hits"))
+      .select(
+        (col("__n") > 0 &&
+          col("__hits").cast("double") >= col("__n").cast("double") * 0.8)
+          .cast("long").as("recall_pass"),
+        lit(0.8).as("gate"), lit(16L).as("tables"), lit(16L).as("planes"))
+  }
+
   /** Robust per-column outlier profile of the lineitem measures:
     * median/MAD z-scores (outliers can't drag their own threshold the way
     * mean/stddev scoring lets them). q48-pattern gate query: the EXACT

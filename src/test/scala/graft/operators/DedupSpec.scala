@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 class DedupSpec extends SparkSpec {
@@ -263,8 +264,47 @@ class DedupSpec extends SparkSpec {
       (2 until 30).map(i => (i.toLong, vec().toSeq))
     val df = rows.toDF("vec_id", "embedding")
     val pairs = Dedup.embeddingNearDupPairs(df, col("vec_id"), col("embedding"),
-      threshold = 0.98, planes = 6)
+      threshold = 0.98)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((0L, 1L)), s"missing planted near-dup: $pairs")
+  }
+
+  test("embeddingNearDupPairs: banded LSH recalls perturbed near-dups and " +
+       "candidate count scales with output, not n²") {
+    val dim = 32
+    def fixture(nClusters: Int): DataFrame = {
+      val rnd = new scala.util.Random(7)
+      val rows = (0 until nClusters).flatMap { c =>
+        val base = Array.fill(dim)(rnd.nextGaussian())
+        // 3-doc near-dup clusters: base + two deterministic perturbations
+        // (multiplicative, cosine ≈ 0.98–0.99 — NOT bit-identical, so the
+        // banding itself is exercised, not the distinct-vector collapse)
+        Seq(
+          (c * 10L, base.toSeq),
+          (c * 10L + 1, base.zipWithIndex.map { case (x, i) =>
+            x * (1 + 0.15 * ((i % 3) - 1)) }.toSeq),
+          (c * 10L + 2, base.zipWithIndex.map { case (x, i) =>
+            x * (1 - 0.15 * ((i % 2) * 2 - 1)) }.toSeq))
+      }
+      rows.toDF("vec_id", "embedding")
+    }
+    def found(df: DataFrame): Long =
+      Dedup.embeddingNearDupPairs(df, col("vec_id"), col("embedding"),
+        threshold = 0.9).count()
+    def candidates(df: DataFrame): Long =
+      Dedup.embeddingGroupsAndCandidates(df, col("vec_id"),
+        col("embedding"))._2.count()
+    val smallDf = fixture(40) // 120 vectors, 40 near-dup clusters
+    val largeDf = fixture(80) // 240 vectors, 80 near-dup clusters
+    // recall: all 3 intra-cluster pairs per cluster must be found
+    assert(found(smallDf) == 40L * 3)
+    assert(found(largeDf) == 80L * 3)
+    // candidate volume tracks the OUTPUT (duplicate clusters), not corpus²:
+    // doubling the corpus doubles true pairs, so candidates may at most
+    // double plus random-collision noise — quadratic generation would 4×.
+    val cs = candidates(smallDf)
+    val cl = candidates(largeDf)
+    assert(cl <= 2 * cs + 60,
+      s"candidate growth super-linear: $cs -> $cl on 2x corpus")
   }
 }
