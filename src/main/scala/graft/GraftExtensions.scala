@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
-import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.{ArrayType, BooleanType, DoubleType, IntegerType, NumericType}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.{BooleanType, IntegerType}
 
 import graft.functions._
 
@@ -49,16 +49,25 @@ object GraftExtensions {
         s"$fn: $arg must be a BOOLEAN literal, got $other")
   }
 
-  /** The vector kernels read doubles from the array storage (their
-    * documented contract — Column-API callers cast once per scan); the SQL
-    * surface coerces numeric arrays here so `graft_dot(embedding, ...)`
-    * over an `array<float>` parquet column is correct, not garbage-bits. */
+  /** The vector kernels read doubles from array storage; the SQL surface
+    * widens resolved numeric arrays here (`graft_dot(embedding, ...)` over
+    * `array<float>` parquet is correct, not garbage-bits). Anything else —
+    * non-numeric arrays, and arguments not yet resolved at builder time —
+    * is DEFERRED to the expressions' own `ExpectsInputTypes` contract,
+    * which fails analysis instead of silently null-casting (the r4-advice
+    * fix: the old unconditional Cast turned e.g. array<string> into a
+    * null-producing cast rather than a type error). */
   private def asDoubleArray(e: Expression): Expression =
     if (e.resolved) e.dataType match {
-      case ArrayType(DoubleType, _) => e
-      case ArrayType(_: NumericType, cn) => Cast(e, ArrayType(DoubleType, cn))
-      case _ => e // non-numeric arrays: let the analyzer report the type error
-    } else Cast(e, ArrayType(DoubleType, containsNull = true))
+      case org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, _) => e
+      case org.apache.spark.sql.types.ArrayType(
+            _: org.apache.spark.sql.types.NumericType, cn) =>
+        org.apache.spark.sql.catalyst.expressions.Cast(e,
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, cn))
+      case _ => e
+    } else e
 
   private def arity(fn: String, es: Seq[Expression], ns: Int*): Unit =
     require(ns.contains(es.length),

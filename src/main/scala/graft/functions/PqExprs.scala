@@ -1,9 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.GraftShims.AbstractType
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
 
 /** Native kernels for product quantization (PQ) — the ANN path that trades
@@ -23,8 +24,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
   * the index of the L2-nearest codebook centroid. Runs ONCE per corpus row
   * at ingest — the encode cost buys every later scan the compressed form. */
 case class PqEncode(child: Expression, codebook: Array[Double], m: Int, k: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
   require(m > 0 && k > 0 && codebook.length % (m * k) == 0, "bad codebook shape")
+  // getDouble reads array storage directly — a wrong-typed input under
+  // codegen would misread bytes, so declare the contract and let the
+  // analyzer insert casts / reject (the BloomMightContain lesson)
+  override def inputTypes: Seq[AbstractType] = Seq(ArrayType(DoubleType))
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
   override def nullSafeEval(in: Any): Any = {
@@ -73,8 +78,9 @@ case class PqEncode(child: Expression, codebook: Array[Double], m: Int, k: Int)
   * centroid j. Runs once per QUERY (Q rows), so Σ_m lut[m·K + code_m]
   * approximates `dot(query, reconstruct(codes))`. */
 case class PqLut(child: Expression, codebook: Array[Double], m: Int, k: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
   require(m > 0 && k > 0 && codebook.length % (m * k) == 0, "bad codebook shape")
+  override def inputTypes: Seq[AbstractType] = Seq(ArrayType(DoubleType))
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
 
   override def nullSafeEval(in: Any): Any = {
@@ -115,7 +121,12 @@ case class PqLut(child: Expression, codebook: Array[Double], m: Int, k: Int)
   * Σ_m lut[m·K + codes[m]]. THE inner loop of a PQ scan (corpus × queries
   * evaluations), so the loop is emitted directly into whole-stage codegen —
   * M adds and M indexed loads per pair, no subexpression dispatch. */
-case class PqAdc(left: Expression, right: Expression) extends BinaryExpression {
+case class PqAdc(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  // codes must be array<int> EXACTLY (array<long> is rejected — implicit
+  // narrowing doesn't apply — instead of silently misreading 4 of 8 bytes)
+  override def inputTypes: Seq[AbstractType] =
+    Seq(ArrayType(IntegerType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
 
   override def nullSafeEval(a: Any, b: Any): Any = {

@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+import org.apache.spark.sql.GraftShims.AbstractType
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Native (codegen'd) vector kernels for the similarity hot paths.
   *
@@ -22,7 +23,13 @@ import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
   * Inputs must be ArrayType(DoubleType) with non-null elements (callers
   * cast embeddings once per scan).
   */
-case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  // getDouble reads array storage directly — declare the type contract so
+  // the analyzer inserts casts for numeric arrays (float embeddings via
+  // SQL) and REJECTS non-numeric ones, instead of misreading bytes
+  override def inputTypes: Seq[AbstractType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
 
   override def nullSafeEval(a: Any, b: Any): Any = {
@@ -57,7 +64,10 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   * the all-zero-vector guard returning 0.0 — operation-for-operation the
   * same arithmetic as `dot/(sqrt(na)*sqrt(nb))` over ascending-index folds,
   * so values match the HOF form and the DuckDB oracle bit-for-bit. */
-case class CosineSimilarity(left: Expression, right: Expression) extends BinaryExpression {
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
 
   override def nullSafeEval(a: Any, b: Any): Any = {
@@ -316,7 +326,8 @@ case class HashedWordShingles(child: Expression, w: Int) extends UnaryExpression
   * (the [[HashedCharNGrams]] pattern). */
 case class HyperplaneSketches(child: Expression, planes: Array[Double],
                               tables: Int, planesPerTable: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractType] = Seq(ArrayType(DoubleType))
   require(tables > 0 && planesPerTable > 0 && planesPerTable < 64,
     s"HyperplaneSketches: need 0 < planesPerTable < 64, 0 < tables; " +
       s"got tables=$tables r=$planesPerTable")
@@ -324,8 +335,7 @@ case class HyperplaneSketches(child: Expression, planes: Array[Double],
     "HyperplaneSketches: planes length must be tables*planesPerTable*dim")
   private val dim = planes.length / (tables * planesPerTable)
 
-  override def dataType: DataType =
-    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def nullSafeEval(in: Any): Any = {
     val v = in.asInstanceOf[ArrayData]

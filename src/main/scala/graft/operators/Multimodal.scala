@@ -468,6 +468,34 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Encode 8-bit gray pixels as JPEG at an EXPLICIT compression quality
+    * (`ImageWriteParam.MODE_EXPLICIT`) — the q55 lossy gate pins the
+    * encoder setting rather than riding on a JRE vendor's default quality,
+    * whose quantization tables (and thus the decoded means the gate
+    * bounds) are vendor/version-specific. */
+  def encodeJpeg(w: Int, h: Int, pixels: Array[Int],
+                 quality: Float = 0.9f): Array[Byte] = {
+    require(pixels.length == w * h, "pixels must be w*h")
+    javax.imageio.ImageIO.setUseCache(false)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setSamples(0, 0, w, h, 0, pixels)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(quality)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    bos.toByteArray
+  }
+
   /** Encode 8-bit gray pixels (row-major, 0..255) as a binary-PGM (P5)
     * payload — the synthesis half of the q53 round-trip gate. */
   def encodePgm(w: Int, h: Int, pixels: Array[Int], maxval: Int = 255): Array[Byte] = {

@@ -26,9 +26,15 @@ object Profiling {
     *     non-distinct stats stay in one scan; each exact distinct runs as
     *     its OWN single-column aggregate (a single distinct never Expands,
     *     and column pruning means each pass reads one column from parquet),
-    *     joined back as broadcast 1-row results. */
+    *     submitted as CONCURRENT jobs at construction (the
+    *     [[robustOutliers]] exact-mode pattern — wall-clock ≈ one column's
+    *     pass, and the final plan stays flat instead of one crossJoin layer
+    *     per column). */
   def profile(df: DataFrame, cols: Seq[String],
               approxDistinct: Boolean = true, rsd: Double = 0.01): DataFrame = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
     val baseAggs = cols.flatMap { c =>
       Seq(count(col(c)).as(s"__cnt_$c"),
           min(col(c)).cast("string").as(s"__min_$c"),
@@ -40,9 +46,12 @@ object Profiling {
     val base = df.agg(total, baseAggs: _*)
     val wide =
       if (approxDistinct) base
-      else cols.foldLeft(base) { (acc, c) =>
-        acc.crossJoin(broadcast(
-          df.select(col(c)).agg(count_distinct(col(c)).as(s"__dst_$c"))))
+      else {
+        val futs = cols.map(c => Future(
+          df.select(col(c)).agg(count_distinct(col(c))).head().getLong(0)))
+        cols.zip(futs.map(Await.result(_, Duration.Inf))).foldLeft(base) {
+          case (acc, (c, v)) => acc.withColumn(s"__dst_$c", lit(v))
+        }
       }
     // pivot the single wide row to a tall (column, metric...) table
     val stacked = cols.map { c =>
@@ -195,8 +204,11 @@ object Profiling {
     counts.orderBy(desc("cnt"), asc_nulls_last("key")).limit(topK)
       .crossJoin(broadcast(stats))
       .select(col("key"), col("cnt"), col("total_rows"), col("n_keys"),
-        round(col("cnt") * col("n_keys") / col("total_rows"), 6)
-          .as("skew_ratio"))
+        // cnt and n_keys widen to double BEFORE multiplying: the long×long
+        // product overflows at exactly the cardinalities this diagnostic
+        // is for (billions of keys × hot-key counts)
+        round(col("cnt").cast("double") * col("n_keys").cast("double")
+          / col("total_rows").cast("double"), 6).as("skew_ratio"))
       .orderBy(desc("cnt"), asc_nulls_last("key"))
   }
 }

@@ -106,8 +106,28 @@ object Selection {
     if (cols.isEmpty) df.dropDuplicates() else df.dropDuplicates(cols)
 
   /** Seeded random permutation — `np.random.permutation`
-    * (`SDE_forecast_ActiveSampling.py:146-149`). */
+    * (`SDE_forecast_ActiveSampling.py:146-149`). NOTE the scale cost:
+    * `orderBy` is a global range sort, and its RangePartitioner first
+    * SAMPLES the rand keys — an extra scan of the input before the sort
+    * pass, and `rand` makes retried tasks non-reproducible. Prefer
+    * [[shuffleByKey]] wherever a row key exists. */
   def shuffle(df: DataFrame, seed: Long): DataFrame = df.orderBy(rand(seed))
+
+  /** Deterministic permutation by hashed key — the scale form of
+    * [[shuffle]]: each row's position comes from the engine-portable md5
+    * uniform of (key, salt), so the "sort" is ONE hash repartition on the
+    * uniform + an in-partition sort — no global range sort, no sampling
+    * scan, and re-runs/task retries/oracles all see THE SAME permutation.
+    * Different salts give independent permutations. `key` must be unique
+    * per row for a true permutation (md5-equal keys tie-break by key). */
+  def shuffleByKey(df: DataFrame, key: Column, salt: String = ""): DataFrame = {
+    val u = graft.functions.TextOps.portableUniform52(
+      concat_ws("|", key.cast("string"), lit(salt)))
+    df.withColumn("__u", u)
+      .repartition(col("__u"))
+      .sortWithinPartitions(col("__u"), key)
+      .drop("__u")
+  }
 
   /** Value→row lookup picking the MIDDLE duplicate: for each key value,
     * the ceil(n/2)-th row in `order` — the reference's

@@ -74,7 +74,9 @@ object SdeForecast {
       Selection.weightedSample(weighted, col("__w"), k, seed + m).select("win_id")
     }
     val ids = perMode.reduce(_ unionByName _).dropDuplicates("win_id")
-    windows.join(ids, Seq("win_id"))
+    // the reference permutes the initial training windows (`SDE:146-149`);
+    // hash-key permutation — deterministic, no range-sort sampling pass
+    Selection.shuffleByKey(windows.join(ids, Seq("win_id")), col("win_id"), "init")
   }
 
   case class SdeIteration(iter: Int, mae: Double, trainSize: Long)

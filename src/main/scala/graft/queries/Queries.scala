@@ -807,9 +807,10 @@ object Queries {
     * the stats from the raw table and any defect in the codec plumbing,
     * the gray-raster read path, or the luma arithmetic breaks the hash
     * equality. `jpeg_ok` additionally routes the SAME pixels through the
-    * lossy JPEG writer and gates dims-exact + mean-within-4-gray-levels
-    * (DCT DC quantization at the default quality moves a block mean well
-    * under one gray level; 4 leaves deterministic margin), pinned to 1 in
+    * lossy JPEG writer at an EXPLICIT quality 0.9 (ImageWriteParam pin —
+    * not the vendor-specific default) and gates dims-exact +
+    * mean-within-4-gray-levels (DCT DC quantization at 0.9 moves a block
+    * mean well under one gray level; 4 leaves margin), pinned to 1 in
     * the oracle — so the JPEG read path is data-verified too. */
   def q55PngRoundtrip(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -824,7 +825,7 @@ object Queries {
         val w = pixels.length
         val dec = new Multimodal.ImageIoDecoder()
         val (n, sp, sp2, mx) = dec.rawStats(Multimodal.encodeImage(w, 1, pixels, "png"))
-        val jf = dec.decode("jpeg", Multimodal.encodeImage(w, 1, pixels, "jpg"))
+        val jf = dec.decode("jpeg", Multimodal.encodeJpeg(w, 1, pixels))
         val jpegOk = jf(0) == w.toFloat && jf(1) == 1.0f &&
           math.abs(jf(2) * 255.0 - sp.toDouble / n) <= 4.0
         (u, n, sp, sp2, mx, if (jpegOk) 1L else 0L)

@@ -9,4 +9,9 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftShims {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** `AbstractDataType` is `private[sql]` since Spark 4 — re-exported so
+    * graft expressions can declare `ExpectsInputTypes.inputTypes` (the
+    * analyzer-inserted-cast contract) from outside the sql package. */
+  type AbstractType = org.apache.spark.sql.types.AbstractDataType
 }

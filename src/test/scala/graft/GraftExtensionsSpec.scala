@@ -75,6 +75,15 @@ class GraftExtensionsSpec extends SparkSpec {
       e.getCause != null && e.getCause.getMessage.contains("INT literal"))
   }
 
+  test("non-numeric array inputs are an analysis-time type error, not nulls") {
+    // the kernels read doubles from array storage; ExpectsInputTypes must
+    // reject array<string> at analysis (the old blind Cast nulled it out)
+    val e = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT graft_dot(array('a','b'), array('c','d'))").head())
+    assert(e.getMessage.contains("DATATYPE_MISMATCH") ||
+      e.getMessage.toLowerCase.contains("type"))
+  }
+
   test("registration is idempotent and visible in SHOW FUNCTIONS") {
     GraftExtensions.register(spark) // second time: overwrite, no throw
     val fns = spark.sql("SHOW USER FUNCTIONS LIKE 'graft_*'")

@@ -50,6 +50,22 @@ class AnnSpec extends SparkSpec {
     assert(merged.map(_.id) == Seq(9L, 2L, 5L))
   }
 
+  test("TopKAggregator splice insert equals full-sort reference on random streams") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 0 until 100) {
+      val k = 1 + rnd.nextInt(8)
+      val n = rnd.nextInt(60)
+      // small score/id domains force heavy ties and exact duplicates
+      val data = Seq.fill(n)(ScoredId(rnd.nextInt(6) / 2.0, rnd.nextInt(12).toLong))
+      val agg = new TopKAggregator(k)
+      val (l, r) = data.splitAt(if (n == 0) 0 else rnd.nextInt(n + 1))
+      val out = agg.finish(agg.merge(l.foldLeft(agg.zero)(agg.reduce),
+        r.foldLeft(agg.zero)(agg.reduce)))
+      val expect = data.sortBy(x => (-x.score, x.id)).take(k)
+      assert(out == expect, s"trial $trial k=$k data=$data")
+    }
+  }
+
   test("ivfTopK recall@5 vs brute force is reasonable on fixture embeddings") {
     val e = graft.Tables.embeddings(spark, sf001)
     val queries = e.filter(col("vec_id") < 10)

@@ -96,4 +96,19 @@ class SelectionSpec extends SparkSpec {
       .orderBy("grp", "rank").collect().map(_.toSeq).toSeq
     assert(viaAgg == viaWindow)
   }
+
+  test("shuffleByKey is a deterministic permutation; salts are independent") {
+    val df = spark.range(500).toDF("id")
+    def perm(salt: String): Seq[Long] =
+      Selection.shuffleByKey(df, col("id"), salt)
+        .collect().map(_.getLong(0)).toSeq
+    val p1 = perm("a")
+    val p2 = perm("a")
+    val p3 = perm("b")
+    assert(p1 == p2, "same salt must reproduce the permutation")
+    assert(p1.sorted == (0L until 500L), "must be a permutation of the input")
+    assert(p3.sorted == (0L until 500L))
+    assert(p1 != p3, "different salts must give different permutations")
+    assert(p1 != (0L until 500L).toSeq, "must actually reorder")
+  }
 }
