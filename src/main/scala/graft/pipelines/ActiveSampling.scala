@@ -18,7 +18,13 @@ case class ActiveSamplingConfig(
     kdeGridSize: Int = 1024,
     kdeBandwidth: Option[Double] = None,
     logPdfClip: Double = -6.0,
-    checkpointEvery: Int = 5)
+    checkpointEvery: Int = 5,
+    /** Oracle-parity init sampling: the Efraimidis–Spirakis uniform comes
+      * from the 52-bit md5 of `id` (the q26/q54 device) instead of
+      * `rand(seed)`, with an id tie-break — every init pick becomes a pure
+      * deterministic function of the data, so a SQL engine can replay the
+      * WHOLE run (q75). Default false = the seeded-rand production form. */
+    portableInitSample: Boolean = false)
 
 /** The flagship pipeline: Bayesian active sampling over a labeled pool —
   * the reference's main driver re-expressed as immutable DataFrame
@@ -49,10 +55,24 @@ object ActiveSampling {
     // sample (reference :34-56)
     val yKde = Kde.fit(pool0, col("y"), gridSize = cfg.kdeGridSize,
       bandwidth = cfg.kdeBandwidth)
-    val weighted = pool0.withColumn("__w",
-      lit(1.0) / greatest(yKde.interpolate(col("y")), lit(1e-12)))
-    val init = Selection.weightedSample(weighted, col("__w"), cfg.initSize, cfg.seed)
-      .drop("__w").withColumn("explorer", lit("init"))
+    val init0 =
+      if (cfg.portableInitSample) {
+        // E-S key in the log form: u^(1/w) desc ⇔ ln(u)·(1/w) desc, and
+        // 1/w = the clamped density — ln avoids pow underflow (q26 lesson)
+        val u = graft.functions.TextOps.portableUniform52(col("id").cast("string"))
+        pool0
+          .withColumn("__es",
+            log(u) * greatest(yKde.interpolate(col("y")), lit(1e-12)))
+          .orderBy(desc("__es"), col("id"))
+          .limit(cfg.initSize)
+          .drop("__es")
+      } else {
+        val weighted = pool0.withColumn("__w",
+          lit(1.0) / greatest(yKde.interpolate(col("y")), lit(1e-12)))
+        Selection.weightedSample(weighted, col("__w"), cfg.initSize, cfg.seed)
+          .drop("__w")
+      }
+    val init = init0.withColumn("explorer", lit("init"))
 
     var train = init.localCheckpoint()
     var pool = Selection.removeById(pool0, train, "id").localCheckpoint()

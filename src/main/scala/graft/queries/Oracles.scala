@@ -1219,6 +1219,152 @@ object Oracles {
            id AS selected_id, round(score, 6) AS score
     FROM sim WHERE step >= 1 ORDER BY iter, explorer"""
 
+  // --- q75: the FULL ActiveSampling.run replay -----------------------------
+  // Composition of three already-proven devices: the q54 grid/label/md5-
+  // uniform fixture, the q25 fitBinned KDE convolution (run 4x: trueKde +
+  // one pred-KDE refit per iteration over the SHRINKING pool), and the q54
+  // pick chain (se/us/us_lw with id tie-breaks). CTEs are MATERIALIZED —
+  // DuckDB otherwise inlines them per reference and the pdf grids recompute
+  // combinatorially. Interpolation is the join form of Interp.linearUniform
+  // (idx = clamp(floor(pos)), frac clamped, v0 + (v1-v0)*frac).
+  private val q75G = 256 // kdeGridSize in the q75 oracle-parity config
+
+  private def q75KdeBlock(pfx: String, src: String, value: String): String = {
+    val gm1 = q75G - 1
+    s"""
+    ${pfx}src AS (
+      SELECT CAST($value AS DOUBLE) AS v FROM $src, p
+      WHERE $value IS NOT NULL AND NOT isnan(CAST($value AS DOUBLE))
+        AND CAST($value AS DOUBLE) >= p.lo AND CAST($value AS DOUBLE) <= p.hi),
+    ${pfx}fr AS (
+      SELECT least(greatest(CAST(floor((v - lo) / step) AS INTEGER), 0), $gm1) AS i0,
+             least(greatest((v - lo) / step -
+               least(greatest(CAST(floor((v - lo) / step) AS INTEGER), 0), $gm1), 0.0), 1.0) AS frac
+      FROM ${pfx}src, p),
+    ${pfx}pairs AS (
+      SELECT i0 AS bin, 1.0 * (1.0 - frac) AS w FROM ${pfx}fr
+      UNION ALL
+      SELECT least(i0 + 1, $gm1) AS bin, 1.0 * frac AS w FROM ${pfx}fr),
+    ${pfx}bins AS MATERIALIZED (SELECT bin, sum(w) AS wsum FROM ${pfx}pairs GROUP BY bin),
+    ${pfx}tot AS (SELECT sum(wsum) AS total FROM ${pfx}bins),
+    ${pfx}conv AS (
+      SELECT t.j AS j, sum((t.wsum / t.total) * t.knorm * exp(-0.5 * (t.tt * t.tt))) AS pdf
+      FROM (SELECT j.j, b.wsum, tt.total, p.knorm, (j.j - b.bin) * p.step / p.bw AS tt
+            FROM generate_series(0, $gm1) j(j)
+            CROSS JOIN ${pfx}bins b CROSS JOIN ${pfx}tot tt CROSS JOIN p
+            WHERE b.wsum > 0 AND abs(j.j - b.bin) <= p.support) AS t(j, wsum, total, knorm, tt)
+      GROUP BY t.j),
+    ${pfx}pdf AS MATERIALIZED (
+      SELECT g.g AS j, coalesce(c.pdf, 0.0) AS pdf
+      FROM generate_series(0, $gm1) g(g) LEFT JOIN ${pfx}conv c ON c.j = g.g)"""
+  }
+
+  private def q75IterBlock(i: Int, pool: String): String = {
+    val gm1 = q75G - 1
+    val gm2 = q75G - 2
+    s"""
+    ${q75KdeBlock(s"k$i", pool, "pred")},
+    m$i AS (SELECT avg(pow(pred - y, 2)) AS mse, avg(var) AS mvar FROM $pool),
+    d${i}g AS (
+      SELECT g.g AS j, p.lo + g.g * p.step AS gx,
+             (p.lo + g.g * p.step - p.lo) / p.step AS pos,
+             least(greatest(CAST(floor((p.lo + g.g * p.step - p.lo) / p.step) AS INTEGER), 0), $gm2) AS idx
+      FROM generate_series(0, $gm1) g(g) CROSS JOIN p),
+    d$i AS (
+      SELECT q.j, q.gx,
+             abs(greatest(-6.0, ln(greatest(
+                   p0.pdf + (p1.pdf - p0.pdf) * least(greatest(q.pos - q.idx, 0.0), 1.0), 1e-300)))
+               - greatest(-6.0, ln(greatest(t.pdf, 1e-300)))) AS d
+      FROM d${i}g q
+      JOIN k${i}pdf p0 ON p0.j = q.idx
+      JOIN k${i}pdf p1 ON p1.j = q.idx + 1
+      JOIN tkpdf t ON t.j = q.j),
+    tz$i AS (
+      SELECT sum(seg) AS tz FROM (
+        SELECT (d + lag(d) OVER (ORDER BY j)) / 2.0 *
+               (gx - lag(gx) OVER (ORDER BY j)) AS seg
+        FROM d$i) WHERE seg IS NOT NULL),
+    se$i AS MATERIALIZED (SELECT id FROM $pool ORDER BY pow(pred - y, 2) DESC, id LIMIT 1),
+    us$i AS MATERIALIZED (SELECT id FROM $pool WHERE id NOT IN (SELECT id FROM se$i)
+              ORDER BY var DESC, id LIMIT 1),
+    lw${i}q AS (
+      SELECT id, var, (pred - p.lo) / p.step AS pos,
+             least(greatest(CAST(floor((pred - p.lo) / p.step) AS INTEGER), 0), $gm2) AS idx
+      FROM $pool, p),
+    lw$i AS MATERIALIZED (
+      SELECT q.id FROM lw${i}q q
+      JOIN k${i}pdf p0 ON p0.j = q.idx
+      JOIN k${i}pdf p1 ON p1.j = q.idx + 1
+      WHERE q.id NOT IN (SELECT id FROM se$i UNION ALL SELECT id FROM us$i)
+      ORDER BY (1.0 / greatest(p0.pdf + (p1.pdf - p0.pdf) *
+                  least(greatest(q.pos - q.idx, 0.0), 1.0), 1e-12)) * q.var DESC, q.id
+      LIMIT 1),
+    pool${i + 1} AS MATERIALIZED (
+      SELECT * FROM $pool WHERE id NOT IN (
+        SELECT id FROM se$i UNION ALL SELECT id FROM us$i UNION ALL SELECT id FROM lw$i))"""
+  }
+
+  val q75: String = {
+    val gm1 = q75G - 1
+    val gm2 = q75G - 2
+    s"""
+    WITH base AS MATERIALIZED (
+      SELECT a.i * 50 + b.i AS id,
+             -1.0 + a.i * (2.0 / 49) AS x1,
+             -1.0 + b.i * (2.0 / 49) AS x2
+      FROM generate_series(0, 49) a(i), generate_series(0, 49) b(i)),
+    lab AS MATERIALIZED (
+      SELECT id, x1, x2,
+             pow(x1, 3) - x1 + pow(x2, 2) + 0.5 * sin(8 * x1 * x2) AS y,
+             pow(x1 * 0.9, 3) - (x1 * 0.9) + pow(x2 * 0.9, 2)
+               + 0.5 * sin(8 * (x1 * 0.9) * (x2 * 0.9)) AS pred,
+             0.05 + 0.3 * (x1 * x1 + x2 * x2) AS var
+      FROM base),
+    uu AS MATERIALIZED (
+      SELECT *, list_reduce(list_prepend(0.0,
+          list_transform(generate_series(1, 13),
+            k -> CAST(strpos('0123456789abcdef',
+                   substr(substr(md5(CAST(id AS VARCHAR)), 1, 13), k, 1)) - 1 AS DOUBLE)
+                 * pow(16.0, 13 - k))),
+        (a, x) -> a + x) / 4503599627370496.0 AS u
+      FROM lab),
+    p AS MATERIALIZED (
+      SELECT min(y) - 3 * CAST(0.2 AS DOUBLE) AS lo,
+             max(y) + 3 * CAST(0.2 AS DOUBLE) AS hi,
+             CAST(0.2 AS DOUBLE) AS bw,
+             (max(y) + 3 * CAST(0.2 AS DOUBLE) - (min(y) - 3 * CAST(0.2 AS DOUBLE))) / $gm1 AS step,
+             1.0 / (CAST(0.2 AS DOUBLE) * sqrt(2.0 * pi())) AS knorm,
+             least($q75G, CAST(ceil(8.5 * CAST(0.2 AS DOUBLE) /
+               ((max(y) + 3 * CAST(0.2 AS DOUBLE) - (min(y) - 3 * CAST(0.2 AS DOUBLE))) / $gm1)) AS INTEGER) + 1) AS support
+      FROM lab),
+    ${q75KdeBlock("tk", "lab", "y")},
+    esq AS (
+      SELECT id, u, (y - p.lo) / p.step AS pos,
+             least(greatest(CAST(floor((y - p.lo) / p.step) AS INTEGER), 0), $gm2) AS idx
+      FROM uu, p),
+    init AS MATERIALIZED (
+      SELECT q.id FROM esq q
+      JOIN tkpdf p0 ON p0.j = q.idx
+      JOIN tkpdf p1 ON p1.j = q.idx + 1
+      ORDER BY ln(q.u) * greatest(p0.pdf + (p1.pdf - p0.pdf) *
+                 least(greatest(q.pos - q.idx, 0.0), 1.0), 1e-12) DESC, q.id
+      LIMIT 100),
+    pool1 AS MATERIALIZED (SELECT * FROM uu WHERE id NOT IN (SELECT id FROM init)),
+    ${q75IterBlock(1, "pool1")},
+    ${q75IterBlock(2, "pool2")},
+    ${q75IterBlock(3, "pool3")}
+    SELECT CAST(1 AS BIGINT) AS iter, round(mse, 6) AS mse, round(mvar, 6) AS mvar,
+           round(tz, 6) AS log_pdf_err, CAST(103 AS BIGINT) AS train_n, CAST(2397 AS BIGINT) AS pool_n
+    FROM m1, tz1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), round(mse, 6), round(mvar, 6), round(tz, 6),
+           CAST(106 AS BIGINT), CAST(2394 AS BIGINT) FROM m2, tz2
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), round(mse, 6), round(mvar, 6), round(tz, 6),
+           CAST(109 AS BIGINT), CAST(2391 AS BIGINT) FROM m3, tz3
+    ORDER BY iter"""
+  }
+
   // Embedding-LSH recall gate (q30/q57/q64 pattern): truth is planted
   // Spark-side with exact-cosine verification and the pass flag is computed
   // there; the oracle pins it (a recall collapse = driver-red row).
@@ -1303,6 +1449,7 @@ object Oracles {
     "q71_group_limit" -> q71,
     "q72_pii_redaction" -> q72,
     "q73_calibration" -> q73,
-    "q74_embedding_lsh_recall" -> q74
+    "q74_embedding_lsh_recall" -> q74,
+    "q75_active_sampling_trace" -> q75
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

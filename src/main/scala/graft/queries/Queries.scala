@@ -1,9 +1,10 @@
 package graft.queries
 
 import graft.Tables
-import graft.functions.{TextOps, VectorOps}
+import graft.functions.{Pdfs, TextOps, VectorOps}
 import graft.ml.Calibration
 import graft.operators._
+import graft.pipelines.{ActiveSampling, ActiveSamplingConfig}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1145,6 +1146,45 @@ object Queries {
         (col("value") * lit(0.1) * col("value") * lit(0.1)).as("sq_err"))
     Calibration.reliability(scored, col("var_pred"), col("sq_err"),
       col("event_id"), bins = 10)
+  }
+
+  /** The FLAGSHIP `ActiveSampling.run` composition, driver-gated end-to-end
+    * (closing q54's scope: that query replays the selection kernel via a
+    * surrogate loop; this one runs `run` ITSELF): 3 iterations over the
+    * 50×50 grid fixture in the oracle-parity configuration —
+    *
+    *   - [[graft.ml.AnalyticScorer]] (closed-form pred/var, the q54
+    *     surrogate — the tree ensemble is not SQL-replayable);
+    *   - REAL binned-KDE machinery: trueKde over the pool's y (init
+    *     weights + the log-pdf-error reference), and a KDE REFIT of the
+    *     shrinking pool's preds every iteration feeding the us_lw explorer
+    *     — bandwidth pinned 0.2, grid 256, so DuckDB replays the full
+    *     fitBinned convolution 4× (q25 pattern);
+    *   - md5-uniform E-S init (`portableInitSample`, the q26/q54 device).
+    *
+    * Emits the per-iteration convergence trace (iter, mse, mvar,
+    * log_pdf_err, train_n, pool_n): every number flows through KDE fit +
+    * interpolation + trapz + the 9 select-and-moves, so ANY defect in the
+    * loop's composition — scoring, metrics, KDE refit, pool bookkeeping —
+    * breaks the hash. */
+  def q75ActiveSamplingTrace(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.{Domain, Sources}
+    val pool = Sources.grid(s, Domain(Seq((-1.0, 1.0), (-1.0, 1.0))), 50)
+      .withColumn("y", Pdfs.syntheticLabel(col("x1"), col("x2")))
+    val scorer = graft.ml.AnalyticScorer(
+      _ => Pdfs.syntheticLabel(col("x1") * lit(0.9), col("x2") * lit(0.9)),
+      _ => lit(0.05) + lit(0.3) * (col("x1") * col("x1") + col("x2") * col("x2")))
+    val (_, ms) = ActiveSampling.run(s, pool, scorer, ActiveSamplingConfig(
+      initSize = 100, iterations = 3, kdeGridSize = 256,
+      kdeBandwidth = Some(0.2), portableInitSample = true))
+    ActiveSampling.metricsDF(s, ms).select(
+      col("iter").cast("long").as("iter"),
+      round(col("mse"), 6).as("mse"),
+      round(col("meanVar"), 6).as("mvar"),
+      round(col("logPdfError"), 6).as("log_pdf_err"),
+      col("trainSize").as("train_n"),
+      col("poolSize").as("pool_n"))
+      .orderBy("iter")
   }
 
   /** Scale-path embedding near-dup (semantic dedup) recall gate — the q30/
