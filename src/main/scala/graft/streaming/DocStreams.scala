@@ -1,0 +1,113 @@
+package graft.streaming
+
+import graft.functions.TextOps
+import graft.operators.Dedup
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** First-admitted owner of a content fingerprint (the whole state per key —
+  * 8 bytes of payload; the text itself never enters the state store). */
+case class AdmitState(firstId: Long)
+
+/** Streaming admission verdict, one row per arriving doc. */
+case class AdmittedDoc(doc_id: Long, fp: Long, admitted: Long, first_id: Long)
+
+/** Structured-Streaming forms of the incremental corpus dedup — the
+  * continuous-ingest twins of [[graft.operators.Dedup.incrementalAdmit]]
+  * (q65). Two complementary shapes:
+  *
+  *  - [[streamingAdmitExact]]: the admitted-fingerprint set IS the state
+  *    store (keyed by the 64-bit content fingerprint), so each micro-batch
+  *    is a semi-join of 8-byte keys against state — the exact_hist +
+  *    exact_batch gates running forever with one tiny state row per
+  *    distinct fingerprint.
+  *  - [[foreachBatchAdmit]]: the production loop for the FULL gate set
+  *    (near-dup included): each micro-batch runs the batch
+  *    `incrementalAdmit` against an accumulating history table and appends
+  *    its admitted docs — exactly how a daily/continuous ingest composes
+  *    the proven batch operator.
+  */
+object DocStreams {
+
+  /** Minimal streaming-docs schema (readStream needs it explicitly). */
+  val docsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType)))
+
+  def readDocs(spark: SparkSession, dir: String,
+               maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream.schema(docsSchema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(dir)
+  }
+
+  /** Streaming exact-dedup admission: a doc is admitted iff its content
+    * fingerprint has no prior owner in the state store (exact_hist) and no
+    * smaller doc_id in its own micro-batch (exact_batch) — the same
+    * first-occurrence-wins semantics as `incrementalAdmit`'s exact gates
+    * and q65's min-id window. State is keyed BY fingerprint: the
+    * per-micro-batch check is a hash-partitioned state-store lookup of
+    * 8-byte keys (no text shuffles, no history re-scan), state size =
+    * distinct corpus fingerprints spread across partitions. Append mode;
+    * every arriving doc emits exactly one verdict row. */
+  def streamingAdmitExact(docs: DataFrame): DataFrame = {
+    val fpSchema = new StructType().add("doc_id", LongType).add("fp", LongType)
+    val byFp = docs
+      .select(col("doc_id").cast("long").as("doc_id"),
+        TextOps.fingerprint64(col("text")).as("fp"))
+      .as(Encoders.row(fpSchema))
+      .groupByKey((r: Row) => r.getLong(1))(Encoders.scalaLong)
+    byFp.flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      (fp: Long, rows: Iterator[Row], state: GroupState[AdmitState]) => {
+        val ids = rows.map(_.getLong(0)).toArray.sorted
+        val prior = state.getOption
+        val first = prior.map(_.firstId).getOrElse(ids.head)
+        if (prior.isEmpty) state.update(AdmitState(first))
+        ids.iterator.map(id =>
+          AdmittedDoc(id, fp,
+            if (prior.isEmpty && id == first) 1L else 0L, first))
+      })(Encoders.product[AdmitState], Encoders.product[AdmittedDoc]).toDF()
+  }
+
+  /** The production incremental-dedup loop on a stream: per micro-batch,
+    * run the FULL batch [[Dedup.incrementalAdmit]] (exact_hist /
+    * exact_batch / SimHash near_hist) against the history accumulated at
+    * `historyDir`, write the verdicts to `admitDir`, and append the
+    * admitted docs to history. History stays collapsed (batch-vs-history
+    * candidate pairs only — never history×history), so each micro-batch
+    * costs O(batch + candidates) exactly like the daily-ingest batch form;
+    * at scale `historyDir` is the persistent corpus table. */
+  def foreachBatchAdmit(docs: DataFrame, historyDir: String, admitDir: String,
+                        maxHamming: Int = 7,
+                        checkpointDir: Option[String] = None): StreamingQuery = {
+    val writer = docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.select(col("doc_id").cast("long").as("doc_id"), col("text"))
+          .localCheckpoint()
+        val history = loadHistory(spark, historyDir)
+        val flags = Dedup.incrementalAdmit(b, history, col("doc_id"), col("text"),
+          maxHamming = maxHamming)
+          .withColumn("batch_id", lit(batchId))
+          .localCheckpoint() // pin BEFORE history mutates beneath the plan
+        flags.write.mode("append").parquet(admitDir)
+        b.join(flags.filter(col("admitted") === 1L).select("doc_id"), Seq("doc_id"))
+          .write.mode("append").parquet(historyDir)
+        ()
+      }
+    checkpointDir.foreach(d => writer.option("checkpointLocation", d))
+    writer.start()
+  }
+
+  private def loadHistory(spark: SparkSession, dir: String): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path) && fs.listStatus(path).exists(_.getPath.getName.endsWith(".parquet")))
+      spark.read.parquet(dir)
+    else
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("text", StringType))))
+  }
+}

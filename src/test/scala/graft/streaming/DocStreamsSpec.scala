@@ -1,0 +1,104 @@
+package graft.streaming
+
+import graft.{SparkSpec, Tables}
+import graft.functions.TextOps
+import graft.operators.Dedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class DocStreamsSpec extends SparkSpec {
+
+  /** Stage three ordered micro-batches (mod-time ordered files replayed by
+    * `maxFilesPerTrigger(1)`): the two fixture halves, then a batch of
+    * PLANTED exact duplicates — every half-1 doc re-arrives id+10000
+    * (cross-batch dups against state/history), and the first 20 arrive a
+    * second time id+20000 (in-batch dups). The fixture itself has no exact
+    * duplicate texts, so without planting the dup path never fires. */
+  private def stageBatches(): (String, Seq[DataFrame]) = {
+    val docs = Tables.documents(spark, sf001).select("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-docs2")
+    val half1 = docs.filter(col("doc_id") < 250)
+    val half2 = docs.filter(col("doc_id") >= 250)
+    val dups = half1.select((col("doc_id") + 10000).as("doc_id"), col("text"))
+      .unionByName(half1.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+    def writeOne(df: DataFrame, name: String, modTime: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-half")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      val dest = dir.resolve(name)
+      java.nio.file.Files.copy(part, dest)
+      dest.toFile.setLastModified(modTime)
+      ()
+    }
+    val now = System.currentTimeMillis()
+    writeOne(half1, "a.parquet", now - 120000)
+    writeOne(half2, "b.parquet", now - 60000)
+    writeOne(dups, "c.parquet", now)
+    (dir.toString, Seq(half1, half2, dups))
+  }
+
+  test("streamingAdmitExact: state-store admission equals batch first-occurrence dedup") {
+    val (dir, halves) = stageBatches()
+    val streamed = DocStreams.streamingAdmitExact(
+      DocStreams.readDocs(spark, dir, maxFilesPerTrigger = Some(1)))
+    val got = EventStreams.runToMemory(spark, streamed, "admit_exact")
+    assert(got.count() == 770, "every arriving doc must emit one verdict")
+    // batch truth: first occurrence per content fingerprint is admitted
+    // (arrival order == id order here, so first-seen == min id)
+    val truth = halves.reduce(_ unionByName _)
+      .select(col("doc_id"), TextOps.fingerprint64(col("text")).as("fp"))
+      .withColumn("first_id", min("doc_id").over(Window.partitionBy("fp")))
+      .select(col("doc_id"), col("fp"),
+        when(col("doc_id") === col("first_id"), 1L).otherwise(0L).as("admitted"),
+        col("first_id"))
+    assert(got.select("doc_id", "fp", "admitted", "first_id")
+      .exceptAll(truth).count() == 0, "stream/batch admission mismatch")
+    assert(truth.exceptAll(got.select("doc_id", "fp", "admitted", "first_id"))
+      .count() == 0)
+    // the fixture actually exercises the dup path
+    assert(got.filter(col("admitted") === 0).count() > 0)
+  }
+
+  test("foreachBatchAdmit: streaming loop equals the sequential batch replay " +
+       "(full q65 gates incl. near-dup, history accumulates)") {
+    val (dir, halves) = stageBatches()
+    val histDir = java.nio.file.Files.createTempDirectory("graft-hist").toString
+    val admitDir = java.nio.file.Files.createTempDirectory("graft-admit").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-ck").toString
+    val q = DocStreams.foreachBatchAdmit(
+      DocStreams.readDocs(spark, dir, maxFilesPerTrigger = Some(1)),
+      histDir, admitDir, maxHamming = 7, checkpointDir = Some(ckDir))
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.read.parquet(admitDir)
+      .select("doc_id", "exact_hist", "exact_batch", "near_hist", "admitted")
+
+    // sequential batch replay of the same three ingests
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], halves.head.schema)
+    val (expect, _) = halves.foldLeft(
+        (Option.empty[DataFrame], empty.localCheckpoint())) {
+      case ((acc, hist), b) =>
+        val flags = Dedup.incrementalAdmit(b, hist, col("doc_id"), col("text"))
+          .localCheckpoint()
+        val admitted = b.join(flags.filter(col("admitted") === 1L)
+          .select("doc_id"), Seq("doc_id"))
+        (Some(acc.fold(flags)(_ unionByName flags)),
+          hist.unionByName(admitted).localCheckpoint())
+    }
+    val exp = expect.get
+      .select("doc_id", "exact_hist", "exact_batch", "near_hist", "admitted")
+
+    assert(got.count() == 770)
+    assert(got.exceptAll(exp).count() == 0, "stream/batch gate mismatch")
+    assert(exp.exceptAll(got).count() == 0)
+    // history holds exactly the admitted docs
+    assert(spark.read.parquet(histDir).count() ==
+      exp.filter(col("admitted") === 1L).count())
+    // the planted batch exercises both dup-rejection paths
+    assert(got.filter(col("admitted") === 0).count() >= 270)
+  }
+}
