@@ -78,6 +78,25 @@ class PlanGuardsSpec extends SparkSpec {
     }
   }
 
+  test("eager/checkpointing queries: final-frame plans pass the same guards") {
+    // Queries with construct-time actions (fits, checkpoints, driver
+    // sampling) can't be plan-inspected end-to-end — their pre-checkpoint
+    // stages already ran — but the FINAL frame (everything after the last
+    // pin: the joins, aggregates, expansions that scale with data) is a
+    // plan like any other. Guard it with the same three asserts, so every
+    // registered query sits under at least one plan guard.
+    val eager = SparkEntry.queries.keys.toSeq.sorted.filterNot(lazyOnes.contains)
+    eager.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sf001)
+      val cartesians = df.queryExecution.executedPlan.collect {
+        case c: CartesianProductExec => c
+      }
+      assert(cartesians.isEmpty, s"$name final frame plans a CartesianProduct")
+      assert(expandNodes(df).isEmpty, s"$name final frame plans an Expand")
+      assertNoGlobalWindow(df, name)
+    }
+  }
+
   test("the Expand guard detects a deliberately-bad multi-distinct probe") {
     val bad = Tables.lineitem(spark, sf001).agg(
       count_distinct(col("l_partkey")), count_distinct(col("l_suppkey")))
