@@ -1,11 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftShims.AbstractType
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
 
 /** Intersection cardinality of two SORTED long arrays: a two-pointer merge
   * with no per-row allocation.
@@ -19,8 +20,13 @@ import org.apache.spark.sql.types.{DataType, IntegerType}
   * inline; the interpreted path is allocation-free too.
   */
 case class SortedLongIntersectSize(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
 
+  // getLong reads array storage directly — declare the contract so wrong-
+  // typed inputs (e.g. array<int> from SQL) fail analysis instead of
+  // misreading bytes under codegen (the r4-advice hazard class)
+  override def inputTypes: Seq[AbstractType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
   override def dataType: DataType = IntegerType
 
   override def nullSafeEval(a: Any, b: Any): Any = {

@@ -143,7 +143,9 @@ object PortableHash {
   * per document). Duplicate tokens vote once each, matching the exploded
   * formulation. */
 case class SimHash64(child: Expression, portable: Boolean = false)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractType] =
+    Seq(ArrayType(org.apache.spark.sql.types.StringType))
   override def dataType: DataType = LongType
 
   override def nullSafeEval(in: Any): Any = {
@@ -209,8 +211,11 @@ case class SimHash64(child: Expression, portable: Boolean = false)
   * replaces): same `substringSQL` codepoint semantics, same seed-42 hash,
   * same sorted-unique output (ready for the two-pointer intersect). Strings
   * shorter than n hash whole, matching the HOF form's `< n` branch. */
-case class HashedCharNGrams(child: Expression, n: Int) extends UnaryExpression {
+case class HashedCharNGrams(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
   require(n > 0)
+  override def inputTypes: Seq[AbstractType] =
+    Seq(org.apache.spark.sql.types.StringType)
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
 
@@ -263,8 +268,11 @@ case class HashedCharNGrams(child: Expression, n: Int) extends UnaryExpression {
   * `concat_ws(" ", slice(toks, i, w))` lambdas (~hundreds of expression
   * dispatches per document). Fewer tokens than w hash the whole joined
   * array, matching the HOF form's `size < w` branch. */
-case class HashedWordShingles(child: Expression, w: Int) extends UnaryExpression {
+case class HashedWordShingles(child: Expression, w: Int)
+    extends UnaryExpression with ExpectsInputTypes {
   require(w > 0)
+  override def inputTypes: Seq[AbstractType] =
+    Seq(ArrayType(org.apache.spark.sql.types.StringType))
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
 
@@ -382,8 +390,11 @@ case class HyperplaneSketches(child: Expression, planes: Array[Double],
   * loop over the array; the stopword set is hashed once at plan time.
   * Token lengths count codepoints, matching `length()` in both engines. */
 case class TokenStats(child: Expression, stopwords: Seq[String])
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
   import org.apache.spark.sql.types.{StructField, StructType}
+
+  override def inputTypes: Seq[AbstractType] =
+    Seq(ArrayType(org.apache.spark.sql.types.StringType))
 
   override def dataType: DataType = StructType(Seq(
     StructField("n_tokens", LongType, nullable = false),
