@@ -49,26 +49,6 @@ object GraftExtensions {
         s"$fn: $arg must be a BOOLEAN literal, got $other")
   }
 
-  /** The vector kernels read doubles from array storage; the SQL surface
-    * widens resolved numeric arrays here (`graft_dot(embedding, ...)` over
-    * `array<float>` parquet is correct, not garbage-bits). Anything else —
-    * non-numeric arrays, and arguments not yet resolved at builder time —
-    * is DEFERRED to the expressions' own `ExpectsInputTypes` contract,
-    * which fails analysis instead of silently null-casting (the r4-advice
-    * fix: the old unconditional Cast turned e.g. array<string> into a
-    * null-producing cast rather than a type error). */
-  private def asDoubleArray(e: Expression): Expression =
-    if (e.resolved) e.dataType match {
-      case org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.DoubleType, _) => e
-      case org.apache.spark.sql.types.ArrayType(
-            _: org.apache.spark.sql.types.NumericType, cn) =>
-        org.apache.spark.sql.catalyst.expressions.Cast(e,
-          org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.DoubleType, cn))
-      case _ => e
-    } else e
-
   private def arity(fn: String, es: Seq[Expression], ns: Int*): Unit =
     require(ns.contains(es.length),
       s"$fn expects ${ns.mkString(" or ")} arguments, got ${es.length}")
@@ -80,15 +60,21 @@ object GraftExtensions {
         new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, ""),
         builder)
     Seq(
+      // no builder-side casts: the kernels declare ImplicitCastInputTypes,
+      // so the ANALYZER widens numeric arrays (array<float> embeddings are
+      // correct, not garbage-bits) and rejects non-numeric ones with a type
+      // error — for resolved and not-yet-resolved arguments alike (the
+      // r4-advice fix: a blind builder Cast turned array<string> into a
+      // null-producing cast instead of an analysis error)
       d("graft_dot",
         "graft_dot(a, b) - dot product of two float/double arrays") { es =>
         arity("graft_dot", es, 2)
-        DotProduct(asDoubleArray(es(0)), asDoubleArray(es(1)))
+        DotProduct(es(0), es(1))
       },
       d("graft_cosine",
         "graft_cosine(a, b) - cosine similarity of two float/double arrays") { es =>
         arity("graft_cosine", es, 2)
-        CosineSimilarity(asDoubleArray(es(0)), asDoubleArray(es(1)))
+        CosineSimilarity(es(0), es(1))
       },
       d("graft_simhash64",
         "graft_simhash64(tokens[, portable]) - 64-bit SimHash of a token array") { es =>

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.GraftShims.AbstractType
@@ -24,7 +24,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
   * the index of the L2-nearest codebook centroid. Runs ONCE per corpus row
   * at ingest — the encode cost buys every later scan the compressed form. */
 case class PqEncode(child: Expression, codebook: Array[Double], m: Int, k: Int)
-    extends UnaryExpression with ExpectsInputTypes {
+    extends UnaryExpression with ImplicitCastInputTypes {
   require(m > 0 && k > 0 && codebook.length % (m * k) == 0, "bad codebook shape")
   // getDouble reads array storage directly — a wrong-typed input under
   // codegen would misread bytes, so declare the contract and let the
@@ -78,7 +78,7 @@ case class PqEncode(child: Expression, codebook: Array[Double], m: Int, k: Int)
   * centroid j. Runs once per QUERY (Q rows), so Σ_m lut[m·K + code_m]
   * approximates `dot(query, reconstruct(codes))`. */
 case class PqLut(child: Expression, codebook: Array[Double], m: Int, k: Int)
-    extends UnaryExpression with ExpectsInputTypes {
+    extends UnaryExpression with ImplicitCastInputTypes {
   require(m > 0 && k > 0 && codebook.length % (m * k) == 0, "bad codebook shape")
   override def inputTypes: Seq[AbstractType] = Seq(ArrayType(DoubleType))
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
@@ -122,7 +122,7 @@ case class PqLut(child: Expression, codebook: Array[Double], m: Int, k: Int)
   * evaluations), so the loop is emitted directly into whole-stage codegen —
   * M adds and M indexed loads per pair, no subexpression dispatch. */
 case class PqAdc(left: Expression, right: Expression)
-    extends BinaryExpression with ExpectsInputTypes {
+    extends BinaryExpression with ImplicitCastInputTypes {
   // codes must be array<int> EXACTLY (array<long> is rejected — implicit
   // narrowing doesn't apply — instead of silently misreading 4 of 8 bytes)
   override def inputTypes: Seq[AbstractType] =

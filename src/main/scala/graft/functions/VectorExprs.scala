@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftShims.AbstractType
@@ -24,7 +24,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   * cast embeddings once per scan).
   */
 case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression with ExpectsInputTypes {
+    extends BinaryExpression with ImplicitCastInputTypes {
   // getDouble reads array storage directly — declare the type contract so
   // the analyzer inserts casts for numeric arrays (float embeddings via
   // SQL) and REJECTS non-numeric ones, instead of misreading bytes
@@ -65,7 +65,7 @@ case class DotProduct(left: Expression, right: Expression)
   * same arithmetic as `dot/(sqrt(na)*sqrt(nb))` over ascending-index folds,
   * so values match the HOF form and the DuckDB oracle bit-for-bit. */
 case class CosineSimilarity(left: Expression, right: Expression)
-    extends BinaryExpression with ExpectsInputTypes {
+    extends BinaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[AbstractType] =
     Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
@@ -143,7 +143,7 @@ object PortableHash {
   * per document). Duplicate tokens vote once each, matching the exploded
   * formulation. */
 case class SimHash64(child: Expression, portable: Boolean = false)
-    extends UnaryExpression with ExpectsInputTypes {
+    extends UnaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[AbstractType] =
     Seq(ArrayType(org.apache.spark.sql.types.StringType))
   override def dataType: DataType = LongType
@@ -212,7 +212,7 @@ case class SimHash64(child: Expression, portable: Boolean = false)
   * same sorted-unique output (ready for the two-pointer intersect). Strings
   * shorter than n hash whole, matching the HOF form's `< n` branch. */
 case class HashedCharNGrams(child: Expression, n: Int)
-    extends UnaryExpression with ExpectsInputTypes {
+    extends UnaryExpression with ImplicitCastInputTypes {
   require(n > 0)
   override def inputTypes: Seq[AbstractType] =
     Seq(org.apache.spark.sql.types.StringType)
@@ -269,7 +269,7 @@ case class HashedCharNGrams(child: Expression, n: Int)
   * dispatches per document). Fewer tokens than w hash the whole joined
   * array, matching the HOF form's `size < w` branch. */
 case class HashedWordShingles(child: Expression, w: Int)
-    extends UnaryExpression with ExpectsInputTypes {
+    extends UnaryExpression with ImplicitCastInputTypes {
   require(w > 0)
   override def inputTypes: Seq[AbstractType] =
     Seq(ArrayType(org.apache.spark.sql.types.StringType))
@@ -334,7 +334,7 @@ case class HashedWordShingles(child: Expression, w: Int)
   * (the [[HashedCharNGrams]] pattern). */
 case class HyperplaneSketches(child: Expression, planes: Array[Double],
                               tables: Int, planesPerTable: Int)
-    extends UnaryExpression with ExpectsInputTypes {
+    extends UnaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[AbstractType] = Seq(ArrayType(DoubleType))
   require(tables > 0 && planesPerTable > 0 && planesPerTable < 64,
     s"HyperplaneSketches: need 0 < planesPerTable < 64, 0 < tables; " +
@@ -390,7 +390,7 @@ case class HyperplaneSketches(child: Expression, planes: Array[Double],
   * loop over the array; the stopword set is hashed once at plan time.
   * Token lengths count codepoints, matching `length()` in both engines. */
 case class TokenStats(child: Expression, stopwords: Seq[String])
-    extends UnaryExpression with ExpectsInputTypes {
+    extends UnaryExpression with ImplicitCastInputTypes {
   import org.apache.spark.sql.types.{StructField, StructType}
 
   override def inputTypes: Seq[AbstractType] =

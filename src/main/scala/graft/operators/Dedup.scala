@@ -410,14 +410,19 @@ object Dedup {
       .select(col("ia"), explode(col("ids_b")).as("ib"), col("cosine"))
       .select(least(col("ia"), col("ib")).as("id_a"),
         greatest(col("ia"), col("ib")).as("id_b"), col("cosine"))
-    // bit-identical vectors are near-dups by definition (cosine 1.0; this
-    // includes all-zero pairs, which the threshold path scores 0 by the
-    // zero-vector guard)
+    // bit-identical vectors are near-dups by definition — cosine 1.0 for
+    // any nonzero vector; all-zero pairs score 0.0 (the same zero-vector
+    // guard VectorOps.cosine applies), so failed-embedding sentinels never
+    // cluster as "duplicates"
     val intra = groups.filter(size(col("ids")) > 1)
-      .select(explode(col("ids")).as("ia"), col("ids"))
-      .select(col("ia"), explode(col("ids")).as("ib"))
+      .withColumn("cosine",
+        when(graft.functions.VectorExprs.dot(col("v"), col("v")) > 0, lit(1.0))
+          .otherwise(lit(0.0)))
+      .filter(col("cosine") >= threshold)
+      .select(explode(col("ids")).as("ia"), col("ids"), col("cosine"))
+      .select(col("ia"), explode(col("ids")).as("ib"), col("cosine"))
       .filter(col("ia") < col("ib"))
-      .select(col("ia").as("id_a"), col("ib").as("id_b"), lit(1.0).as("cosine"))
+      .select(col("ia").as("id_a"), col("ib").as("id_b"), col("cosine"))
     cross.unionByName(intra).select("id_a", "id_b", "cosine")
   }
 

@@ -113,19 +113,22 @@ object Selection {
     * [[shuffleByKey]] wherever a row key exists. */
   def shuffle(df: DataFrame, seed: Long): DataFrame = df.orderBy(rand(seed))
 
-  /** Deterministic permutation by hashed key — the scale form of
-    * [[shuffle]]: each row's position comes from the engine-portable md5
-    * uniform of (key, salt), so the "sort" is ONE hash repartition on the
-    * uniform + an in-partition sort — no global range sort, no sampling
-    * scan, and re-runs/task retries/oracles all see THE SAME permutation.
-    * Different salts give independent permutations. `key` must be unique
-    * per row for a true permutation (md5-equal keys tie-break by key). */
+  /** Deterministic permutation by hashed key — the reproducible form of
+    * [[shuffle]]: each row's position is the engine-portable md5 uniform of
+    * (key, salt), so the resulting ORDER is a pure function of the data —
+    * independent of partition count/AQE, identical across re-runs and task
+    * retries, and replayable by a SQL engine (`ORDER BY` the same md5
+    * construction). Different salts give independent permutations; `key`
+    * must be unique per row for a true permutation (md5-equal keys
+    * tie-break by key). Still a range sort underneath — its sampling pass
+    * runs over the cheap derived uniform, and because u is uniform by
+    * construction, a custom partitioner could compute range bounds as i/P
+    * without sampling if that scan ever mattered at scale. */
   def shuffleByKey(df: DataFrame, key: Column, salt: String = ""): DataFrame = {
     val u = graft.functions.TextOps.portableUniform52(
       concat_ws("|", key.cast("string"), lit(salt)))
     df.withColumn("__u", u)
-      .repartition(col("__u"))
-      .sortWithinPartitions(col("__u"), key)
+      .orderBy(col("__u"), key)
       .drop("__u")
   }
 

@@ -1203,17 +1203,20 @@ object Queries {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id").cast("long").as("vec_id"),
         col("embedding").cast("array<double>").as("v"))
+    // twin ids offset past the REAL id range (fixtures vary — the scaled
+    // bench replicas reach vec_id ≥ 1e6, so a fixed offset would collide)
+    val off = e.agg(max("vec_id")).head().getLong(0) + 1
     val planted = e.filter(col("vec_id") % 10 === 0)
-      .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+      .select((col("vec_id") + lit(off)).as("vec_id"),
         transform(col("v"), (x, i) =>
           x * (lit(1.0) + lit(0.2) * ((i % 3) - 1).cast("double"))).as("v"))
     val corpus = e.unionByName(planted).localCheckpoint() // feeds LSH + truth
     val lsh = Dedup.embeddingNearDupPairs(corpus, col("vec_id"), col("v"),
       threshold = 0.95)
-    val truth = corpus.filter(col("vec_id") % 10 === 0 && col("vec_id") < 1000000L)
+    val truth = corpus.filter(col("vec_id") % 10 === 0 && col("vec_id") < off)
       .alias("b")
-      .join(corpus.filter(col("vec_id") >= 1000000L).alias("p"),
-        col("p.vec_id") === col("b.vec_id") + lit(1000000L))
+      .join(corpus.filter(col("vec_id") >= off).alias("p"),
+        col("p.vec_id") === col("b.vec_id") + lit(off))
       .select(col("b.vec_id").as("id_a"), col("p.vec_id").as("id_b"),
         VectorOps.cosine(col("b.v"), col("p.v")).as("__cos"))
       .filter(col("__cos") >= 0.95)

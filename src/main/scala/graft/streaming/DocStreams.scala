@@ -86,25 +86,41 @@ object DocStreams {
         val spark = batch.sparkSession
         val b = batch.select(col("doc_id").cast("long").as("doc_id"), col("text"))
           .localCheckpoint()
-        val history = loadHistory(spark, historyDir)
+        // foreachBatch is AT-LEAST-ONCE: a crash between the two writes (or
+        // after both, before the checkpoint commit) re-runs this batchId.
+        // Idempotence: (a) the history visible to a batch EXCLUDES any
+        // partial write of the SAME batchId, so a retry recomputes the
+        // identical verdicts; (b) both outputs land in batch_id partitions
+        // under DYNAMIC partition overwrite, so a retry REPLACES its own
+        // partition instead of appending duplicates.
+        val history = loadHistory(spark, historyDir, excludeBatchId = batchId)
         val flags = Dedup.incrementalAdmit(b, history, col("doc_id"), col("text"),
           maxHamming = maxHamming)
           .withColumn("batch_id", lit(batchId))
           .localCheckpoint() // pin BEFORE history mutates beneath the plan
-        flags.write.mode("append").parquet(admitDir)
-        b.join(flags.filter(col("admitted") === 1L).select("doc_id"), Seq("doc_id"))
-          .write.mode("append").parquet(historyDir)
+        def writePartition(df: DataFrame, dir: String): Unit =
+          df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id").parquet(dir)
+        writePartition(flags, admitDir)
+        writePartition(
+          b.join(flags.filter(col("admitted") === 1L).select("doc_id"), Seq("doc_id"))
+            .withColumn("batch_id", lit(batchId)), historyDir)
         ()
       }
     checkpointDir.foreach(d => writer.option("checkpointLocation", d))
     writer.start()
   }
 
-  private def loadHistory(spark: SparkSession, dir: String): DataFrame = {
+  private def loadHistory(spark: SparkSession, dir: String,
+                          excludeBatchId: Long): DataFrame = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(path) && fs.listStatus(path).exists(_.getPath.getName.endsWith(".parquet")))
+    if (fs.exists(path) && fs.listStatus(path)
+        .exists(_.getPath.getName.startsWith("batch_id=")))
       spark.read.parquet(dir)
+        .filter(col("batch_id").cast("long") =!= excludeBatchId)
+        .select("doc_id", "text")
     else
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
         StructType(Seq(StructField("doc_id", LongType),

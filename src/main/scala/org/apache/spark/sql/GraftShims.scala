@@ -11,7 +11,11 @@ object GraftShims {
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
   /** `AbstractDataType` is `private[sql]` since Spark 4 — re-exported so
-    * graft expressions can declare `ExpectsInputTypes.inputTypes` (the
-    * analyzer-inserted-cast contract) from outside the sql package. */
+    * graft expressions can declare `inputTypes` from outside the sql
+    * package. NB: plain `ExpectsInputTypes` only CHECKS (and resolves
+    * NullType); it is `ImplicitCastInputTypes` that additionally makes the
+    * analyzer insert implicit casts on mismatched children — graft kernels
+    * use the latter so numeric widening (array<float> embeddings →
+    * array<double>) happens in analysis for SQL and Column callers alike. */
   type AbstractType = org.apache.spark.sql.types.AbstractDataType
 }

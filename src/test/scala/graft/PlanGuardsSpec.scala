@@ -37,15 +37,17 @@ class PlanGuardsSpec extends SparkSpec {
     qs.foreach { case (n, fn) => assertNoGlobalWindow(fn(spark, sf001), n) }
   }
 
-  // queries whose construction is fully lazy (no driver-side fit/collect);
-  // the checkpointing/fitting ones are covered by the Explain audit
+  // queries whose construction is fully lazy (no driver-side fit/collect).
+  // q21 left this list in round 5: profile's exact mode now runs its
+  // per-column distinct counts as concurrent jobs AT CONSTRUCTION (the
+  // robustOutliers pattern), so it belongs with the eager ones below.
   private val lazyOnes = Seq(
     "q01_pricing_summary", "q02_error_metrics", "q03_histogram", "q04_trapz",
     "q05_minmax_scale", "q06_inv_density_weights", "q07_middle_lookup",
     "q08_topk", "q09_pool_deletion", "q10_dedup_groups", "q11_token_stats",
     "q12_quality", "q13_lang_id", "q14_fingerprints", "q16_cosine_topk",
     "q17_embedding_pairs", "q18_json", "q19_hourly", "q20_revenue_by_nation",
-    "q21_profile_orders", "q22_validate", "q23_dup_keys", "q24_window_sums",
+    "q22_validate", "q23_dup_keys", "q24_window_sums",
     "q27_sliding_windows", "q31_ann_topk_agg", "q35_asof_join",
     "q36_sessionize", "q37_cube", "q39_percentiles", "q40_left_join",
     "q41_multi_distinct", "q42_stratified_sample", "q43_contamination",

@@ -269,6 +269,18 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((0L, 1L)), s"missing planted near-dup: $pairs")
   }
 
+  test("embeddingNearDupPairs: identical all-zero vectors never pair as near-dups") {
+    // failed-embedding sentinels collapse into one distinct-vector group;
+    // their pair must score 0.0 (the cosine zero-vector guard), not a
+    // fabricated 1.0
+    val rows = Seq((0L, Seq.fill(8)(0f)), (1L, Seq.fill(8)(0f)),
+      (2L, Seq.tabulate(8)(_.toFloat)))
+    val pairs = Dedup.embeddingNearDupPairs(rows.toDF("vec_id", "embedding"),
+      col("vec_id"), col("embedding"), threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!pairs.contains((0L, 1L)), s"zero-vector pair leaked: $pairs")
+  }
+
   test("embeddingNearDupPairs: banded LSH recalls perturbed near-dups and " +
        "candidate count scales with output, not n²") {
     val dim = 32
