@@ -732,6 +732,12 @@ object Queries {
     Tables.events(s, d)
       .select(col("user_id"), q.as("q"))
       .groupBy("user_id").agg(collect_list("q").as("qs"))
+      // the decode stage is CPU-bound PER ROW, not per byte: the grouped
+      // frame is only a few MB, so AQE would coalesce the exchange to 1-2
+      // partitions and run the codec nearly single-threaded (measured 28x
+      // instead of 10x at a 10x scale-up). An EXPLICIT partition count is
+      // exempt from AQE coalescing — spread the groups across the cores.
+      .repartition(s.sparkContext.defaultParallelism, col("user_id"))
       .as[(Long, Seq[Int])]
       .map { case (u, qs) =>
         val wav = Multimodal.encodeWavPcm(16000, qs.map(_.toShort).toArray)
@@ -759,6 +765,9 @@ object Queries {
       // sort_array over (event_id, p) structs: deterministic pixel order
       // (event_id is unique) without a global sort
       .agg(sort_array(collect_list(struct(col("event_id"), col("p")))).as("px"))
+      // per-row-CPU-bound decode stage: explicit partition count so AQE
+      // can't coalesce it onto one core (see q52)
+      .repartition(s.sparkContext.defaultParallelism, col("user_id"))
       .as[(Long, Seq[(Long, Int)])]
       .map { case (u, px) =>
         val pixels = px.map(_._2).toArray
@@ -790,6 +799,9 @@ object Queries {
     Tables.events(s, d)
       .select(col("user_id"), q.as("q"))
       .groupBy("user_id").agg(collect_list("q").as("qs"))
+      // per-row-CPU-bound decode stage: explicit partition count so AQE
+      // can't coalesce it onto one core (see q52)
+      .repartition(s.sparkContext.defaultParallelism, col("user_id"))
       .as[(Long, Seq[Int])]
       .map { case (u, qs) =>
         val aiff = Multimodal.encodeAudio(16000, qs.map(_.toShort).toArray, "AIFF")
@@ -820,6 +832,9 @@ object Queries {
       .select(col("user_id"), col("event_id"), p.as("p"))
       .groupBy("user_id")
       .agg(sort_array(collect_list(struct(col("event_id"), col("p")))).as("px"))
+      // per-row-CPU-bound decode stage: explicit partition count so AQE
+      // can't coalesce it onto one core (see q52)
+      .repartition(s.sparkContext.defaultParallelism, col("user_id"))
       .as[(Long, Seq[(Long, Int)])]
       .map { case (u, px) =>
         val pixels = px.map(_._2).toArray
