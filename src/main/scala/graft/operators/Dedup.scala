@@ -171,20 +171,23 @@ object Dedup {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs within `maxHamming`: candidates block on the
-    * fingerprint split into `maxHamming + 1` contiguous chunks — by
-    * pigeonhole, any pair differing in ≤ maxHamming bits shares at least one
-    * chunk exactly, so candidate recall is 1.0 at the configured radius.
-    * Candidates are verified by full Hamming distance. Chunk count scales
-    * with the radius (radius 3 → 4×16-bit chunks, radius 7 → 8×8-bit);
-    * larger radii mean smaller chunks → bigger buckets → more candidates,
-    * which is the inherent LSH recall/cost trade, made explicit here. */
+  /** SimHash near-dup pairs within `maxHamming`: multi-index-hashing
+    * blocking ([[simhashBlockingPlan]]) — wide chunks probed at per-chunk
+    * radius 1, so any pair within the radius collides on some chunk probe
+    * (candidate recall exactly 1.0 by pigeonhole) while buckets stay
+    * 2^(chunk width) wide. Candidates are verified by full Hamming
+    * distance. Larger radii mean narrower chunks → bigger buckets → more
+    * candidates — the inherent exact-radius cost curve, made explicit
+    * here; the MinHash/hyperplane LSH paths are the sub-quadratic
+    * approximate alternatives. */
   /** (offset, width) of each blocking chunk for a given radius: maxHamming+1
     * contiguous chunks covering all 64 fingerprint bits (widths differ by at
-    * most one bit). Exposed for the pigeonhole property test. */
-  private[graft] def simhashChunkBounds(maxHamming: Int): Seq[(Int, Int)] = {
-    require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 63]")
-    val numChunks = maxHamming + 1
+    * most one bit) — the q=0 (exact-chunk-match) split. Exposed for the
+    * pigeonhole property test; the operators use [[simhashBlockingPlan]]. */
+  private[graft] def simhashChunkBounds(maxHamming: Int): Seq[(Int, Int)] =
+    chunkSplit(maxHamming + 1)
+
+  private def chunkSplit(numChunks: Int): Seq[(Int, Int)] = {
     val baseW = 64 / numChunks
     val rem = 64 % numChunks
     val widths = Array.tabulate(numChunks)(c => baseW + (if (c < rem) 1 else 0))
@@ -192,9 +195,54 @@ object Dedup {
     (0 until numChunks).map(c => (offsets(c), widths(c)))
   }
 
+  /** Blocking plan for EXACT Hamming-radius candidate generation — multi-
+    * index hashing (Norouzi/Punjani/Fleet, "Fast Search in Hamming Space
+    * with Multi-Index Hashing", CVPR 2012; public method): split the 64-bit
+    * fingerprint into `c` contiguous chunks, each probed at per-chunk
+    * radius q. Pigeonhole: if every chunk differed in ≥ q+1 bits the total
+    * distance would be ≥ c·(q+1) > maxHamming, so any pair within the
+    * radius collides on some chunk probe — candidate recall is exactly 1.0.
+    *
+    * q=1 HALVES the chunk count vs the exact-match split, which SQUARES
+    * DOWN the per-bucket collision rate: at radius 7, candidates fall from
+    * ~8·n²/2⁸ (8×8-bit exact chunks) to ~68·n²/2¹⁶ (4×16-bit chunks, 17
+    * probes each) — a ~30× cut for a 17× probe-row expansion of 8-byte
+    * keys on ONE join side (measured 31.5 s → see BENCH.md, the one
+    * super-linear query at the 10× bench scale). Returns (bounds, q). */
+  private[graft] def simhashBlockingPlan(maxHamming: Int): (Seq[(Int, Int)], Int) = {
+    require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 63]")
+    val q = if (maxHamming >= 1) 1 else 0
+    val numChunks = maxHamming / (q + 1) + 1 // smallest c with c(q+1) > h
+    (chunkSplit(numChunks), q)
+  }
+
+  /** Exact (chunk, value) structs of a fingerprint column — one join side. */
+  private def exactChunkStructs(sh: Column,
+                                bounds: Seq[(Int, Int)]): Seq[Column] =
+    bounds.zipWithIndex.map { case ((off, width), c) =>
+      val mask = if (width == 64) -1L else (1L << width) - 1L
+      struct(lit(c).as("chunk"),
+        call_function("shiftright", sh, lit(off)).bitwiseAND(lit(mask)).as("ck"))
+    }
+
+  /** Probe (chunk, value) structs: the chunk value plus every ≤q-bit flip
+    * of it — the other join side (probe-expanded on ONE side only). */
+  private def probeChunkStructs(sh: Column, bounds: Seq[(Int, Int)],
+                                q: Int): Seq[Column] =
+    bounds.zipWithIndex.flatMap { case ((off, width), c) =>
+      val mask = if (width == 64) -1L else (1L << width) - 1L
+      val ck = call_function("shiftright", sh, lit(off)).bitwiseAND(lit(mask))
+      val base = struct(lit(c).as("chunk"), ck.as("ck"))
+      val flips =
+        if (q == 0) Nil
+        else (0 until width).map(b =>
+          struct(lit(c).as("chunk"), ck.bitwiseXOR(lit(1L << b)).as("ck")))
+      base +: flips
+    }
+
   def simhashDedupPairs(df: DataFrame, id: Column, text: Column,
                         maxHamming: Int = 3, portable: Boolean = false): DataFrame = {
-    val bounds = simhashChunkBounds(maxHamming)
+    val (bounds, q) = simhashBlockingPlan(maxHamming)
     // Collapse identical fingerprints BEFORE candidate generation: on
     // duplicate-heavy corpora (the realistic dedup workload) thousands of
     // docs share a fingerprint, and bucket-joining doc-level rows makes
@@ -206,16 +254,17 @@ object Dedup {
     val docs = simhashFingerprints(df, id, text, portable)
     val groups = docs.groupBy("sh").agg(collect_list("doc_id").as("ids"))
       .localCheckpoint() // feeds the chunk explode AND both expansion joins
-    val chunkStructs = bounds.zipWithIndex.map { case ((off, width), c) =>
-      val mask = if (width == 64) -1L else (1L << width) - 1L
-      struct(lit(c).as("chunk"),
-        call_function("shiftright", col("sh"), lit(off))
-          .bitwiseAND(lit(mask)).as("ck"))
-    }
-    val chunks = groups.select(col("sh"), explode(array(chunkStructs: _*)).as("c"))
-      .select(col("sh"), col("c.chunk").as("chunk"), col("c.ck").as("ck"))
-    val a = chunks.select(col("chunk"), col("ck"), col("sh").as("sh_a"))
-    val b = chunks.select(col("chunk"), col("ck"), col("sh").as("sh_b"))
+    // asymmetric MIH join: exact chunk values on one side, ≤q-bit probe
+    // expansion on the other. Chunk distance ≤ q ⇔ the exact value lies in
+    // the OTHER side's probe set, and Hamming distance is symmetric — so
+    // every within-radius pair collides regardless of which side carries
+    // the probes, and the < filter + dedup keep each pair once.
+    val a = groups.select(col("sh").as("sh_a"),
+        explode(array(exactChunkStructs(col("sh"), bounds): _*)).as("c"))
+      .select(col("sh_a"), col("c.chunk").as("chunk"), col("c.ck").as("ck"))
+    val b = groups.select(col("sh").as("sh_b"),
+        explode(array(probeChunkStructs(col("sh"), bounds, q): _*)).as("c"))
+      .select(col("sh_b"), col("c.chunk").as("chunk"), col("c.ck").as("ck"))
     val fpPairs = a.join(b, Seq("chunk", "ck"))
       .filter(col("sh_a") < col("sh_b"))
       .dropDuplicates("sh_a", "sh_b")
@@ -488,25 +537,25 @@ object Dedup {
       .select(col("doc_id"), lit(1L).as("exact_batch"))
     // near-dup vs history: distinct fingerprints on BOTH sides (the q29
     // duplicate-cluster lesson); history stays collapsed — only the batch
-    // side re-expands to doc ids
-    val bounds = simhashChunkBounds(maxHamming)
-    def chunksOf(fps: DataFrame): DataFrame = {
-      val chunkStructs = bounds.zipWithIndex.map { case ((off, width), c) =>
-        val mask = if (width == 64) -1L else (1L << width) - 1L
-        struct(lit(c).as("chunk"),
-          call_function("shiftright", col("sh"), lit(off))
-            .bitwiseAND(lit(mask)).as("ck"))
-      }
-      fps.select(col("sh"), explode(array(chunkStructs: _*)).as("c"))
+    // side re-expands to doc ids. MIH blocking (simhashBlockingPlan): the
+    // probe expansion rides the BATCH side — the small one; history, the
+    // side that grows forever, carries exact chunk values only.
+    val (bounds, q) = simhashBlockingPlan(maxHamming)
+    def probesOf(fps: DataFrame): DataFrame =
+      fps.select(col("sh"),
+          explode(array(probeChunkStructs(col("sh"), bounds, q): _*)).as("c"))
         .select(col("sh"), col("c.chunk").as("chunk"), col("c.ck").as("ck"))
-    }
+    def exactOf(fps: DataFrame): DataFrame =
+      fps.select(col("sh"),
+          explode(array(exactChunkStructs(col("sh"), bounds): _*)).as("c"))
+        .select(col("sh"), col("c.chunk").as("chunk"), col("c.ck").as("ck"))
     val bSh = simhashFingerprints(batch, id, text, portable)
     val bGroups = bSh.groupBy("sh").agg(collect_list("doc_id").as("ids"))
       .localCheckpoint() // feeds the chunk explode AND the id re-expansion
     val hSh = simhashFingerprints(history, id, text, portable)
       .select("sh").distinct().localCheckpoint()
-    val nearFps = chunksOf(bGroups.select("sh"))
-      .join(chunksOf(hSh).select(col("chunk"), col("ck"), col("sh").as("sh_h")),
+    val nearFps = probesOf(bGroups.select("sh"))
+      .join(exactOf(hSh).select(col("chunk"), col("ck"), col("sh").as("sh_h")),
         Seq("chunk", "ck"))
       .filter(hamming64(col("sh"), col("sh_h")) <= maxHamming)
       .select("sh").distinct()

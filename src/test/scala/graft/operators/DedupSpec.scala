@@ -119,6 +119,27 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("MIH blocking plan: some chunk within per-chunk radius q at the full radius") {
+    val rnd = new scala.util.Random(29)
+    for (maxHamming <- Seq(1, 3, 7, 16)) {
+      val (bounds, q) = Dedup.simhashBlockingPlan(maxHamming)
+      assert(bounds.map(_._2).sum == 64)
+      assert(bounds.length * (q + 1) > maxHamming, "pigeonhole arithmetic")
+      def chunksOf(fp: Long): Seq[Long] = bounds.map { case (off, w) =>
+        val mask = if (w == 64) -1L else (1L << w) - 1L
+        (fp >>> off) & mask
+      }
+      for (_ <- 0 until 300) {
+        val a = rnd.nextLong()
+        val flipped = rnd.shuffle((0 until 64).toList).take(maxHamming)
+        val b = flipped.foldLeft(a)((x, i) => x ^ (1L << i))
+        assert(chunksOf(a).zip(chunksOf(b)).exists { case (x, y) =>
+          java.lang.Long.bitCount(x ^ y) <= q
+        }, s"radius $maxHamming: pair at hamming $maxHamming has no chunk within $q")
+      }
+    }
+  }
+
   test("simhashDedupPairs at radius 7 equals the exact all-pairs hamming filter") {
     import org.apache.spark.sql.functions.col
     val words = base.split(" ")
