@@ -44,4 +44,29 @@ object Mixture {
       .withColumn("epoch", explode(sequence(lit(0L), col("n_copies") - 1)))
       .drop("n_copies")
   }
+
+  /** Deterministic hash split — the train/val/test (or shard) assignment a
+    * training pipeline makes ONCE and must never change afterwards: each
+    * row's uniform `u = md5-uniform(key, salt)` picks the first label whose
+    * cumulative fraction exceeds it. Properties the rand()-based
+    * `randomSplit` cannot give: stable under re-runs, task retries,
+    * repartitioning, and INCREMENTAL growth (a doc added tomorrow lands in
+    * the same split it would have today — no resplit churn for the
+    * eval-contamination ledger), and SQL-replayable (q76). Fractions must
+    * sum to ≤ 1; any remainder falls into the LAST label (so (train 0.8,
+    * val 0.1, test 0.1) covers everything deterministically). Appends
+    * `split`. One projection — scan-speed, no shuffle. */
+  def hashSplit(df: DataFrame, key: Column,
+                fractions: Seq[(String, Double)],
+                salt: String = "split"): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(_._2 >= 0) &&
+      fractions.map(_._2).sum <= 1.0 + 1e-9, "need fractions >= 0 summing <= 1")
+    val u = portableUniform(key, salt)
+    val cuts = fractions.map(_._2).scanLeft(0.0)(_ + _).tail
+    val split = fractions.zip(cuts).init.foldRight(
+        lit(fractions.last._1): Column) { case (((name, _), cut), acc) =>
+      when(u < lit(cut), lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", split)
+  }
 }

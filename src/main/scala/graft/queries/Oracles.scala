@@ -1372,6 +1372,25 @@ object Oracles {
     SELECT CAST(1 AS BIGINT) AS recall_pass, CAST(0.8 AS DOUBLE) AS gate,
            CAST(16 AS BIGINT) AS tables, CAST(16 AS BIGINT) AS planes"""
 
+  // Deterministic hash split: the md5-uniform (q26 device) + cumulative-cut
+  // CASE replayed per row. Cut expressions are computed the same way the
+  // Scala side folds them (0.8, then 0.8 + 0.1 in IEEE doubles) so a
+  // uniform landing between 0.9 and the folded sum can't diverge.
+  val q76 = """
+    WITH u AS (
+      SELECT doc_id, list_reduce(list_prepend(0.0,
+          list_transform(generate_series(1, 13),
+            k -> CAST(strpos('0123456789abcdef',
+                   substr(substr(md5(concat_ws('|', doc_id, 'split')), 1, 13), k, 1)) - 1 AS DOUBLE)
+                 * pow(16.0, 13 - k))),
+        (a, x) -> a + x) / 4503599627370496.0 AS u
+      FROM documents)
+    SELECT doc_id,
+           CASE WHEN u < CAST(0.8 AS DOUBLE) THEN 'train'
+                WHEN u < CAST(0.8 AS DOUBLE) + CAST(0.1 AS DOUBLE) THEN 'val'
+                ELSE 'test' END AS split
+    FROM u ORDER BY doc_id"""
+
   /** name → oracle SQL (single-line, driver JSON-escapes anyway). */
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
@@ -1450,6 +1469,7 @@ object Oracles {
     "q72_pii_redaction" -> q72,
     "q73_calibration" -> q73,
     "q74_embedding_lsh_recall" -> q74,
-    "q75_active_sampling_trace" -> q75
+    "q75_active_sampling_trace" -> q75,
+    "q76_hash_split" -> q76
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

@@ -1202,6 +1202,17 @@ object Queries {
       .orderBy("iter")
   }
 
+  /** Deterministic train/val/test hash split over documents (0.8/0.1/0.1,
+    * keyed by doc_id) — the assignment a pipeline makes once and must
+    * never churn: stable under re-runs/retries/repartitioning AND under
+    * incremental corpus growth (tomorrow's doc lands where it would have
+    * landed today). Fully per-row oracle-checked: DuckDB replays the md5
+    * uniform and the cumulative-cut CASE exactly. */
+  def q76HashSplit(s: SparkSession, d: String): DataFrame =
+    Mixture.hashSplit(Tables.documents(s, d).select("doc_id"), col("doc_id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .orderBy("doc_id")
+
   /** Scale-path embedding near-dup (semantic dedup) recall gate — the q30/
     * q57 pattern applied to [[Dedup.embeddingNearDupPairs]]' banded
     * multi-table hyperplane LSH. Ground truth is PLANTED: every 10th vector

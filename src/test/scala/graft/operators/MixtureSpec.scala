@@ -52,4 +52,39 @@ class MixtureSpec extends SparkSpec {
     assert(a == b, "same salt must reproduce the same sample")
     assert(a != c, "different salt should draw a different sample")
   }
+
+  test("hashSplit: realized fractions, full coverage, and append stability") {
+    val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val split = Mixture.hashSplit(docs(5000), col("doc_id"), fr)
+    val counts = split.groupBy("split").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 5000, "every row must get a split")
+    assert(math.abs(counts("train") / 5000.0 - 0.8) < 0.03)
+    assert(math.abs(counts("val") / 5000.0 - 0.1) < 0.02)
+    assert(math.abs(counts("test") / 5000.0 - 0.1) < 0.02)
+    // append stability: assignments over a SUBSET equal the full corpus'
+    // assignments restricted to it — growing the corpus never resplits
+    def assign(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
+      Mixture.hashSplit(df, col("doc_id"), fr)
+        .select("doc_id", "split").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val small = assign(docs(1000))
+    val full = assign(docs(5000))
+    assert(small.forall { case (id, s) => full(id) == s },
+      "existing docs must keep their split when the corpus grows")
+  }
+
+  test("hashSplit: remainder falls into the last label; degenerate fractions rejected") {
+    val fr = Seq("a" -> 0.5, "b" -> 0.25) // sums to 0.75 — rest goes to b
+    val counts = Mixture.hashSplit(docs(4000), col("doc_id"), fr)
+      .groupBy("split").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 4000)
+    assert(math.abs(counts("a") / 4000.0 - 0.5) < 0.03)
+    assert(math.abs(counts("b") / 4000.0 - 0.5) < 0.03, "b gets 0.25 + remainder")
+    intercept[IllegalArgumentException](
+      Mixture.hashSplit(docs(10), col("doc_id"), Seq("a" -> 0.9, "b" -> 0.3)))
+    intercept[IllegalArgumentException](
+      Mixture.hashSplit(docs(10), col("doc_id"), Seq.empty))
+  }
 }
