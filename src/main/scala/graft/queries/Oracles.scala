@@ -1391,6 +1391,15 @@ object Oracles {
                 ELSE 'test' END AS split
     FROM u ORDER BY doc_id"""
 
+  // Semantic-keeper gate (q74's planted fixture through components): the
+  // flags are computed Spark-side from closed-form truth; the oracle pins
+  // them — a recall miss, spurious pair, or keeper defect flips one.
+  val q77 = """
+    SELECT CAST(1 AS BIGINT) AS keepers_eq_base,
+           CAST(1 AS BIGINT) AS twins_all_dropped,
+           CAST(1 AS BIGINT) AS base_intact,
+           CAST(0.95 AS DOUBLE) AS threshold"""
+
   /** name → oracle SQL (single-line, driver JSON-escapes anyway). */
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
@@ -1470,6 +1479,7 @@ object Oracles {
     "q73_calibration" -> q73,
     "q74_embedding_lsh_recall" -> q74,
     "q75_active_sampling_trace" -> q75,
-    "q76_hash_split" -> q76
+    "q76_hash_split" -> q76,
+    "q77_semantic_keepers" -> q77
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

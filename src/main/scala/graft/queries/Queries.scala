@@ -1202,6 +1202,45 @@ object Queries {
       .orderBy("iter")
   }
 
+  /** Semantic-dedup KEEPERS — the embedding twin of q44, closing the
+    * pairs → connected-components → keeper loop for vector near-dups:
+    * the q74 planted corpus (every 10th vector gets a perturbed twin,
+    * cosine 0.984–0.991) runs through banded hyperplane LSH pairs and
+    * min-label components; keeper = min id per component, so the
+    * deduplicated corpus is `doc_id === cluster_id`. On this fixture the
+    * truth is closed-form — each twin pairs with exactly its base
+    * (natural cosine max 0.513 vs threshold 0.95) — so the oracle pins
+    * the structural invariants: every planted twin dropped, every base
+    * doc kept, keeper count equals base count. Any LSH recall miss,
+    * spurious pair, or component/keeper defect flips a flag. */
+  def q77SemanticKeepers(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+    val off = e.agg(max("vec_id")).head().getLong(0) + 1
+    val planted = e.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + lit(off)).as("vec_id"),
+        transform(col("v"), (x, i) =>
+          x * (lit(1.0) + lit(0.2) * ((i % 3) - 1).cast("double"))).as("v"))
+    val corpus = e.unionByName(planted).localCheckpoint()
+    val pairs = Dedup.embeddingNearDupPairs(corpus, col("vec_id"), col("v"),
+      threshold = 0.95)
+    val labels = Dedup.clusters(pairs, corpus.select(col("vec_id").as("doc_id")))
+    val r = labels.agg(
+      sum(when(col("doc_id") < off, 1L).otherwise(0L)).as("n_base"),
+      sum(when(col("doc_id") >= off, 1L).otherwise(0L)).as("n_planted"),
+      sum(when(col("doc_id") === col("cluster_id"), 1L).otherwise(0L)).as("keepers"),
+      sum(when(col("doc_id") =!= col("cluster_id") && col("doc_id") >= off, 1L)
+        .otherwise(0L)).as("planted_dropped"),
+      sum(when(col("doc_id") =!= col("cluster_id") && col("doc_id") < off, 1L)
+        .otherwise(0L)).as("base_dropped")).head()
+    s.range(1).select(
+      lit(if (r.getLong(2) == r.getLong(0)) 1L else 0L).as("keepers_eq_base"),
+      lit(if (r.getLong(3) == r.getLong(1)) 1L else 0L).as("twins_all_dropped"),
+      lit(if (r.getLong(4) == 0L) 1L else 0L).as("base_intact"),
+      lit(0.95).as("threshold"))
+  }
+
   /** Deterministic train/val/test hash split over documents (0.8/0.1/0.1,
     * keyed by doc_id) — the assignment a pipeline makes once and must
     * never churn: stable under re-runs/retries/repartitioning AND under
