@@ -171,23 +171,17 @@ object Dedup {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs within `maxHamming`: multi-index-hashing
-    * blocking ([[simhashBlockingPlan]]) — wide chunks probed at per-chunk
-    * radius 1, so any pair within the radius collides on some chunk probe
-    * (candidate recall exactly 1.0 by pigeonhole) while buckets stay
-    * 2^(chunk width) wide. Candidates are verified by full Hamming
-    * distance. Larger radii mean narrower chunks → bigger buckets → more
-    * candidates — the inherent exact-radius cost curve, made explicit
-    * here; the MinHash/hyperplane LSH paths are the sub-quadratic
-    * approximate alternatives. */
   /** (offset, width) of each blocking chunk for a given radius: maxHamming+1
     * contiguous chunks covering all 64 fingerprint bits (widths differ by at
     * most one bit) — the q=0 (exact-chunk-match) split. Exposed for the
     * pigeonhole property test; the operators use [[simhashBlockingPlan]]. */
-  private[graft] def simhashChunkBounds(maxHamming: Int): Seq[(Int, Int)] =
+  private[graft] def simhashChunkBounds(maxHamming: Int): Seq[(Int, Int)] = {
+    require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 63]")
     chunkSplit(maxHamming + 1)
+  }
 
   private def chunkSplit(numChunks: Int): Seq[(Int, Int)] = {
+    require(numChunks >= 1 && numChunks <= 64, "need 1..64 chunks over 64 bits")
     val baseW = 64 / numChunks
     val rem = 64 % numChunks
     val widths = Array.tabulate(numChunks)(c => baseW + (if (c < rem) 1 else 0))
@@ -240,6 +234,15 @@ object Dedup {
       base +: flips
     }
 
+  /** SimHash near-dup pairs within `maxHamming`: multi-index-hashing
+    * blocking ([[simhashBlockingPlan]]) — wide chunks probed at per-chunk
+    * radius 1, so any pair within the radius collides on some chunk probe
+    * (candidate recall exactly 1.0 by pigeonhole) while buckets stay
+    * 2^(chunk width) wide. Candidates are verified by full Hamming
+    * distance. Larger radii mean narrower chunks → bigger buckets → more
+    * candidates — the inherent exact-radius cost curve, made explicit
+    * here; the MinHash/hyperplane LSH paths are the sub-quadratic
+    * approximate alternatives. */
   def simhashDedupPairs(df: DataFrame, id: Column, text: Column,
                         maxHamming: Int = 3, portable: Boolean = false): DataFrame = {
     val (bounds, q) = simhashBlockingPlan(maxHamming)

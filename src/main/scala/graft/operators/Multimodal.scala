@@ -284,8 +284,16 @@ object Multimodal {
     import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream}
     import javax.sound.sampled.spi.{AudioFileReader, AudioFileWriter, FormatConversionProvider}
     import scala.jdk.CollectionConverters._
-    private def load[T](cls: Class[T]): Vector[T] =
-      java.util.ServiceLoader.load(cls, cls.getClassLoader).asScala.toVector
+    // AudioSystem discovers via the thread-context classloader; do the
+    // same (falling back to this class' loader) so third-party SPI jars
+    // on the application classpath stay visible. The snapshot is taken
+    // ONCE, at first use — providers added to the classpath later (not a
+    // thing in a Spark executor) would need a JVM restart.
+    private def load[T](cls: Class[T]): Vector[T] = {
+      val cl = Option(Thread.currentThread().getContextClassLoader)
+        .getOrElse(cls.getClassLoader)
+      java.util.ServiceLoader.load(cls, cl).asScala.toVector
+    }
     private lazy val readers = load(classOf[AudioFileReader])
     private lazy val writers = load(classOf[AudioFileWriter])
     private lazy val converters = load(classOf[FormatConversionProvider])

@@ -1395,9 +1395,9 @@ object Oracles {
   // flags are computed Spark-side from closed-form truth; the oracle pins
   // them — a recall miss, spurious pair, or keeper defect flips one.
   val q77 = """
-    SELECT CAST(1 AS BIGINT) AS keepers_eq_base,
-           CAST(1 AS BIGINT) AS twins_all_dropped,
+    SELECT CAST(1 AS BIGINT) AS twins_all_dropped,
            CAST(1 AS BIGINT) AS base_intact,
+           CAST(1 AS BIGINT) AS truth_nonempty,
            CAST(0.95 AS DOUBLE) AS threshold"""
 
   /** name → oracle SQL (single-line, driver JSON-escapes anyway). */

@@ -1202,18 +1202,14 @@ object Queries {
       .orderBy("iter")
   }
 
-  /** Semantic-dedup KEEPERS — the embedding twin of q44, closing the
-    * pairs → connected-components → keeper loop for vector near-dups:
-    * the q74 planted corpus (every 10th vector gets a perturbed twin,
-    * cosine 0.984–0.991) runs through banded hyperplane LSH pairs and
-    * min-label components; keeper = min id per component, so the
-    * deduplicated corpus is `doc_id === cluster_id`. On this fixture the
-    * truth is closed-form — each twin pairs with exactly its base
-    * (natural cosine max 0.513 vs threshold 0.95) — so the oracle pins
-    * the structural invariants: every planted twin dropped, every base
-    * doc kept, keeper count equals base count. Any LSH recall miss,
-    * spurious pair, or component/keeper defect flips a flag. */
-  def q77SemanticKeepers(s: SparkSession, d: String): DataFrame = {
+  /** Shared planted-twin fixture for the embedding-dedup gates (q74/q77):
+    * every 10th vector gets a deterministic multiplicative twin (element i
+    * scaled by 1 + 0.2·((i mod 3) − 1); exact cosine 0.984–0.991 against
+    * its base on this fixture, natural pair max 0.513), twin ids offset
+    * past the REAL id range (scaled bench replicas reach vec_id ≥ 1e6 — a
+    * fixed offset would collide). ONE definition so the two gates'
+    * closed-form truth claims can never drift apart. Returns (corpus, off). */
+  private def plantedTwinCorpus(s: SparkSession, d: String): (DataFrame, Long) = {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id").cast("long").as("vec_id"),
         col("embedding").cast("array<double>").as("v"))
@@ -1222,23 +1218,60 @@ object Queries {
       .select((col("vec_id") + lit(off)).as("vec_id"),
         transform(col("v"), (x, i) =>
           x * (lit(1.0) + lit(0.2) * ((i % 3) - 1).cast("double"))).as("v"))
-    val corpus = e.unionByName(planted).localCheckpoint()
+    (e.unionByName(planted).localCheckpoint(), off) // feeds LSH + truth
+  }
+
+  /** ELIGIBLE planted pairs: (base, twin) whose EXACT cosine clears the
+    * threshold — the ground truth both gates measure against. Twins of
+    * degenerate vectors (e.g. all-zero failed-embedding sentinels, whose
+    * cosine is 0 by the guard) are excluded here exactly as the operator
+    * excludes them, so a weird-but-legitimate fixture can't red a gate. */
+  private def plantedTruth(corpus: DataFrame, off: Long,
+                           threshold: Double): DataFrame =
+    corpus.filter(col("vec_id") % 10 === 0 && col("vec_id") < off)
+      .alias("b")
+      .join(corpus.filter(col("vec_id") >= off).alias("p"),
+        col("p.vec_id") === col("b.vec_id") + lit(off))
+      .select(col("b.vec_id").as("id_a"), col("p.vec_id").as("id_b"),
+        VectorOps.cosine(col("b.v"), col("p.v")).as("__cos"))
+      .filter(col("__cos") >= threshold)
+
+  /** Semantic-dedup KEEPERS — the embedding twin of q44, closing the
+    * pairs → connected-components → keeper loop for vector near-dups:
+    * the planted corpus runs through banded hyperplane LSH pairs and
+    * min-label components; keeper = min id per component, so the
+    * deduplicated corpus is `doc_id === cluster_id`. Flags are computed
+    * against the ELIGIBLE truth ([[plantedTruth]]), so they hold on any
+    * fixture state: every eligible twin must be dropped; a dropped BASE
+    * doc is tolerated only if its vector is bit-identical to its keeper's
+    * (the one legitimate natural ≥-threshold base relation — this fixture
+    * has none, but zero-vector or duplicated sentinels must not red the
+    * gate); `truth_nonempty` guards vacuous passes. Any LSH recall miss,
+    * spurious pair, or component/keeper defect flips a flag. */
+  def q77SemanticKeepers(s: SparkSession, d: String): DataFrame = {
+    val threshold = 0.95
+    val (corpus, off) = plantedTwinCorpus(s, d)
     val pairs = Dedup.embeddingNearDupPairs(corpus, col("vec_id"), col("v"),
-      threshold = 0.95)
+      threshold = threshold)
     val labels = Dedup.clusters(pairs, corpus.select(col("vec_id").as("doc_id")))
-    val r = labels.agg(
-      sum(when(col("doc_id") < off, 1L).otherwise(0L)).as("n_base"),
-      sum(when(col("doc_id") >= off, 1L).otherwise(0L)).as("n_planted"),
-      sum(when(col("doc_id") === col("cluster_id"), 1L).otherwise(0L)).as("keepers"),
-      sum(when(col("doc_id") =!= col("cluster_id") && col("doc_id") >= off, 1L)
-        .otherwise(0L)).as("planted_dropped"),
-      sum(when(col("doc_id") =!= col("cluster_id") && col("doc_id") < off, 1L)
-        .otherwise(0L)).as("base_dropped")).head()
+      .localCheckpoint() // feeds the twin gate AND the base-drop audit
+    val eligibleTwins = plantedTruth(corpus, off, threshold)
+      .select(col("id_b").as("doc_id"))
+    val t = labels.join(eligibleTwins, Seq("doc_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("doc_id") === col("cluster_id"), 1L).otherwise(0L)).as("kept"))
+      .head()
+    val b = labels.filter(col("doc_id") < off && col("doc_id") =!= col("cluster_id"))
+      .join(corpus.select(col("vec_id").as("doc_id"), col("v").as("dv")), Seq("doc_id"))
+      .join(corpus.select(col("vec_id").as("cluster_id"), col("v").as("kv")),
+        Seq("cluster_id"))
+      .agg(sum(when(col("dv") =!= col("kv"), 1L).otherwise(0L)).as("bad_drops"))
+      .head()
     s.range(1).select(
-      lit(if (r.getLong(2) == r.getLong(0)) 1L else 0L).as("keepers_eq_base"),
-      lit(if (r.getLong(3) == r.getLong(1)) 1L else 0L).as("twins_all_dropped"),
-      lit(if (r.getLong(4) == 0L) 1L else 0L).as("base_intact"),
-      lit(0.95).as("threshold"))
+      lit(if (t.getLong(1) == 0L) 1L else 0L).as("twins_all_dropped"),
+      lit(if (b.isNullAt(0) || b.getLong(0) == 0L) 1L else 0L).as("base_intact"),
+      lit(if (t.getLong(0) > 0L) 1L else 0L).as("truth_nonempty"),
+      lit(threshold).as("threshold"))
   }
 
   /** Deterministic train/val/test hash split over documents (0.8/0.1/0.1,
@@ -1254,10 +1287,8 @@ object Queries {
 
   /** Scale-path embedding near-dup (semantic dedup) recall gate — the q30/
     * q57 pattern applied to [[Dedup.embeddingNearDupPairs]]' banded
-    * multi-table hyperplane LSH. Ground truth is PLANTED: every 10th vector
-    * gets a deterministic near-dup twin (element i scaled by
-    * 1 + 0.2·((i mod 3) − 1); exact cosine 0.984–0.991 against its base on
-    * this fixture — the true near-dup regime), id-offset by 10⁶. The
+    * multi-table hyperplane LSH. Ground truth is PLANTED
+    * ([[plantedTwinCorpus]]/[[plantedTruth]] — shared with q77): the
     * fixture's natural pair maximum is 0.513, so at threshold 0.95 the
     * truth set is exactly the planted (base, twin) pairs — verified by
     * exact cosine, output-sized, no all-pairs scan. LSH precision is 1.0
@@ -1265,26 +1296,10 @@ object Queries {
     * checks RECALL ≥ 0.8 (expected ≥ 0.999 per pair at 16 tables × 16
     * planes: p = 1 − θ/π ≥ 0.94, 1 − (1 − p¹⁶)¹⁶). */
   def q74EmbeddingLshRecall(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d)
-      .select(col("vec_id").cast("long").as("vec_id"),
-        col("embedding").cast("array<double>").as("v"))
-    // twin ids offset past the REAL id range (fixtures vary — the scaled
-    // bench replicas reach vec_id ≥ 1e6, so a fixed offset would collide)
-    val off = e.agg(max("vec_id")).head().getLong(0) + 1
-    val planted = e.filter(col("vec_id") % 10 === 0)
-      .select((col("vec_id") + lit(off)).as("vec_id"),
-        transform(col("v"), (x, i) =>
-          x * (lit(1.0) + lit(0.2) * ((i % 3) - 1).cast("double"))).as("v"))
-    val corpus = e.unionByName(planted).localCheckpoint() // feeds LSH + truth
+    val (corpus, off) = plantedTwinCorpus(s, d)
     val lsh = Dedup.embeddingNearDupPairs(corpus, col("vec_id"), col("v"),
       threshold = 0.95)
-    val truth = corpus.filter(col("vec_id") % 10 === 0 && col("vec_id") < off)
-      .alias("b")
-      .join(corpus.filter(col("vec_id") >= off).alias("p"),
-        col("p.vec_id") === col("b.vec_id") + lit(off))
-      .select(col("b.vec_id").as("id_a"), col("p.vec_id").as("id_b"),
-        VectorOps.cosine(col("b.v"), col("p.v")).as("__cos"))
-      .filter(col("__cos") >= 0.95)
+    val truth = plantedTruth(corpus, off, 0.95)
     val flagged = truth.select("id_a", "id_b")
       .join(lsh.select(col("id_a"), col("id_b"), lit(1L).as("__hit")),
         Seq("id_a", "id_b"), "left")
