@@ -91,7 +91,8 @@ object SparkEntry {
     "q74_embedding_lsh_recall" -> (Queries.q74EmbeddingLshRecall _),
     "q75_active_sampling_trace" -> (Queries.q75ActiveSamplingTrace _),
     "q76_hash_split" -> (Queries.q76HashSplit _),
-    "q77_semantic_keepers" -> (Queries.q77SemanticKeepers _)
+    "q77_semantic_keepers" -> (Queries.q77SemanticKeepers _),
+    "q78_doc_chunks" -> (Queries.q78DocChunks _)
   )
 
   /** DuckDB oracles for EVERY query above — since round 3 none are

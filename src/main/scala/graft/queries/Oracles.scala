@@ -1400,6 +1400,28 @@ object Oracles {
            CAST(1 AS BIGINT) AS truth_nonempty,
            CAST(0.95 AS DOUBLE) AS threshold"""
 
+  // Sliding doc chunks: q28's tokenizer + the operator's chunk-count
+  // formula (1 + max(0, ceil((n-64)/32))) + 1-based inclusive list slices
+  // — per-chunk md5 digests check content and position.
+  val q78 = """
+    WITH t AS (SELECT doc_id,
+                      CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                           ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+               FROM documents),
+    c AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+    nc AS (SELECT *, CASE WHEN n <= 0 THEN 0
+                     ELSE 1 + greatest(0, CAST(ceil((n - 64) / 32.0) AS INTEGER))
+                     END AS nchunks FROM c),
+    ex AS (SELECT doc_id, toks, unnest(range(nchunks)) AS chunk_id
+           FROM nc WHERE nchunks > 0),
+    x AS (SELECT doc_id, chunk_id,
+                 toks[(chunk_id * 32 + 1):(chunk_id * 32 + 64)] AS chunk
+          FROM ex)
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(len(chunk) AS BIGINT) AS n_tokens,
+           md5(array_to_string(chunk, ' ')) AS chunk_md5
+    FROM x ORDER BY doc_id, chunk_id"""
+
   /** name → oracle SQL (single-line, driver JSON-escapes anyway). */
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
@@ -1480,6 +1502,7 @@ object Oracles {
     "q74_embedding_lsh_recall" -> q74,
     "q75_active_sampling_trace" -> q75,
     "q76_hash_split" -> q76,
-    "q77_semantic_keepers" -> q77
+    "q77_semantic_keepers" -> q77,
+    "q78_doc_chunks" -> q78
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

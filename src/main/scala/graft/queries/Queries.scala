@@ -1274,6 +1274,21 @@ object Queries {
       lit(threshold).as("threshold"))
   }
 
+  /** Sliding-window document chunking (maxLen 64, stride 32 — 50%
+    * overlap): every document split into context-window token pieces,
+    * per-chunk md5 digest so the oracle checks CONTENT and position, not
+    * just counts — any off-by-one in the start arithmetic, slice bounds,
+    * or chunk count changes a digest. DuckDB replays the same tokenizer
+    * (the q28 convention), chunk-count formula, and 1-based inclusive
+    * slices. */
+  def q78DocChunks(s: SparkSession, d: String): DataFrame =
+    Chunking.slidingChunks(Tables.documents(s, d), col("doc_id"),
+        TextOps.tokens(col("text")), maxLen = 64, stride = 32)
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("chunk")).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", col("chunk")).cast("binary")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_id")
+
   /** Deterministic train/val/test hash split over documents (0.8/0.1/0.1,
     * keyed by doc_id) — the assignment a pipeline makes once and must
     * never churn: stable under re-runs/retries/repartitioning AND under
