@@ -92,7 +92,8 @@ object SparkEntry {
     "q75_active_sampling_trace" -> (Queries.q75ActiveSamplingTrace _),
     "q76_hash_split" -> (Queries.q76HashSplit _),
     "q77_semantic_keepers" -> (Queries.q77SemanticKeepers _),
-    "q78_doc_chunks" -> (Queries.q78DocChunks _)
+    "q78_doc_chunks" -> (Queries.q78DocChunks _),
+    "q79_contamination_fraction" -> (Queries.q79ContaminationFraction _)
   )
 
   /** DuckDB oracles for EVERY query above — since round 3 none are

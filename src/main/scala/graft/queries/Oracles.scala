@@ -587,6 +587,30 @@ object Oracles {
     FROM corpus WHERE s IN (SELECT s FROM bench)
     GROUP BY doc_id ORDER BY doc_id"""
 
+  // Contamination fraction: q43's construction, left-joined back onto the
+  // per-doc distinct-shingle counts so zero-overlap docs appear with 0.
+  val q79 = """
+    WITH t AS (SELECT doc_id,
+                      CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                           ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+               FROM documents),
+    g AS (SELECT doc_id,
+                 CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+                      ELSE list_distinct(list_transform(generate_series(1, len(toks) - 4),
+                             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])) END AS sh
+          FROM t),
+    bench AS (SELECT DISTINCT unnest(sh) AS s FROM g WHERE doc_id < 10),
+    corpus AS (SELECT doc_id, unnest(sh) AS s FROM g WHERE doc_id >= 10),
+    m AS (SELECT doc_id, count(DISTINCT s) AS n_shared
+          FROM corpus WHERE s IN (SELECT s FROM bench)
+          GROUP BY doc_id)
+    SELECT g.doc_id, CAST(len(g.sh) AS BIGINT) AS n_shingles,
+           CAST(coalesce(m.n_shared, 0) AS BIGINT) AS n_shared,
+           round(CAST(coalesce(m.n_shared, 0) AS DOUBLE) / CAST(len(g.sh) AS DOUBLE), 6) AS frac
+    FROM g LEFT JOIN m ON m.doc_id = g.doc_id
+    WHERE g.doc_id >= 10
+    ORDER BY g.doc_id"""
+
   // Connected components over the q28 pair set (proven equal to the LSH
   // output): recursive label closure, then min label per doc. `pairs` is
   // the q28 oracle body minus its final ORDER BY.
@@ -1503,6 +1527,7 @@ object Oracles {
     "q75_active_sampling_trace" -> q75,
     "q76_hash_split" -> q76,
     "q77_semantic_keepers" -> q77,
-    "q78_doc_chunks" -> q78
+    "q78_doc_chunks" -> q78,
+    "q79_contamination_fraction" -> q79
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

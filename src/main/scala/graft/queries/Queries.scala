@@ -649,6 +649,36 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Per-document contamination FRACTION — q43's graded companion: the
+    * share of each corpus doc's distinct word-5-shingles found in the
+    * benchmark set, for EVERY doc (zero-overlap rows included). A binary
+    * flag treats one shared shingle like total leakage; the fraction is
+    * what decontamination policies actually threshold on (drop ≥ x, audit
+    * the band below). Same 100 TB shape as q43: broadcast benchmark set,
+    * one explode + semi-join + per-doc aggregate, left-joined back onto
+    * the per-doc shingle counts. */
+  def q79ContaminationFraction(s: SparkSession, d: String): DataFrame = {
+    val shingled = Tables.documents(s, d)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("__toks"))
+      .select(col("doc_id"),
+        graft.functions.VectorExprs.hashedWordShingles(col("__toks"), 5).as("sh"))
+      .localCheckpoint() // feeds the benchmark set AND both corpus branches
+    val bench = shingled.filter(col("doc_id") < 10)
+      .select(explode(col("sh")).as("s")).distinct()
+    val matched = shingled.filter(col("doc_id") >= 10)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .join(broadcast(bench), Seq("s"))
+      .groupBy("doc_id")
+      .agg(count_distinct(col("s")).as("n_shared"))
+    shingled.filter(col("doc_id") >= 10)
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"))
+      .join(matched, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_shared"))
+      .withColumn("frac",
+        round(col("n_shared").cast("double") / col("n_shingles").cast("double"), 6))
+      .orderBy("doc_id")
+  }
+
   /** Near-dup cluster resolution — the step that turns pair lists into a
     * deduplicated corpus: connected components over the MinHash near-dup
     * pairs (min-label propagation), emitting each document's canonical

@@ -38,6 +38,34 @@ class EventStreamsSpec extends SparkSpec {
     assert(got.exceptAll(batch).count() == 0, "stream/batch mixture mismatch")
   }
 
+  test("quality gate + PII redaction run unchanged on a stream and match batch") {
+    import graft.functions.TextOps
+    import graft.operators.QualityRules
+    // stateless projection passes: the SAME operator code drives both
+    // engines — ingest-time quality gating and scrubbing for a
+    // continuously arriving corpus
+    val docsDir = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-stream-docs-q")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sf001/documents.parquet"),
+        dir.resolve("documents.parquet"))
+      dir.toString
+    }
+    val schema = Tables.documents(spark, sf001).schema
+    def streamDocs = spark.readStream.schema(schema).parquet(docsDir)
+    def gate(df: org.apache.spark.sql.DataFrame) =
+      QualityRules.gopherFlags(df, col("doc_id"), col("text"))
+    def red(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"),
+        md5(TextOps.redactPii(col("text")).cast("binary")).as("red_md5"))
+    val gotGate = EventStreams.runToMemory(spark, gate(streamDocs), "gate_stream")
+    val gotRed = EventStreams.runToMemory(spark, red(streamDocs), "red_stream")
+    val docs = Tables.documents(spark, sf001)
+    assert(gotGate.count() == docs.count())
+    assert(gotGate.exceptAll(gate(docs)).count() == 0, "stream/batch gate mismatch")
+    assert(gotRed.exceptAll(red(docs)).count() == 0, "stream/batch redaction mismatch")
+  }
+
   test("streaming latest-state equals batch compaction on a closed stream") {
     import graft.operators.Compaction
     def keyed(df: org.apache.spark.sql.DataFrame) = df.select(
