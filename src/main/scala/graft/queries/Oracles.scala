@@ -591,7 +591,7 @@ object Oracles {
   // per-doc distinct-shingle counts so zero-overlap docs appear with 0.
   val q79 = """
     WITH t AS (SELECT doc_id,
-                      CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                      CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN []::VARCHAR[]
                            ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
                FROM documents),
     g AS (SELECT doc_id,
@@ -1429,7 +1429,7 @@ object Oracles {
   // — per-chunk md5 digests check content and position.
   val q78 = """
     WITH t AS (SELECT doc_id,
-                      CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                      CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN []::VARCHAR[]
                            ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
                FROM documents),
     c AS (SELECT doc_id, toks, len(toks) AS n FROM t),

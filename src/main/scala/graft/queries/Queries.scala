@@ -635,19 +635,29 @@ object Queries {
     * the shape that works when the corpus is 100 TB and the benchmark is
     * MB-sized. */
   def q43Contamination(s: SparkSession, d: String): DataFrame = {
-    val shingled = Tables.documents(s, d)
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("__toks"))
-      .select(col("doc_id"),
-        graft.functions.VectorExprs.hashedWordShingles(col("__toks"), 5).as("sh"))
-    val bench = shingled.filter(col("doc_id") < 10)
-      .select(explode(col("sh")).as("s")).distinct()
+    val shingled = contaminationShingles(s, d)
     val corpus = shingled.filter(col("doc_id") >= 10)
       .select(col("doc_id"), explode(col("sh")).as("s"))
-    corpus.join(broadcast(bench), Seq("s"))
+    corpus.join(broadcast(benchShingleSet(shingled)), Seq("s"))
       .groupBy("doc_id")
       .agg(count_distinct(col("s")).as("n_shared"))
       .orderBy("doc_id")
   }
+
+  /** Shared q43/q79 construction — ONE definition of the shingle width,
+    * tokenizer, and benchmark cut, so the flag query and its graded
+    * companion can never drift apart. NULL text is treated as empty
+    * (matching the oracles' `coalesce(text, '')`). */
+  private def contaminationShingles(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        TextOps.tokens(coalesce(col("text"), lit(""))).as("__toks"))
+      .select(col("doc_id"),
+        graft.functions.VectorExprs.hashedWordShingles(col("__toks"), 5).as("sh"))
+
+  private def benchShingleSet(shingled: DataFrame): DataFrame =
+    shingled.filter(col("doc_id") < 10)
+      .select(explode(col("sh")).as("s")).distinct()
 
   /** Per-document contamination FRACTION — q43's graded companion: the
     * share of each corpus doc's distinct word-5-shingles found in the
@@ -658,13 +668,9 @@ object Queries {
     * one explode + semi-join + per-doc aggregate, left-joined back onto
     * the per-doc shingle counts. */
   def q79ContaminationFraction(s: SparkSession, d: String): DataFrame = {
-    val shingled = Tables.documents(s, d)
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("__toks"))
-      .select(col("doc_id"),
-        graft.functions.VectorExprs.hashedWordShingles(col("__toks"), 5).as("sh"))
+    val shingled = contaminationShingles(s, d)
       .localCheckpoint() // feeds the benchmark set AND both corpus branches
-    val bench = shingled.filter(col("doc_id") < 10)
-      .select(explode(col("sh")).as("s")).distinct()
+    val bench = benchShingleSet(shingled)
     val matched = shingled.filter(col("doc_id") >= 10)
       .select(col("doc_id"), explode(col("sh")).as("s"))
       .join(broadcast(bench), Seq("s"))
@@ -1313,7 +1319,7 @@ object Queries {
     * slices. */
   def q78DocChunks(s: SparkSession, d: String): DataFrame =
     Chunking.slidingChunks(Tables.documents(s, d), col("doc_id"),
-        TextOps.tokens(col("text")), maxLen = 64, stride = 32)
+        TextOps.tokens(coalesce(col("text"), lit(""))), maxLen = 64, stride = 32)
       .select(col("doc_id"), col("chunk_id"),
         size(col("chunk")).cast("long").as("n_tokens"),
         md5(concat_ws(" ", col("chunk")).cast("binary")).as("chunk_md5"))

@@ -63,6 +63,7 @@ class EventStreamsSpec extends SparkSpec {
     val docs = Tables.documents(spark, sf001)
     assert(gotGate.count() == docs.count())
     assert(gotGate.exceptAll(gate(docs)).count() == 0, "stream/batch gate mismatch")
+    assert(gotRed.count() == docs.count())
     assert(gotRed.exceptAll(red(docs)).count() == 0, "stream/batch redaction mismatch")
   }
 
