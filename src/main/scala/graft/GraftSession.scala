@@ -30,6 +30,12 @@ object GraftSession {
     SparkSession.builder()
       .master(s"local[$cpus]")
       .withExtensions(new GraftExtensions) // SQL surface for the native kernels
+      // load-bearing for type SAFETY, not just semantics: the native
+      // kernels' rejection of non-numeric arrays (and non-narrowing of
+      // array<long> codes) relies on Spark 4's AnsiTypeCoercion; a
+      // deployment with ANSI off would silently revert to legacy coercion
+      // (array<string> → array<double> with null elements). Pin it.
+      .config("spark.sql.ansi.enabled", "true")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -492,9 +492,14 @@ object Dedup {
     val docs = df.select(id.cast("long").as("vid"),
       vec.cast("array<double>").as("v"))
     // distinct-vector collapse (the q28 distinct-shingle-set lesson):
-    // groups feed sketching, BOTH verify sides, and the id expansion
+    // groups feed sketching, BOTH verify sides, and the id expansion.
+    // gid = min doc id of the group — COLLISION-FREE group identity (ids
+    // partition across groups, so min ids are distinct): at billions of
+    // distinct vectors a 64-bit vector-hash gid would hit birthday
+    // collisions (~n²/2⁶⁵) and silently conflate two groups' pair
+    // expansions; min-id costs nothing extra here.
     val groups = docs.groupBy("v").agg(collect_list("vid").as("ids"))
-      .withColumn("gid", xxhash64(col("v")))
+      .withColumn("gid", array_min(col("ids")))
       .localCheckpoint()
     val buckets = groups.select(col("gid"),
         posexplode(graft.functions.VectorExprs.hyperplaneSketches(

@@ -32,9 +32,6 @@ object Profiling {
     *     per column). */
   def profile(df: DataFrame, cols: Seq[String],
               approxDistinct: Boolean = true, rsd: Double = 0.01): DataFrame = {
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
     val baseAggs = cols.flatMap { c =>
       Seq(count(col(c)).as(s"__cnt_$c"),
           min(col(c)).cast("string").as(s"__min_$c"),
@@ -47,9 +44,9 @@ object Profiling {
     val wide =
       if (approxDistinct) base
       else {
-        val futs = cols.map(c => Future(
+        val vals = PlanOps.runJobs(cols.map(c => () =>
           df.select(col(c)).agg(count_distinct(col(c))).head().getLong(0)))
-        cols.zip(futs.map(Await.result(_, Duration.Inf))).foldLeft(base) {
+        cols.zip(vals).foldLeft(base) {
           case (acc, (c, v)) => acc.withColumn(s"__dst_$c", lit(v))
         }
       }
@@ -114,9 +111,6 @@ object Profiling {
     * column's pass). */
   def robustOutliers(df: DataFrame, cols: Seq[String], z: Double = 3.5,
                      approx: Boolean = true, accuracy: Int = 10000): DataFrame = {
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
     def p50(c: Column): Column =
       if (approx) percentile_approx(c, lit(0.5), lit(accuracy))
       else call_function("percentile", c, lit(0.5))
@@ -125,9 +119,8 @@ object Profiling {
         val r = df.agg(p50(exprs.head), exprs.tail.map(p50): _*).head()
         cols.indices.map(r.getDouble).toArray
       } else {
-        val futs = exprs.map(e =>
-          Future(df.select(e.as("__x")).agg(p50(col("__x"))).head().getDouble(0)))
-        futs.map(Await.result(_, Duration.Inf)).toArray
+        PlanOps.runJobs(exprs.map(e => () =>
+          df.select(e.as("__x")).agg(p50(col("__x"))).head().getDouble(0))).toArray
       }
     val med = medianPass(cols.map(col))
     val mad = medianPass(cols.zipWithIndex.map { case (c, i) =>

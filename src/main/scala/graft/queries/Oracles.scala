@@ -1417,9 +1417,10 @@ object Oracles {
 
   // Semantic-keeper gate (q74's planted fixture through components): the
   // flags are computed Spark-side from closed-form truth; the oracle pins
-  // them — a recall miss, spurious pair, or keeper defect flips one.
+  // them — a recall collapse (>10% of eligible twins kept), spurious pair,
+  // or keeper defect flips one.
   val q77 = """
-    SELECT CAST(1 AS BIGINT) AS twins_all_dropped,
+    SELECT CAST(1 AS BIGINT) AS twins_dropped_pass,
            CAST(1 AS BIGINT) AS base_intact,
            CAST(1 AS BIGINT) AS truth_nonempty,
            CAST(0.95 AS DOUBLE) AS threshold"""

@@ -195,4 +195,35 @@ class AnnSpec extends SparkSpec {
     assert(r01.getLong(0) == 1L, "q64 recall gate at sf0.1")
   }
 
+  test("ivfPqTopKIndexed over persisted artifacts equals inline ivfPqTopK bit-for-bit") {
+    val e = graft.Tables.embeddings(spark, sf001)
+    val queries = e.filter(col("vec_id") < 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_spec_").toString
+    Ann.writeIvfPqIndex(e, col("vec_id"), col("embedding"), dir, nlist = 16)
+    // training is deterministic (hash-ordered samples, fixed iterations), so
+    // the persisted-artifact serve path must reproduce the inline result
+    // EXACTLY — any drift in the write/read roundtrip (codes, partition
+    // typing, codebook precision) breaks row equality
+    val inline = Ann.ivfPqTopK(e, col("vec_id"), col("embedding"),
+        queries, col("vec_id"), col("embedding"), k = 10,
+        nlist = 16, nprobe = 8, refine = 100)
+      .collect().toSet
+    val indexed = Ann.ivfPqTopKIndexed(e, col("vec_id"), col("embedding"),
+        queries, col("vec_id"), col("embedding"), dir, k = 10,
+        nprobe = 8, refine = 100)
+      .collect().toSet
+    assert(indexed == inline, "indexed serve diverged from inline ivfPqTopK")
+    // the probe filter must reach the codes scan as a PARTITION filter —
+    // the layout, not a post-scan filter, enforces the nprobe/nlist read
+    val plan = Ann.readIvfPqCodes(spark, dir)
+      .filter(col("cell").isInCollection(Seq(0, 1)))
+      .queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*cell.*"),
+      s"cell filter not pushed to partition pruning:\n$plan")
+    // meta roundtrip: layout + codebook shapes survive parquet
+    val meta = Ann.readIvfPqIndexMeta(spark, dir)
+    assert(meta.nlist == 16 && meta.centroids.size == 16 &&
+      meta.codebook.size == meta.m * meta.codesPerSub * (meta.dim / meta.m))
+  }
+
 }
