@@ -93,7 +93,8 @@ object SparkEntry {
     "q76_hash_split" -> (Queries.q76HashSplit _),
     "q77_semantic_keepers" -> (Queries.q77SemanticKeepers _),
     "q78_doc_chunks" -> (Queries.q78DocChunks _),
-    "q79_contamination_fraction" -> (Queries.q79ContaminationFraction _)
+    "q79_contamination_fraction" -> (Queries.q79ContaminationFraction _),
+    "q80_embedding_incremental_admit" -> (Queries.q80EmbeddingIncrementalAdmit _)
   )
 
   /** DuckDB oracles for EVERY query above — since round 3 none are

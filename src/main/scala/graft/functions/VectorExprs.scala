@@ -333,15 +333,25 @@ case class HashedWordShingles(child: Expression, w: Int)
   * interpreted eval is already allocation-lean so codegen delegates to it
   * (the [[HashedCharNGrams]] pattern). */
 case class HyperplaneSketches(child: Expression, planes: Array[Double],
-                              tables: Int, planesPerTable: Int)
+                              tables: Int, planesPerTable: Int,
+                              planesBc: Option[org.apache.spark.broadcast
+                                .Broadcast[Array[Double]]] = None)
     extends UnaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[AbstractType] = Seq(ArrayType(DoubleType))
   require(tables > 0 && planesPerTable > 0 && planesPerTable < 64,
     s"HyperplaneSketches: need 0 < planesPerTable < 64, 0 < tables; " +
       s"got tables=$tables r=$planesPerTable")
-  require(planes.length % (tables * planesPerTable) == 0,
+  // planesBc carries the matrix as a BROADCAST instead of an expression-node
+  // literal: at dim=768 a 16×16 matrix is ~3.1 MB serialized into EVERY task
+  // binary of every stage touching the projection — broadcast ships it to
+  // each executor once. Driver-side bc.value is a local read, so shape
+  // validation and `dim` stay construction-time either way.
+  private val planesLen = planesBc.map(_.value.length).getOrElse(planes.length)
+  require(planesLen % (tables * planesPerTable) == 0,
     "HyperplaneSketches: planes length must be tables*planesPerTable*dim")
-  private val dim = planes.length / (tables * planesPerTable)
+  private val dim = planesLen / (tables * planesPerTable)
+  @transient private lazy val mat: Array[Double] =
+    planesBc.map(_.value).getOrElse(planes)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -357,7 +367,7 @@ case class HyperplaneSketches(child: Expression, planes: Array[Double],
         val base = (t * planesPerTable + p) * dim
         var acc = 0.0
         var i = 0
-        while (i < n) { acc += v.getDouble(i) * planes(base + i); i += 1 }
+        while (i < n) { acc += v.getDouble(i) * mat(base + i); i += 1 }
         if (acc >= 0) sk |= (1L << p)
         p += 1
       }
@@ -462,4 +472,13 @@ object VectorExprs {
   def hyperplaneSketches(vec: Column, planes: Array[Double], tables: Int,
                          planesPerTable: Int): Column =
     column(HyperplaneSketches(expression(vec), planes, tables, planesPerTable))
+
+  /** Broadcast form: the plane matrix ships per-executor once instead of
+    * riding every task binary — use when tables·r·dim is large (see
+    * [[graft.operators.Dedup.hyperplaneSketchCol]] for the size cut). */
+  def hyperplaneSketchesBc(vec: Column,
+                           planes: org.apache.spark.broadcast.Broadcast[Array[Double]],
+                           tables: Int, planesPerTable: Int): Column =
+    column(HyperplaneSketches(expression(vec), Array.emptyDoubleArray,
+      tables, planesPerTable, Some(planes)))
 }

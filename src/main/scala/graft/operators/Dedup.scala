@@ -483,12 +483,36 @@ object Dedup {
     * observable (DedupSpec asserts it tracks duplicate-cluster count, not
     * corpus² — the property that makes the operator usable at 100 TB).
     * Returns (distinct-vector groups, candidate gid pairs). */
+  /** Plane-matrix elements above which the sketch expression carries the
+    * matrix as a BROADCAST instead of an expression-node array: 2¹⁷ doubles
+    * (1 MB serialized). Below it, the literal form avoids a broadcast
+    * round-trip; above it (dim=768 at 16×16 is ~3.1 MB), every task binary
+    * of every stage touching the projection would re-ship the matrix. */
+  private[operators] val BroadcastPlanesThreshold: Int = 1 << 17
+
+  /** Deterministic hyperplane matrix for (seed, dim, tables, r). */
+  private def hyperplaneMatrix(dim: Int, tables: Int, planesPerTable: Int,
+                               seed: Long): Array[Double] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(tables * planesPerTable * dim)(rnd.nextGaussian())
+  }
+
+  /** Sketch column over `vec`, choosing literal vs broadcast plane
+    * transport by matrix size ([[BroadcastPlanesThreshold]]). Same sketches
+    * either way (DedupSpec gates bit-equality). */
+  private[operators] def hyperplaneSketchCol(df: DataFrame, vec: Column,
+      planes: Array[Double], tables: Int, planesPerTable: Int): Column =
+    if (planes.length > BroadcastPlanesThreshold) {
+      val bc = df.sparkSession.sparkContext.broadcast(planes)
+      graft.functions.VectorExprs.hyperplaneSketchesBc(vec, bc, tables, planesPerTable)
+    } else
+      graft.functions.VectorExprs.hyperplaneSketches(vec, planes, tables, planesPerTable)
+
   def embeddingGroupsAndCandidates(df: DataFrame, id: Column, vec: Column,
                                    tables: Int = 16, planesPerTable: Int = 16,
                                    seed: Long = 42): (DataFrame, DataFrame) = {
     val dim = df.select(size(vec)).head().getInt(0)
-    val rnd = new scala.util.Random(seed)
-    val planes = Array.fill(tables * planesPerTable * dim)(rnd.nextGaussian())
+    val planes = hyperplaneMatrix(dim, tables, planesPerTable, seed)
     val docs = df.select(id.cast("long").as("vid"),
       vec.cast("array<double>").as("v"))
     // distinct-vector collapse (the q28 distinct-shingle-set lesson):
@@ -502,8 +526,8 @@ object Dedup {
       .withColumn("gid", array_min(col("ids")))
       .localCheckpoint()
     val buckets = groups.select(col("gid"),
-        posexplode(graft.functions.VectorExprs.hyperplaneSketches(
-          col("v"), planes, tables, planesPerTable)).as(Seq("tbl", "sk")))
+        posexplode(hyperplaneSketchCol(groups, col("v"), planes, tables,
+          planesPerTable)).as(Seq("tbl", "sk")))
     val cand = buckets.select(col("tbl"), col("sk"), col("gid").as("g_a"))
       .join(buckets.select(col("tbl"), col("sk"), col("gid").as("g_b")),
         Seq("tbl", "sk"))
@@ -570,6 +594,83 @@ object Dedup {
     val nearHist = bGroups.join(nearFps, Seq("sh"), "left_semi")
       .select(explode(col("ids")).as("doc_id"), lit(1L).as("near_hist"))
     bFp.select("doc_id")
+      .join(exactHist, Seq("doc_id"), "left")
+      .join(exactBatch, Seq("doc_id"), "left")
+      .join(nearHist, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("exact_hist", "exact_batch", "near_hist"))
+      .withColumn("admitted",
+        when(col("exact_hist") + col("exact_batch") + col("near_hist") === 0L,
+          1L).otherwise(0L))
+  }
+
+  /** Daily-ingest admission for an EMBEDDED corpus — the semantic twin of
+    * [[incrementalAdmit]]: a batch of vectors is admitted against an
+    * already-deduplicated embedded history without ever generating
+    * history×history pairs. Same three gates, vector semantics:
+    *
+    *  - `exact_hist`: bit-identical vector already in history (semi-join on
+    *    the vector over DISTINCT sides — at 100 TB this is the only gate
+    *    that moves vectors, and only the distinct sets);
+    *  - `exact_batch`: an earlier-id doc in the SAME batch has the
+    *    bit-identical vector (min-id per distinct vector is admitted);
+    *  - `near_hist`: exact cosine ≥ `threshold` against ANY history vector,
+    *    candidates from banded multi-table hyperplane LSH applied
+    *    ASYMMETRICALLY — both sides collapse to distinct vectors, history
+    *    never re-expands to ids (its min id serves only as a collision-free
+    *    group key), the bucket join carries (table, sketch, gid) pairs
+    *    only, and every candidate is exact-cosine verified, so false
+    *    candidates never reject a doc. Bit-identical batch×history vectors
+    *    collide in every table and verify at cosine 1.0, mirroring the text
+    *    gate's hamming-0 ⊆ near semantics (zero-vector sentinels score 0.0
+    *    and stay admissible, the [[embeddingNearDupPairs]] guard).
+    *
+    * `admitted = 1` iff all three gates are 0. Per-batch cost is
+    * O(|batch| + candidates); LSH recall (≥0.999/pair at the 16×16
+    * default on near-threshold pairs) is gated by q80's planted fixture. */
+  def embeddingIncrementalAdmit(batch: DataFrame, history: DataFrame,
+                                id: Column, vec: Column,
+                                threshold: Double = 0.95, tables: Int = 16,
+                                planesPerTable: Int = 16,
+                                seed: Long = 42): DataFrame = {
+    val b = batch.select(id.cast("long").as("doc_id"),
+      vec.cast("array<double>").as("v"))
+    // distinct-vector collapse on BOTH sides (the q29 duplicate-cluster
+    // lesson); gid/hgid = min id per group — collision-free group identity
+    val bGroups = b.groupBy("v").agg(collect_list("doc_id").as("ids"))
+      .withColumn("gid", array_min(col("ids")))
+      .localCheckpoint() // feeds exact gates, sketches, AND id re-expansion
+    val hGroups = history
+      .select(id.cast("long").as("hid"), vec.cast("array<double>").as("v"))
+      .groupBy("v").agg(min("hid").as("hgid"))
+      .localCheckpoint() // feeds the exact semi-join, sketches, and verify
+    val exactHist = bGroups.join(hGroups.select("v"), Seq("v"), "left_semi")
+      .select(explode(col("ids")).as("doc_id"), lit(1L).as("exact_hist"))
+    val exactBatch = bGroups
+      .select(col("gid"), explode(col("ids")).as("doc_id"))
+      .filter(col("doc_id") > col("gid"))
+      .select(col("doc_id"), lit(1L).as("exact_batch"))
+    val dim = b.select(size(col("v"))).head().getInt(0)
+    val planes = hyperplaneMatrix(dim, tables, planesPerTable, seed)
+    val bBuckets = bGroups.select(col("gid"),
+      posexplode(hyperplaneSketchCol(bGroups, col("v"), planes, tables,
+        planesPerTable)).as(Seq("tbl", "sk")))
+    val hBuckets = hGroups.select(col("hgid"),
+      posexplode(hyperplaneSketchCol(hGroups, col("v"), planes, tables,
+        planesPerTable)).as(Seq("tbl", "sk")))
+    // candidate (batch group, history group) pairs — ids only in the bucket
+    // join and the distinct; vectors re-attach once per distinct pair
+    val cand = bBuckets.join(hBuckets, Seq("tbl", "sk"))
+      .select("gid", "hgid")
+      .dropDuplicates("gid", "hgid")
+    val nearGids = cand
+      .join(bGroups.select(col("gid"), col("v")), Seq("gid"))
+      .join(hGroups.select(col("hgid"), col("v").as("hv")), Seq("hgid"))
+      .withColumn("__cos", VectorOps.cosine(col("v"), col("hv")))
+      .filter(col("__cos") >= threshold)
+      .select("gid").distinct()
+    val nearHist = bGroups.join(nearGids, Seq("gid"), "left_semi")
+      .select(explode(col("ids")).as("doc_id"), lit(1L).as("near_hist"))
+    b.select("doc_id")
       .join(exactHist, Seq("doc_id"), "left")
       .join(exactBatch, Seq("doc_id"), "left")
       .join(nearHist, Seq("doc_id"), "left")

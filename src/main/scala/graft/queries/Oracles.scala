@@ -1447,6 +1447,16 @@ object Oracles {
            md5(array_to_string(chunk, ' ')) AS chunk_md5
     FROM x ORDER BY doc_id, chunk_id"""
 
+  // Embedding incremental-admission gate (q74/q77 convention): flags are
+  // computed Spark-side against closed-form planted truth; the oracle pins
+  // them — a near-gate recall collapse, a broken bit-exact gate, or an
+  // admission leak turns a flag 0 and reds the row.
+  val q80 = """
+    SELECT CAST(1 AS BIGINT) AS twins_near_pass,
+           CAST(1 AS BIGINT) AS copies_exact_ok,
+           CAST(1 AS BIGINT) AS batch_dup_ok,
+           CAST(0.95 AS DOUBLE) AS threshold"""
+
   /** name → oracle SQL (single-line, driver JSON-escapes anyway). */
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
@@ -1529,6 +1539,7 @@ object Oracles {
     "q76_hash_split" -> q76,
     "q77_semantic_keepers" -> q77,
     "q78_doc_chunks" -> q78,
-    "q79_contamination_fraction" -> q79
+    "q79_contamination_fraction" -> q79,
+    "q80_embedding_incremental_admit" -> q80
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

@@ -1332,6 +1332,58 @@ object Queries {
       lit(threshold).as("threshold"))
   }
 
+  /** Incremental EMBEDDING admission gate — the semantic twin of q65,
+    * closing the daily-ingest story for vector corpora
+    * ([[Dedup.embeddingIncrementalAdmit]]): history = the original
+    * embeddings; the batch plants three deterministic populations against
+    * it — the q74/q77 twins (near-dup vs history, LSH-found), exact copies
+    * of every 7th history vector (bit-identical semi-join gate), and
+    * within-batch duplicates of every other twin (min-id admission gate).
+    * Flags, all computed against closed-form truth:
+    *  - `twins_near_pass`: ≥90% of ELIGIBLE twins ([[plantedTruth]] —
+    *    exact cosine ≥ threshold vs base) get `near_hist = 1` (the q74/q77
+    *    margin convention: per-pair LSH miss ~4e-4 at 16×16 banding);
+    *  - `copies_exact_ok`: EVERY planted history copy gets
+    *    `exact_hist = 1` — deterministic, the semi-join is bit-exact;
+    *  - `batch_dup_ok`: EVERY within-batch duplicate (higher id, same
+    *    vector as its twin) gets `exact_batch = 1` and `admitted = 0` —
+    *    deterministic min-id semantics.
+    * A recall collapse, a broken exact gate, or an admission leak flips a
+    * flag (oracle pins all three). */
+  def q80EmbeddingIncrementalAdmit(s: SparkSession, d: String): DataFrame = {
+    val threshold = 0.95
+    val (corpus, off) = plantedTwinCorpus(s, d)
+    val history = corpus.filter(col("vec_id") < off)
+    val twins = corpus.filter(col("vec_id") >= off)
+    val copies = history.filter(col("vec_id") % 7 === 1)
+      .select((col("vec_id") + lit(3 * off)).as("vec_id"), col("v"))
+    val batchDups = twins.filter((col("vec_id") - off) % 20 === 0)
+      .select((col("vec_id") + lit(3 * off)).as("vec_id"), col("v")) // = 4·off + base
+    val batch = twins.unionByName(copies).unionByName(batchDups)
+    val admit = Dedup.embeddingIncrementalAdmit(batch, history,
+        col("vec_id"), col("v"), threshold = threshold)
+      .localCheckpoint() // feeds the three gate aggregates
+    val eligible = plantedTruth(corpus, off, threshold)
+      .select(col("id_b").as("doc_id"))
+    val t = admit.join(eligible, Seq("doc_id"))
+      .agg(count(lit(1)).as("n"), sum("near_hist").as("near")).head()
+    val c = admit.filter(col("doc_id") >= 3 * off && col("doc_id") < 4 * off)
+      .agg(count(lit(1)).as("n"), sum("exact_hist").as("eh")).head()
+    val dd = admit.filter(col("doc_id") >= 4 * off)
+      .agg(count(lit(1)).as("n"), sum("exact_batch").as("eb"),
+        sum("admitted").as("adm")).head()
+    s.range(1).select(
+      lit(if (t.getLong(0) > 0L &&
+          t.getLong(1).toDouble >= t.getLong(0).toDouble * 0.9) 1L else 0L)
+        .as("twins_near_pass"),
+      lit(if (c.getLong(0) > 0L && c.getLong(1) == c.getLong(0)) 1L else 0L)
+        .as("copies_exact_ok"),
+      lit(if (dd.getLong(0) > 0L && dd.getLong(1) == dd.getLong(0) &&
+          dd.getLong(2) == 0L) 1L else 0L)
+        .as("batch_dup_ok"),
+      lit(threshold).as("threshold"))
+  }
+
   /** Sliding-window document chunking (maxLen 64, stride 32 — 50%
     * overlap): every document split into context-window token pieces,
     * per-chunk md5 digest so the oracle checks CONTENT and position, not

@@ -340,4 +340,62 @@ class DedupSpec extends SparkSpec {
     assert(cl <= 2 * cs + 60,
       s"candidate growth super-linear: $cs -> $cl on 2x corpus")
   }
+
+  test("embeddingIncrementalAdmit gates a vector batch against history") {
+    // history: 4 orthogonal unit vectors; batch plants one of each case
+    val history = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (2L, Seq(0.0, 1.0, 0.0, 0.0)),
+      (3L, Seq(0.0, 0.0, 1.0, 0.0)),
+      (4L, Seq(0.0, 0.0, 0.0, 1.0))).toDF("doc_id", "v")
+    val novel = Seq(1.0, 1.0, 1.0, 1.0) // cosine 0.5 vs every history vector
+    val batch = Seq(
+      (10L, Seq(1.0, 0.05, 0.0, 0.0)), // near-dup of history 1 (cos ≈ 0.999)
+      (11L, Seq(0.0, 1.0, 0.0, 0.0)),  // bit-identical to history 2
+      (12L, novel),                    // first copy of a novel vector
+      (13L, novel),                    // within-batch duplicate of 12
+      (14L, Seq(-1.0, 1.0, -1.0, 1.0)) // genuinely novel
+    ).toDF("doc_id", "v")
+    val got = Dedup.embeddingIncrementalAdmit(batch, history,
+        col("doc_id"), col("v"), threshold = 0.95)
+      .select("doc_id", "exact_hist", "exact_batch", "near_hist", "admitted")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    assert(got(10L) == ((0L, 0L, 1L, 0L)), s"near-dup: ${got(10L)}")
+    // bit-identical vector is also cosine-1.0 near (hamming-0 ⊆ near, the
+    // text-gate convention)
+    assert(got(11L) == ((1L, 0L, 1L, 0L)), s"exact-hist: ${got(11L)}")
+    assert(got(12L) == ((0L, 0L, 0L, 1L)), s"first novel copy: ${got(12L)}")
+    assert(got(13L) == ((0L, 1L, 0L, 0L)), s"batch dup: ${got(13L)}")
+    assert(got(14L) == ((0L, 0L, 0L, 1L)), s"novel: ${got(14L)}")
+  }
+
+  test("hyperplane sketches: broadcast transport is bit-identical to the " +
+       "literal form, and the large-dim dedup path still recalls twins") {
+    val dim = 768 // 16·16·768 = 196,608 > BroadcastPlanesThreshold (2¹⁷)
+    assert(16 * 16 * dim > Dedup.BroadcastPlanesThreshold)
+    val rnd = new scala.util.Random(13)
+    val planes = Array.fill(16 * 16 * dim)(rnd.nextGaussian())
+    val base = Array.fill(dim)(rnd.nextGaussian())
+    val rows = Seq(
+      (0L, base.toSeq),
+      (1L, base.zipWithIndex.map { case (x, i) => x * (1 + 0.1 * ((i % 3) - 1)) }.toSeq)) ++
+      (2 until 10).map(i => (i.toLong, Seq.fill(dim)(rnd.nextGaussian())))
+    val df = rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val lit0 = df.select(col("vec_id"),
+        graft.functions.VectorExprs.hyperplaneSketches(col("v"), planes, 16, 16).as("sk"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val bc = df.select(col("vec_id"),
+        graft.functions.VectorExprs.hyperplaneSketchesBc(col("v"),
+          spark.sparkContext.broadcast(planes), 16, 16).as("sk"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(lit0 == bc, "broadcast sketches diverged from literal sketches")
+    // end-to-end: the operator auto-selects the broadcast path at this dim
+    // and the planted twin still surfaces
+    val pairs = Dedup.embeddingNearDupPairs(df, col("vec_id"), col("v"),
+        threshold = 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)), s"missing twin via broadcast path: $pairs")
+  }
 }
