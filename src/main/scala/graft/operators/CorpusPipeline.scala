@@ -30,42 +30,42 @@ object CorpusPipeline {
   def curate(docs: DataFrame, id: Column, text: Column,
              benchmark: Option[DataFrame] = None,
              maxTopWordFrac: Double = 0.5,
-             minhashThreshold: Double = 0.5): DataFrame = {
+             minhashThreshold: Double = 0.5,
+             policy: CheckpointPolicy = CheckpointPolicy.Local): DataFrame = {
     val keyed = docs.withColumn("__cid", id.cast("long"))
 
     // Each stage's frame feeds ≥2 consumers (its own gate computation AND
     // the next stage's join left side); without pins every consumer
     // replays the whole upstream chain from the scan (q66: 7.7 → 4.9 s at
     // sf0.1). At 100 TB these pins are where a production pipeline writes
-    // its stage tables.
+    // its stage tables — CheckpointPolicy.Reliable makes them survive
+    // executor loss on a real cluster.
     // 1: single-pass rule flags
     val ruleIds = QualityRules.gopherFlags(keyed, col("__cid"), text)
       .filter(col("pass") === 1L).select(col("doc_id").as("__cid"))
-    val afterRules = keyed.join(ruleIds, Seq("__cid"), "left_semi")
-      .localCheckpoint()
+    val afterRules = policy.pin(keyed.join(ruleIds, Seq("__cid"), "left_semi"))
 
     // 2: repetition cap (aggregating stage, runs on the rule-gated subset)
     val repIds = QualityRules.repetitionStats(afterRules, col("__cid"), text)
       .filter(col("top_word_frac") <= maxTopWordFrac)
       .select(col("doc_id").as("__cid"))
-    val afterRep = afterRules.join(repIds, Seq("__cid"), "left_semi")
-      .localCheckpoint()
+    val afterRep = policy.pin(afterRules.join(repIds, Seq("__cid"), "left_semi"))
 
     // 3: exact-content keepers
     val exactIds = Dedup.exactByContent(afterRep, col("__cid"), text)
       .select(col("keep_id").as("__cid"))
-    val afterExact = afterRep.join(exactIds, Seq("__cid"), "left_semi")
-      .localCheckpoint() // feeds pair gen, cluster ids, AND the next join
+    // feeds pair gen, cluster ids, AND the next join
+    val afterExact = policy.pin(afterRep.join(exactIds, Seq("__cid"), "left_semi"))
 
     // 4: near-dup cluster keepers
     val pairs = Dedup.minhashDedupPairs(afterExact, col("__cid"), text,
-      threshold = minhashThreshold)
+      threshold = minhashThreshold, policy = policy)
     val keeperIds = Dedup.clusters(pairs,
-        afterExact.select(col("__cid").as("doc_id")))
+        afterExact.select(col("__cid").as("doc_id")), policy = policy)
       .filter(col("doc_id") === col("cluster_id"))
       .select(col("doc_id").as("__cid"))
-    val afterNear = afterExact.join(keeperIds, Seq("__cid"), "left_semi")
-      .localCheckpoint() // feeds the contamination scan AND the anti-join
+    // feeds the contamination scan AND the anti-join
+    val afterNear = policy.pin(afterExact.join(keeperIds, Seq("__cid"), "left_semi"))
 
     // 5: benchmark decontamination (anti-join on shared shingles)
     val curated = benchmark match {
@@ -106,8 +106,9 @@ object CorpusPipeline {
                    sourceWeights: Map[String, Double], defaultWeight: Double,
                    source: Column, tokenBudget: Long,
                    benchmark: Option[DataFrame] = None,
-                   salt: String = "mix"): DataFrame = {
-    val curated = curate(docs, id, text, benchmark)
+                   salt: String = "mix",
+                   policy: CheckpointPolicy = CheckpointPolicy.Local): DataFrame = {
+    val curated = curate(docs, id, text, benchmark, policy = policy)
     val w = Mixture.weightFor(source, sourceWeights, defaultWeight)
     val mixed = Mixture.epochs(curated, id, w, salt)
     Packing.concatAndCut(mixed, order = Seq(col("epoch"), id),

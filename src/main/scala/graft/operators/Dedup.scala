@@ -47,7 +47,8 @@ object Dedup {
     */
   def minhashDedupPairs(df: DataFrame, id: Column, text: Column,
                         shingleSize: Int = 3, numHashes: Int = 64,
-                        bands: Int = 16, threshold: Double = 0.7): DataFrame = {
+                        bands: Int = 16, threshold: Double = 0.7,
+                        policy: CheckpointPolicy = CheckpointPolicy.Local): DataFrame = {
     val rowsPerBand = numHashes / bands
     // Shingle sets + signatures are consumed by three plan branches (bucket
     // explode, A-side verify, B-side verify); materialize them ONCE.
@@ -75,14 +76,13 @@ object Dedup {
     // expand from the per-set id lists at the end (output-sized work).
     // gid = structural hash of the set (collision odds ~ groups²/2⁶⁵ —
     // far below the LSH pipeline's own false-negative rate).
-    val groups = docs.groupBy("sh").agg(collect_list("doc_id").as("ids"))
-      .withColumn("gid", xxhash64(col("sh")))
-      .localCheckpoint()
+    val groups = policy.pin(
+      docs.groupBy("sh").agg(collect_list("doc_id").as("ids"))
+        .withColumn("gid", xxhash64(col("sh"))))
     // signatures materialized too: the banding lambda would otherwise
     // inline (and re-evaluate) the 64-hash signature once per band
-    val sigs = groups.select(col("gid"),
-        minhashSignature(col("sh"), numHashes).as("sig"))
-      .localCheckpoint()
+    val sigs = policy.pin(groups.select(col("gid"),
+      minhashSignature(col("sh"), numHashes).as("sig")))
     // candidate pair gids only — shingle arrays stay OUT of the bucket join
     // and the pair-dedup shuffle; they re-attach once per distinct pair
     val buckets = sigs
@@ -360,22 +360,24 @@ object Dedup {
     * in `ids`, cluster_id = min doc id of the component (singletons map to
     * themselves) — the canonical keeper, so the deduplicated corpus is
     * `filter(doc_id === cluster_id)`. */
-  def clusters(pairs: DataFrame, ids: DataFrame, maxIters: Int = 64): DataFrame =
-    clustersWithRounds(pairs, ids, maxIters)._1
+  def clusters(pairs: DataFrame, ids: DataFrame, maxIters: Int = 64,
+               policy: CheckpointPolicy = CheckpointPolicy.Local): DataFrame =
+    clustersWithRounds(pairs, ids, maxIters, policy)._1
 
   /** [[clusters]] plus the number of rounds it ran — the rounds count lets
     * tests assert the per-round job budget (TWO jobs per round: the
     * propagate checkpoint and the jump checkpoint; the convergence test is
     * an accumulator filled INSIDE the jump job, not a third action). */
   def clustersWithRounds(pairs: DataFrame, ids: DataFrame,
-                         maxIters: Int = 64): (DataFrame, Int) = {
+                         maxIters: Int = 64,
+                         policy: CheckpointPolicy = CheckpointPolicy.Local): (DataFrame, Int) = {
     val spark = pairs.sparkSession
     import spark.implicits._
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint()
-    var labels = ids.select(col("doc_id").cast("long").as("doc_id"))
-      .withColumn("cluster_id", col("doc_id")).localCheckpoint()
+    val edges = policy.pin(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
+    var labels = policy.pin(ids.select(col("doc_id").cast("long").as("doc_id"))
+      .withColumn("cluster_id", col("doc_id")))
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
@@ -383,13 +385,12 @@ object Dedup {
         .join(labels.select(col("doc_id").as("dst"), col("cluster_id")), Seq("dst"))
         .groupBy(col("src").as("doc_id"))
         .agg(min("cluster_id").as("__nbr"))
-      val propagated = labels.join(nbrMin, Seq("doc_id"), "left")
+      // feeds BOTH sides of the pointer-jump self-join below — without a
+      // checkpoint the edges-join + min aggregate would run twice a round
+      val propagated = policy.pin(labels.join(nbrMin, Seq("doc_id"), "left")
         .select(col("doc_id"), col("cluster_id").as("__old"),
           least(col("cluster_id"), coalesce(col("__nbr"), col("cluster_id")))
-            .as("cluster_id"))
-        // feeds BOTH sides of the pointer-jump self-join below — without a
-        // checkpoint the edges-join + min aggregate would run twice a round
-        .localCheckpoint()
+            .as("cluster_id")))
       // pointer jump: cluster_id is itself a doc_id, so shortcut to its label
       val jumped = propagated.alias("l")
         .join(propagated.select(col("doc_id").as("cluster_id"),
@@ -403,12 +404,12 @@ object Dedup {
       // a truly-unchanged round adds 0 from any retry — so `value == 0` is
       // retry-stable, which is all the loop test needs.
       val changed = spark.sparkContext.longAccumulator(s"clusters_changed_$it")
-      val updated = jumped.as[(Long, Long, Long)].mapPartitions { rows =>
+      val updated = policy.pin(jumped.as[(Long, Long, Long)].mapPartitions { rows =>
         rows.map { case (docId, old, cid) =>
           if (cid != old) changed.add(1L)
           (docId, cid)
         }
-      }.toDF("doc_id", "cluster_id").localCheckpoint()
+      }.toDF("doc_id", "cluster_id"))
       converged = changed.value == 0
       labels = updated
       it += 1

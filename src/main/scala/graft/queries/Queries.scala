@@ -693,9 +693,14 @@ object Queries {
     * over the same (proven-equal) pair set. */
   def q44DedupClusters(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
+    // spark.graft.checkpoint.dir set → every lineage pin in the pair-gen +
+    // clustering loop goes to reliable storage (executor-loss-safe); the
+    // default stays localCheckpoint. CheckpointPolicySpec gates parity.
+    val policy = CheckpointPolicy.fromSession(s)
     val pairs = Dedup.minhashDedupPairs(docs, col("doc_id"), col("text"),
-      shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)
-    Dedup.clusters(pairs, docs.select("doc_id"))
+      shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5,
+      policy = policy)
+    Dedup.clusters(pairs, docs.select("doc_id"), policy = policy)
       .orderBy("doc_id")
   }
 
@@ -1103,7 +1108,8 @@ object Queries {
         docs.filter(col("doc_id") >= 10), col("doc_id"), col("text"),
         sourceWeights = Map("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.4),
         defaultWeight = 0.15, source = col("source"), tokenBudget = 512L,
-        benchmark = Some(docs.filter(col("doc_id") < 10)))
+        benchmark = Some(docs.filter(col("doc_id") < 10)),
+        policy = CheckpointPolicy.fromSession(s))
       .select(col("doc_id"), col("epoch"), col("n_tok"), col("first_bin"),
         col("last_bin"), col("bin_off"))
       .orderBy("doc_id", "epoch")
