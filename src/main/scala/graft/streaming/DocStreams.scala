@@ -28,6 +28,9 @@ case class AdmittedDoc(doc_id: Long, fp: Long, admitted: Long, first_id: Long)
   *    `incrementalAdmit` against an accumulating history table and appends
   *    its admitted docs — exactly how a daily/continuous ingest composes
   *    the proven batch operator.
+  *  - [[foreachBatchAdmitEmbeddings]]: the same loop over an EMBEDDED
+  *    corpus ([[graft.operators.Dedup.embeddingIncrementalAdmit]], q80) —
+  *    continuous semantic dedup.
   */
 object DocStreams {
 
@@ -35,9 +38,23 @@ object DocStreams {
   val docsSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType), StructField("text", StringType)))
 
+  /** Streaming embedded-docs schema — the semantic-ingest twin. */
+  val embeddingsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("embedding",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType))))
+
   def readDocs(spark: SparkSession, dir: String,
                maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val reader = spark.readStream.schema(docsSchema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(dir)
+  }
+
+  def readEmbeddings(spark: SparkSession, dir: String,
+                     maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream.schema(embeddingsSchema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     reader.parquet(dir)
   }
@@ -93,15 +110,12 @@ object DocStreams {
         // identical verdicts; (b) both outputs land in batch_id partitions
         // under DYNAMIC partition overwrite, so a retry REPLACES its own
         // partition instead of appending duplicates.
-        val history = loadHistory(spark, historyDir, excludeBatchId = batchId)
+        val history = loadHistory(spark, historyDir, excludeBatchId = batchId,
+          payload = "text", docsSchema)
         val flags = Dedup.incrementalAdmit(b, history, col("doc_id"), col("text"),
           maxHamming = maxHamming)
           .withColumn("batch_id", lit(batchId))
           .localCheckpoint() // pin BEFORE history mutates beneath the plan
-        def writePartition(df: DataFrame, dir: String): Unit =
-          df.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id").parquet(dir)
         writePartition(flags, admitDir)
         writePartition(
           b.join(flags.filter(col("admitted") === 1L).select("doc_id"), Seq("doc_id"))
@@ -112,18 +126,63 @@ object DocStreams {
     writer.start()
   }
 
+  /** The SEMANTIC continuous-ingest loop — [[foreachBatchAdmit]]'s twin
+    * over an embedded corpus: per micro-batch, run the full batch
+    * [[Dedup.embeddingIncrementalAdmit]] (bit-identical-vs-history /
+    * min-id-within-batch / LSH-candidate + exact-cosine near gates)
+    * against the history accumulated at `historyDir`, write verdicts to
+    * `admitDir`, append admitted vectors to history. Same at-least-once
+    * idempotence device as the text loop (same-batch_id history exclusion
+    * + dynamic partition overwrite), same O(batch + candidates) per-batch
+    * cost — history stays collapsed to distinct vectors inside the
+    * operator and never pairs with itself. */
+  def foreachBatchAdmitEmbeddings(docs: DataFrame, historyDir: String,
+                                  admitDir: String, threshold: Double = 0.95,
+                                  tables: Int = 16, planesPerTable: Int = 16,
+                                  checkpointDir: Option[String] = None): StreamingQuery = {
+    val writer = docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.select(col("doc_id").cast("long").as("doc_id"),
+            col("embedding").cast("array<double>").as("embedding"))
+          .localCheckpoint()
+        // empty micro-batches (trigger with no new files) have no dim to
+        // infer and nothing to admit — emit nothing, mutate nothing
+        if (!b.isEmpty) {
+          val history = loadHistory(spark, historyDir, excludeBatchId = batchId,
+            payload = "embedding", embeddingsSchema)
+          val flags = Dedup.embeddingIncrementalAdmit(b, history,
+              col("doc_id"), col("embedding"), threshold = threshold,
+              tables = tables, planesPerTable = planesPerTable)
+            .withColumn("batch_id", lit(batchId))
+            .localCheckpoint() // pin BEFORE history mutates beneath the plan
+          writePartition(flags, admitDir)
+          writePartition(
+            b.join(flags.filter(col("admitted") === 1L).select("doc_id"), Seq("doc_id"))
+              .withColumn("batch_id", lit(batchId)), historyDir)
+        }
+        ()
+      }
+    checkpointDir.foreach(d => writer.option("checkpointLocation", d))
+    writer.start()
+  }
+
+  private def writePartition(df: DataFrame, dir: String): Unit =
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(dir)
+
   private def loadHistory(spark: SparkSession, dir: String,
-                          excludeBatchId: Long): DataFrame = {
+                          excludeBatchId: Long, payload: String,
+                          emptySchema: StructType): DataFrame = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(path) && fs.listStatus(path)
         .exists(_.getPath.getName.startsWith("batch_id=")))
       spark.read.parquet(dir)
         .filter(col("batch_id").cast("long") =!= excludeBatchId)
-        .select("doc_id", "text")
+        .select("doc_id", payload)
     else
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
-        StructType(Seq(StructField("doc_id", LongType),
-          StructField("text", StringType))))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], emptySchema)
   }
 }

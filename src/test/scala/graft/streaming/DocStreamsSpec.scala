@@ -101,4 +101,86 @@ class DocStreamsSpec extends SparkSpec {
     // the planted batch exercises both dup-rejection paths
     assert(got.filter(col("admitted") === 0).count() >= 270)
   }
+
+  /** Mod-time-ordered parquet files, one per micro-batch (the stageBatches
+    * device generalized to any frame sequence). */
+  private def stageFiles(dfs: Seq[DataFrame], prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    val now = System.currentTimeMillis()
+    dfs.zipWithIndex.foreach { case (df, i) =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"$prefix-part")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      val dest = dir.resolve(s"$i.parquet")
+      java.nio.file.Files.copy(part, dest)
+      dest.toFile.setLastModified(now - (dfs.size - 1 - i) * 60000)
+      ()
+    }
+    dir.toString
+  }
+
+  test("foreachBatchAdmitEmbeddings: streaming semantic loop equals the " +
+       "sequential batch replay (planted twins, copies, in-batch dups)") {
+    val e = Tables.embeddings(spark, sf001)
+      .select(col("vec_id").cast("long").as("doc_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+    val half1 = e.filter(col("doc_id") < 250)
+    val half2 = e.filter(col("doc_id") >= 250)
+    // planted third batch: multiplicative near-dup twins of every 10th
+    // half-1 vector (the q74/q77 distortion — cosine ≈ 0.98 vs base),
+    // bit-exact copies of every 7th, and a within-batch duplicate of every
+    // other twin
+    val twins = half1.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 10000).as("doc_id"),
+        transform(col("embedding"), (x, i) =>
+          x * (lit(1.0) + lit(0.2) * ((i % 3) - 1).cast("double"))).as("embedding"))
+    val copies = half1.filter(col("doc_id") % 7 === 1)
+      .select((col("doc_id") + 20000).as("doc_id"), col("embedding"))
+    val batchDups = twins.filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + 30000).as("doc_id"), col("embedding"))
+    val batch3 = twins.unionByName(copies).unionByName(batchDups)
+      .localCheckpoint()
+    val halves = Seq(half1, half2, batch3)
+    val dir = stageFiles(halves, "graft-stream-emb")
+    val histDir = java.nio.file.Files.createTempDirectory("graft-ehist").toString
+    val admitDir = java.nio.file.Files.createTempDirectory("graft-eadmit").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-eck").toString
+    val q = DocStreams.foreachBatchAdmitEmbeddings(
+      DocStreams.readEmbeddings(spark, dir, maxFilesPerTrigger = Some(1)),
+      histDir, admitDir, threshold = 0.95, checkpointDir = Some(ckDir))
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.read.parquet(admitDir)
+      .select("doc_id", "exact_hist", "exact_batch", "near_hist", "admitted")
+
+    // sequential batch replay of the same three ingests
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], half1.schema)
+    val (expect, _) = halves.foldLeft(
+        (Option.empty[DataFrame], empty.localCheckpoint())) {
+      case ((acc, hist), b) =>
+        val flags = Dedup.embeddingIncrementalAdmit(b, hist,
+            col("doc_id"), col("embedding"), threshold = 0.95)
+          .localCheckpoint()
+        val admitted = b.join(flags.filter(col("admitted") === 1L)
+          .select("doc_id"), Seq("doc_id"))
+        (Some(acc.fold(flags)(_ unionByName flags)),
+          hist.unionByName(admitted).localCheckpoint())
+    }
+    val exp = expect.get
+      .select("doc_id", "exact_hist", "exact_batch", "near_hist", "admitted")
+
+    assert(got.count() == halves.map(_.count()).sum,
+      "every arriving vector must emit one verdict")
+    assert(got.exceptAll(exp).count() == 0, "stream/batch semantic gate mismatch")
+    assert(exp.exceptAll(got).count() == 0)
+    // history holds exactly the admitted vectors
+    assert(spark.read.parquet(histDir).count() ==
+      exp.filter(col("admitted") === 1L).count())
+    // the planted batch exercises every rejection path
+    assert(got.filter(col("near_hist") === 1L).count() > 0, "no near rejections")
+    assert(got.filter(col("exact_hist") === 1L).count() > 0, "no exact-hist rejections")
+    assert(got.filter(col("exact_batch") === 1L).count() > 0, "no in-batch rejections")
+  }
 }
