@@ -42,7 +42,10 @@ object Multimodal {
   }
 
   /** Deterministic stand-in decoder: a cheap byte-histogram "embedding".
-    * Stable across runs/executors — usable in tests and benchmarks. */
+    * Stable across runs/executors — usable in tests and benchmarks.
+    * Retirement path: a codec-pack jar implementing [[DecoderProvider]]
+    * (ServiceLoader-discovered, [[DecoderProviders.routing]]) replaces this
+    * per kind with a real compressed-sample decoder — no engine changes. */
   class StubDecoder(val featureDim: Int = 16) extends Decoder {
     def decode(kind: String, payload: Array[Byte]): Array[Float] = {
       val f = new Array[Float](featureDim)

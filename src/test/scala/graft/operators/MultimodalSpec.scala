@@ -418,4 +418,29 @@ class MultimodalSpec extends SparkSpec {
     assert((small(off) & 0xFF) == 0)
     assert((small(off + 15) & 0xFF) > 220)
   }
+
+  test("DecoderProvider SPI: a codec-pack provider is discovered and routed " +
+       "without engine changes") {
+    import spark.implicits._
+    // the test classpath registers FakeMp3SampleProvider via
+    // META-INF/services — exactly how an external codec-pack jar plugs in
+    assert(DecoderProviders.discovered.contains("mp3-sample"),
+      s"provider not discovered: ${DecoderProviders.discovered.keySet}")
+    val routing = DecoderProviders.routing(
+      Map("audio" -> new Multimodal.WavPcmDecoder),
+      fallback = new Multimodal.StubDecoder(4))
+    // pack kind → pack decoder (recognizable vector, zero-padded to the
+    // routing table's max width)
+    val media = Seq(
+      MediaRow(1L, "mp3-sample", Array[Byte](9, 9, 9, 9, 9), 0, 0, 16000),
+      MediaRow(2L, "unknown", Array[Byte](1, 2), 0, 0, 0)).toDS()
+    val got = Multimodal.decodeFeatures(media, routing)
+      .collect().map(f => f.media_id -> f.features.toSeq).toMap
+    assert(got(1L) == Seq(42.0f, 5.0f, 10.0f, 0.0f),
+      s"pack decode wrong: ${got(1L)}")
+    // unrouted kinds still hit the fallback (stub histogram, dim 4)
+    assert(got(2L).size == 4 && got(2L).sum > 0)
+    // discovery is cached: same map instance on re-access (once per JVM)
+    assert(DecoderProviders.discovered eq DecoderProviders.discovered)
+  }
 }
