@@ -587,18 +587,72 @@ object Multimodal {
       128, 144, 160)
     private val srV1 = Array(44100, 48000, 32000)
 
-    /** (n_frames, Σkbps, Σframe_bytes, Σsamples, sample_rate). Exact
-      * integers — the q58 oracle replays the per-frame length arithmetic
-      * from the raw table. */
-    def walk(payload: Array[Byte]): (Long, Long, Long, Long, Int) = {
-      var off = 0L
-      // ID3v2: "ID3" ver(2) flags(1) syncsafe-size(4); footer flag adds 10
+    /** Offset of the first byte past an ID3v2 prefix (0 if none).
+      * ID3v2: "ID3" ver(2) flags(1) syncsafe-size(4); footer flag adds 10. */
+    private def id3End(payload: Array[Byte]): Long =
       if (payload.length >= 10 && payload(0) == 'I' && payload(1) == 'D' &&
           payload(2) == '3') {
         val size = ((payload(6) & 0x7FL) << 21) | ((payload(7) & 0x7FL) << 14) |
           ((payload(8) & 0x7FL) << 7) | (payload(9) & 0x7FL)
-        off = 10L + size + (if ((payload(5) & 0x10) != 0) 10L else 0L)
+        10L + size + (if ((payload(5) & 0x10) != 0) 10L else 0L)
+      } else 0L
+
+    private def u32be(b: Array[Byte], o: Int): Long =
+      ((b(o) & 0xFFL) << 24) | ((b(o + 1) & 0xFFL) << 16) |
+        ((b(o + 2) & 0xFFL) << 8) | (b(o + 3) & 0xFFL)
+    private def tag4(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    /** O(1) VBR duration: (frame count, audio byte total) from a Xing/Info
+      * or VBRI header in the FIRST frame, without walking the stream — the
+      * triage path when an encoder wrote a TOC (every mainstream VBR
+      * encoder does). Layouts are public: Xing/Info sits right after the
+      * first frame's side info (MPEG1: 17 bytes mono / 32 otherwise;
+      * MPEG2/2.5: 9 / 17), `flags(u32) [frames u32 if flags&1] [bytes u32
+      * if flags&2]`; VBRI sits at a FIXED 32 bytes past the header,
+      * `version(2) delay(2) quality(2) bytes(u32) frames(u32)`. Counts
+      * exclude the TOC frame itself (the encoder convention — it carries
+      * no audio). None when the stream has no TOC (CBR without Info, or
+      * not an MP3 frame at all): fall back to [[walk]]. */
+    def vbrInfo(payload: Array[Byte]): Option[(Long, Long)] = {
+      val start = id3End(payload)
+      if (start + 4 > payload.length) return None
+      val o = start.toInt
+      val b1 = payload(o) & 0xFF; val b2 = payload(o + 1) & 0xFF
+      val b3p = payload(o + 3) & 0xFF
+      if (b1 != 0xFF || (b2 & 0xE0) != 0xE0) return None
+      val version = (b2 >> 3) & 3
+      if (version == 1) return None
+      val mono = ((b3p >> 6) & 3) == 3
+      val sideInfo =
+        if (version == 3) { if (mono) 17 else 32 }
+        else { if (mono) 9 else 17 }
+      val xingOff = o + 4 + sideInfo
+      if (xingOff + 8 <= payload.length &&
+          (tag4(payload, xingOff) == "Xing" || tag4(payload, xingOff) == "Info")) {
+        val flags = u32be(payload, xingOff + 4)
+        var p = xingOff + 8
+        var frames = -1L; var bytes = -1L
+        if ((flags & 1L) != 0 && p + 4 <= payload.length) {
+          frames = u32be(payload, p); p += 4
+        }
+        if ((flags & 2L) != 0 && p + 4 <= payload.length) bytes = u32be(payload, p)
+        if (frames >= 0 && bytes >= 0) return Some((frames, bytes))
       }
+      val vbriOff = o + 4 + 32
+      if (vbriOff + 18 <= payload.length && tag4(payload, vbriOff) == "VBRI") {
+        val bytes = u32be(payload, vbriOff + 10)
+        val frames = u32be(payload, vbriOff + 14)
+        return Some((frames, bytes))
+      }
+      None
+    }
+
+    /** (n_frames, Σkbps, Σframe_bytes, Σsamples, sample_rate). Exact
+      * integers — the q58 oracle replays the per-frame length arithmetic
+      * from the raw table. */
+    def walk(payload: Array[Byte]): (Long, Long, Long, Long, Int) = {
+      var off = id3End(payload)
       var frames = 0L; var sumKbps = 0L; var sumBytes = 0L; var sumSamples = 0L
       var sampleRate = 0
       var done = false
@@ -651,16 +705,38 @@ object Multimodal {
     * sample data, so structural validity (headers + exact frame lengths)
     * is what's under test, mirroring how a real pipeline triages media
     * before paying for decode. */
-  def encodeMp3Frames(frames: Array[(Int, Int)]): Array[Byte] = {
+  def encodeMp3Frames(frames: Array[(Int, Int)],
+                      xingHeader: Boolean = false): Array[Byte] = {
     val id3 = Array[Byte]('I', 'D', '3', 4, 0, 0, 0, 0, 0, 12,
       'T', 'X', 'X', 'X', 0, 0, 0, 2, 0, 0, 0, 'g') // 10 hdr + 12 body
     val lens = frames.map { case (bi, pad) =>
       require(bi >= 1 && bi <= 14 && (pad == 0 || pad == 1), "bad frame spec")
       (144000L * Mp3KbpsV1(bi) / 44100 + pad).toInt
     }
-    val out = new Array[Byte](id3.length + lens.sum)
+    // optional leading Xing TOC frame (bi=9/128kbps, mono → side info 17):
+    // a REAL frame whose body carries "Xing" + flags + frame/byte counts of
+    // the AUDIO frames (the encoder convention: the TOC frame itself is
+    // excluded) — the O(1)-duration half of the q58 gate
+    val xingLen = if (xingHeader) (144000L * Mp3KbpsV1(9) / 44100).toInt else 0
+    val out = new Array[Byte](id3.length + xingLen + lens.sum)
     System.arraycopy(id3, 0, out, 0, id3.length)
     var off = id3.length
+    if (xingHeader) {
+      out(off) = 0xFF.toByte
+      out(off + 1) = 0xFB.toByte // sync|MPEG1|LayerIII|no-CRC
+      out(off + 2) = (9 << 4).toByte // bi=9, no padding, sr index 0
+      out(off + 3) = 0xC0.toByte // single channel → side info 17 bytes
+      val x = off + 4 + 17
+      out(x) = 'X'; out(x + 1) = 'i'; out(x + 2) = 'n'; out(x + 3) = 'g'
+      def putU32(o: Int, v: Long): Unit = {
+        out(o) = (v >> 24).toByte; out(o + 1) = (v >> 16).toByte
+        out(o + 2) = (v >> 8).toByte; out(o + 3) = v.toByte
+      }
+      putU32(x + 4, 0x3L) // flags: frames + bytes present
+      putU32(x + 8, frames.length.toLong)
+      putU32(x + 12, lens.map(_.toLong).sum)
+      off += xingLen
+    }
     var i = 0
     while (i < frames.length) {
       val (bi, pad) = frames(i)
@@ -689,8 +765,17 @@ object Multimodal {
   class Mp4BoxDecoder extends Decoder {
     val featureDim = 4
 
+    /** Movie metadata plus per-track sample-table stats when the trak
+      * carries mdhd/stts/stsz (empty/zero entries otherwise): media
+      * timescale, sample (frame) count, total duration in media units, and
+      * total sample bytes — enough for per-track frame rates and bitrates
+      * WITHOUT touching sample data. */
     case class Mp4Meta(timescale: Long, duration: Long, nTracks: Int,
-                       videoW: Long, videoH: Long, codecs: Seq[String])
+                       videoW: Long, videoH: Long, codecs: Seq[String],
+                       trackTimescales: Seq[Long] = Nil,
+                       trackSamples: Seq[Long] = Nil,
+                       trackDurUnits: Seq[Long] = Nil,
+                       trackBytes: Seq[Long] = Nil)
 
     private def u32(b: Array[Byte], o: Int): Long =
       ((b(o) & 0xFFL) << 24) | ((b(o + 1) & 0xFFL) << 16) |
@@ -706,6 +791,12 @@ object Multimodal {
       var timescale = 0L; var duration = -1L; var nTracks = 0
       var videoW = 0L; var videoH = 0L
       val codecs = scala.collection.mutable.ArrayBuffer.empty[String]
+      // per-track sample-table accumulators, indexed by trak order (boxes
+      // walk depth-first, so "current track" = the last trak entered)
+      val tkTimescale = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val tkSamples = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val tkDur = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val tkBytes = scala.collection.mutable.ArrayBuffer.empty[Long]
 
       def boxes(start: Long, end: Long): Unit = {
         var off = start
@@ -725,8 +816,51 @@ object Multimodal {
           val bodyEnd = off + size
           tpe match {
             case t if containers(t) =>
-              if (t == "trak") nTracks += 1
+              if (t == "trak") {
+                nTracks += 1
+                tkTimescale += 0L; tkSamples += 0L; tkDur += 0L; tkBytes += 0L
+              }
               boxes(bodyOff, bodyEnd)
+            case "mdhd" if nTracks > 0 =>
+              val b = bodyOff.toInt
+              require(bodyEnd - bodyOff >= 1, "truncated mdhd")
+              val v = payload(b) & 0xFF
+              require(bodyEnd - bodyOff >= (if (v == 1) 24 else 16),
+                "mdhd box too small for its version")
+              tkTimescale(nTracks - 1) =
+                if (v == 1) u32(payload, b + 20) else u32(payload, b + 12)
+            case "stts" if nTracks > 0 =>
+              val b = bodyOff.toInt
+              require(bodyEnd - bodyOff >= 8, "stts box too small")
+              val entries = u32(payload, b + 4)
+              var eo = b + 8
+              var i = 0L
+              var n = 0L; var dur = 0L
+              while (i < entries) {
+                require(eo + 8 <= bodyEnd, "truncated stts entry")
+                val cnt = u32(payload, eo); val delta = u32(payload, eo + 4)
+                n += cnt; dur += cnt * delta
+                eo += 8; i += 1
+              }
+              tkSamples(nTracks - 1) = n
+              tkDur(nTracks - 1) = dur
+            case "stsz" if nTracks > 0 =>
+              val b = bodyOff.toInt
+              require(bodyEnd - bodyOff >= 12, "stsz box too small")
+              val uniform = u32(payload, b + 4)
+              val cnt = u32(payload, b + 8)
+              if (uniform != 0) tkBytes(nTracks - 1) = uniform * cnt
+              else {
+                var eo = b + 12
+                var i = 0L
+                var total = 0L
+                while (i < cnt) {
+                  require(eo + 4 <= bodyEnd, "truncated stsz entry")
+                  total += u32(payload, eo)
+                  eo += 4; i += 1
+                }
+                tkBytes(nTracks - 1) = total
+              }
             case "mvhd" =>
               val b = bodyOff.toInt
               require(bodyEnd - bodyOff >= 1, "truncated mvhd")
@@ -767,7 +901,8 @@ object Multimodal {
       }
       boxes(0L, payload.length.toLong)
       require(timescale > 0 && duration >= 0, "missing moov/mvhd")
-      Mp4Meta(timescale, duration, nTracks, videoW, videoH, codecs.toSeq)
+      Mp4Meta(timescale, duration, nTracks, videoW, videoH, codecs.toSeq,
+        tkTimescale.toSeq, tkSamples.toSeq, tkDur.toSeq, tkBytes.toSeq)
     }
 
     def decode(kind: String, payload: Array[Byte]): Array[Float] = {
@@ -783,8 +918,13 @@ object Multimodal {
     * (width, height, fourcc); width/height land in `tkhd` as 16.16 fixed
     * point. The box walker never reads sample data (there is none), so
     * structural validity of the box tree is what's under test. */
+  /** `sampleTables(i)` (optional per track) = (media timescale, sample
+    * delta, sample count, uniform sample size): emits mdhd + single-entry
+    * stts + uniform stsz in that trak — the synthesis half of the q59
+    * per-track rate gate. */
   def encodeMp4Meta(timescale: Long, duration: Long,
-                    tracks: Seq[(Int, Int, String)]): Array[Byte] = {
+                    tracks: Seq[(Int, Int, String)],
+                    sampleTables: Seq[(Long, Long, Long, Long)] = Nil): Array[Byte] = {
     // version-0 boxes store these as u32 — reject instead of silently
     // wrapping in .toInt below
     require(timescale > 0 && timescale <= 0xFFFFFFFFL, s"timescale $timescale not u32")
@@ -836,7 +976,34 @@ object Multimodal {
         bb.put(entry)
         box("stsd", bb.array())
       }
-      box("trak", tk ++ box("mdia", box("minf", box("stbl", stsd))))
+      val table = sampleTables.lift(i)
+      val mdhd = table.map { case (mdTs, delta, n, _) =>
+        require(mdTs > 0 && mdTs <= 0xFFFFFFFFL, s"media timescale $mdTs not u32")
+        val bb = java.nio.ByteBuffer.allocate(24) // version-0 mdhd
+        bb.putInt(0) // version + flags
+        bb.putInt(0); bb.putInt(0) // creation/modification
+        bb.putInt(mdTs.toInt)
+        bb.putInt((n * delta).toInt) // media duration
+        bb.putShort(0x55C4.toShort); bb.putShort(0) // language "und", pre_defined
+        box("mdhd", bb.array())
+      }.getOrElse(Array.emptyByteArray)
+      val sampleBoxes = table.map { case (_, delta, n, size) =>
+        val stts = {
+          val bb = java.nio.ByteBuffer.allocate(16)
+          bb.putInt(0); bb.putInt(1) // version/flags, entry_count
+          bb.putInt(n.toInt); bb.putInt(delta.toInt)
+          box("stts", bb.array())
+        }
+        val stsz = {
+          val bb = java.nio.ByteBuffer.allocate(12)
+          bb.putInt(0); bb.putInt(size.toInt) // uniform sample size
+          bb.putInt(n.toInt)
+          box("stsz", bb.array())
+        }
+        stts ++ stsz
+      }.getOrElse(Array.emptyByteArray)
+      box("trak", tk ++
+        box("mdia", mdhd ++ box("minf", box("stbl", stsd ++ sampleBoxes))))
     }
     val ftyp = box("ftyp",
       "isom".getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++

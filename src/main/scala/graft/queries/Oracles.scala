@@ -840,7 +840,10 @@ object Oracles {
            CAST(count(*) AS BIGINT) AS n_frames,
            CAST(sum(kbps) AS BIGINT) AS sum_kbps,
            CAST(sum(144000 * kbps // 44100 + pad) AS BIGINT) AS sum_bytes,
-           CAST(count(*) * 1152 * 1000 // 44100 AS BIGINT) AS dur_ms
+           CAST(count(*) * 1152 * 1000 // 44100 AS BIGINT) AS dur_ms,
+           CAST(count(*) AS BIGINT) AS xing_frames,
+           CAST(sum(144000 * kbps // 44100 + pad) AS BIGINT) AS xing_bytes,
+           CAST(count(*) * 1152 * 1000 // 44100 AS BIGINT) AS xing_dur_ms
     FROM f GROUP BY user_id ORDER BY user_id"""
 
   // MP4 metadata round-trip: replays the duration/dims derivations from the
@@ -855,7 +858,15 @@ object Oracles {
            CAST(2 AS BIGINT) AS n_tracks,
            CAST(16 + user_id % 1904 AS BIGINT) AS video_w,
            CAST(16 + user_id % 1064 AS BIGINT) AS video_h,
-           'avc1,mp4a' AS codecs
+           'avc1,mp4a' AS codecs,
+           CAST(du * 150 // 3000 AS BIGINT) AS v_samples,
+           CAST((du * 150 // 3000) * (1000 + user_id % 5000) AS BIGINT) AS v_bytes,
+           CAST(CASE WHEN du * 150 // 3000 > 0
+                THEN (du * 150 // 3000) * (1000 + user_id % 5000) * 8 * 90000
+                     // ((du * 150 // 3000) * 3000) // 1000
+                ELSE 0 END AS BIGINT) AS v_kbps,
+           CAST(du * 80 // 1024 AS BIGINT) AS a_samples,
+           CAST((du * 80 // 1024) * (128 + user_id % 100) AS BIGINT) AS a_bytes
     FROM s ORDER BY user_id"""
 
   // Sequence packing: replays the concat-and-cut layout with a plain window

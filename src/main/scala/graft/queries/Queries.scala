@@ -915,12 +915,22 @@ object Queries {
       .mapPartitions { it =>
         val dec = new Multimodal.Mp3HeaderDecoder() // amortized per partition
         it.map { case (u, fs) =>
-          val mp3 = Multimodal.encodeMp3Frames(fs.map(f => (f._2, f._3)).toArray)
+          val spec = fs.map(f => (f._2, f._3)).toArray
+          val mp3 = Multimodal.encodeMp3Frames(spec)
           val (frames, sumKbps, sumBytes, samples, sr) = dec.walk(mp3)
-          (u, frames, sumKbps, sumBytes, samples * 1000L / sr)
+          // O(1)-duration branch: the SAME stream re-encoded with a leading
+          // Xing TOC frame, read back via vbrInfo ALONE (no walk) — the
+          // recovered audio frame/byte counts must replay the identical
+          // per-frame arithmetic the oracle computes from the raw table
+          val (xf, xb) = dec.vbrInfo(
+            Multimodal.encodeMp3Frames(spec, xingHeader = true))
+            .getOrElse((-1L, -1L))
+          (u, frames, sumKbps, sumBytes, samples * 1000L / sr,
+            xf, xb, xf * 1152L * 1000L / 44100L)
         }
       }
-      .toDF("user_id", "n_frames", "sum_kbps", "sum_bytes", "dur_ms")
+      .toDF("user_id", "n_frames", "sum_kbps", "sum_bytes", "dur_ms",
+        "xing_frames", "xing_bytes", "xing_dur_ms")
       .orderBy("user_id")
   }
 
@@ -946,13 +956,30 @@ object Queries {
           val tracks = Seq(
             ((16 + u % 1904).toInt, (16 + u % 1064).toInt, "avc1"),
             (0, 0, "mp4a"))
-          val m = dec.walk(Multimodal.encodeMp4Meta(600L, dur, tracks))
+          // per-track sample tables: 90 kHz video at delta 3000 (30 fps),
+          // 48 kHz audio at delta 1024 (AAC frame), uniform sizes derived
+          // from the user id — all integer math the oracle replays
+          val vN = dur * 150L / 3000L
+          val aN = dur * 80L / 1024L
+          val tables = Seq((90000L, 3000L, vN, 1000L + u % 5000L),
+            (48000L, 1024L, aN, 128L + u % 100L))
+          val m = dec.walk(Multimodal.encodeMp4Meta(600L, dur, tracks, tables))
+          // stts/stsz-derived per-track rates — frame counts, byte totals,
+          // and the video bitrate straight from the recovered tables
+          val vKbps =
+            if (m.trackDurUnits.head > 0)
+              m.trackBytes.head * 8L * m.trackTimescales.head /
+                m.trackDurUnits.head / 1000L
+            else 0L
           (u, m.duration, m.duration * 1000L / m.timescale, m.nTracks.toLong,
-            m.videoW, m.videoH, m.codecs.mkString(","))
+            m.videoW, m.videoH, m.codecs.mkString(","),
+            m.trackSamples.head, m.trackBytes.head, vKbps,
+            m.trackSamples(1), m.trackBytes(1))
         }
       }
       .toDF("user_id", "dur_units", "dur_ms", "n_tracks", "video_w",
-        "video_h", "codecs")
+        "video_h", "codecs", "v_samples", "v_bytes", "v_kbps",
+        "a_samples", "a_bytes")
       .orderBy("user_id")
   }
 

@@ -419,6 +419,62 @@ class MultimodalSpec extends SparkSpec {
     assert((small(off + 15) & 0xFF) > 220)
   }
 
+  test("vbrInfo reads Xing TOC frame counts in O(1) and matches the full walk") {
+    val dec = new Multimodal.Mp3HeaderDecoder
+    val spec = Array((9, 0), (14, 1), (1, 0), (7, 1))
+    val plain = Multimodal.encodeMp3Frames(spec)
+    val withToc = Multimodal.encodeMp3Frames(spec, xingHeader = true)
+    // no TOC → None (fall back to the walk)
+    assert(dec.vbrInfo(plain).isEmpty)
+    val (frames, _, sumBytes, _, _) = dec.walk(plain)
+    // TOC counts = the audio frames/bytes, excluding the TOC frame itself
+    assert(dec.vbrInfo(withToc).contains((frames, sumBytes)))
+    // the TOC stream is still a structurally valid stream for the walker
+    // (one extra frame: the TOC frame is a real frame)
+    val (framesT, _, _, _, _) = dec.walk(withToc)
+    assert(framesT == frames + 1)
+    // garbage in front → None, not a throw
+    assert(dec.vbrInfo(Array[Byte](1, 2, 3, 4, 5)).isEmpty)
+  }
+
+  test("vbrInfo reads a VBRI header at its fixed offset") {
+    // VBRI sits 32 bytes past the 4-byte header regardless of side info:
+    // synthesize one frame (bi=9 → 417 bytes) and plant the table
+    val mp3 = Multimodal.encodeMp3Frames(Array((9, 0)))
+    val dec = new Multimodal.Mp3HeaderDecoder
+    val off = mp3.length - 417 // frame start (after the ID3 prefix)
+    val v = off + 4 + 32
+    mp3(v) = 'V'; mp3(v + 1) = 'B'; mp3(v + 2) = 'R'; mp3(v + 3) = 'I'
+    def putU32(o: Int, x: Long): Unit = {
+      mp3(o) = (x >> 24).toByte; mp3(o + 1) = (x >> 16).toByte
+      mp3(o + 2) = (x >> 8).toByte; mp3(o + 3) = x.toByte
+    }
+    putU32(v + 10, 123456L) // byte total
+    putU32(v + 14, 789L)    // frame count
+    assert(dec.vbrInfo(mp3).contains((789L, 123456L)))
+  }
+
+  test("Mp4BoxDecoder recovers per-track stts/stsz sample stats") {
+    val dec = new Multimodal.Mp4BoxDecoder
+    val tables = Seq((90000L, 3000L, 240L, 4096L), (48000L, 1024L, 375L, 128L))
+    val mp4 = Multimodal.encodeMp4Meta(600L, 4800L,
+      Seq((1920, 1080, "avc1"), (0, 0, "mp4a")), tables)
+    val m = dec.walk(mp4)
+    assert(m.trackTimescales == Seq(90000L, 48000L))
+    assert(m.trackSamples == Seq(240L, 375L))
+    assert(m.trackDurUnits == Seq(240L * 3000L, 375L * 1024L))
+    assert(m.trackBytes == Seq(240L * 4096L, 375L * 128L))
+    // the derived rates a triage stage filters on: 30 fps, ~983 kbps video
+    assert(m.trackSamples.head * m.trackTimescales.head /
+      m.trackDurUnits.head == 30L)
+    assert(m.trackBytes.head * 8L * m.trackTimescales.head /
+      m.trackDurUnits.head / 1000L == 983L)
+    // tables absent → zeroed stats, not a throw (triage stays total)
+    val bare = dec.walk(Multimodal.encodeMp4Meta(600L, 4800L,
+      Seq((64, 48, "avc1"))))
+    assert(bare.trackSamples == Seq(0L) && bare.trackBytes == Seq(0L))
+  }
+
   test("DecoderProvider SPI: a codec-pack provider is discovered and routed " +
        "without engine changes") {
     import spark.implicits._
