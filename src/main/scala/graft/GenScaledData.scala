@@ -70,15 +70,58 @@ object GenScaledData {
       .withColumn("user_id", col("user_id") + lit(r * ku))
       .withColumn("ts", col("ts") + expr(s"INTERVAL ${r * 40} DAYS"))), "events")
 
+    // Replica documents, r > 0 (round-6 density fix): the old
+    // every-word-"~r" suffix re-rolled ALL token hashes per replica, and the
+    // fixture's background pair-distance mass sits on a rising cliff right
+    // at the SimHash radius (measured: 648 of 1,141 true pairs at hamming
+    // exactly 7 on a 2× sf0.01 replica) — so each re-roll re-sampled that
+    // borderline mass and true-pair counts exploded ~superlinearly (611k vs
+    // 168 at the 10× sf0.1 bench). A REAL 10× corpus is bimodal instead:
+    // genuine near-dups at tiny edit distance, unrelated docs far away. So:
+    //  - background separation: every token still gets the per-replica
+    //    vocab salt "~r" (exact-dup structure preserved, no cross-replica
+    //    shingle sharing), and ~1/3 of token POSITIONS additionally get a
+    //    doc-unique salt — unrelated docs stop sharing enough hash votes to
+    //    sit near the radius, pushing the background well outside;
+    //  - planted near-dups: every 30th doc's text becomes its base
+    //    neighbor's (local id − 15) salted text + one appended token — a
+    //    genuine small edit, hamming ≤ ~2 ROBUSTLY (one vote among ~n
+    //    tokens, immune to hash re-rolls) — so the true-pair count is
+    //    ~ndocs/30 per replica: linear in scale, matching the original
+    //    fixture's density (168 pairs ≈ 5000/30 at sf0.1).
     val kd = maxOf("documents", "doc_id")
     write(rep { r =>
       val d = Tables.load(spark, src, "documents")
-        .withColumn("doc_id", col("doc_id") + lit(r * kd))
-      if (r == 0) d
-      else d
-        .withColumn("text", array_join(
-          transform(split(col("text"), " "), w => concat(w, lit(s"~$r"))), " "))
-        .withColumn("n_chars", length(col("text")))
+      if (r == 0) d.withColumn("doc_id", col("doc_id") + lit(r * kd))
+      else {
+        // the doc-unique salt value is (doc_id, position)-hashed and SHORT
+        // (≤3 digits): decorrelation comes from the per-doc position
+        // pattern + values, and short salts keep replica char volume near
+        // the original's (q14/q15 are char-linear)
+        val saltedText = array_join(
+          transform(split(col("text"), " "), (w, i) =>
+            concat(w, lit(s"~$r"),
+              when(pmod(xxhash64(col("doc_id"), i), lit(3)) === 0,
+                concat(lit("~"),
+                  pmod(xxhash64(col("doc_id"), i, lit(1)), lit(997))))
+                .otherwise(lit("")))), " ")
+        val salted = d.withColumn("text",
+          when(length(trim(col("text"))) === 0, col("text"))
+            .otherwise(saltedText))
+        val bases = salted
+          .select((col("doc_id") + lit(15L)).as("doc_id"),
+            col("text").as("__basetext"))
+        salted.join(bases, Seq("doc_id"), "left")
+          .withColumn("text",
+            when(pmod(col("doc_id"), lit(30)) === 15 &&
+                col("__basetext").isNotNull &&
+                length(trim(col("__basetext"))) > 0,
+              concat(col("__basetext"), lit(s" twin~$r")))
+              .otherwise(col("text")))
+          .drop("__basetext")
+          .withColumn("doc_id", col("doc_id") + lit(r * kd))
+          .withColumn("n_chars", length(col("text")))
+      }
     }, "documents")
 
     val kv = maxOf("embeddings", "vec_id")
