@@ -79,10 +79,15 @@ object GenScaledData {
     // 168 at the 10× sf0.1 bench). A REAL 10× corpus is bimodal instead:
     // genuine near-dups at tiny edit distance, unrelated docs far away. So:
     //  - background separation: every token still gets the per-replica
-    //    vocab salt "~r" (exact-dup structure preserved, no cross-replica
-    //    shingle sharing), and ~1/3 of token POSITIONS additionally get a
-    //    doc-unique salt — unrelated docs stop sharing enough hash votes to
-    //    sit near the radius, pushing the background well outside;
+    //    vocab salt "~r" (no cross-replica shingle sharing), and ~1/3 of
+    //    token POSITIONS additionally get a TEXT-keyed salt — unrelated
+    //    docs stop sharing enough hash votes to sit near the radius,
+    //    pushing the background well outside. The salt is keyed on the
+    //    text (one xxhash64 of the full text per doc, then per-position),
+    //    NOT on doc_id: identical texts get identical salts, so the base
+    //    fixture's exact-duplicate groups survive replication (a doc_id
+    //    key would give two copies of the same text different salts and
+    //    silently zero out exact-dup density in every replica);
     //  - planted near-dups: every 30th doc's text becomes its base
     //    neighbor's (local id − 15) salted text + one appended token — a
     //    genuine small edit, hamming ≤ ~2 ROBUSTLY (one vote among ~n
@@ -94,20 +99,24 @@ object GenScaledData {
       val d = Tables.load(spark, src, "documents")
       if (r == 0) d.withColumn("doc_id", col("doc_id") + lit(r * kd))
       else {
-        // the doc-unique salt value is (doc_id, position)-hashed and SHORT
+        // the salt value is (text-hash, position)-hashed and SHORT
         // (≤3 digits): decorrelation comes from the per-doc position
         // pattern + values, and short salts keep replica char volume near
-        // the original's (q14/q15 are char-linear)
+        // the original's (q14/q15 are char-linear). Hashing a precomputed
+        // whole-text hash (not the text per position) keeps the transform
+        // O(chars + positions) per doc.
         val saltedText = array_join(
           transform(split(col("text"), " "), (w, i) =>
             concat(w, lit(s"~$r"),
-              when(pmod(xxhash64(col("doc_id"), i), lit(3)) === 0,
+              when(pmod(xxhash64(col("__tsalt"), i), lit(3)) === 0,
                 concat(lit("~"),
-                  pmod(xxhash64(col("doc_id"), i, lit(1)), lit(997))))
+                  pmod(xxhash64(col("__tsalt"), i, lit(1)), lit(997))))
                 .otherwise(lit("")))), " ")
-        val salted = d.withColumn("text",
-          when(length(trim(col("text"))) === 0, col("text"))
-            .otherwise(saltedText))
+        val salted = d.withColumn("__tsalt", xxhash64(col("text")))
+          .withColumn("text",
+            when(length(trim(col("text"))) === 0, col("text"))
+              .otherwise(saltedText))
+          .drop("__tsalt")
         val bases = salted
           .select((col("doc_id") + lit(15L)).as("doc_id"),
             col("text").as("__basetext"))

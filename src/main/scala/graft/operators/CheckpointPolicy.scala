@@ -33,12 +33,26 @@ object CheckpointPolicy {
 
   /** `dir` seeds `SparkContext.setCheckpointDir` if none is set yet —
     * Spark has ONE checkpoint dir per context, so the first Reliable
-    * policy to pin wins and later ones reuse it. */
+    * policy to pin wins and later ones reuse it.
+    *
+    * The frame is persisted across the checkpoint: `checkpoint()` runs the
+    * materializing action and THEN a separate job that writes the
+    * partitions to the checkpoint dir — without a cache that second job
+    * recomputes every partition from scratch, doubling each round's
+    * compute on exactly the multi-hour runs this policy exists for. The
+    * cache is dropped as soon as the write lands (the checkpointed frame
+    * reads from reliable storage, not the cache). Checkpoint FILES are
+    * reclaimed by the ContextCleaner when the pinned frame is GC'd
+    * (`spark.cleaner.referenceTracking.cleanCheckpoints`, pinned true in
+    * GraftSession) — otherwise a 64-round clustering run accumulates every
+    * round's files for its whole lifetime. */
   final case class Reliable(dir: String) extends CheckpointPolicy {
     override def pin(df: DataFrame): DataFrame = {
       val sc = df.sparkSession.sparkContext
       if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
-      df.checkpoint()
+      val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try cached.checkpoint()
+      finally cached.unpersist(blocking = false)
     }
   }
 

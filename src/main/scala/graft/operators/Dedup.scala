@@ -498,22 +498,40 @@ object Dedup {
     Array.fill(tables * planesPerTable * dim)(rnd.nextGaussian())
   }
 
+  /** Per-JVM cache of plane-matrix broadcasts, keyed on (applicationId,
+    * dim, tables, planesPerTable, seed) — the matrix is deterministic in
+    * those, so ONE broadcast serves both sides of an asymmetric admit call
+    * and every micro-batch of a streaming admission loop (a fresh broadcast
+    * per invocation accumulated undestroyed blocks on driver + executors
+    * for the stream's whole lifetime). applicationId scopes entries to the
+    * live SparkContext, so a restarted context (tests) never sees a stale
+    * broadcast; dead-context entries are just map keys, not blocks. */
+  private val planeBcCache = new scala.collection.concurrent.TrieMap[
+    (String, Int, Int, Int, Long),
+    org.apache.spark.broadcast.Broadcast[Array[Double]]]()
+
   /** Sketch column over `vec`, choosing literal vs broadcast plane
     * transport by matrix size ([[BroadcastPlanesThreshold]]). Same sketches
     * either way (DedupSpec gates bit-equality). */
   private[operators] def hyperplaneSketchCol(df: DataFrame, vec: Column,
-      planes: Array[Double], tables: Int, planesPerTable: Int): Column =
-    if (planes.length > BroadcastPlanesThreshold) {
-      val bc = df.sparkSession.sparkContext.broadcast(planes)
+      dim: Int, tables: Int, planesPerTable: Int, seed: Long): Column =
+    if (dim.toLong * tables * planesPerTable > BroadcastPlanesThreshold) {
+      val sc = df.sparkSession.sparkContext
+      val bc = planeBcCache.getOrElseUpdate(
+        (sc.applicationId, dim, tables, planesPerTable, seed),
+        sc.broadcast(hyperplaneMatrix(dim, tables, planesPerTable, seed)))
       graft.functions.VectorExprs.hyperplaneSketchesBc(vec, bc, tables, planesPerTable)
     } else
-      graft.functions.VectorExprs.hyperplaneSketches(vec, planes, tables, planesPerTable)
+      graft.functions.VectorExprs.hyperplaneSketches(vec,
+        hyperplaneMatrix(dim, tables, planesPerTable, seed), tables, planesPerTable)
 
   def embeddingGroupsAndCandidates(df: DataFrame, id: Column, vec: Column,
                                    tables: Int = 16, planesPerTable: Int = 16,
                                    seed: Long = 42): (DataFrame, DataFrame) = {
-    val dim = df.select(size(vec)).head().getInt(0)
-    val planes = hyperplaneMatrix(dim, tables, planesPerTable, seed)
+    // max-aggregate, not head(): an empty corpus (or all-null vectors) must
+    // yield empty frames, not a NoSuchElementException at plan build
+    val dimRow = df.agg(max(size(vec))).head()
+    val dim = if (dimRow.isNullAt(0)) 1 else dimRow.getInt(0)
     val docs = df.select(id.cast("long").as("vid"),
       vec.cast("array<double>").as("v"))
     // distinct-vector collapse (the q28 distinct-shingle-set lesson):
@@ -527,8 +545,8 @@ object Dedup {
       .withColumn("gid", array_min(col("ids")))
       .localCheckpoint()
     val buckets = groups.select(col("gid"),
-        posexplode(hyperplaneSketchCol(groups, col("v"), planes, tables,
-          planesPerTable)).as(Seq("tbl", "sk")))
+        posexplode(hyperplaneSketchCol(groups, col("v"), dim, tables,
+          planesPerTable, seed)).as(Seq("tbl", "sk")))
     val cand = buckets.select(col("tbl"), col("sk"), col("gid").as("g_a"))
       .join(buckets.select(col("tbl"), col("sk"), col("gid").as("g_b")),
         Seq("tbl", "sk"))
@@ -650,27 +668,35 @@ object Dedup {
       .select(col("gid"), explode(col("ids")).as("doc_id"))
       .filter(col("doc_id") > col("gid"))
       .select(col("doc_id"), lit(1L).as("exact_batch"))
-    val dim = b.select(size(col("v"))).head().getInt(0)
-    val planes = hyperplaneMatrix(dim, tables, planesPerTable, seed)
-    val bBuckets = bGroups.select(col("gid"),
-      posexplode(hyperplaneSketchCol(bGroups, col("v"), planes, tables,
-        planesPerTable)).as(Seq("tbl", "sk")))
-    val hBuckets = hGroups.select(col("hgid"),
-      posexplode(hyperplaneSketchCol(hGroups, col("v"), planes, tables,
-        planesPerTable)).as(Seq("tbl", "sk")))
-    // candidate (batch group, history group) pairs — ids only in the bucket
-    // join and the distinct; vectors re-attach once per distinct pair
-    val cand = bBuckets.join(hBuckets, Seq("tbl", "sk"))
-      .select("gid", "hgid")
-      .dropDuplicates("gid", "hgid")
-    val nearGids = cand
-      .join(bGroups.select(col("gid"), col("v")), Seq("gid"))
-      .join(hGroups.select(col("hgid"), col("v").as("hv")), Seq("hgid"))
-      .withColumn("__cos", VectorOps.cosine(col("v"), col("hv")))
-      .filter(col("__cos") >= threshold)
-      .select("gid").distinct()
-    val nearHist = bGroups.join(nearGids, Seq("gid"), "left_semi")
-      .select(explode(col("ids")).as("doc_id"), lit(1L).as("near_hist"))
+    // max-aggregate, not head(): an empty increment (a day with no new
+    // vectors) or an all-null-vector batch must flow through like the text
+    // twin does — head() on zero rows threw at plan-build time. With no
+    // measurable dim there is nothing to sketch: the near gate is empty.
+    val dimRow = b.agg(max(size(col("v")))).head()
+    val nearHist: DataFrame = if (dimRow.isNullAt(0))
+      b.select(col("doc_id"), lit(1L).as("near_hist")).limit(0)
+    else {
+      val dim = dimRow.getInt(0)
+      val bBuckets = bGroups.select(col("gid"),
+        posexplode(hyperplaneSketchCol(bGroups, col("v"), dim, tables,
+          planesPerTable, seed)).as(Seq("tbl", "sk")))
+      val hBuckets = hGroups.select(col("hgid"),
+        posexplode(hyperplaneSketchCol(hGroups, col("v"), dim, tables,
+          planesPerTable, seed)).as(Seq("tbl", "sk")))
+      // candidate (batch group, history group) pairs — ids only in the bucket
+      // join and the distinct; vectors re-attach once per distinct pair
+      val cand = bBuckets.join(hBuckets, Seq("tbl", "sk"))
+        .select("gid", "hgid")
+        .dropDuplicates("gid", "hgid")
+      val nearGids = cand
+        .join(bGroups.select(col("gid"), col("v")), Seq("gid"))
+        .join(hGroups.select(col("hgid"), col("v").as("hv")), Seq("hgid"))
+        .withColumn("__cos", VectorOps.cosine(col("v"), col("hv")))
+        .filter(col("__cos") >= threshold)
+        .select("gid").distinct()
+      bGroups.join(nearGids, Seq("gid"), "left_semi")
+        .select(explode(col("ids")).as("doc_id"), lit(1L).as("near_hist"))
+    }
     b.select("doc_id")
       .join(exactHist, Seq("doc_id"), "left")
       .join(exactBatch, Seq("doc_id"), "left")

@@ -929,6 +929,18 @@ object Multimodal {
     // wrapping in .toInt below
     require(timescale > 0 && timescale <= 0xFFFFFFFFL, s"timescale $timescale not u32")
     require(duration >= 0 && duration <= 0xFFFFFFFFL, s"duration $duration not u32")
+    // the sample-table fields (and the derived n·delta media duration) land
+    // in version-0 stts/stsz/mdhd u32 slots — same reject-don't-wrap rule.
+    // n,delta < 2³² each bounds n·delta < 2⁶⁴, so a wrapped product is
+    // either negative or > u32 — both caught.
+    sampleTables.foreach { case (mdTs, delta, n, size) =>
+      require(mdTs > 0 && mdTs <= 0xFFFFFFFFL, s"media timescale $mdTs not u32")
+      require(delta >= 0 && delta <= 0xFFFFFFFFL, s"sample delta $delta not u32")
+      require(n >= 0 && n <= 0xFFFFFFFFL, s"sample count $n not u32")
+      require(size >= 0 && size <= 0xFFFFFFFFL, s"sample size $size not u32")
+      require(n * delta >= 0 && n * delta <= 0xFFFFFFFFL,
+        s"media duration $n*$delta not u32")
+    }
     def box(tpe: String, body: Array[Byte]): Array[Byte] = {
       val bb = java.nio.ByteBuffer.allocate(8 + body.length)
       bb.putInt(8 + body.length)

@@ -16,24 +16,42 @@ object PlanOps {
     * "waves" the task list needs (`perTask × ceil(n/parallelism)`), so a
     * 100-column exact profile gets a proportionally longer budget than a
     * 4-column one; a genuinely wedged job surfaces as a TimeoutException
-    * with the task index instead of a silent hang. */
+    * with the task index instead of a silent hang.
+    *
+    * Pass `session` when the tasks submit Spark jobs (every current
+    * caller): each task then runs under a unique job GROUP, and a timeout
+    * cancels the group (`cancelJobGroup`, interrupt-on-cancel) and
+    * `shutdownNow()`s the pool — without that, the surfaced exception
+    * leaves the wedged job and every queued task running, holding cluster
+    * and driver-pool resources nobody will ever collect. */
   def runJobs[T](tasks: Seq[() => T], parallelism: Int = 16,
                  perTask: scala.concurrent.duration.FiniteDuration =
-                   scala.concurrent.duration.Duration(10, "min")): Seq[T] = {
+                   scala.concurrent.duration.Duration(10, "min"),
+                 session: Option[org.apache.spark.sql.SparkSession] = None): Seq[T] = {
     import java.util.concurrent.{Executors, TimeoutException}
     import scala.concurrent.{Await, ExecutionContext, Future}
     if (tasks.isEmpty) return Nil
     val threads = math.max(1, math.min(parallelism, tasks.size))
     val pool = Executors.newFixedThreadPool(threads)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    val group = session.map(_ => s"graft-runJobs-${java.util.UUID.randomUUID()}")
     try {
       val budget = perTask * math.ceil(tasks.size.toDouble / threads).toLong
-      val futs = tasks.map(t => Future(t()))
+      val futs = tasks.map(t => Future {
+        session.zip(group).foreach { case (s, g) => s.sparkContext
+          .setJobGroup(g, "graft.PlanOps.runJobs", interruptOnCancel = true) }
+        try t()
+        finally session.foreach(_.sparkContext.clearJobGroup())
+      })
       futs.zipWithIndex.map { case (f, i) =>
         try Await.result(f, budget)
         catch {
-          case _: TimeoutException => throw new TimeoutException(
-            s"concurrent job $i of ${tasks.size} exceeded $budget")
+          case _: TimeoutException =>
+            session.zip(group).foreach { case (s, g) =>
+              s.sparkContext.cancelJobGroup(g) }
+            pool.shutdownNow()
+            throw new TimeoutException(
+              s"concurrent job $i of ${tasks.size} exceeded $budget")
         }
       }
     } finally pool.shutdown()

@@ -45,7 +45,8 @@ object Profiling {
       if (approxDistinct) base
       else {
         val vals = PlanOps.runJobs(cols.map(c => () =>
-          df.select(col(c)).agg(count_distinct(col(c))).head().getLong(0)))
+          df.select(col(c)).agg(count_distinct(col(c))).head().getLong(0)),
+          session = Some(df.sparkSession))
         cols.zip(vals).foldLeft(base) {
           case (acc, (c, v)) => acc.withColumn(s"__dst_$c", lit(v))
         }
@@ -120,7 +121,8 @@ object Profiling {
         cols.indices.map(r.getDouble).toArray
       } else {
         PlanOps.runJobs(exprs.map(e => () =>
-          df.select(e.as("__x")).agg(p50(col("__x"))).head().getDouble(0))).toArray
+          df.select(e.as("__x")).agg(p50(col("__x"))).head().getDouble(0)),
+          session = Some(df.sparkSession)).toArray
       }
     val med = medianPass(cols.map(col))
     val mad = medianPass(cols.zipWithIndex.map { case (c, i) =>

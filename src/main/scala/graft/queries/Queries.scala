@@ -1080,16 +1080,51 @@ object Queries {
     * this bit-identical to the inline [[Ann.ivfPqTopK]] (AnnSpec gates
     * that equality directly). Repeat calls — the bench's repeated
     * iterations — skip the build and measure the serve cost alone. */
+  // dataset dir -> (content signature, index dir). The signature — file
+  // names/lengths/mtimes of the embeddings table — invalidates the cached
+  // index when the SAME path is rewritten in this JVM (e.g. a regenerated
+  // fixture); a path-only key would silently serve stale centroids/codes
+  // against fresh brute-force results. Replaced and leftover index dirs are
+  // deleted (recursively) on replacement / JVM exit.
   private val ivfPqIndexCache =
-    new scala.collection.concurrent.TrieMap[String, String]()
+    new scala.collection.concurrent.TrieMap[String, (String, String)]()
+  private def deleteDirTree(dir: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val root = Paths.get(dir)
+    if (Files.exists(root)) {
+      val walk = Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+  Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    ivfPqIndexCache.values.foreach { case (_, dir) =>
+      try deleteDirTree(dir) catch { case _: Exception => () }
+    }))
+  private def embeddingsSignature(s: SparkSession, d: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).filter(_.isFile).map(f =>
+        s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
+      .sorted.mkString(",")
+  }
   def q64AnnIvfPq(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
     val q = e.filter(col("vec_id") < 8)
-    val idxDir = ivfPqIndexCache.getOrElseUpdate(d, {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_ivfpq_").toString
-      Ann.writeIvfPqIndex(e, col("vec_id"), col("embedding"), tmp, nlist = 16)
-      tmp
-    })
+    val sig = embeddingsSignature(s, d)
+    val idxDir = ivfPqIndexCache.synchronized {
+      ivfPqIndexCache.get(d) match {
+        case Some((s0, dir)) if s0 == sig => dir
+        case prev =>
+          prev.foreach { case (_, old) =>
+            try deleteDirTree(old) catch { case _: Exception => () } }
+          val tmp = java.nio.file.Files.createTempDirectory("graft_ivfpq_").toString
+          Ann.writeIvfPqIndex(e, col("vec_id"), col("embedding"), tmp, nlist = 16)
+          ivfPqIndexCache.update(d, (sig, tmp))
+          tmp
+      }
+    }
     val ivfpq = Ann.ivfPqTopKIndexed(e, col("vec_id"), col("embedding"),
       q, col("vec_id"), col("embedding"), idxDir, k = 10,
       nprobe = 8, refine = 100)
@@ -1488,7 +1523,8 @@ object Queries {
     // needs the median first)
     val both = PlanOps.runJobs(Seq(
       () => Left(Profiling.approxOutlierGate(li, cols)),
-      () => Right(Profiling.robustOutliers(li, cols, approx = false))))
+      () => Right(Profiling.robustOutliers(li, cols, approx = false))),
+      session = Some(s))
     val gate = both.collectFirst { case Left(g) => g }.get
     val exact = both.collectFirst { case Right(e) => e }.get
     val flag = cols.foldLeft(lit(null).cast("long")) { (acc, c) =>
@@ -1549,7 +1585,8 @@ object Queries {
         .agg(countDistinct(col("l_orderkey"))).head().getLong(0),
       () => li.select(col("l_partkey"))
         .agg(countDistinct(col("l_partkey"))).head().getLong(0),
-      () => li.agg(expr("percentile(l_extendedprice, 0.5)")).head().getDouble(0)))
+      () => li.agg(expr("percentile(l_extendedprice, 0.5)")).head().getDouble(0)),
+      session = Some(s))
     val sk = passes(0).asInstanceOf[org.apache.spark.sql.Row]
     val nOk = passes(1).asInstanceOf[Long]
     val nPk = passes(2).asInstanceOf[Long]
