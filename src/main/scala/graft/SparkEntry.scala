@@ -94,7 +94,8 @@ object SparkEntry {
     "q77_semantic_keepers" -> (Queries.q77SemanticKeepers _),
     "q78_doc_chunks" -> (Queries.q78DocChunks _),
     "q79_contamination_fraction" -> (Queries.q79ContaminationFraction _),
-    "q80_embedding_incremental_admit" -> (Queries.q80EmbeddingIncrementalAdmit _)
+    "q80_embedding_incremental_admit" -> (Queries.q80EmbeddingIncrementalAdmit _),
+    "q81_semdedup_keepers" -> (Queries.q81SemdedupKeepers _)
   )
 
   /** DuckDB oracles for EVERY query above — since round 3 none are

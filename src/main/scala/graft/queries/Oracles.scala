@@ -1468,6 +1468,84 @@ object Oracles {
            CAST(1 AS BIGINT) AS batch_dup_ok,
            CAST(0.95 AS DOUBLE) AS threshold"""
 
+  // SemDeDup FULL replay (not a recall gate): rebuild the planted corpus
+  // (q74/q77 twin arithmetic), collapse distinct vectors, pick the k=8
+  // init medoids by the md5-uniform (q76 device keyed on gid), run 2 Lloyd
+  // steps (per-coordinate avg of each cell's DISTINCT vectors via zipped
+  // unnest; empty cells keep the previous centroid), assign by
+  // rounded-cosine argmax (ties to the SMALLER cell — Spark's
+  // array_position finds the first max), score every within-cell pair,
+  // close components with the
+  // recursive min-label CTE (q44), keeper = min id. Cosines round to 9 dp
+  // before every discrete decision so cross-engine float-sum order (~1e-15)
+  // can't flip an assignment; all output columns are exact integers.
+  val q81: String = {
+    val u = """(list_reduce(list_prepend(0.0,
+      list_transform(generate_series(1, 13),
+        k -> CAST(strpos('0123456789abcdef',
+               substr(substr(md5(concat_ws('|', gid, 'semdedup')), 1, 13), k, 1)) - 1 AS DOUBLE)
+             * pow(16.0, 13 - k))),
+    (a, x) -> a + x) / 4503599627370496.0)"""
+    def iter(i: Int, prev: String) = s"""
+    asg$i AS MATERIALIZED (
+      SELECT gid, v, cell FROM (
+        SELECT g.gid, g.v, c.cell,
+               row_number() OVER (PARTITION BY g.gid
+                 ORDER BY round(${cosineD("g.v", "c.cent")}, 9) DESC, c.cell ASC) AS rn
+        FROM groups g CROSS JOIN $prev c) WHERE rn = 1),
+    cents$i AS MATERIALIZED (
+      SELECT p.cell, coalesce(m.cent, p.cent) AS cent
+      FROM $prev p LEFT JOIN (
+        SELECT cell, list(m ORDER BY pos) AS cent FROM (
+          SELECT cell, pos, avg(val) AS m FROM (
+            SELECT cell, unnest(range(len(v))) AS pos, unnest(v) AS val
+            FROM asg$i) GROUP BY cell, pos) GROUP BY cell) m
+      ON m.cell = p.cell)"""
+    s"""
+    WITH RECURSIVE off AS (SELECT max(vec_id) + 1 AS o FROM embeddings),
+    corpus AS MATERIALIZED (
+      SELECT vec_id AS vid,
+             list_transform(generate_series(1, len(embedding)),
+               i -> embedding[i]::DOUBLE) AS v
+      FROM embeddings WHERE embedding IS NOT NULL
+      UNION ALL
+      SELECT e.vec_id + o.o,
+             list_transform(generate_series(1, len(e.embedding)),
+               i -> e.embedding[i]::DOUBLE * (1.0 + 0.2 * CAST((i - 1) % 3 - 1 AS DOUBLE)))
+      FROM embeddings e, off o WHERE e.embedding IS NOT NULL AND e.vec_id % 10 = 0),
+    groups AS MATERIALIZED (
+      SELECT v, min(vid) AS gid FROM corpus GROUP BY v),
+    cents0 AS MATERIALIZED (
+      SELECT cell, cent FROM (
+        SELECT row_number() OVER (ORDER BY $u, gid) - 1 AS cell, v AS cent
+        FROM groups) WHERE cell < 8),
+    ${iter(1, "cents0")},
+    ${iter(2, "cents1")},
+    asgF AS MATERIALIZED (
+      SELECT gid, v, cell FROM (
+        SELECT g.gid, g.v, c.cell,
+               row_number() OVER (PARTITION BY g.gid
+                 ORDER BY round(${cosineD("g.v", "c.cent")}, 9) DESC, c.cell ASC) AS rn
+        FROM groups g CROSS JOIN cents2 c) WHERE rn = 1),
+    pr AS MATERIALIZED (
+      SELECT a.gid AS id_a, b.gid AS id_b
+      FROM asgF a JOIN asgF b ON a.cell = b.cell AND a.gid < b.gid
+      WHERE round(${cosineD("a.v", "b.v")}, 9) >= 0.95),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pr
+              UNION ALL SELECT id_b, id_a FROM pr),
+    lbl(id, label) AS (
+        SELECT gid, gid FROM groups
+      UNION
+        SELECT e.src, l.label FROM edges e JOIN lbl l ON l.id = e.dst),
+    keep AS (SELECT id AS gid, min(label) AS keeper FROM lbl GROUP BY id)
+    SELECT c.vid AS doc_id, CAST(f.cell AS BIGINT) AS cell, k.keeper AS keeper,
+           CAST(CASE WHEN c.vid <> k.keeper THEN 1 ELSE 0 END AS BIGINT) AS dropped
+    FROM corpus c JOIN groups g ON c.v = g.v
+    JOIN asgF f ON f.gid = g.gid
+    JOIN keep k ON k.gid = g.gid
+    ORDER BY doc_id"""
+  }
+
   /** name → oracle SQL (single-line, driver JSON-escapes anyway). */
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
@@ -1551,6 +1629,7 @@ object Oracles {
     "q77_semantic_keepers" -> q77,
     "q78_doc_chunks" -> q78,
     "q79_contamination_fraction" -> q79,
-    "q80_embedding_incremental_admit" -> q80
+    "q80_embedding_incremental_admit" -> q80,
+    "q81_semdedup_keepers" -> q81
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

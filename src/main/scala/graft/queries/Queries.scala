@@ -1452,6 +1452,23 @@ object Queries {
       lit(threshold).as("threshold"))
   }
 
+  /** SemDeDup over the planted-twin corpus — the cluster-bounded semantic
+    * dedup route ([[SemDedup.semdedupKeepers]]), full-verdict replay:
+    * unlike the q74/q77/q80 recall GATES, the oracle re-runs the entire
+    * deterministic pipeline (md5-seeded k=8 medoid init, 2 Lloyd steps,
+    * rounded-cosine cell argmax, within-cell pairs at ≥0.95, min-label
+    * components) in SQL and hash-compares every per-doc row — cell
+    * assignment, keeper, and drop verdict all gated bit-for-bit. Twins
+    * that land across a cluster boundary from their base survive by
+    * design (SemDeDup's documented miss mode; 184/200 dropped at sf0.1)
+    * and the replay agrees on exactly which. */
+  def q81SemdedupKeepers(s: SparkSession, d: String): DataFrame = {
+    val (corpus, _) = plantedTwinCorpus(s, d)
+    SemDedup.semdedupKeepers(corpus, col("vec_id"), col("v"),
+        k = 8, lloydIters = 2, threshold = 0.95)
+      .orderBy("doc_id")
+  }
+
   /** Sliding-window document chunking (maxLen 64, stride 32 — 50%
     * overlap): every document split into context-window token pieces,
     * per-chunk md5 digest so the oracle checks CONTENT and position, not
