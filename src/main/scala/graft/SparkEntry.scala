@@ -96,7 +96,8 @@ object SparkEntry {
     "q79_contamination_fraction" -> (Queries.q79ContaminationFraction _),
     "q80_embedding_incremental_admit" -> (Queries.q80EmbeddingIncrementalAdmit _),
     "q81_semdedup_keepers" -> (Queries.q81SemdedupKeepers _),
-    "q82_dsir_selection" -> (Queries.q82DsirSelection _)
+    "q82_dsir_selection" -> (Queries.q82DsirSelection _),
+    "q83_bigram_cross_entropy" -> (Queries.q83BigramCrossEntropy _)
   )
 
   /** DuckDB oracles for EVERY query above — since round 3 none are

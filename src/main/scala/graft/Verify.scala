@@ -4,10 +4,14 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val Array(sfDir, outDir) = args.take(2)
+    // optional 3rd arg: only run queries whose name contains it (dev loop)
+    val nameFilter = args.lift(2)
     val spark = GraftSession.local()
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => nameFilter.forall(name.contains) }
+      .foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       System.err.println(s"[verify] start $name")
       try {

@@ -1587,6 +1587,42 @@ object Oracles {
     FROM rk, n ORDER BY doc_id"""
   }
 
+  // CCNet-style bigram-LM cross-entropy, FULL replay: the oracle retrains
+  // the add-one bigram LM on the same English slice (unigram counts cu,
+  // bigram counts cb, totals T and V), then re-derives every per-doc
+  // -ln(p) term — first token under the unigram model, tokens 2..n under
+  // p(w2|w1) = (cb+1)/(cu1+V) — and the per-token average. Unordered sum
+  // of ~n ln terms drifts ~1e-15 relative between engines; the 6 dp round
+  // absorbs it. Doc set (non-empty only), n_tokens, and ce hash-compared.
+  val q83 = """
+    WITH t AS (SELECT doc_id, lang,
+                 CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN []::VARCHAR[]
+                      ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+               FROM documents),
+    uni AS (SELECT w, count(*) AS cu
+            FROM (SELECT unnest(toks) AS w FROM t WHERE lang = 'en') GROUP BY w),
+    tot AS (SELECT CAST(sum(cu) AS DOUBLE) AS t, CAST(count(*) AS DOUBLE) AS v FROM uni),
+    bg AS (SELECT doc_id, lang, toks[i-1] AS w1, toks[i] AS w2
+           FROM t, unnest(generate_series(2, len(toks))) AS u(i)),
+    bi AS (SELECT w1, w2, count(*) AS cb FROM bg WHERE lang = 'en' GROUP BY w1, w2),
+    sc AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 1),
+    frst AS (SELECT s.doc_id,
+                -ln((CAST(coalesce(u.cu, 0) AS DOUBLE) + 1.0) / (tot.t + tot.v)) AS h1
+              FROM sc s LEFT JOIN uni u ON u.w = s.toks[1] CROSS JOIN tot),
+    rest AS (SELECT doc_id, sum(h) AS hrest FROM (
+               SELECT g.doc_id,
+                 -ln((CAST(coalesce(b.cb, 0) AS DOUBLE) + 1.0) /
+                     (CAST(coalesce(u.cu, 0) AS DOUBLE) + tot.v)) AS h
+               FROM bg g
+               LEFT JOIN bi b ON b.w1 = g.w1 AND b.w2 = g.w2
+               LEFT JOIN uni u ON u.w = g.w1
+               CROSS JOIN tot) GROUP BY doc_id)
+    SELECT s.doc_id, CAST(s.n AS BIGINT) AS n_tokens,
+           round((f.h1 + coalesce(r.hrest, 0.0)) / CAST(s.n AS DOUBLE), 6) AS ce
+    FROM sc s JOIN frst f ON f.doc_id = s.doc_id
+    LEFT JOIN rest r ON r.doc_id = s.doc_id
+    ORDER BY s.doc_id"""
+
   /** name → oracle SQL (single-line, driver JSON-escapes anyway). */
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
@@ -1672,6 +1708,7 @@ object Oracles {
     "q79_contamination_fraction" -> q79,
     "q80_embedding_incremental_admit" -> q80,
     "q81_semdedup_keepers" -> q81,
-    "q82_dsir_selection" -> q82
+    "q82_dsir_selection" -> q82,
+    "q83_bigram_cross_entropy" -> q83
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

@@ -1488,6 +1488,18 @@ object Queries {
         col("lang") === "en", buckets = 256, frac = 0.25)
       .orderBy("doc_id")
 
+  /** CCNet-style perplexity filter ([[LangModel.bigramCrossEntropy]]):
+    * add-one bigram LM trained on the English subset, every non-empty doc
+    * scored by per-token cross-entropy. Full replay — the oracle retrains
+    * the identical LM in SQL (unigram/bigram counts, T, V) and re-derives
+    * every per-doc log-sum; doc count, token count, and the 6-decimal
+    * score all hash-compared. In-model English docs score low, other
+    * languages high — the separation a perplexity-bucket filter cuts on. */
+  def q83BigramCrossEntropy(s: SparkSession, d: String): DataFrame =
+    LangModel.bigramCrossEntropy(Tables.documents(s, d), col("doc_id"),
+        TextOps.tokens(coalesce(col("text"), lit(""))), col("lang") === "en")
+      .orderBy("doc_id")
+
   /** Sliding-window document chunking (maxLen 64, stride 32 — 50%
     * overlap): every document split into context-window token pieces,
     * per-chunk md5 digest so the oracle checks CONTENT and position, not
