@@ -97,7 +97,8 @@ object SparkEntry {
     "q80_embedding_incremental_admit" -> (Queries.q80EmbeddingIncrementalAdmit _),
     "q81_semdedup_keepers" -> (Queries.q81SemdedupKeepers _),
     "q82_dsir_selection" -> (Queries.q82DsirSelection _),
-    "q83_bigram_cross_entropy" -> (Queries.q83BigramCrossEntropy _)
+    "q83_bigram_cross_entropy" -> (Queries.q83BigramCrossEntropy _),
+    "q84_duplicated_spans" -> (Queries.q84DuplicatedSpans _)
   )
 
   /** DuckDB oracles for EVERY query above — since round 3 none are

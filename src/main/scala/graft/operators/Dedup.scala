@@ -347,6 +347,58 @@ object Dedup {
     cross.unionByName(intra).select("id_a", "id_b", "jaccard")
   }
 
+  /** Exact duplicated-span statistics — the substring-level dedup signal
+    * (Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better", 2021 — public method; they remove any ≥50-token substring
+    * occurring twice in the corpus). Per document: how many of its n-token
+    * spans occur ≥2 times ANYWHERE in the corpus (cross-doc or repeated
+    * within the same doc), and what fraction of its TOKENS is covered by
+    * at least one such duplicated span — the removal-mass estimate a
+    * substring-dedup pass would cut.
+    *
+    * 100 TB shape: spans travel as 64-bit `xxhash64` fingerprints — the
+    * only shuffles are a hash-keyed count and a hash-keyed join of 8-byte
+    * keys; document text never leaves its scan. Token coverage is a
+    * bounded per-doc fold (`collect_list` of span starts, ≤ doc length),
+    * never a corpus-wide materialization.
+    *
+    * Output per input doc (docs shorter than n get zero spans):
+    * (doc_id, n_tokens, n_spans, n_dup, dup_frac, covered, covered_frac).
+    */
+  def duplicatedSpanStats(df: DataFrame, id: Column, toks: Column,
+                          n: Int = 5): DataFrame = {
+    require(n >= 1, "span length must be >= 1")
+    val base = df.select(id.cast("long").as("doc_id"),
+      size(toks).cast("long").as("n_tokens"), toks.as("__toks"))
+    // span fingerprints with their (1-based) start positions
+    val spans = base.filter(col("n_tokens") >= n)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), (col("n_tokens") - (n - 1)).cast("int")),
+          s => xxhash64(concat_ws(" ", slice(col("__toks"), s, lit(n)))))))
+      .select(col("doc_id"), (col("pos") + 1).as("s"), col("col").as("h"))
+    val dupHashes = spans.groupBy("h").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= 2).select("h")
+    val perDocDup = spans.join(dupHashes, Seq("h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup"),
+        size(array_distinct(flatten(transform(collect_list(col("s")),
+          s => sequence(s, s + (n - 1)))))).cast("long").as("covered"))
+    val perDocSpans = spans.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"))
+    base.select(col("doc_id"), col("n_tokens"))
+      .join(perDocSpans, Seq("doc_id"), "left")
+      .join(perDocDup, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_spans", "n_dup", "covered"))
+      .select(col("doc_id"), col("n_tokens"), col("n_spans"), col("n_dup"),
+        round(when(col("n_spans") === 0, lit(0.0))
+          .otherwise(col("n_dup").cast("double") / col("n_spans").cast("double")), 6)
+          .as("dup_frac"),
+        col("covered"),
+        round(when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(col("covered").cast("double") / col("n_tokens").cast("double")), 6)
+          .as("covered_frac"))
+  }
+
   /** Connected components over near-dup pairs: iterative min-label
     * propagation (label starts as the doc id; each round every doc takes
     * the min of its own and its neighbors' labels) plus a pointer-jumping

@@ -1623,6 +1623,40 @@ object Oracles {
     LEFT JOIN rest r ON r.doc_id = s.doc_id
     ORDER BY s.doc_id"""
 
+  // Duplicated-span stats, FULL replay: every positional 5-token span is
+  // regenerated as a STRING (Spark ships xxhash64 fingerprints — a
+  // collision there would produce extra dup marks and hash-break here),
+  // global occurrence counts, the ≥2 dup join, and the interval-union
+  // token coverage (list_distinct over flattened generate_series = Spark's
+  // array_distinct over flattened sequence) all recomputed; seven columns
+  // hash-compared per doc including zero-span short docs.
+  val q84 = """
+    WITH t AS (SELECT doc_id,
+                 CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN []::VARCHAR[]
+                      ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+               FROM documents),
+    base AS (SELECT doc_id, len(toks) AS n_tokens, toks FROM t),
+    sp AS (SELECT doc_id, i AS s, array_to_string(toks[i:i+4], ' ') AS sh
+           FROM base, unnest(generate_series(1, n_tokens - 4)) AS u(i)
+           WHERE n_tokens >= 5),
+    cnt AS (SELECT sh, count(*) AS c FROM sp GROUP BY sh),
+    ds AS (SELECT sp.doc_id, sp.s FROM sp JOIN cnt ON cnt.sh = sp.sh WHERE cnt.c >= 2),
+    agg AS (SELECT doc_id, count(*) AS n_dup,
+                   len(list_distinct(flatten(list_transform(list(s), x -> generate_series(x, x + 4))))) AS covered
+            FROM ds GROUP BY doc_id),
+    spn AS (SELECT doc_id, count(*) AS n_spans FROM sp GROUP BY doc_id)
+    SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+           CAST(coalesce(spn.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(coalesce(agg.n_dup, 0) AS BIGINT) AS n_dup,
+           round(CASE WHEN coalesce(spn.n_spans, 0) = 0 THEN 0.0
+                 ELSE CAST(coalesce(agg.n_dup, 0) AS DOUBLE) / CAST(spn.n_spans AS DOUBLE) END, 6) AS dup_frac,
+           CAST(coalesce(agg.covered, 0) AS BIGINT) AS covered,
+           round(CASE WHEN b.n_tokens = 0 THEN 0.0
+                 ELSE CAST(coalesce(agg.covered, 0) AS DOUBLE) / CAST(b.n_tokens AS DOUBLE) END, 6) AS covered_frac
+    FROM base b LEFT JOIN spn ON spn.doc_id = b.doc_id
+    LEFT JOIN agg ON agg.doc_id = b.doc_id
+    ORDER BY b.doc_id"""
+
   /** name → oracle SQL (single-line, driver JSON-escapes anyway). */
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
@@ -1709,6 +1743,7 @@ object Oracles {
     "q80_embedding_incremental_admit" -> q80,
     "q81_semdedup_keepers" -> q81,
     "q82_dsir_selection" -> q82,
-    "q83_bigram_cross_entropy" -> q83
+    "q83_bigram_cross_entropy" -> q83,
+    "q84_duplicated_spans" -> q84
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

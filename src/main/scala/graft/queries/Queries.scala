@@ -1500,6 +1500,18 @@ object Queries {
         TextOps.tokens(coalesce(col("text"), lit(""))), col("lang") === "en")
       .orderBy("doc_id")
 
+  /** Exact duplicated-span signal ([[Dedup.duplicatedSpanStats]], the
+    * Lee-et-al substring-dedup removal-mass estimate): per doc, 5-token
+    * spans occurring ≥2× corpus-wide and the token fraction they cover.
+    * Full replay — the oracle regenerates every positional span as a
+    * STRING (so a Spark-side xxhash64 collision would hash-break), counts,
+    * joins, and re-derives the interval-union coverage; all seven columns
+    * hash-compared per doc. */
+  def q84DuplicatedSpans(s: SparkSession, d: String): DataFrame =
+    Dedup.duplicatedSpanStats(Tables.documents(s, d), col("doc_id"),
+        TextOps.tokens(coalesce(col("text"), lit(""))), n = 5)
+      .orderBy("doc_id")
+
   /** Sliding-window document chunking (maxLen 64, stride 32 — 50%
     * overlap): every document split into context-window token pieces,
     * per-chunk md5 digest so the oracle checks CONTENT and position, not
