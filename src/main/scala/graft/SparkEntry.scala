@@ -98,7 +98,8 @@ object SparkEntry {
     "q81_semdedup_keepers" -> (Queries.q81SemdedupKeepers _),
     "q82_dsir_selection" -> (Queries.q82DsirSelection _),
     "q83_bigram_cross_entropy" -> (Queries.q83BigramCrossEntropy _),
-    "q84_duplicated_spans" -> (Queries.q84DuplicatedSpans _)
+    "q84_duplicated_spans" -> (Queries.q84DuplicatedSpans _),
+    "q85_bm25_topk" -> (Queries.q85Bm25TopK _)
   )
 
   /** DuckDB oracles for EVERY query above — since round 3 none are

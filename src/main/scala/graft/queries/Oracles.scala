@@ -1657,6 +1657,35 @@ object Oracles {
     LEFT JOIN agg ON agg.doc_id = b.doc_id
     ORDER BY b.doc_id"""
 
+  // BM25 top-20, FULL replay: per-doc tf via list_filter (= Spark's array
+  // filter — no tokenizer divergence possible), corpus stats N/avgdl/df
+  // from one aggregate, the identical left-to-right 3-term sum with the
+  // Lucene idf, and the (rounded bm25 DESC, doc_id) LIMIT cut — the
+  // k-boundary membership is hash-compared, not just the scores. Constants
+  // inline: k1=1.2, b=0.75 => tf factor 2.2, length norm 0.25+0.75*dl/avgdl.
+  val q85 = """
+    WITH t AS (SELECT doc_id,
+                 CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN []::VARCHAR[]
+                      ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+               FROM documents),
+    w AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+            CAST(len(list_filter(toks, x -> x = 'join')) AS DOUBLE) AS tf0,
+            CAST(len(list_filter(toks, x -> x = 'filter')) AS DOUBLE) AS tf1,
+            CAST(len(list_filter(toks, x -> x = 'window')) AS DOUBLE) AS tf2
+          FROM t),
+    st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+             CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+             CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+             CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+           FROM w)
+    SELECT doc_id,
+           round(ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0 * 2.2 / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+               + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 * 2.2 / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+               + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * tf2 * 2.2 / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS bm25
+    FROM w, st
+    WHERE greatest(tf0, tf1, tf2) > 0
+    ORDER BY bm25 DESC, doc_id LIMIT 20"""
+
   /** name → oracle SQL (single-line, driver JSON-escapes anyway). */
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
@@ -1744,6 +1773,7 @@ object Oracles {
     "q81_semdedup_keepers" -> q81,
     "q82_dsir_selection" -> q82,
     "q83_bigram_cross_entropy" -> q83,
-    "q84_duplicated_spans" -> q84
+    "q84_duplicated_spans" -> q84,
+    "q85_bm25_topk" -> q85
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

@@ -1512,6 +1512,17 @@ object Queries {
         TextOps.tokens(coalesce(col("text"), lit(""))), n = 5)
       .orderBy("doc_id")
 
+  /** BM25 keyword retrieval ([[Retrieval.bm25TopK]]): top 20 docs for a
+    * 3-term query, scored with Lucene-convention idf and tf saturation.
+    * Full replay — the oracle recomputes per-doc tf (list_filter = Spark's
+    * array filter), corpus N/avgdl/df, the same left-to-right 3-term sum,
+    * and the (rounded score desc, doc_id) cut; the k-boundary itself is
+    * part of the hash. */
+  def q85Bm25TopK(s: SparkSession, d: String): DataFrame =
+    Retrieval.bm25TopK(Tables.documents(s, d), col("doc_id"),
+      TextOps.tokens(coalesce(col("text"), lit(""))),
+      Seq("join", "filter", "window"), k = 20)
+
   /** Sliding-window document chunking (maxLen 64, stride 32 — 50%
     * overlap): every document split into context-window token pieces,
     * per-chunk md5 digest so the oracle checks CONTENT and position, not

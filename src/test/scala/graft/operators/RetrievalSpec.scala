@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  // N=4, avgdl=3, df(cat)=df(dog)=2 => idf = ln 2 for both terms
+  private def corpus = Seq(
+    (0L, Seq("cat", "cat", "dog", "x")),
+    (1L, Seq("cat", "x", "y", "z")),
+    (2L, Seq("x", "y")),
+    (3L, Seq("dog", "dog"))
+  ).toDF("doc_id", "toks")
+
+  private def bm25(tf: Double, dl: Double, idf: Double,
+                   k1: Double = 1.2, b: Double = 0.75): Double =
+    idf * tf * (k1 + 1.0) / (tf + k1 * (1 - b + b * dl / 3.0))
+
+  private def r6(x: Double) = math.rint(x * 1e6) / 1e6
+
+  test("bm25TopK matches closed-form scores, excludes no-hit docs") {
+    val out = Retrieval.bm25TopK(corpus, col("doc_id"), col("toks"),
+        Seq("cat", "dog"), k = 10)
+      .as[(Long, Double)].collect().toMap
+    val idf = math.log(2.0)
+    assert(out.keySet == Set(0L, 1L, 3L)) // doc2 has no query term
+    assert(out(0L) == r6(bm25(2, 4, idf) + bm25(1, 4, idf)))
+    assert(out(1L) == r6(bm25(1, 4, idf)))
+    assert(out(3L) == r6(bm25(2, 2, idf)))
+    // saturation + length norm: doc0 (both terms) beats single-term docs
+    assert(out(0L) > out(3L) && out(3L) > out(1L))
+  }
+
+  test("k cut is deterministic with doc_id tie-break") {
+    // docs 10 and 11 are identical => identical scores; k=2 must keep the
+    // top scorer and then the LOWER id of the tied pair
+    val df = Seq(
+      (5L, Seq("cat", "cat")),
+      (10L, Seq("cat", "x")),
+      (11L, Seq("cat", "x"))
+    ).toDF("doc_id", "toks")
+    val got = Retrieval.bm25TopK(df, col("doc_id"), col("toks"),
+      Seq("cat"), k = 2).as[(Long, Double)].collect().map(_._1).toSeq
+    assert(got == Seq(5L, 10L))
+  }
+
+  test("duplicate query terms collapse; results invariant to partitioning") {
+    val a = Retrieval.bm25TopK(corpus.repartition(5), col("doc_id"),
+      col("toks"), Seq("cat", "dog", "cat"), k = 10).collect().toSeq
+    val b = Retrieval.bm25TopK(corpus.coalesce(1), col("doc_id"),
+      col("toks"), Seq("cat", "dog"), k = 10).collect().toSeq
+    assert(a == b)
+  }
+
+  test("plan is scan-only: top-k via TakeOrderedAndProject, no shuffle join") {
+    // corpus must be LARGER than k, else EliminateLimits removes the limit
+    // (maxRows <= k) and no top-k operator is needed at all
+    val big = (0L until 50L).map(i => (i, Seq("cat", s"w$i", "dog")))
+      .toDF("doc_id", "toks")
+    val df = Retrieval.bm25TopK(big, col("doc_id"), col("toks"),
+      Seq("cat", "dog"), k = 5)
+    df.collect() // finalize the adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+    assert(!plan.contains("SortMergeJoin"))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"))
+  }
+}
