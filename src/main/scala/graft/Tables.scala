@@ -11,14 +11,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark only reads via the
-    // legacy nanos-as-long mapping; normalized back to a timestamp below.
+    // events.ts has shipped as parquet TIMESTAMP(NANOS) (read via the legacy
+    // nanos-as-long mapping) and as TIMESTAMP(MICROS, isAdjustedToUTC=false)
+    // (read as TIMESTAMP_NTZ). Normalize both to the session-TZ TIMESTAMP the
+    // operators expect; the session is pinned to UTC so the instants agree.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000")))
-    else df
+    if (name == "events") df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      case _ => df
+    } else df
   }
 
   def lineitem(spark: SparkSession, d: String): DataFrame = load(spark, d, "lineitem")

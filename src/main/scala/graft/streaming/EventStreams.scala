@@ -30,8 +30,11 @@ object EventStreams {
   /** The events schema (readStream needs it explicitly; ts arrives as
     * nanos-epoch long under the legacy parquet mapping and is normalized to
     * a timestamp exactly like Tables.events). */
-  val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+  /** File schema with `ts` as the given physical type — the fixture has
+    * shipped as TIMESTAMP(NANOS) (epoch-nanos longs under the legacy flag)
+    * and as TIMESTAMP(MICROS, isAdjustedToUTC=false) (TIMESTAMP_NTZ). */
+  def eventsSchema(tsType: DataType = LongType): StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", tsType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
@@ -41,10 +44,16 @@ object EventStreams {
   def readEvents(spark: SparkSession, dir: String,
                  maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val reader = spark.readStream.schema(eventsSchema)
+    // footer-only batch probe: which physical ts representation is on disk
+    val tsType = spark.read.parquet(dir).schema("ts").dataType
+    val reader = spark.readStream.schema(eventsSchema(tsType))
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    reader.parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val raw = reader.parquet(dir)
+    tsType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   /** Tumbling hourly aggregate with a 2-hour watermark — the streaming twin
