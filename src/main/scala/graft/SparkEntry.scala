@@ -99,7 +99,8 @@ object SparkEntry {
     "q82_dsir_selection" -> (Queries.q82DsirSelection _),
     "q83_bigram_cross_entropy" -> (Queries.q83BigramCrossEntropy _),
     "q84_duplicated_spans" -> (Queries.q84DuplicatedSpans _),
-    "q85_bm25_topk" -> (Queries.q85Bm25TopK _)
+    "q85_bm25_topk" -> (Queries.q85Bm25TopK _),
+    "q86_segment_dedup" -> (Queries.q86SegmentDedup _)
   )
 
   /** DuckDB oracles for EVERY query above — since round 3 none are

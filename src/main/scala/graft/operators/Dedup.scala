@@ -758,4 +758,60 @@ object Dedup {
         when(col("exact_hist") + col("exact_batch") + col("near_hist") === 0L,
           1L).otherwise(0L))
   }
+
+  /** Corpus-level duplicated-segment removal (the C4/CCNet recipe: CCNet
+    * drops paragraphs whose normalized hash repeats across the crawl; C4
+    * drops any three-sentence span seen before — reference
+    * `core/dedup.py:1` is the whole-document analogue). Documents are cut
+    * into consecutive non-overlapping `segLen`-token segments (the last
+    * one may be shorter); a segment whose fingerprint occurs in MORE THAN
+    * `maxDocs` distinct documents is removed from every document that
+    * contains it, and each document is reassembled from its surviving
+    * segments in order.
+    *
+    * Scale shape: segment text never shuffles. Per-segment xxhash64
+    * fingerprints are computed in the scan projection; corpus document
+    * frequency is one partial-aggregatable distinct-count over 8-byte
+    * hashes; the drop set flows back as (doc_id, dropped segment indexes)
+    * — output-sized, duplicated mass only — and the rebuild slices the
+    * original token array locally. Shuffled bytes are O(#segments × 16)
+    * regardless of document size, and a 100 TB corpus aggregates
+    * fingerprints map-side before the exchange.
+    *
+    * Output per document: token/segment counts, dropped-segment count,
+    * kept token count, and an md5 digest of the reassembled text (content
+    * check, not just counts). */
+  def segmentDedup(df: DataFrame, id: Column, toks: Column,
+                   segLen: Int = 8, maxDocs: Int = 1): DataFrame = {
+    require(segLen >= 1, "segment length must be >= 1")
+    require(maxDocs >= 1, "maxDocs must be >= 1")
+    val base = df.select(id.cast("long").as("doc_id"), toks.as("__toks"))
+      .withColumn("n_tokens", size(col("__toks")).cast("long"))
+      .withColumn("n_segments",
+        ceil(col("n_tokens").cast("double") / segLen).cast("long"))
+    // (doc_id, seg_idx, fingerprint) — sequence is guarded: Spark's
+    // two-arg sequence(0, -1) counts DOWN, so an empty doc must not reach it
+    val segIdx = when(col("n_segments") > 0,
+      sequence(lit(0), (col("n_segments") - 1).cast("int")))
+      .otherwise(array().cast("array<int>"))
+    val segs = base
+      .select(col("doc_id"), posexplode(transform(segIdx,
+        i => xxhash64(concat_ws(" ", slice(col("__toks"), i * segLen + 1, lit(segLen)))))))
+      .select(col("doc_id"), col("pos").cast("int").as("seg_idx"), col("col").as("h"))
+    val dupHashes = segs.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("__df"))
+      .filter(col("__df") > maxDocs).select("h")
+    val dropped = segs.join(dupHashes, Seq("h"))
+      .groupBy("doc_id").agg(collect_set(col("seg_idx")).as("__drop"))
+    val kept = flatten(transform(
+      filter(segIdx, i => !array_contains(coalesce(col("__drop"),
+        array().cast("array<int>")), i)),
+      i => slice(col("__toks"), i * segLen + 1, lit(segLen))))
+    base.join(dropped, Seq("doc_id"), "left")
+      .withColumn("__kept", kept)
+      .select(col("doc_id"), col("n_tokens"), col("n_segments"),
+        coalesce(size(col("__drop")), lit(0)).cast("long").as("n_dropped_segments"),
+        size(col("__kept")).cast("long").as("n_kept_tokens"),
+        md5(concat_ws(" ", col("__kept")).cast("binary")).as("kept_md5"))
+  }
 }

@@ -1686,6 +1686,38 @@ object Oracles {
     WHERE greatest(tf0, tf1, tf2) > 0
     ORDER BY bm25 DESC, doc_id LIMIT 20"""
 
+  // Duplicated-segment removal, FULL replay: segments regenerated as
+  // strings (Spark-side xxhash64 collisions would hash-break), distinct-doc
+  // frequency, drop set, and the reassembled text all recomputed; the
+  // kept_md5 digest compares CONTENT and order, not just counts.
+  val q86 = """
+    WITH t AS (SELECT doc_id,
+                 CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN []::VARCHAR[]
+                      ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+               FROM documents),
+    b AS (SELECT doc_id, len(toks) AS n_tokens,
+                 CAST(ceil(len(toks) / 8.0) AS BIGINT) AS n_segments, toks
+          FROM t),
+    seg AS (SELECT doc_id, i AS si, array_to_string(toks[(i*8+1):(i*8+8)], ' ') AS s
+            FROM b, unnest(generate_series(0, CAST(n_segments AS INTEGER) - 1)) AS u(i)
+            WHERE n_segments > 0),
+    f AS (SELECT s FROM seg GROUP BY s HAVING count(DISTINCT doc_id) > 1),
+    dr AS (SELECT seg.doc_id, list(DISTINCT si) AS drop_idx
+           FROM seg JOIN f ON f.s = seg.s GROUP BY seg.doc_id),
+    k AS (SELECT b.doc_id, b.n_tokens, b.n_segments,
+                 coalesce(len(dr.drop_idx), 0) AS n_dropped,
+                 coalesce(flatten(list_transform(
+                   list_filter(generate_series(0, CAST(b.n_segments AS INTEGER) - 1),
+                               i -> NOT list_contains(coalesce(dr.drop_idx, []::BIGINT[]), i)),
+                   i -> b.toks[(i*8+1):(i*8+8)])), []::VARCHAR[]) AS kept
+          FROM b LEFT JOIN dr ON dr.doc_id = b.doc_id)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_segments AS BIGINT) AS n_segments,
+           CAST(n_dropped AS BIGINT) AS n_dropped_segments,
+           CAST(len(kept) AS BIGINT) AS n_kept_tokens,
+           md5(coalesce(array_to_string(kept, ' '), '')) AS kept_md5
+    FROM k ORDER BY doc_id"""
+
   /** name → oracle SQL (single-line, driver JSON-escapes anyway). */
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
@@ -1774,6 +1806,7 @@ object Oracles {
     "q82_dsir_selection" -> q82,
     "q83_bigram_cross_entropy" -> q83,
     "q84_duplicated_spans" -> q84,
-    "q85_bm25_topk" -> q85
+    "q85_bm25_topk" -> q85,
+    "q86_segment_dedup" -> q86
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

@@ -1523,6 +1523,18 @@ object Queries {
       TextOps.tokens(coalesce(col("text"), lit(""))),
       Seq("join", "filter", "window"), k = 20)
 
+  /** Corpus-level duplicated-segment REMOVAL ([[Dedup.segmentDedup]] — the
+    * C4/CCNet recipe, complementing q84 which only MEASURES duplication):
+    * 8-token non-overlapping segments, any segment in >1 distinct docs
+    * removed everywhere, documents reassembled. Full replay — the oracle
+    * regenerates segments as STRINGS (a Spark xxhash64 collision would
+    * hash-break), recomputes the distinct-doc frequency, the drop set, and
+    * the reassembled text's md5 — content and position, not just counts. */
+  def q86SegmentDedup(s: SparkSession, d: String): DataFrame =
+    Dedup.segmentDedup(Tables.documents(s, d), col("doc_id"),
+        TextOps.tokens(coalesce(col("text"), lit(""))), segLen = 8, maxDocs = 1)
+      .orderBy("doc_id")
+
   /** Sliding-window document chunking (maxLen 64, stride 32 — 50%
     * overlap): every document split into context-window token pieces,
     * per-chunk md5 digest so the oracle checks CONTENT and position, not

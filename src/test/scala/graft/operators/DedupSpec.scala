@@ -398,4 +398,34 @@ class DedupSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((0L, 1L)), s"missing twin via broadcast path: $pairs")
   }
+
+  test("segmentDedup drops cross-doc duplicated segments and reassembles the rest") {
+    // segLen = 3: doc 0 and doc 1 share their FIRST segment ("a b c");
+    // doc 2 repeats a segment internally (must survive — only 1 distinct
+    // doc); doc 3 is empty; doc 4 is a short tail-only doc.
+    val corpus = Seq(
+      (0L, "a b c d e f g"),        // segs: [a b c][d e f][g]
+      (1L, "a b c x y z"),          // segs: [a b c][x y z]
+      (2L, "p q r p q r"),          // segs: [p q r][p q r] — internal repeat
+      (3L, ""),
+      (4L, "h i")
+    ).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(corpus, col("doc_id"),
+        graft.functions.TextOps.tokens(col("text")), segLen = 3, maxDocs = 1)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "n_segments", "n_dropped_segments", "n_kept_tokens")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (0L, 7L, 3L, 1L, 4L),   // lost [a b c], kept "d e f g"
+      (1L, 6L, 2L, 1L, 3L),   // lost [a b c], kept "x y z"
+      (2L, 6L, 2L, 0L, 6L),   // internal repeat survives
+      (3L, 0L, 0L, 0L, 0L),
+      (4L, 2L, 1L, 0L, 2L)), s"unexpected: $out")
+    // content digest: doc 0's reassembled text is exactly "d e f g"
+    val md = Dedup.segmentDedup(corpus, col("doc_id"),
+        graft.functions.TextOps.tokens(col("text")), segLen = 3, maxDocs = 1)
+      .filter(col("doc_id") === 0L).select("kept_md5").as[String].head()
+    val expected = spark.sql("SELECT md5(cast('d e f g' AS binary))").as[String].head()
+    assert(md == expected)
+  }
 }
