@@ -6,6 +6,7 @@ Usage: python3 scripts/check_oracle.py <sfDir> <verifyOutDir>
 """
 import json
 import math
+import os
 import sys
 
 import duckdb
@@ -46,8 +47,13 @@ def main(sf_dir, out_dir):
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    n_pass = n_fail = 0
+    n_pass = n_fail = n_skip = 0
     for name, sql in sorted(oracle.items()):
+        # single-query Verify runs write only their own subdir — skip the
+        # rest instead of drowning the report in missing-file FAILs
+        if not os.path.isdir(f"{out_dir}/{name}"):
+            n_skip += 1
+            continue
         try:
             got = frame(con.sql(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'"))
@@ -72,7 +78,8 @@ def main(sf_dir, out_dir):
         else:
             print(f"PASS {name} ({len(got[1])} rows)")
             n_pass += 1
-    print(f"\n{n_pass} pass, {n_fail} fail")
+    skipped = f", {n_skip} skipped (no output dir)" if n_skip else ""
+    print(f"\n{n_pass} pass, {n_fail} fail{skipped}")
     return 1 if n_fail else 0
 
 

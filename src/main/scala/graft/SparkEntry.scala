@@ -100,7 +100,8 @@ object SparkEntry {
     "q83_bigram_cross_entropy" -> (Queries.q83BigramCrossEntropy _),
     "q84_duplicated_spans" -> (Queries.q84DuplicatedSpans _),
     "q85_bm25_topk" -> (Queries.q85Bm25TopK _),
-    "q86_segment_dedup" -> (Queries.q86SegmentDedup _)
+    "q86_segment_dedup" -> (Queries.q86SegmentDedup _),
+    "q87_quality_classifier" -> (Queries.q87QualityClassifier _)
   )
 
   /** DuckDB oracles for EVERY query above — since round 3 none are

@@ -1718,6 +1718,25 @@ object Oracles {
            md5(coalesce(array_to_string(kept, ' '), '')) AS kept_md5
     FROM k ORDER BY doc_id"""
 
+  // Quality-classifier gate: fold sizes replayed exactly from the q76
+  // md5-uniform split (sf-independent); the held-out accuracy flag is
+  // pinned — DuckDB cannot train the model, but the planted label is
+  // linearly recoverable, so a correct pipeline always clears the gate.
+  val q87 = """
+    WITH u AS (
+      SELECT doc_id, list_reduce(list_prepend(0.0,
+          list_transform(generate_series(1, 13),
+            k -> CAST(strpos('0123456789abcdef',
+                   substr(substr(md5(concat_ws('|', doc_id, 'split')), 1, 13), k, 1)) - 1 AS DOUBLE)
+                 * pow(16.0, 13 - k))),
+        (a, x) -> a + x) / 4503599627370496.0 AS u
+      FROM documents)
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN u < 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+           CAST(sum(CASE WHEN u >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+           CAST(1 AS BIGINT) AS acc_ok
+    FROM u"""
+
   /** name → oracle SQL (single-line, driver JSON-escapes anyway). */
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
@@ -1807,6 +1826,7 @@ object Oracles {
     "q83_bigram_cross_entropy" -> q83,
     "q84_duplicated_spans" -> q84,
     "q85_bm25_topk" -> q85,
-    "q86_segment_dedup" -> q86
+    "q86_segment_dedup" -> q86,
+    "q87_quality_classifier" -> q87
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

@@ -1535,6 +1535,23 @@ object Queries {
         TextOps.tokens(coalesce(col("text"), lit(""))), segLen = 8, maxDocs = 1)
       .orderBy("doc_id")
 
+  /** Trainable quality classifier ([[graft.ml.TextClassifier]] — the
+    * fastText-style linear curation model): hashed token-count features,
+    * spark.ml logistic regression, deterministic q76 hash split. The label
+    * is PLANTED and linearly recoverable from token counts
+    * (count("spark") ≥ count("join")), so a correct train/score path must
+    * clear 90% held-out accuracy; the oracle pins the fold sizes (pure
+    * md5-split arithmetic DuckDB can replay) and the accuracy flag. A
+    * broken tokenizer, feature hasher, label plumbing, or optimizer reds
+    * the row. */
+  def q87QualityClassifier(s: SparkSession, d: String): DataFrame = {
+    val toks = TextOps.tokens(coalesce(col("text"), lit("")))
+    val label = (size(filter(toks, t => t === "spark"))
+      >= size(filter(toks, t => t === "join"))).cast("int")
+    graft.ml.TextClassifier.holdoutGate(Tables.documents(s, d),
+      col("doc_id"), toks, label)
+  }
+
   /** Sliding-window document chunking (maxLen 64, stride 32 — 50%
     * overlap): every document split into context-window token pieces,
     * per-chunk md5 digest so the oracle checks CONTENT and position, not
