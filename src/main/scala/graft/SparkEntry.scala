@@ -101,7 +101,8 @@ object SparkEntry {
     "q84_duplicated_spans" -> (Queries.q84DuplicatedSpans _),
     "q85_bm25_topk" -> (Queries.q85Bm25TopK _),
     "q86_segment_dedup" -> (Queries.q86SegmentDedup _),
-    "q87_quality_classifier" -> (Queries.q87QualityClassifier _)
+    "q87_quality_classifier" -> (Queries.q87QualityClassifier _),
+    "q88_token_budget_plan" -> (Queries.q88TokenBudgetPlan _)
   )
 
   /** DuckDB oracles for EVERY query above — since round 3 none are

@@ -45,6 +45,38 @@ object Mixture {
       .drop("n_copies")
   }
 
+  /** Token-budget mixture planner — the static planning step of corpus
+    * mixing (The Pile / DoReMi-style fixed domain weights): given a total
+    * training token budget and a target weight per domain, derive each
+    * domain's available tokens, its target share, the implied epoch count
+    * (>1 = upsampling, the Pile runs Wikipedia ~3 epochs), and the
+    * capped-at-1 sampling rate for pipelines that refuse to upsample.
+    * Domains absent from `targets` get weight 0 (excluded from training but
+    * still reported). Output is one row per domain, so the whole plan is a
+    * single partial-aggregatable groupBy at any corpus size; the weight
+    * ladder is a broadcast-free literal CASE.
+    *
+    * epochs = target_tokens / available; feeding `weightFor`-style
+    * per-document weights into [[epochs]] then materializes the plan. */
+  def tokenBudgetPlan(docs: DataFrame, domain: Column, tokens: Column,
+                      targets: Map[String, Double], budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(targets.values.forall(_ >= 0), "weights must be >= 0")
+    val wSum = targets.values.sum
+    require(wSum > 0, "need a positive total weight")
+    val w = weightFor(col("domain"), targets.map { case (k, v) => k -> v / wSum },
+      default = 0.0)
+    docs.select(domain.as("domain"), tokens.cast("long").as("__t"))
+      .groupBy("domain")
+      .agg(sum("__t").as("available_tokens"), count(lit(1)).as("n_docs"))
+      .withColumn("weight", round(w, 6))
+      .withColumn("target_tokens", round(w * budget, 2))
+      .withColumn("epochs",
+        round(when(col("available_tokens") > 0,
+          col("target_tokens") / col("available_tokens")).otherwise(lit(0.0)), 6))
+      .withColumn("sample_rate", round(least(col("epochs"), lit(1.0)), 6))
+  }
+
   /** Deterministic hash split — the train/val/test (or shard) assignment a
     * training pipeline makes ONCE and must never change afterwards: each
     * row's uniform `u = md5-uniform(key, salt)` picks the first label whose

@@ -1737,6 +1737,30 @@ object Oracles {
            CAST(1 AS BIGINT) AS acc_ok
     FROM u"""
 
+  // Token-budget mixture plan, FULL replay: tokenizer, per-domain
+  // aggregate, and all derived columns. Weights are FP-exact (powers of
+  // two summing to exactly 1.0) so literal arithmetic matches Spark's
+  // normalized weights bit-for-bit.
+  val q88 = """
+    WITH t AS (SELECT lang AS domain,
+                 len(regexp_extract_all(coalesce(text, ''), '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS tk
+               FROM documents),
+    a AS (SELECT domain, CAST(sum(tk) AS BIGINT) AS available_tokens,
+                 CAST(count(*) AS BIGINT) AS n_docs
+          FROM t GROUP BY domain),
+    w AS (SELECT *, CAST(CASE domain WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.125
+                         WHEN 'de' THEN 0.125 WHEN 'es' THEN 0.125
+                         WHEN 'fr' THEN 0.125 ELSE 0.0 END AS DOUBLE) AS wt
+          FROM a),
+    e AS (SELECT *, round(wt * 100000, 2) AS target_tokens FROM w),
+    f AS (SELECT *, round(CASE WHEN available_tokens > 0
+                          THEN target_tokens / available_tokens
+                          ELSE 0.0 END, 6) AS epochs FROM e)
+    SELECT domain, available_tokens, n_docs, round(wt, 6) AS weight,
+           target_tokens, epochs,
+           round(least(epochs, 1.0), 6) AS sample_rate
+    FROM f ORDER BY domain"""
+
   /** name → oracle SQL (single-line, driver JSON-escapes anyway). */
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
@@ -1827,6 +1851,7 @@ object Oracles {
     "q84_duplicated_spans" -> q84,
     "q85_bm25_topk" -> q85,
     "q86_segment_dedup" -> q86,
-    "q87_quality_classifier" -> q87
+    "q87_quality_classifier" -> q87,
+    "q88_token_budget_plan" -> q88
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

@@ -1552,6 +1552,21 @@ object Queries {
       col("doc_id"), toks, label)
   }
 
+  /** Token-budget mixture planner ([[Mixture.tokenBudgetPlan]] — the
+    * Pile/DoReMi static-weights planning step): per-language available
+    * bpe-ish tokens, target share of a 100k-token budget, implied epochs
+    * (upsampling), and the capped sampling rate. Weights are FP-exact
+    * powers of two so the oracle's literal arithmetic reproduces every
+    * double bit-for-bit. Full replay: DuckDB recomputes the tokenizer, the
+    * per-domain aggregate, and all four derived columns. */
+  def q88TokenBudgetPlan(s: SparkSession, d: String): DataFrame =
+    Mixture.tokenBudgetPlan(Tables.documents(s, d), col("lang"),
+        TextOps.bpeishTokenCount(coalesce(col("text"), lit(""))),
+        Map("en" -> 0.5, "zh" -> 0.125, "de" -> 0.125, "es" -> 0.125,
+          "fr" -> 0.125),
+        budget = 100000L)
+      .orderBy("domain")
+
   /** Sliding-window document chunking (maxLen 64, stride 32 — 50%
     * overlap): every document split into context-window token pieces,
     * per-chunk md5 digest so the oracle checks CONTENT and position, not

@@ -87,4 +87,26 @@ class MixtureSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Mixture.hashSplit(docs(10), col("doc_id"), Seq.empty))
   }
+
+  test("tokenBudgetPlan: upsampled scarce domain, capped rich domain, zero-weight leftover") {
+    val corpus = Seq(
+      ("wiki", 100L), ("wiki", 100L),        // scarce: 200 tokens
+      ("web", 4000L), ("web", 4000L),        // rich: 8000 tokens
+      ("junk", 500L)                         // not in targets
+    ).toDF("dom", "tk")
+    val plan = Mixture.tokenBudgetPlan(corpus, col("dom"), col("tk"),
+        Map("wiki" -> 0.25, "web" -> 0.75), budget = 4000L)
+      .orderBy("domain")
+      .select("domain", "available_tokens", "weight", "target_tokens",
+        "epochs", "sample_rate")
+      .as[(String, Long, Double, Double, Double, Double)].collect().toSeq
+    assert(plan == Seq(
+      ("junk", 500L, 0.0, 0.0, 0.0, 0.0),
+      ("web", 8000L, 0.75, 3000.0, 0.375, 0.375),
+      ("wiki", 200L, 0.25, 1000.0, 5.0, 1.0)), s"unexpected plan: $plan")
+    intercept[IllegalArgumentException](
+      Mixture.tokenBudgetPlan(corpus, col("dom"), col("tk"), Map("wiki" -> 1.0), 0L))
+    intercept[IllegalArgumentException](
+      Mixture.tokenBudgetPlan(corpus, col("dom"), col("tk"), Map("wiki" -> 0.0), 10L))
+  }
 }
