@@ -1852,6 +1852,7 @@ object Oracles {
     "q85_bm25_topk" -> q85,
     "q86_segment_dedup" -> q86,
     "q87_quality_classifier" -> q87,
-    "q88_token_budget_plan" -> q88
+    "q88_token_budget_plan" -> q88,
+    "q89_bm25_indexed" -> q85
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

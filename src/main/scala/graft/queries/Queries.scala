@@ -1098,17 +1098,21 @@ object Queries {
       finally walk.close()
     }
   }
+  private val bm25IndexCache =
+    new scala.collection.concurrent.TrieMap[String, (String, String)]()
   Runtime.getRuntime.addShutdownHook(new Thread(() =>
-    ivfPqIndexCache.values.foreach { case (_, dir) =>
+    (ivfPqIndexCache.values ++ bm25IndexCache.values).foreach { case (_, dir) =>
       try deleteDirTree(dir) catch { case _: Exception => () }
     }))
-  private def embeddingsSignature(s: SparkSession, d: String): String = {
-    val p = new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")
+  private def tableSignature(s: SparkSession, d: String, table: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$d/$table.parquet")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.listStatus(p).filter(_.isFile).map(f =>
         s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
       .sorted.mkString(",")
   }
+  private def embeddingsSignature(s: SparkSession, d: String): String =
+    tableSignature(s, d, "embeddings")
   def q64AnnIvfPq(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
     val q = e.filter(col("vec_id") < 8)
@@ -1559,6 +1563,32 @@ object Queries {
     * powers of two so the oracle's literal arithmetic reproduces every
     * double bit-for-bit. Full replay: DuckDB recomputes the tokenizer, the
     * per-domain aggregate, and all four derived columns. */
+  /** BM25 served from the PERSISTED inverted index ([[Retrieval
+    * .writeBm25Index]]/[[Retrieval.bm25TopKIndexed]] — the repeated-query
+    * serving path; q85 is the ad-hoc scan). Index artifacts are built once
+    * per fixture (signature-cached like q64's IVF-PQ index) and the query
+    * reads ONLY the query terms' bucket partitions. Oracle: the SAME full
+    * BM25 replay as q85 — the indexed path must reproduce the scan path's
+    * doubles bit-for-bit. */
+  def q89Bm25Indexed(s: SparkSession, d: String): DataFrame = {
+    val sig = tableSignature(s, d, "documents")
+    val idxDir = bm25IndexCache.synchronized {
+      bm25IndexCache.get(d) match {
+        case Some((s0, dir)) if s0 == sig => dir
+        case prev =>
+          prev.foreach { case (_, old) =>
+            try deleteDirTree(old) catch { case _: Exception => () } }
+          val tmp = java.nio.file.Files.createTempDirectory("graft_bm25_").toString
+          Retrieval.writeBm25Index(Tables.documents(s, d), col("doc_id"),
+            TextOps.tokens(coalesce(col("text"), lit(""))), tmp)
+          bm25IndexCache.update(d, (sig, tmp))
+          tmp
+      }
+    }
+    Retrieval.bm25TopKIndexed(s, idxDir,
+      Seq("join", "filter", "window"), k = 20)
+  }
+
   def q88TokenBudgetPlan(s: SparkSession, d: String): DataFrame =
     Mixture.tokenBudgetPlan(Tables.documents(s, d), col("lang"),
         TextOps.bpeishTokenCount(coalesce(col("text"), lit(""))),

@@ -67,4 +67,31 @@ class RetrievalSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"))
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"))
   }
+
+  test("indexed path equals the scan path bit-for-bit and prunes to term buckets") {
+    val big = (0L until 60L).map { i =>
+      val extra = if (i % 3 == 0) Seq("cat") else if (i % 3 == 1) Seq("dog") else Seq.empty
+      (i, Seq(s"w$i", s"u${i % 7}", s"v${i % 11}") ++ extra)
+    }.toDF("doc_id", "toks")
+    val dir = java.nio.file.Files.createTempDirectory("bm25idx").toString
+    try {
+      Retrieval.writeBm25Index(big, col("doc_id"), col("toks"), dir, buckets = 16)
+      val scan = Retrieval.bm25TopK(big, col("doc_id"), col("toks"),
+        Seq("cat", "dog", "absent"), k = 15).as[(Long, Double)].collect().toSeq
+      val idx = Retrieval.bm25TopKIndexed(spark, dir,
+        Seq("cat", "dog", "absent"), k = 15, buckets = 16)
+      val got = idx.as[(Long, Double)].collect().toSeq
+      assert(got == scan, s"indexed != scan:\n$got\n$scan")
+      // pruning: the parquet scan must carry a partition filter on bucket
+      val planStr = idx.queryExecution.executedPlan.toString
+      assert(planStr.contains("PartitionFilters") &&
+        planStr.contains("bucket"), s"no bucket pruning in:\n$planStr")
+    } finally {
+      import java.nio.file.{Files, Paths}
+      val walk = Files.walk(Paths.get(dir))
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
 }
