@@ -103,7 +103,8 @@ object SparkEntry {
     "q86_segment_dedup" -> (Queries.q86SegmentDedup _),
     "q87_quality_classifier" -> (Queries.q87QualityClassifier _),
     "q88_token_budget_plan" -> (Queries.q88TokenBudgetPlan _),
-    "q89_bm25_indexed" -> (Queries.q89Bm25Indexed _)
+    "q89_bm25_indexed" -> (Queries.q89Bm25Indexed _),
+    "q90_entropy_stats" -> (Queries.q90EntropyStats _)
   )
 
   /** DuckDB oracles for EVERY query above — since round 3 none are

@@ -92,4 +92,42 @@ object QualityRules {
         round(col("__d2"), 6).as("dup_2gram_frac"),
         round(col("__d3"), 6).as("dup_3gram_frac"))
   }
+
+  /** Token-distribution entropy signals (the information-theoretic slice of
+    * quality filtering — low-entropy docs are boilerplate/keyword-stuffing;
+    * near-zero normalized entropy plus high length is the classic SEO-spam
+    * shape):
+    *  - `entropy`: Shannon entropy −Σ (c/n)·ln(c/n) of the doc's unigram
+    *    distribution (nats),
+    *  - `norm_entropy`: entropy / ln(n_distinct) ∈ [0,1] (0 when the doc
+    *    has ≤1 distinct token),
+    *  - `distinct_frac`: type-token ratio n_distinct / n_tokens.
+    *
+    * Scale shape: explode → two partial-aggregatable groupBys, all keyed by
+    * doc — shuffle volume is O(tokens) then O(distinct tokens); nothing
+    * driver-side, no window, no per-doc quadratic work. Empty docs emit
+    * zeros. */
+  def entropyStats(df: DataFrame, id: Column, toks: Column): DataFrame = {
+    val base = df.select(id.cast("long").as("doc_id"), toks.as("__toks"))
+      .withColumn("n_tokens", size(col("__toks")).cast("long"))
+    val p = col("__c") / col("n_tokens").cast("double")
+    val per = base.filter(col("n_tokens") > 0)
+      .select(col("doc_id"), col("n_tokens"), explode(col("__toks")).as("__w"))
+      .groupBy("doc_id", "n_tokens", "__w")
+      .agg(count(lit(1)).cast("double").as("__c"))
+      .groupBy("doc_id", "n_tokens")
+      .agg(count(lit(1)).as("n_distinct"),
+        sum(-p * log(p)).as("__H"))
+    base.select(col("doc_id"), col("n_tokens"))
+      .join(per.drop("n_tokens"), Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_distinct"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        round(coalesce(col("__H"), lit(0.0)), 6).as("entropy"),
+        round(when(col("n_distinct") > 1,
+          coalesce(col("__H"), lit(0.0)) / log(col("n_distinct").cast("double")))
+          .otherwise(lit(0.0)), 6).as("norm_entropy"),
+        round(when(col("n_tokens") > 0,
+          col("n_distinct").cast("double") / col("n_tokens").cast("double"))
+          .otherwise(lit(0.0)), 6).as("distinct_frac"))
+  }
 }

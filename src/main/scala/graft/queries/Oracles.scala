@@ -1761,6 +1761,32 @@ object Oracles {
            round(least(epochs, 1.0), 6) AS sample_rate
     FROM f ORDER BY domain"""
 
+  // Token-entropy signals, FULL replay: tokenizer, per-(doc, token)
+  // counts, entropy / normalized entropy / type-token ratio at 6 dp.
+  val q90 = """
+    WITH t AS (SELECT doc_id,
+                 CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN []::VARCHAR[]
+                      ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+               FROM documents),
+    b AS (SELECT doc_id, len(toks) AS n_tokens, toks FROM t),
+    c AS (SELECT doc_id, n_tokens, w, CAST(count(*) AS DOUBLE) AS c
+          FROM b, unnest(toks) AS u(w)
+          WHERE n_tokens > 0 GROUP BY doc_id, n_tokens, w),
+    h AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_distinct,
+                 sum(-(c / n_tokens) * ln(c / n_tokens)) AS H
+          FROM c GROUP BY doc_id, n_tokens)
+    SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+           coalesce(h.n_distinct, 0) AS n_distinct,
+           round(coalesce(h.H, 0.0), 6) AS entropy,
+           round(CASE WHEN coalesce(h.n_distinct, 0) > 1
+                 THEN coalesce(h.H, 0.0) / ln(CAST(h.n_distinct AS DOUBLE))
+                 ELSE 0.0 END, 6) AS norm_entropy,
+           round(CASE WHEN b.n_tokens > 0
+                 THEN CAST(coalesce(h.n_distinct, 0) AS DOUBLE) / b.n_tokens
+                 ELSE 0.0 END, 6) AS distinct_frac
+    FROM b LEFT JOIN h ON h.doc_id = b.doc_id
+    ORDER BY b.doc_id"""
+
   /** name → oracle SQL (single-line, driver JSON-escapes anyway). */
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
@@ -1853,6 +1879,7 @@ object Oracles {
     "q86_segment_dedup" -> q86,
     "q87_quality_classifier" -> q87,
     "q88_token_budget_plan" -> q88,
-    "q89_bm25_indexed" -> q85
+    "q89_bm25_indexed" -> q85,
+    "q90_entropy_stats" -> q90
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

@@ -1589,6 +1589,17 @@ object Queries {
       Seq("join", "filter", "window"), k = 20)
   }
 
+  /** Token-entropy quality signals ([[QualityRules.entropyStats]]):
+    * Shannon entropy of each doc's unigram distribution, normalized
+    * entropy, and type-token ratio — the information-theoretic
+    * boilerplate/keyword-stuffing detectors. Full replay: DuckDB
+    * recomputes the same tokenizer, per-(doc, token) counts, and the three
+    * derived columns at 6 dp. */
+  def q90EntropyStats(s: SparkSession, d: String): DataFrame =
+    QualityRules.entropyStats(Tables.documents(s, d), col("doc_id"),
+        TextOps.tokens(coalesce(col("text"), lit(""))))
+      .orderBy("doc_id")
+
   def q88TokenBudgetPlan(s: SparkSession, d: String): DataFrame =
     Mixture.tokenBudgetPlan(Tables.documents(s, d), col("lang"),
         TextOps.bpeishTokenCount(coalesce(col("text"), lit(""))),

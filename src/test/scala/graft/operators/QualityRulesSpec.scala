@@ -49,4 +49,22 @@ class QualityRulesSpec extends SparkSpec {
     assert(got(1) == ((1L, 0.25, 0.0, 0.0)), s"${got(1)}")
     assert(got(2) == ((2L, 0.5, 0.0, 0.0)), s"${got(2)}")
   }
+
+  test("entropyStats: closed-form entropy, normalization, and edge docs") {
+    val docs = Seq(
+      (0L, "a a b b"),      // uniform over 2 types: H = ln 2, norm = 1
+      (1L, "x x x x"),      // single type: H = 0, norm = 0
+      (2L, ""),             // empty: all zeros
+      (3L, "p q r s")       // all distinct: H = ln 4, norm = 1, ttr = 1
+    ).toDF("doc_id", "text")
+    val got = QualityRules.entropyStats(docs, col("doc_id"),
+        graft.functions.TextOps.tokens(col("text")))
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double, Double, Double)].collect().toSeq
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(got(0) == ((0L, 4L, 2L, r6(math.log(2)), 1.0, 0.5)), s"${got(0)}")
+    assert(got(1) == ((1L, 4L, 1L, 0.0, 0.0, 0.25)), s"${got(1)}")
+    assert(got(2) == ((2L, 0L, 0L, 0.0, 0.0, 0.0)), s"${got(2)}")
+    assert(got(3) == ((3L, 4L, 4L, r6(math.log(4)), 1.0, 1.0)), s"${got(3)}")
+  }
 }
