@@ -1787,6 +1787,31 @@ object Oracles {
     FROM b LEFT JOIN h ON h.doc_id = b.doc_id
     ORDER BY b.doc_id"""
 
+  // Ordered funnel, FULL replay via the k-pass definition: t1 = min view,
+  // t2 = min click strictly after t1, t3 = min purchase strictly after t2.
+  // The Spark side computes the same times with a sorted per-user fold.
+  val q91 = """
+    WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_type FROM events),
+    u AS (SELECT DISTINCT user_id FROM events),
+    s1 AS (SELECT user_id, min(ts) AS t1 FROM e
+           WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, min(ts) AS t2 FROM e
+           JOIN s1 ON s1.user_id = e.user_id
+           WHERE event_type = 'click' AND ts > t1 GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, min(ts) AS t3 FROM e
+           JOIN s2 ON s2.user_id = e.user_id
+           WHERE event_type = 'purchase' AND ts > t2 GROUP BY e.user_id)
+    SELECT u.user_id,
+           CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+                WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS steps_completed,
+           coalesce(t1, -1) AS first_us,
+           coalesce(t3, t2, t1, -1) AS last_us,
+           CASE WHEN t3 IS NOT NULL THEN t3 - t1 ELSE -1 END AS convert_us
+    FROM u LEFT JOIN s1 ON s1.user_id = u.user_id
+    LEFT JOIN s2 ON s2.user_id = u.user_id
+    LEFT JOIN s3 ON s3.user_id = u.user_id
+    ORDER BY u.user_id"""
+
   /** name → oracle SQL (single-line, driver JSON-escapes anyway). */
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
@@ -1880,6 +1905,7 @@ object Oracles {
     "q87_quality_classifier" -> q87,
     "q88_token_budget_plan" -> q88,
     "q89_bm25_indexed" -> q85,
-    "q90_entropy_stats" -> q90
+    "q90_entropy_stats" -> q90,
+    "q91_funnel" -> q91
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

@@ -1600,6 +1600,16 @@ object Queries {
         TextOps.tokens(coalesce(col("text"), lit(""))))
       .orderBy("doc_id")
 
+  /** Ordered funnel ([[Funnel.funnel]] — view → click → purchase earliest
+    * completion per user). Full replay: the oracle computes the k-pass
+    * definition (min ts of each step strictly after the previous step's)
+    * with sequential CTEs; the Spark side is the single-shuffle sorted
+    * fold — the two formulations must agree on every user. */
+  def q91Funnel(s: SparkSession, d: String): DataFrame =
+    Funnel.funnel(Tables.events(s, d), col("user_id"), col("ts"),
+        col("event_type"), Seq("view", "click", "purchase"))
+      .orderBy("user_id")
+
   def q88TokenBudgetPlan(s: SparkSession, d: String): DataFrame =
     Mixture.tokenBudgetPlan(Tables.documents(s, d), col("lang"),
         TextOps.bpeishTokenCount(coalesce(col("text"), lit(""))),
