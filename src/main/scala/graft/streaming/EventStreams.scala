@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -17,6 +17,13 @@ case class FeaturizedWindow(win_id: Long, hist: Seq[Double], target: Seq[Double]
 
 /** Stateful-streaming output row: per-user running session statistics. */
 case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
+
+/** Streaming-funnel state: frontier depth + first/deepest accepted times. */
+case class FunnelState(filled: Int, first: Long, last: Long)
+
+/** Streaming-funnel output row (matches the batch Funnel.funnel schema). */
+case class UserFunnel(user_id: Long, steps_completed: Long, first_us: Long,
+                      last_us: Long, convert_us: Long)
 
 /** Structured Streaming form of the event-table operators. The reference has
   * no streaming (SURVEY.md §2.8 — its "time series" is batch-simulated), so
@@ -121,6 +128,57 @@ object EventStreams {
 
   private val eventMicrosSchema = new StructType()
     .add("user_id", LongType).add("ts_us", LongType)
+
+  /** Streaming twin of [[graft.operators.Funnel.funnel]] via
+    * `mapGroupsWithState`: state is the O(1) funnel frontier (depth +
+    * first/deepest accepted times) per user — 24 bytes, never the event
+    * history. Each trigger folds its batch's events (sorted by (ts, step)
+    * inside the batch, exactly the batch operator's order) into the saved
+    * frontier and emits the user's refreshed running row (update mode;
+    * compact the sink to latest-per-user like the session twin).
+    *
+    * In-order contract: events must arrive per-user in non-decreasing ts
+    * across micro-batches (the time-ordered log-replay shape; same contract
+    * as [[statefulFeaturize]]) — with O(1) state a frontier already
+    * advanced past t cannot reconsider a late event before t. Under that
+    * contract the final rows equal the batch operator on the union of all
+    * batches. */
+  def statefulFunnel(events: DataFrame, steps: Seq[String],
+                     windowUs: Option[Long] = None): DataFrame = {
+    require(steps.nonEmpty, "need at least one funnel step")
+    require(steps.distinct.size == steps.size, "funnel steps must be distinct")
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import org.apache.spark.sql.{Encoders, Row}
+    val k = steps.size
+    val idx = steps.zipWithIndex
+      .foldRight(lit(-1): Column) { case ((s, i), acc) =>
+        when(col("event_type") === lit(s), lit(i)).otherwise(acc)
+      }
+    val schema = new StructType()
+      .add("user_id", LongType).add("ts_us", LongType).add("step_idx", IntegerType)
+    val byUser = events
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        idx.as("step_idx"))
+      .filter(col("step_idx") >= 0)
+      .as(Encoders.row(schema))
+      .groupByKey((r: Row) => r.getLong(0))(Encoders.scalaLong)
+    byUser.mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+      (userId: Long, rows: Iterator[Row],
+       state: org.apache.spark.sql.streaming.GroupState[FunnelState]) => {
+        val batch = rows.map(r => (r.getLong(1), r.getInt(2))).toArray.sorted
+        var st = state.getOption.getOrElse(FunnelState(0, -1L, -1L))
+        batch.foreach { case (ts, stepIdx) =>
+          val inWindow = windowUs.forall(w => st.filled == 0 || ts <= st.first + w)
+          if (st.filled < k && stepIdx == st.filled &&
+              (st.filled == 0 || ts > st.last) && inWindow)
+            st = FunnelState(st.filled + 1,
+              if (st.filled == 0) ts else st.first, ts)
+        }
+        state.update(st)
+        UserFunnel(userId, st.filled.toLong, st.first, st.last,
+          if (st.filled == k) st.last - st.first else -1L)
+      })(Encoders.product[FunnelState], Encoders.product[UserFunnel]).toDF()
+  }
 
   /** Streaming twin of `SlidingWindows.featurizeByIndex` via
     * `flatMapGroupsWithState`: windows form continuously as a series

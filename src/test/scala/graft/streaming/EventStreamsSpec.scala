@@ -116,6 +116,45 @@ class EventStreamsSpec extends SparkSpec {
     assert(got.exceptAll(batch).count() == 0, "stateful stream != batch sessionize")
   }
 
+  test("stateful funnel across micro-batch seams matches the batch operator") {
+    // time-ordered log replay: fixture sorted by ts, split into 3 files
+    // processed one per trigger — funnel frontiers must cross the seams
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-funnel")
+    val ordered = Tables.events(spark, sf001).orderBy("ts", "event_id")
+      .select("user_id", "ts", "event_type").collect()
+    val third = (ordered.length + 2) / 3
+    ordered.grouped(third).zipWithIndex.foreach { case (part, i) =>
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(part.toIndexedSeq, 1),
+          ordered.headOption.map(_.schema).getOrElse(fail("empty fixture")))
+        .coalesce(1).write.parquet(s"$dir/part$i")
+      // one file per staged dir level isn't what readEvents expects; move
+      // the part file up as partI.parquet
+      val sub = new java.io.File(s"$dir/part$i")
+      val f = sub.listFiles().filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(f.toPath, java.nio.file.Paths.get(s"$dir/p$i.parquet"))
+      sub.listFiles().foreach(_.delete()); sub.delete()
+    }
+    val steps = Seq("view", "click", "purchase")
+    val streamed = EventStreams.statefulFunnel(
+      EventStreams.readEvents(spark, dir.toString, maxFilesPerTrigger = Some(1)),
+      steps)
+    val got = EventStreams.runToMemory(spark, streamed, "funnel_test", "update")
+      .groupBy("user_id")
+      .agg(max("steps_completed").as("steps_completed"),
+        max("first_us").as("first_us"), max("last_us").as("last_us"),
+        max("convert_us").as("convert_us"))
+    val batch = graft.operators.Funnel.funnel(Tables.events(spark, sf001),
+      col("user_id"), col("ts"), col("event_type"), steps)
+    // the stream emits only users with >= 1 funnel event
+    val batchParticipants = batch.join(
+      Tables.events(spark, sf001).filter(col("event_type").isin(steps: _*))
+        .select("user_id").distinct(), Seq("user_id"))
+    assert(got.count() == batchParticipants.count())
+    assert(got.exceptAll(batchParticipants).count() == 0,
+      "stateful funnel != batch funnel")
+  }
+
   test("streaming dedup keeps one row per key and matches batch distinct") {
     // duplicate the fixture file so every event arrives twice
     val dupDir = java.nio.file.Files.createTempDirectory("graft-stream-dup")
