@@ -105,7 +105,8 @@ object SparkEntry {
     "q88_token_budget_plan" -> (Queries.q88TokenBudgetPlan _),
     "q89_bm25_indexed" -> (Queries.q89Bm25Indexed _),
     "q90_entropy_stats" -> (Queries.q90EntropyStats _),
-    "q91_funnel" -> (Queries.q91Funnel _)
+    "q91_funnel" -> (Queries.q91Funnel _),
+    "q92_retention" -> (Queries.q92Retention _)
   )
 
   /** DuckDB oracles for EVERY query above — since round 3 none are

@@ -30,6 +30,34 @@ import org.apache.spark.sql.functions._
   */
 object Funnel {
 
+  /** Retention cohort table — the other standing product-analytics query:
+    * users cohorted by first-seen day; for each (cohort day, day offset),
+    * how many of the cohort were active and what fraction that is.
+    *
+    * Scale shape: three partial-aggregatable groupBys — (user) for cohort
+    * assignment, (user, day) to collapse activity before anything joins
+    * (events never reach the join), then (cohort, offset) for the final
+    * cells. The user→cohort join is keyed on user id over two
+    * already-aggregated inputs. Output is cohort-days × horizon rows —
+    * tiny at any corpus size. */
+  def retention(events: DataFrame, user: Column, ts: Column): DataFrame = {
+    val base = events.select(user.cast("long").as("user_id"),
+      to_date(ts).as("day"))
+    val cohorts = base.groupBy("user_id").agg(min("day").as("cohort_day"))
+    val sizes = cohorts.groupBy("cohort_day")
+      .agg(count(lit(1)).as("n_cohort"))
+    val active = base.distinct()
+      .join(cohorts, Seq("user_id"))
+      .groupBy(col("cohort_day"), datediff(col("day"), col("cohort_day"))
+        .cast("long").as("offset_days"))
+      .agg(count(lit(1)).as("n_active"))
+    active.join(sizes, Seq("cohort_day"))
+      .select(col("cohort_day").cast("string").as("cohort_day"),
+        col("offset_days"), col("n_active"), col("n_cohort"),
+        round(col("n_active").cast("double") / col("n_cohort").cast("double"), 6)
+          .as("retention"))
+  }
+
   def funnel(events: DataFrame, user: Column, ts: Column, step: Column,
              steps: Seq[String], windowUs: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty, "need at least one funnel step")

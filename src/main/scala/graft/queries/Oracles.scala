@@ -1812,6 +1812,25 @@ object Oracles {
     LEFT JOIN s3 ON s3.user_id = u.user_id
     ORDER BY u.user_id"""
 
+  // Retention cohorts, FULL replay: cohort day = min event date per user,
+  // activity collapsed to distinct (user, day), ratio at 6 dp.
+  val q92 = """
+    WITH b AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+    c AS (SELECT user_id, min(day) AS cohort_day FROM b GROUP BY user_id),
+    s AS (SELECT cohort_day, CAST(count(*) AS BIGINT) AS n_cohort
+          FROM c GROUP BY cohort_day),
+    a AS (SELECT c.cohort_day,
+                 CAST(datediff('day', c.cohort_day, d.day) AS BIGINT) AS offset_days,
+                 CAST(count(*) AS BIGINT) AS n_active
+          FROM (SELECT DISTINCT user_id, day FROM b) d
+          JOIN c ON c.user_id = d.user_id
+          GROUP BY c.cohort_day, datediff('day', c.cohort_day, d.day))
+    SELECT CAST(a.cohort_day AS VARCHAR) AS cohort_day, a.offset_days,
+           a.n_active, s.n_cohort,
+           round(CAST(a.n_active AS DOUBLE) / s.n_cohort, 6) AS retention
+    FROM a JOIN s ON s.cohort_day = a.cohort_day
+    ORDER BY cohort_day, offset_days"""
+
   /** name → oracle SQL (single-line, driver JSON-escapes anyway). */
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
@@ -1906,6 +1925,7 @@ object Oracles {
     "q88_token_budget_plan" -> q88,
     "q89_bm25_indexed" -> q85,
     "q90_entropy_stats" -> q90,
-    "q91_funnel" -> q91
+    "q91_funnel" -> q91,
+    "q92_retention" -> q92
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

@@ -1610,6 +1610,14 @@ object Queries {
         col("event_type"), Seq("view", "click", "purchase"))
       .orderBy("user_id")
 
+  /** Retention cohorts ([[Funnel.retention]]): users cohorted by first-seen
+    * UTC day, per-(cohort, day-offset) active counts and fractions. Full
+    * replay: DuckDB recomputes cohort assignment, distinct (user, day)
+    * activity, and the ratio at 6 dp. */
+  def q92Retention(s: SparkSession, d: String): DataFrame =
+    Funnel.retention(Tables.events(s, d), col("user_id"), col("ts"))
+      .orderBy("cohort_day", "offset_days")
+
   def q88TokenBudgetPlan(s: SparkSession, d: String): DataFrame =
     Mixture.tokenBudgetPlan(Tables.documents(s, d), col("lang"),
         TextOps.bpeishTokenCount(coalesce(col("text"), lit(""))),

@@ -51,6 +51,26 @@ class FunnelSpec extends SparkSpec {
     assert(out(1) == ((2L, 3L, 10000L, 60000L, 50000L)), s"${out(1)}")
   }
 
+  test("retention: cohort by first day, offsets, exact fractions") {
+    def day(d: Int, h: Int = 0) =
+      java.sql.Timestamp.valueOf(f"2026-01-${d}%02d $h%02d:00:00")
+    val events = Seq(
+      (1L, day(1)), (1L, day(1, 5)), (1L, day(2)), (1L, day(4)),
+      (2L, day(1)), (2L, day(3)),
+      (3L, day(2)), (3L, day(3))
+    ).toDF("user_id", "ts")
+    val got = Funnel.retention(events, col("user_id"), col("ts"))
+      .orderBy("cohort_day", "offset_days")
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      ("2026-01-01", 0L, 2L, 2L, 1.0),   // users 1,2 day0
+      ("2026-01-01", 1L, 1L, 2L, 0.5),   // user 1 on day2
+      ("2026-01-01", 2L, 1L, 2L, 0.5),   // user 2 on day3
+      ("2026-01-01", 3L, 1L, 2L, 0.5),   // user 1 on day4
+      ("2026-01-02", 0L, 1L, 1L, 1.0),   // user 3
+      ("2026-01-02", 1L, 1L, 1L, 1.0)), s"unexpected: $got")
+  }
+
   test("funnel: deterministic under repartitioning") {
     val rnd = new scala.util.Random(3)
     val types = Seq("view", "click", "purchase", "error")
