@@ -106,7 +106,8 @@ object SparkEntry {
     "q89_bm25_indexed" -> (Queries.q89Bm25Indexed _),
     "q90_entropy_stats" -> (Queries.q90EntropyStats _),
     "q91_funnel" -> (Queries.q91Funnel _),
-    "q92_retention" -> (Queries.q92Retention _)
+    "q92_retention" -> (Queries.q92Retention _),
+    "q93_image_phash_dedup" -> (Queries.q93ImagePhashDedup _)
   )
 
   /** DuckDB oracles for EVERY query above — since round 3 none are

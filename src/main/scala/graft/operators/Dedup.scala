@@ -244,7 +244,16 @@ object Dedup {
     * here; the MinHash/hyperplane LSH paths are the sub-quadratic
     * approximate alternatives. */
   def simhashDedupPairs(df: DataFrame, id: Column, text: Column,
-                        maxHamming: Int = 3, portable: Boolean = false): DataFrame = {
+                        maxHamming: Int = 3, portable: Boolean = false): DataFrame =
+    hammingNearDupPairs(simhashFingerprints(df, id, text, portable), maxHamming)
+
+  /** Near-dup pairs at Hamming radius `maxHamming` over ANY precomputed
+    * 64-bit fingerprint frame (doc_id, sh) — the blocking engine behind
+    * [[simhashDedupPairs]], reused by perceptual-hash image dedup
+    * ([[Multimodal]] aHash) or any other bit-sketch. Multi-index-hashing
+    * candidate generation (Norouzi et al.), exact Hamming verify, doc
+    * pairs expanded from distinct-fingerprint groups. */
+  def hammingNearDupPairs(fps: DataFrame, maxHamming: Int): DataFrame = {
     val (bounds, q) = simhashBlockingPlan(maxHamming)
     // Collapse identical fingerprints BEFORE candidate generation: on
     // duplicate-heavy corpora (the realistic dedup workload) thousands of
@@ -254,8 +263,7 @@ object Dedup {
     // fingerprints the bucket join is quadratic only in DISTINCT-value
     // counts; doc pairs re-expand from the per-fingerprint id lists at the
     // end — output-sized work, which is the lower bound anyway.
-    val docs = simhashFingerprints(df, id, text, portable)
-    val groups = docs.groupBy("sh").agg(collect_list("doc_id").as("ids"))
+    val groups = fps.groupBy("sh").agg(collect_list("doc_id").as("ids"))
       .localCheckpoint() // feeds the chunk explode AND both expansion joins
     // asymmetric MIH join: exact chunk values on one side, ≤q-bit probe
     // expansion on the other. Chunk distance ≤ q ⇔ the exact value lies in

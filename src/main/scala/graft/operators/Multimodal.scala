@@ -252,6 +252,28 @@ object Multimodal {
       (n.toLong, sum, sumSq, if (n == 0) 0L else mx)
     }
 
+    /** 8×8 average-hash (aHash — the classic perceptual image fingerprint:
+      * resize to 8×8, bit i set iff pixel i exceeds the floor of the 64
+      * pixels' mean). Robust to uniform brightness shifts (pixels and mean
+      * move together; only clamped pixels flip bits), so near-identical
+      * images land within a small Hamming radius — feed the output to
+      * [[Dedup.hammingNearDupPairs]] for corpus-scale image dedup. */
+    def aHash64(payload: Array[Byte]): Long = {
+      val small = resize(payload, 8, 8)
+      val (_, _, _, off) = header(small)
+      var sum = 0L
+      var i = 0
+      while (i < 64) { sum += (small(off + i) & 0xFF); i += 1 }
+      val mean = sum / 64
+      var bits = 0L
+      i = 0
+      while (i < 64) {
+        if ((small(off + i) & 0xFF) > mean) bits |= (1L << i)
+        i += 1
+      }
+      bits
+    }
+
     /** Nearest-neighbor resize → a new P5 payload (the brief's "resize"
       * media transform, runnable inside the same mapPartitions batch). */
     def resize(payload: Array[Byte], ow: Int, oh: Int): Array[Byte] = {

@@ -1831,6 +1831,35 @@ object Oracles {
     FROM a JOIN s ON s.cohort_day = a.cohort_day
     ORDER BY cohort_day, offset_days"""
 
+  // Perceptual-hash image dedup, FULL replay from the raw table: pixel
+  // synthesis, twin planting, integer-mean aHash bits, and ALL-PAIRS
+  // Hamming at radius 4 (the Spark side uses MIH blocking — a recall miss
+  // drops a row and breaks the hash).
+  val q93 = """
+    WITH px AS (SELECT l_suppkey AS sk, l_orderkey AS o, l_linenumber AS ln,
+                       l_partkey AS pk,
+                       CAST(floor(l_extendedprice) AS BIGINT) % 256 AS p
+                FROM lineitem),
+    r AS (SELECT sk, p,
+                 row_number() OVER (PARTITION BY sk ORDER BY o, ln, pk, p) AS rn
+          FROM px),
+    im AS (SELECT sk AS img, list(p ORDER BY rn) AS ps
+           FROM r WHERE rn <= 64 GROUP BY sk HAVING count(*) = 64),
+    tw AS (SELECT img + 100000 AS img,
+                  list_transform(ps, x -> least(x + 4, 255)) AS ps
+           FROM im WHERE img % 4 = 0),
+    ai AS (SELECT * FROM im UNION ALL SELECT * FROM tw),
+    h AS (SELECT img, list_transform(ps,
+                   x -> CASE WHEN x > list_sum(ps) // 64 THEN 1 ELSE 0 END) AS bits
+          FROM ai)
+    SELECT a.img AS id_a, b.img AS id_b,
+           CAST(len(list_filter(generate_series(1, 64),
+                i -> a.bits[i] <> b.bits[i])) AS BIGINT) AS hamming
+    FROM h a JOIN h b ON a.img < b.img
+    WHERE len(list_filter(generate_series(1, 64),
+          i -> a.bits[i] <> b.bits[i])) <= 4
+    ORDER BY id_a, id_b"""
+
   /** name → oracle SQL (single-line, driver JSON-escapes anyway). */
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
@@ -1926,6 +1955,7 @@ object Oracles {
     "q89_bm25_indexed" -> q85,
     "q90_entropy_stats" -> q90,
     "q91_funnel" -> q91,
-    "q92_retention" -> q92
+    "q92_retention" -> q92,
+    "q93_image_phash_dedup" -> q93
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

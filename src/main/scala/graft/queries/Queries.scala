@@ -1618,6 +1618,41 @@ object Queries {
     Funnel.retention(Tables.events(s, d), col("user_id"), col("ts"))
       .orderBy("cohort_day", "offset_days")
 
+  /** Perceptual-hash image dedup ([[Multimodal.PgmDecoder.aHash64]] +
+    * [[Dedup.hammingNearDupPairs]]): 8×8 grayscale images synthesized per
+    * supplier from lineitem prices (real PGM binaries through the real
+    * encode → decode → hash path), PLANTED near-dups as +4-brightness
+    * copies (aHash is brightness-shift robust, so twins land at small
+    * Hamming distance), MIH-blocked pairing at radius 4. The oracle
+    * replays pixels, integer mean, per-bit threshold, and ALL-PAIRS
+    * Hamming from the raw table — a defect in the encoder, decoder, hash
+    * packing, or blocking recall breaks row/hash equality. */
+  def q93ImagePhashDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val px = pmod(floor(col("l_extendedprice")).cast("long"), lit(256L)).cast("int")
+    val imgs = Tables.lineitem(s, d)
+      .select(col("l_suppkey"), struct(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), px.as("px")).as("r"))
+      .groupBy("l_suppkey").agg(sort_array(collect_list(col("r"))).as("rs"))
+      .filter(size(col("rs")) >= 64)
+      .select(col("l_suppkey").as("img_id"),
+        transform(slice(col("rs"), 1, 64), r => r.getField("px")).as("ps"))
+    val withTwins = imgs.unionByName(
+      imgs.filter(col("img_id") % 4 === 0)
+        .select((col("img_id") + 100000L).as("img_id"),
+          transform(col("ps"), p => least(p + 4, lit(255))).as("ps")))
+    val hashed = withTwins
+      .repartition(s.sparkContext.defaultParallelism, col("img_id"))
+      .as[(Long, Seq[Int])]
+      .map { case (imgId, ps) =>
+        val img = Multimodal.encodePgm(8, 8, ps.toArray)
+        (imgId, new Multimodal.PgmDecoder().aHash64(img))
+      }.toDF("doc_id", "sh")
+    Dedup.hammingNearDupPairs(hashed, maxHamming = 4)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+      .orderBy("id_a", "id_b")
+  }
+
   def q88TokenBudgetPlan(s: SparkSession, d: String): DataFrame =
     Mixture.tokenBudgetPlan(Tables.documents(s, d), col("lang"),
         TextOps.bpeishTokenCount(coalesce(col("text"), lit(""))),

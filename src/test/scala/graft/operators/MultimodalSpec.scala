@@ -499,4 +499,25 @@ class MultimodalSpec extends SparkSpec {
     // discovery is cached: same map instance on re-access (once per JVM)
     assert(DecoderProviders.discovered eq DecoderProviders.discovered)
   }
+
+  test("aHash64: brightness-shift robust, sensitive to content, resizes larger images") {
+    val dec = new Multimodal.PgmDecoder()
+    val rnd = new scala.util.Random(11)
+    val base = Array.fill(64)(rnd.nextInt(200)) // headroom: no clamping
+    val img = Multimodal.encodePgm(8, 8, base)
+    val h0 = dec.aHash64(img)
+    // uniform brightness shift without clamping: identical hash
+    val brighter = Multimodal.encodePgm(8, 8, base.map(_ + 30))
+    assert(dec.aHash64(brighter) == h0, "brightness shift changed the hash")
+    // different content: far away in Hamming space
+    val other = Multimodal.encodePgm(8, 8, Array.fill(64)(rnd.nextInt(200)))
+    val d = java.lang.Long.bitCount(h0 ^ dec.aHash64(other))
+    assert(d > 10, s"unrelated images too close: $d bits")
+    // a 16x16 image whose 2x2 blocks are constant resizes to the same 8x8
+    val big = Array.tabulate(256) { i =>
+      val (y, x) = (i / 16, i % 16); base((y / 2) * 8 + (x / 2))
+    }
+    assert(dec.aHash64(Multimodal.encodePgm(16, 16, big)) == h0,
+      "nearest-neighbor resize path diverged")
+  }
 }
