@@ -107,7 +107,8 @@ object SparkEntry {
     "q90_entropy_stats" -> (Queries.q90EntropyStats _),
     "q91_funnel" -> (Queries.q91Funnel _),
     "q92_retention" -> (Queries.q92Retention _),
-    "q93_image_phash_dedup" -> (Queries.q93ImagePhashDedup _)
+    "q93_image_phash_dedup" -> (Queries.q93ImagePhashDedup _),
+    "q94_anomaly_zscores" -> (Queries.q94AnomalyZScores _)
   )
 
   /** DuckDB oracles for EVERY query above — since round 3 none are

@@ -206,4 +206,39 @@ object Profiling {
           / col("total_rows").cast("double"), 6).as("skew_ratio"))
       .orderBy(desc("cnt"), asc_nulls_last("key"))
   }
+
+  /** Streaming-friendly anomaly detection: each event's value is z-scored
+    * against the PREVIOUS time bucket's (mean, std) for its key — the
+    * monitoring rule a pipeline runs continuously ("is this hour's metric
+    * off vs last hour?").
+    *
+    * Deliberately NOT a per-key ordered window: a window partitioned by a
+    * low-cardinality key (5 event types at any corpus size) sorts each
+    * key's ENTIRE history in one task — the classic scale-killer. The
+    * bucketed two-pass is one partial-aggregatable groupBy over (key,
+    * bucket) + a join of events to that tiny stats frame (broadcast at any
+    * realistic key×bucket cardinality), both linear and fully parallel.
+    *
+    * Events in a key's first bucket have no baseline and are omitted.
+    * Output: (event id, key, bucket start µs, value, z at 6 dp, is_anom
+    * flag where |z| > threshold and the baseline std > 0). */
+  def anomalyZScores(events: DataFrame, id: Column, key: Column, ts: Column,
+                     value: Column, bucket: String = "hour",
+                     threshold: Double = 3.0): DataFrame = {
+    val e = events.select(id.cast("long").as("event_id"), key.as("key"),
+      date_trunc(bucket, ts).as("__b"), value.cast("double").as("value"))
+    val stats = e.groupBy(col("key"), col("__b"))
+      .agg(avg("value").as("__mu"), var_pop(col("value")).as("__var"),
+        count(lit(1)).as("__n"))
+      // the bucket these stats are the baseline FOR
+      .withColumn("__b", col("__b") + expr(s"INTERVAL 1 $bucket"))
+    val z = (col("value") - col("__mu")) / sqrt(col("__var"))
+    e.join(stats, Seq("key", "__b"))
+      .select(col("event_id"), col("key"),
+        unix_micros(col("__b")).as("bucket_us"), col("value"),
+        round(when(col("__var") > 0, z).otherwise(lit(0.0)), 6).as("z"),
+        when(col("__var") > 0 && abs(z) > threshold, 1L).otherwise(0L)
+          .as("is_anom"),
+        col("__n").as("baseline_n"))
+  }
 }

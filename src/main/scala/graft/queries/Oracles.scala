@@ -1860,6 +1860,24 @@ object Oracles {
           i -> a.bits[i] <> b.bits[i])) <= 4
     ORDER BY id_a, id_b"""
 
+  // Trailing-bucket z-score anomalies, FULL replay: hour buckets, avg /
+  // var_pop baselines, +1h shift join, z at 6 dp, threshold flag.
+  val q94 = """
+    WITH e AS (SELECT event_id, event_type AS key,
+                      date_trunc('hour', ts) AS b, value FROM events),
+    st AS (SELECT key, b + INTERVAL 1 HOUR AS b, avg(value) AS mu,
+                  var_pop(value) AS v, CAST(count(*) AS BIGINT) AS n
+           FROM e GROUP BY key, b)
+    SELECT e.event_id, e.key, epoch_us(st.b) AS bucket_us, e.value,
+           round(CASE WHEN st.v > 0 THEN (e.value - st.mu) / sqrt(st.v)
+                 ELSE 0.0 END, 6) AS z,
+           CAST(CASE WHEN st.v > 0 AND
+                     abs((e.value - st.mu) / sqrt(st.v)) > 3.0
+                THEN 1 ELSE 0 END AS BIGINT) AS is_anom,
+           st.n AS baseline_n
+    FROM e JOIN st ON st.key = e.key AND st.b = e.b
+    ORDER BY e.event_id"""
+
   /** name → oracle SQL (single-line, driver JSON-escapes anyway). */
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
@@ -1956,6 +1974,7 @@ object Oracles {
     "q90_entropy_stats" -> q90,
     "q91_funnel" -> q91,
     "q92_retention" -> q92,
-    "q93_image_phash_dedup" -> q93
+    "q93_image_phash_dedup" -> q93,
+    "q94_anomaly_zscores" -> q94
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

@@ -1618,6 +1618,17 @@ object Queries {
     Funnel.retention(Tables.events(s, d), col("user_id"), col("ts"))
       .orderBy("cohort_day", "offset_days")
 
+  /** Trailing-bucket z-score anomalies ([[Profiling.anomalyZScores]]):
+    * each event scored against its type's previous-hour mean/std — the
+    * continuous monitoring rule, shaped as groupBy + join instead of a
+    * low-cardinality-partitioned window (which would sort each key's whole
+    * history in one task). Full replay: DuckDB recomputes buckets,
+    * avg/var_pop baselines, the shifted join, z at 6 dp, and the flag. */
+  def q94AnomalyZScores(s: SparkSession, d: String): DataFrame =
+    Profiling.anomalyZScores(Tables.events(s, d), col("event_id"),
+        col("event_type"), col("ts"), col("value"))
+      .orderBy("event_id")
+
   /** Perceptual-hash image dedup ([[Multimodal.PgmDecoder.aHash64]] +
     * [[Dedup.hammingNearDupPairs]]): 8×8 grayscale images synthesized per
     * supplier from lineitem prices (real PGM binaries through the real

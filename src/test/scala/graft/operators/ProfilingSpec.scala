@@ -73,4 +73,24 @@ class ProfilingSpec extends SparkSpec {
       .collect().map(r => r.getAs[String]("col_name") -> r.getAs[Long]("n_distinct")).toMap
     assert(exact == Map("x" -> 2L, "s" -> 2L))
   }
+
+  test("anomalyZScores: previous-bucket baseline, flags, first-bucket omitted") {
+    def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+    // hour 0: values 1,3 (mu=2, var=1); hour 1: 2 (z=0), 12 (z=10 -> anom)
+    // hour 1 stats (mu=7, var=25) baseline hour 2: value 7 -> z=0
+    val events = Seq(
+      (1L, "a", t(0, 0), 1.0), (2L, "a", t(0, 30), 3.0),
+      (3L, "a", t(1, 0), 2.0), (4L, "a", t(1, 30), 12.0),
+      (5L, "a", t(2, 0), 7.0),
+      (6L, "b", t(1, 0), 99.0) // first bucket for key b: no baseline
+    ).toDF("event_id", "event_type", "ts", "value")
+    val got = Profiling.anomalyZScores(events, col("event_id"),
+        col("event_type"), col("ts"), col("value"))
+      .orderBy("event_id")
+      .select("event_id", "z", "is_anom", "baseline_n")
+      .as[(Long, Double, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (3L, 0.0, 0L, 2L), (4L, 10.0, 1L, 2L), (5L, 0.0, 0L, 2L)),
+      s"unexpected: $got")
+  }
 }
