@@ -167,6 +167,58 @@ object Multimodal {
       }
       (frames.toLong, sumQ, sumQ2, if (frames == 0) 0L else peak)
     }
+
+    /** Energy-envelope transition hash (the dHash idea applied to audio:
+      * split the clip into `frames` equal windows, bit k set iff window
+      * k+1 has strictly more energy than window k). Exactly invariant to
+      * positive amplitude scaling (energies scale together, comparisons
+      * unchanged), so re-levelled copies of a clip collide at Hamming 0 —
+      * feed to [[Dedup.hammingNearDupPairs]] for corpus-scale audio dedup.
+      * Uses the first frames·⌊n/frames⌋ samples; requires ≥ `frames`
+      * samples. Integer energies (Σq² per window) — no FP anywhere. */
+    def envelopeHash64(payload: Array[Byte], frames: Int = 33): Long = {
+      require(frames >= 2 && frames <= 65, "need 2..65 envelope frames")
+      require(payload.length >= 44 && tag(payload, 0) == "RIFF" &&
+        tag(payload, 8) == "WAVE", "not a RIFF/WAVE payload")
+      var off = 12L
+      var dataOff = -1; var dataLen = 0; var channels = 0
+      while (off + 8 <= payload.length && (dataOff < 0 || channels == 0)) {
+        val o = off.toInt
+        val id = tag(payload, o)
+        val size = u32(payload, o + 4)
+        if (id == "fmt ") channels = u16(payload, o + 10)
+        else if (id == "data") {
+          dataOff = o + 8
+          dataLen = math.min(size, (payload.length - dataOff).toLong).toInt
+        }
+        off += 8L + size + (size & 1L)
+      }
+      require(channels == 1 && dataOff >= 0, "envelopeHash64 expects mono PCM")
+      val n = dataLen / 2
+      val win = n / frames
+      require(win >= 1, s"need >= $frames samples, got $n")
+      val e = new Array[Long](frames)
+      var k = 0
+      while (k < frames) {
+        var s = 0L
+        var j = 0
+        while (j < win) {
+          val o = dataOff + 2 * (k * win + j)
+          val q = ((payload(o) & 0xFF) | (payload(o + 1).toInt << 8)).toLong
+          s += q * q
+          j += 1
+        }
+        e(k) = s
+        k += 1
+      }
+      var bits = 0L
+      var i = 1
+      while (i < frames) {
+        if (e(i) > e(i - 1)) bits |= 1L << (i - 1)
+        i += 1
+      }
+      bits
+    }
   }
 
   /** Encode 16-bit mono PCM samples as a WAV payload (the synthesis half

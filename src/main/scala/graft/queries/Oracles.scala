@@ -1878,6 +1878,37 @@ object Oracles {
     FROM e JOIN st ON st.key = e.key AND st.b = e.b
     ORDER BY e.event_id"""
 
+  // Audio envelope-fingerprint dedup, FULL replay: samples, integer window
+  // energies, transition bits, and ALL-PAIRS Hamming at radius 2.
+  val q95 = """
+    WITH px AS (SELECT l_suppkey AS sk, l_orderkey AS o, l_linenumber AS ln,
+                       l_partkey AS pk,
+                       CAST(floor(l_extendedprice) AS BIGINT) % 16000 - 8000 AS q
+                FROM lineitem),
+    r AS (SELECT sk, q,
+                 row_number() OVER (PARTITION BY sk ORDER BY o, ln, pk, q) AS rn
+          FROM px),
+    cl AS (SELECT sk AS clip, list(q ORDER BY rn) AS qs
+           FROM r GROUP BY sk HAVING count(*) >= 33),
+    tw AS (SELECT clip + 200000 AS clip, list_transform(qs, x -> x * 2) AS qs
+           FROM cl WHERE clip % 4 = 1),
+    ac AS (SELECT * FROM cl UNION ALL SELECT * FROM tw),
+    en AS (SELECT clip, list_transform(generate_series(0, 32),
+                    k -> list_sum(list_transform(
+                      qs[(k * (len(qs) // 33) + 1):(k * (len(qs) // 33) + (len(qs) // 33))],
+                      x -> x * x))) AS e
+           FROM ac),
+    h AS (SELECT clip, list_transform(generate_series(1, 32),
+                   i -> CASE WHEN e[i + 1] > e[i] THEN 1 ELSE 0 END) AS bits
+          FROM en)
+    SELECT a.clip AS id_a, b.clip AS id_b,
+           CAST(len(list_filter(generate_series(1, 32),
+                i -> a.bits[i] <> b.bits[i])) AS BIGINT) AS hamming
+    FROM h a JOIN h b ON a.clip < b.clip
+    WHERE len(list_filter(generate_series(1, 32),
+          i -> a.bits[i] <> b.bits[i])) <= 2
+    ORDER BY id_a, id_b"""
+
   /** name → oracle SQL (single-line, driver JSON-escapes anyway). */
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
@@ -1975,6 +2006,7 @@ object Oracles {
     "q91_funnel" -> q91,
     "q92_retention" -> q92,
     "q93_image_phash_dedup" -> q93,
-    "q94_anomaly_zscores" -> q94
+    "q94_anomaly_zscores" -> q94,
+    "q95_audio_fingerprint_dedup" -> q95
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

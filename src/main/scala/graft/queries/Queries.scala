@@ -1629,6 +1629,42 @@ object Queries {
         col("event_type"), col("ts"), col("value"))
       .orderBy("event_id")
 
+  /** Audio fingerprint dedup ([[Multimodal.WavPcmDecoder.envelopeHash64]]
+    * + [[Dedup.hammingNearDupPairs]]): mono PCM clips synthesized per
+    * supplier from lineitem prices through the real WAV encode → decode
+    * path, 33-window energy-envelope transition hash (integer Σq² — no
+    * FP), PLANTED twins as ×2-amplitude copies (the hash is exactly
+    * scale-invariant, so twins collide at Hamming 0), MIH pairing at
+    * radius 2. Oracle replays samples, window energies, bits, and
+    * all-pairs Hamming from the raw table. */
+  def q95AudioFingerprintDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // signed samples in [-8000, 8000): x2 twins stay inside 16-bit range
+    val q = (pmod(floor(col("l_extendedprice")).cast("long"), lit(16000L))
+      - 8000L).cast("int")
+    val clips = Tables.lineitem(s, d)
+      .select(col("l_suppkey"), struct(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), q.as("q")).as("r"))
+      .groupBy("l_suppkey").agg(sort_array(collect_list(col("r"))).as("rs"))
+      .filter(size(col("rs")) >= 33)
+      .select(col("l_suppkey").as("clip_id"),
+        transform(col("rs"), r => r.getField("q")).as("qs"))
+    val withTwins = clips.unionByName(
+      clips.filter(col("clip_id") % 4 === 1)
+        .select((col("clip_id") + 200000L).as("clip_id"),
+          transform(col("qs"), x => x * 2).as("qs")))
+    val hashed = withTwins
+      .repartition(s.sparkContext.defaultParallelism, col("clip_id"))
+      .as[(Long, Seq[Int])]
+      .map { case (clipId, qs) =>
+        val wav = Multimodal.encodeWavPcm(16000, qs.map(_.toShort).toArray)
+        (clipId, new Multimodal.WavPcmDecoder().envelopeHash64(wav))
+      }.toDF("doc_id", "sh")
+    Dedup.hammingNearDupPairs(hashed, maxHamming = 2)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** Perceptual-hash image dedup ([[Multimodal.PgmDecoder.aHash64]] +
     * [[Dedup.hammingNearDupPairs]]): 8×8 grayscale images synthesized per
     * supplier from lineitem prices (real PGM binaries through the real

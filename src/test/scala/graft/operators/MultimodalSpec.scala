@@ -500,6 +500,25 @@ class MultimodalSpec extends SparkSpec {
     assert(DecoderProviders.discovered eq DecoderProviders.discovered)
   }
 
+  test("envelopeHash64: amplitude-scale invariant, content sensitive, short clips rejected") {
+    val dec = new Multimodal.WavPcmDecoder()
+    val rnd = new scala.util.Random(5)
+    val base = Array.fill(330)((rnd.nextInt(8000) - 4000).toShort)
+    val h0 = dec.envelopeHash64(Multimodal.encodeWavPcm(16000, base))
+    // exact positive-scale invariance (x2 stays within 16 bits)
+    val louder = base.map(s => (s * 2).toShort)
+    assert(dec.envelopeHash64(Multimodal.encodeWavPcm(16000, louder)) == h0,
+      "amplitude scaling changed the envelope hash")
+    // different content: far in Hamming space (32 effective bits)
+    val other = Array.fill(330)((rnd.nextInt(8000) - 4000).toShort)
+    val d = java.lang.Long.bitCount(
+      h0 ^ dec.envelopeHash64(Multimodal.encodeWavPcm(16000, other)))
+    assert(d > 5, s"unrelated clips too close: $d bits")
+    // fewer samples than frames: loud failure, not a garbage hash
+    intercept[IllegalArgumentException](
+      dec.envelopeHash64(Multimodal.encodeWavPcm(16000, new Array[Short](20))))
+  }
+
   test("aHash64: brightness-shift robust, sensitive to content, resizes larger images") {
     val dec = new Multimodal.PgmDecoder()
     val rnd = new scala.util.Random(11)
