@@ -109,7 +109,8 @@ object SparkEntry {
     "q92_retention" -> (Queries.q92Retention _),
     "q93_image_phash_dedup" -> (Queries.q93ImagePhashDedup _),
     "q94_anomaly_zscores" -> (Queries.q94AnomalyZScores _),
-    "q95_audio_fingerprint_dedup" -> (Queries.q95AudioFingerprintDedup _)
+    "q95_audio_fingerprint_dedup" -> (Queries.q95AudioFingerprintDedup _),
+    "q96_funnel_windowed" -> (Queries.q96FunnelWindowed _)
   )
 
   /** DuckDB oracles for EVERY query above — since round 3 none are

@@ -793,26 +793,66 @@ object Dedup {
                    segLen: Int = 8, maxDocs: Int = 1): DataFrame = {
     require(segLen >= 1, "segment length must be >= 1")
     require(maxDocs >= 1, "maxDocs must be >= 1")
+    val (base, segs) = segmented(df, id, toks, segLen)
+    val dupHashes = segs.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("__df"))
+      .filter(col("__df") > maxDocs).select("h")
+    rebuildDropping(base, segs, dupHashes, segLen)
+  }
+
+  /** [[segmentDedup]] against an accumulated HISTORY of segment document
+    * frequencies — the continuous-ingest form: a batch segment is dropped
+    * when (its distinct-doc count within the batch) + (the history count
+    * for its fingerprint) exceeds `maxDocs`. Returns (cleaned docs — the
+    * [[segmentDedup]] schema — and the batch's own (h, n_docs) frequency
+    * frame to append to history). History never re-expands to text: it is
+    * 16 bytes per distinct segment fingerprint. */
+  def segmentDedupAgainstHistory(df: DataFrame, id: Column, toks: Column,
+                                 historyCounts: DataFrame, segLen: Int = 8,
+                                 maxDocs: Int = 1): (DataFrame, DataFrame) = {
+    require(segLen >= 1, "segment length must be >= 1")
+    require(maxDocs >= 1, "maxDocs must be >= 1")
+    val (base, segs) = segmented(df, id, toks, segLen)
+    val batchCounts = segs.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    val dupHashes = batchCounts
+      .join(historyCounts.groupBy("h").agg(sum("n_docs").as("__hist")),
+        Seq("h"), "left")
+      .filter(col("n_docs") + coalesce(col("__hist"), lit(0L)) > maxDocs)
+      .select("h")
+    (rebuildDropping(base, segs, dupHashes, segLen), batchCounts)
+  }
+
+  /** (base docs with token arrays + segment counts, exploded (doc_id,
+    * seg_idx, fingerprint) rows). The sequence is guarded: Spark's two-arg
+    * sequence(0, -1) counts DOWN, so an empty doc must not reach it. */
+  private def segmented(df: DataFrame, id: Column, toks: Column,
+                        segLen: Int): (DataFrame, DataFrame) = {
     val base = df.select(id.cast("long").as("doc_id"), toks.as("__toks"))
       .withColumn("n_tokens", size(col("__toks")).cast("long"))
       .withColumn("n_segments",
         ceil(col("n_tokens").cast("double") / segLen).cast("long"))
-    // (doc_id, seg_idx, fingerprint) — sequence is guarded: Spark's
-    // two-arg sequence(0, -1) counts DOWN, so an empty doc must not reach it
-    val segIdx = when(col("n_segments") > 0,
-      sequence(lit(0), (col("n_segments") - 1).cast("int")))
-      .otherwise(array().cast("array<int>"))
     val segs = base
-      .select(col("doc_id"), posexplode(transform(segIdx,
+      .select(col("doc_id"), posexplode(transform(segIdxCol(segLen),
         i => xxhash64(concat_ws(" ", slice(col("__toks"), i * segLen + 1, lit(segLen)))))))
       .select(col("doc_id"), col("pos").cast("int").as("seg_idx"), col("col").as("h"))
-    val dupHashes = segs.groupBy("h")
-      .agg(countDistinct(col("doc_id")).as("__df"))
-      .filter(col("__df") > maxDocs).select("h")
+    (base, segs)
+  }
+
+  private def segIdxCol(segLen: Int): Column =
+    when(col("n_segments") > 0,
+      sequence(lit(0), (col("n_segments") - 1).cast("int")))
+      .otherwise(array().cast("array<int>"))
+
+  /** Join the drop set back as per-doc index arrays and reassemble each
+    * document from its surviving segments (token arrays sliced locally —
+    * text never shuffles). */
+  private def rebuildDropping(base: DataFrame, segs: DataFrame,
+                              dupHashes: DataFrame, segLen: Int): DataFrame = {
     val dropped = segs.join(dupHashes, Seq("h"))
       .groupBy("doc_id").agg(collect_set(col("seg_idx")).as("__drop"))
     val kept = flatten(transform(
-      filter(segIdx, i => !array_contains(coalesce(col("__drop"),
+      filter(segIdxCol(segLen), i => !array_contains(coalesce(col("__drop"),
         array().cast("array<int>")), i)),
       i => slice(col("__toks"), i * segLen + 1, lit(segLen))))
     base.join(dropped, Seq("doc_id"), "left")

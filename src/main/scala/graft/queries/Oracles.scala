@@ -1909,6 +1909,32 @@ object Oracles {
           i -> a.bits[i] <> b.bits[i])) <= 2
     ORDER BY id_a, id_b"""
 
+  // Windowed funnel (6 h = 21_600_000_000 µs): the q91 k-pass replay with
+  // the window bound t_i <= t1 + W on every later step.
+  val q96 = """
+    WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_type FROM events),
+    u AS (SELECT DISTINCT user_id FROM events),
+    s1 AS (SELECT user_id, min(ts) AS t1 FROM e
+           WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, min(s1.t1) AS t1, min(ts) AS t2 FROM e
+           JOIN s1 ON s1.user_id = e.user_id
+           WHERE event_type = 'click' AND ts > t1
+             AND ts <= t1 + 21600000000 GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, min(ts) AS t3 FROM e
+           JOIN s2 ON s2.user_id = e.user_id
+           WHERE event_type = 'purchase' AND ts > t2
+             AND ts <= t1 + 21600000000 GROUP BY e.user_id)
+    SELECT u.user_id,
+           CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+                WHEN s1.t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS steps_completed,
+           coalesce(s1.t1, -1) AS first_us,
+           coalesce(t3, t2, s1.t1, -1) AS last_us,
+           CASE WHEN t3 IS NOT NULL THEN t3 - s1.t1 ELSE -1 END AS convert_us
+    FROM u LEFT JOIN s1 ON s1.user_id = u.user_id
+    LEFT JOIN s2 ON s2.user_id = u.user_id
+    LEFT JOIN s3 ON s3.user_id = u.user_id
+    ORDER BY u.user_id"""
+
   /** name → oracle SQL (single-line, driver JSON-escapes anyway). */
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
@@ -2007,6 +2033,7 @@ object Oracles {
     "q92_retention" -> q92,
     "q93_image_phash_dedup" -> q93,
     "q94_anomaly_zscores" -> q94,
-    "q95_audio_fingerprint_dedup" -> q95
+    "q95_audio_fingerprint_dedup" -> q95,
+    "q96_funnel_windowed" -> q96
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

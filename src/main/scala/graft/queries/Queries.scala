@@ -1618,6 +1618,16 @@ object Queries {
     Funnel.retention(Tables.events(s, d), col("user_id"), col("ts"))
       .orderBy("cohort_day", "offset_days")
 
+  /** Windowed funnel ([[Funnel.funnel]] with a 6-hour conversion window):
+    * later steps only count within windowUs of the first step — the
+    * "converted same session" variant. Oracle adds the window bound to
+    * each k-pass CTE. */
+  def q96FunnelWindowed(s: SparkSession, d: String): DataFrame =
+    Funnel.funnel(Tables.events(s, d), col("user_id"), col("ts"),
+        col("event_type"), Seq("view", "click", "purchase"),
+        windowUs = Some(6L * 3600 * 1000000))
+      .orderBy("user_id")
+
   /** Trailing-bucket z-score anomalies ([[Profiling.anomalyZScores]]):
     * each event scored against its type's previous-hour mean/std — the
     * continuous monitoring rule, shaped as groupBy + join instead of a

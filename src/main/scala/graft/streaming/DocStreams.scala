@@ -167,6 +167,61 @@ object DocStreams {
     writer.start()
   }
 
+  /** Continuous duplicated-segment removal — the streaming twin of
+    * [[Dedup.segmentDedup]] (q86): per micro-batch, run
+    * [[Dedup.segmentDedupAgainstHistory]] against the segment-frequency
+    * history accumulated at `historyDir` (16 bytes per distinct segment
+    * fingerprint — text never persists), write the cleaned docs to
+    * `outDir`, append the batch's own frequencies to history. Same
+    * at-least-once idempotence device as [[foreachBatchAdmit]]: history
+    * visible to a batch excludes its own batchId, and both outputs land in
+    * batch_id partitions under dynamic overwrite, so a retry replaces its
+    * own work. Streaming semantics are admission-style: a segment crossing
+    * the `maxDocs` threshold in a later batch is dropped from THAT batch on
+    * — already-emitted documents are not rewritten (equal to a sequential
+    * replay of the batch operator, which DocStreamsSpec asserts). */
+  def foreachBatchSegmentDedup(docs: DataFrame, historyDir: String,
+                               outDir: String, segLen: Int = 8,
+                               maxDocs: Int = 1,
+                               checkpointDir: Option[String] = None): StreamingQuery = {
+    val countsSchema = StructType(Seq(
+      StructField("h", LongType), StructField("n_docs", LongType)))
+    val writer = docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.select(col("doc_id").cast("long").as("doc_id"), col("text"))
+          .localCheckpoint()
+        val history = loadHistoryCounts(spark, historyDir,
+          excludeBatchId = batchId, countsSchema)
+        val (cleaned, counts) = Dedup.segmentDedupAgainstHistory(b,
+          col("doc_id"), TextOps.tokens(coalesce(col("text"), lit(""))),
+          history, segLen = segLen, maxDocs = maxDocs)
+        val pinned = cleaned.withColumn("batch_id", lit(batchId))
+          .localCheckpoint() // pin BEFORE history mutates beneath the plan
+        val pinnedCounts = counts.withColumn("batch_id", lit(batchId))
+          .localCheckpoint()
+        writePartition(pinned, outDir)
+        writePartition(pinnedCounts, historyDir)
+        ()
+      }
+    checkpointDir.foreach(d => writer.option("checkpointLocation", d))
+    writer.start()
+  }
+
+  private def loadHistoryCounts(spark: SparkSession, dir: String,
+                                excludeBatchId: Long,
+                                emptySchema: StructType): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path) && fs.listStatus(path)
+        .exists(_.getPath.getName.startsWith("batch_id=")))
+      spark.read.parquet(dir)
+        .filter(col("batch_id").cast("long") =!= excludeBatchId)
+        .select("h", "n_docs")
+    else
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], emptySchema)
+  }
+
   private def writePartition(df: DataFrame, dir: String): Unit =
     df.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")

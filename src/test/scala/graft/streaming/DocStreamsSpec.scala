@@ -102,6 +102,52 @@ class DocStreamsSpec extends SparkSpec {
     assert(got.filter(col("admitted") === 0).count() >= 270)
   }
 
+  test("foreachBatchSegmentDedup: streaming loop equals the sequential batch replay " +
+       "(cross-batch duplicated segments dropped from later batches)") {
+    import spark.implicits._
+    // batch 1: doc 0/1 share a segment; batch 2: doc 10 re-uses doc 0's
+    // segment (cross-batch hit) and doc 11 is fresh; batch 3: doc 20 is a
+    // full copy of doc 11 (its segments cross the threshold now)
+    val b1 = Seq((0L, "a b c d e f"), (1L, "a b c x y z")).toDF("doc_id", "text")
+    val b2 = Seq((10L, "q r s a b c"), (11L, "m n o p q u")).toDF("doc_id", "text")
+    val b3 = Seq((20L, "m n o p q u")).toDF("doc_id", "text")
+    val halves = Seq(b1, b2, b3)
+    val dir = stageFiles(halves, "graft-stream-segdedup")
+    val histDir = java.nio.file.Files.createTempDirectory("graft-seghist").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-segout").toString
+    val q = DocStreams.foreachBatchSegmentDedup(
+      DocStreams.readDocs(spark, dir, maxFilesPerTrigger = Some(1)),
+      histDir, outDir, segLen = 3, maxDocs = 1)
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.read.parquet(outDir)
+      .select("doc_id", "n_tokens", "n_segments", "n_dropped_segments",
+        "n_kept_tokens", "kept_md5")
+
+    // sequential replay with the batch operator
+    val emptyCounts = Seq.empty[(Long, Long)].toDF("h", "n_docs")
+    val (exp, _) = halves.foldLeft(
+        (Option.empty[DataFrame], emptyCounts.localCheckpoint())) {
+      case ((acc, hist), b) =>
+        val (cleaned, counts) = Dedup.segmentDedupAgainstHistory(b,
+          col("doc_id"), TextOps.tokens(coalesce(col("text"), lit(""))),
+          hist, segLen = 3, maxDocs = 1)
+        (Some(acc.fold(cleaned.localCheckpoint())(_ unionByName cleaned.localCheckpoint())),
+          hist.unionByName(counts).localCheckpoint())
+    }
+    assert(got.count() == 5)
+    assert(got.exceptAll(exp.get.select(got.columns.map(col): _*)).count() == 0,
+      "stream/batch segment-dedup mismatch")
+    // cross-batch semantics: doc 10 loses the [a b c] segment seen in
+    // batch 1; doc 20 (copy of doc 11) loses BOTH its segments
+    val byId = got.as[(Long, Long, Long, Long, Long, String)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(byId(10L)._4 == 1L, s"doc 10 must drop the history segment: ${byId(10L)}")
+    assert(byId(20L)._4 == 2L && byId(20L)._5 == 0L,
+      s"doc 20 must be emptied: ${byId(20L)}")
+    // but batch-1/2 docs already emitted keep their original shape
+    assert(byId(11L)._4 == 0L, s"doc 11 was first owner: ${byId(11L)}")
+  }
+
   /** Mod-time-ordered parquet files, one per micro-batch (the stageBatches
     * device generalized to any frame sequence). */
   private def stageFiles(dfs: Seq[DataFrame], prefix: String): String = {
