@@ -31,6 +31,18 @@ class TextClassifierSpec extends SparkSpec {
     assert(out._4 == 1L, s"holdout accuracy below gate: $out")
   }
 
+  test("maxTrainFrac subsamples training but reports the full fold size") {
+    val full = TextClassifier.holdoutGate(corpus, col("doc_id"),
+        TextOps.tokens(col("text")), col("y"), accThreshold = 0.85)
+      .as[(Long, Long, Long, Long)].head()
+    val sampled = TextClassifier.holdoutGate(corpus, col("doc_id"),
+        TextOps.tokens(col("text")), col("y"), accThreshold = 0.85,
+        maxTrainFrac = 0.5)
+      .as[(Long, Long, Long, Long)].head()
+    assert(sampled._2 == full._2, "n_train must report the fold, not the sample")
+    assert(sampled._4 == 1L, s"half-sample training lost the gate: $sampled")
+  }
+
   test("score emits calibrated-direction probabilities") {
     val feat = TextClassifier.featurize(corpus, col("doc_id"),
       TextOps.tokens(col("text")), col("y"))
