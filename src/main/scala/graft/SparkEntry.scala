@@ -110,7 +110,8 @@ object SparkEntry {
     "q93_image_phash_dedup" -> (Queries.q93ImagePhashDedup _),
     "q94_anomaly_zscores" -> (Queries.q94AnomalyZScores _),
     "q95_audio_fingerprint_dedup" -> (Queries.q95AudioFingerprintDedup _),
-    "q96_funnel_windowed" -> (Queries.q96FunnelWindowed _)
+    "q96_funnel_windowed" -> (Queries.q96FunnelWindowed _),
+    "q97_neyman_sample" -> (Queries.q97NeymanSample _)
   )
 
   /** DuckDB oracles for EVERY query above — since round 3 none are

@@ -73,6 +73,54 @@ object Selection {
         col("__n.id").as("id"), col("__n.score").as("score")): _*)
   }
 
+  /** Neyman-allocation stratified sampling (the survey-sampling optimum:
+    * a fixed budget is split across strata ∝ Nₕ·σₕ, so high-variance
+    * strata get proportionally MORE than their population share — minimum
+    * estimator variance for a fixed n). Allocation nₕ = min(Nₕ,
+    * ⌊budget·Nₕσₕ / Σ Nₖσₖ⌋); within each stratum the sample is the nₕ
+    * smallest md5-uniforms (deterministic, append-stable, replayable —
+    * the q76 split device), taken with the bounded [[TopKAggregator]]
+    * (≤ budget candidates per stratum per map partition shuffle — no
+    * full-stratum sort, no low-cardinality window).
+    *
+    * Output is one row per stratum: population, σ (6 dp), allocation,
+    * selected count, and an md5 digest of the sorted selected ids — the
+    * digest makes the SELECTION itself oracle-checkable, not just the
+    * allocation arithmetic. */
+  def neymanSample(df: DataFrame, stratum: Column, value: Column, id: Column,
+                   budget: Int, salt: String = "neyman"): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val v = df.select(stratum.as("stratum"), id.cast("long").as("doc_id"),
+      value.cast("double").as("__v"))
+    val stats = v.groupBy("stratum")
+      .agg(count(lit(1)).as("n_pop"), stddev_pop(col("__v")).as("__sig"))
+      .withColumn("__w", col("n_pop") * coalesce(col("__sig"), lit(0.0)))
+    val total = stats.agg(sum("__w").as("__wsum"))
+    val alloc = stats.crossJoin(broadcast(total))
+      .withColumn("n_alloc",
+        when(col("__wsum") > 0,
+          least(col("n_pop"),
+            floor(lit(budget.toDouble) * col("__w") / col("__wsum")).cast("long")))
+          .otherwise(lit(0L)))
+    val u = graft.operators.Mixture.portableUniform(col("doc_id"), salt)
+    val ranked = topKPerGroup(v.withColumn("__u", u), Seq("stratum"),
+      -col("__u"), col("doc_id"), k = budget)
+    val selected = ranked.join(alloc.select("stratum", "n_alloc"), Seq("stratum"))
+      .filter(col("rank") <= col("n_alloc"))
+      .groupBy("stratum")
+      .agg(count(lit(1)).as("n_selected"),
+        md5(concat_ws(",",
+          transform(array_sort(collect_list(col("id"))), x => x.cast("string")))
+          .cast("binary")).as("sel_md5"))
+    alloc.join(selected, Seq("stratum"), "left")
+      .select(col("stratum"), col("n_pop"),
+        round(coalesce(col("__sig"), lit(0.0)), 6).as("sigma"),
+        col("n_alloc"),
+        coalesce(col("n_selected"), lit(0L)).as("n_selected"),
+        coalesce(col("sel_md5"),
+          md5(lit("").cast("binary"))).as("sel_md5"))
+  }
+
   /** Pool deletion: remove rows whose id appears in `selected` — the
     * reference's `np.delete(pool, idx)`
     * (`BigDataQualityAssessment_ActiveSampling.py:236-237`). Broadcast

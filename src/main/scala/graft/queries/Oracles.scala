@@ -1935,6 +1935,42 @@ object Oracles {
     LEFT JOIN s3 ON s3.user_id = u.user_id
     ORDER BY u.user_id"""
 
+  // Neyman-allocation stratified sample, FULL replay: stddev_pop, the
+  // floor allocation, the md5-uniform ranked selection (q76 device, salt
+  // 'neyman'), and the per-stratum sorted-id digest.
+  val q97 = """
+    WITH v AS (SELECT lang AS stratum, doc_id, CAST(n_chars AS DOUBLE) AS x
+               FROM documents),
+    s AS (SELECT stratum, CAST(count(*) AS BIGINT) AS n_pop,
+                 coalesce(stddev_pop(x), 0.0) AS sig
+          FROM v GROUP BY stratum),
+    w AS (SELECT *, n_pop * sig AS wh FROM s),
+    tot AS (SELECT sum(wh) AS wsum FROM w),
+    a AS (SELECT stratum, n_pop, sig,
+                 CASE WHEN wsum > 0
+                 THEN least(n_pop, CAST(floor(200.0 * wh / wsum) AS BIGINT))
+                 ELSE 0 END AS n_alloc
+          FROM w, tot),
+    u AS (SELECT stratum, doc_id, list_reduce(list_prepend(0.0,
+            list_transform(generate_series(1, 13),
+              k -> CAST(strpos('0123456789abcdef',
+                     substr(substr(md5(concat_ws('|', doc_id, 'neyman')), 1, 13), k, 1)) - 1 AS DOUBLE)
+                   * pow(16.0, 13 - k))),
+          (acc, y) -> acc + y) / 4503599627370496.0 AS u
+          FROM v),
+    r AS (SELECT stratum, doc_id,
+                 row_number() OVER (PARTITION BY stratum ORDER BY u, doc_id) AS rn
+          FROM u),
+    sel AS (SELECT r.stratum, CAST(count(*) AS BIGINT) AS n_selected,
+                   md5(array_to_string(list_sort(list(r.doc_id)), ',')) AS sel_md5
+            FROM r JOIN a ON a.stratum = r.stratum
+            WHERE r.rn <= a.n_alloc GROUP BY r.stratum)
+    SELECT a.stratum, a.n_pop, round(a.sig, 6) AS sigma, a.n_alloc,
+           coalesce(sel.n_selected, 0) AS n_selected,
+           coalesce(sel.sel_md5, md5('')) AS sel_md5
+    FROM a LEFT JOIN sel ON sel.stratum = a.stratum
+    ORDER BY a.stratum"""
+
   /** name → oracle SQL (single-line, driver JSON-escapes anyway). */
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
@@ -2034,6 +2070,7 @@ object Oracles {
     "q93_image_phash_dedup" -> q93,
     "q94_anomaly_zscores" -> q94,
     "q95_audio_fingerprint_dedup" -> q95,
-    "q96_funnel_windowed" -> q96
+    "q96_funnel_windowed" -> q96,
+    "q97_neyman_sample" -> q97
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

@@ -1618,6 +1618,16 @@ object Queries {
     Funnel.retention(Tables.events(s, d), col("user_id"), col("ts"))
       .orderBy("cohort_day", "offset_days")
 
+  /** Neyman-allocation stratified sampling ([[Selection.neymanSample]]):
+    * a 200-doc budget split across languages ∝ Nₕ·σₕ of n_chars, selection
+    * = smallest md5-uniforms per stratum via the bounded top-k aggregator.
+    * Full replay: DuckDB recomputes σ, the floor allocation, the ranked
+    * selection, and the sorted-id digest per stratum. */
+  def q97NeymanSample(s: SparkSession, d: String): DataFrame =
+    Selection.neymanSample(Tables.documents(s, d), col("lang"),
+        col("n_chars"), col("doc_id"), budget = 200)
+      .orderBy("stratum")
+
   /** Windowed funnel ([[Funnel.funnel]] with a 6-hour conversion window):
     * later steps only count within windowUs of the first step — the
     * "converted same session" variant. Oracle adds the window bound to

@@ -111,4 +111,30 @@ class SelectionSpec extends SparkSpec {
     assert(p1 != p3, "different salts must give different permutations")
     assert(p1 != (0L until 500L).toSeq, "must actually reorder")
   }
+
+  test("neymanSample: variance-weighted allocation, caps, determinism") {
+    // stratum a: 100 docs, sigma 0 (constant) -> allocation 0
+    // stratum b: 100 docs of alternating 0/10 -> sigma 5
+    // stratum c: 50 docs alternating 0/30 -> sigma 15
+    // weights: a 0, b 500, c 750 -> of budget 50: b floor(20)=20, c floor(30)=30
+    val docs = ((0 until 100).map(i => ("a", i.toLong, 7.0)) ++
+      (0 until 100).map(i => ("b", 1000L + i, if (i % 2 == 0) 0.0 else 10.0)) ++
+      (0 until 50).map(i => ("c", 2000L + i, if (i % 2 == 0) 0.0 else 30.0)))
+      .toDF("st", "doc_id", "v")
+    val out = Selection.neymanSample(docs, col("st"), col("v"), col("doc_id"),
+        budget = 50)
+      .orderBy("stratum")
+      .select("stratum", "n_pop", "sigma", "n_alloc", "n_selected")
+      .as[(String, Long, Double, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("a", 100L, 0.0, 0L, 0L),
+      ("b", 100L, 5.0, 20L, 20L),
+      ("c", 50L, 15.0, 30L, 30L)), s"unexpected: $out")
+    // determinism incl. digest, and budget respected
+    val d1 = Selection.neymanSample(docs, col("st"), col("v"), col("doc_id"), 50)
+      .select("sel_md5").as[String].collect().toSet
+    val d2 = Selection.neymanSample(docs.repartition(7), col("st"), col("v"),
+      col("doc_id"), 50).select("sel_md5").as[String].collect().toSet
+    assert(d1 == d2, "selection digest depends on partitioning")
+  }
 }
