@@ -100,6 +100,47 @@ object Retrieval {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
   }
 
+  /** Incremental postings maintenance — the continuous-ingest form of
+    * [[writeBm25Index]]: each document batch appends its postings under a
+    * (batch_id, bucket) partition and its corpus-stats PARTIAL (doc count,
+    * total length) under dir/stats_parts. Dynamic partition overwrite makes
+    * a retried batch replace its own partitions (the DocStreams idempotence
+    * device), and the serve path sums the partials — so after any sequence
+    * of appends, [[bm25TopKIndexed]] answers over the union exactly as if
+    * the index had been built in one shot. Batches must not re-ship a
+    * doc_id (the ingest contract; run the dedup admission first). */
+  def appendBm25Postings(df: DataFrame, id: Column, toks: Column, dir: String,
+                         batchId: Long, buckets: Int = 64): Unit = {
+    require(buckets >= 1, "need at least one bucket")
+    val docs = df.select(id.cast("long").as("doc_id"), toks.as("__toks"))
+      .withColumn("dl", size(col("__toks")).cast("double"))
+    docs.select(col("doc_id"), col("dl"), explode(col("__toks")).as("term"))
+      .groupBy("term", "doc_id", "dl").agg(count(lit(1)).cast("double").as("tf"))
+      .withColumn("bucket", pmod(xxhash64(col("term")), lit(buckets.toLong)))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id", "bucket").parquet(s"$dir/postings")
+    docs.agg(count(lit(1)).cast("double").as("n"), sum("dl").as("sum_dl"))
+      .withColumn("batch_id", lit(batchId))
+      .coalesce(1).write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(s"$dir/stats_parts")
+  }
+
+  /** Corpus stats for an index dir: the one-shot artifact when present,
+    * else the sum of the appended partials. */
+  private def readStats(spark: SparkSession, dir: String): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/stats")))
+      spark.read.parquet(s"$dir/stats")
+        .select(col("n").as("__n"), col("avgdl").as("__avgdl"))
+    else
+      spark.read.parquet(s"$dir/stats_parts")
+        .agg(sum("n").as("__n"), sum("sum_dl").as("__sdl"))
+        .select(col("__n"), (col("__sdl") / col("__n")).as("__avgdl"))
+  }
+
   /** BM25 top-k served from [[writeBm25Index]] artifacts — bit-identical
     * to [[bm25TopK]] on the same corpus (shared scoring expression; the
     * per-doc tf pivot keeps the term sum in query order). The plan touches
@@ -123,8 +164,7 @@ object Retrieval {
     val post = spark.read.parquet(s"$dir/postings")
       .filter(col("bucket").isin(tsBuckets: _*))
       .filter(col("term").isin(ts: _*))
-    val stats = spark.read.parquet(s"$dir/stats")
-      .select(col("n").as("__n"), col("avgdl").as("__avgdl"))
+    val stats = readStats(spark, dir)
     val dfAggs = ts.zipWithIndex.map { case (t, i) =>
       sum(when(col("term") === lit(t), 1L).otherwise(0L)).cast("double")
         .as(s"__df$i")

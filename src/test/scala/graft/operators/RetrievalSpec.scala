@@ -68,6 +68,37 @@ class RetrievalSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"))
   }
 
+  test("incrementally appended index equals the scan path; retries are idempotent") {
+    val big = (0L until 90L).map { i =>
+      val extra = if (i % 3 == 0) Seq("cat") else if (i % 3 == 1) Seq("dog") else Seq.empty
+      (i, Seq(s"w$i", s"u${i % 5}", s"v${i % 13}") ++ extra)
+    }.toDF("doc_id", "toks")
+    val dir = java.nio.file.Files.createTempDirectory("bm25inc").toString
+    try {
+      // three ingest batches append their postings + stats partials
+      Seq(0L, 1L, 2L).foreach { b =>
+        Retrieval.appendBm25Postings(
+          big.filter(col("doc_id") % 3 === b), col("doc_id"), col("toks"),
+          dir, batchId = b, buckets = 16)
+      }
+      // a retried batch replaces its own partitions instead of duplicating
+      Retrieval.appendBm25Postings(
+        big.filter(col("doc_id") % 3 === 1L), col("doc_id"), col("toks"),
+        dir, batchId = 1L, buckets = 16)
+      val scan = Retrieval.bm25TopK(big, col("doc_id"), col("toks"),
+        Seq("cat", "dog"), k = 20).as[(Long, Double)].collect().toSeq
+      val idx = Retrieval.bm25TopKIndexed(spark, dir, Seq("cat", "dog"),
+        k = 20, buckets = 16).as[(Long, Double)].collect().toSeq
+      assert(idx == scan, s"appended index != scan:\n$idx\n$scan")
+    } finally {
+      import java.nio.file.{Files, Paths}
+      val walk = Files.walk(Paths.get(dir))
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+
   test("indexed path equals the scan path bit-for-bit and prunes to term buckets") {
     val big = (0L until 60L).map { i =>
       val extra = if (i % 3 == 0) Seq("cat") else if (i % 3 == 1) Seq("dog") else Seq.empty
