@@ -50,4 +50,22 @@ object Layout {
       .repartitionByRange(partitions, col("__z"))
       .sortWithinPartitions("__z")
   }
+
+  /** Rendezvous (highest-random-weight) shard assignment: a row's shard is
+    * argmaxₛ md5(key|salt|s) over s ∈ [0, shards). The property that makes
+    * this the right way to assign a mutable shard count at 100 TB: growing
+    * from N to N+1 shards moves EXACTLY the rows whose new-shard weight
+    * wins — an expected 1/(N+1) of the corpus, all of it to the NEW shard;
+    * every other row keeps its placement (mod-N hashing reshuffles
+    * (N-1)/N of everything). md5 (not xxhash64) so the assignment is
+    * engine-portable and oracle-replayable.
+    *
+    * Pure projection — no shuffle, no state; the argmax is an `array_max`
+    * over `shards` (hash, s) structs built from literals. */
+  def rendezvousShard(key: Column, shards: Int, salt: String = "hrw"): Column = {
+    require(shards >= 1, "need at least one shard")
+    array_max(array((0 until shards).map(s =>
+      struct(md5(concat_ws("|", key, lit(salt), lit(s)).cast("binary")).as("h"),
+        lit(s).as("s"))): _*)).getField("s")
+  }
 }

@@ -1971,6 +1971,21 @@ object Oracles {
     FROM a LEFT JOIN sel ON sel.stratum = a.stratum
     ORDER BY a.stratum"""
 
+  // Rendezvous sharding, FULL replay: the md5 argmax for both shard
+  // counts, per row.
+  val q98 = """
+    WITH a AS (SELECT doc_id,
+                 CAST(list_sort(list_transform(generate_series(0, 7),
+                   s -> {'h': md5(concat_ws('|', doc_id, 'hrw', s)), 's': s}),
+                   'DESC')[1].s AS BIGINT) AS shard8,
+                 CAST(list_sort(list_transform(generate_series(0, 8),
+                   s -> {'h': md5(concat_ws('|', doc_id, 'hrw', s)), 's': s}),
+                   'DESC')[1].s AS BIGINT) AS shard9
+               FROM documents)
+    SELECT doc_id, shard8, shard9,
+           CAST(CASE WHEN shard8 <> shard9 THEN 1 ELSE 0 END AS BIGINT) AS moved
+    FROM a ORDER BY doc_id"""
+
   /** name → oracle SQL (single-line, driver JSON-escapes anyway). */
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
@@ -2071,6 +2086,7 @@ object Oracles {
     "q94_anomaly_zscores" -> q94,
     "q95_audio_fingerprint_dedup" -> q95,
     "q96_funnel_windowed" -> q96,
-    "q97_neyman_sample" -> q97
+    "q97_neyman_sample" -> q97,
+    "q98_rendezvous_shards" -> q98
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

@@ -1618,6 +1618,21 @@ object Queries {
     Funnel.retention(Tables.events(s, d), col("user_id"), col("ts"))
       .orderBy("cohort_day", "offset_days")
 
+  /** Rendezvous sharding ([[Layout.rendezvousShard]]): every doc's shard
+    * under 8 and under 9 shards, plus the moved flag — growing the shard
+    * count must move ~1/9 of rows, all of them to the NEW shard (the HRW
+    * minimal-disruption property; the oracle replays the md5 argmax and
+    * both assignments row by row, so a tie-break or hash divergence reds
+    * every row it touches). */
+  def q98RendezvousShards(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        Layout.rendezvousShard(col("doc_id"), 8).cast("long").as("shard8"),
+        Layout.rendezvousShard(col("doc_id"), 9).cast("long").as("shard9"))
+      .withColumn("moved",
+        when(col("shard8") =!= col("shard9"), 1L).otherwise(0L))
+      .orderBy("doc_id")
+
   /** Neyman-allocation stratified sampling ([[Selection.neymanSample]]):
     * a 200-doc budget split across languages ∝ Nₕ·σₕ of n_chars, selection
     * = smallest md5-uniforms per stratum via the bounded top-k aggregator.

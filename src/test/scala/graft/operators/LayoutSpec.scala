@@ -69,4 +69,25 @@ class LayoutSpec extends SparkSpec {
     val touchedRandom = randomStats.count { case (lo, hi) => hi >= zLo && lo <= zHi }
     assert(touchedRandom == 16, "random layout should be unprunable")
   }
+
+  test("rendezvousShard: minimal disruption when growing the shard count") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val keys = (0L until 5000L).toDF("k")
+    val a = keys.select(col("k"),
+        Layout.rendezvousShard(col("k"), 8).as("s8"),
+        Layout.rendezvousShard(col("k"), 9).as("s9"))
+      .as[(Long, Int, Int)].collect()
+    // rows land on every shard, roughly evenly
+    val by8 = a.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(by8.keySet == (0 until 8).toSet)
+    assert(by8.values.min > 5000 / 8 / 2, s"badly skewed: $by8")
+    // THE rendezvous property: a row either keeps its shard or moves to
+    // the NEW shard — never between old shards
+    assert(a.forall { case (_, s8, s9) => s9 == s8 || s9 == 8 },
+      "a row moved between pre-existing shards")
+    val movedFrac = a.count { case (_, s8, s9) => s8 != s9 }.toDouble / a.length
+    assert(movedFrac > 0.05 && movedFrac < 0.18,
+      s"moved fraction $movedFrac far from the expected 1/9")
+  }
 }
