@@ -1986,6 +1986,15 @@ object Oracles {
            CAST(CASE WHEN shard8 <> shard9 THEN 1 ELSE 0 END AS BIGINT) AS moved
     FROM a ORDER BY doc_id"""
 
+  // Salted-join gate: the oracle is the PLAIN join — salting must be
+  // invisible in the aggregated result.
+  val q99 = """
+    SELECT s.s_nationkey,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    GROUP BY s.s_nationkey ORDER BY s.s_nationkey"""
+
   /** name → oracle SQL (single-line, driver JSON-escapes anyway). */
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
@@ -2087,6 +2096,7 @@ object Oracles {
     "q95_audio_fingerprint_dedup" -> q95,
     "q96_funnel_windowed" -> q96,
     "q97_neyman_sample" -> q97,
-    "q98_rendezvous_shards" -> q98
+    "q98_rendezvous_shards" -> q98,
+    "q99_salted_join" -> q99
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

@@ -1618,6 +1618,21 @@ object Queries {
     Funnel.retention(Tables.events(s, d), col("user_id"), col("ts"))
       .orderBy("cohort_day", "offset_days")
 
+  /** Salted skew-join gate ([[Joins.saltedJoin]] — the explicit escape
+    * hatch for shapes AQE can't split): lineitem ⋈ supplier with 8-way
+    * salting, aggregated to revenue per nation. The oracle is the PLAIN
+    * SQL join — salting must be row-for-row invisible in the result. */
+  def q99SaltedJoin(s: SparkSession, d: String): DataFrame =
+    Joins.saltedJoin(
+        Tables.lineitem(s, d).select(col("l_suppkey").as("suppkey"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev")),
+        Tables.supplier(s, d).select(col("s_suppkey").as("suppkey"),
+          col("s_nationkey")),
+        Seq("suppkey"), salt = 8)
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n"), round(sum("rev"), 2).as("revenue"))
+      .orderBy("s_nationkey")
+
   /** Rendezvous sharding ([[Layout.rendezvousShard]]): every doc's shard
     * under 8 and under 9 shards, plus the moved flag — growing the shard
     * count must move ~1/9 of rows, all of them to the NEW shard (the HRW
