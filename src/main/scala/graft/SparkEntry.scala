@@ -113,7 +113,8 @@ object SparkEntry {
     "q96_funnel_windowed" -> (Queries.q96FunnelWindowed _),
     "q97_neyman_sample" -> (Queries.q97NeymanSample _),
     "q98_rendezvous_shards" -> (Queries.q98RendezvousShards _),
-    "q99_salted_join" -> (Queries.q99SaltedJoin _)
+    "q99_salted_join" -> (Queries.q99SaltedJoin _),
+    "q100_curation_audit" -> (Queries.q100CurationAudit _)
   )
 
   /** DuckDB oracles for EVERY query above — since round 3 none are

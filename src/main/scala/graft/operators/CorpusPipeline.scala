@@ -91,6 +91,87 @@ object CorpusPipeline {
     curated.drop("__cid")
   }
 
+  /** Explainable-curation audit — the "why was this document dropped"
+    * table a curation team ships next to every corpus release: per INPUT
+    * doc, the verdict of every [[curate]] gate in order, with -1 for gates
+    * the doc never reached (stages only evaluate survivors — auditing must
+    * preserve that, or a doc failing rules would also be blamed for
+    * repetition it was never tested on), the final kept flag, and the
+    * first-failing reason. Same stage operators and parameters as
+    * [[curate]], so kept == curate's survivor set by construction.
+    *
+    * Scale shape: the stage computations are curate's own (each one
+    * partial-aggregatable / bucket-joined as documented there); the audit
+    * assembly is five left joins of id-sets against the input ids —
+    * id-sized frames, broadcast by AQE when small. */
+  def curateAudit(docs: DataFrame, id: Column, text: Column,
+                  benchmark: Option[DataFrame] = None,
+                  maxTopWordFrac: Double = 0.5,
+                  minhashThreshold: Double = 0.5,
+                  policy: CheckpointPolicy = CheckpointPolicy.Local): DataFrame = {
+    val keyed = docs.withColumn("__cid", id.cast("long"))
+    def idsOf(df: DataFrame, c: String, as: String): DataFrame =
+      df.select(col(c).as("__cid"), lit(1L).as(as))
+    val rulePass = idsOf(QualityRules.gopherFlags(keyed, col("__cid"), text)
+      .filter(col("pass") === 1L), "doc_id", "__rule")
+    val afterRules = policy.pin(keyed.join(rulePass.drop("__rule"),
+      Seq("__cid"), "left_semi"))
+    val repPass = idsOf(QualityRules.repetitionStats(afterRules, col("__cid"), text)
+      .filter(col("top_word_frac") <= maxTopWordFrac), "doc_id", "__rep")
+    val afterRep = policy.pin(afterRules.join(repPass.drop("__rep"),
+      Seq("__cid"), "left_semi"))
+    val exactKeep = idsOf(Dedup.exactByContent(afterRep, col("__cid"), text),
+      "keep_id", "__exact")
+    val afterExact = policy.pin(afterRep.join(exactKeep.drop("__exact"),
+      Seq("__cid"), "left_semi"))
+    val pairs = Dedup.minhashDedupPairs(afterExact, col("__cid"), text,
+      threshold = minhashThreshold, policy = policy)
+    val nearKeep = idsOf(Dedup.clusters(pairs,
+        afterExact.select(col("__cid").as("doc_id")), policy = policy)
+      .filter(col("doc_id") === col("cluster_id")), "doc_id", "__near")
+    val afterNear = policy.pin(afterExact.join(nearKeep.drop("__near"),
+      Seq("__cid"), "left_semi"))
+    val contaminated = benchmark match {
+      case None => keyed.select(col("__cid"), lit(1L).as("__cont")).limit(0)
+      case Some(b) =>
+        val benchShingles = b
+          .select(graft.functions.TextOps.tokens(text).as("__tk"))
+          .select(graft.functions.VectorExprs
+            .hashedWordShingles(col("__tk"), 5).as("__sh"))
+          .select(explode(col("__sh")).as("__s")).distinct()
+        afterNear
+          .select(col("__cid"), graft.functions.TextOps.tokens(text).as("__tk"))
+          .select(col("__cid"), graft.functions.VectorExprs
+            .hashedWordShingles(col("__tk"), 5).as("__sh"))
+          .select(col("__cid"), explode(col("__sh")).as("__s"))
+          .join(broadcast(benchShingles), Seq("__s"))
+          .select("__cid").distinct()
+          .withColumn("__cont", lit(1L))
+    }
+    val gate = (reached: Column, hit: Column) =>
+      when(!reached, lit(-1L)).otherwise(when(hit, 1L).otherwise(0L))
+    keyed.select(col("__cid").as("doc_id"))
+      .join(rulePass.withColumnRenamed("__cid", "doc_id"), Seq("doc_id"), "left")
+      .join(repPass.withColumnRenamed("__cid", "doc_id"), Seq("doc_id"), "left")
+      .join(exactKeep.withColumnRenamed("__cid", "doc_id"), Seq("doc_id"), "left")
+      .join(nearKeep.withColumnRenamed("__cid", "doc_id"), Seq("doc_id"), "left")
+      .join(contaminated.withColumnRenamed("__cid", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("__rule").isNotNull, 1L).otherwise(0L).as("rule_pass"),
+        gate(col("__rule").isNotNull, col("__rep").isNotNull).as("rep_pass"),
+        gate(col("__rep").isNotNull, col("__exact").isNotNull).as("exact_keeper"),
+        gate(col("__exact").isNotNull, col("__near").isNotNull).as("near_keeper"),
+        gate(col("__near").isNotNull, col("__cont").isNotNull).as("contaminated"),
+        when(col("__near").isNotNull && col("__cont").isNull, 1L)
+          .otherwise(0L).as("kept"),
+        when(col("__rule").isNull, "rules")
+          .when(col("__rep").isNull, "repetition")
+          .when(col("__exact").isNull, "exact_dup")
+          .when(col("__near").isNull, "near_dup")
+          .when(col("__cont").isNotNull, "contaminated")
+          .otherwise("kept").as("reason"))
+  }
+
   /** Corpus → dataloader: [[curate]] then reweight into a training mix
     * ([[Mixture.epochs]] — deterministic md5 draws, so the recipe is
     * reproducible) then lay the epoch stream into fixed-token windows

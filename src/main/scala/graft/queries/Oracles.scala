@@ -978,7 +978,7 @@ object Oracles {
   // decontamination → mixture epochs → concat-and-cut packing. Stage 3
   // groups by md5 where Spark groups by xxhash64: both are collision-free
   // on the fixture, so the partitions (and min-id keepers) coincide.
-  val q66 = s"""
+  private val curationPrefix = s"""
     WITH RECURSIVE
     corpus AS (SELECT doc_id, text, source FROM documents WHERE doc_id >= 10),
     g1t AS (SELECT doc_id, text, length(text) AS n,
@@ -1042,7 +1042,10 @@ object Oracles {
     benchsh AS (SELECT DISTINCT unnest(sh) AS s5 FROM dg WHERE doc_id < 10),
     contam AS (SELECT DISTINCT doc_id
                FROM (SELECT doc_id, unnest(sh) AS s5 FROM dg WHERE doc_id >= 10) g
-               JOIN benchsh USING (s5)),
+               JOIN benchsh USING (s5))"""
+
+  val q66 = s"""
+    $curationPrefix,
     curated AS (SELECT doc_id FROM s4
                 WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
     mu AS (SELECT c.doc_id,
@@ -1995,6 +1998,31 @@ object Oracles {
     FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
     GROUP BY s.s_nationkey ORDER BY s.s_nationkey"""
 
+  // Explainable-curation audit: the q66 stage CTEs, assembled per input
+  // doc into gate verdicts (-1 = never reached), kept, and first reason.
+  val q100 = s"""
+    $curationPrefix
+    SELECT c.doc_id,
+           CAST(CASE WHEN p1.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS rule_pass,
+           CAST(CASE WHEN p1.doc_id IS NULL THEN -1 WHEN p2.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS rep_pass,
+           CAST(CASE WHEN p2.doc_id IS NULL THEN -1 WHEN p3.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS exact_keeper,
+           CAST(CASE WHEN p3.doc_id IS NULL THEN -1 WHEN p4.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS near_keeper,
+           CAST(CASE WHEN p4.doc_id IS NULL THEN -1 WHEN p5.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS contaminated,
+           CAST(CASE WHEN p4.doc_id IS NOT NULL AND p5.doc_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept,
+           CASE WHEN p1.doc_id IS NULL THEN 'rules'
+                WHEN p2.doc_id IS NULL THEN 'repetition'
+                WHEN p3.doc_id IS NULL THEN 'exact_dup'
+                WHEN p4.doc_id IS NULL THEN 'near_dup'
+                WHEN p5.doc_id IS NOT NULL THEN 'contaminated'
+                ELSE 'kept' END AS reason
+    FROM corpus c
+    LEFT JOIN s1 p1 ON p1.doc_id = c.doc_id
+    LEFT JOIN s2 p2 ON p2.doc_id = c.doc_id
+    LEFT JOIN s3 p3 ON p3.doc_id = c.doc_id
+    LEFT JOIN s4 p4 ON p4.doc_id = c.doc_id
+    LEFT JOIN contam p5 ON p5.doc_id = c.doc_id
+    ORDER BY c.doc_id"""
+
   /** name → oracle SQL (single-line, driver JSON-escapes anyway). */
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
@@ -2097,6 +2125,7 @@ object Oracles {
     "q96_funnel_windowed" -> q96,
     "q97_neyman_sample" -> q97,
     "q98_rendezvous_shards" -> q98,
-    "q99_salted_join" -> q99
+    "q99_salted_join" -> q99,
+    "q100_curation_audit" -> q100
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

@@ -1618,6 +1618,21 @@ object Queries {
     Funnel.retention(Tables.events(s, d), col("user_id"), col("ts"))
       .orderBy("cohort_day", "offset_days")
 
+  /** Explainable-curation audit ([[CorpusPipeline.curateAudit]]): per
+    * input doc, every q66 curation gate's verdict in stage order (-1 =
+    * never reached — stages only evaluate survivors), the kept flag, and
+    * the first-failing reason. Full replay: the oracle reuses q66's stage
+    * CTEs and assembles the same verdict table — a drift between curate
+    * and the audit, or blame assigned to an unevaluated gate, reds rows. */
+  def q100CurationAudit(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    CorpusPipeline.curateAudit(docs.filter(col("doc_id") >= 10),
+        col("doc_id"), col("text"),
+        benchmark = Some(docs.filter(col("doc_id") < 10)),
+        policy = CheckpointPolicy.fromSession(s))
+      .orderBy("doc_id")
+  }
+
   /** Salted skew-join gate ([[Joins.saltedJoin]] — the explicit escape
     * hatch for shapes AQE can't split): lineitem ⋈ supplier with 8-way
     * salting, aggregated to revenue per nation. The oracle is the PLAIN

@@ -78,6 +78,37 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(curated.columns.toSeq == Seq("doc_id", "text"))
   }
 
+  test("curateAudit blames each planted doc's FIRST failing gate and agrees with curate") {
+    import spark.implicits._
+    import graft.operators.CorpusPipeline
+    val stop = "the of "
+    def longDoc(seed: String): String =
+      stop + Seq.tabulate(60)(i => s"$seed$i").mkString(" ")
+    val good = longDoc("alpha")
+    val docs = Seq(
+      (0L, good), (1L, good), (2L, good + " tail"),
+      (3L, stop + "tiny doc"), (4L, stop + Seq.fill(60)("spam").mkString(" ")),
+      (5L, longDoc("bench")), (6L, longDoc("clean"))
+    ).toDF("doc_id", "text")
+    val benchmark = Seq((100L, longDoc("bench"))).toDF("doc_id", "text")
+    val audit = CorpusPipeline.curateAudit(docs, col("doc_id"), col("text"),
+        benchmark = Some(benchmark))
+      .orderBy("doc_id")
+      .select("doc_id", "reason", "kept", "rep_pass")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    val reasons = audit.map(r => r._1 -> r._2).toMap
+    assert(reasons == Map(0L -> "kept", 1L -> "exact_dup", 2L -> "near_dup",
+      3L -> "rules", 4L -> "repetition", 5L -> "contaminated",
+      6L -> "kept"), s"unexpected blame: $reasons")
+    // unreached gates report -1, not failure (doc 3 fails RULES)
+    assert(audit.find(_._1 == 3L).get._4 == -1L, "doc 3 never reached repetition")
+    // audit.kept == curate's survivor set
+    val keptIds = audit.filter(_._3 == 1L).map(_._1).toSet
+    val curated = CorpusPipeline.curate(docs, col("doc_id"), col("text"),
+      benchmark = Some(benchmark)).select("doc_id").as[Long].collect().toSet
+    assert(keptIds == curated, s"audit kept $keptIds != curate $curated")
+  }
+
   test("toDataloader chains curate -> mixture -> packing into one DAG") {
     import spark.implicits._
     val stop = "the of "
