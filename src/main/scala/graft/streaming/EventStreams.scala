@@ -21,6 +21,17 @@ case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
 /** Streaming-funnel state: frontier depth + first/deepest accepted times. */
 case class FunnelState(filled: Int, first: Long, last: Long)
 
+/** Streaming-anomaly state per key: the open bucket's running sums and the
+  * closed previous bucket's baseline. */
+case class AnomalyState(curBucket: Long, n: Long, sum: Double, sumSq: Double,
+                        prevBucket: Long, prevMu: Double, prevVar: Double,
+                        prevN: Long)
+
+/** Streaming-anomaly output row (matches Profiling.anomalyZScores). */
+case class AnomalyRow(event_id: Long, key: String, bucket_us: Long,
+                      value: Double, z: Double, is_anom: Long,
+                      baseline_n: Long)
+
 /** Streaming-funnel output row (matches the batch Funnel.funnel schema). */
 case class UserFunnel(user_id: Long, steps_completed: Long, first_us: Long,
                       last_us: Long, convert_us: Long)
@@ -124,6 +135,68 @@ object EventStreams {
         state.update(st)
         UserSessions(userId, st.sessions, st.events)
       })(stateEnc, outEnc).toDF()
+  }
+
+  /** Streaming twin of [[graft.operators.Profiling.anomalyZScores]] via
+    * `flatMapGroupsWithState`: per key the state is the OPEN bucket's
+    * running (n, Σv, Σv²) plus the closed previous bucket's (µ, σ², n)
+    * baseline — fixed-size, never the events. Each trigger folds its
+    * batch's events in ts order; an event whose bucket is newer than the
+    * open one closes it (the closed sums become the baseline iff the
+    * buckets are CONTIGUOUS — a silent hour with no events voids the
+    * baseline, exactly like the batch +1h join). Verdict rows are emitted
+    * only for events with a baseline, matching the batch inner join.
+    *
+    * In-order contract: per-key non-decreasing event time across
+    * micro-batches (the [[statefulFunnel]] contract). Variance is
+    * Σv²/n − µ² — algebraically var_pop; the batch twin's central-moment
+    * aggregation can differ in the last ulps, so parity tests compare z at
+    * a tolerance rather than bit-for-bit. */
+  def statefulAnomalies(events: DataFrame, bucketUs: Long = 3600L * 1000000,
+                        threshold: Double = 3.0): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.{Encoders, Row}
+    val schema = new StructType()
+      .add("event_id", LongType).add("key", StringType)
+      .add("ts_us", LongType).add("value", DoubleType)
+    val byKey = events
+      .select(col("event_id").cast("long").as("event_id"),
+        col("event_type").as("key"), unix_micros(col("ts")).as("ts_us"),
+        col("value").cast("double").as("value"))
+      .as(Encoders.row(schema))
+      .groupByKey((r: Row) => r.getString(1))(Encoders.STRING)
+    byKey.flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      (key: String, rows: Iterator[Row],
+       state: org.apache.spark.sql.streaming.GroupState[AnomalyState]) => {
+        val batch = rows.map(r => (r.getLong(2), r.getLong(0), r.getDouble(3)))
+          .toArray.sortBy(e => (e._1, e._2))
+        var st = state.getOption.getOrElse(
+          AnomalyState(Long.MinValue, 0L, 0.0, 0.0, Long.MinValue, 0.0, 0.0, 0L))
+        val out = scala.collection.mutable.ArrayBuffer.empty[AnomalyRow]
+        batch.foreach { case (ts, eventId, v) =>
+          val b = Math.floorDiv(ts, bucketUs) * bucketUs
+          if (b != st.curBucket) {
+            // close the open bucket; contiguous => it becomes the baseline
+            val (pb, mu, va, pn) =
+              if (st.curBucket != Long.MinValue && st.n > 0)
+                (st.curBucket, st.sum / st.n,
+                  math.max(st.sumSq / st.n - (st.sum / st.n) * (st.sum / st.n), 0.0),
+                  st.n)
+              else (Long.MinValue, 0.0, 0.0, 0L)
+            st = AnomalyState(b, 0L, 0.0, 0.0, pb, mu, va, pn)
+          }
+          if (st.prevBucket != Long.MinValue && st.prevBucket + bucketUs == b) {
+            val z = if (st.prevVar > 0) (v - st.prevMu) / math.sqrt(st.prevVar) else 0.0
+            out += AnomalyRow(eventId, key, b, v,
+              math.rint(z * 1e6) / 1e6,
+              if (st.prevVar > 0 && math.abs(z) > threshold) 1L else 0L,
+              st.prevN)
+          }
+          st = st.copy(n = st.n + 1, sum = st.sum + v, sumSq = st.sumSq + v * v)
+        }
+        state.update(st)
+        out.iterator
+      })(Encoders.product[AnomalyState], Encoders.product[AnomalyRow]).toDF()
   }
 
   private val eventMicrosSchema = new StructType()

@@ -155,6 +155,44 @@ class EventStreamsSpec extends SparkSpec {
       "stateful funnel != batch funnel")
   }
 
+  test("stateful anomalies across micro-batch seams match the batch operator") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-anom")
+    val ordered = Tables.events(spark, sf001).orderBy("ts", "event_id")
+      .select("event_id", "ts", "event_type", "value").collect()
+    val third = (ordered.length + 2) / 3
+    ordered.grouped(third).zipWithIndex.foreach { case (part, i) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-anom-part")
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(part.toIndexedSeq, 1), part.head.schema)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val f = java.nio.file.Files.list(tmp)
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      val dest = dir.resolve(s"p$i.parquet")
+      java.nio.file.Files.move(f, dest)
+      dest.toFile.setLastModified(System.currentTimeMillis() - (3 - i) * 60000)
+      ()
+    }
+    val streamed = EventStreams.statefulAnomalies(
+      EventStreams.readEvents(spark, dir.toString, maxFilesPerTrigger = Some(1)))
+    val got = EventStreams.runToMemory(spark, streamed, "anom_test", "append")
+    val batch = graft.operators.Profiling.anomalyZScores(
+      Tables.events(spark, sf001), col("event_id"), col("event_type"),
+      col("ts"), col("value"))
+    assert(got.count() == batch.count(),
+      s"row counts: stream ${got.count()} vs batch ${batch.count()}")
+    // flags and baselines exact; z within FP tolerance (different but
+    // algebraically equal variance formulations)
+    val joined = got.select(col("event_id"), col("z").as("z_s"),
+        col("is_anom").as("a_s"), col("baseline_n").as("n_s"))
+      .join(batch.select(col("event_id"), col("z").as("z_b"),
+        col("is_anom").as("a_b"), col("baseline_n").as("n_b")), Seq("event_id"))
+    assert(joined.count() == batch.count(), "event sets differ")
+    assert(joined.filter(col("a_s") =!= col("a_b") ||
+      col("n_s") =!= col("n_b")).count() == 0, "flags/baselines diverged")
+    val maxDz = joined.agg(max(abs(col("z_s") - col("z_b")))).head().getDouble(0)
+    assert(maxDz < 1e-6, s"z diverged by $maxDz")
+  }
+
   test("streaming dedup keeps one row per key and matches batch distinct") {
     // duplicate the fixture file so every event arrives twice
     val dupDir = java.nio.file.Files.createTempDirectory("graft-stream-dup")
