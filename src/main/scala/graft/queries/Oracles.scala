@@ -2023,6 +2023,44 @@ object Oracles {
     LEFT JOIN contam p5 ON p5.doc_id = c.doc_id
     ORDER BY c.doc_id"""
 
+  // RAG chunk retrieval: the q78 chunk derivation feeding the q85 BM25
+  // arithmetic over CHUNKS (composite id = doc*1000 + chunk), k-boundary
+  // included.
+  val q101 = """
+    WITH t AS (SELECT doc_id,
+                 CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN []::VARCHAR[]
+                      ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+               FROM documents),
+    c AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+    nc AS (SELECT *, CASE WHEN n <= 0 THEN 0
+                     ELSE 1 + greatest(0, CAST(ceil((n - 64) / 32.0) AS INTEGER))
+                     END AS nchunks FROM c),
+    ex AS (SELECT doc_id, toks, unnest(range(nchunks)) AS chunk_id
+           FROM nc WHERE nchunks > 0),
+    x AS (SELECT doc_id * 1000 + chunk_id AS cid,
+                 toks[(chunk_id * 32 + 1):(chunk_id * 32 + 64)] AS chunk
+          FROM ex),
+    w AS (SELECT cid, CAST(len(chunk) AS DOUBLE) AS dl,
+            CAST(len(list_filter(chunk, y -> y = 'join')) AS DOUBLE) AS tf0,
+            CAST(len(list_filter(chunk, y -> y = 'filter')) AS DOUBLE) AS tf1,
+            CAST(len(list_filter(chunk, y -> y = 'window')) AS DOUBLE) AS tf2
+          FROM x),
+    st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+             CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+             CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+             CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+           FROM w),
+    sc AS (SELECT cid,
+             round(ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0 * 2.2 / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                 + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 * 2.2 / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                 + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * tf2 * 2.2 / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS bm25
+           FROM w, st
+           WHERE greatest(tf0, tf1, tf2) > 0
+           ORDER BY bm25 DESC, cid LIMIT 20)
+    SELECT CAST(cid // 1000 AS BIGINT) AS doc_id,
+           CAST(cid % 1000 AS BIGINT) AS chunk_id, bm25
+    FROM sc ORDER BY bm25 DESC, doc_id, chunk_id"""
+
   /** name → oracle SQL (single-line, driver JSON-escapes anyway). */
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
@@ -2126,6 +2164,7 @@ object Oracles {
     "q97_neyman_sample" -> q97,
     "q98_rendezvous_shards" -> q98,
     "q99_salted_join" -> q99,
-    "q100_curation_audit" -> q100
+    "q100_curation_audit" -> q100,
+    "q101_chunk_bm25" -> q101
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

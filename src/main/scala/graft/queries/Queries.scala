@@ -1618,6 +1618,24 @@ object Queries {
     Funnel.retention(Tables.events(s, d), col("user_id"), col("ts"))
       .orderBy("cohort_day", "offset_days")
 
+  /** RAG-style chunk retrieval ([[Chunking.slidingChunks]] composed with
+    * [[Retrieval.bm25TopK]]): the top-20 64-token/50%-overlap CHUNKS for a
+    * 3-term query, scored with chunk-corpus statistics — the
+    * retrieval-granularity a RAG pipeline actually serves. Chunk identity
+    * rides a composite id (doc·1000 + chunk) through the scorer and is
+    * decoded back. Full replay: the q78 chunk derivation feeding the q85
+    * BM25 arithmetic, k-boundary included. */
+  def q101ChunkBm25(s: SparkSession, d: String): DataFrame = {
+    val chunks = Chunking.slidingChunks(Tables.documents(s, d), col("doc_id"),
+        TextOps.tokens(coalesce(col("text"), lit(""))), maxLen = 64, stride = 32)
+      .select((col("doc_id") * 1000 + col("chunk_id")).as("cid"), col("chunk"))
+    Retrieval.bm25TopK(chunks, col("cid"), col("chunk"),
+        Seq("join", "filter", "window"), k = 20)
+      .select(expr("doc_id div 1000").as("doc_id"),
+        pmod(col("doc_id"), lit(1000L)).cast("long").as("chunk_id"),
+        col("bm25"))
+  }
+
   /** Explainable-curation audit ([[CorpusPipeline.curateAudit]]): per
     * input doc, every q66 curation gate's verdict in stage order (-1 =
     * never reached — stages only evaluate survivors), the kept flag, and
