@@ -115,7 +115,8 @@ object SparkEntry {
     "q98_rendezvous_shards" -> (Queries.q98RendezvousShards _),
     "q99_salted_join" -> (Queries.q99SaltedJoin _),
     "q100_curation_audit" -> (Queries.q100CurationAudit _),
-    "q101_chunk_bm25" -> (Queries.q101ChunkBm25 _)
+    "q101_chunk_bm25" -> (Queries.q101ChunkBm25 _),
+    "q102_group_percent_rank" -> (Queries.q102GroupPercentRank _)
   )
 
   /** DuckDB oracles for EVERY query above — since round 3 none are

@@ -37,6 +37,43 @@ object Ranking {
       .drop("__pid")
   }
 
+  /** Per-GROUP row number without a per-group window sort — the grouped
+    * form of [[globalRowNumber]]: a window partitioned by a low-cardinality
+    * group (5 languages at any corpus size) sorts each group's ENTIRE
+    * contents in one task; this range-partitions on (group, sortCols), so
+    * a group spans many partitions and each task sorts only its slice.
+    * Per-(partition, group) counts (≤ partitions × groups scalars on the
+    * driver) provide each slice's offset within its group via a broadcast
+    * join. High-cardinality groups don't need this — there a plain window
+    * is already balanced; this is for the low-cardinality/huge-group
+    * shape. `sortCols` must totally order rows WITHIN a group. */
+  def groupedRowNumber(df: DataFrame, group: Column, sortCols: Seq[Column],
+                       out: String = "rn", partitions: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ranged = df.withColumn("__g", group)
+      .repartitionByRange(partitions, col("__g") +: sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val counts = ranged.groupBy("__pid", "__g").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getAs[Int]("__pid"), r.get(1), r.getAs[Long]("c")))
+    val offsets = counts
+      .groupBy(_._2).iterator.flatMap { case (g, rows) =>
+        var acc = 0L
+        rows.sortBy(_._1).map { case (pid, _, c) =>
+          val off = acc; acc += c; (pid, String.valueOf(g), off)
+        }
+      }.toSeq.toDF("__pid", "__gs", "__off")
+    val w = Window.partitionBy("__pid", "__g").orderBy(sortCols: _*)
+    ranged
+      .join(broadcast(offsets),
+        ranged("__pid") === offsets("__pid") &&
+          ranged("__g").cast("string") === offsets("__gs"))
+      .drop(offsets("__pid")).drop("__gs")
+      .withColumn(out, row_number().over(w).cast("long") + col("__off"))
+      .drop("__pid", "__g", "__off")
+  }
+
   /** Exact global running sum of `value` (a long) over the `sortCols`
     * total order, with the same no-single-task-sort construction as
     * [[globalRowNumber]]: range-repartition, per-partition window sum,

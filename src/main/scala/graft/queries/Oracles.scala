@@ -2061,6 +2061,19 @@ object Oracles {
            CAST(cid % 1000 AS BIGINT) AS chunk_id, bm25
     FROM sc ORDER BY bm25 DESC, doc_id, chunk_id"""
 
+  // Per-group percent-rank via the range-partitioned grouped rank: the
+  // plain window is the semantic oracle.
+  val q102 = """
+    WITH r AS (SELECT doc_id, lang, n_chars,
+                 row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+                 count(*) OVER (PARTITION BY lang) AS ng
+               FROM documents)
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(rn AS BIGINT) AS rn,
+           round(CASE WHEN ng > 1 THEN (rn - 1.0) / (ng - 1.0)
+                 ELSE 0.0 END, 6) AS pct_rank
+    FROM r ORDER BY doc_id"""
+
   /** name → oracle SQL (single-line, driver JSON-escapes anyway). */
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
@@ -2165,6 +2178,7 @@ object Oracles {
     "q98_rendezvous_shards" -> q98,
     "q99_salted_join" -> q99,
     "q100_curation_audit" -> q100,
-    "q101_chunk_bm25" -> q101
+    "q101_chunk_bm25" -> q101,
+    "q102_group_percent_rank" -> q102
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

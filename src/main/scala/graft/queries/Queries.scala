@@ -1618,6 +1618,26 @@ object Queries {
     Funnel.retention(Tables.events(s, d), col("user_id"), col("ts"))
       .orderBy("cohort_day", "offset_days")
 
+  /** Per-group percent-rank normalization ([[Ranking.groupedRowNumber]] —
+    * the grouped form of the scale-safe global rank): each doc's length
+    * percentile WITHIN its language, with no per-group window sort (a
+    * 5-value partition key would sort whole languages in single tasks).
+    * Full replay: DuckDB's plain window is the semantic oracle the
+    * range-partitioned construction must reproduce exactly. */
+  def q102GroupPercentRank(s: SparkSession, d: String): DataFrame = {
+    val ranked = Ranking.groupedRowNumber(
+      Tables.documents(s, d).select(col("doc_id"), col("lang"), col("n_chars")),
+      col("lang"), Seq(col("n_chars"), col("doc_id")))
+    val sizes = Tables.documents(s, d).groupBy("lang")
+      .agg(count(lit(1)).as("__ng"))
+    ranked.join(broadcast(sizes), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("rn"),
+        round(when(col("__ng") > 1,
+          (col("rn") - 1).cast("double") / (col("__ng") - 1).cast("double"))
+          .otherwise(lit(0.0)), 6).as("pct_rank"))
+      .orderBy("doc_id")
+  }
+
   /** RAG-style chunk retrieval ([[Chunking.slidingChunks]] composed with
     * [[Retrieval.bm25TopK]]): the top-20 64-token/50%-overlap CHUNKS for a
     * 3-term query, scored with chunk-corpus statistics — the

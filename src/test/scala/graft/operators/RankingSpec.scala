@@ -37,4 +37,27 @@ class RankingSpec extends SparkSpec {
       assert(got == exp, s"rows=$rows k=$k")
     }
   }
+
+  test("groupedRowNumber equals the window form; groups span partitions") {
+    val rnd = new scala.util.Random(17)
+    val df = (0 until 3000).map(i =>
+        (i.toLong, s"g${rnd.nextInt(3)}", rnd.nextInt(50)))
+      .toDF("id", "g", "v")
+    val got = Ranking.groupedRowNumber(df, col("g"),
+        Seq(col("v"), col("id")), partitions = 8)
+      .select("id", "rn").as[(Long, Long)].collect().toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy("v", "id")
+    val exp = df.select(col("id"), row_number().over(w).cast("long").as("rn"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == exp, "grouped rank diverged from the window form")
+    // max rank per group == group size proves the offset chain covers every
+    // range-partition slice of the group (each group spans several slices
+    // at 3000 rows / 8 partitions / 3 groups)
+    val maxRn = Ranking.groupedRowNumber(df, col("g"),
+        Seq(col("v"), col("id")), partitions = 8)
+      .groupBy("g").agg(max("rn").as("m"), count(lit(1)).as("c"))
+      .filter(col("m") =!= col("c")).count()
+    assert(maxRn == 0, "per-group ranks don't cover 1..|group|")
+  }
 }
