@@ -48,11 +48,19 @@ def main(sf_dir, out_dir):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = n_skip = 0
+    # single-query Verify runs write only their own subdir(s) — skip the
+    # rest instead of drowning the report in missing-file FAILs. But a FULL
+    # run where one query crashed before writing must stay a FAILURE, so
+    # skip-mode only engages when at most half the outputs exist.
+    present = sum(os.path.isdir(f"{out_dir}/{n}") for n in oracle)
+    partial_run = present <= len(oracle) // 2
     for name, sql in sorted(oracle.items()):
-        # single-query Verify runs write only their own subdir — skip the
-        # rest instead of drowning the report in missing-file FAILs
         if not os.path.isdir(f"{out_dir}/{name}"):
-            n_skip += 1
+            if partial_run:
+                n_skip += 1
+            else:
+                print(f"FAIL {name}: no output dir in a full run")
+                n_fail += 1
             continue
         try:
             got = frame(con.sql(

@@ -27,11 +27,20 @@ import org.apache.spark.sql.functions._
   * corpus before the shuffle-bearing stages (3, 4) touch it. */
 object CorpusPipeline {
 
-  def curate(docs: DataFrame, id: Column, text: Column,
-             benchmark: Option[DataFrame] = None,
-             maxTopWordFrac: Double = 0.5,
-             minhashThreshold: Double = 0.5,
-             policy: CheckpointPolicy = CheckpointPolicy.Local): DataFrame = {
+  /** Every stage's survivor-id frame (single `__cid` column) plus the
+    * input and the last pinned survivor frame — ONE computation shared by
+    * [[curate]] and [[curateAudit]], so the audit cannot drift from the
+    * real gates. */
+  private final case class CurationStages(
+      keyed: DataFrame, rulePass: DataFrame, repPass: DataFrame,
+      exactKeep: DataFrame, nearKeep: DataFrame, afterNear: DataFrame,
+      contaminated: DataFrame)
+
+  private def curationStages(docs: DataFrame, id: Column, text: Column,
+                             benchmark: Option[DataFrame],
+                             maxTopWordFrac: Double,
+                             minhashThreshold: Double,
+                             policy: CheckpointPolicy): CurationStages = {
     val keyed = docs.withColumn("__cid", id.cast("long"))
 
     // Each stage's frame feeds ≥2 consumers (its own gate computation AND
@@ -67,26 +76,40 @@ object CorpusPipeline {
     // feeds the contamination scan AND the anti-join
     val afterNear = policy.pin(afterExact.join(keeperIds, Seq("__cid"), "left_semi"))
 
-    // 5: benchmark decontamination (anti-join on shared shingles)
-    val curated = benchmark match {
-      case None => afterNear
+    // 5: benchmark contamination ids (anti-joined by curate; flagged by
+    // the audit). `text` must resolve in BOTH frames (same column name) —
+    // the benchmark is a document table too.
+    val contaminated = benchmark match {
+      case None => keyed.select("__cid").limit(0)
       case Some(b) =>
-        // `text` must resolve in BOTH frames (same column name) — the
-        // benchmark is a document table too.
-        val shingles = (df: DataFrame) =>
-          df.select(graft.functions.TextOps.tokens(text).as("__tk"))
-        val benchShingles = shingles(b)
+        val benchShingles = b
+          .select(graft.functions.TextOps.tokens(text).as("__tk"))
           .select(graft.functions.VectorExprs
             .hashedWordShingles(col("__tk"), 5).as("__sh"))
           .select(explode(col("__sh")).as("__s")).distinct()
-        val contaminated = afterNear
+        afterNear
           .select(col("__cid"), graft.functions.TextOps.tokens(text).as("__tk"))
           .select(col("__cid"), graft.functions.VectorExprs
             .hashedWordShingles(col("__tk"), 5).as("__sh"))
           .select(col("__cid"), explode(col("__sh")).as("__s"))
           .join(broadcast(benchShingles), Seq("__s"))
           .select("__cid").distinct()
-        afterNear.join(contaminated, Seq("__cid"), "left_anti")
+    }
+    CurationStages(keyed, ruleIds, repIds, exactIds, keeperIds, afterNear,
+      contaminated)
+  }
+
+  def curate(docs: DataFrame, id: Column, text: Column,
+             benchmark: Option[DataFrame] = None,
+             maxTopWordFrac: Double = 0.5,
+             minhashThreshold: Double = 0.5,
+             policy: CheckpointPolicy = CheckpointPolicy.Local): DataFrame = {
+    val st = curationStages(docs, id, text, benchmark, maxTopWordFrac,
+      minhashThreshold, policy)
+    val curated = benchmark match {
+      case None => st.afterNear
+      case Some(_) =>
+        st.afterNear.join(st.contaminated, Seq("__cid"), "left_anti")
     }
     curated.drop("__cid")
   }
@@ -109,53 +132,18 @@ object CorpusPipeline {
                   maxTopWordFrac: Double = 0.5,
                   minhashThreshold: Double = 0.5,
                   policy: CheckpointPolicy = CheckpointPolicy.Local): DataFrame = {
-    val keyed = docs.withColumn("__cid", id.cast("long"))
-    def idsOf(df: DataFrame, c: String, as: String): DataFrame =
-      df.select(col(c).as("__cid"), lit(1L).as(as))
-    val rulePass = idsOf(QualityRules.gopherFlags(keyed, col("__cid"), text)
-      .filter(col("pass") === 1L), "doc_id", "__rule")
-    val afterRules = policy.pin(keyed.join(rulePass.drop("__rule"),
-      Seq("__cid"), "left_semi"))
-    val repPass = idsOf(QualityRules.repetitionStats(afterRules, col("__cid"), text)
-      .filter(col("top_word_frac") <= maxTopWordFrac), "doc_id", "__rep")
-    val afterRep = policy.pin(afterRules.join(repPass.drop("__rep"),
-      Seq("__cid"), "left_semi"))
-    val exactKeep = idsOf(Dedup.exactByContent(afterRep, col("__cid"), text),
-      "keep_id", "__exact")
-    val afterExact = policy.pin(afterRep.join(exactKeep.drop("__exact"),
-      Seq("__cid"), "left_semi"))
-    val pairs = Dedup.minhashDedupPairs(afterExact, col("__cid"), text,
-      threshold = minhashThreshold, policy = policy)
-    val nearKeep = idsOf(Dedup.clusters(pairs,
-        afterExact.select(col("__cid").as("doc_id")), policy = policy)
-      .filter(col("doc_id") === col("cluster_id")), "doc_id", "__near")
-    val afterNear = policy.pin(afterExact.join(nearKeep.drop("__near"),
-      Seq("__cid"), "left_semi"))
-    val contaminated = benchmark match {
-      case None => keyed.select(col("__cid"), lit(1L).as("__cont")).limit(0)
-      case Some(b) =>
-        val benchShingles = b
-          .select(graft.functions.TextOps.tokens(text).as("__tk"))
-          .select(graft.functions.VectorExprs
-            .hashedWordShingles(col("__tk"), 5).as("__sh"))
-          .select(explode(col("__sh")).as("__s")).distinct()
-        afterNear
-          .select(col("__cid"), graft.functions.TextOps.tokens(text).as("__tk"))
-          .select(col("__cid"), graft.functions.VectorExprs
-            .hashedWordShingles(col("__tk"), 5).as("__sh"))
-          .select(col("__cid"), explode(col("__sh")).as("__s"))
-          .join(broadcast(benchShingles), Seq("__s"))
-          .select("__cid").distinct()
-          .withColumn("__cont", lit(1L))
-    }
+    val st = curationStages(docs, id, text, benchmark, maxTopWordFrac,
+      minhashThreshold, policy)
+    def mark(ids: DataFrame, as: String): DataFrame =
+      ids.select(col("__cid").as("doc_id"), lit(1L).as(as))
     val gate = (reached: Column, hit: Column) =>
       when(!reached, lit(-1L)).otherwise(when(hit, 1L).otherwise(0L))
-    keyed.select(col("__cid").as("doc_id"))
-      .join(rulePass.withColumnRenamed("__cid", "doc_id"), Seq("doc_id"), "left")
-      .join(repPass.withColumnRenamed("__cid", "doc_id"), Seq("doc_id"), "left")
-      .join(exactKeep.withColumnRenamed("__cid", "doc_id"), Seq("doc_id"), "left")
-      .join(nearKeep.withColumnRenamed("__cid", "doc_id"), Seq("doc_id"), "left")
-      .join(contaminated.withColumnRenamed("__cid", "doc_id"), Seq("doc_id"), "left")
+    st.keyed.select(col("__cid").as("doc_id"))
+      .join(mark(st.rulePass, "__rule"), Seq("doc_id"), "left")
+      .join(mark(st.repPass, "__rep"), Seq("doc_id"), "left")
+      .join(mark(st.exactKeep, "__exact"), Seq("doc_id"), "left")
+      .join(mark(st.nearKeep, "__near"), Seq("doc_id"), "left")
+      .join(mark(st.contaminated, "__cont"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("__rule").isNotNull, 1L).otherwise(0L).as("rule_pass"),
         gate(col("__rule").isNotNull, col("__rep").isNotNull).as("rep_pass"),

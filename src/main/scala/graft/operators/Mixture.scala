@@ -52,7 +52,9 @@ object Mixture {
     * (>1 = upsampling, the Pile runs Wikipedia ~3 epochs), and the
     * capped-at-1 sampling rate for pipelines that refuse to upsample.
     * Domains absent from `targets` get weight 0 (excluded from training but
-    * still reported). Output is one row per domain, so the whole plan is a
+    * still reported); target domains absent from the CORPUS are reported
+    * with zero availability (epochs 0) rather than silently dropping their
+    * budget share. Output is one row per domain, so the whole plan is a
     * single partial-aggregatable groupBy at any corpus size; the weight
     * ladder is a broadcast-free literal CASE.
     *
@@ -66,9 +68,17 @@ object Mixture {
     require(wSum > 0, "need a positive total weight")
     val w = weightFor(col("domain"), targets.map { case (k, v) => k -> v / wSum },
       default = 0.0)
-    docs.select(domain.as("domain"), tokens.cast("long").as("__t"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val present = docs.select(domain.as("domain"), tokens.cast("long").as("__t"))
       .groupBy("domain")
       .agg(sum("__t").as("available_tokens"), count(lit(1)).as("n_docs"))
+    // a target domain ABSENT from the corpus must still plan (with zero
+    // availability) — silently dropping it makes part of the budget vanish
+    // and hides a typo'd domain name
+    present
+      .join(targets.keys.toSeq.toDF("domain"), Seq("domain"), "full_outer")
+      .na.fill(0L, Seq("available_tokens", "n_docs"))
       .withColumn("weight", round(w, 6))
       .withColumn("target_tokens", round(w * budget, 2))
       .withColumn("epochs",

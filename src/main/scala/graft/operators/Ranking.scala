@@ -52,26 +52,30 @@ object Ranking {
     val spark = df.sparkSession
     import spark.implicits._
     val ranged = df.withColumn("__g", group)
+      // the group's SPARK-rendered string is the join identity on BOTH
+      // sides — collecting the raw value and re-rendering it on the driver
+      // (String.valueOf) can disagree with Spark's cast for timestamps
+      // (timezone) and nulls, silently emptying the join
+      .withColumn("__gs", col("__g").cast("string"))
       .repartitionByRange(partitions, col("__g") +: sortCols: _*)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint()
-    val counts = ranged.groupBy("__pid", "__g").agg(count(lit(1)).as("c"))
-      .collect().map(r => (r.getAs[Int]("__pid"), r.get(1), r.getAs[Long]("c")))
+    val counts = ranged.groupBy("__pid", "__gs").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getAs[Int]("__pid"), r.getAs[String]("__gs"),
+        r.getAs[Long]("c")))
     val offsets = counts
-      .groupBy(_._2).iterator.flatMap { case (g, rows) =>
+      .groupBy(_._2).iterator.flatMap { case (gs, rows) =>
         var acc = 0L
         rows.sortBy(_._1).map { case (pid, _, c) =>
-          val off = acc; acc += c; (pid, String.valueOf(g), off)
+          val off = acc; acc += c; (pid, gs, off)
         }
-      }.toSeq.toDF("__pid", "__gs", "__off")
+      }.toSeq.toDF("__opid", "__ogs", "__off")
     val w = Window.partitionBy("__pid", "__g").orderBy(sortCols: _*)
     ranged
       .join(broadcast(offsets),
-        ranged("__pid") === offsets("__pid") &&
-          ranged("__g").cast("string") === offsets("__gs"))
-      .drop(offsets("__pid")).drop("__gs")
+        col("__pid") === col("__opid") && col("__gs") <=> col("__ogs"))
       .withColumn(out, row_number().over(w).cast("long") + col("__off"))
-      .drop("__pid", "__g", "__off")
+      .drop("__pid", "__g", "__gs", "__opid", "__ogs", "__off")
   }
 
   /** Exact global running sum of `value` (a long) over the `sortCols`

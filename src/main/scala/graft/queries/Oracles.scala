@@ -2037,7 +2037,7 @@ object Oracles {
                      END AS nchunks FROM c),
     ex AS (SELECT doc_id, toks, unnest(range(nchunks)) AS chunk_id
            FROM nc WHERE nchunks > 0),
-    x AS (SELECT doc_id * 1000 + chunk_id AS cid,
+    x AS (SELECT doc_id * 1000000 + chunk_id AS cid,
                  toks[(chunk_id * 32 + 1):(chunk_id * 32 + 64)] AS chunk
           FROM ex),
     w AS (SELECT cid, CAST(len(chunk) AS DOUBLE) AS dl,
@@ -2057,8 +2057,8 @@ object Oracles {
            FROM w, st
            WHERE greatest(tf0, tf1, tf2) > 0
            ORDER BY bm25 DESC, cid LIMIT 20)
-    SELECT CAST(cid // 1000 AS BIGINT) AS doc_id,
-           CAST(cid % 1000 AS BIGINT) AS chunk_id, bm25
+    SELECT CAST(cid // 1000000 AS BIGINT) AS doc_id,
+           CAST(cid % 1000000 AS BIGINT) AS chunk_id, bm25
     FROM sc ORDER BY bm25 DESC, doc_id, chunk_id"""
 
   // Per-group percent-rank via the range-partitioned grouped rank: the

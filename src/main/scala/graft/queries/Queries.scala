@@ -1556,13 +1556,6 @@ object Queries {
       col("doc_id"), toks, label)
   }
 
-  /** Token-budget mixture planner ([[Mixture.tokenBudgetPlan]] — the
-    * Pile/DoReMi static-weights planning step): per-language available
-    * bpe-ish tokens, target share of a 100k-token budget, implied epochs
-    * (upsampling), and the capped sampling rate. Weights are FP-exact
-    * powers of two so the oracle's literal arithmetic reproduces every
-    * double bit-for-bit. Full replay: DuckDB recomputes the tokenizer, the
-    * per-domain aggregate, and all four derived columns. */
   /** BM25 served from the PERSISTED inverted index ([[Retrieval
     * .writeBm25Index]]/[[Retrieval.bm25TopKIndexed]] — the repeated-query
     * serving path; q85 is the ad-hoc scan). Index artifacts are built once
@@ -1642,17 +1635,18 @@ object Queries {
     * [[Retrieval.bm25TopK]]): the top-20 64-token/50%-overlap CHUNKS for a
     * 3-term query, scored with chunk-corpus statistics — the
     * retrieval-granularity a RAG pipeline actually serves. Chunk identity
-    * rides a composite id (doc·1000 + chunk) through the scorer and is
-    * decoded back. Full replay: the q78 chunk derivation feeding the q85
-    * BM25 arithmetic, k-boundary included. */
+    * rides a composite id (doc·10⁶ + chunk — aliasing-free below 10⁶
+    * chunks ≈ 32M tokens per doc) through the scorer and is decoded back.
+    * Full replay: the q78 chunk derivation feeding the q85 BM25
+    * arithmetic, k-boundary included. */
   def q101ChunkBm25(s: SparkSession, d: String): DataFrame = {
     val chunks = Chunking.slidingChunks(Tables.documents(s, d), col("doc_id"),
         TextOps.tokens(coalesce(col("text"), lit(""))), maxLen = 64, stride = 32)
-      .select((col("doc_id") * 1000 + col("chunk_id")).as("cid"), col("chunk"))
+      .select((col("doc_id") * 1000000L + col("chunk_id")).as("cid"), col("chunk"))
     Retrieval.bm25TopK(chunks, col("cid"), col("chunk"),
         Seq("join", "filter", "window"), k = 20)
-      .select(expr("doc_id div 1000").as("doc_id"),
-        pmod(col("doc_id"), lit(1000L)).cast("long").as("chunk_id"),
+      .select(expr("doc_id div 1000000").as("doc_id"),
+        pmod(col("doc_id"), lit(1000000L)).cast("long").as("chunk_id"),
         col("bm25"))
   }
 
@@ -1803,6 +1797,13 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Token-budget mixture planner ([[Mixture.tokenBudgetPlan]] — the
+    * Pile/DoReMi static-weights planning step): per-language available
+    * bpe-ish tokens, target share of a 100k-token budget, implied epochs
+    * (upsampling), and the capped sampling rate. Weights are FP-exact
+    * powers of two so the oracle's literal arithmetic reproduces every
+    * double bit-for-bit. Full replay: DuckDB recomputes the tokenizer, the
+    * per-domain aggregate, and all four derived columns. */
   def q88TokenBudgetPlan(s: SparkSession, d: String): DataFrame =
     Mixture.tokenBudgetPlan(Tables.documents(s, d), col("lang"),
         TextOps.bpeishTokenCount(coalesce(col("text"), lit(""))),

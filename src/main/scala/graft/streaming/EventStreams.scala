@@ -62,8 +62,13 @@ object EventStreams {
   def readEvents(spark: SparkSession, dir: String,
                  maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // footer-only batch probe: which physical ts representation is on disk
-    val tsType = spark.read.parquet(dir).schema("ts").dataType
+    // footer-only batch probe: which physical ts representation is on disk.
+    // An empty / not-yet-populated drop zone can't be probed — fall back to
+    // the nanos-as-long schema (the original contract) so the stream can
+    // still be DEFINED before files land. The probe pins ONE encoding for
+    // the stream's lifetime; a drop zone must not mix encodings.
+    val tsType = try spark.read.parquet(dir).schema("ts").dataType
+      catch { case _: org.apache.spark.sql.AnalysisException => LongType }
     val reader = spark.readStream.schema(eventsSchema(tsType))
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     val raw = reader.parquet(dir)

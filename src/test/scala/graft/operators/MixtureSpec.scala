@@ -108,5 +108,15 @@ class MixtureSpec extends SparkSpec {
       Mixture.tokenBudgetPlan(corpus, col("dom"), col("tk"), Map("wiki" -> 1.0), 0L))
     intercept[IllegalArgumentException](
       Mixture.tokenBudgetPlan(corpus, col("dom"), col("tk"), Map("wiki" -> 0.0), 10L))
+    // a target domain missing from the corpus still plans, with zero
+    // availability — its budget share must not silently vanish
+    val withMissing = Mixture.tokenBudgetPlan(corpus, col("dom"), col("tk"),
+        Map("wiki" -> 0.5, "absent" -> 0.5), budget = 4000L)
+      .orderBy("domain")
+      .select("domain", "available_tokens", "weight", "target_tokens", "epochs")
+      .as[(String, Long, Double, Double, Double)].collect().toSeq
+    assert(withMissing.exists(r => r._1 == "absent" && r._2 == 0L &&
+      r._3 == 0.5 && r._4 == 2000.0 && r._5 == 0.0),
+      s"missing domain dropped from the plan: $withMissing")
   }
 }
