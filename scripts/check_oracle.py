@@ -2,7 +2,13 @@
 """Local mirror of the driver's t2 gate: run graft.Verify output against
 DuckDB oracles and compare values (sorted columns, sorted rows).
 
-Usage: python3 scripts/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 scripts/check_oracle.py <sfDir> <verifyOutDir> [query ...]
+
+With no query names, this is a FULL-run check: every oracle entry must have
+an output dir, and a missing one is a FAILURE (a crashed sweep must not
+exit 0). Passing explicit query names checks only those (the single-query
+iteration loop) — partial mode is an explicit request, never inferred from
+how many output dirs happen to exist.
 """
 import json
 import math
@@ -42,25 +48,24 @@ def frame(rel):
     return cols, out
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=()):
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    unknown = [q for q in only if q not in oracle]
+    if unknown:
+        print(f"FAIL: unknown query name(s) {unknown} (not in oracle_sql.json)")
+        return 1
     n_pass = n_fail = n_skip = 0
-    # single-query Verify runs write only their own subdir(s) — skip the
-    # rest instead of drowning the report in missing-file FAILs. But a FULL
-    # run where one query crashed before writing must stay a FAILURE, so
-    # skip-mode only engages when at most half the outputs exist.
-    present = sum(os.path.isdir(f"{out_dir}/{n}") for n in oracle)
-    partial_run = present <= len(oracle) // 2
     for name, sql in sorted(oracle.items()):
+        # explicit partial mode: check only the requested queries
+        if only and name not in only:
+            n_skip += 1
+            continue
         if not os.path.isdir(f"{out_dir}/{name}"):
-            if partial_run:
-                n_skip += 1
-            else:
-                print(f"FAIL {name}: no output dir in a full run")
-                n_fail += 1
+            print(f"FAIL {name}: no output dir")
+            n_fail += 1
             continue
         try:
             got = frame(con.sql(
@@ -86,10 +91,10 @@ def main(sf_dir, out_dir):
         else:
             print(f"PASS {name} ({len(got[1])} rows)")
             n_pass += 1
-    skipped = f", {n_skip} skipped (no output dir)" if n_skip else ""
+    skipped = f", {n_skip} skipped (not requested)" if n_skip else ""
     print(f"\n{n_pass} pass, {n_fail} fail{skipped}")
     return 1 if n_fail else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2], tuple(sys.argv[3:])))

@@ -39,10 +39,17 @@ object Bench {
       System.err.println(s"BENCH WARMUP FAIL: ${e.getClass.getName}: ${e.getMessage}")
     }
     var failed = List.empty[String]
-    // The host carries heavy external load (observed ~2x inflation on
-    // identical code); report steady-state as the MIN of `reps` runs,
-    // skipping re-runs for sub-0.3 s queries where noise can't matter.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
+    // The host carries heavy external load (observed ±50% swings on
+    // identical code between driver rounds); report steady-state as the
+    // per-query MEDIAN of `reps` warm runs, with the cold first run split
+    // out separately. Sub-0.3 s queries take one warm run — noise at that
+    // magnitude can't change the story and re-runs would double the sweep.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -56,16 +63,17 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
-      var best = once()
-      var r = 1
-      while (r < reps && best > 0.3) { best = math.min(best, once()); r += 1 }
-      name -> best
+      val cold = once()
+      val warm = Seq.fill(if (cold > 0.3) reps else 1)(once())
+      (name, cold, median(warm))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, _, m) => s"\"" + k + "\":" + m }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val colds = results.map { case (k, c, _) => s"\"" + k + "\":" + c }
+      .mkString("{", ",", "}")
+    val total = results.map(_._3).sum
     val failedJson = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$colds,"reps":$reps,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

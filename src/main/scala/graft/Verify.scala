@@ -5,12 +5,14 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args.take(2)
-    // optional 3rd arg: only run queries whose name contains it (dev loop)
-    val nameFilter = args.lift(2)
+    // optional 3rd+ args: only run queries whose name contains ANY of them
+    // (dev loop; pair with check_oracle.py's explicit query-name mode)
+    val nameFilters = args.drop(2)
     val spark = GraftSession.local()
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => nameFilter.forall(name.contains) }
+      .filter { case (name, _) =>
+        nameFilters.isEmpty || nameFilters.exists(name.contains) }
       .foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       System.err.println(s"[verify] start $name")

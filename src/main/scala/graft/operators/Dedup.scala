@@ -74,11 +74,14 @@ object Dedup {
     // distinct sets it is quadratic only in distinct-set bucket counts;
     // signatures and verification run once per distinct set, and doc pairs
     // expand from the per-set id lists at the end (output-sized work).
-    // gid = structural hash of the set (collision odds ~ groups²/2⁶⁵ —
-    // far below the LSH pipeline's own false-negative rate).
+    // gid = min doc id of the group — COLLISION-FREE group identity (each
+    // doc belongs to exactly one shingle-set group, so min ids are distinct
+    // across groups), matching the embedding path's fix below: a structural
+    // hash of the set would carry a ~groups²/2⁶⁵ birthday hazard at
+    // billions of distinct documents.
     val groups = policy.pin(
       docs.groupBy("sh").agg(collect_list("doc_id").as("ids"))
-        .withColumn("gid", xxhash64(col("sh"))))
+        .withColumn("gid", array_min(col("ids"))))
     // signatures materialized too: the banding lambda would otherwise
     // inline (and re-evaluate) the 64-hash signature once per band
     val sigs = policy.pin(groups.select(col("gid"),
@@ -316,10 +319,12 @@ object Dedup {
     // "buy now " ×4 vs ×5) share the distinct-n-gram set but differ in
     // length, landing in different (g, lb, fc) groups. gid must therefore be
     // unique per GROUP (g + block), or the g_a < g_b candidate filter would
-    // silently drop equal-set cross-block pairs as "same group".
+    // silently drop equal-set cross-block pairs as "same group". min doc id
+    // per group is exactly that — collision-free (each doc is in one group),
+    // unlike a structural hash of the group key.
     val groups = docs.groupBy("g", "lb", "fc")
       .agg(collect_list("doc_id").as("ids"))
-      .withColumn("gid", xxhash64(col("g"), col("lb"), col("fc")))
+      .withColumn("gid", array_min(col("ids")))
       .localCheckpoint() // feeds both join sides + both expansion joins
     // a-side explodes to {lb-1, lb, lb+1} against b's exact lb so any pair
     // within one length bucket matches regardless of which set has the lower

@@ -112,6 +112,19 @@ object Retrieval {
   def appendBm25Postings(df: DataFrame, id: Column, toks: Column, dir: String,
                          batchId: Long, buckets: Int = 64): Unit = {
     require(buckets >= 1, "need at least one bucket")
+    // Retry safety: drop this batch's partitions FIRST. Dynamic partition
+    // overwrite alone only replaces partitions present in the retry's
+    // output — if the retry's input lost a bucket (upstream change between
+    // attempts), the first attempt's partition for that bucket would
+    // survive and double-count. Deleting the batch_id prefix makes a retry
+    // idempotent regardless of what the retry emits.
+    val spark = df.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    for (sub <- Seq("postings", "stats_parts")) {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$sub/batch_id=$batchId")
+      val fs = p.getFileSystem(conf)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
     val docs = df.select(id.cast("long").as("doc_id"), toks.as("__toks"))
       .withColumn("dl", size(col("__toks")).cast("double"))
     docs.select(col("doc_id"), col("dl"), explode(col("__toks")).as("term"))
@@ -161,8 +174,12 @@ object Retrieval {
     val tsBuckets = ts.toDF("t")
       .select(pmod(xxhash64(col("t")), lit(buckets.toLong))).as[Long]
       .collect().distinct.toSeq
+    // isin with Int literals: the directory-inferred partition column reads
+    // back as IntegerType, and Long literals would put a cast on the
+    // ATTRIBUTE side of the comparison — defeating the partition pruning
+    // this path exists for. Bucket values are < `buckets` ≤ Int range.
     val post = spark.read.parquet(s"$dir/postings")
-      .filter(col("bucket").isin(tsBuckets: _*))
+      .filter(col("bucket").isin(tsBuckets.map(_.toInt): _*))
       .filter(col("term").isin(ts: _*))
     val stats = readStats(spark, dir)
     val dfAggs = ts.zipWithIndex.map { case (t, i) =>

@@ -2024,7 +2024,7 @@ object Oracles {
     ORDER BY c.doc_id"""
 
   // RAG chunk retrieval: the q78 chunk derivation feeding the q85 BM25
-  // arithmetic over CHUNKS (composite id = doc*1000 + chunk), k-boundary
+  // arithmetic over CHUNKS (composite id = doc*1000000 + chunk), k-boundary
   // included.
   val q101 = """
     WITH t AS (SELECT doc_id,

@@ -1665,13 +1665,20 @@ object Queries {
   // The audit IS the curation result (kept == curate's survivors), and its
   // stage pins are eager — computing it once per fixture and serving both
   // q100 and q66's curated set from it halves the heaviest stage chain in
-  // the bench. Signature-keyed like the index caches.
+  // the bench. Signature-keyed like the index caches, PLUS the session UUID:
+  // unlike the index caches (whose cached value is a parquet dir any session
+  // can re-read), this caches a DataFrame whose localCheckpoint blocks are
+  // bound to the session that built it — a second session in the same JVM
+  // must rebuild, not inherit stale RDDs from a possibly-stopped session.
   private val auditCache =
     new scala.collection.concurrent.TrieMap[String, (String, DataFrame)]()
   private def curationAuditFor(s: SparkSession, d: String): DataFrame = {
     val sig = tableSignature(s, d, "documents")
+    // session identity (the API trait exposes no sessionUUID) — identity
+    // hash is stable for a live session and differs across session objects
+    val key = s"${System.identityHashCode(s)}:$d"
     auditCache.synchronized {
-      auditCache.get(d) match {
+      auditCache.get(key) match {
         case Some((s0, df)) if s0 == sig => df
         case _ =>
           val docs = Tables.documents(s, d)
@@ -1679,7 +1686,7 @@ object Queries {
             docs.filter(col("doc_id") >= 10), col("doc_id"), col("text"),
             benchmark = Some(docs.filter(col("doc_id") < 10)),
             policy = CheckpointPolicy.fromSession(s))
-          auditCache.update(d, (sig, audit))
+          auditCache.update(key, (sig, audit))
           audit
       }
     }
@@ -1923,10 +1930,13 @@ object Queries {
   def q50HeavyHitters(s: SparkSession, d: String): DataFrame = {
     val capacity = 1024
     val docs = Tables.documents(s, d)
-    // TWO corpus scans total: the word-count aggregate (checkpointed — it
-    // feeds both the top-k and the total-count denominator, distinct-word
-    // sized) and the Misra-Gries sketch pass it gates.
-    val counts = HeavyHitters.wordCounts(docs, col("text")).localCheckpoint()
+    // TWO corpus scans total: the word-count aggregate (pinned — it feeds
+    // both the top-k and the total-count denominator, distinct-word sized)
+    // and the Misra-Gries sketch pass it gates. Session-policy pin so a
+    // reliable-checkpoint deployment covers this distinct-word-sized block
+    // too (q44/q66 precedent).
+    val counts = CheckpointPolicy.fromSession(s)
+      .pin(HeavyHitters.wordCounts(docs, col("text")))
     val n = counts.agg(sum("cnt")).head().getLong(0)
     val exact = counts.orderBy(desc("cnt"), col("word")).limit(20)
     val cands = HeavyHitters.misraGriesCandidates(docs, col("text"), capacity)
