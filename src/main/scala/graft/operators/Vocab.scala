@@ -32,6 +32,100 @@ object Vocab {
       .select(col("token"), (col("__rn") - 1).cast("long").as("id"))
   }
 
+  // --- byte-pair encoding (real subword tokenization) ---------------------
+
+  /** One learned BPE merge: `left`+`right` fused into one symbol, with the
+    * adjacent-pair count that won the iteration. */
+  final case class BpeMerge(left: String, right: String, count: Long)
+
+  /** A word as a boundary-wrapped symbol string: every symbol sits between
+    * its own `|` pair (`"abc"` → `"|a||b||c|"`), so applying a merge (l, r)
+    * is ONE builtin `replace(w, "|l||r|", "|lr|")` — string replace scans
+    * left-to-right and resumes AFTER each replacement, which is exactly
+    * BPE's greedy non-overlapping merge order (`"aaaa"` + (a,a) →
+    * `"|aa||aa|"`), and the per-symbol wrapping makes boundary-crossing
+    * false matches impossible (a match `|l||r|` with sep-free l, r can only
+    * be an adjacent symbol pair). Symbols are drawn from [[TextOps
+    * .normalized]] text (a-z0-9), so `|` never collides with content.
+    * The same trick drives the DuckDB oracle replay — both engines' replace
+    * builtins share these semantics. */
+  private[graft] def bpeWrap(word: Column): Column =
+    regexp_replace(word, "(.)", "|$1|")
+
+  /** Wrapped symbol string back to the symbol array. */
+  private[graft] def bpeUnwrap(w: Column): Column =
+    split(w.substr(lit(2), length(w) - 2), "\\|\\|")
+
+  /** The symbol array of `word` after applying `merges` IN ORDER — BPE
+    * encoding as a single codegen'd projection (wrap → one `replace` per
+    * merge → split). No UDF, no HOF: at 100 TB this runs at scan speed
+    * inside WholeStageCodegen, and the merge table lives in the plan as
+    * literals (the broadcast-free form of a broadcast join — the table is
+    * at most vocabSize strings). */
+  def bpeSymbols(word: Column, merges: Seq[BpeMerge]): Column =
+    bpeUnwrap(merges.foldLeft(bpeWrap(word)) { case (w, m) =>
+      replace(w, lit(s"|${m.left}||${m.right}|"), lit(s"|${m.left}${m.right}|"))
+    })
+
+  /** Per-document REAL BPE token count over normalized whitespace words —
+    * the drop-in replacement for the [[TextOps.bpeishTokenCount]] heuristic
+    * wherever a token budget must match what an actual subword tokenizer
+    * would emit (packing, mixture planning). One interpreted-HOF sum per
+    * doc; bulk callers that can explode words should prefer
+    * [[bpeSymbols]] on the exploded rows (codegen). */
+  def bpeTokenCount(text: Column, merges: Seq[BpeMerge]): Column = {
+    val toks = TextOps.tokens(TextOps.normalized(text))
+    coalesce(aggregate(toks, lit(0L),
+      (acc, t) => acc + size(bpeSymbols(t, merges)).cast("long")), lit(0L))
+  }
+
+  /** Deterministic distributed BPE training (Sennrich et al.'s algorithm,
+    * Spark-shaped): iterate `nMerges` times over the DISTINCT-word
+    * frequency table — never the corpus — counting adjacent symbol pairs
+    * (weighted by word frequency, overlapping occurrences included, the
+    * subword-nmt convention) and fusing the (count desc, left asc, right
+    * asc) argmax pair everywhere via the wrapped-string replace.
+    *
+    * Scale shape: the corpus contributes ONE explode+groupBy (the word
+    * count); every training iteration then touches only the distinct-word
+    * table (pinned via `policy`, re-pinned every 8 merges to bound plan
+    * depth) with a map-side-combined pair count, and the driver pulls ONE
+    * row per iteration (the argmax). Total driver state = the merge table.
+    * Training stops early if no adjacent pair remains. */
+  def bpeTrain(docs: DataFrame, text: Column, nMerges: Int,
+               policy: CheckpointPolicy = CheckpointPolicy.Local): Seq[BpeMerge] = {
+    require(nMerges >= 1, "need at least one merge")
+    var words = policy.pin(
+      docs.select(explode(TextOps.tokens(TextOps.normalized(text))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+        .select(col("freq"), bpeWrap(col("word")).as("w")))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
+    var exhausted = false
+    for (i <- 1 to nMerges if !exhausted) {
+      val best = words
+        .select(col("freq"), bpeUnwrap(col("w")).as("syms"))
+        .filter(size(col("syms")) >= 2) // guard: sequence(1, 0) descends
+        .select(col("freq"),
+          explode(transform(sequence(lit(1), size(col("syms")) - 1),
+            j => struct(element_at(col("syms"), j).as("l"),
+              element_at(col("syms"), j + lit(1)).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(desc("cnt"), col("l"), col("r"))
+        .limit(1).collect() // ONE row per iteration — the argmax pair
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, cnt) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += BpeMerge(l, r, cnt)
+        words = words.withColumn("w",
+          replace(col("w"), lit(s"|$l||$r|"), lit(s"|$l$r|")))
+        if (i % 8 == 0) words = policy.pin(words)
+      }
+    }
+    merges.toSeq
+  }
+
   /** Per-doc encoding digests against `vocab` (UNK id = vocab size):
     * (doc_id, n_tok, n_unk, sum_ids, possum_ids) where
     * `possum_ids = Σ (pos+1)·id` over token positions. */

@@ -2074,6 +2074,76 @@ object Oracles {
                  ELSE 0.0 END, 6) AS pct_rank
     FROM r ORDER BY doc_id"""
 
+  /** q103: real BPE tokenization — training AND encoding replayed as an
+    * UNROLLED CTE chain (one pair-count + argmax + replace trio per merge
+    * iteration, generated programmatically), over the same wrapped-symbol
+    * device the Spark side uses ("abc" → "|a||b||c|"; applying merge (l,r)
+    * = replace("|l||r|" → "|lr|"), whose left-to-right non-overlapping
+    * scan is BPE's greedy application in both engines). chr(1) is the
+    * never-matching replace pattern when an iteration finds no pair left
+    * (both sides then emit no merge row and leave words unchanged).
+    * Every chain CTE is MATERIALIZED: s_i is referenced twice (y_{i+1} and
+    * s_{i+1}), so DuckDB's default inlining would double the plan tree per
+    * iteration — 2^40 scans ("too many open files") instead of 40. */
+  def bpeOracle(nMerges: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """
+    WITH d0 AS (SELECT doc_id,
+                  trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS norm
+                FROM documents),
+    d1 AS MATERIALIZED (SELECT doc_id, regexp_split_to_array(norm, '\s+') AS toks
+           FROM d0 WHERE length(norm) > 0),
+    w0 AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
+           FROM (SELECT unnest(toks) AS word FROM d1) GROUP BY word),
+    s0 AS MATERIALIZED (SELECT word, regexp_replace(word, '(.)', '|\1|', 'g') AS w, freq FROM w0)"""
+    for (i <- 1 to nMerges) {
+      sb ++= s""",
+    y$i AS (SELECT freq, str_split(substring(w, 2, length(w) - 2), '||') AS syms
+            FROM s${i - 1}),
+    p$i AS (SELECT syms[i] AS l, syms[i + 1] AS r, CAST(sum(freq) AS BIGINT) AS cnt
+            FROM (SELECT syms, freq, unnest(generate_series(1, len(syms) - 1)) AS i
+                  FROM y$i WHERE len(syms) >= 2)
+            GROUP BY 1, 2),
+    b$i AS MATERIALIZED (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
+    s$i AS MATERIALIZED (SELECT word,
+              replace(w,
+                coalesce((SELECT '|' || l || '||' || r || '|' FROM b$i), chr(1)),
+                coalesce((SELECT '|' || l || r || '|' FROM b$i), '')) AS w,
+              freq
+            FROM s${i - 1})"""
+    }
+    val mergeRows = (1 to nMerges).map { i =>
+      s"""SELECT 'merge' AS kind, CAST($i AS BIGINT) AS key, l AS lft, r AS rgt,
+          cnt AS n1, CAST(0 AS BIGINT) AS n2, CAST(0 AS BIGINT) AS n3 FROM b$i"""
+    }.mkString(" UNION ALL ")
+    sb ++= s""",
+    wsym AS (SELECT word, str_split(substring(w, 2, length(w) - 2), '||') AS syms
+             FROM s$nMerges),
+    d2 AS (SELECT doc_id, i AS wpos, toks[i] AS word
+           FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i
+                 FROM d1)),
+    d3a AS (SELECT d2.doc_id, d2.wpos, wsym.syms FROM d2 JOIN wsym USING (word)),
+    d3 AS MATERIALIZED (SELECT doc_id, wpos, j, syms[j] AS sym
+           FROM (SELECT doc_id, wpos, syms,
+                   unnest(generate_series(1, len(syms))) AS j
+                 FROM d3a)),
+    d4 AS (SELECT doc_id, sym,
+             CAST(row_number() OVER (PARTITION BY doc_id ORDER BY wpos, j) AS BIGINT) AS pos
+           FROM d3),
+    vocab AS (SELECT sym, CAST(row_number() OVER (ORDER BY sym) - 1 AS BIGINT) AS id
+              FROM (SELECT DISTINCT sym FROM d3)),
+    docrows AS (SELECT 'doc' AS kind, CAST(doc_id AS BIGINT) AS key,
+                  '' AS lft, '' AS rgt,
+                  CAST(count(*) AS BIGINT) AS n1, CAST(sum(id) AS BIGINT) AS n2,
+                  CAST(sum(pos * id) AS BIGINT) AS n3
+                FROM d4 JOIN vocab USING (sym) GROUP BY doc_id)
+    SELECT * FROM ($mergeRows UNION ALL SELECT * FROM docrows)
+    ORDER BY kind, key"""
+    sb.toString
+  }
+
+  val q103: String = bpeOracle(40)
+
   /** name → oracle SQL (single-line, driver JSON-escapes anyway). */
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
@@ -2179,6 +2249,7 @@ object Oracles {
     "q99_salted_join" -> q99,
     "q100_curation_audit" -> q100,
     "q101_chunk_bm25" -> q101,
-    "q102_group_percent_rank" -> q102
+    "q102_group_percent_rank" -> q102,
+    "q103_bpe_tokenizer" -> q103
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

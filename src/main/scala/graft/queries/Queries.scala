@@ -1692,6 +1692,69 @@ object Queries {
     }
   }
 
+  // BPE merge table per fixture — the returned merge list is plain driver
+  // data (session-independent, unlike the audit DataFrame), so the cache is
+  // keyed by dir + documents signature like the index caches. q103 and the
+  // BPE-budgeted packing/mixture queries share one training run.
+  private val bpeCache = new scala.collection.concurrent.TrieMap[
+    String, (String, Seq[Vocab.BpeMerge])]()
+  private[graft] def bpeMergesFor(s: SparkSession, d: String): Seq[Vocab.BpeMerge] = {
+    val sig = tableSignature(s, d, "documents")
+    bpeCache.synchronized {
+      bpeCache.get(d) match {
+        case Some((s0, m)) if s0 == sig => m
+        case _ =>
+          val m = Vocab.bpeTrain(Tables.documents(s, d), col("text"),
+            nMerges = 40, policy = CheckpointPolicy.fromSession(s))
+          bpeCache.update(d, (sig, m))
+          m
+      }
+    }
+  }
+
+  /** Real subword (BPE) tokenization, driver-gated end to end: train 40
+    * merges over the corpus ([[Vocab.bpeTrain]] — distinct-word pair
+    * counting, driver holds only the merge table), then encode every doc
+    * through the learned merges ([[Vocab.bpeSymbols]] — one codegen'd
+    * replace chain, no UDF). Output = the full merge SEQUENCE (iteration,
+    * pair, winning count) plus per-doc token-id digests (token count, id
+    * sum, position-weighted id sum) against the alphabetically-ranked
+    * final-symbol vocabulary. The oracle replays training AND encoding
+    * with an unrolled CTE chain over the same wrapped-string replace
+    * device, so a defect in pair counting, tie-breaks, merge order, greedy
+    * application, or id assignment reds rows. */
+  def q103BpeTokenizer(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val merges = bpeMergesFor(s, d)
+    val mergeDf = merges.zipWithIndex.map { case (m, i) =>
+        ("merge", (i + 1).toLong, m.left, m.right, m.count, 0L, 0L) }
+      .toDF("kind", "key", "lft", "rgt", "n1", "n2", "n3")
+    val words = Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(TextOps.tokens(TextOps.normalized(col("text"))))
+          .as(Seq("wpos", "word")))
+    val syms = words
+      .select(col("doc_id"), col("wpos"),
+        Vocab.bpeSymbols(col("word"), merges).as("syms"))
+      .select(col("doc_id"), col("wpos"),
+        posexplode(col("syms")).as(Seq("j", "sym")))
+    // final-symbol vocab is bounded by |alphabet| + nMerges (every final
+    // symbol is an original char or some merge's output) — broadcast-sized
+    val vocab = Ranking.globalRowNumber(
+        syms.select("sym").distinct(), Seq(col("sym")), out = "__rn")
+      .select(col("sym"), (col("__rn") - 1).cast("long").as("id"))
+    val pos = syms.withColumn("pos", // per-doc window: bounded partitions
+      row_number().over(Window.partitionBy("doc_id").orderBy("wpos", "j"))
+        .cast("long"))
+    val docRows = pos.join(broadcast(vocab), Seq("sym"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n1"), sum("id").as("n2"),
+        sum(col("pos") * col("id")).as("n3"))
+      .select(lit("doc").as("kind"), col("doc_id").cast("long").as("key"),
+        lit("").as("lft"), lit("").as("rgt"), col("n1"), col("n2"), col("n3"))
+    mergeDf.unionByName(docRows).orderBy("kind", "key")
+  }
+
   /** Salted skew-join gate ([[Joins.saltedJoin]] — the explicit escape
     * hatch for shapes AQE can't split): lineitem ⋈ supplier with 8-way
     * salting, aggregated to revenue per nation. The oracle is the PLAIN

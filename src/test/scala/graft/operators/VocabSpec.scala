@@ -33,6 +33,56 @@ class VocabSpec extends SparkSpec {
     assert(out(2L) == ((1L, 1L, 4L, 4L)))
   }
 
+  test("bpeTrain learns the closed-form merge sequence") {
+    // words: aa×3 (2 from doc A, 1 from doc B), ab×2, b×1
+    val corpus = Seq(
+      (0L, "aa ab aa"),
+      (1L, "ab aa b")
+    ).toDF("doc_id", "text")
+    val merges = Vocab.bpeTrain(corpus, col("text"), nMerges = 5)
+    // iter 1: pairs (a,a)=3 (from aa), (a,b)=2 → fuse (a,a)
+    // iter 2: only (a,b)=2 remains → fuse (a,b)
+    // iter 3: every word is a single symbol → training stops early
+    assert(merges == Seq(Vocab.BpeMerge("a", "a", 3L),
+      Vocab.BpeMerge("a", "b", 2L)))
+  }
+
+  test("bpeSymbols applies merges greedily left-to-right (overlap runs)") {
+    val m = Seq(Vocab.BpeMerge("a", "a", 0L))
+    def enc(word: String, merges: Seq[Vocab.BpeMerge]): Seq[String] =
+      Seq(word).toDF("w").select(Vocab.bpeSymbols(col("w"), merges).as("s"))
+        .collect().head.getSeq[String](0)
+    // greedy non-overlapping: aaa → [aa, a]; aaaa → [aa, aa]
+    assert(enc("aaa", m) == Seq("aa", "a"))
+    assert(enc("aaaa", m) == Seq("aa", "aa"))
+    // merge order matters: (a,a) then (aa,b) chains into one symbol
+    val chain = Seq(Vocab.BpeMerge("a", "a", 0L), Vocab.BpeMerge("aa", "b", 0L))
+    assert(enc("aab", chain) == Seq("aab"))
+    // but (a,b) never fires on "aab" after (a,a) fused the prefix
+    val blocked = Seq(Vocab.BpeMerge("a", "a", 0L), Vocab.BpeMerge("a", "b", 0L))
+    assert(enc("aab", blocked) == Seq("aa", "b"))
+    // single-char and untouched words pass through
+    assert(enc("x", chain) == Seq("x"))
+  }
+
+  test("bpeTrain is invariant to input partitioning; counts match encode") {
+    val many = (0L until 120L)
+      .map(i => (i, s"banana bandana ana${i % 5}"))
+      .toSeq.toDF("doc_id", "text")
+    val a = Vocab.bpeTrain(many.repartition(17), col("text"), nMerges = 10)
+    val b = Vocab.bpeTrain(many.coalesce(1), col("text"), nMerges = 10)
+    assert(a == b)
+    // bpeTokenCount == size of the flattened per-word symbol arrays
+    val direct = many.select(Vocab.bpeTokenCount(col("text"), a).as("n"))
+      .agg(sum("n")).head().getLong(0)
+    val exploded = many
+      .select(explode(graft.functions.TextOps.tokens(
+        graft.functions.TextOps.normalized(col("text")))).as("w"))
+      .select(size(Vocab.bpeSymbols(col("w"), a)).as("k"))
+      .agg(sum("k")).head().getLong(0)
+    assert(direct == exploded)
+  }
+
   test("encode digests are invariant to input partitioning") {
     val many = (0L until 200L)
       .map(i => (i, s"tok${i % 7} tok${i % 3} tok${i % 7} filler$i"))
