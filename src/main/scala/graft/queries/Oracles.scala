@@ -869,22 +869,8 @@ object Oracles {
            CAST((du * 80 // 1024) * (128 + user_id % 100) AS BIGINT) AS a_bytes
     FROM s ORDER BY user_id"""
 
-  // Sequence packing: replays the concat-and-cut layout with a plain window
-  // cumsum — the Spark side computed the same numbers through the
-  // range-partitioned globalCumSum (no single-task window).
-  val q61 = """
-    WITH t AS (SELECT doc_id,
-                      CASE WHEN length(trim(text)) = 0 THEN 0
-                           ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS tok
-               FROM documents),
-    c AS (SELECT doc_id, tok, sum(tok) OVER (ORDER BY doc_id) AS cum FROM t)
-    SELECT doc_id,
-           CAST(tok AS BIGINT) AS n_tok,
-           CAST((cum - tok) // 512 AS BIGINT) AS first_bin,
-           CAST(CASE WHEN tok > 0 THEN (cum - 1) // 512
-                     ELSE (cum - tok) // 512 END AS BIGINT) AS last_bin,
-           CAST((cum - tok) % 512 AS BIGINT) AS bin_off
-    FROM c ORDER BY doc_id"""
+  // (q61's packing oracle is q61bpe below — budgets moved from the
+  // whitespace word count to the real BPE token count in round 7.)
 
   // Mixture sampling: replays the md5-uniform epoch draw (floor(w)
   // guaranteed + 1 with probability frac(w)) and the epoch expansion — the
@@ -1740,29 +1726,9 @@ object Oracles {
            CAST(1 AS BIGINT) AS acc_ok
     FROM u"""
 
-  // Token-budget mixture plan, FULL replay: tokenizer, per-domain
-  // aggregate, and all derived columns. Weights are FP-exact (powers of
-  // two summing to exactly 1.0) so literal arithmetic matches Spark's
-  // normalized weights bit-for-bit.
-  val q88 = """
-    WITH t AS (SELECT lang AS domain,
-                 len(regexp_extract_all(coalesce(text, ''), '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS tk
-               FROM documents),
-    a AS (SELECT domain, CAST(sum(tk) AS BIGINT) AS available_tokens,
-                 CAST(count(*) AS BIGINT) AS n_docs
-          FROM t GROUP BY domain),
-    w AS (SELECT *, CAST(CASE domain WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.125
-                         WHEN 'de' THEN 0.125 WHEN 'es' THEN 0.125
-                         WHEN 'fr' THEN 0.125 ELSE 0.0 END AS DOUBLE) AS wt
-          FROM a),
-    e AS (SELECT *, round(wt * 100000, 2) AS target_tokens FROM w),
-    f AS (SELECT *, round(CASE WHEN available_tokens > 0
-                          THEN target_tokens / available_tokens
-                          ELSE 0.0 END, 6) AS epochs FROM e)
-    SELECT domain, available_tokens, n_docs, round(wt, 6) AS weight,
-           target_tokens, epochs,
-           round(least(epochs, 1.0), 6) AS sample_rate
-    FROM f ORDER BY domain"""
+  // (q88's token-budget oracle is q88bpe below — the per-domain available
+  // tokens moved from the BPE-ish heuristic to the real BPE count in
+  // round 7.)
 
   // Token-entropy signals, FULL replay: tokenizer, per-(doc, token)
   // counts, entropy / normalized entropy / type-token ratio at 6 dp.
@@ -2085,10 +2051,41 @@ object Oracles {
     * Every chain CTE is MATERIALIZED: s_i is referenced twice (y_{i+1} and
     * s_{i+1}), so DuckDB's default inlining would double the plan tree per
     * iteration — 2^40 scans ("too many open files") instead of 40. */
-  def bpeOracle(nMerges: Int): String = {
+  def bpeOracle(nMerges: Int): String =
+    s"""
+    WITH ${bpeChainCtes(nMerges)},
+    d3 AS MATERIALIZED (SELECT doc_id, wpos, j, syms[j] AS sym
+           FROM (SELECT doc_id, wpos, syms,
+                   unnest(generate_series(1, len(syms))) AS j
+                 FROM d3a)),
+    d4 AS (SELECT doc_id, sym,
+             CAST(row_number() OVER (PARTITION BY doc_id ORDER BY wpos, j) AS BIGINT) AS pos
+           FROM d3),
+    vocab AS (SELECT sym, CAST(row_number() OVER (ORDER BY sym) - 1 AS BIGINT) AS id
+              FROM (SELECT DISTINCT sym FROM d3)),
+    docrows AS (SELECT 'doc' AS kind, CAST(doc_id AS BIGINT) AS key,
+                  '' AS lft, '' AS rgt,
+                  CAST(count(*) AS BIGINT) AS n1, CAST(sum(id) AS BIGINT) AS n2,
+                  CAST(sum(pos * id) AS BIGINT) AS n3
+                FROM d4 JOIN vocab USING (sym) GROUP BY doc_id)
+    SELECT * FROM (${bpeMergeRowsSql(nMerges)} UNION ALL SELECT * FROM docrows)
+    ORDER BY kind, key"""
+
+  private def bpeMergeRowsSql(nMerges: Int): String =
+    (1 to nMerges).map { i =>
+      s"""SELECT 'merge' AS kind, CAST($i AS BIGINT) AS key, l AS lft, r AS rgt,
+          cnt AS n1, CAST(0 AS BIGINT) AS n2, CAST(0 AS BIGINT) AS n3 FROM b$i"""
+    }.mkString(" UNION ALL ")
+
+  /** The shared training-and-encoding CTE chain: d0/d1 (normalized docs →
+    * token arrays), w0/s0 (distinct-word freq, wrapped), the per-iteration
+    * y/p/b/s quartets, wsym (final symbols per word), d2 (per-doc word
+    * positions), d3a (those joined to their symbol arrays), and bcnt (the
+    * per-doc REAL BPE token count). q103 hangs digests off it; q61/q88
+    * hang their budget arithmetic off bcnt. */
+  private def bpeChainCtes(nMerges: Int): String = {
     val sb = new StringBuilder
-    sb ++= """
-    WITH d0 AS (SELECT doc_id,
+    sb ++= """d0 AS (SELECT doc_id,
                   trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS norm
                 FROM documents),
     d1 AS MATERIALIZED (SELECT doc_id, regexp_split_to_array(norm, '\s+') AS toks
@@ -2112,37 +2109,59 @@ object Oracles {
               freq
             FROM s${i - 1})"""
     }
-    val mergeRows = (1 to nMerges).map { i =>
-      s"""SELECT 'merge' AS kind, CAST($i AS BIGINT) AS key, l AS lft, r AS rgt,
-          cnt AS n1, CAST(0 AS BIGINT) AS n2, CAST(0 AS BIGINT) AS n3 FROM b$i"""
-    }.mkString(" UNION ALL ")
     sb ++= s""",
     wsym AS (SELECT word, str_split(substring(w, 2, length(w) - 2), '||') AS syms
              FROM s$nMerges),
     d2 AS (SELECT doc_id, i AS wpos, toks[i] AS word
            FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i
                  FROM d1)),
-    d3a AS (SELECT d2.doc_id, d2.wpos, wsym.syms FROM d2 JOIN wsym USING (word)),
-    d3 AS MATERIALIZED (SELECT doc_id, wpos, j, syms[j] AS sym
-           FROM (SELECT doc_id, wpos, syms,
-                   unnest(generate_series(1, len(syms))) AS j
-                 FROM d3a)),
-    d4 AS (SELECT doc_id, sym,
-             CAST(row_number() OVER (PARTITION BY doc_id ORDER BY wpos, j) AS BIGINT) AS pos
-           FROM d3),
-    vocab AS (SELECT sym, CAST(row_number() OVER (ORDER BY sym) - 1 AS BIGINT) AS id
-              FROM (SELECT DISTINCT sym FROM d3)),
-    docrows AS (SELECT 'doc' AS kind, CAST(doc_id AS BIGINT) AS key,
-                  '' AS lft, '' AS rgt,
-                  CAST(count(*) AS BIGINT) AS n1, CAST(sum(id) AS BIGINT) AS n2,
-                  CAST(sum(pos * id) AS BIGINT) AS n3
-                FROM d4 JOIN vocab USING (sym) GROUP BY doc_id)
-    SELECT * FROM ($mergeRows UNION ALL SELECT * FROM docrows)
-    ORDER BY kind, key"""
+    d3a AS MATERIALIZED (SELECT d2.doc_id, d2.wpos, wsym.syms
+            FROM d2 JOIN wsym USING (word)),
+    bcnt AS (SELECT doc_id, CAST(sum(len(syms)) AS BIGINT) AS btok
+             FROM d3a GROUP BY doc_id)"""
     sb.toString
   }
 
   val q103: String = bpeOracle(40)
+
+  // Sequence packing over REAL BPE token counts (the q103 chain's bcnt —
+  // budgets denominated in what a subword tokenizer would emit, not the
+  // whitespace heuristic), then the plain window-cumsum replay of the
+  // range-partitioned concat-and-cut.
+  val q61bpe: String = s"""
+    WITH ${bpeChainCtes(40)},
+    t AS (SELECT d.doc_id, coalesce(b.btok, CAST(0 AS BIGINT)) AS tok
+          FROM documents d LEFT JOIN bcnt b ON b.doc_id = d.doc_id),
+    c AS (SELECT doc_id, tok, sum(tok) OVER (ORDER BY doc_id) AS cum FROM t)
+    SELECT doc_id,
+           CAST(tok AS BIGINT) AS n_tok,
+           CAST((cum - tok) // 512 AS BIGINT) AS first_bin,
+           CAST(CASE WHEN tok > 0 THEN (cum - 1) // 512
+                     ELSE (cum - tok) // 512 END AS BIGINT) AS last_bin,
+           CAST((cum - tok) % 512 AS BIGINT) AS bin_off
+    FROM c ORDER BY doc_id"""
+
+  // Token-budget mixture plan over REAL BPE token counts; weights stay
+  // FP-exact powers of two so the literal arithmetic matches Spark.
+  val q88bpe: String = s"""
+    WITH ${bpeChainCtes(40)},
+    t AS (SELECT d.lang AS domain, coalesce(b.btok, CAST(0 AS BIGINT)) AS tk
+          FROM documents d LEFT JOIN bcnt b ON b.doc_id = d.doc_id),
+    a AS (SELECT domain, CAST(sum(tk) AS BIGINT) AS available_tokens,
+                 CAST(count(*) AS BIGINT) AS n_docs
+          FROM t GROUP BY domain),
+    w AS (SELECT *, CAST(CASE domain WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.125
+                         WHEN 'de' THEN 0.125 WHEN 'es' THEN 0.125
+                         WHEN 'fr' THEN 0.125 ELSE 0.0 END AS DOUBLE) AS wt
+          FROM a),
+    e AS (SELECT *, round(wt * 100000, 2) AS target_tokens FROM w),
+    f AS (SELECT *, round(CASE WHEN available_tokens > 0
+                          THEN target_tokens / available_tokens
+                          ELSE 0.0 END, 6) AS epochs FROM e)
+    SELECT domain, available_tokens, n_docs, round(wt, 6) AS weight,
+           target_tokens, epochs,
+           round(least(epochs, 1.0), 6) AS sample_rate
+    FROM f ORDER BY domain"""
 
   /** name → oracle SQL (single-line, driver JSON-escapes anyway). */
   val all: Map[String, String] = Map(
@@ -2208,7 +2227,7 @@ object Oracles {
     // same exact semantics as q43 through the bloom-prefiltered path: the
     // direct-replay oracle makes any bloom false negative a hash break
     "q60_bloom_decontaminate" -> q43,
-    "q61_sequence_packing" -> q61,
+    "q61_sequence_packing" -> q61bpe,
     "q62_mixture_sample" -> q62,
     "q63_zorder_cells" -> q63,
     "q64_ann_ivfpq" -> q64,
@@ -2235,7 +2254,7 @@ object Oracles {
     "q85_bm25_topk" -> q85,
     "q86_segment_dedup" -> q86,
     "q87_quality_classifier" -> q87,
-    "q88_token_budget_plan" -> q88,
+    "q88_token_budget_plan" -> q88bpe,
     "q89_bm25_indexed" -> q85,
     "q90_entropy_stats" -> q90,
     "q91_funnel" -> q91,

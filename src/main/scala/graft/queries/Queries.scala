@@ -1016,20 +1016,40 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Per-doc REAL BPE token counts (the learned q103 merges, shared via
+    * [[bpeMergesFor]]'s cache): explode words, apply the codegen'd
+    * [[Vocab.bpeSymbols]] replace chain per word occurrence, sum per doc.
+    * Docs with no normalized tokens count 0. The explode+groupBy shape
+    * keeps the 40-replace chain in WholeStageCodegen instead of an
+    * interpreted per-doc HOF fold. */
+  private def bpeDocTokenCounts(s: SparkSession, d: String): DataFrame = {
+    val merges = bpeMergesFor(s, d)
+    val docs = Tables.documents(s, d)
+    val counts = docs
+      .select(col("doc_id"),
+        explode(TextOps.tokens(TextOps.normalized(col("text")))).as("__w"))
+      .select(col("doc_id"),
+        size(Vocab.bpeSymbols(col("__w"), merges)).cast("long").as("__k"))
+      .groupBy("doc_id").agg(sum("__k").as("__btok"))
+    docs.select("doc_id").join(counts, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("__btok"), lit(0L)).as("btok"))
+  }
+
   /** Sequence packing (GPT-style concat-and-cut): concatenate the corpus
-    * in doc_id order and cut every 512 tokens; per document, emit the
-    * first/last training-window index and the offset inside the first
-    * window. The running token sum is the range-partitioned
+    * in doc_id order and cut every 512 tokens — with the budget
+    * denominated in REAL BPE tokens ([[bpeDocTokenCounts]]; heuristic
+    * counts miss LLM token budgets by 10–30%, so every packing number the
+    * engine reports is now in the unit a dataloader actually consumes).
+    * Per document: first/last training-window index and the offset inside
+    * the first window. The running token sum is the range-partitioned
     * [[Ranking.globalCumSum]] (no single-task global window); the oracle
-    * replays it with a plain SQL window cumsum + integer arithmetic, so
-    * the scale-safe construction is held to the exact relational
-    * semantics. The no-split variant ([[Packing.packGreedyPerShard]]) is
-    * inherently sequential per shard and is property-tested in
-    * PackingSpec. */
+    * replays the BPE chain AND the window-cumsum arithmetic. The no-split
+    * variant ([[Packing.packGreedyPerShard]]) is inherently sequential per
+    * shard and is property-tested in PackingSpec. */
   def q61SequencePacking(s: SparkSession, d: String): DataFrame =
     Packing.concatAndCut(
-        Tables.documents(s, d).select(col("doc_id"), col("text")),
-        order = Seq(col("doc_id")), tok = TextOps.tokenCount(col("text")),
+        bpeDocTokenCounts(s, d),
+        order = Seq(col("doc_id")), tok = col("btok"),
         budget = 512L)
       .select(col("doc_id"), col("n_tok"), col("first_bin"), col("last_bin"),
         col("bin_off"))
@@ -1894,13 +1914,18 @@ object Queries {
     * powers of two so the oracle's literal arithmetic reproduces every
     * double bit-for-bit. Full replay: DuckDB recomputes the tokenizer, the
     * per-domain aggregate, and all four derived columns. */
-  def q88TokenBudgetPlan(s: SparkSession, d: String): DataFrame =
-    Mixture.tokenBudgetPlan(Tables.documents(s, d), col("lang"),
-        TextOps.bpeishTokenCount(coalesce(col("text"), lit(""))),
+  def q88TokenBudgetPlan(s: SparkSession, d: String): DataFrame = {
+    // availability denominated in REAL BPE tokens (q103's learned merges,
+    // one shared training run) — the unit the downstream dataloader
+    // actually consumes, replacing the bpeish pre-tokenization heuristic
+    val perDoc = bpeDocTokenCounts(s, d)
+      .join(Tables.documents(s, d).select("doc_id", "lang"), Seq("doc_id"))
+    Mixture.tokenBudgetPlan(perDoc, col("lang"), col("btok"),
         Map("en" -> 0.5, "zh" -> 0.125, "de" -> 0.125, "es" -> 0.125,
           "fr" -> 0.125),
         budget = 100000L)
       .orderBy("domain")
+  }
 
   /** Sliding-window document chunking (maxLen 64, stride 32 — 50%
     * overlap): every document split into context-window token pieces,
