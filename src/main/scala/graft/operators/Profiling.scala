@@ -207,6 +207,130 @@ object Profiling {
       .orderBy(desc("cnt"), asc_nulls_last("key"))
   }
 
+  /** Corpus drift between two snapshots — the ingest-monitoring question
+    * ("did today's crawl change shape vs yesterday's?") as one tall
+    * drift table. Per column:
+    *
+    *  - numeric: a `bins`-bucket equi-width histogram over the COMBINED
+    *    min/max, per-side mass fractions, and the PSI contribution per
+    *    bucket `(p_a' − p_b')·ln(p_a'/p_b')` with both fractions clamped
+    *    at `eps` (the standard population-stability-index form; PSI ≥ 0.2
+    *    is the usual "investigate" rule of thumb);
+    *  - categorical: the same formula over observed category values;
+    *  - `tokens` (optional array column): one token-frequency
+    *    KL(A‖B) summary row with add-one smoothing over the union
+    *    vocabulary — the text twin of the reference's log-pdf error
+    *    metric, generalized to corpus monitoring.
+    *
+    * Output (column, bucket, p_a, p_b, contrib): per-bucket rows plus a
+    * `__psi` total row per column and a `__kl` row for tokens. Scale
+    * shape: numeric = two scans of the union (one k-row stats aggregate,
+    * one histogram aggregate joined to the broadcast stats); categorical =
+    * one scan (totals derive from the category counts); tokens = one
+    * distinct-token-sized full-outer join. Nothing driver-side, no
+    * windows, no per-row UDFs. */
+  def drift(a: DataFrame, b: DataFrame,
+            numeric: Seq[String] = Nil, categorical: Seq[String] = Nil,
+            tokens: Option[String] = None,
+            bins: Int = 10, eps: Double = 1e-4): DataFrame = {
+    require(bins >= 2, "need at least two histogram bins")
+    require(numeric.nonEmpty || categorical.nonEmpty || tokens.nonEmpty,
+      "nothing to compare")
+    val spark = a.sparkSession
+    def tagged(cols: Seq[String]) =
+      a.select(cols.map(col): _*).withColumn("__side", lit("a"))
+        .unionByName(b.select(cols.map(col): _*).withColumn("__side", lit("b")))
+    def sideCnt(side: String) =
+      sum(when(col("__side") === side, 1L).otherwise(0L))
+    // raw fractions from long counts divide identically in any engine;
+    // clamping happens only inside the PSI term
+    def frac(c: Column, n: Column) =
+      when(n > 0, c.cast("double") / n.cast("double")).otherwise(lit(0.0))
+    def psiTerm(pa: Column, pb: Column) = {
+      val pac = greatest(pa, lit(eps))
+      val pbc = greatest(pb, lit(eps))
+      round((pac - pbc) * log(pac / pbc), 6)
+    }
+    def outRows(perBucket: DataFrame): DataFrame = {
+      val rows = perBucket.select(col("column"), col("bucket"),
+        round(col("pa"), 6).as("p_a"), round(col("pb"), 6).as("p_b"),
+        psiTerm(col("pa"), col("pb")).as("contrib"))
+      rows.unionByName(rows.groupBy("column")
+        .agg(round(sum("contrib"), 6).as("contrib"))
+        .select(col("column"), lit("__psi").as("bucket"),
+          lit(0.0).as("p_a"), lit(0.0).as("p_b"), col("contrib")))
+    }
+
+    val numericRows = if (numeric.isEmpty) None else Some {
+      val melt = tagged(numeric).select(col("__side"),
+          explode(array(numeric.map(c => struct(lit(c).as("column"),
+            col(c).cast("double").as("v"))): _*)).as("kv"))
+        .select(col("__side"), col("kv.column").as("column"), col("kv.v").as("v"))
+        .filter(col("v").isNotNull)
+      val stats = melt.groupBy("column").agg(
+        min("v").as("mn"), max("v").as("mx"),
+        sideCnt("a").as("na"), sideCnt("b").as("nb"))
+      val width = (col("mx") - col("mn")) / lit(bins.toDouble)
+      val hist = melt.join(broadcast(stats), Seq("column"))
+        .select(col("column"),
+          when(col("mx") > col("mn"),
+            least(floor((col("v") - col("mn")) / width), lit(bins - 1.0)))
+            .otherwise(lit(0.0)).cast("long").as("bucket"),
+          col("__side"))
+        .groupBy("column", "bucket")
+        .agg(sideCnt("a").as("ca"), sideCnt("b").as("cb"))
+      // every (column, bucket) emitted, observed or not — empty buckets
+      // carry PSI mass through the eps clamp
+      val frame = stats.select(col("column"), col("na"), col("nb"))
+        .crossJoin(spark.range(bins).select(col("id").as("bucket")))
+      outRows(frame.join(hist, Seq("column", "bucket"), "left")
+        .select(col("column"), col("bucket").cast("string").as("bucket"),
+          frac(coalesce(col("ca"), lit(0L)), col("na")).as("pa"),
+          frac(coalesce(col("cb"), lit(0L)), col("nb")).as("pb")))
+    }
+
+    val categoricalRows = if (categorical.isEmpty) None else Some {
+      val melt = tagged(categorical).select(col("__side"),
+          explode(array(categorical.map(c => struct(lit(c).as("column"),
+            col(c).cast("string").as("v"))): _*)).as("kv"))
+        .select(col("__side"), col("kv.column").as("column"), col("kv.v").as("v"))
+        .filter(col("v").isNotNull)
+      val counts = melt.groupBy("column", "v")
+        .agg(sideCnt("a").as("ca"), sideCnt("b").as("cb"))
+      val totals = counts.groupBy("column")
+        .agg(sum("ca").as("na"), sum("cb").as("nb"))
+      outRows(counts.join(broadcast(totals), Seq("column"))
+        .select(col("column"), col("v").as("bucket"),
+          frac(col("ca"), col("na")).as("pa"),
+          frac(col("cb"), col("nb")).as("pb")))
+    }
+
+    val tokenRows = tokens.map { tcol =>
+      val ta = a.select(explode(col(tcol)).as("t")).groupBy("t")
+        .agg(count(lit(1)).as("ca"))
+      val tb = b.select(explode(col(tcol)).as("t")).groupBy("t")
+        .agg(count(lit(1)).as("cb"))
+      val joined = ta.join(tb, Seq("t"), "full_outer")
+        .select(coalesce(col("ca"), lit(0L)).as("ca"),
+          coalesce(col("cb"), lit(0L)).as("cb"))
+      // add-one smoothing over the union vocabulary (the q83 CCNet
+      // convention) — KL stays finite for tokens absent on either side
+      val stats = joined.agg(sum("ca").as("ta"), sum("cb").as("tb"),
+        count(lit(1)).as("v"))
+      joined.crossJoin(broadcast(stats))
+        .select((((col("ca") + 1).cast("double") /
+            (col("ta") + col("v")).cast("double"))).as("pa"),
+          (((col("cb") + 1).cast("double") /
+            (col("tb") + col("v")).cast("double"))).as("pb"))
+        .agg(round(sum(col("pa") * log(col("pa") / col("pb"))), 6).as("contrib"))
+        .select(lit(tcol).as("column"), lit("__kl").as("bucket"),
+          lit(0.0).as("p_a"), lit(0.0).as("p_b"), col("contrib"))
+    }
+
+    (numericRows.toSeq ++ categoricalRows.toSeq ++ tokenRows.toSeq)
+      .reduce(_.unionByName(_))
+  }
+
   /** Streaming-friendly anomaly detection: each event's value is z-scored
     * against the PREVIOUS time bucket's (mean, std) for its key — the
     * monitoring rule a pipeline runs continuously ("is this hour's metric

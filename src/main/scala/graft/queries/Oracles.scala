@@ -2163,6 +2163,82 @@ object Oracles {
            round(least(epochs, 1.0), 6) AS sample_rate
     FROM f ORDER BY domain"""
 
+  // Corpus drift, FULL replay: numeric 10-bin PSI histograms over the
+  // combined min/max (empty buckets included — they carry PSI mass via the
+  // 1e-4 clamp), categorical per-value PSI, per-column '__psi' totals
+  // (sum of the 6-dp-rounded terms, re-rounded), and the add-one-smoothed
+  // token KL over the union vocabulary. Mirrors Profiling.drift term by
+  // term: raw fractions are long-count divisions (engine-identical), the
+  // clamp happens only inside the PSI term.
+  val q104 = """
+    WITH s AS (SELECT doc_id % 2 AS p,
+                 CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN []::VARCHAR[]
+                      ELSE regexp_split_to_array(trim(text), '\s+') END AS toks,
+                 lang, source, n_chars
+               FROM documents),
+    base AS (SELECT p, CAST(len(toks) AS DOUBLE) AS n_tok,
+               CAST(n_chars AS DOUBLE) AS n_chars, lang, source, toks FROM s),
+    nm AS (SELECT p, 'n_tok' AS "column", n_tok AS v FROM base
+           UNION ALL SELECT p, 'n_chars', n_chars FROM base),
+    nmv AS (SELECT * FROM nm WHERE v IS NOT NULL),
+    nstats AS (SELECT "column", min(v) AS mn, max(v) AS mx,
+                 CAST(sum(CASE WHEN p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+                 CAST(sum(CASE WHEN p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+               FROM nmv GROUP BY "column"),
+    nhist AS (SELECT nmv."column",
+                CAST(CASE WHEN mx > mn
+                     THEN least(floor((v - mn) / ((mx - mn) / 10.0)), 9.0)
+                     ELSE 0.0 END AS BIGINT) AS bucket,
+                CAST(sum(CASE WHEN p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                CAST(sum(CASE WHEN p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+              FROM nmv JOIN nstats USING ("column") GROUP BY 1, 2),
+    nframe AS (SELECT "column", na, nb, unnest(generate_series(0, 9)) AS bucket
+               FROM nstats),
+    nbkt AS (SELECT f."column", CAST(f.bucket AS VARCHAR) AS bucket,
+               CASE WHEN f.na > 0
+                    THEN CAST(coalesce(h.ca, 0) AS DOUBLE) / f.na ELSE 0.0 END AS pa,
+               CASE WHEN f.nb > 0
+                    THEN CAST(coalesce(h.cb, 0) AS DOUBLE) / f.nb ELSE 0.0 END AS pb
+             FROM nframe f LEFT JOIN nhist h
+               ON h."column" = f."column" AND h.bucket = f.bucket),
+    cm AS (SELECT p, 'lang' AS "column", lang AS v FROM base
+           UNION ALL SELECT p, 'source', source FROM base),
+    cmv AS (SELECT * FROM cm WHERE v IS NOT NULL),
+    ccnt AS (SELECT "column", v,
+               CAST(sum(CASE WHEN p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+               CAST(sum(CASE WHEN p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+             FROM cmv GROUP BY "column", v),
+    ctot AS (SELECT "column", CAST(sum(ca) AS BIGINT) AS na,
+               CAST(sum(cb) AS BIGINT) AS nb FROM ccnt GROUP BY "column"),
+    cbkt AS (SELECT c."column", c.v AS bucket,
+               CASE WHEN t.na > 0 THEN CAST(c.ca AS DOUBLE) / t.na ELSE 0.0 END AS pa,
+               CASE WHEN t.nb > 0 THEN CAST(c.cb AS DOUBLE) / t.nb ELSE 0.0 END AS pb
+             FROM ccnt c JOIN ctot t USING ("column")),
+    allbkt AS (SELECT * FROM nbkt UNION ALL SELECT * FROM cbkt),
+    terms AS (SELECT "column", bucket, round(pa, 6) AS p_a, round(pb, 6) AS p_b,
+                round((greatest(pa, 0.0001) - greatest(pb, 0.0001)) *
+                      ln(greatest(pa, 0.0001) / greatest(pb, 0.0001)), 6) AS contrib
+              FROM allbkt),
+    psis AS (SELECT "column", '__psi' AS bucket, 0.0 AS p_a, 0.0 AS p_b,
+               round(sum(contrib), 6) AS contrib
+             FROM terms GROUP BY "column"),
+    tka AS (SELECT w, CAST(count(*) AS BIGINT) AS ca
+            FROM (SELECT unnest(toks) AS w FROM base WHERE p = 0) GROUP BY w),
+    tkb AS (SELECT w, CAST(count(*) AS BIGINT) AS cb
+            FROM (SELECT unnest(toks) AS w FROM base WHERE p = 1) GROUP BY w),
+    tkj AS (SELECT coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+            FROM tka FULL OUTER JOIN tkb USING (w)),
+    tkstats AS (SELECT CAST(sum(ca) AS BIGINT) AS ta, CAST(sum(cb) AS BIGINT) AS tb,
+                  CAST(count(*) AS BIGINT) AS v FROM tkj),
+    klrow AS (SELECT 'toks' AS "column", '__kl' AS bucket, 0.0 AS p_a, 0.0 AS p_b,
+                round(sum(pa * ln(pa / pb)), 6) AS contrib
+              FROM (SELECT CAST(ca + 1 AS DOUBLE) / (ta + v) AS pa,
+                           CAST(cb + 1 AS DOUBLE) / (tb + v) AS pb
+                    FROM tkj CROSS JOIN tkstats))
+    SELECT * FROM (SELECT * FROM terms UNION ALL SELECT * FROM psis
+                   UNION ALL SELECT * FROM klrow)
+    ORDER BY "column", bucket"""
+
   /** name → oracle SQL (single-line, driver JSON-escapes anyway). */
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
@@ -2269,6 +2345,7 @@ object Oracles {
     "q100_curation_audit" -> q100,
     "q101_chunk_bm25" -> q101,
     "q102_group_percent_rank" -> q102,
-    "q103_bpe_tokenizer" -> q103
+    "q103_bpe_tokenizer" -> q103,
+    "q104_corpus_drift" -> q104
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

@@ -1775,6 +1775,29 @@ object Queries {
     mergeDf.unionByName(docRows).orderBy("kind", "key")
   }
 
+  /** Corpus drift monitoring ([[Profiling.drift]]): even-doc_id docs play
+    * yesterday's snapshot, odd play today's. Numeric drift (token count,
+    * char count) as 10-bin PSI histograms over the combined range,
+    * categorical drift (lang, source) as per-value PSI, and a
+    * token-frequency KL row with add-one smoothing — the engine's log-pdf
+    * error metric generalized to the ingest-monitoring shape. Full
+    * replay: DuckDB recomputes the bins, every per-bucket fraction, each
+    * clamped PSI term, the per-column totals, and the smoothed KL. */
+  def q104CorpusDrift(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    def snap(parity: Int) = docs
+      .filter(pmod(col("doc_id"), lit(2)) === parity)
+      .select(
+        TextOps.tokenCount(coalesce(col("text"), lit(""))).as("n_tok"),
+        col("n_chars"), col("lang"), col("source"),
+        TextOps.tokens(coalesce(col("text"), lit(""))).as("toks"))
+    Profiling.drift(snap(0), snap(1),
+        numeric = Seq("n_tok", "n_chars"),
+        categorical = Seq("lang", "source"),
+        tokens = Some("toks"), bins = 10)
+      .orderBy("column", "bucket")
+  }
+
   /** Salted skew-join gate ([[Joins.saltedJoin]] — the explicit escape
     * hatch for shapes AQE can't split): lineitem ⋈ supplier with 8-way
     * salting, aggregated to revenue per nation. The oracle is the PLAIN

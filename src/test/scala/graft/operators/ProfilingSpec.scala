@@ -74,6 +74,45 @@ class ProfilingSpec extends SparkSpec {
     assert(exact == Map("x" -> 2L, "s" -> 2L))
   }
 
+  test("drift: identical snapshots score zero everywhere") {
+    val snap = Seq((1.0, "en", Seq("a", "b")), (2.0, "fr", Seq("b", "c")))
+      .toDF("v", "lang", "toks")
+    val out = Profiling.drift(snap, snap, numeric = Seq("v"),
+      categorical = Seq("lang"), tokens = Some("toks"))
+    assert(out.count() == 10 + 1 + 2 + 1 + 1) // bins + psi + cats + psi + kl
+    assert(out.filter(col("contrib") =!= 0.0).count() == 0)
+  }
+
+  test("drift: planted numeric shift and category flip raise PSI; KL > 0") {
+    val a = (0 until 100).map(i => (i % 10 * 1.0, "en", Seq("alpha", "beta")))
+      .toDF("v", "lang", "toks")
+    val b = (0 until 100).map(i => (50.0 + i % 10, "de", Seq("gamma")))
+      .toDF("v", "lang", "toks")
+    val out = Profiling.drift(a, b, numeric = Seq("v"),
+      categorical = Seq("lang"), tokens = Some("toks"))
+    val psi = out.filter(col("bucket") === "__psi")
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    // disjoint ranges/categories: PSI far beyond the 0.2 "investigate" bar
+    assert(psi("v") > 1.0, s"numeric psi: $psi")
+    assert(psi("lang") > 1.0, s"categorical psi: $psi")
+    val kl = out.filter(col("bucket") === "__kl").head().getDouble(4)
+    assert(kl > 1.0, s"token kl: $kl")
+    // closed-form numeric check: combined range [0, 59], width 5.9 — A's
+    // values 0..5 (60 rows) land in bucket 0, so pa(0)=0.6; B contributes
+    // nothing there → pb clamps to eps. term = (0.6 − 1e-4)·ln(0.6/1e-4)
+    val b0 = out.filter(col("column") === "v" && col("bucket") === "0")
+      .head().getDouble(4)
+    val expected = BigDecimal((0.6 - 1e-4) * math.log(0.6 / 1e-4))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(b0 - expected) < 1e-9, s"bucket0 term $b0 vs $expected")
+  }
+
+  test("drift: KL of identical token multisets is zero even with smoothing") {
+    val a = Seq((Seq("x", "x", "y")), (Seq("z"))).toDF("toks")
+    val out = Profiling.drift(a, a, tokens = Some("toks"))
+    assert(out.filter(col("bucket") === "__kl").head().getDouble(4) == 0.0)
+  }
+
   test("anomalyZScores: previous-bucket baseline, flags, first-bucket omitted") {
     def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
     // hour 0: values 1,3 (mu=2, var=1); hour 1: 2 (z=0), 12 (z=10 -> anom)
