@@ -118,7 +118,8 @@ object SparkEntry {
     "q101_chunk_bm25" -> (Queries.q101ChunkBm25 _),
     "q102_group_percent_rank" -> (Queries.q102GroupPercentRank _),
     "q103_bpe_tokenizer" -> (Queries.q103BpeTokenizer _),
-    "q104_corpus_drift" -> (Queries.q104CorpusDrift _)
+    "q104_corpus_drift" -> (Queries.q104CorpusDrift _),
+    "q105_hybrid_rrf" -> (Queries.q105HybridRrf _)
   )
 
   /** DuckDB oracles for EVERY query above — since round 3 none are

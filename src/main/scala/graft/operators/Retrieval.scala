@@ -70,6 +70,43 @@ object Retrieval {
       .limit(k)
   }
 
+  /** Reciprocal-rank fusion — the standard hybrid-retrieval serving
+    * pattern (RAG: fuse a keyword leg and an embedding leg over the same
+    * corpus): each leg contributes `1/(c + rank)` per document, summed.
+    * `legs` are ALREADY-CUT top-k frames (doc_id, score) — at most k rows
+    * each by construction — with scores pre-rounded so rank ties resolve
+    * identically in any engine. Ranks come from a window PARTITIONED BY
+    * leg (bounded: |legs| partitions × k rows — never corpus-sized), ties
+    * broken by doc_id; the fused cut keeps the top `k` by (rrf desc,
+    * doc_id). Output: (doc_id, rank_<leg>... with -1 for a leg that
+    * didn't surface the doc, rrf at 6 dp). Pure arithmetic over the leg
+    * frames — the production legs can be the persisted-index servers
+    * ([[bm25TopKIndexed]], [[Ann.ivfPqTopKIndexed]]) with zero change
+    * here. */
+  def rrfFuse(legs: Seq[(String, DataFrame)], k: Int,
+              c: Double = 60.0): DataFrame = {
+    require(legs.nonEmpty, "need at least one leg")
+    require(k > 0, "k must be positive")
+    val tagged = legs.map { case (name, df) =>
+      df.select(lit(name).as("leg"), col("doc_id"),
+        col("score").cast("double").as("score"))
+    }.reduce(_.unionByName(_))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("leg").orderBy(desc("score"), col("doc_id"))
+    val ranked = tagged
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+    val rankCols = legs.map { case (name, _) =>
+      coalesce(max(when(col("leg") === name, col("rank"))), lit(-1L))
+        .as(s"rank_$name")
+    }
+    ranked.groupBy("doc_id")
+      .agg(rankCols.head, rankCols.tail :+
+        round(sum(lit(1.0) / (lit(c) + col("rank"))), 6).as("rrf"): _*)
+      .orderBy(desc("rrf"), col("doc_id"))
+      .limit(k)
+  }
+
   /** Persist the inverted-index artifacts the REPEATED-query path serves
     * from (the scan path above wins for one-off queries; a corpus that
     * answers keyword queries all day builds this once at ingest):
@@ -112,6 +149,12 @@ object Retrieval {
   def appendBm25Postings(df: DataFrame, id: Column, toks: Column, dir: String,
                          batchId: Long, buckets: Int = 64): Unit = {
     require(buckets >= 1, "need at least one bucket")
+    // A replay of a batch that compaction already folded into the base
+    // partition must be a no-op — its rows are in batch_id=-1 now, so the
+    // prefix delete below would remove nothing and the write would
+    // double-count. Batch ids are monotone (ingest contract), so the fold
+    // watermark decides.
+    if (batchId <= foldedWatermark(df.sparkSession, dir)) return
     // Retry safety: drop this batch's partitions FIRST. Dynamic partition
     // overwrite alone only replaces partitions present in the retry's
     // output — if the retry's input lost a bucket (upstream change between
@@ -138,6 +181,74 @@ object Retrieval {
       .coalesce(1).write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id").parquet(s"$dir/stats_parts")
+  }
+
+  private def foldManifestPath(dir: String) =
+    new org.apache.hadoop.fs.Path(s"$dir/compacted_watermark")
+
+  /** Highest batch id folded into the base partition by
+    * [[compactBm25Postings]] (Long.MinValue if never compacted). */
+  private[operators] def foldedWatermark(
+      spark: SparkSession, dir: String): Long = {
+    val p = foldManifestPath(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Long.MinValue
+    else {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      finally in.close()
+    }
+  }
+
+  /** Fold the accumulated per-batch postings partitions into ONE partition
+    * per bucket — the small-files maintenance a daily-ingest index needs
+    * (k batches × buckets files otherwise accrete forever; bucket pruning
+    * then opens k files per bucket instead of one). The folded rows land
+    * under the reserved base partition `batch_id=-1` (bucket-partitioned,
+    * term-sorted within each file for row-group pruning), the stats
+    * partials collapse to one base partial, and a watermark records the
+    * highest folded batch id: a replayed already-folded batch becomes a
+    * NO-OP in [[appendBm25Postings]] instead of double-counting (batch ids
+    * must be monotone — the daily-ingest contract). Serve-path layout is
+    * unchanged ([[bm25TopKIndexed]] reads all batch partitions and prunes
+    * on bucket), and post-compaction appends keep working. Run it in the
+    * ingest maintenance window — the swap is not transactional against
+    * concurrent readers. */
+  def compactBm25Postings(spark: SparkSession, dir: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val postings = new org.apache.hadoop.fs.Path(s"$dir/postings")
+    val statsParts = new org.apache.hadoop.fs.Path(s"$dir/stats_parts")
+    val fs = postings.getFileSystem(conf)
+    if (!fs.exists(statsParts)) return // one-shot index: already compact
+    val post = spark.read.parquet(postings.toString)
+    // ONE driver row; merged with the previous watermark so compacting an
+    // already-fully-compacted index (max batch_id = -1) can't regress it
+    val maxBatch = math.max(
+      post.agg(max(col("batch_id").cast("long"))).head().getLong(0),
+      foldedWatermark(spark, dir))
+    post.select(col("term"), col("doc_id"), col("dl"), col("tf"),
+        col("bucket"))
+      .repartition(col("bucket")) // one task → one file per bucket value
+      .sortWithinPartitions("term", "doc_id")
+      .withColumn("batch_id", lit(-1L))
+      .write.mode("overwrite").partitionBy("batch_id", "bucket")
+      .parquet(s"$dir/postings_tmp")
+    spark.read.parquet(statsParts.toString)
+      .agg(sum("n").as("n"), sum("sum_dl").as("sum_dl"))
+      .withColumn("batch_id", lit(-1L))
+      .coalesce(1).write.mode("overwrite").partitionBy("batch_id")
+      .parquet(s"$dir/stats_parts_tmp")
+    for (sub <- Seq("postings", "stats_parts")) {
+      val live = new org.apache.hadoop.fs.Path(s"$dir/$sub")
+      val tmp = new org.apache.hadoop.fs.Path(s"$dir/${sub}_tmp")
+      fs.delete(live, true)
+      require(fs.rename(tmp, live), s"rename failed for $tmp")
+    }
+    val out = fs.create(foldManifestPath(dir), true)
+    try out.write(maxBatch.toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   /** Corpus stats for an index dir: the one-shot artifact when present,

@@ -2239,6 +2239,53 @@ object Oracles {
                    UNION ALL SELECT * FROM klrow)
     ORDER BY "column", bucket"""
 
+  // Hybrid RRF fusion, FULL replay: the BM25 leg re-derives the q85 scan
+  // arithmetic (the indexed server is bit-identical by contract), the
+  // cosine leg re-derives the q16 arithmetic against query vec 0, and the
+  // fusion replays per-leg ranks, the 1/(60+rank) sums, and the fused
+  // k-boundary (rrf desc, doc_id).
+  val q105: String = s"""
+    WITH t AS (SELECT doc_id,
+                 CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN []::VARCHAR[]
+                      ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+               FROM documents),
+    w AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+            CAST(len(list_filter(toks, x -> x = 'join')) AS DOUBLE) AS tf0,
+            CAST(len(list_filter(toks, x -> x = 'filter')) AS DOUBLE) AS tf1,
+            CAST(len(list_filter(toks, x -> x = 'window')) AS DOUBLE) AS tf2
+          FROM t),
+    st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+             CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+             CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+             CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+           FROM w),
+    bmleg AS (SELECT doc_id,
+           round(ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0 * 2.2 / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+               + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 * 2.2 / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+               + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * tf2 * 2.2 / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS score
+        FROM w, st
+        WHERE greatest(tf0, tf1, tf2) > 0
+        ORDER BY score DESC, doc_id LIMIT 20),
+    cosleg AS (SELECT c.vec_id AS doc_id,
+                 round(${cosineD("c.embedding", "q.embedding")}, 6) AS score
+               FROM embeddings c, (SELECT embedding FROM embeddings
+                                   WHERE vec_id = 0) q
+               ORDER BY score DESC, doc_id LIMIT 20),
+    u AS (SELECT 'bm25' AS leg, doc_id, score FROM bmleg
+          UNION ALL SELECT 'cos', doc_id, score FROM cosleg),
+    r AS (SELECT leg, doc_id,
+            CAST(row_number() OVER (PARTITION BY leg ORDER BY score DESC, doc_id) AS BIGINT) AS rk
+          FROM u),
+    f AS (SELECT doc_id,
+            coalesce(max(CASE WHEN leg = 'bm25' THEN rk END), -1) AS rank_bm25,
+            coalesce(max(CASE WHEN leg = 'cos' THEN rk END), -1) AS rank_cos,
+            round(sum(1.0 / (60.0 + rk)), 6) AS rrf
+          FROM r GROUP BY doc_id)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(rank_bm25 AS BIGINT) AS rank_bm25,
+           CAST(rank_cos AS BIGINT) AS rank_cos, rrf
+    FROM f ORDER BY rrf DESC, doc_id LIMIT 20"""
+
   /** name → oracle SQL (single-line, driver JSON-escapes anyway). */
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
@@ -2346,6 +2393,7 @@ object Oracles {
     "q101_chunk_bm25" -> q101,
     "q102_group_percent_rank" -> q102,
     "q103_bpe_tokenizer" -> q103,
-    "q104_corpus_drift" -> q104
+    "q104_corpus_drift" -> q104,
+    "q105_hybrid_rrf" -> q105
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

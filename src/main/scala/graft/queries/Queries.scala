@@ -1586,9 +1586,11 @@ object Queries {
     * reads ONLY the query terms' bucket partitions. Oracle: the SAME full
     * BM25 replay as q85 — the indexed path must reproduce the scan path's
     * doubles bit-for-bit. */
-  def q89Bm25Indexed(s: SparkSession, d: String): DataFrame = {
+  // one persisted BM25 index per fixture (built at first use, signature-
+  // invalidated) — shared by q89 and the q105 hybrid fusion
+  private def bm25IndexFor(s: SparkSession, d: String): String = {
     val sig = tableSignature(s, d, "documents")
-    val idxDir = bm25IndexCache.synchronized {
+    bm25IndexCache.synchronized {
       bm25IndexCache.get(d) match {
         case Some((s0, dir)) if s0 == sig => dir
         case prev =>
@@ -1601,8 +1603,37 @@ object Queries {
           tmp
       }
     }
-    Retrieval.bm25TopKIndexed(s, idxDir,
+  }
+
+  def q89Bm25Indexed(s: SparkSession, d: String): DataFrame =
+    Retrieval.bm25TopKIndexed(s, bm25IndexFor(s, d),
       Seq("join", "filter", "window"), k = 20)
+
+  /** Hybrid retrieval ([[Retrieval.rrfFuse]]): reciprocal-rank fusion of
+    * the persisted-index BM25 leg (q89's index, bit-identical to the scan
+    * scorer) and an exact-cosine embedding leg (query = vec 0's
+    * embedding) over the same id space — the standard RAG serving
+    * pattern. Full replay: the oracle recomputes BOTH leg rankings (q85
+    * BM25 arithmetic; q16 cosine arithmetic), the per-leg ranks, the
+    * 1/(60+rank) sums, and the fused k-boundary. The approximate ANN
+    * serving path stays covered by q64's recall gate; this leg is the
+    * exact-cosine oracle-replayable form. */
+  def q105HybridRrf(s: SparkSession, d: String): DataFrame = {
+    val bm = Retrieval.bm25TopKIndexed(s, bm25IndexFor(s, d),
+        Seq("join", "filter", "window"), k = 20)
+      .select(col("doc_id"), col("bm25").as("score"))
+    val e = Tables.embeddings(s, d)
+    val q0 = e.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>").as("qv"))
+    val cos = e
+      .select(col("vec_id").as("doc_id"),
+        col("embedding").cast("array<double>").as("cv"))
+      .crossJoin(broadcast(q0))
+      .select(col("doc_id"),
+        round(VectorOps.cosine(col("cv"), col("qv")), 6).as("score"))
+      .orderBy(desc("score"), col("doc_id")).limit(20)
+    Retrieval.rrfFuse(Seq("bm25" -> bm, "cos" -> cos), k = 20)
+      .orderBy("doc_id")
   }
 
   /** Token-entropy quality signals ([[QualityRules.entropyStats]]):

@@ -99,6 +99,71 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("compaction: identical results, fewer files, folded-replay no-op, appends keep working") {
+    import java.nio.file.{Files, Paths}
+    def parquetFiles(p: String): Long = {
+      val walk = Files.walk(Paths.get(p))
+      try walk.filter(f => f.toString.endsWith(".parquet")).count()
+      finally walk.close()
+    }
+    val big = (0L until 120L).map { i =>
+      val extra = if (i % 3 == 0) Seq("cat") else if (i % 3 == 1) Seq("dog") else Seq.empty
+      (i, Seq(s"w$i", s"u${i % 5}", s"v${i % 13}") ++ extra)
+    }.toDF("doc_id", "toks")
+    val dir = Files.createTempDirectory("bm25cmp").toString
+    try {
+      val old = big.filter(col("doc_id") < 90)
+      Seq(0L, 1L, 2L).foreach { b =>
+        Retrieval.appendBm25Postings(old.filter(col("doc_id") % 3 === b),
+          col("doc_id"), col("toks"), dir, batchId = b, buckets = 16)
+      }
+      def query() = Retrieval.bm25TopKIndexed(spark, dir, Seq("cat", "dog"),
+        k = 20, buckets = 16).as[(Long, Double)].collect().toSeq
+      val before = query()
+      val filesBefore = parquetFiles(s"$dir/postings")
+      Retrieval.compactBm25Postings(spark, dir)
+      assert(query() == before, "compaction changed results")
+      val filesAfter = parquetFiles(s"$dir/postings")
+      assert(filesAfter < filesBefore,
+        s"no file-count drop: $filesBefore -> $filesAfter")
+      // a replayed, already-folded batch must be a no-op (its rows live in
+      // the base partition now)
+      Retrieval.appendBm25Postings(old.filter(col("doc_id") % 3 === 1L),
+        col("doc_id"), col("toks"), dir, batchId = 1L, buckets = 16)
+      assert(query() == before, "folded-batch replay double-counted")
+      // a NEW batch after compaction serves correctly over the union
+      Retrieval.appendBm25Postings(big.filter(col("doc_id") >= 90),
+        col("doc_id"), col("toks"), dir, batchId = 3L, buckets = 16)
+      val scan = Retrieval.bm25TopK(big, col("doc_id"), col("toks"),
+        Seq("cat", "dog"), k = 20).as[(Long, Double)].collect().toSeq
+      assert(query() == scan, "post-compaction append diverged from scan")
+      // and the new batch's own retry still replaces, not duplicates
+      Retrieval.appendBm25Postings(big.filter(col("doc_id") >= 90),
+        col("doc_id"), col("toks"), dir, batchId = 3L, buckets = 16)
+      assert(query() == scan, "post-compaction retry double-counted")
+    } finally {
+      val walk = Files.walk(Paths.get(dir))
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+
+  test("rrfFuse: closed-form ranks, missing-leg -1, deterministic cut") {
+    val bm = Seq((10L, 5.0), (11L, 4.0), (12L, 3.0)).toDF("doc_id", "score")
+    val cos = Seq((11L, 0.9), (13L, 0.8), (10L, 0.7)).toDF("doc_id", "score")
+    val got = Retrieval.rrfFuse(Seq("bm25" -> bm, "cos" -> cos), k = 3)
+      .orderBy(desc("rrf"), col("doc_id"))
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    // doc11: bm rank 2, cos rank 1; doc10: bm 1, cos 3; doc12: bm 3; doc13: cos 2
+    val exp = Seq(
+      (11L, 2L, 1L, r6(1.0 / 62 + 1.0 / 61)),
+      (10L, 1L, 3L, r6(1.0 / 61 + 1.0 / 63)),
+      (13L, -1L, 2L, r6(1.0 / 62)))
+    assert(got == exp, s"got $got")
+  }
+
   test("indexed path equals the scan path bit-for-bit and prunes to term buckets") {
     val big = (0L until 60L).map { i =>
       val extra = if (i % 3 == 0) Seq("cat") else if (i % 3 == 1) Seq("dog") else Seq.empty
