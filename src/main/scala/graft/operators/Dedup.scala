@@ -247,8 +247,10 @@ object Dedup {
     * here; the MinHash/hyperplane LSH paths are the sub-quadratic
     * approximate alternatives. */
   def simhashDedupPairs(df: DataFrame, id: Column, text: Column,
-                        maxHamming: Int = 3, portable: Boolean = false): DataFrame =
-    hammingNearDupPairs(simhashFingerprints(df, id, text, portable), maxHamming)
+                        maxHamming: Int = 3, portable: Boolean = false,
+                        policy: CheckpointPolicy = CheckpointPolicy.Local): DataFrame =
+    hammingNearDupPairs(simhashFingerprints(df, id, text, portable),
+      maxHamming, policy)
 
   /** Near-dup pairs at Hamming radius `maxHamming` over ANY precomputed
     * 64-bit fingerprint frame (doc_id, sh) — the blocking engine behind
@@ -256,7 +258,8 @@ object Dedup {
     * ([[Multimodal]] aHash) or any other bit-sketch. Multi-index-hashing
     * candidate generation (Norouzi et al.), exact Hamming verify, doc
     * pairs expanded from distinct-fingerprint groups. */
-  def hammingNearDupPairs(fps: DataFrame, maxHamming: Int): DataFrame = {
+  def hammingNearDupPairs(fps: DataFrame, maxHamming: Int,
+                          policy: CheckpointPolicy = CheckpointPolicy.Local): DataFrame = {
     val (bounds, q) = simhashBlockingPlan(maxHamming)
     // Collapse identical fingerprints BEFORE candidate generation: on
     // duplicate-heavy corpora (the realistic dedup workload) thousands of
@@ -266,8 +269,8 @@ object Dedup {
     // fingerprints the bucket join is quadratic only in DISTINCT-value
     // counts; doc pairs re-expand from the per-fingerprint id lists at the
     // end — output-sized work, which is the lower bound anyway.
-    val groups = fps.groupBy("sh").agg(collect_list("doc_id").as("ids"))
-      .localCheckpoint() // feeds the chunk explode AND both expansion joins
+    val groups = policy.pin( // feeds the chunk explode AND both expansion joins
+      fps.groupBy("sh").agg(collect_list("doc_id").as("ids")))
     // asymmetric MIH join: exact chunk values on one side, ≤q-bit probe
     // expansion on the other. Chunk distance ≤ q ⇔ the exact value lies in
     // the OTHER side's probe set, and Hamming distance is symmetric — so
@@ -309,7 +312,8 @@ object Dedup {
     * generation and verification run over DISTINCT n-gram sets (duplicate
     * clusters collapse); doc pairs expand from the per-set id lists. */
   def ngramJaccardPairs(df: DataFrame, id: Column, text: Column,
-                        n: Int = 3, threshold: Double = 0.5): DataFrame = {
+                        n: Int = 3, threshold: Double = 0.5,
+                        policy: CheckpointPolicy = CheckpointPolicy.Local): DataFrame = {
     val docs = df.select(id.cast("long").as("doc_id"),
       TextOps.charNGramsHashed(text, n).as("g"),
       // block: docs within ±25% length and same first normalized char can match
@@ -322,10 +326,10 @@ object Dedup {
     // silently drop equal-set cross-block pairs as "same group". min doc id
     // per group is exactly that — collision-free (each doc is in one group),
     // unlike a structural hash of the group key.
-    val groups = docs.groupBy("g", "lb", "fc")
-      .agg(collect_list("doc_id").as("ids"))
-      .withColumn("gid", array_min(col("ids")))
-      .localCheckpoint() // feeds both join sides + both expansion joins
+    val groups = policy.pin( // feeds both join sides + both expansion joins
+      docs.groupBy("g", "lb", "fc")
+        .agg(collect_list("doc_id").as("ids"))
+        .withColumn("gid", array_min(col("ids"))))
     // a-side explodes to {lb-1, lb, lb+1} against b's exact lb so any pair
     // within one length bucket matches regardless of which set has the lower
     // gid (a one-sided {lb, lb+1} explode would drop pairs where the
@@ -510,10 +514,11 @@ object Dedup {
     * per-group id lists at the end (output-sized). */
   def embeddingNearDupPairs(df: DataFrame, id: Column, vec: Column,
                             threshold: Double = 0.95, tables: Int = 16,
-                            planesPerTable: Int = 16,
-                            seed: Long = 42): DataFrame = {
+                            planesPerTable: Int = 16, seed: Long = 42,
+                            policy: CheckpointPolicy = CheckpointPolicy.Local): DataFrame = {
     val (groups, cand) =
-      embeddingGroupsAndCandidates(df, id, vec, tables, planesPerTable, seed)
+      embeddingGroupsAndCandidates(df, id, vec, tables, planesPerTable, seed,
+        policy)
     val verified = cand
       .join(groups.select(col("gid").as("g_a"), col("v").as("v_a")), Seq("g_a"))
       .join(groups.select(col("gid").as("g_b"), col("v").as("v_b")), Seq("g_b"))
@@ -592,7 +597,8 @@ object Dedup {
 
   def embeddingGroupsAndCandidates(df: DataFrame, id: Column, vec: Column,
                                    tables: Int = 16, planesPerTable: Int = 16,
-                                   seed: Long = 42): (DataFrame, DataFrame) = {
+                                   seed: Long = 42,
+                                   policy: CheckpointPolicy = CheckpointPolicy.Local): (DataFrame, DataFrame) = {
     // max-aggregate, not head(): an empty corpus (or all-null vectors) must
     // yield empty frames, not a NoSuchElementException at plan build
     val dimRow = df.agg(max(size(vec))).head()
@@ -606,9 +612,9 @@ object Dedup {
     // distinct vectors a 64-bit vector-hash gid would hit birthday
     // collisions (~n²/2⁶⁵) and silently conflate two groups' pair
     // expansions; min-id costs nothing extra here.
-    val groups = docs.groupBy("v").agg(collect_list("vid").as("ids"))
-      .withColumn("gid", array_min(col("ids")))
-      .localCheckpoint()
+    val groups = policy.pin(
+      docs.groupBy("v").agg(collect_list("vid").as("ids"))
+        .withColumn("gid", array_min(col("ids"))))
     val buckets = groups.select(col("gid"),
         posexplode(hyperplaneSketchCol(groups, col("v"), dim, tables,
           planesPerTable, seed)).as(Seq("tbl", "sk")))
@@ -640,7 +646,8 @@ object Dedup {
     * `portable = true` every gate is SQL-replayable (q65). */
   def incrementalAdmit(batch: DataFrame, history: DataFrame, id: Column,
                        text: Column, maxHamming: Int = 7,
-                       portable: Boolean = false): DataFrame = {
+                       portable: Boolean = false,
+                       policy: CheckpointPolicy = CheckpointPolicy.Local): DataFrame = {
     val bFp = batch.select(id.cast("long").as("doc_id"),
       TextOps.fingerprintMd5(text).as("fp"))
     val hFp = history.select(TextOps.fingerprintMd5(text).as("fp")).distinct()
@@ -666,10 +673,10 @@ object Dedup {
           explode(array(exactChunkStructs(col("sh"), bounds): _*)).as("c"))
         .select(col("sh"), col("c.chunk").as("chunk"), col("c.ck").as("ck"))
     val bSh = simhashFingerprints(batch, id, text, portable)
-    val bGroups = bSh.groupBy("sh").agg(collect_list("doc_id").as("ids"))
-      .localCheckpoint() // feeds the chunk explode AND the id re-expansion
-    val hSh = simhashFingerprints(history, id, text, portable)
-      .select("sh").distinct().localCheckpoint()
+    val bGroups = policy.pin( // feeds the chunk explode AND the id re-expansion
+      bSh.groupBy("sh").agg(collect_list("doc_id").as("ids")))
+    val hSh = policy.pin(simhashFingerprints(history, id, text, portable)
+      .select("sh").distinct())
     val nearFps = probesOf(bGroups.select("sh"))
       .join(exactOf(hSh).select(col("chunk"), col("ck"), col("sh").as("sh_h")),
         Seq("chunk", "ck"))
@@ -714,19 +721,19 @@ object Dedup {
   def embeddingIncrementalAdmit(batch: DataFrame, history: DataFrame,
                                 id: Column, vec: Column,
                                 threshold: Double = 0.95, tables: Int = 16,
-                                planesPerTable: Int = 16,
-                                seed: Long = 42): DataFrame = {
+                                planesPerTable: Int = 16, seed: Long = 42,
+                                policy: CheckpointPolicy = CheckpointPolicy.Local): DataFrame = {
     val b = batch.select(id.cast("long").as("doc_id"),
       vec.cast("array<double>").as("v"))
     // distinct-vector collapse on BOTH sides (the q29 duplicate-cluster
     // lesson); gid/hgid = min id per group — collision-free group identity
-    val bGroups = b.groupBy("v").agg(collect_list("doc_id").as("ids"))
-      .withColumn("gid", array_min(col("ids")))
-      .localCheckpoint() // feeds exact gates, sketches, AND id re-expansion
-    val hGroups = history
-      .select(id.cast("long").as("hid"), vec.cast("array<double>").as("v"))
-      .groupBy("v").agg(min("hid").as("hgid"))
-      .localCheckpoint() // feeds the exact semi-join, sketches, and verify
+    val bGroups = policy.pin( // feeds exact gates, sketches, AND id re-expansion
+      b.groupBy("v").agg(collect_list("doc_id").as("ids"))
+        .withColumn("gid", array_min(col("ids"))))
+    val hGroups = policy.pin( // feeds the exact semi-join, sketches, and verify
+      history
+        .select(id.cast("long").as("hid"), vec.cast("array<double>").as("v"))
+        .groupBy("v").agg(min("hid").as("hgid")))
     val exactHist = bGroups.join(hGroups.select("v"), Seq("v"), "left_semi")
       .select(explode(col("ids")).as("doc_id"), lit(1L).as("exact_hist"))
     val exactBatch = bGroups

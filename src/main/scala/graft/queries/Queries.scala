@@ -411,7 +411,8 @@ object Queries {
   /** MinHash + LSH near-dup candidate pairs, Jaccard-verified. */
   def q28MinhashPairs(s: SparkSession, d: String): DataFrame =
     Dedup.minhashDedupPairs(Tables.documents(s, d), col("doc_id"), col("text"),
-      shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5,
+      policy = CheckpointPolicy.fromSession(s))
       .orderBy("id_a", "id_b")
 
   /** SimHash near-dup pairs within Hamming ≤ 7 of the 64-bit fingerprint.
@@ -424,7 +425,8 @@ object Queries {
     * xxhash64 fast path stays the library default, covered by DedupSpec. */
   def q29SimhashPairs(s: SparkSession, d: String): DataFrame =
     Dedup.simhashDedupPairs(Tables.documents(s, d), col("doc_id"), col("text"),
-      maxHamming = 7, portable = true)
+      maxHamming = 7, portable = true,
+      policy = CheckpointPolicy.fromSession(s))
       .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
       .orderBy("id_a", "id_b")
 
@@ -1174,7 +1176,8 @@ object Queries {
     val batch = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
     val history = docs.filter(pmod(col("doc_id"), lit(4)) =!= 0)
     Dedup.incrementalAdmit(batch, history, col("doc_id"), col("text"),
-        maxHamming = 7, portable = true)
+        maxHamming = 7, portable = true,
+        policy = CheckpointPolicy.fromSession(s))
       .orderBy("doc_id")
   }
 
@@ -1402,7 +1405,7 @@ object Queries {
     val threshold = 0.95
     val (corpus, off) = plantedTwinCorpus(s, d)
     val pairs = Dedup.embeddingNearDupPairs(corpus, col("vec_id"), col("v"),
-      threshold = threshold)
+      threshold = threshold, policy = CheckpointPolicy.fromSession(s))
     val labels = Dedup.clusters(pairs, corpus.select(col("vec_id").as("doc_id")))
       .localCheckpoint() // feeds the twin gate AND the base-drop audit
     val eligibleTwins = plantedTruth(corpus, off, threshold)
@@ -1456,7 +1459,8 @@ object Queries {
       .select((col("vec_id") + lit(3 * off)).as("vec_id"), col("v")) // = 4·off + base
     val batch = twins.unionByName(copies).unionByName(batchDups)
     val admit = Dedup.embeddingIncrementalAdmit(batch, history,
-        col("vec_id"), col("v"), threshold = threshold)
+        col("vec_id"), col("v"), threshold = threshold,
+        policy = CheckpointPolicy.fromSession(s))
       .localCheckpoint() // feeds the three gate aggregates
     val eligible = plantedTruth(corpus, off, threshold)
       .select(col("id_b").as("doc_id"))
@@ -1921,7 +1925,8 @@ object Queries {
         val wav = Multimodal.encodeWavPcm(16000, qs.map(_.toShort).toArray)
         (clipId, new Multimodal.WavPcmDecoder().envelopeHash64(wav))
       }.toDF("doc_id", "sh")
-    Dedup.hammingNearDupPairs(hashed, maxHamming = 2)
+    Dedup.hammingNearDupPairs(hashed, maxHamming = 2,
+        policy = CheckpointPolicy.fromSession(s))
       .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
       .orderBy("id_a", "id_b")
   }
@@ -1956,7 +1961,8 @@ object Queries {
         val img = Multimodal.encodePgm(8, 8, ps.toArray)
         (imgId, new Multimodal.PgmDecoder().aHash64(img))
       }.toDF("doc_id", "sh")
-    Dedup.hammingNearDupPairs(hashed, maxHamming = 4)
+    Dedup.hammingNearDupPairs(hashed, maxHamming = 4,
+        policy = CheckpointPolicy.fromSession(s))
       .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
       .orderBy("id_a", "id_b")
   }
@@ -2020,7 +2026,7 @@ object Queries {
   def q74EmbeddingLshRecall(s: SparkSession, d: String): DataFrame = {
     val (corpus, off) = plantedTwinCorpus(s, d)
     val lsh = Dedup.embeddingNearDupPairs(corpus, col("vec_id"), col("v"),
-      threshold = 0.95)
+      threshold = 0.95, policy = CheckpointPolicy.fromSession(s))
     val truth = plantedTruth(corpus, off, 0.95)
     val flagged = truth.select("id_a", "id_b")
       .join(lsh.select(col("id_a"), col("id_b"), lit(1L).as("__hit")),

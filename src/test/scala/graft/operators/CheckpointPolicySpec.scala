@@ -40,6 +40,57 @@ class CheckpointPolicySpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.checkpoint.dir")
   }
 
+  test("round-7 converted pins: parity across policies for every operator") {
+    // one Reliable dir serves all runs (first pin seeds the context dir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_r7_").toString
+    val rel = CheckpointPolicy.Reliable(dir)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq.sorted
+
+    // hammingNearDupPairs (covers simhash/image/audio dedup)
+    val fps = Seq((0L, 0L), (1L, 1L), (2L, 0L), (3L, 255L))
+      .toDF("doc_id", "sh")
+    assert(rows(Dedup.hammingNearDupPairs(fps, 2, policy = rel)) ==
+      rows(Dedup.hammingNearDupPairs(fps, 2)))
+
+    // ngramJaccardPairs
+    val docs = Seq((0L, "abcabcabc"), (1L, "abcabcabcabc"), (2L, "zzzz"))
+      .toDF("doc_id", "text")
+    assert(rows(Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+        n = 3, threshold = 0.3, policy = rel)) ==
+      rows(Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+        n = 3, threshold = 0.3)))
+
+    // text incremental admission
+    val batch = Seq((10L, "the same text"), (11L, "something fresh"))
+      .toDF("doc_id", "text")
+    val hist = Seq((0L, "the same text")).toDF("doc_id", "text")
+    assert(rows(Dedup.incrementalAdmit(batch, hist, col("doc_id"),
+        col("text"), policy = rel)) ==
+      rows(Dedup.incrementalAdmit(batch, hist, col("doc_id"), col("text"))))
+
+    // embedding near-dup + incremental admission
+    val vecs = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(1.0, 0.001)),
+      (2L, Seq(0.0, 1.0))).toDF("vec_id", "v")
+    assert(rows(Dedup.embeddingNearDupPairs(vecs, col("vec_id"), col("v"),
+        threshold = 0.9, policy = rel)) ==
+      rows(Dedup.embeddingNearDupPairs(vecs, col("vec_id"), col("v"),
+        threshold = 0.9)))
+    val vbatch = Seq((10L, Seq(1.0, 0.0)), (11L, Seq(0.0, -1.0)))
+      .toDF("vec_id", "v")
+    assert(rows(Dedup.embeddingIncrementalAdmit(vbatch, vecs, col("vec_id"),
+        col("v"), threshold = 0.9, policy = rel)) ==
+      rows(Dedup.embeddingIncrementalAdmit(vbatch, vecs, col("vec_id"),
+        col("v"), threshold = 0.9)))
+
+    // q50's word-count pin follows the session policy conf
+    val localQ50 = rows(graft.queries.Queries.q50HeavyHitters(spark, sf001))
+    spark.conf.set("spark.graft.checkpoint.dir", dir)
+    try assert(rows(graft.queries.Queries.q50HeavyHitters(spark, sf001)) ==
+      localQ50, "q50 reliable-mode output diverged")
+    finally spark.conf.unset("spark.graft.checkpoint.dir")
+  }
+
   test("curate parity across policies on a duplicate-heavy corpus") {
     val base = "repeated words about streams and windows flowing through the " +
       "engine with enough length to clear the gopher word count gate easily " +
