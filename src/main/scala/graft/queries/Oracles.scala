@@ -2286,6 +2286,48 @@ object Oracles {
            CAST(rank_cos AS BIGINT) AS rank_cos, rrf
     FROM f ORDER BY rrf DESC, doc_id LIMIT 20"""
 
+  // Embedding drift: the q104 numeric-PSI machinery over two vector-derived
+  // columns — cosine to the FIXED reference vector (vec 0) and L2 norm,
+  // both per-row left-to-right folds (the q16-proven portable device).
+  val q106: String = s"""
+    WITH b0 AS (SELECT e.vec_id % 2 AS p,
+                  ${cosineD("e.embedding", "r.embedding")} AS cos_ref,
+                  sqrt(${normSqD("e.embedding")}) AS norm
+                FROM embeddings e,
+                     (SELECT embedding FROM embeddings WHERE vec_id = 0) r),
+    nm AS (SELECT p, 'cos_ref' AS "column", cos_ref AS v FROM b0
+           UNION ALL SELECT p, 'norm', norm FROM b0),
+    nmv AS (SELECT * FROM nm WHERE v IS NOT NULL),
+    nstats AS (SELECT "column", min(v) AS mn, max(v) AS mx,
+                 CAST(sum(CASE WHEN p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+                 CAST(sum(CASE WHEN p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+               FROM nmv GROUP BY "column"),
+    nhist AS (SELECT nmv."column",
+                CAST(CASE WHEN mx > mn
+                     THEN least(floor((v - mn) / ((mx - mn) / 10.0)), 9.0)
+                     ELSE 0.0 END AS BIGINT) AS bucket,
+                CAST(sum(CASE WHEN p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                CAST(sum(CASE WHEN p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+              FROM nmv JOIN nstats USING ("column") GROUP BY 1, 2),
+    nframe AS (SELECT "column", na, nb, unnest(generate_series(0, 9)) AS bucket
+               FROM nstats),
+    nbkt AS (SELECT f."column", CAST(f.bucket AS VARCHAR) AS bucket,
+               CASE WHEN f.na > 0
+                    THEN CAST(coalesce(h.ca, 0) AS DOUBLE) / f.na ELSE 0.0 END AS pa,
+               CASE WHEN f.nb > 0
+                    THEN CAST(coalesce(h.cb, 0) AS DOUBLE) / f.nb ELSE 0.0 END AS pb
+             FROM nframe f LEFT JOIN nhist h
+               ON h."column" = f."column" AND h.bucket = f.bucket),
+    terms AS (SELECT "column", bucket, round(pa, 6) AS p_a, round(pb, 6) AS p_b,
+                round((greatest(pa, 0.0001) - greatest(pb, 0.0001)) *
+                      ln(greatest(pa, 0.0001) / greatest(pb, 0.0001)), 6) AS contrib
+              FROM nbkt),
+    psis AS (SELECT "column", '__psi' AS bucket, 0.0 AS p_a, 0.0 AS p_b,
+               round(sum(contrib), 6) AS contrib
+             FROM terms GROUP BY "column")
+    SELECT * FROM (SELECT * FROM terms UNION ALL SELECT * FROM psis)
+    ORDER BY "column", bucket"""
+
   /** name → oracle SQL (single-line, driver JSON-escapes anyway). */
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
@@ -2394,6 +2436,7 @@ object Oracles {
     "q102_group_percent_rank" -> q102,
     "q103_bpe_tokenizer" -> q103,
     "q104_corpus_drift" -> q104,
-    "q105_hybrid_rrf" -> q105
+    "q105_hybrid_rrf" -> q105,
+    "q106_embedding_drift" -> q106
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

@@ -1027,11 +1027,13 @@ object Queries {
   private def bpeDocTokenCounts(s: SparkSession, d: String): DataFrame = {
     val merges = bpeMergesFor(s, d)
     val docs = Tables.documents(s, d)
-    val counts = docs
-      .select(col("doc_id"),
-        explode(TextOps.tokens(TextOps.normalized(col("text")))).as("__w"))
-      .select(col("doc_id"),
+    val occ = docs.select(col("doc_id"),
+      explode(TextOps.tokens(TextOps.normalized(col("text")))).as("__w"))
+    // encode chain once per DISTINCT word (q103's shape), counts re-attach
+    val wlen = occ.select(col("__w")).distinct()
+      .select(col("__w"),
         size(Vocab.bpeSymbols(col("__w"), merges)).cast("long").as("__k"))
+    val counts = occ.join(wlen, Seq("__w"))
       .groupBy("doc_id").agg(sum("__k").as("__btok"))
     docs.select("doc_id").join(counts, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("__btok"), lit(0L)).as("btok"))
@@ -1781,18 +1783,23 @@ object Queries {
   def q103BpeTokenizer(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val merges = bpeMergesFor(s, d)
+    val policy = CheckpointPolicy.fromSession(s)
     val mergeDf = merges.zipWithIndex.map { case (m, i) =>
         ("merge", (i + 1).toLong, m.left, m.right, m.count, 0L, 0L) }
       .toDF("kind", "key", "lft", "rgt", "n1", "n2", "n3")
-    val words = Tables.documents(s, d)
+    val occ = Tables.documents(s, d)
       .select(col("doc_id"),
         posexplode(TextOps.tokens(TextOps.normalized(col("text"))))
           .as(Seq("wpos", "word")))
-    val syms = words
+    // the 40-replace encode chain runs once per DISTINCT word (pinned —
+    // 10-20x fewer evaluations than per-occurrence on natural text), and
+    // occurrences re-attach by word; the exploded symbol frame is pinned
+    // too, since it feeds BOTH the vocab distinct and the position window
+    val wsym = policy.pin(occ.select("word").distinct()
+      .select(col("word"), Vocab.bpeSymbols(col("word"), merges).as("syms")))
+    val syms = policy.pin(occ.join(wsym, Seq("word"))
       .select(col("doc_id"), col("wpos"),
-        Vocab.bpeSymbols(col("word"), merges).as("syms"))
-      .select(col("doc_id"), col("wpos"),
-        posexplode(col("syms")).as(Seq("j", "sym")))
+        posexplode(col("syms")).as(Seq("j", "sym"))))
     // final-symbol vocab is bounded by |alphabet| + nMerges (every final
     // symbol is an original char or some merge's output) — broadcast-sized
     val vocab = Ranking.globalRowNumber(
@@ -1830,6 +1837,30 @@ object Queries {
         numeric = Seq("n_tok", "n_chars"),
         categorical = Seq("lang", "source"),
         tokens = Some("toks"), bins = 10)
+      .orderBy("column", "bucket")
+  }
+
+  /** Embedding drift ([[Profiling.drift]] over vector-derived numerics):
+    * did the embedding distribution move between snapshots? Even vec_ids
+    * play snapshot A, odd B; each vector contributes its cosine to a FIXED
+    * reference vector (vec 0 — deterministic, unlike a mean vector whose
+    * cross-partition FP sum order would diverge from the oracle) and its
+    * L2 norm. Both are per-row left-to-right folds (the q16-proven device),
+    * so the 10-bin PSI histograms replay exactly. The embedding twin of
+    * q104's text drift — the monitor that catches an encoder change or a
+    * domain shift in tomorrow's crawl. */
+  def q106EmbeddingDrift(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val ref = e.filter(col("vec_id") === 0)
+      .select(col("v").as("rv"))
+    def snap(parity: Int) = e
+      .filter(pmod(col("vec_id"), lit(2)) === parity)
+      .crossJoin(broadcast(ref))
+      .select(VectorOps.cosine(col("v"), col("rv")).as("cos_ref"),
+        sqrt(VectorOps.dot(col("v"), col("v"))).as("norm"))
+    Profiling.drift(snap(0), snap(1), numeric = Seq("cos_ref", "norm"),
+        bins = 10)
       .orderBy("column", "bucket")
   }
 
