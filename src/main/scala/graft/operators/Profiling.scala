@@ -232,7 +232,8 @@ object Profiling {
   def drift(a: DataFrame, b: DataFrame,
             numeric: Seq[String] = Nil, categorical: Seq[String] = Nil,
             tokens: Option[String] = None,
-            bins: Int = 10, eps: Double = 1e-4): DataFrame = {
+            bins: Int = 10, eps: Double = 1e-4,
+            policy: CheckpointPolicy = CheckpointPolicy.Local): DataFrame = {
     require(bins >= 2, "need at least two histogram bins")
     require(numeric.nonEmpty || categorical.nonEmpty || tokens.nonEmpty,
       "nothing to compare")
@@ -251,10 +252,14 @@ object Profiling {
       val pbc = greatest(pb, lit(eps))
       round((pac - pbc) * log(pac / pbc), 6)
     }
+    // Every aggregate below is pinned the moment it is bucket/category/
+    // token-count-sized: each feeds 2+ plan branches, and without the pin
+    // every branch re-derives it from its own CORPUS scan — 24 scans for
+    // the q104 shape instead of the 8 passes the operator actually needs.
     def outRows(perBucket: DataFrame): DataFrame = {
-      val rows = perBucket.select(col("column"), col("bucket"),
+      val rows = policy.pin(perBucket.select(col("column"), col("bucket"),
         round(col("pa"), 6).as("p_a"), round(col("pb"), 6).as("p_b"),
-        psiTerm(col("pa"), col("pb")).as("contrib"))
+        psiTerm(col("pa"), col("pb")).as("contrib")))
       rows.unionByName(rows.groupBy("column")
         .agg(round(sum("contrib"), 6).as("contrib"))
         .select(col("column"), lit("__psi").as("bucket"),
@@ -267,18 +272,18 @@ object Profiling {
             col(c).cast("double").as("v"))): _*)).as("kv"))
         .select(col("__side"), col("kv.column").as("column"), col("kv.v").as("v"))
         .filter(col("v").isNotNull)
-      val stats = melt.groupBy("column").agg(
+      val stats = policy.pin(melt.groupBy("column").agg(
         min("v").as("mn"), max("v").as("mx"),
-        sideCnt("a").as("na"), sideCnt("b").as("nb"))
+        sideCnt("a").as("na"), sideCnt("b").as("nb")))
       val width = (col("mx") - col("mn")) / lit(bins.toDouble)
-      val hist = melt.join(broadcast(stats), Seq("column"))
+      val hist = policy.pin(melt.join(broadcast(stats), Seq("column"))
         .select(col("column"),
           when(col("mx") > col("mn"),
             least(floor((col("v") - col("mn")) / width), lit(bins - 1.0)))
             .otherwise(lit(0.0)).cast("long").as("bucket"),
           col("__side"))
         .groupBy("column", "bucket")
-        .agg(sideCnt("a").as("ca"), sideCnt("b").as("cb"))
+        .agg(sideCnt("a").as("ca"), sideCnt("b").as("cb")))
       // every (column, bucket) emitted, observed or not — empty buckets
       // carry PSI mass through the eps clamp
       val frame = stats.select(col("column"), col("na"), col("nb"))
@@ -295,8 +300,8 @@ object Profiling {
             col(c).cast("string").as("v"))): _*)).as("kv"))
         .select(col("__side"), col("kv.column").as("column"), col("kv.v").as("v"))
         .filter(col("v").isNotNull)
-      val counts = melt.groupBy("column", "v")
-        .agg(sideCnt("a").as("ca"), sideCnt("b").as("cb"))
+      val counts = policy.pin(melt.groupBy("column", "v")
+        .agg(sideCnt("a").as("ca"), sideCnt("b").as("cb")))
       val totals = counts.groupBy("column")
         .agg(sum("ca").as("na"), sum("cb").as("nb"))
       outRows(counts.join(broadcast(totals), Seq("column"))
@@ -310,9 +315,9 @@ object Profiling {
         .agg(count(lit(1)).as("ca"))
       val tb = b.select(explode(col(tcol)).as("t")).groupBy("t")
         .agg(count(lit(1)).as("cb"))
-      val joined = ta.join(tb, Seq("t"), "full_outer")
+      val joined = policy.pin(ta.join(tb, Seq("t"), "full_outer")
         .select(coalesce(col("ca"), lit(0L)).as("ca"),
-          coalesce(col("cb"), lit(0L)).as("cb"))
+          coalesce(col("cb"), lit(0L)).as("cb")))
       // add-one smoothing over the union vocabulary (the q83 CCNet
       // convention) — KL stays finite for tokens absent on either side
       val stats = joined.agg(sum("ca").as("ta"), sum("cb").as("tb"),

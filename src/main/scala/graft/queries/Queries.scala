@@ -1836,7 +1836,8 @@ object Queries {
     Profiling.drift(snap(0), snap(1),
         numeric = Seq("n_tok", "n_chars"),
         categorical = Seq("lang", "source"),
-        tokens = Some("toks"), bins = 10)
+        tokens = Some("toks"), bins = 10,
+        policy = CheckpointPolicy.fromSession(s))
       .orderBy("column", "bucket")
   }
 
@@ -1860,7 +1861,7 @@ object Queries {
       .select(VectorOps.cosine(col("v"), col("rv")).as("cos_ref"),
         sqrt(VectorOps.dot(col("v"), col("v"))).as("norm"))
     Profiling.drift(snap(0), snap(1), numeric = Seq("cos_ref", "norm"),
-        bins = 10)
+        bins = 10, policy = CheckpointPolicy.fromSession(s))
       .orderBy("column", "bucket")
   }
 
