@@ -208,6 +208,45 @@ object DocStreams {
     writer.start()
   }
 
+  /** Continuous drift monitoring — the streaming twin of the q104 batch
+    * monitor: per micro-batch, compute the [[graft.operators.Profiling
+    * .drift]] table of the ARRIVING batch (side B) against a FIXED
+    * baseline corpus snapshot (side A, read from `baselineDir`) over the
+    * derived text signals (token count, char count, language id, token
+    * KL), and write it under a batch_id partition at `outDir` — the
+    * ingest monitor that catches a bad crawl day or a source change as it
+    * lands. At-least-once retries replace their own partition (dynamic
+    * partition overwrite, the house idempotence device); the baseline is
+    * a small profiled reference table at scale, re-read per batch so a
+    * baseline refresh takes effect without restarting the stream. */
+  def foreachBatchDrift(docs: DataFrame, baselineDir: String, outDir: String,
+                        bins: Int = 10,
+                        checkpointDir: Option[String] = None): StreamingQuery = {
+    def derived(df: DataFrame): DataFrame = {
+      val t = coalesce(col("text"), lit(""))
+      df.select(
+        TextOps.tokenCount(t).as("n_tok"),
+        length(t).cast("long").as("n_chars"),
+        TextOps.langId(t).as("lang"),
+        TextOps.tokens(t).as("toks"))
+    }
+    val writer = docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val baseline = spark.read.schema(docsSchema).parquet(baselineDir)
+        val d = graft.operators.Profiling.drift(
+            derived(baseline), derived(batch),
+            numeric = Seq("n_tok", "n_chars"), categorical = Seq("lang"),
+            tokens = Some("toks"), bins = bins)
+          .withColumn("batch_id", lit(batchId))
+          .localCheckpoint() // pin before the write re-plans the stream frame
+        writePartition(d, outDir)
+        ()
+      }
+    checkpointDir.foreach(d => writer.option("checkpointLocation", d))
+    writer.start()
+  }
+
   private def loadHistoryCounts(spark: SparkSession, dir: String,
                                 excludeBatchId: Long,
                                 emptySchema: StructType): DataFrame = {
