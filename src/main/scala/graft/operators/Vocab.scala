@@ -126,6 +126,28 @@ object Vocab {
     merges.toSeq
   }
 
+  /** Persist a trained merge table as an index artifact (ordered parquet:
+    * iteration, left, right, count) — the train-once-at-ingest story the
+    * ANN/BM25 indexes follow: every downstream packing/mixture/encode job
+    * loads the same kilobyte-sized table instead of retraining, and the
+    * tokenizer version ships with the corpus it was trained on. */
+  def writeBpe(spark: org.apache.spark.sql.SparkSession, dir: String,
+               merges: Seq[BpeMerge]): Unit = {
+    import spark.implicits._
+    merges.zipWithIndex
+      .map { case (m, i) => (i + 1, m.left, m.right, m.count) }
+      .toDF("iteration", "left", "right", "count")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** Load a [[writeBpe]] artifact, in training order. */
+  def readBpe(spark: org.apache.spark.sql.SparkSession,
+              dir: String): Seq[BpeMerge] =
+    spark.read.parquet(dir).orderBy("iteration")
+      .collect() // merge table: ≤ vocabSize rows, kilobytes
+      .map(r => BpeMerge(r.getAs[String]("left"), r.getAs[String]("right"),
+        r.getAs[Long]("count"))).toSeq
+
   /** Per-doc encoding digests against `vocab` (UNK id = vocab size):
     * (doc_id, n_tok, n_unk, sum_ids, possum_ids) where
     * `possum_ids = Σ (pos+1)·id` over token positions. */

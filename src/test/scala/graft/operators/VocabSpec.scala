@@ -83,6 +83,20 @@ class VocabSpec extends SparkSpec {
     assert(direct == exploded)
   }
 
+  test("bpe merge table round-trips through the persisted artifact in order") {
+    val corpus = Seq((0L, "aa ab aa"), (1L, "ab aa b")).toDF("doc_id", "text")
+    val merges = Vocab.bpeTrain(corpus, col("text"), nMerges = 5)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe_").toString
+    Vocab.writeBpe(spark, dir, merges)
+    assert(Vocab.readBpe(spark, dir) == merges)
+    // encoding through the loaded table is identical to the in-memory one
+    val enc = Seq("aab").toDF("w")
+    val a = enc.select(Vocab.bpeSymbols(col("w"), merges)).collect().toSeq
+    val b = enc.select(Vocab.bpeSymbols(col("w"), Vocab.readBpe(spark, dir)))
+      .collect().toSeq
+    assert(a == b)
+  }
+
   test("encode digests are invariant to input partitioning") {
     val many = (0L until 200L)
       .map(i => (i, s"tok${i % 7} tok${i % 3} tok${i % 7} filler$i"))
