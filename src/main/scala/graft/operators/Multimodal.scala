@@ -21,11 +21,16 @@ case class MediaFeaturesSafe(media_id: Long, kind: String, n_bytes: Long,
   * with typed metadata, batched per-partition decode → feature extraction.
   *
   * Real decoders: [[WavPcmDecoder]] (RIFF/16-bit PCM, plain byte walk),
-  * [[PgmDecoder]] (netpbm P5, plain byte walk), and [[ImageIoDecoder]]
+  * [[PgmDecoder]] (netpbm P5, plain byte walk), [[ImageIoDecoder]]
   * (PNG/JPEG/BMP/GIF via the JDK's bundled `javax.imageio` readers — no
-  * external codec dependency). Compressed AUDIO/VIDEO (mp3/aac/h264) stay
-  * behind [[StubDecoder]] — the JRE ships no such codecs — which produces
-  * deterministic pseudo-features from the payload bytes. Everything
+  * external codec dependency), and [[graft.operators.Flac]] — a
+  * spec-complete pure-JVM codec for the one COMPRESSED audio format whose
+  * spec is fully algorithmic (lossless, so the q107 gate is exact).
+  * MP3/AAC/H264 sample decode stays behind [[StubDecoder]]: their specs
+  * normatively tabulate Huffman codebooks and synthesis windows as data
+  * that cannot be verifiably re-derived offline, and the JRE ships no such
+  * codecs — the stub produces deterministic pseudo-features from the
+  * payload bytes until a [[DecoderProvider]] codec pack replaces it. Everything
   * Spark-side is real and tested — schema, batch shape (per-partition
   * iterator, so a decoder amortizes codec/model init per partition exactly
   * like a Pandas-UDF batch would), partitioning, and downstream feature

@@ -2328,6 +2328,21 @@ object Oracles {
     SELECT * FROM (SELECT * FROM terms UNION ALL SELECT * FROM psis)
     ORDER BY "column", bucket"""
 
+  // FLAC round-trip: identical replay to q52 — FLAC is lossless, so the
+  // Spark side's encode → spec-complete decode (CRCs + in-band MD5
+  // verified) must reproduce the source samples exactly; flac_ok pins the
+  // Spark-side elementwise decoded==input and MD5 verdicts.
+  val q107 = """
+    WITH s AS (SELECT user_id,
+                      CAST(GREATEST(LEAST(floor(value * 60), 32767), -32768) AS BIGINT) AS q
+               FROM events)
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum(q) AS BIGINT) AS sum_q,
+           CAST(sum(q * q) AS BIGINT) AS sum_q2,
+           CAST(max(q) AS BIGINT) AS peak_q,
+           CAST(1 AS BIGINT) AS flac_ok
+    FROM s GROUP BY user_id ORDER BY user_id"""
+
   /** name → oracle SQL (single-line, driver JSON-escapes anyway). */
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
@@ -2437,6 +2452,7 @@ object Oracles {
     "q103_bpe_tokenizer" -> q103,
     "q104_corpus_drift" -> q104,
     "q105_hybrid_rrf" -> q105,
-    "q106_embedding_drift" -> q106
+    "q106_embedding_drift" -> q106,
+    "q107_flac_roundtrip" -> q107
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

@@ -2224,4 +2224,40 @@ object Queries {
       lit(if (orthoErr <= 1e-9) 1L else 0L).as("ortho_ok"),
       lit(if (pcvarOk) 1L else 0L).as("pcvar_ok"))
   }
+
+  /** Compressed-audio round-trip gate — q52's FLAC sibling: per user,
+    * quantize the event-value series to 16-bit PCM, ENCODE it as a real
+    * FLAC stream ([[Flac.encode]]: fixed predictors, Rice partitions,
+    * CONSTANT/VERBATIM fallbacks), DECODE it back through the
+    * spec-complete [[Flac.decode]] (CRC-8 + CRC-16 enforced, in-band MD5
+    * re-verified), and emit exact integer sample stats. FLAC is LOSSLESS,
+    * so the oracle replays the stats from the raw table exactly like q52 —
+    * any defect anywhere in the codec (bit I/O, predictor, Rice coding,
+    * CRC, MD5) breaks the hash equality. `flac_ok` additionally pins
+    * elementwise decoded==input and the MD5 verdict Spark-side (the oracle
+    * pins 1): losslessness proven sample-for-sample, not just via
+    * order-independent sums. */
+  def q107FlacRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val q = greatest(least(floor(col("value") * 60), lit(32767L)), lit(-32768L))
+      .cast("int")
+    Tables.events(s, d)
+      .select(col("user_id"), q.as("q"))
+      .groupBy("user_id").agg(collect_list("q").as("qs"))
+      // per-row-CPU-bound codec stage: explicit partition count so AQE
+      // can't coalesce it onto one core (see q52)
+      .repartition(s.sparkContext.defaultParallelism, col("user_id"))
+      .as[(Long, Seq[Int])]
+      .map { case (u, qs) =>
+        val pcm = qs.toArray
+        val flac = Flac.encode(16000, Array(pcm), 16, 4096)
+        val a = Flac.decode(flac)
+        val ok = a.md5Ok && a.channels.length == 1 &&
+          java.util.Arrays.equals(a.channels(0), pcm)
+        val (n, sq, sq2, pk) = Flac.rawStats(flac)
+        (u, n, sq, sq2, pk, if (ok) 1L else 0L)
+      }
+      .toDF("user_id", "n_samples", "sum_q", "sum_q2", "peak_q", "flac_ok")
+      .orderBy("user_id")
+  }
 }
