@@ -2343,6 +2343,78 @@ object Oracles {
            CAST(1 AS BIGINT) AS flac_ok
     FROM s GROUP BY user_id ORDER BY user_id"""
 
+  // GMM EM trajectory replay (q108): one E/R/P CTE triple per iteration,
+  // with all k components as COLUMNS of one row (no per-row window — the
+  // synthetic fixtures have duplicate (orderkey, linenumber) pairs, so no
+  // row-identity partition key exists). Every rounding fence mirrors
+  // Gmm.fitDiag exactly: scores 12, responsibilities 9, updates 9 —
+  // in the same left-to-right multiplication/addition order as Spark.
+  private val gmmK = 3
+  private def gmmPdf(x: String, m: String, sg: String) =
+    s"(exp(-0.5*(p.$x-pr.$m)*(p.$x-pr.$m)/pr.$sg)/sqrt(2*pi()*pr.$sg))"
+  private def gmmScores: String = (0 until gmmK).map(c =>
+    s"round(pr.w$c * ${gmmPdf("x0", s"m${c}0", s"s${c}0")} * ${gmmPdf("x1", s"m${c}1", s"s${c}1")}, 12) AS sc$c")
+    .mkString(", ")
+  private def gmmResps: String = {
+    val tot = (0 until gmmK).map(c => s"sc$c").mkString(" + ")
+    (0 until gmmK).map(c => s"round(sc$c / greatest($tot, 1e-30), 9) AS r$c").mkString(", ")
+  }
+  private def gmmIter(i: Int): String = {
+    val prev = s"p${i - 1}"
+    def mU(c: Int, x: String) = s"round(sum(r$c*$x) / greatest(sum(r$c), 1e-12), 9)"
+    val ps = (0 until gmmK).flatMap { c =>
+      s"round(sum(r$c) / max(gg.n), 9) AS w$c" +: (0 until 2).map { j =>
+        val x = s"x$j"
+        s"${mU(c, x)} AS m$c$j, " +
+          s"round(greatest(sum(r$c*$x*$x) / greatest(sum(r$c), 1e-12) - ${mU(c, x)}*${mU(c, x)}, 0.000001), 9) AS s$c$j"
+      }
+    }.mkString(", ")
+    s"""
+    e$i AS (SELECT p.x0, p.x1, $gmmScores FROM gpts p CROSS JOIN $prev pr),
+    r$i AS (SELECT x0, x1, $gmmResps FROM e$i),
+    p$i AS (SELECT $ps FROM r$i, gg)"""
+  }
+
+  val q108: String = {
+    val initPivot = (0 until gmmK).flatMap { c =>
+      s"round(1.0/3, 9) AS w$c" +: (0 until 2).map(j =>
+        s"max(CASE WHEN c = $c THEN x$j END) AS m$c$j, max(gg.v$j) AS s$c$j")
+    }.mkString(", ")
+    val outRows = (0 until gmmK).map { c =>
+      s"""SELECT CAST($c AS BIGINT) AS component, round(p.w$c, 6) AS weight,
+           round(p.m${c}0, 6) AS mean_qty, round(p.s${c}0, 6) AS var_qty,
+           round(p.m${c}1, 6) AS mean_tax, round(p.s${c}1, 6) AS var_tax,
+           CAST(coalesce((SELECT n FROM gcnt WHERE comp = $c), 0) AS BIGINT) AS n_assigned
+         FROM p3 p"""
+    }.mkString(" UNION ALL ")
+    s"""
+    WITH gpts AS (SELECT concat_ws('|', l_orderkey, l_linenumber) AS key,
+                    CAST(l_quantity AS DOUBLE) AS x0, CAST(l_tax AS DOUBLE) AS x1
+                  FROM lineitem),
+    gg AS (SELECT CAST(count(*) AS DOUBLE) AS n, round(var_pop(x0), 9) AS v0,
+                  round(var_pop(x1), 9) AS v1 FROM gpts),
+    gh AS (SELECT *, substr(md5(concat_ws('|', key, 'gmm')), 1, 13) AS hx FROM gpts),
+    gu AS (SELECT *, list_reduce(list_prepend(0.0,
+               list_transform(generate_series(1, 13),
+                 k -> CAST(strpos('0123456789abcdef', substr(hx, k, 1)) - 1 AS DOUBLE)
+                      * pow(16.0, 13 - k))),
+             (a, x) -> a + x) / 4503599627370496.0 AS u
+           FROM gh),
+    ginit AS (SELECT row_number() OVER (ORDER BY u, key, x0, x1) - 1 AS c, x0, x1
+              FROM gu ORDER BY u, key, x0, x1 LIMIT $gmmK),
+    p0 AS (SELECT $initPivot FROM ginit, gg),
+    ${gmmIter(1)},
+    ${gmmIter(2)},
+    ${gmmIter(3)},
+    e4 AS (SELECT p.x0, p.x1, $gmmScores FROM gpts p CROSS JOIN p3 pr),
+    r4 AS (SELECT x0, x1, $gmmResps FROM e4),
+    ga AS (SELECT CASE WHEN r0 >= r1 AND r0 >= r2 THEN 0
+                       WHEN r1 >= r2 THEN 1 ELSE 2 END AS comp
+           FROM r4),
+    gcnt AS (SELECT comp, count(*) AS n FROM ga GROUP BY comp)
+    SELECT * FROM ($outRows) ORDER BY component"""
+  }
+
   /** name → oracle SQL (single-line, driver JSON-escapes anyway). */
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
@@ -2453,6 +2525,7 @@ object Oracles {
     "q104_corpus_drift" -> q104,
     "q105_hybrid_rrf" -> q105,
     "q106_embedding_drift" -> q106,
-    "q107_flac_roundtrip" -> q107
+    "q107_flac_roundtrip" -> q107,
+    "q108_gmm_em" -> q108
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

@@ -2260,4 +2260,35 @@ object Queries {
       .toDF("user_id", "n_samples", "sum_q", "sum_q2", "peak_q", "flac_ok")
       .orderBy("user_id")
   }
+
+  /** Gaussian-mixture EM (SURVEY A-GMM — the one §2 operator previously
+    * left as a documented omission): 3-component diagonal GMM over
+    * (l_quantity, l_tax), 3 EM iterations, md5-portable init, every score/
+    * responsibility/parameter rounded inside Spark SQL ([[Gmm.fitDiag]]).
+    * The oracle replays the ENTIRE trajectory — init pick, all three
+    * E/M steps, final hard assignment — so any drift anywhere in the EM
+    * arithmetic breaks the hash. Output: per-component weight, per-dim
+    * mean/var, and the hard-assignment count under the final model. */
+  def q108GmmEm(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+    val cols = Seq("l_quantity", "l_tax")
+    val model = Gmm.fitDiag(li, cols, k = 3, iters = 3,
+      keyCols = Seq(col("l_orderkey"), col("l_linenumber")), salt = "gmm")
+    // k rows — bounded driver pull, same class as the Pca eigen row
+    val counts = Gmm.assign(li, cols, model)
+      .groupBy("component").agg(count(lit(1)).as("n_assigned"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0 until model.k).map { c =>
+      (c.toLong, model.weights(c), model.means(c)(0), model.vars(c)(0),
+        model.means(c)(1), model.vars(c)(1), counts.getOrElse(c.toLong, 0L))
+    }.toDF("component", "weight", "mean_qty", "var_qty", "mean_tax",
+      "var_tax", "n_assigned")
+      .select(col("component"), round(col("weight"), 6).as("weight"),
+        round(col("mean_qty"), 6).as("mean_qty"),
+        round(col("var_qty"), 6).as("var_qty"),
+        round(col("mean_tax"), 6).as("mean_tax"),
+        round(col("var_tax"), 6).as("var_tax"), col("n_assigned"))
+      .orderBy("component")
+  }
 }
