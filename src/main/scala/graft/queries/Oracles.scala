@@ -2415,6 +2415,50 @@ object Oracles {
     SELECT * FROM ($outRows) ORDER BY component"""
   }
 
+  // Ranking-metrics replay (q109): per-user value ranking, purchase
+  // judgments, every DCG gain term / ideal ordering / full-ranking MRR
+  // recomputed from the raw table.
+  val q109 = """
+    WITH rk AS (SELECT user_id AS qid, event_id AS doc_id,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY value DESC, event_id) AS rank
+                FROM events),
+    j AS (SELECT user_id AS qid, event_id AS doc_id,
+                 1.0 + (event_id % 3) AS grade
+          FROM events WHERE event_type = 'purchase'),
+    h AS (SELECT rk.qid, rk.doc_id, rk.rank, coalesce(j.grade, 0.0) AS grade
+          FROM rk LEFT JOIN j ON j.qid = rk.qid AND j.doc_id = rk.doc_id),
+    realized AS (SELECT qid,
+                   sum(CASE WHEN grade > 0
+                       THEN (pow(2.0, grade) - 1) / (ln(rank + 1) / ln(2.0))
+                       ELSE 0.0 END) AS dcg,
+                   sum(CASE WHEN grade > 0 THEN 1 ELSE 0 END) AS hits_k
+                 FROM h WHERE rank <= 10 GROUP BY qid),
+    m AS (SELECT qid, 1.0 / min(rank) AS mrr FROM h WHERE grade > 0 GROUP BY qid),
+    iw AS (SELECT qid, grade,
+             row_number() OVER (PARTITION BY qid ORDER BY grade DESC, doc_id) AS ipos
+           FROM j WHERE grade > 0),
+    ideal AS (SELECT qid,
+                sum(CASE WHEN ipos <= 10
+                    THEN (pow(2.0, grade) - 1) / (ln(ipos + 1) / ln(2.0))
+                    ELSE 0.0 END) AS idcg,
+                count(*) AS n_rel
+              FROM iw GROUP BY qid),
+    q AS (SELECT DISTINCT qid FROM rk)
+    SELECT q.qid,
+           round(CASE WHEN coalesce(ideal.idcg, 0.0) > 0
+                 THEN coalesce(realized.dcg, 0.0) / ideal.idcg ELSE 0.0 END, 6) AS ndcg,
+           round(coalesce(m.mrr, 0.0), 6) AS mrr,
+           round(CASE WHEN coalesce(ideal.n_rel, 0) > 0
+                 THEN CAST(coalesce(realized.hits_k, 0) AS DOUBLE) / ideal.n_rel
+                 ELSE 0.0 END, 6) AS recall_k,
+           round(CAST(coalesce(realized.hits_k, 0) AS DOUBLE) / 10, 6) AS precision_k,
+           CAST(coalesce(ideal.n_rel, 0) AS BIGINT) AS n_rel
+    FROM q LEFT JOIN realized ON realized.qid = q.qid
+           LEFT JOIN m ON m.qid = q.qid
+           LEFT JOIN ideal ON ideal.qid = q.qid
+    ORDER BY q.qid"""
+
   /** name → oracle SQL (single-line, driver JSON-escapes anyway). */
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
@@ -2526,6 +2570,7 @@ object Oracles {
     "q105_hybrid_rrf" -> q105,
     "q106_embedding_drift" -> q106,
     "q107_flac_roundtrip" -> q107,
-    "q108_gmm_em" -> q108
+    "q108_gmm_em" -> q108,
+    "q109_ranking_metrics" -> q109
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

@@ -2291,4 +2291,25 @@ object Queries {
         round(col("var_tax"), 6).as("var_tax"), col("n_assigned"))
       .orderBy("component")
   }
+
+  /** Retrieval-evaluation metrics ([[graft.ml.RankingMetrics]]): treat
+    * each user as a query — their events ranked by value (the stand-in
+    * retrieval scoring), purchases as the graded judgments (grade
+    * 1 + event_id mod 3) — and compute nDCG@10, MRR, recall@10,
+    * precision@10 per query. The oracle replays every gain term, the
+    * ideal-DCG ordering, and the full-ranking MRR from the raw table.
+    * The operator is the TREC-shaped harness that scores the engine's own
+    * retrieval stacks (BM25 q85/q89, ANN q64, RRF q105) offline. */
+  def q109RankingMetrics(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val w = Window.partitionBy("qid").orderBy(col("value").desc, col("doc_id"))
+    val ranked = ev.select(col("user_id").as("qid"), col("event_id").as("doc_id"),
+        col("value"))
+      .withColumn("rank", row_number().over(w))
+      .drop("value")
+    val judgments = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("qid"), col("event_id").as("doc_id"),
+        (lit(1.0) + (col("event_id") % 3).cast("double")).as("grade"))
+    graft.ml.RankingMetrics.evalAtK(ranked, judgments, 10).orderBy("qid")
+  }
 }
