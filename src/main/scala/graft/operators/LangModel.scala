@@ -92,4 +92,108 @@ object LangModel {
         round((col("__h1") + coalesce(col("__hrest"), lit(0.0))) /
           col("n_tokens").cast("double"), 6).as("ce"))
   }
+
+  /** Per-document cross-entropy under an interpolated Kneser–Ney TRIGRAM
+    * LM trained on the `isRef` rows — the estimator class real
+    * perplexity-bucket filters use (CCNet ships KenLM's modified KN;
+    * this is standard interpolated KN with absolute discounting, chosen
+    * because every quantity is an integer count or a ratio of integer
+    * counts, so the whole model replays EXACTLY across engines — the gap
+    * add-one smoothing leaves is real: add-one butchers the probability
+    * of frequent continuations, KN's continuation counts do not).
+    *
+    * Model (all counts from the reference slice; trigram contexts never
+    * cross document boundaries):
+    * {{{
+    *   D3 = n1/(n1 + 2·n2)  over trigram counts   (0.5 when no mass)
+    *   D2 = n1/(n1 + 2·n2)  over the middle-order continuation counts
+    *   Pc(c)       = (N2(·,c) + 1) / (B + V + 1)      B = distinct bigrams,
+    *                                                  V = distinct unigrams
+    *                                                  (+1s fold OOV mass)
+    *   P(c | b)    = max(N3(·,b,c) − D2, 0)/N3(·,b,·)
+    *                 + D2·|{c: N3(·,b,c)>0}|/N3(·,b,·) · Pc(c)
+    *                 (unseen b → Pc(c))
+    *   P(c | a,b)  = max(c3(a,b,c) − D3, 0)/c3(a,b,·)
+    *                 + D3·|{c: c3(a,b,c)>0}|/c3(a,b,·) · P(c | b)
+    *                 (unseen (a,b) → P(c | b))
+    *   ce(doc) = −(Σ_{i≥3} ln P(w_i | w_{i-2}, w_{i-1})) / n_trigrams
+    * }}}
+    *
+    * 100 TB shape: count tables are REFERENCE-VOCABULARY-sized (broadcast
+    * or 1–2-key sort-merge joins), totals/discounts ride broadcast cross
+    * joins, scoring is one explode + five hash joins — scan-speed like
+    * [[bigramCrossEntropy]]. Documents with fewer than 3 tokens emit
+    * nothing (no trigram to measure). Output:
+    * (doc_id, n_trigrams, ce) with `ce` rounded to 6. */
+  def knTrigramCrossEntropy(df: DataFrame, id: Column, toks: Column,
+                            isRef: Column): DataFrame = {
+    val pin = CheckpointPolicy.fromSession(df.sparkSession)
+    val base = df.select(id.cast("long").as("doc_id"), toks.as("__toks"),
+      isRef.cast("boolean").as("__ref"))
+    val ref = base.filter(col("__ref"))
+
+    def ngrams(src: DataFrame, n: Int, names: Seq[String],
+               keep: Column*): DataFrame =
+      src.filter(size(col("__toks")) >= n)
+        .select((keep :+ explode(sequence(lit(n), size(col("__toks"))))
+          .as("i")) :+ col("__toks"): _*)
+        .select(keep ++ names.zipWithIndex.map { case (nm, j) =>
+          element_at(col("__toks"), col("i") - (n - 1 - j)).as(nm)
+        }: _*)
+
+    // --- train ---------------------------------------------------------
+    // trigram counts feed the context table, the continuation table, the
+    // discount census, and the scoring join — pin once
+    val tri = pin.pin(ngrams(ref, 3, Seq("a", "b", "c"))
+      .groupBy("a", "b", "c").agg(count(lit(1)).as("c3")))
+    val ctx2 = tri.groupBy("a", "b")
+      .agg(sum("c3").as("den3"), count(lit(1)).as("uniq3"))
+    // middle order: continuation counts N3(·,b,c) = distinct preceding a
+    val mid = pin.pin(tri.groupBy("b", "c").agg(count(lit(1)).as("n3bc")))
+    val ctx1 = mid.groupBy("b")
+      .agg(sum("n3bc").as("den2"), count(lit(1)).as("uniq2"))
+    val bi = pin.pin(ngrams(ref, 2, Seq("b", "c"))
+      .groupBy("b", "c").agg(count(lit(1)).as("cb")))
+    val unic = bi.groupBy("c").agg(count(lit(1)).as("n2c"))
+    val totals = bi.agg(count(lit(1)).cast("double").as("bb"))
+      .crossJoin(ref.select(explode(col("__toks")).as("w"))
+        .agg(countDistinct("w").cast("double").as("v")))
+
+    def discount(counts: DataFrame, c: Column): DataFrame =
+      counts.agg(
+        sum(when(c === 1, 1L).otherwise(0L)).cast("double").as("n1"),
+        sum(when(c === 2, 1L).otherwise(0L)).cast("double").as("n2"))
+        .select(when(col("n1") + lit(2.0) * col("n2") > 0,
+          col("n1") / (col("n1") + lit(2.0) * col("n2"))).otherwise(0.5).as("dd"))
+    val d3 = discount(tri, col("c3")).withColumnRenamed("dd", "dd3")
+    val d2 = discount(mid, col("n3bc")).withColumnRenamed("dd", "dd2")
+
+    // --- score ---------------------------------------------------------
+    val joined = ngrams(base, 3, Seq("a", "b", "c"), col("doc_id"))
+      .join(tri, Seq("a", "b", "c"), "left")
+      .join(ctx2, Seq("a", "b"), "left")
+      .join(mid, Seq("b", "c"), "left")
+      .join(ctx1, Seq("b"), "left")
+      .join(unic, Seq("c"), "left")
+      .crossJoin(broadcast(totals))
+      .crossJoin(broadcast(d3))
+      .crossJoin(broadcast(d2))
+    val p1 = (coalesce(col("n2c"), lit(0L)).cast("double") + 1.0) /
+      (col("bb") + col("v") + 1.0)
+    val den2 = coalesce(col("den2"), lit(0L)).cast("double")
+    val p2 = when(den2 > 0,
+      greatest(coalesce(col("n3bc"), lit(0L)).cast("double") - col("dd2"),
+        lit(0.0)) / den2 +
+        col("dd2") * coalesce(col("uniq2"), lit(0L)).cast("double") / den2 * p1)
+      .otherwise(p1)
+    val den3 = coalesce(col("den3"), lit(0L)).cast("double")
+    val p3 = when(den3 > 0,
+      greatest(coalesce(col("c3"), lit(0L)).cast("double") - col("dd3"),
+        lit(0.0)) / den3 +
+        col("dd3") * coalesce(col("uniq3"), lit(0L)).cast("double") / den3 * p2)
+      .otherwise(p2)
+    joined.select(col("doc_id"), (-log(p3)).as("__h"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_trigrams"),
+        round(sum("__h") / count(lit(1)).cast("double"), 6).as("ce"))
+  }
 }

@@ -2459,6 +2459,65 @@ object Oracles {
            LEFT JOIN ideal ON ideal.qid = q.qid
     ORDER BY q.qid"""
 
+  // Kneser-Ney trigram replay (q110): rebuild the trigram / continuation /
+  // bigram count tables from the 'en' slice, re-derive both discounts from
+  // the count-of-counts census, then replay every interpolation term with
+  // the exact operator ordering LangModel.knTrigramCrossEntropy uses.
+  val q110 = """
+    WITH t AS (SELECT doc_id, lang,
+                 CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN []::VARCHAR[]
+                      ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+               FROM documents),
+    tg AS (SELECT doc_id, lang, toks[i-2] AS a, toks[i-1] AS b, toks[i] AS c
+           FROM t, unnest(generate_series(3, len(toks))) AS u(i)),
+    tri AS (SELECT a, b, c, count(*) AS c3 FROM tg WHERE lang = 'en' GROUP BY a, b, c),
+    ctx2 AS (SELECT a, b, sum(c3) AS den3, count(*) AS uniq3 FROM tri GROUP BY a, b),
+    mid AS (SELECT b, c, count(*) AS n3bc FROM tri GROUP BY b, c),
+    ctx1 AS (SELECT b, sum(n3bc) AS den2, count(*) AS uniq2 FROM mid GROUP BY b),
+    bgr AS (SELECT toks[i-1] AS b, toks[i] AS c
+            FROM t, unnest(generate_series(2, len(toks))) AS u(i)
+            WHERE lang = 'en'),
+    bi AS (SELECT b, c, count(*) AS cb FROM bgr GROUP BY b, c),
+    unic AS (SELECT c, count(*) AS n2c FROM bi GROUP BY c),
+    tot AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM bi) AS bb,
+                   (SELECT CAST(count(DISTINCT w) AS DOUBLE)
+                    FROM (SELECT unnest(toks) AS w FROM t WHERE lang = 'en')) AS v),
+    d3 AS (SELECT CASE WHEN n1 + 2.0*n2 > 0 THEN n1/(n1 + 2.0*n2) ELSE 0.5 END AS dd3
+           FROM (SELECT CAST(sum(CASE WHEN c3 = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
+                        CAST(sum(CASE WHEN c3 = 2 THEN 1 ELSE 0 END) AS DOUBLE) AS n2
+                 FROM tri)),
+    d2 AS (SELECT CASE WHEN n1 + 2.0*n2 > 0 THEN n1/(n1 + 2.0*n2) ELSE 0.5 END AS dd2
+           FROM (SELECT CAST(sum(CASE WHEN n3bc = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
+                        CAST(sum(CASE WHEN n3bc = 2 THEN 1 ELSE 0 END) AS DOUBLE) AS n2
+                 FROM mid)),
+    s1 AS (SELECT g.doc_id,
+             CAST(coalesce(tri.c3, 0) AS DOUBLE) AS c3v,
+             CAST(coalesce(ctx2.den3, 0) AS DOUBLE) AS den3v,
+             CAST(coalesce(ctx2.uniq3, 0) AS DOUBLE) AS uniq3v,
+             CAST(coalesce(mid.n3bc, 0) AS DOUBLE) AS n3bcv,
+             CAST(coalesce(ctx1.den2, 0) AS DOUBLE) AS den2v,
+             CAST(coalesce(ctx1.uniq2, 0) AS DOUBLE) AS uniq2v,
+             (CAST(coalesce(unic.n2c, 0) AS DOUBLE) + 1.0) / (tot.bb + tot.v + 1.0) AS p1,
+             d3.dd3, d2.dd2
+           FROM tg g
+           LEFT JOIN tri ON tri.a = g.a AND tri.b = g.b AND tri.c = g.c
+           LEFT JOIN ctx2 ON ctx2.a = g.a AND ctx2.b = g.b
+           LEFT JOIN mid ON mid.b = g.b AND mid.c = g.c
+           LEFT JOIN ctx1 ON ctx1.b = g.b
+           LEFT JOIN unic ON unic.c = g.c
+           CROSS JOIN tot CROSS JOIN d3 CROSS JOIN d2),
+    s2 AS (SELECT *, CASE WHEN den2v > 0
+             THEN greatest(n3bcv - dd2, 0.0) / den2v + dd2 * uniq2v / den2v * p1
+             ELSE p1 END AS p2
+           FROM s1),
+    s3 AS (SELECT *, CASE WHEN den3v > 0
+             THEN greatest(c3v - dd3, 0.0) / den3v + dd3 * uniq3v / den3v * p2
+             ELSE p2 END AS p3
+           FROM s2)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+           round(sum(-ln(p3)) / CAST(count(*) AS DOUBLE), 6) AS ce
+    FROM s3 GROUP BY doc_id ORDER BY doc_id"""
+
   /** name → oracle SQL (single-line, driver JSON-escapes anyway). */
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
@@ -2571,6 +2630,7 @@ object Oracles {
     "q106_embedding_drift" -> q106,
     "q107_flac_roundtrip" -> q107,
     "q108_gmm_em" -> q108,
-    "q109_ranking_metrics" -> q109
+    "q109_ranking_metrics" -> q109,
+    "q110_kn_trigram_ce" -> q110
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

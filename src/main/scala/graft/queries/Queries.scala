@@ -2312,4 +2312,15 @@ object Queries {
         (lit(1.0) + (col("event_id") % 3).cast("double")).as("grade"))
     graft.ml.RankingMetrics.evalAtK(ranked, judgments, 10).orderBy("qid")
   }
+
+  /** Interpolated Kneser–Ney trigram cross-entropy
+    * ([[LangModel.knTrigramCrossEntropy]]) — q83's estimator upgraded to
+    * the class real perplexity filters use: English docs train the count
+    * tables, EVERY doc (≥3 tokens) is scored. The oracle rebuilds the
+    * trigram/continuation/discount census and replays every interpolation
+    * term from the raw table. */
+  def q110KnTrigramCe(s: SparkSession, d: String): DataFrame =
+    LangModel.knTrigramCrossEntropy(Tables.documents(s, d), col("doc_id"),
+        TextOps.tokens(coalesce(col("text"), lit(""))), col("lang") === "en")
+      .orderBy("doc_id")
 }

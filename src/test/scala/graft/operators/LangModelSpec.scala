@@ -54,4 +54,48 @@ class LangModelSpec extends SparkSpec {
       corpus.coalesce(1), col("doc_id"), col("toks"), col("is_ref")))
     assert(a == b)
   }
+
+  // ---------------- Kneser-Ney trigram -------------------------------
+  // ref: doc10 "a b c a b d", doc11 "a b c"
+  //   tri: (a,b,c):2 (b,c,a):1 (c,a,b):1 (a,b,d):1
+  //   ctx2(a,b): den3=3 uniq3=2;  mid all n3bc=1;  ctx1(b): den2=2 uniq2=2
+  //   bi: (a,b):3 (b,c):2 (c,a):1 (b,d):1 -> B=4; V=4
+  //   D3 = 3/(3+2*1) = 0.6;  D2 = 4/(4+0) = 1.0
+  private def knCorpus = Seq(
+    (10L, Seq("a", "b", "c", "a", "b", "d"), true),
+    (11L, Seq("a", "b", "c"), true),
+    (12L, Seq("a", "b", "c"), false),  // seen trigram, scored only
+    (13L, Seq("z", "z", "z"), false),  // fully OOV -> unigram floor
+    (14L, Seq("a", "b"), false)        // < 3 tokens: emits nothing
+  ).toDF("doc_id", "toks", "is_ref")
+
+  test("knTrigramCrossEntropy matches hand-computed interpolated KN terms") {
+    val out = ceOf(LangModel.knTrigramCrossEntropy(
+      knCorpus, col("doc_id"), col("toks"), col("is_ref")))
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    // (a,b,c): p1(c) = (1+1)/(4+4+1) = 2/9
+    //          p2(c|b) = max(1-1,0)/2 + 1*2/2 * 2/9 = 2/9
+    //          p3 = max(2-0.6,0)/3 + 0.6*2/3 * 2/9
+    val p3 = 1.4 / 3 + 0.6 * 2 / 3 * (2.0 / 9)
+    assert(out(12L) == (1L, r6(-math.log(p3))), out(12L).toString)
+    // OOV (z,z,z): unseen contexts all the way down -> p = (0+1)/9
+    assert(out(13L) == (1L, r6(math.log(9.0))), out(13L).toString)
+    assert(!out.contains(14L))
+    // ref doc11 scores its own trigram identically
+    assert(out(11L) == out(12L))
+  }
+
+  test("KN separates in-model text from gibberish") {
+    val kn = ceOf(LangModel.knTrigramCrossEntropy(
+      knCorpus, col("doc_id"), col("toks"), col("is_ref")))
+    assert(kn(12L)._2 < kn(13L)._2)
+  }
+
+  test("knTrigram is partitioning-invariant") {
+    val a = ceOf(LangModel.knTrigramCrossEntropy(
+      knCorpus.repartition(5), col("doc_id"), col("toks"), col("is_ref")))
+    val b = ceOf(LangModel.knTrigramCrossEntropy(
+      knCorpus.coalesce(1), col("doc_id"), col("toks"), col("is_ref")))
+    assert(a == b)
+  }
 }
