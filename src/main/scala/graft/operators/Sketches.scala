@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted MERGEABLE cardinality sketches — the incremental twin of the
+  * exact/approx distinct profiling (q21/q48): each ingest batch writes one
+  * tiny HLL sketch row per tracked column (Spark's built-in Apache
+  * DataSketches HllSketch aggregate — order-independent, register-max
+  * mergeable), and "how many distinct users/tokens/keys so far?" is
+  * answered by unioning KB-sized sketch rows instead of re-scanning the
+  * accumulated corpus.
+  *
+  * 100 TB shape: the per-batch cost is one scan with map-side partial
+  * sketches and a 2^lgK-byte-per-column final row; the serve cost is
+  * reading (batches × columns) KB rows — constant in corpus size. The
+  * union of per-batch sketches is EXACTLY the sketch of the unioned data
+  * (per-register max), so incremental estimates equal the full-rescan
+  * estimate bit-for-bit — q111 pins that equality.
+  *
+  * Write layout mirrors [[Retrieval.appendBm25Postings]]: one
+  * `batch_id=N` partition per ingest batch, dynamic partition overwrite
+  * so a retried batch replaces itself (same determinism contract).
+  */
+object Sketches {
+
+  /** Append one HLL sketch row per column for this batch.
+    * Rows: (batch_id, column, n_rows, sketch). */
+  def appendCardinalitySketches(df: DataFrame, cols: Seq[String], dir: String,
+                                batchId: Long, lgK: Int = 12): Unit = {
+    require(cols.nonEmpty, "need at least one column")
+    require(lgK >= 4 && lgK <= 21, "lgK must be in 4..21 (DataSketches bounds)")
+    val aggs = count(lit(1)).as("__n") +:
+      cols.map(c => hll_sketch_agg(col(c).cast("string"), lit(lgK)).as(s"__s_$c"))
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val unpivoted = one.select(lit(batchId).as("batch_id"),
+      explode(array(cols.map(c =>
+        struct(lit(c).as("column"), col("__n").as("n_rows"),
+          col(s"__s_$c").as("sketch"))): _*)).as("e"))
+      .select(col("batch_id"), col("e.column"), col("e.n_rows"), col("e.sketch"))
+    val spark = df.sparkSession
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try unpivoted.coalesce(1).write.mode("overwrite")
+      .partitionBy("batch_id").parquet(dir)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
+  /** Union the accumulated batch sketches → one estimate per column:
+    * (column, n_rows, n_batches, estimate). `allowDifferentLgK` permits
+    * mixing sketch precisions across batches (union degrades to the
+    * coarsest — keep lgK stable in production). */
+  def estimateCardinalities(spark: SparkSession, dir: String,
+                            allowDifferentLgK: Boolean = false): DataFrame =
+    spark.read.parquet(dir)
+      .groupBy("column")
+      .agg(sum("n_rows").as("n_rows"),
+        count(lit(1)).as("n_batches"),
+        hll_sketch_estimate(
+          hll_union_agg(col("sketch"), lit(allowDifferentLgK))).as("estimate"))
+}

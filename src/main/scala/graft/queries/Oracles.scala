@@ -2518,6 +2518,24 @@ object Oracles {
            round(sum(-ln(p3)) / CAST(count(*) AS DOUBLE), 6) AS ce
     FROM s3 GROUP BY doc_id ORDER BY doc_id"""
 
+  // HLL cardinality sketches (q111): the oracle replays the EXACT side
+  // (row/batch/distinct counts); the sketch estimates are gated by the
+  // Spark-side pinned flags (union==full-rescan equality + 5% accuracy),
+  // the q48 approx-anchor convention.
+  val q111 = """
+    SELECT * FROM (
+      SELECT 'user_id' AS "column",
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(3 AS BIGINT) AS n_batches,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+             CAST(1 AS BIGINT) AS apx_ok, CAST(1 AS BIGINT) AS merge_ok
+      FROM events
+      UNION ALL
+      SELECT 'event_type', CAST(count(*) AS BIGINT), CAST(3 AS BIGINT),
+             CAST(count(DISTINCT event_type) AS BIGINT),
+             CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+      FROM events) ORDER BY "column""""
+
   /** name → oracle SQL (single-line, driver JSON-escapes anyway). */
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
@@ -2631,6 +2649,7 @@ object Oracles {
     "q107_flac_roundtrip" -> q107,
     "q108_gmm_em" -> q108,
     "q109_ranking_metrics" -> q109,
-    "q110_kn_trigram_ce" -> q110
+    "q110_kn_trigram_ce" -> q110,
+    "q111_hll_cardinality" -> q111
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

@@ -1124,10 +1124,13 @@ object Queries {
   }
   private val bm25IndexCache =
     new scala.collection.concurrent.TrieMap[String, (String, String)]()
+  private val sketchDirCache =
+    new scala.collection.concurrent.TrieMap[String, (String, String)]()
   Runtime.getRuntime.addShutdownHook(new Thread(() =>
-    (ivfPqIndexCache.values ++ bm25IndexCache.values).foreach { case (_, dir) =>
-      try deleteDirTree(dir) catch { case _: Exception => () }
-    }))
+    (ivfPqIndexCache.values ++ bm25IndexCache.values ++ sketchDirCache.values)
+      .foreach { case (_, dir) =>
+        try deleteDirTree(dir) catch { case _: Exception => () }
+      }))
   private def tableSignature(s: SparkSession, d: String, table: String): String = {
     val p = new org.apache.hadoop.fs.Path(s"$d/$table.parquet")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -2311,6 +2314,51 @@ object Queries {
       .select(col("user_id").as("qid"), col("event_id").as("doc_id"),
         (lit(1.0) + (col("event_id") % 3).cast("double")).as("grade"))
     graft.ml.RankingMetrics.evalAtK(ranked, judgments, 10).orderBy("qid")
+  }
+
+  /** Persisted mergeable cardinality sketches ([[Sketches]]): three
+    * simulated ingest batches (event_id mod 3) each append one KB-sized
+    * HLL sketch row per tracked column; the serve path unions the batch
+    * rows. Gates: `apx_ok` pins the union estimate within 5% of the exact
+    * distinct count (HLL lgK=12 ⇒ ~1.6% typical error), `merge_ok` pins
+    * that the union-of-batches estimate EQUALS the single full-table
+    * sketch estimate bit-for-bit (per-register max is associative — the
+    * property that makes incremental monitoring exact w.r.t. a rescan).
+    * The oracle replays the exact counts; the sketch side is gated by the
+    * pinned flags (the q48 convention for approx anchors). */
+  def q111HllCardinality(s: SparkSession, d: String): DataFrame = {
+    val cols = Seq("user_id", "event_type")
+    val sig = tableSignature(s, d, "events")
+    val dir = sketchDirCache.synchronized {
+      sketchDirCache.get(d) match {
+        case Some((s0, dd)) if s0 == sig => dd
+        case prev =>
+          prev.foreach { case (_, old) =>
+            try deleteDirTree(old) catch { case _: Exception => () } }
+          val tmp = java.nio.file.Files.createTempDirectory("graft_hll_").toString
+          val ev = Tables.events(s, d)
+          (0 until 3).foreach(b => Sketches.appendCardinalitySketches(
+            ev.filter(pmod(col("event_id"), lit(3)) === b), cols, tmp, b.toLong))
+          sketchDirCache.update(d, (sig, tmp))
+          tmp
+      }
+    }
+    val est = Sketches.estimateCardinalities(s, dir)
+    val ev = Tables.events(s, d)
+    // single full-table sketch: the rescan baseline merge_ok compares to
+    val fullAggs = cols.map(c => hll_sketch_estimate(
+      hll_sketch_agg(col(c).cast("string"), lit(12))).as(s"__f_$c"))
+    val exactAggs = cols.map(c => countDistinct(col(c)).as(s"__x_$c"))
+    val base = ev.agg((fullAggs ++ exactAggs).head, (fullAggs ++ exactAggs).tail: _*)
+      .select(explode(array(cols.map(c => struct(lit(c).as("column"),
+        col(s"__f_$c").as("full_est"), col(s"__x_$c").as("n_exact"))): _*)).as("e"))
+      .select(col("e.column"), col("e.full_est"), col("e.n_exact"))
+    est.join(base, Seq("column"))
+      .select(col("column"), col("n_rows"), col("n_batches"), col("n_exact"),
+        when(abs(col("estimate") - col("n_exact").cast("double")) <=
+          lit(0.05) * col("n_exact").cast("double"), 1L).otherwise(0L).as("apx_ok"),
+        when(col("estimate") === col("full_est"), 1L).otherwise(0L).as("merge_ok"))
+      .orderBy("column")
   }
 
   /** Interpolated Kneser–Ney trigram cross-entropy
