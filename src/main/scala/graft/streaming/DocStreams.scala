@@ -247,6 +247,27 @@ object DocStreams {
     writer.start()
   }
 
+  /** Streaming twin of [[graft.operators.Sketches]]: every micro-batch
+    * appends its own HLL cardinality sketch rows under `batch_id=N`
+    * (micro-batch id = ingest batch id, so Structured Streaming's replay
+    * of a failed batch lands on the same partition — the
+    * dynamic-overwrite idempotence [[graft.operators.Sketches
+    * .appendCardinalitySketches]] already provides). "Distinct keys so
+    * far" is then [[graft.operators.Sketches.estimateCardinalities]] over
+    * the accumulating directory — no rescan of history, KB per batch. */
+  def foreachBatchCardinality(docs: DataFrame, cols: Seq[String],
+                              outDir: String, lgK: Int = 12,
+                              checkpointDir: Option[String] = None): StreamingQuery = {
+    val writer = docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Sketches.appendCardinalitySketches(
+          batch, cols, outDir, batchId, lgK)
+        ()
+      }
+    checkpointDir.foreach(d => writer.option("checkpointLocation", d))
+    writer.start()
+  }
+
   private def loadHistoryCounts(spark: SparkSession, dir: String,
                                 excludeBatchId: Long,
                                 emptySchema: StructType): DataFrame = {

@@ -145,6 +145,29 @@ class DocStreamsSpec extends SparkSpec {
     assert(psi.size == 3)
   }
 
+  test("foreachBatchCardinality: streamed sketch dir equals the batch-side " +
+       "appends on the same slices") {
+    val (dir, halves) = stageBatches()
+    val streamOut = java.nio.file.Files.createTempDirectory("graft-hll-s").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-hck").toString
+    val q = DocStreams.foreachBatchCardinality(
+      DocStreams.readDocs(spark, dir, maxFilesPerTrigger = Some(1)),
+      Seq("doc_id", "text"), streamOut, checkpointDir = Some(ckDir))
+    try q.processAllAvailable() finally q.stop()
+
+    val batchOut = java.nio.file.Files.createTempDirectory("graft-hll-b").toString
+    halves.zipWithIndex.foreach { case (b, i) =>
+      graft.operators.Sketches.appendCardinalitySketches(
+        b, Seq("doc_id", "text"), batchOut, i.toLong)
+    }
+    val s = graft.operators.Sketches.estimateCardinalities(spark, streamOut)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val b = graft.operators.Sketches.estimateCardinalities(spark, batchOut)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(s == b, s"stream $s != batch $b")
+    assert(s.map(_._3).forall(_ == 3L)) // three micro-batches landed
+  }
+
   test("foreachBatchSegmentDedup: streaming loop equals the sequential batch replay " +
        "(cross-batch duplicated segments dropped from later batches)") {
     import spark.implicits._
