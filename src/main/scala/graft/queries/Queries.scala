@@ -2345,14 +2345,17 @@ object Queries {
     }
     val est = Sketches.estimateCardinalities(s, dir)
     val ev = Tables.events(s, d)
-    // single full-table sketch: the rescan baseline merge_ok compares to
-    val fullAggs = cols.map(c => hll_sketch_estimate(
-      hll_sketch_agg(col(c).cast("string"), lit(12))).as(s"__f_$c"))
-    val exactAggs = cols.map(c => countDistinct(col(c)).as(s"__x_$c"))
-    val base = ev.agg((fullAggs ++ exactAggs).head, (fullAggs ++ exactAggs).tail: _*)
-      .select(explode(array(cols.map(c => struct(lit(c).as("column"),
-        col(s"__f_$c").as("full_est"), col(s"__x_$c").as("n_exact"))): _*)).as("e"))
-      .select(col("e.column"), col("e.full_est"), col("e.n_exact"))
+    // full-table sketch + exact anchor, ONE column per aggregate: a single
+    // multi-distinct agg would rewrite through an Expand (input ×cols) —
+    // the exact anchors are the gate harness, so per-column scans are the
+    // right trade (the production path is the sketches, one scan total)
+    val base = cols.map { c =>
+      ev.agg(
+        hll_sketch_estimate(hll_sketch_agg(col(c).cast("string"), lit(12)))
+          .as("full_est"),
+        countDistinct(col(c)).as("n_exact"))
+        .select(lit(c).as("column"), col("full_est"), col("n_exact"))
+    }.reduce(_ unionByName _)
     est.join(base, Seq("column"))
       .select(col("column"), col("n_rows"), col("n_batches"), col("n_exact"),
         when(abs(col("estimate") - col("n_exact").cast("double")) <=

@@ -33,7 +33,8 @@ class PlanGuardsSpec extends SparkSpec {
       "q36_sessionize" -> (Queries.q36Sessionize _),
       "q38_ranking" -> (Queries.q38Ranking _),
       "q42_stratified" -> (Queries.q42StratifiedSample _),
-      "q49_interp_join" -> (Queries.q49InterpJoin _))
+      "q49_interp_join" -> (Queries.q49InterpJoin _),
+      "q109_ranking_metrics" -> (Queries.q109RankingMetrics _))
     qs.foreach { case (n, fn) => assertNoGlobalWindow(fn(spark, sf001), n) }
   }
 
@@ -52,7 +53,7 @@ class PlanGuardsSpec extends SparkSpec {
     "q36_sessionize", "q37_cube", "q39_percentiles", "q40_left_join",
     "q41_multi_distinct", "q42_stratified_sample", "q43_contamination",
     "q45_quality_gate", "q46_repetition", "q47_range_join",
-    "q49_interp_join")
+    "q49_interp_join", "q107_flac_roundtrip", "q109_ranking_metrics")
 
   test("no lazily-constructed query plans a cartesian product") {
     lazyOnes.foreach { name =>
