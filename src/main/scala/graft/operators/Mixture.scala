@@ -29,6 +29,32 @@ object Mixture {
       when(source === lit(s), lit(w)).otherwise(acc)
     }
 
+  /** Temperature-based source reweighting (the mT5/multilingual-T5 α
+    * scheme, Xue et al. 2021 — public): a source holding share p of the
+    * corpus gets sampling share q ∝ p^alpha, flattening the head and
+    * boosting the tail as alpha → 0 (alpha = 1 keeps natural
+    * proportions). Output per source: natural share, target share, and
+    * the per-document expected-copy `weight = q·targetRows/n` to feed
+    * [[epochs]]. All derived columns rounded to 9 (engine-portable
+    * fence). One tiny aggregate per corpus scan — the per-source frame is
+    * sources-sized, broadcast everywhere. */
+  def temperatureWeights(docs: DataFrame, source: Column, alpha: Double,
+                         targetRows: Long): DataFrame = {
+    require(alpha > 0, "alpha must be positive")
+    require(targetRows > 0, "targetRows must be positive")
+    val counts = docs.groupBy(source.as("source")).agg(count(lit(1)).as("n_docs"))
+    val withP = counts
+      .crossJoin(broadcast(counts.agg(sum("n_docs").cast("double").as("nn"))))
+      .withColumn("p", col("n_docs").cast("double") / col("nn"))
+      .withColumn("pa", pow(col("p"), lit(alpha)))
+    withP.crossJoin(broadcast(withP.agg(sum("pa").as("za"))))
+      .select(col("source"), col("n_docs"),
+        round(col("p"), 9).as("share_before"),
+        round(col("pa") / col("za"), 9).as("share_after"),
+        round(col("pa") / col("za") * lit(targetRows.toDouble) /
+          col("n_docs").cast("double"), 9).as("weight"))
+  }
+
   /** Expand each document into its mixture epochs: rows (…, epoch) with
     * epoch in [0, nCopies) where
     * `nCopies = floor(w) + (u < frac(w) ? 1 : 0)`. Documents drawn zero

@@ -2536,6 +2536,46 @@ object Oracles {
              CAST(1 AS BIGINT), CAST(1 AS BIGINT)
       FROM events) ORDER BY "column""""
 
+  // JSONL round-trip (q112): the Spark side produced these rows by
+  // exporting documents to newline-delimited JSON (with 2 planted corrupt
+  // lines, require-gated to quarantine) and reading them back through the
+  // schema-enforced PERMISSIVE reader — the oracle is the parquet
+  // original, so any JSON escape/unescape/null defect breaks the hash.
+  val q112 = """
+    SELECT doc_id, lang, md5(coalesce(text, '')) AS text_md5
+    FROM documents ORDER BY doc_id"""
+
+  // Temperature mixture (q113): share/alpha/weight arithmetic + the q62
+  // per-doc md5-uniform epoch draws, replayed end-to-end.
+  val q113 = """
+    WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+               FROM documents GROUP BY source),
+    nn AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS nn FROM c),
+    pp AS (SELECT source, n_docs, CAST(n_docs AS DOUBLE) / nn.nn AS p,
+                  pow(CAST(n_docs AS DOUBLE) / nn.nn, 0.5) AS pa
+           FROM c, nn),
+    z AS (SELECT sum(pa) AS za FROM pp),
+    w AS (SELECT source, n_docs, round(p, 9) AS share_before,
+                 round(pa / za, 9) AS share_after,
+                 round(pa / za * 10000.0 / CAST(n_docs AS DOUBLE), 9) AS weight
+          FROM pp, z),
+    dd AS (SELECT d.doc_id, d.source, w.weight,
+                  substr(md5(concat_ws('|', d.doc_id, 'temp')), 1, 13) AS hx
+           FROM documents d JOIN w USING (source)),
+    u AS (SELECT *, list_reduce(list_prepend(0.0,
+              list_transform(generate_series(1, 13),
+                k -> CAST(strpos('0123456789abcdef', substr(hx, k, 1)) - 1 AS DOUBLE)
+                     * pow(16.0, 13 - k))),
+            (a, x) -> a + x) / 4503599627370496.0 AS u
+          FROM dd),
+    e AS (SELECT source,
+                 sum(CAST(floor(weight) AS BIGINT) +
+                     CASE WHEN u < weight - floor(weight) THEN 1 ELSE 0 END) AS n_sampled
+          FROM u GROUP BY source)
+    SELECT w.source, w.n_docs, w.share_before, w.share_after, w.weight,
+           CAST(coalesce(e.n_sampled, 0) AS BIGINT) AS n_sampled
+    FROM w LEFT JOIN e USING (source) ORDER BY w.source"""
+
   /** name → oracle SQL (single-line, driver JSON-escapes anyway). */
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
@@ -2650,6 +2690,8 @@ object Oracles {
     "q108_gmm_em" -> q108,
     "q109_ranking_metrics" -> q109,
     "q110_kn_trigram_ce" -> q110,
-    "q111_hll_cardinality" -> q111
+    "q111_hll_cardinality" -> q111,
+    "q112_jsonl_source" -> q112,
+    "q113_temperature_mix" -> q113
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

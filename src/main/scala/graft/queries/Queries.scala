@@ -1126,8 +1126,11 @@ object Queries {
     new scala.collection.concurrent.TrieMap[String, (String, String)]()
   private val sketchDirCache =
     new scala.collection.concurrent.TrieMap[String, (String, String)]()
+  private val jsonlDirCache =
+    new scala.collection.concurrent.TrieMap[String, (String, String)]()
   Runtime.getRuntime.addShutdownHook(new Thread(() =>
-    (ivfPqIndexCache.values ++ bm25IndexCache.values ++ sketchDirCache.values)
+    (ivfPqIndexCache.values ++ bm25IndexCache.values ++ sketchDirCache.values ++
+      jsonlDirCache.values)
       .foreach { case (_, dir) =>
         try deleteDirTree(dir) catch { case _: Exception => () }
       }))
@@ -2362,6 +2365,66 @@ object Queries {
           lit(0.05) * col("n_exact").cast("double"), 1L).otherwise(0L).as("apx_ok"),
         when(col("estimate") === col("full_est"), 1L).otherwise(0L).as("merge_ok"))
       .orderBy("column")
+  }
+
+  /** JSONL source round-trip ([[TextSources]]): the documents table is
+    * exported once per fixture as newline-delimited JSON with TWO planted
+    * malformed lines, read back through the schema-enforced PERMISSIVE
+    * reader, and quarantine-split. The gate: exactly the 2 planted lines
+    * quarantine (require — a wrong count fails the query, the q22
+    * convention) and every clean row's (doc_id, lang, md5(text)) matches
+    * the parquet original — any escape/unescape/null-handling defect in
+    * the export+read chain breaks the hash. */
+  def q112JsonlSource(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val sig = tableSignature(s, d, "documents")
+    val dir = jsonlDirCache.synchronized {
+      jsonlDirCache.get(d) match {
+        case Some((s0, dd)) if s0 == sig => dd
+        case prev =>
+          prev.foreach { case (_, old) =>
+            try deleteDirTree(old) catch { case _: Exception => () } }
+          val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl_").toString
+          val docs = Tables.documents(s, d).select("doc_id", "lang", "text")
+          import s.implicits._
+          docs.select(to_json(struct(col("doc_id"), col("lang"), col("text")))
+              .as("value"))
+            .unionByName(Seq("{\"doc_id\": broken", "[1, 2, 3]").toDF("value"))
+            .write.mode("overwrite").text(tmp)
+          jsonlDirCache.update(d, (sig, tmp))
+          tmp
+      }
+    }
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("text", StringType)))
+    val (clean, bad) = TextSources.quarantineSplit(
+      TextSources.readJsonl(s, dir, schema))
+    val nBad = bad.count() // bounded: the quarantine side of the fixture
+    require(nBad == 2, s"expected 2 quarantined lines, got $nBad")
+    clean.select(col("doc_id"), col("lang"),
+        md5(coalesce(col("text"), lit("")).cast("binary")).as("text_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Temperature-based mixture planning ([[Mixture.temperatureWeights]] →
+    * [[Mixture.epochs]]): α = 0.5 flattens the documents table's source
+    * skew toward a 10k-doc training mix; each source's realized sample
+    * count comes from the deterministic epochs expansion. The oracle
+    * replays the share/temperature/weight arithmetic AND every per-doc
+    * md5-uniform epoch draw. */
+  def q113TemperatureMix(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    val w = Mixture.temperatureWeights(docs, col("source"), alpha = 0.5,
+      targetRows = 10000L)
+    val sampled = Mixture.epochs(docs.join(w.select("source", "weight"),
+        Seq("source")), col("doc_id"), col("weight"), salt = "temp")
+      .groupBy("source").agg(count(lit(1)).as("n_sampled"))
+    w.join(sampled, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("share_before"),
+        col("share_after"), col("weight"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+      .orderBy("source")
   }
 
   /** Interpolated Kneser–Ney trigram cross-entropy

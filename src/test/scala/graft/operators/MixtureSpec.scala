@@ -119,4 +119,27 @@ class MixtureSpec extends SparkSpec {
       r._3 == 0.5 && r._4 == 2000.0 && r._5 == 0.0),
       s"missing domain dropped from the plan: $withMissing")
   }
+
+  test("temperatureWeights: closed-form alpha flattening and alpha=1 identity") {
+    import spark.implicits._
+    val docs = ((0 until 80).map(i => (i.toLong, "A")) ++
+      (80 until 100).map(i => (i.toLong, "B"))).toDF("doc_id", "source")
+    val w = Mixture.temperatureWeights(docs, col("source"), alpha = 0.5,
+        targetRows = 100L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    // p = .8/.2 -> sqrt = .894427191/.447213595, shares 2/3 and 1/3
+    assert(w("A")._1 == 80L && w("B")._1 == 20L)
+    assert(math.abs(w("A")._3 - 2.0 / 3) < 1e-8, w("A").toString)
+    assert(math.abs(w("B")._3 - 1.0 / 3) < 1e-8)
+    assert(math.abs(w("A")._4 - (2.0 / 3 * 100 / 80)) < 1e-8)
+    assert(math.abs(w("B")._4 - (1.0 / 3 * 100 / 20)) < 1e-8)
+    // tail source upweighted, head downweighted
+    assert(w("B")._4 > 1.0 && w("A")._4 < 1.0)
+    // alpha = 1 keeps natural proportions: every weight = target/N
+    val w1 = Mixture.temperatureWeights(docs, col("source"), alpha = 1.0,
+        targetRows = 200L)
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(w1.values.forall(v => math.abs(v - 2.0) < 1e-8), w1.toString)
+  }
 }
