@@ -39,17 +39,30 @@ object Gmm {
     exp(lit(-0.5) * (x - lit(m)) * (x - lit(m)) / lit(s)) /
       sqrt(lit(2 * math.Pi * s))
 
+  /** Per-row rounding fence as pure arithmetic: `floor(x·10^d + 0.5)/10^d`
+    * (round-half-up for the non-negative scores/responsibilities this
+    * guards). Every operation is IEEE-exact-rounded with identical
+    * operands in any engine, so parity holds by construction — and unlike
+    * SQL `round()` (a per-call BigDecimal round-trip in Spark, ~6 s of
+    * the q108 wall at sf0.1 across 14M calls) it stays inside
+    * whole-stage codegen as two multiplies and a floor. */
+  private def fence(c: Column, digits: Int): Column = {
+    val p = math.pow(10.0, digits)
+    floor(c * lit(p) + lit(0.5)) / lit(p)
+  }
+
   /** Per-component responsibility columns for the CURRENT params — scores
-    * rounded to 12, responsibilities to 9 (the cross-engine fences). */
+    * fenced at 12 decimals, responsibilities at 9 (the cross-engine
+    * fences; the DuckDB oracle replays the same floor arithmetic). */
   private def responsibilities(xs: Seq[Column], model: DiagGmmModel): Seq[Column] = {
     val scores = (0 until model.k).map { c =>
       val pdf = xs.zipWithIndex
         .map { case (x, j) => diagPdf(x, model.means(c)(j), model.vars(c)(j)) }
         .reduceLeft(_ * _)
-      round(lit(model.weights(c)) * pdf, 12)
+      fence(lit(model.weights(c)) * pdf, 12)
     }
     val total = greatest(scores.reduceLeft(_ + _), lit(1e-30))
-    scores.map(sc => round(sc / total, 9))
+    scores.map(sc => fence(sc / total, 9))
   }
 
   /** Fit a k-component diagonal GMM over `cols` with `iters` EM steps.
@@ -75,6 +88,10 @@ object Gmm {
         col(c).cast("double").as(s"x$j")
       }): _*)
       .filter((0 until d).map(j => col(s"x$j").isNotNull).reduce(_ && _))
+      // spread before pinning: the parquet scan yields a handful of
+      // partitions, and the pinned blocks keep that count — every E-step's
+      // exp-heavy pass would otherwise run on that many cores
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .localCheckpoint() // scanned iters+2 times; pin the projection
     val xs = (0 until d).map(j => col(s"x$j"))
 

@@ -2352,12 +2352,17 @@ object Oracles {
   private val gmmK = 3
   private def gmmPdf(x: String, m: String, sg: String) =
     s"(exp(-0.5*(p.$x-pr.$m)*(p.$x-pr.$m)/pr.$sg)/sqrt(2*pi()*pr.$sg))"
+  // per-row fences replayed as the SAME floor arithmetic Gmm.fence uses
+  private def gmmFence(expr: String, pow: String) =
+    s"floor(($expr) * $pow + 0.5) / $pow"
   private def gmmScores: String = (0 until gmmK).map(c =>
-    s"round(pr.w$c * ${gmmPdf("x0", s"m${c}0", s"s${c}0")} * ${gmmPdf("x1", s"m${c}1", s"s${c}1")}, 12) AS sc$c")
+    gmmFence(s"pr.w$c * ${gmmPdf("x0", s"m${c}0", s"s${c}0")} * ${gmmPdf("x1", s"m${c}1", s"s${c}1")}",
+      "1000000000000.0") + s" AS sc$c")
     .mkString(", ")
   private def gmmResps: String = {
     val tot = (0 until gmmK).map(c => s"sc$c").mkString(" + ")
-    (0 until gmmK).map(c => s"round(sc$c / greatest($tot, 1e-30), 9) AS r$c").mkString(", ")
+    (0 until gmmK).map(c =>
+      gmmFence(s"sc$c / greatest($tot, 1e-30)", "1000000000.0") + s" AS r$c").mkString(", ")
   }
   private def gmmIter(i: Int): String = {
     val prev = s"p${i - 1}"
