@@ -312,4 +312,84 @@ object Retrieval {
       .orderBy(col("bm25").desc, col("doc_id").asc)
       .limit(k)
   }
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998,
+    * public) — the diversity pass a RAG serving stack runs AFTER its
+    * retriever: greedily pick the candidate maximizing
+    * `λ·rel − (1−λ)·max_{s∈selected} cos(d, s)`, so near-duplicate hits
+    * don't crowd the context window.
+    *
+    * The candidate frame is the BOUNDED output of an upstream top-N
+    * (ANN/BM25/RRF — hundreds of rows), so the loop runs on the driver
+    * over a collected shortlist (`maxCandidates` guards the contract);
+    * the distributed work already happened in the retriever. Determinism:
+    * `rel` should arrive pre-rounded (the retriever convention), pairwise
+    * cosines are rounded to 9 (exact-binary half-up — matches SQL
+    * `round` away from boundaries), ties break to the smaller id, and
+    * the left-fold cosine matches [[graft.functions.VectorOps.cosine]]
+    * term order — so a SQL replay reproduces the selection exactly
+    * (q114). First pick: empty-set penalty term is 0.
+    * Output: (mmr_rank 1-based, doc_id, mmr_score). */
+  def mmrRerank(candidates: DataFrame, id: Column, rel: Column, vec: Column,
+                k: Int, lambda: Double, maxCandidates: Int = 4096): DataFrame = {
+    require(k >= 1, "k must be positive")
+    require(lambda >= 0.0 && lambda <= 1.0, "lambda must be in [0, 1]")
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val rows = candidates
+      .select(id.cast("long").as("doc_id"), rel.cast("double").as("rel"),
+        vec.cast("array<double>").as("v"))
+      .orderBy("doc_id") // ascending ids = the tie-break iteration order
+      .collect()
+    require(rows.length <= maxCandidates,
+      s"mmrRerank got ${rows.length} candidates (> $maxCandidates): rerank a " +
+        "top-N shortlist, not a corpus")
+    val n = rows.length
+    val ids = rows.map(_.getLong(0))
+    val rels = rows.map(_.getDouble(1))
+    val vs = rows.map(_.getSeq[Double](2).toArray)
+
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (math.sqrt(na) * math.sqrt(nb) > 0) dot / (math.sqrt(na) * math.sqrt(nb))
+      else 0.0
+    }
+    def round9(x: Double): Double =
+      new java.math.BigDecimal(x).setScale(9, java.math.RoundingMode.HALF_UP)
+        .doubleValue()
+
+    val mu = 1.0 - lambda
+    val picked = new Array[Boolean](n)
+    // true max over the selected set (cosines can be negative); the
+    // empty-set penalty is explicitly zero on the first pick
+    val maxSim = Array.fill(n)(Double.NegativeInfinity)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    var r = 1
+    while (r <= math.min(k, n)) {
+      var best = -1
+      var bestScore = Double.NegativeInfinity
+      var i = 0
+      while (i < n) {
+        if (!picked(i)) {
+          val score = lambda * rels(i) - mu * (if (r == 1) 0.0 else maxSim(i))
+          if (score > bestScore) { bestScore = score; best = i } // first max = smallest id
+        }
+        i += 1
+      }
+      picked(best) = true
+      out += ((r.toLong, ids(best), bestScore))
+      i = 0
+      while (i < n) {
+        if (!picked(i)) {
+          val s9 = round9(cos(vs(i), vs(best)))
+          if (s9 > maxSim(i)) maxSim(i) = s9
+        }
+        i += 1
+      }
+      r += 1
+    }
+    out.toSeq.toDF("mmr_rank", "doc_id", "mmr_score")
+  }
 }

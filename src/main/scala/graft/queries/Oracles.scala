@@ -2581,6 +2581,41 @@ object Oracles {
            CAST(coalesce(e.n_sampled, 0) AS BIGINT) AS n_sampled
     FROM w LEFT JOIN e USING (source) ORDER BY w.source"""
 
+  // MMR replay (q114): shortlist, pairwise cosines, and every greedy
+  // selection step unrolled — penalty term is max sim to the selected-so-
+  // far set, ties break to the smaller doc_id via the ORDER BY.
+  private def mmrStep(i: Int): String = s"""
+    ms$i AS (SELECT c.doc_id, c.rel, max(sm.sim) AS ms
+             FROM mc c JOIN sm ON sm.ia = c.doc_id
+             JOIN selu${i - 1} u ON sm.ib = u.doc_id
+             WHERE c.doc_id NOT IN (SELECT doc_id FROM selu${i - 1})
+             GROUP BY c.doc_id, c.rel),
+    sel$i AS (SELECT doc_id, 0.7 * rel - (1.0 - 0.7) * ms AS score FROM ms$i
+              ORDER BY 0.7 * rel - (1.0 - 0.7) * ms DESC, doc_id LIMIT 1),
+    selu$i AS (SELECT * FROM selu${i - 1}
+               UNION ALL SELECT doc_id, $i AS rk, score FROM sel$i)"""
+
+  val q114: String = s"""
+    WITH mr AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+    mc AS (SELECT e.vec_id AS doc_id,
+             round(${cosineD("e.embedding", "mr.embedding")}, 9) AS rel,
+             e.embedding AS v
+           FROM embeddings e, mr WHERE e.vec_id > 0
+           ORDER BY rel DESC, doc_id LIMIT 12),
+    sm AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
+             round(${cosineD("a.v", "b.v")}, 9) AS sim
+           FROM mc a, mc b),
+    sel1 AS (SELECT doc_id, 0.7 * rel - (1.0 - 0.7) * 0.0 AS score FROM mc
+             ORDER BY 0.7 * rel - (1.0 - 0.7) * 0.0 DESC, doc_id LIMIT 1),
+    selu1 AS (SELECT doc_id, 1 AS rk, score FROM sel1),
+    ${mmrStep(2)},
+    ${mmrStep(3)},
+    ${mmrStep(4)},
+    ${mmrStep(5)},
+    ${mmrStep(6)}
+    SELECT CAST(rk AS BIGINT) AS mmr_rank, doc_id, round(score, 6) AS mmr_score
+    FROM selu6 ORDER BY rk"""
+
   /** name → oracle SQL (single-line, driver JSON-escapes anyway). */
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
@@ -2697,6 +2732,7 @@ object Oracles {
     "q110_kn_trigram_ce" -> q110,
     "q111_hll_cardinality" -> q111,
     "q112_jsonl_source" -> q112,
-    "q113_temperature_mix" -> q113
+    "q113_temperature_mix" -> q113,
+    "q114_mmr_rerank" -> q114
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

@@ -2427,6 +2427,30 @@ object Queries {
       .orderBy("source")
   }
 
+  /** MMR diversity re-ranking ([[Retrieval.mmrRerank]]): exact-cosine
+    * top-12 shortlist for query vec 0, then 6 greedy MMR picks at
+    * λ = 0.7. The oracle replays the shortlist, the 12×12 rounded
+    * pairwise-cosine matrix, and every selection step (argmax with the
+    * id tie-break) — so the driver-side loop's arithmetic must match a
+    * pure-SQL re-derivation decision-for-decision. */
+  def q114MmrRerank(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val qv = e.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>").as("qv"))
+    val cands = e.filter(col("vec_id") > 0)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id").as("doc_id"),
+        round(VectorOps.cosine(col("embedding").cast("array<double>"),
+          col("qv")), 9).as("rel"),
+        col("embedding").cast("array<double>").as("v"))
+      .orderBy(col("rel").desc, col("doc_id")).limit(12)
+    Retrieval.mmrRerank(cands, col("doc_id"), col("rel"), col("v"),
+        k = 6, lambda = 0.7)
+      .select(col("mmr_rank"), col("doc_id"),
+        round(col("mmr_score"), 6).as("mmr_score"))
+      .orderBy("mmr_rank")
+  }
+
   /** Interpolated Kneser–Ney trigram cross-entropy
     * ([[LangModel.knTrigramCrossEntropy]]) — q83's estimator upgraded to
     * the class real perplexity filters use: English docs train the count

@@ -190,4 +190,53 @@ class RetrievalSpec extends SparkSpec {
       finally walk.close()
     }
   }
+
+  test("mmrRerank: diversity beats a redundant higher-relevance candidate") {
+    import spark.implicits._
+    // doc2 nearly duplicates doc1; doc3 is orthogonal with lower relevance
+    val cands = Seq(
+      (1L, 0.9, Seq(1.0, 0.0)),
+      (2L, 0.85, Seq(1.0, 0.01)),
+      (3L, 0.5, Seq(0.0, 1.0))
+    ).toDF("doc_id", "rel", "v")
+    val out = Retrieval.mmrRerank(cands, col("doc_id"), col("rel"), col("v"),
+        k = 3, lambda = 0.7)
+      .orderBy("mmr_rank")
+      .as[(Long, Long, Double)].collect()
+    assert(out.map(_._2).toSeq == Seq(1L, 3L, 2L), out.mkString(","))
+    assert(math.abs(out(0)._3 - 0.63) < 1e-9)
+    assert(math.abs(out(1)._3 - 0.35) < 1e-9)
+    // doc2 penalized by its near-1 sim to doc1
+    val sim12 = 1.0 / math.sqrt(1.0 + 0.01 * 0.01)
+    val s9 = new java.math.BigDecimal(sim12)
+      .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+    assert(math.abs(out(2)._3 - (0.7 * 0.85 - 0.3 * s9)) < 1e-9)
+  }
+
+  test("mmrRerank: id tie-break, k > n, and the shortlist guard") {
+    import spark.implicits._
+    val ties = Seq(
+      (7L, 0.5, Seq(1.0, 0.0)), (3L, 0.5, Seq(1.0, 0.0))
+    ).toDF("doc_id", "rel", "v")
+    val out = Retrieval.mmrRerank(ties, col("doc_id"), col("rel"), col("v"),
+        k = 5, lambda = 1.0)
+      .orderBy("mmr_rank").as[(Long, Long, Double)].collect()
+    assert(out.length == 2)                      // k capped at n
+    assert(out.map(_._2).toSeq == Seq(3L, 7L))   // smaller id first on ties
+    intercept[IllegalArgumentException](
+      Retrieval.mmrRerank(ties, col("doc_id"), col("rel"), col("v"),
+        k = 1, lambda = 0.5, maxCandidates = 1))
+  }
+
+  test("mmrRerank: lambda=1 reduces to pure relevance ordering") {
+    import spark.implicits._
+    val cands = Seq(
+      (1L, 0.2, Seq(1.0, 0.0)), (2L, 0.9, Seq(1.0, 0.0)),
+      (3L, 0.5, Seq(1.0, 0.0))
+    ).toDF("doc_id", "rel", "v")
+    val out = Retrieval.mmrRerank(cands, col("doc_id"), col("rel"), col("v"),
+        k = 3, lambda = 1.0)
+      .orderBy("mmr_rank").as[(Long, Long, Double)].collect()
+    assert(out.map(_._2).toSeq == Seq(2L, 3L, 1L))
+  }
 }
