@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Persisted MERGEABLE cardinality sketches — the incremental twin of the
@@ -61,4 +61,63 @@ object Sketches {
         count(lit(1)).as("n_batches"),
         hll_sketch_estimate(
           hll_union_agg(col("sketch"), lit(allowDifferentLgK))).as("estimate"))
+
+  // ---------------- Count-Min frequency sketches ----------------------
+
+  /** Row-r bucket of `key`: the engine-portable 52-bit md5 integer of
+    * `key|cms<r>` mod `width` — deterministic, identical in any engine
+    * with md5 (the q26 uniform's numerator), so estimates replay in SQL
+    * exactly (q115). */
+  private def cmsBucket(key: Column, r: Int, width: Int): Column =
+    pmod(conv(substring(md5(concat_ws("|", key, lit(s"cms$r")).cast("binary")),
+      1, 13), 16, 10).cast("long"), lit(width.toLong))
+
+  /** Append one Count-Min sketch of `key`'s frequency distribution for
+    * this batch (Cormode & Muthukrishnan 2005, public): `depth` hash
+    * rows × `width` buckets, stored SPARSE as (batch_id, r, bucket, cnt)
+    * rows — merging batches is a (r, bucket) count-sum, so the artifact
+    * is exactly mergeable and the serve path never rescans history.
+    * Point estimates overcount (never undercount) with error ≤ 2n/width
+    * at 1 − (1/2)^depth. Same layout/idempotence contract as
+    * [[appendCardinalitySketches]]. */
+  def appendFrequencySketches(df: DataFrame, key: Column, dir: String,
+                              batchId: Long, depth: Int = 4,
+                              width: Int = 1024): Unit = {
+    require(depth >= 1 && depth <= 16, "depth must be in 1..16")
+    require(width >= 16, "width must be >= 16")
+    val rows = df.select(key.cast("string").as("__k"))
+      .filter(col("__k").isNotNull)
+      .select(posexplode(array((0 until depth).map(r =>
+        cmsBucket(col("__k"), r, width)): _*)).as(Seq("r", "bucket")))
+      .groupBy("r", "bucket").agg(count(lit(1)).as("cnt"))
+      .select(lit(batchId).as("batch_id"), col("r"), col("bucket"), col("cnt"))
+    val spark = df.sparkSession
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try rows.coalesce(1).write.mode("overwrite")
+      .partitionBy("batch_id").parquet(dir)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
+  /** Point-frequency estimates for `keys` over the accumulated batches:
+    * min over hash rows of the summed bucket counts — (key, estimate).
+    * Absent keys estimate ≥ 0 (collision mass only). The probe list is a
+    * broadcast local relation; the sketch read is (batches × depth ×
+    * ≤width) rows regardless of corpus size. */
+  def cmsEstimate(spark: SparkSession, dir: String, keys: Seq[String],
+                  depth: Int = 4, width: Int = 1024): DataFrame = {
+    require(keys.nonEmpty, "need at least one probe key")
+    import spark.implicits._
+    val probes = keys.distinct.toDF("key")
+      .select(col("key"), posexplode(array((0 until depth).map(r =>
+        cmsBucket(col("key"), r, width)): _*)).as(Seq("r", "bucket")))
+    val cells = spark.read.parquet(dir)
+      .groupBy("r", "bucket").agg(sum("cnt").as("cnt"))
+    probes.join(cells, Seq("r", "bucket"), "left")
+      .groupBy("key")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("estimate"))
+  }
 }

@@ -2616,6 +2616,43 @@ object Oracles {
     SELECT CAST(rk AS BIGINT) AS mmr_rank, doc_id, round(score, 6) AS mmr_score
     FROM selu6 ORDER BY rk"""
 
+  // Count-Min replay (q115): the 52-bit md5 integer (the q26 fold,
+  // undivided) mod width gives every bucket; cells are count-sums so the
+  // whole-corpus build here equals the Spark side's merged per-batch
+  // builds exactly — the equality IS the merge proof.
+  private def md5Int52(key: String) =
+    s"""CAST(list_reduce(list_prepend(0.0,
+        list_transform(generate_series(1, 13),
+          kk -> CAST(strpos('0123456789abcdef',
+                     substr(substr(md5($key), 1, 13), kk, 1)) - 1 AS DOUBLE)
+                * pow(16.0, 13 - kk))),
+      (a, x) -> a + x) AS BIGINT)"""
+
+  val q115: String = s"""
+    WITH t AS (SELECT doc_id,
+                 CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN []::VARCHAR[]
+                      ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+               FROM documents),
+    tok AS (SELECT unnest(toks) AS k FROM t WHERE len(toks) > 0),
+    cells AS (SELECT r, ${md5Int52("concat_ws('|', k, 'cms' || r)")} % 1024 AS bucket,
+                     count(*) AS cnt
+              FROM tok, unnest([0, 1, 2, 3]) AS rr(r)
+              GROUP BY 1, 2),
+    pk AS (SELECT unnest(['join', 'hash', 'scan', 'zzz_absent_token']) AS key),
+    probes AS (SELECT key, r,
+                 ${md5Int52("concat_ws('|', key, 'cms' || r)")} % 1024 AS bucket
+               FROM pk, unnest([0, 1, 2, 3]) AS rr(r)),
+    est AS (SELECT p.key, min(coalesce(c.cnt, 0)) AS estimate
+            FROM probes p LEFT JOIN cells c ON c.r = p.r AND c.bucket = p.bucket
+            GROUP BY p.key),
+    truth AS (SELECT k AS key, count(*) AS n_true FROM tok
+              WHERE k IN ('join', 'hash', 'scan', 'zzz_absent_token')
+              GROUP BY k)
+    SELECT e.key, CAST(e.estimate AS BIGINT) AS estimate,
+           CAST(coalesce(t2.n_true, 0) AS BIGINT) AS n_true
+    FROM est e LEFT JOIN truth t2 ON t2.key = e.key
+    ORDER BY e.key"""
+
   /** name → oracle SQL (single-line, driver JSON-escapes anyway). */
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
@@ -2733,6 +2770,7 @@ object Oracles {
     "q111_hll_cardinality" -> q111,
     "q112_jsonl_source" -> q112,
     "q113_temperature_mix" -> q113,
-    "q114_mmr_rerank" -> q114
+    "q114_mmr_rerank" -> q114,
+    "q115_cms_frequency" -> q115
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

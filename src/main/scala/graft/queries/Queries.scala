@@ -1128,9 +1128,11 @@ object Queries {
     new scala.collection.concurrent.TrieMap[String, (String, String)]()
   private val jsonlDirCache =
     new scala.collection.concurrent.TrieMap[String, (String, String)]()
+  private val cmsDirCache =
+    new scala.collection.concurrent.TrieMap[String, (String, String)]()
   Runtime.getRuntime.addShutdownHook(new Thread(() =>
     (ivfPqIndexCache.values ++ bm25IndexCache.values ++ sketchDirCache.values ++
-      jsonlDirCache.values)
+      jsonlDirCache.values ++ cmsDirCache.values)
       .foreach { case (_, dir) =>
         try deleteDirTree(dir) catch { case _: Exception => () }
       }))
@@ -2425,6 +2427,47 @@ object Queries {
         col("share_after"), col("weight"),
         coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
       .orderBy("source")
+  }
+
+  /** Count-Min frequency sketches ([[Sketches.appendFrequencySketches]]):
+    * two simulated ingest batches (doc_id mod 2) each append their sparse
+    * (row, bucket, cnt) sketch of the token stream; point estimates for a
+    * fixed probe list (three real tokens + one absent) come from the
+    * merged cells. Buckets use the engine-portable md5 device, so the
+    * oracle replays the ENTIRE sketch — and because merged batch cells
+    * are count-sums, the oracle's whole-corpus build equaling the
+    * incremental one IS the merge-exactness proof. `n_true` rides along
+    * as the exact anchor (CMS never undercounts; at this width the probe
+    * estimates are near-exact). */
+  def q115CmsFrequency(s: SparkSession, d: String): DataFrame = {
+    val probeKeys = Seq("join", "hash", "scan", "zzz_absent_token")
+    val sig = tableSignature(s, d, "documents")
+    val dir = cmsDirCache.synchronized {
+      cmsDirCache.get(d) match {
+        case Some((s0, dd)) if s0 == sig => dd
+        case prev =>
+          prev.foreach { case (_, old) =>
+            try deleteDirTree(old) catch { case _: Exception => () } }
+          val tmp = java.nio.file.Files.createTempDirectory("graft_cms_").toString
+          val toks = Tables.documents(s, d)
+            .select(col("doc_id"),
+              explode(TextOps.tokens(coalesce(col("text"), lit("")))).as("tok"))
+          (0 until 2).foreach(b => Sketches.appendFrequencySketches(
+            toks.filter(pmod(col("doc_id"), lit(2)) === b), col("tok"),
+            tmp, b.toLong))
+          cmsDirCache.update(d, (sig, tmp))
+          tmp
+      }
+    }
+    val est = Sketches.cmsEstimate(s, dir, probeKeys)
+    val truth = Tables.documents(s, d)
+      .select(explode(TextOps.tokens(coalesce(col("text"), lit("")))).as("key"))
+      .filter(col("key").isin(probeKeys: _*))
+      .groupBy("key").agg(count(lit(1)).as("n_true"))
+    est.join(truth, Seq("key"), "left")
+      .select(col("key"), col("estimate"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"))
+      .orderBy("key")
   }
 
   /** MMR diversity re-ranking ([[Retrieval.mmrRerank]]): exact-cosine

@@ -56,4 +56,44 @@ class SketchesSpec extends SparkSpec {
     val est = Sketches.estimateCardinalities(spark, dir).collect()(0).getLong(3)
     assert(math.abs(est - 60000.0) / 60000.0 < 0.05, est.toString)
   }
+
+  // ---------------- Count-Min ----------------------------------------
+
+  test("CMS: estimates never undercount and are exact away from collisions") {
+    val dir = tmpDir()
+    val toks = (Seq.fill(500)("alpha") ++ Seq.fill(120)("beta") ++
+      Seq.fill(7)("gamma") ++ (0 until 300).map(i => s"noise$i"))
+    val df = toks.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    Sketches.appendFrequencySketches(df, col("t"), dir, 0L)
+    val est = Sketches.cmsEstimate(spark, dir,
+        Seq("alpha", "beta", "gamma", "absent"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est("alpha") >= 500L && est("alpha") <= 510L, est.toString)
+    assert(est("beta") >= 120L && est("beta") <= 130L)
+    assert(est("gamma") >= 7L && est("gamma") <= 17L)
+    assert(est("absent") >= 0L && est("absent") <= 10L)
+  }
+
+  test("CMS: merged batch sketches equal the single whole-data sketch") {
+    val all = (0 until 4000).map(i => (i.toLong, s"w${i % 97}")).toDF("id", "t")
+    val split = tmpDir(); val whole = tmpDir()
+    Sketches.appendFrequencySketches(all.filter(col("id") % 2 === 0), col("t"), split, 0L)
+    Sketches.appendFrequencySketches(all.filter(col("id") % 2 === 1), col("t"), split, 1L)
+    Sketches.appendFrequencySketches(all, col("t"), whole, 0L)
+    val keys = (0 until 97 by 13).map(i => s"w$i") :+ "w3"
+    val a = Sketches.cmsEstimate(spark, split, keys)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = Sketches.cmsEstimate(spark, whole, keys)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a == b, s"$a != $b")
+  }
+
+  test("CMS: a retried batch overwrites its own partition") {
+    val dir = tmpDir()
+    val d0 = (0 until 100).map(i => (i.toLong, "x")).toDF("id", "t")
+    Sketches.appendFrequencySketches(d0, col("t"), dir, 0L)
+    Sketches.appendFrequencySketches(d0, col("t"), dir, 0L) // retry
+    val est = Sketches.cmsEstimate(spark, dir, Seq("x")).collect()(0).getLong(1)
+    assert(est == 100L, est.toString)
+  }
 }
