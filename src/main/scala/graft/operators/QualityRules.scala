@@ -130,4 +130,34 @@ object QualityRules {
           col("n_distinct").cast("double") / col("n_tokens").cast("double"))
           .otherwise(lit(0.0)), 6).as("distinct_frac"))
   }
+
+  /** C4-style LINE-level filtering (Raffel et al. 2020, public — the
+    * sub-document pass the whole-document gates above cannot express):
+    * keep a line iff it ends in terminal punctuation (`.`/`!`/`?`/`"`
+    * after right-trim), holds at least `minWords` whitespace words, and
+    * contains no banned substring (case-insensitive); reassemble the
+    * survivors with `\n`. Pure codegen HOFs over the split-line array —
+    * no regex beyond the whitespace split, so the DuckDB replay (q116)
+    * is expression-for-expression. Output per doc:
+    * (doc_id, n_lines, n_kept, text_clean). Scan-speed; no shuffle. */
+  def c4LineFilter(df: DataFrame, id: Column, text: Column,
+                   minWords: Int = 3,
+                   banned: Seq[String] = Seq("javascript")): DataFrame = {
+    require(minWords >= 1, "minWords must be positive")
+    val lines = split(coalesce(text, lit("")), "\n")
+    def keepLine(l: Column): Column = {
+      val terminal = substring(rtrim(l), -1, 1).isin(".", "!", "?", "\"")
+      val words = size(split(trim(l), "\\s+")) >= minWords
+      val clean = banned.map(b => !contains(lower(l), lit(b.toLowerCase)))
+        .reduceOption(_ && _).getOrElse(lit(true))
+      terminal && words && clean
+    }
+    df.select(id.cast("long").as("doc_id"), lines.as("__lines"))
+      .select(col("doc_id"),
+        size(col("__lines")).cast("long").as("n_lines"),
+        filter(col("__lines"), keepLine _).as("__kept"))
+      .select(col("doc_id"), col("n_lines"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        array_join(col("__kept"), "\n").as("text_clean"))
+  }
 }

@@ -2653,6 +2653,34 @@ object Oracles {
     FROM est e LEFT JOIN truth t2 ON t2.key = e.key
     ORDER BY e.key"""
 
+  // C4 line filter (q116): replay the deterministic multi-line derivation
+  // (8-token chunks, terminal '.' on every 3rd line) and the keep rule
+  // (terminal punctuation + >=3 words + no banned substring)
+  // expression-for-expression, then hash the reassembled text.
+  val q116 = """
+    WITH t AS (SELECT doc_id,
+                 CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN []::VARCHAR[]
+                      ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+               FROM documents),
+    ln AS (SELECT doc_id,
+             CASE WHEN len(toks) = 0 THEN ''
+                  ELSE array_to_string(
+                    list_transform(range(CAST(ceil(len(toks) / 8.0) AS BIGINT)),
+                      i -> array_to_string(toks[i*8+1 : i*8+8], ' ') ||
+                           CASE WHEN i % 3 = 0 THEN '.' ELSE '' END),
+                    chr(10)) END AS t2
+           FROM t),
+    sp AS (SELECT doc_id, string_split(t2, chr(10)) AS ls FROM ln),
+    k AS (SELECT doc_id, len(ls) AS n_lines,
+            list_filter(ls, l -> right(rtrim(l), 1) IN ('.', '!', '?', '"')
+              AND len(regexp_split_to_array(trim(l), '\s+')) >= 3
+              AND NOT contains(lower(l), 'slow')) AS kept
+          FROM sp)
+    SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+           CAST(len(kept) AS BIGINT) AS n_kept,
+           md5(coalesce(array_to_string(kept, chr(10)), '')) AS clean_md5
+    FROM k ORDER BY doc_id"""
+
   /** name → oracle SQL (single-line, driver JSON-escapes anyway). */
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
@@ -2771,6 +2799,7 @@ object Oracles {
     "q112_jsonl_source" -> q112,
     "q113_temperature_mix" -> q113,
     "q114_mmr_rerank" -> q114,
-    "q115_cms_frequency" -> q115
+    "q115_cms_frequency" -> q115,
+    "q116_c4_line_filter" -> q116
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

@@ -2470,6 +2470,29 @@ object Queries {
       .orderBy("key")
   }
 
+  /** C4 line-level filtering ([[QualityRules.c4LineFilter]]): the fixture
+    * text is single-line, so multi-line documents are DERIVED
+    * deterministically (8-token chunks; every third line gets terminal
+    * punctuation) and the filter then drops unterminated / short /
+    * banned-word lines and reassembles the survivors. The oracle replays
+    * the derivation AND the filter expression-for-expression, hashing
+    * the reassembled text. */
+  def q116C4LineFilter(s: SparkSession, d: String): DataFrame = {
+    val toks = TextOps.tokens(coalesce(col("text"), lit("")))
+    val nChunks = ceil(size(toks) / lit(8.0)).cast("int")
+    val lines = transform(sequence(lit(0), greatest(nChunks - 1, lit(0))),
+      i => concat(array_join(slice(toks, i * 8 + 1, lit(8)), " "),
+        when(i % 3 === 0, lit(".")).otherwise(lit(""))))
+    val nl = when(size(toks) === 0, lit(""))
+      .otherwise(array_join(lines, "\n"))
+    val derived = Tables.documents(s, d).select(col("doc_id"), nl.as("t"))
+    QualityRules.c4LineFilter(derived, col("doc_id"), col("t"),
+        minWords = 3, banned = Seq("slow"))
+      .select(col("doc_id"), col("n_lines"), col("n_kept"),
+        md5(col("text_clean").cast("binary")).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
   /** MMR diversity re-ranking ([[Retrieval.mmrRerank]]): exact-cosine
     * top-12 shortlist for query vec 0, then 6 greedy MMR picks at
     * λ = 0.7. The oracle replays the shortlist, the 12×12 rounded

@@ -67,4 +67,28 @@ class QualityRulesSpec extends SparkSpec {
     assert(got(2) == ((2L, 0L, 0L, 0.0, 0.0, 0.0)), s"${got(2)}")
     assert(got(3) == ((3L, 4L, 4L, r6(math.log(4)), 1.0, 1.0)), s"${got(3)}")
   }
+
+  test("c4LineFilter: terminal punctuation, min words, banned substrings, reassembly") {
+    import spark.implicits._
+    val doc = Seq(
+      (1L, "This line is properly terminated.\nno punctuation here\ntoo short.\n" +
+        "Contains JavaScript libraries today.\nAnother good line stays!\n" +
+        "  trailing spaces fine.   "),
+      (2L, ""),
+      (3L, "one two three?")
+    ).toDF("doc_id", "text")
+    val out = QualityRules.c4LineFilter(doc, col("doc_id"), col("text"))
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect()
+    // doc1: 6 lines; kept = line1 (terminated, 5 words), line5, line6
+    //  - "no punctuation here": no terminal punct -> drop
+    //  - "too short.": 2 words -> drop
+    //  - JavaScript line: banned (case-insensitive) -> drop
+    assert(out(0)._2 == 6L && out(0)._3 == 3L, out(0).toString)
+    assert(out(0)._4 == "This line is properly terminated.\nAnother good line stays!\n  trailing spaces fine.   ")
+    // empty text: one empty line, nothing kept
+    assert(out(1) == ((2L, 1L, 0L, "")))
+    // exactly minWords with '?' terminal keeps
+    assert(out(2) == ((3L, 1L, 1L, "one two three?")))
+  }
 }
