@@ -102,6 +102,70 @@ object Sketches {
     }
   }
 
+  // ---------------- fixed-edge histogram quantiles ---------------------
+
+  /** Append one fixed-edge equi-width histogram of `valueCol` for this
+    * batch: (batch_id, bin, cnt) with
+    * `bin = clamp(floor((x − lo)/((hi − lo)/bins)), 0, bins−1)` — FIXED
+    * `[lo, hi)` edges are what make the artifact mergeable (cnt-sum per
+    * bin), completing the ingest-sketch triad: HLL = cardinality, CMS =
+    * frequency, this = distribution/quantiles. Error of any quantile
+    * estimate is bounded by one bin width; values outside [lo, hi] clamp
+    * into the edge bins (size the range from a profiling pass). Same
+    * layout/idempotence contract as the other append* sketches. */
+  def appendHistogramSketches(df: DataFrame, valueCol: Column, dir: String,
+                              batchId: Long, lo: Double, hi: Double,
+                              bins: Int = 256): Unit = {
+    require(bins >= 2 && hi > lo, "need bins >= 2 and hi > lo")
+    val w = (hi - lo) / bins
+    val bin = least(greatest(
+      floor((valueCol.cast("double") - lit(lo)) / lit(w)), lit(0.0)),
+      lit((bins - 1).toDouble)).cast("long")
+    val rows = df.select(bin.as("bin")).filter(col("bin").isNotNull)
+      .groupBy("bin").agg(count(lit(1)).as("cnt"))
+      .select(lit(batchId).as("batch_id"), col("bin"), col("cnt"))
+    val spark = df.sparkSession
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try rows.coalesce(1).write.mode("overwrite")
+      .partitionBy("batch_id").parquet(dir)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
+  /** Quantile estimates from the merged batch histograms. For each q:
+    * target rank `t = q·n`; the estimate interpolates linearly inside
+    * the first bin whose cumulative count reaches t:
+    * `lo + (bin + (t − cumBefore)/cnt) · w`, all rounded to 6. The serve
+    * read is (batches × ≤bins) rows regardless of corpus size. */
+  def histQuantiles(spark: SparkSession, dir: String, qs: Seq[Double],
+                    lo: Double, hi: Double, bins: Int = 256): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0 && q <= 1), "qs must be in [0,1]")
+    import spark.implicits._
+    val w = (hi - lo) / bins
+    val W = org.apache.spark.sql.expressions.Window
+    val cells = spark.read.parquet(dir)
+      .groupBy("bin").agg(sum("cnt").as("cnt"))
+    // bins-sized frame: the running sum is a tiny single-partition window
+    // over ≤`bins` rows, not a data-sized sort
+    val cum = cells
+      .withColumn("cum", sum("cnt").over(
+        W.orderBy("bin").rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .crossJoin(broadcast(cells.agg(sum("cnt").cast("double").as("n"))))
+    qs.distinct.toDF("q")
+      .crossJoin(broadcast(cum))
+      .withColumn("t", col("q") * col("n"))
+      .filter(col("cum").cast("double") >= col("t"))
+      .withColumn("rk", row_number().over(W.partitionBy("q").orderBy("bin")))
+      .filter(col("rk") === 1)
+      .select(col("q"),
+        round(lit(lo) + (col("bin").cast("double") +
+          (col("t") - (col("cum") - col("cnt")).cast("double")) /
+            col("cnt").cast("double")) * lit(w), 6).as("estimate"))
+  }
+
   /** Point-frequency estimates for `keys` over the accumulated batches:
     * min over hash rows of the summed bucket counts — (key, estimate).
     * Absent keys estimate ≥ 0 (collision mass only). The probe list is a

@@ -2681,6 +2681,34 @@ object Oracles {
            md5(coalesce(array_to_string(kept, chr(10)), '')) AS clean_md5
     FROM k ORDER BY doc_id"""
 
+  // Histogram-quantile sketch (q117): whole-corpus fixed-edge histogram ==
+  // Spark's merged per-batch builds (count-sum merge); the interpolated
+  // estimates AND the exact quantiles both replay.
+  val q117 = """
+    WITH cells AS (SELECT CAST(least(greatest(
+                     floor((CAST(value AS DOUBLE) - 0.0) / 2.0), 0.0), 255.0)
+                     AS BIGINT) AS bin, count(*) AS cnt
+                   FROM events GROUP BY 1),
+    cum AS (SELECT bin, cnt, sum(cnt) OVER (ORDER BY bin) AS cum FROM cells),
+    nn AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM cells),
+    qq AS (SELECT unnest([0.1, 0.5, 0.9, 0.99]) AS q),
+    tgt AS (SELECT q, q * nn.n AS t FROM qq, nn),
+    pick AS (SELECT t.q, t.t, c.bin, c.cnt, c.cum,
+               row_number() OVER (PARTITION BY t.q ORDER BY c.bin) AS rk
+             FROM tgt t JOIN cum c ON CAST(c.cum AS DOUBLE) >= t.t),
+    est AS (SELECT q, round(0.0 + (CAST(bin AS DOUBLE) +
+              (t - CAST(cum - cnt AS DOUBLE)) / CAST(cnt AS DOUBLE)) * 2.0, 6)
+              AS estimate
+            FROM pick WHERE rk = 1),
+    ex AS (SELECT unnest([0.1, 0.5, 0.9, 0.99]) AS q,
+                  round(unnest(l), 6) AS exact_q
+           FROM (SELECT quantile_cont(value, [0.1, 0.5, 0.9, 0.99]) AS l
+                 FROM events))
+    SELECT e.q, e.estimate, x.exact_q,
+           CAST(CASE WHEN abs(e.estimate - x.exact_q) <= 2.0
+                THEN 1 ELSE 0 END AS BIGINT) AS within_bin
+    FROM est e JOIN ex x ON x.q = e.q ORDER BY e.q"""
+
   /** name → oracle SQL (single-line, driver JSON-escapes anyway). */
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
@@ -2800,6 +2828,7 @@ object Oracles {
     "q113_temperature_mix" -> q113,
     "q114_mmr_rerank" -> q114,
     "q115_cms_frequency" -> q115,
-    "q116_c4_line_filter" -> q116
+    "q116_c4_line_filter" -> q116,
+    "q117_hist_quantiles" -> q117
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

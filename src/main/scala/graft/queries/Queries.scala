@@ -1130,9 +1130,11 @@ object Queries {
     new scala.collection.concurrent.TrieMap[String, (String, String)]()
   private val cmsDirCache =
     new scala.collection.concurrent.TrieMap[String, (String, String)]()
+  private val histDirCache =
+    new scala.collection.concurrent.TrieMap[String, (String, String)]()
   Runtime.getRuntime.addShutdownHook(new Thread(() =>
     (ivfPqIndexCache.values ++ bm25IndexCache.values ++ sketchDirCache.values ++
-      jsonlDirCache.values ++ cmsDirCache.values)
+      jsonlDirCache.values ++ cmsDirCache.values ++ histDirCache.values)
       .foreach { case (_, dir) =>
         try deleteDirTree(dir) catch { case _: Exception => () }
       }))
@@ -2468,6 +2470,50 @@ object Queries {
       .select(col("key"), col("estimate"),
         coalesce(col("n_true"), lit(0L)).as("n_true"))
       .orderBy("key")
+  }
+
+  /** Fixed-edge histogram quantile sketches
+    * ([[Sketches.appendHistogramSketches]] / [[Sketches.histQuantiles]]):
+    * the third mergeable ingest artifact (HLL = cardinality, CMS =
+    * frequency, this = distribution). Two batches (event_id mod 2) append
+    * bin-count rows over `events.value` with fixed [0, 512) edges ×256
+    * bins; quantile estimates interpolate the merged histogram. The
+    * oracle replays the whole sketch (whole-corpus build == merged
+    * batches, the count-sum-merge argument) AND the exact quantiles;
+    * `within_bin` gates the one-bin-width error bound from BOTH sides. */
+  def q117HistQuantiles(s: SparkSession, d: String): DataFrame = {
+    val (lo, hi, bins) = (0.0, 512.0, 256)
+    val binW = (hi - lo) / bins
+    val qsP = Seq(0.1, 0.5, 0.9, 0.99)
+    val sig = tableSignature(s, d, "events")
+    val dir = histDirCache.synchronized {
+      histDirCache.get(d) match {
+        case Some((s0, dd)) if s0 == sig => dd
+        case prev =>
+          prev.foreach { case (_, old) =>
+            try deleteDirTree(old) catch { case _: Exception => () } }
+          val tmp = java.nio.file.Files.createTempDirectory("graft_hist_").toString
+          val ev = Tables.events(s, d)
+          (0 until 2).foreach(b => Sketches.appendHistogramSketches(
+            ev.filter(pmod(col("event_id"), lit(2)) === b), col("value"),
+            tmp, b.toLong, lo, hi, bins))
+          histDirCache.update(d, (sig, tmp))
+          tmp
+      }
+    }
+    import s.implicits._
+    val est = Sketches.histQuantiles(s, dir, qsP, lo, hi, bins)
+    val exact = Tables.events(s, d)
+      .agg(expr(s"percentile(value, array(${qsP.mkString("D, ")}D))").as("p"))
+      .select(posexplode(col("p")).as(Seq("i", "exact")))
+      .join(qsP.zipWithIndex.map { case (q, i) => (i, q) }.toDF("i", "q"),
+        Seq("i"))
+      .select(col("q"), round(col("exact"), 6).as("exact_q"))
+    est.join(exact, Seq("q"))
+      .select(col("q"), col("estimate"), col("exact_q"),
+        when(abs(col("estimate") - col("exact_q")) <= lit(binW), 1L)
+          .otherwise(0L).as("within_bin"))
+      .orderBy("q")
   }
 
   /** C4 line-level filtering ([[QualityRules.c4LineFilter]]): the fixture

@@ -96,4 +96,35 @@ class SketchesSpec extends SparkSpec {
     val est = Sketches.cmsEstimate(spark, dir, Seq("x")).collect()(0).getLong(1)
     assert(est == 100L, est.toString)
   }
+
+  // ---------------- histogram quantiles --------------------------------
+
+  test("histogram quantiles: uniform data estimates within one bin width") {
+    val dir = tmpDir()
+    val vals = (0 until 10000).map(i => (i.toLong, (i % 1000).toDouble)).toDF("id", "v")
+    Sketches.appendHistogramSketches(vals, col("v"), dir, 0L, lo = 0.0, hi = 1000.0, bins = 100)
+    val est = Sketches.histQuantiles(spark, dir, Seq(0.25, 0.5, 0.9),
+        lo = 0.0, hi = 1000.0, bins = 100)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(math.abs(est(0.25) - 250.0) <= 10.0, est.toString)
+    assert(math.abs(est(0.5) - 500.0) <= 10.0)
+    assert(math.abs(est(0.9) - 900.0) <= 10.0)
+  }
+
+  test("histogram quantiles: merged batches equal the whole-data build; clamping") {
+    val all = (0 until 5000).map(i => (i.toLong, (i % 700).toDouble - 100.0)).toDF("id", "v")
+    val split = tmpDir(); val whole = tmpDir()
+    // range [0, 500) deliberately misses [-100, 0) and [500, 600): clamps
+    Sketches.appendHistogramSketches(all.filter(col("id") % 2 === 0), col("v"), split, 0L, 0.0, 500.0, 50)
+    Sketches.appendHistogramSketches(all.filter(col("id") % 2 === 1), col("v"), split, 1L, 0.0, 500.0, 50)
+    Sketches.appendHistogramSketches(all, col("v"), whole, 0L, 0.0, 500.0, 50)
+    val qs = Seq(0.05, 0.5, 0.95)
+    val a = Sketches.histQuantiles(spark, split, qs, 0.0, 500.0, 50)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val b = Sketches.histQuantiles(spark, whole, qs, 0.0, 500.0, 50)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(a == b, s"$a != $b")
+    // all estimates stay inside the fixed range despite out-of-range input
+    assert(a.values.forall(v => v >= 0.0 && v <= 500.0), a.toString)
+  }
 }
