@@ -138,32 +138,38 @@ object Sketches {
   /** Quantile estimates from the merged batch histograms. For each q:
     * target rank `t = q·n`; the estimate interpolates linearly inside
     * the first bin whose cumulative count reaches t:
-    * `lo + (bin + (t − cumBefore)/cnt) · w`, all rounded to 6. The serve
-    * read is (batches × ≤bins) rows regardless of corpus size. */
+    * `lo + (bin + (t − cumBefore)/cnt) · w`, rounded to 6. The merged
+    * cell frame is ≤`bins` rows BY CONSTRUCTION, so the cumulative walk
+    * runs on the driver (a data-sized global window would trip the plan
+    * guards for nothing); the distributed read is (batches × ≤bins)
+    * rows regardless of corpus size. */
   def histQuantiles(spark: SparkSession, dir: String, qs: Seq[Double],
                     lo: Double, hi: Double, bins: Int = 256): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q >= 0 && q <= 1), "qs must be in [0,1]")
     import spark.implicits._
     val w = (hi - lo) / bins
-    val W = org.apache.spark.sql.expressions.Window
     val cells = spark.read.parquet(dir)
       .groupBy("bin").agg(sum("cnt").as("cnt"))
-    // bins-sized frame: the running sum is a tiny single-partition window
-    // over ≤`bins` rows, not a data-sized sort
-    val cum = cells
-      .withColumn("cum", sum("cnt").over(
-        W.orderBy("bin").rowsBetween(W.unboundedPreceding, W.currentRow)))
-      .crossJoin(broadcast(cells.agg(sum("cnt").cast("double").as("n"))))
-    qs.distinct.toDF("q")
-      .crossJoin(broadcast(cum))
-      .withColumn("t", col("q") * col("n"))
-      .filter(col("cum").cast("double") >= col("t"))
-      .withColumn("rk", row_number().over(W.partitionBy("q").orderBy("bin")))
-      .filter(col("rk") === 1)
-      .select(col("q"),
-        round(lit(lo) + (col("bin").cast("double") +
-          (col("t") - (col("cum") - col("cnt")).cast("double")) /
-            col("cnt").cast("double")) * lit(w), 6).as("estimate"))
+      .orderBy("bin")
+      .collect() // ≤ bins rows — bounded by the sketch's construction
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val n = cells.map(_._2).sum.toDouble
+    def round6(x: Double): Double =
+      new java.math.BigDecimal(x).setScale(6, java.math.RoundingMode.HALF_UP)
+        .doubleValue()
+    val out = qs.distinct.map { q =>
+      val t = q * n
+      var cum = 0L
+      var i = 0
+      while (i < cells.length && cum.toDouble < t) { cum += cells(i)._2; i += 1 }
+      val idx = math.max(i - 1, 0)
+      val (bin, cnt) = cells(idx)
+      // i == 0 only when t == 0: the SQL replay then picks the first
+      // cell with zero preceding mass, not a negative cumBefore
+      val cumBefore = if (i == 0) 0.0 else (cum - cnt).toDouble
+      (q, round6(lo + (bin.toDouble + (t - cumBefore) / cnt.toDouble) * w))
+    }
+    out.toDF("q", "estimate")
   }
 
   /** Point-frequency estimates for `keys` over the accumulated batches:

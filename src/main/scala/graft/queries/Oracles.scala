@@ -2468,8 +2468,8 @@ object Oracles {
   // bigram count tables from the 'en' slice, re-derive both discounts from
   // the count-of-counts census, then replay every interpolation term with
   // the exact operator ordering LangModel.knTrigramCrossEntropy uses.
-  val q110 = """
-    WITH t AS (SELECT doc_id, lang,
+  // shared KN-trigram census CTEs (q110 scoring + q118 reweighting)
+  private val knCtes = """t AS (SELECT doc_id, lang,
                  CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN []::VARCHAR[]
                       ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
                FROM documents),
@@ -2518,10 +2518,51 @@ object Oracles {
     s3 AS (SELECT *, CASE WHEN den3v > 0
              THEN greatest(c3v - dd3, 0.0) / den3v + dd3 * uniq3v / den3v * p2
              ELSE p2 END AS p3
-           FROM s2)
-    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
-           round(sum(-ln(p3)) / CAST(count(*) AS DOUBLE), 6) AS ce
-    FROM s3 GROUP BY doc_id ORDER BY doc_id"""
+           FROM s2),
+    s4 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+                  round(sum(-ln(p3)) / CAST(count(*) AS DOUBLE), 6) AS ce
+           FROM s3 GROUP BY doc_id)"""
+
+  val q110: String = s"""
+    WITH $knCtes
+    SELECT doc_id, n_trigrams, ce FROM s4 ORDER BY doc_id"""
+
+  // CE-driven source reweighting (q118): per-source mean KN cross-entropy
+  // tilted into sampling shares via exp(-(ce - min_ce)/tau) — the
+  // DoReMi-flavoured "sample more of what the reference LM finds clean"
+  // composition of q110's census with q113's epoch machinery.
+  val q118: String = s"""
+    WITH $knCtes,
+    bysrc AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+                round(avg(k.ce), 9) AS mean_ce
+              FROM documents d JOIN s4 k ON k.doc_id = d.doc_id
+              GROUP BY d.source),
+    mn AS (SELECT min(mean_ce) AS m FROM bysrc),
+    tl AS (SELECT source, n_docs, mean_ce,
+             round(exp(-(mean_ce - mn.m) / 0.5), 9) AS tilt
+           FROM bysrc, mn),
+    zz AS (SELECT sum(tilt) AS z FROM tl),
+    ww AS (SELECT source, n_docs, mean_ce,
+             round(tilt / zz.z, 9) AS share,
+             round(tilt / zz.z * 10000.0 / CAST(n_docs AS DOUBLE), 9) AS weight
+           FROM tl, zz),
+    dd AS (SELECT d.doc_id, d.source, w.weight,
+                  substr(md5(concat_ws('|', d.doc_id, 'ce')), 1, 13) AS hx
+           FROM documents d JOIN s4 k ON k.doc_id = d.doc_id
+           JOIN ww w ON w.source = d.source),
+    uu AS (SELECT *, list_reduce(list_prepend(0.0,
+               list_transform(generate_series(1, 13),
+                 kk -> CAST(strpos('0123456789abcdef', substr(hx, kk, 1)) - 1 AS DOUBLE)
+                      * pow(16.0, 13 - kk))),
+             (a, x) -> a + x) / 4503599627370496.0 AS u
+           FROM dd),
+    ee AS (SELECT source,
+                  sum(CAST(floor(weight) AS BIGINT) +
+                      CASE WHEN u < weight - floor(weight) THEN 1 ELSE 0 END) AS n_sampled
+           FROM uu GROUP BY source)
+    SELECT w.source, w.n_docs, w.mean_ce, w.share, w.weight,
+           CAST(coalesce(ee.n_sampled, 0) AS BIGINT) AS n_sampled
+    FROM ww w LEFT JOIN ee ON ee.source = w.source ORDER BY w.source"""
 
   // HLL cardinality sketches (q111): the oracle replays the EXACT side
   // (row/batch/distinct counts); the sketch estimates are gated by the
@@ -2829,6 +2870,7 @@ object Oracles {
     "q114_mmr_rerank" -> q114,
     "q115_cms_frequency" -> q115,
     "q116_c4_line_filter" -> q116,
-    "q117_hist_quantiles" -> q117
+    "q117_hist_quantiles" -> q117,
+    "q118_ce_reweighting" -> q118
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

@@ -2516,6 +2516,40 @@ object Queries {
       .orderBy("q")
   }
 
+  /** CE-driven source reweighting — the DoReMi-flavoured composition of
+    * q110's Kneser–Ney census with q113's mixture machinery: per-source
+    * mean cross-entropy under the English-reference LM, tilted into
+    * sampling shares via `exp(−(ce − min_ce)/τ)` (τ = 0.5 — cleaner
+    * sources sample MORE), expanded to realized counts with the
+    * deterministic epoch draws. Full replay: census, per-source means,
+    * tilt/share/weight arithmetic, every epoch draw. */
+  def q118CeReweighting(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val ce = LangModel.knTrigramCrossEntropy(docs, col("doc_id"),
+      TextOps.tokens(coalesce(col("text"), lit(""))), col("lang") === "en")
+    // feeds the per-source stats AND the epochs expansion — pin once
+    val scored = CheckpointPolicy.fromSession(s).pin(
+      docs.select(col("doc_id"), col("source"))
+        .join(ce.select("doc_id", "ce"), Seq("doc_id")))
+    val bySrc = scored.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), round(avg("ce"), 9).as("mean_ce"))
+    val tl = bySrc.crossJoin(broadcast(bySrc.agg(min("mean_ce").as("m"))))
+      .withColumn("tilt", round(exp(-(col("mean_ce") - col("m")) / lit(0.5)), 9))
+    val ww = tl.crossJoin(broadcast(tl.agg(sum("tilt").as("z"))))
+      .select(col("source"), col("n_docs"), col("mean_ce"),
+        round(col("tilt") / col("z"), 9).as("share"),
+        round(col("tilt") / col("z") * lit(10000.0) /
+          col("n_docs").cast("double"), 9).as("weight"))
+    val sampled = Mixture.epochs(
+        scored.join(ww.select("source", "weight"), Seq("source")),
+        col("doc_id"), col("weight"), salt = "ce")
+      .groupBy("source").agg(count(lit(1)).as("n_sampled"))
+    ww.join(sampled, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("mean_ce"), col("share"),
+        col("weight"), coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+      .orderBy("source")
+  }
+
   /** C4 line-level filtering ([[QualityRules.c4LineFilter]]): the fixture
     * text is single-line, so multi-line documents are DERIVED
     * deterministically (8-token chunks; every third line gets terminal
