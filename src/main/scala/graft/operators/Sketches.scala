@@ -153,6 +153,7 @@ object Sketches {
       .orderBy("bin")
       .collect() // ≤ bins rows — bounded by the sketch's construction
       .map(r => (r.getLong(0), r.getLong(1)))
+    require(cells.nonEmpty, "histQuantiles: no histogram mass in the sketch dir")
     val n = cells.map(_._2).sum.toDouble
     def round6(x: Double): Double =
       new java.math.BigDecimal(x).setScale(6, java.math.RoundingMode.HALF_UP)
