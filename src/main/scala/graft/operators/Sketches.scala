@@ -56,6 +56,9 @@ object Sketches {
   def estimateCardinalities(spark: SparkSession, dir: String,
                             allowDifferentLgK: Boolean = false): DataFrame =
     spark.read.parquet(dir)
+      // an EMPTY ingest batch writes a null sketch (hll_sketch_agg of no
+      // rows); it carries no distinct mass — drop it before the union
+      .filter(col("sketch").isNotNull)
       .groupBy("column")
       .agg(sum("n_rows").as("n_rows"),
         count(lit(1)).as("n_batches"),

@@ -127,4 +127,14 @@ class SketchesSpec extends SparkSpec {
     // all estimates stay inside the fixed range despite out-of-range input
     assert(a.values.forall(v => v >= 0.0 && v <= 500.0), a.toString)
   }
+
+  test("an empty batch contributes an empty sketch that adds no mass") {
+    val dir = tmpDir()
+    Sketches.appendCardinalitySketches(df(0 until 300), Seq("u"), dir, 0L)
+    Sketches.appendCardinalitySketches(df(0 until 0), Seq("u"), dir, 1L)
+    val r = Sketches.estimateCardinalities(spark, dir).collect()(0)
+    assert(r.getLong(1) == 300L)  // n_rows unchanged
+    assert(r.getLong(2) == 2L)    // the empty sketch row is present...
+    assert(r.getLong(3) == 37L)   // ...but contributes no distinct mass
+  }
 }
