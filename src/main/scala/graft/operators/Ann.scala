@@ -348,11 +348,51 @@ object Ann {
     val model = pqTrain(c, col("nid"), col("cv"), m, codesPerSub, sampleN, iters, seed)
     c.select(col("nid"),
         ivfCellOf(centArr, col("cv")).as("cell"),
-        PqExprs.pqEncode(col("cv"), model.codebook, m, codesPerSub).as("codes"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
+        PqExprs.pqEncode(col("cv"), model.codebook, m, codesPerSub).as("codes"),
+        lit(0L).as("batch_id")) // base build = ingest batch 0
+      .write.mode("overwrite").partitionBy("cell", "batch_id")
+      .parquet(s"$dir/codes")
     spark.createDataFrame(Seq(IvfPqIndexMeta(nlist, m, codesPerSub, model.dim,
         seed, cents.map(_.toSeq).toSeq, model.codebook.toSeq)))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/model")
+  }
+
+  /** Incrementally ADD vectors to a persisted [[writeIvfPqIndex]] index —
+    * the faiss-`add` serving contract a continuously ingesting corpus
+    * needs (the ANN twin of [[Retrieval.appendBm25Postings]] and the
+    * sketch appends): centroids and PQ codebooks are FROZEN at base-build
+    * time, the new batch is assigned/encoded with the persisted model (one
+    * codegen pass over the batch — no training), and its (nid, codes)
+    * rows land under `cell=…/batch_id=N` partitions. Serving is unchanged:
+    * cell partition pruning sees base and appended rows alike.
+    *
+    * Contracts (shared with the BM25 appends): batch ids must be unique
+    * per ingest batch and never re-ship an nid; a RETRIED batch replaces
+    * exactly its own (cell, batch_id) partitions via dynamic partition
+    * overwrite, so attempts must be deterministic in their input. Model
+    * drift (a corpus whose distribution leaves the frozen centroids)
+    * shows up as recall decay in the q64-style gates — rebuild the base
+    * index when the drift monitor (q104/q106) fires. */
+  def appendToIvfPqIndex(newVectors: DataFrame, id: Column, vec: Column,
+                         dir: String, batchId: Long): Unit = {
+    require(batchId > 0, "batch 0 is the base build; appends start at 1")
+    val spark = newVectors.sparkSession
+    val meta = readIvfPqIndexMeta(spark, dir)
+    val centArr = typedLit(meta.centroids)
+    val rows = unitNorm(newVectors, id, vec, "nid")
+      .select(col("nid"),
+        ivfCellOf(centArr, col("cv")).as("cell"),
+        PqExprs.pqEncode(col("cv"), meta.codebook.toArray, meta.m,
+          meta.codesPerSub).as("codes"),
+        lit(batchId).as("batch_id"))
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try rows.write.mode("overwrite").partitionBy("cell", "batch_id")
+      .parquet(s"$dir/codes")
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
   }
 
   def readIvfPqIndexMeta(spark: org.apache.spark.sql.SparkSession,

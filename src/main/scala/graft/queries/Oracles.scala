@@ -2871,6 +2871,9 @@ object Oracles {
     "q115_cms_frequency" -> q115,
     "q116_c4_line_filter" -> q116,
     "q117_hist_quantiles" -> q117,
-    "q118_ce_reweighting" -> q118
+    "q118_ce_reweighting" -> q118,
+    // q64's pinned-gate convention: the recall check runs Spark-side
+    // against exact brute force; the oracle pins the expected verdict
+    "q119_ann_incremental" -> q64
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

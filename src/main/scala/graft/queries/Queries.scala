@@ -1132,9 +1132,12 @@ object Queries {
     new scala.collection.concurrent.TrieMap[String, (String, String)]()
   private val histDirCache =
     new scala.collection.concurrent.TrieMap[String, (String, String)]()
+  private val annAppendDirCache =
+    new scala.collection.concurrent.TrieMap[String, (String, String)]()
   Runtime.getRuntime.addShutdownHook(new Thread(() =>
     (ivfPqIndexCache.values ++ bm25IndexCache.values ++ sketchDirCache.values ++
-      jsonlDirCache.values ++ cmsDirCache.values ++ histDirCache.values)
+      jsonlDirCache.values ++ cmsDirCache.values ++ histDirCache.values ++
+      annAppendDirCache.values)
       .foreach { case (_, dir) =>
         try deleteDirTree(dir) catch { case _: Exception => () }
       }))
@@ -1160,6 +1163,48 @@ object Queries {
           val tmp = java.nio.file.Files.createTempDirectory("graft_ivfpq_").toString
           Ann.writeIvfPqIndex(e, col("vec_id"), col("embedding"), tmp, nlist = 16)
           ivfPqIndexCache.update(d, (sig, tmp))
+          tmp
+      }
+    }
+    val ivfpq = Ann.ivfPqTopKIndexed(e, col("vec_id"), col("embedding"),
+      q, col("vec_id"), col("embedding"), idxDir, k = 10,
+      nprobe = 8, refine = 100)
+    val brute = Ann.bruteForceTopK(e, col("vec_id"), col("embedding"),
+      q, col("vec_id"), col("embedding"), k = 10)
+    ivfpq.select("query_id", "neighbor_id")
+      .join(brute.select("query_id", "neighbor_id"), Seq("query_id", "neighbor_id"))
+      .agg(count(lit(1)).as("__hits"))
+      .select((col("__hits") >= lit(48L)).cast("long").as("recall_pass"),
+        lit(8L).as("n_queries"), lit(10L).as("k"))
+  }
+
+  /** Incremental ANN ingest ([[Ann.appendToIvfPqIndex]]): the index is
+    * BASE-built on the even vectors only (model frozen there), then the
+    * odd vectors arrive as two append batches encoded with the persisted
+    * codebooks — the faiss-`add` continuous-ingest shape. Serving the
+    * grown index must still clear the q64 recall gate against exact
+    * brute force over the FULL corpus, which only happens if the
+    * appended rows are really being probed and rescored. AnnSpec
+    * additionally proves batch-split invariance and retry idempotence
+    * bit-for-bit. */
+  def q119AnnIncremental(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < 8)
+    val sig = embeddingsSignature(s, d)
+    val idxDir = annAppendDirCache.synchronized {
+      annAppendDirCache.get(d) match {
+        case Some((s0, dir)) if s0 == sig => dir
+        case prev =>
+          prev.foreach { case (_, old) =>
+            try deleteDirTree(old) catch { case _: Exception => () } }
+          val tmp = java.nio.file.Files.createTempDirectory("graft_annapp_").toString
+          Ann.writeIvfPqIndex(e.filter(pmod(col("vec_id"), lit(2)) === 0),
+            col("vec_id"), col("embedding"), tmp, nlist = 16)
+          Ann.appendToIvfPqIndex(e.filter(pmod(col("vec_id"), lit(4)) === 1),
+            col("vec_id"), col("embedding"), tmp, batchId = 1L)
+          Ann.appendToIvfPqIndex(e.filter(pmod(col("vec_id"), lit(4)) === 3),
+            col("vec_id"), col("embedding"), tmp, batchId = 2L)
+          annAppendDirCache.update(d, (sig, tmp))
           tmp
       }
     }

@@ -226,4 +226,49 @@ class AnnSpec extends SparkSpec {
       meta.codebook.size == meta.m * meta.codesPerSub * (meta.dim / meta.m))
   }
 
+
+  test("appendToIvfPqIndex: batch-split invariance, retry idempotence, appended rows serve") {
+    val e = graft.Tables.embeddings(spark, sf001)
+    val queries = e.filter(col("vec_id") < 8)
+    val base = e.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val oddA = e.filter(pmod(col("vec_id"), lit(4)) === 1)
+    val oddB = e.filter(pmod(col("vec_id"), lit(4)) === 3)
+
+    def serve(dir: String) = Ann.ivfPqTopKIndexed(e, col("vec_id"), col("embedding"),
+      queries, col("vec_id"), col("embedding"), dir, k = 10, nprobe = 8,
+      refine = 100).collect().toSet
+
+    // one append batch vs the same rows split across two batches: the
+    // model is identical (frozen at base build), so serving must match
+    // bit-for-bit — batching is an ingest detail, not a semantic one
+    val dir1 = java.nio.file.Files.createTempDirectory("graft_annapp1_").toString
+    Ann.writeIvfPqIndex(base, col("vec_id"), col("embedding"), dir1, nlist = 16)
+    Ann.appendToIvfPqIndex(oddA.unionByName(oddB), col("vec_id"), col("embedding"), dir1, 1L)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_annapp2_").toString
+    Ann.writeIvfPqIndex(base, col("vec_id"), col("embedding"), dir2, nlist = 16)
+    Ann.appendToIvfPqIndex(oddA, col("vec_id"), col("embedding"), dir2, 1L)
+    Ann.appendToIvfPqIndex(oddB, col("vec_id"), col("embedding"), dir2, 2L)
+    val r1 = serve(dir1)
+    assert(r1 == serve(dir2), "append batching changed serving results")
+
+    // a retried batch replaces its own partitions exactly
+    Ann.appendToIvfPqIndex(oddB, col("vec_id"), col("embedding"), dir2, 2L)
+    assert(serve(dir2) == r1, "retried append batch changed serving results")
+
+    // appended vectors genuinely serve: every odd vec_id < 8 query must
+    // find ITSELF (cosine 1.0) — impossible unless appended codes are
+    // probed and the rescore sees them
+    val selfHits = r1.collect {
+      case row if row.getLong(0) % 2 == 1 &&
+        row.getLong(0) == row.getLong(1) => row.getLong(0)
+    }
+    val oddQueries = queries.filter(pmod(col("vec_id"), lit(2)) === 1)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(oddQueries.nonEmpty && selfHits.toSet == oddQueries,
+      s"appended self-hits $selfHits != odd queries $oddQueries")
+
+    // appends must refuse the reserved base batch id
+    intercept[IllegalArgumentException](
+      Ann.appendToIvfPqIndex(oddA, col("vec_id"), col("embedding"), dir2, 0L))
+  }
 }
