@@ -13,10 +13,14 @@ import org.apache.spark.sql.functions._
   *
   * 100 TB shape: the per-batch cost is one scan with map-side partial
   * sketches and a 2^lgK-byte-per-column final row; the serve cost is
-  * reading (batches × columns) KB rows — constant in corpus size. The
-  * union of per-batch sketches is EXACTLY the sketch of the unioned data
-  * (per-register max), so incremental estimates equal the full-rescan
-  * estimate bit-for-bit — q111 pins that equality.
+  * reading (batches × columns) KB rows — constant in corpus size.
+  * Register-max merging is associative and the union serve path uses the
+  * composite estimator over that order-independent state, so ANY batching
+  * of the same stream unions to bit-identical estimates (q111 gates
+  * exactly that split-invariance). A direct single-pass build is NOT an
+  * equality anchor: DataSketches' primary HIP estimator is
+  * insertion-order-sensitive, so its estimate moves with plan/partition
+  * order (observed 1487 vs 1495 on identical data).
   *
   * Write layout mirrors [[Retrieval.appendBm25Postings]]: one
   * `batch_id=N` partition per ingest batch, dynamic partition overwrite

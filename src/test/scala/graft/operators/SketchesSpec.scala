@@ -24,16 +24,21 @@ class SketchesSpec extends SparkSpec {
     assert(est("t")._3 == 5L, est("t").toString)
   }
 
-  test("union of batch sketches equals the full-rescan sketch estimate") {
-    val dir = tmpDir()
-    val all = df(0 until 3000)
+  test("union estimates are split-invariant; direct HIP builds are not an anchor") {
+    // register-max merge state is order-independent and the union path
+    // estimates from it (composite estimator), so ANY batching of the
+    // same stream unions to bit-identical estimates — the q111 merge gate
+    val big = (0 until 80000).map(i => (i.toLong, s"k${i % 20000}")).toDF("id", "u")
+    val dir3 = tmpDir(); val dir2 = tmpDir()
     (0 until 3).foreach(b => Sketches.appendCardinalitySketches(
-      all.filter(pmod(col("id"), lit(3)) === b), Seq("u"), dir, b.toLong))
-    val unioned = Sketches.estimateCardinalities(spark, dir)
-      .collect()(0).getLong(3)
-    val full = all.agg(hll_sketch_estimate(
-      hll_sketch_agg(col("u").cast("string"), lit(12)))).collect()(0).getLong(0)
-    assert(unioned == full, s"$unioned != $full")
+      big.filter(pmod(col("id"), lit(3)) === b), Seq("u"), dir3, b.toLong))
+    (0 until 2).foreach(b => Sketches.appendCardinalitySketches(
+      big.filter(pmod(col("id"), lit(2)) === b), Seq("u"), dir2, b.toLong))
+    val u3 = Sketches.estimateCardinalities(spark, dir3).collect()(0).getLong(3)
+    val u2 = Sketches.estimateCardinalities(spark, dir2).collect()(0).getLong(3)
+    assert(u3 == u2, s"split-variant union estimates: $u3 vs $u2")
+    // and the union stays near truth (20k distinct, lgK=12 ~ 1.6% RSE)
+    assert(math.abs(u3 - 20000.0) / 20000.0 < 0.05, u3.toString)
   }
 
   test("a retried batch overwrites its own partition (idempotent)") {
