@@ -268,6 +268,26 @@ object DocStreams {
     writer.start()
   }
 
+  /** Streaming twin of the Count-Min appends
+    * ([[graft.operators.Sketches.appendFrequencySketches]]): each
+    * micro-batch lands its sparse (row, bucket, cnt) cells under its own
+    * batch_id partition — replayed batches overwrite themselves, and
+    * token-frequency questions over the whole ingested stream are served
+    * from [[graft.operators.Sketches.cmsEstimate]] without rescanning
+    * history. `key` is evaluated against each micro-batch frame. */
+  def foreachBatchFrequency(docs: DataFrame, key: org.apache.spark.sql.Column,
+                            outDir: String, depth: Int = 4, width: Int = 1024,
+                            checkpointDir: Option[String] = None): StreamingQuery = {
+    val writer = docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Sketches.appendFrequencySketches(
+          batch, key, outDir, batchId, depth, width)
+        ()
+      }
+    checkpointDir.foreach(d => writer.option("checkpointLocation", d))
+    writer.start()
+  }
+
   private def loadHistoryCounts(spark: SparkSession, dir: String,
                                 excludeBatchId: Long,
                                 emptySchema: StructType): DataFrame = {

@@ -168,6 +168,38 @@ class DocStreamsSpec extends SparkSpec {
     assert(s.map(_._3).forall(_ == 3L)) // three micro-batches landed
   }
 
+  test("foreachBatchFrequency: streamed CMS cells equal the batch-side appends") {
+    val (dir, halves) = stageBatches()
+    val streamOut = java.nio.file.Files.createTempDirectory("graft-cms-s").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-cck").toString
+    val q = DocStreams.foreachBatchFrequency(
+      DocStreams.readDocs(spark, dir, maxFilesPerTrigger = Some(1)),
+      org.apache.spark.sql.functions.col("text"), streamOut,
+      checkpointDir = Some(ckDir))
+    try q.processAllAvailable() finally q.stop()
+
+    val batchOut = java.nio.file.Files.createTempDirectory("graft-cms-b").toString
+    halves.zipWithIndex.foreach { case (b, i) =>
+      graft.operators.Sketches.appendFrequencySketches(
+        b, org.apache.spark.sql.functions.col("text"), batchOut, i.toLong)
+    }
+    // probe the estimates AND the raw cell tables
+    val probe = halves.head.select("text").limit(3)
+      .collect().map(_.getString(0)).toSeq :+ "absent-text"
+    val sEst = graft.operators.Sketches.cmsEstimate(spark, streamOut, probe)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val bEst = graft.operators.Sketches.cmsEstimate(spark, batchOut, probe)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(sEst == bEst, s"stream $sEst != batch $bEst")
+    val sc = spark.read.parquet(streamOut)
+      .groupBy("r", "bucket").sum("cnt").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val bc = spark.read.parquet(batchOut)
+      .groupBy("r", "bucket").sum("cnt").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(sc == bc, "merged cell tables differ")
+  }
+
   test("foreachBatchSegmentDedup: streaming loop equals the sequential batch replay " +
        "(cross-batch duplicated segments dropped from later batches)") {
     import spark.implicits._
