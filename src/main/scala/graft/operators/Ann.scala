@@ -367,16 +367,32 @@ object Ann {
     * cell partition pruning sees base and appended rows alike.
     *
     * Contracts (shared with the BM25 appends): batch ids must be unique
-    * per ingest batch and never re-ship an nid; a RETRIED batch replaces
-    * exactly its own (cell, batch_id) partitions via dynamic partition
-    * overwrite, so attempts must be deterministic in their input. Model
-    * drift (a corpus whose distribution leaves the frozen centroids)
-    * shows up as recall decay in the q64-style gates — rebuild the base
-    * index when the drift monitor (q104/q106) fires. */
+    * per ingest batch and never re-ship an nid. Retry idempotence is
+    * enforced, not assumed: this batch's per-cell `batch_id=N` partitions
+    * are DELETED before the write (the [[Retrieval.appendBm25Postings]]
+    * hardening) — dynamic partition overwrite alone only replaces
+    * partitions present in the retry's output, so a retry whose input
+    * lost a cell would leave the first attempt's stale partition to
+    * double-count. Model drift (a corpus whose distribution leaves the
+    * frozen centroids) shows up as recall decay in the q64-style gates —
+    * rebuild the base index when the drift monitor (q104/q106) fires. */
   def appendToIvfPqIndex(newVectors: DataFrame, id: Column, vec: Column,
                          dir: String, batchId: Long): Unit = {
     require(batchId > 0, "batch 0 is the base build; appends start at 1")
     val spark = newVectors.sparkSession
+    // retry safety: drop every cell's partition for THIS batch first —
+    // batch_id is the inner partition level, so one listing of dir/codes
+    // finds each cell=*/batch_id=N leaf
+    val conf = spark.sparkContext.hadoopConfiguration
+    val codesRoot = new org.apache.hadoop.fs.Path(s"$dir/codes")
+    val fs = codesRoot.getFileSystem(conf)
+    if (fs.exists(codesRoot)) {
+      fs.listStatus(codesRoot).filter(_.isDirectory).foreach { cellDir =>
+        val stale = new org.apache.hadoop.fs.Path(
+          cellDir.getPath, s"batch_id=$batchId")
+        if (fs.exists(stale)) fs.delete(stale, true)
+      }
+    }
     val meta = readIvfPqIndexMeta(spark, dir)
     val centArr = typedLit(meta.centroids)
     val rows = unitNorm(newVectors, id, vec, "nid")

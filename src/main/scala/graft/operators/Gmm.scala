@@ -75,10 +75,14 @@ object Gmm {
     * extreme outliers relative to the current params) contribute no mass
     * to the M-step; they stay in n, so weights can sum to slightly under
     * one. That is the price of the rounding fences that make the whole
-    * trajectory engine-portable. */
+    * trajectory engine-portable — callers using the weights as
+    * PROBABILITIES (mixture sampling, per-component priors) should pass
+    * `renormalize = true`, which divides the final weights by their sum
+    * on the driver so they sum to exactly 1; the oracle-replayed raw
+    * weights (q108) keep the default `false`. */
   def fitDiag(df: DataFrame, cols: Seq[String], k: Int, iters: Int,
               keyCols: Seq[Column], salt: String = "gmm",
-              varFloor: Double = 1e-6): DiagGmmModel = {
+              varFloor: Double = 1e-6, renormalize: Boolean = false): DiagGmmModel = {
     require(k >= 1 && iters >= 0, "need k >= 1 and iters >= 0")
     val d = cols.length
     require(d >= 1, "need at least one feature column")
@@ -144,7 +148,15 @@ object Gmm {
         means = Array.tabulate(k, d)((c, j) => f(s"nm${c}_$j")),
         vars = Array.tabulate(k, d)((c, j) => f(s"nv${c}_$j")))
     }
-    model
+    if (renormalize) {
+      val total = model.weights.sum
+      val ws = model.weights.map(_ / total)
+      // fold the float-division residue (≤ a few ulps) into the largest
+      // weight so the sum is EXACTLY 1.0 — callers treat this as a
+      // probability vector
+      ws(ws.indexOf(ws.max)) += 1.0 - ws.sum
+      model.copy(weights = ws)
+    } else model
   }
 
   /** Hard assignment under `model`: input rows plus a `component` column —

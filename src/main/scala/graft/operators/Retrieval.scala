@@ -239,16 +239,28 @@ object Retrieval {
       .withColumn("batch_id", lit(-1L))
       .coalesce(1).write.mode("overwrite").partitionBy("batch_id")
       .parquet(s"$dir/stats_parts_tmp")
-    for (sub <- Seq("postings", "stats_parts")) {
-      val live = new org.apache.hadoop.fs.Path(s"$dir/$sub")
-      val tmp = new org.apache.hadoop.fs.Path(s"$dir/${sub}_tmp")
-      fs.delete(live, true)
-      require(fs.rename(tmp, live), s"rename failed for $tmp")
-    }
+    // Watermark BEFORE the swap: if we crashed between the swap and a
+    // trailing watermark write, a replayed already-folded batch would pass
+    // the watermark check, find nothing under its batch_id (folded into
+    // batch_id=-1), and re-write its rows — double-counting. Written
+    // first, a crash before the swap merely blocks replays of batches
+    // whose rows are already fully present — conservative, not wrong.
     val out = fs.create(foldManifestPath(dir), true)
     try out.write(maxBatch.toString
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    // Staged swap: two metadata renames instead of recursive-delete-then-
+    // rename, so the window with no live dir is two namenode ops, and a
+    // crash inside it leaves the previous data recoverable under _old.
+    for (sub <- Seq("postings", "stats_parts")) {
+      val live = new org.apache.hadoop.fs.Path(s"$dir/$sub")
+      val tmp = new org.apache.hadoop.fs.Path(s"$dir/${sub}_tmp")
+      val old = new org.apache.hadoop.fs.Path(s"$dir/${sub}_old")
+      if (fs.exists(old)) fs.delete(old, true) // stale from a prior crash
+      require(fs.rename(live, old), s"rename failed for $live")
+      require(fs.rename(tmp, live), s"rename failed for $tmp")
+      fs.delete(old, true)
+    }
   }
 
   /** Corpus stats for an index dir: the one-shot artifact when present,

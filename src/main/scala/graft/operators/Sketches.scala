@@ -24,25 +24,112 @@ import org.apache.spark.sql.functions._
   *
   * Write layout mirrors [[Retrieval.appendBm25Postings]]: one
   * `batch_id=N` partition per ingest batch, dynamic partition overwrite
-  * so a retried batch replaces itself (same determinism contract).
+  * so a retried batch replaces itself (same determinism contract), plus
+  * the full postings hardening — a retried batch's partition is DELETED
+  * before the rewrite (dynamic overwrite alone misses stale partitions
+  * when the retry's output is empty), and per-family `compact*Sketches`
+  * folds the accumulated batches into the reserved base partition
+  * `batch_id=-1` with a fold watermark making replays of folded batches
+  * no-ops. Without compaction, file counts grow one per batch forever —
+  * the small-files accretion `compactBm25Postings` fixed for postings.
   */
 object Sketches {
 
+  /** Fold-watermark filename INSIDE the sketch dir — underscore-prefixed
+    * so Spark's parquet reader ignores it alongside the data files. */
+  private val WatermarkFile = "_folded_watermark"
+
+  /** Highest batch id folded into the base partition (Long.MinValue if
+    * never compacted) — the no-op-replay guard for the appends. */
+  private[operators] def foldedWatermark(spark: SparkSession, dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(dir, WatermarkFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Long.MinValue
+    else {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      finally in.close()
+    }
+  }
+
+  /** Retry safety shared by the appends: drop this batch's partition
+    * BEFORE the write. Dynamic partition overwrite only replaces
+    * partitions present in the retry's output — a retry whose input went
+    * empty (or lost rows) would otherwise leave the first attempt's stale
+    * partition to double-count. */
+  private def deleteBatchPartition(spark: SparkSession, dir: String,
+                                   batchId: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/batch_id=$batchId")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
+  /** Fold plumbing shared by the three families: materialize `folded`
+    * (tiny by construction — ≤columns / ≤depth×width / ≤bins rows) under
+    * the reserved base partition `batch_id=-1` in a staging dir WITH the
+    * watermark file, then swap it in with two metadata renames. The
+    * watermark and the folded data become visible together (the
+    * compactBm25Postings crash-window fix, done one better here because
+    * a sketch dir is a single parquet root): a crash before the swap
+    * leaves the per-batch layout and old watermark fully intact; the
+    * no-live-dir window is two namenode ops with the previous data
+    * recoverable under `__fold_old`. Run in the ingest maintenance
+    * window — the swap is not transactional against concurrent readers. */
+  private def swapInFolded(spark: SparkSession, dir: String,
+                           folded: DataFrame): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val live = new org.apache.hadoop.fs.Path(dir)
+    val fs = live.getFileSystem(conf)
+    val tmp = new org.apache.hadoop.fs.Path(dir + "__fold_tmp")
+    val old = new org.apache.hadoop.fs.Path(dir + "__fold_old")
+    if (fs.exists(old)) fs.delete(old, true) // stale from a prior crash
+    // merged with the previous watermark so compacting an already-fully-
+    // compacted dir (max batch_id = -1) can't regress it
+    val maxBatch = math.max(
+      spark.read.parquet(dir).agg(max(col("batch_id").cast("long")))
+        .head().getLong(0),
+      foldedWatermark(spark, dir))
+    folded.withColumn("batch_id", lit(-1L))
+      .coalesce(1).write.mode("overwrite").partitionBy("batch_id")
+      .parquet(tmp.toString)
+    val out = fs.create(new org.apache.hadoop.fs.Path(tmp, WatermarkFile), true)
+    try out.write(maxBatch.toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    require(fs.rename(live, old), s"rename failed for $live")
+    require(fs.rename(tmp, live), s"rename failed for $tmp")
+    fs.delete(old, true)
+  }
+
+  private def exists(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** Append one HLL sketch row per column for this batch.
-    * Rows: (batch_id, column, n_rows, sketch). */
+    * Rows: (batch_id, column, n_rows, n_batches=1, sketch) — `n_batches`
+    * rides in-row (summed on serve) so folding batches into the base
+    * partition preserves the served batch count exactly. */
   def appendCardinalitySketches(df: DataFrame, cols: Seq[String], dir: String,
                                 batchId: Long, lgK: Int = 12): Unit = {
     require(cols.nonEmpty, "need at least one column")
     require(lgK >= 4 && lgK <= 21, "lgK must be in 4..21 (DataSketches bounds)")
+    val spark = df.sparkSession
+    // a replay of a batch compaction already folded into batch_id=-1 must
+    // be a no-op — its rows live in the base partition now (batch ids are
+    // monotone, the ingest contract)
+    if (batchId <= foldedWatermark(spark, dir)) return
+    deleteBatchPartition(spark, dir, batchId)
     val aggs = count(lit(1)).as("__n") +:
       cols.map(c => hll_sketch_agg(col(c).cast("string"), lit(lgK)).as(s"__s_$c"))
     val one = df.agg(aggs.head, aggs.tail: _*)
     val unpivoted = one.select(lit(batchId).as("batch_id"),
       explode(array(cols.map(c =>
         struct(lit(c).as("column"), col("__n").as("n_rows"),
-          col(s"__s_$c").as("sketch"))): _*)).as("e"))
-      .select(col("batch_id"), col("e.column"), col("e.n_rows"), col("e.sketch"))
-    val spark = df.sparkSession
+          lit(1L).as("n_batches"), col(s"__s_$c").as("sketch"))): _*)).as("e"))
+      .select(col("batch_id"), col("e.column"), col("e.n_rows"),
+        col("e.n_batches"), col("e.sketch"))
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try unpivoted.coalesce(1).write.mode("overwrite")
@@ -65,9 +152,25 @@ object Sketches {
       .filter(col("sketch").isNotNull)
       .groupBy("column")
       .agg(sum("n_rows").as("n_rows"),
-        count(lit(1)).as("n_batches"),
+        sum("n_batches").as("n_batches"),
         hll_sketch_estimate(
           hll_union_agg(col("sketch"), lit(allowDifferentLgK))).as("estimate"))
+
+  /** Fold the accumulated per-batch cardinality rows into ONE base row
+    * per column: register-max sketch union, n_rows / n_batches sums —
+    * all over the non-null-sketch rows [[estimateCardinalities]] serves
+    * from, so estimates are bit-identical pre/post fold (union merge is
+    * associative and the serve path estimates from merged register
+    * state). */
+  def compactCardinalitySketches(spark: SparkSession, dir: String): Unit = {
+    if (!exists(spark, dir)) return
+    swapInFolded(spark, dir,
+      spark.read.parquet(dir)
+        .filter(col("sketch").isNotNull)
+        .groupBy("column")
+        .agg(sum("n_rows").as("n_rows"), sum("n_batches").as("n_batches"),
+          hll_union_agg(col("sketch"), lit(false)).as("sketch")))
+  }
 
   // ---------------- Count-Min frequency sketches ----------------------
 
@@ -92,6 +195,8 @@ object Sketches {
                               width: Int = 1024): Unit = {
     require(depth >= 1 && depth <= 16, "depth must be in 1..16")
     require(width >= 16, "width must be >= 16")
+    if (batchId <= foldedWatermark(df.sparkSession, dir)) return
+    deleteBatchPartition(df.sparkSession, dir, batchId)
     val rows = df.select(key.cast("string").as("__k"))
       .filter(col("__k").isNotNull)
       .select(posexplode(array((0 until depth).map(r =>
@@ -109,6 +214,16 @@ object Sketches {
     }
   }
 
+  /** Fold the accumulated per-batch CMS cells into one base cell per
+    * (r, bucket): count-sum merge — exactly the arithmetic the serve path
+    * runs, so [[cmsEstimate]] is bit-identical pre/post fold. */
+  def compactFrequencySketches(spark: SparkSession, dir: String): Unit = {
+    if (!exists(spark, dir)) return
+    swapInFolded(spark, dir,
+      spark.read.parquet(dir)
+        .groupBy("r", "bucket").agg(sum("cnt").as("cnt")))
+  }
+
   // ---------------- fixed-edge histogram quantiles ---------------------
 
   /** Append one fixed-edge equi-width histogram of `valueCol` for this
@@ -124,6 +239,8 @@ object Sketches {
                               batchId: Long, lo: Double, hi: Double,
                               bins: Int = 256): Unit = {
     require(bins >= 2 && hi > lo, "need bins >= 2 and hi > lo")
+    if (batchId <= foldedWatermark(df.sparkSession, dir)) return
+    deleteBatchPartition(df.sparkSession, dir, batchId)
     val w = (hi - lo) / bins
     val bin = least(greatest(
       floor((valueCol.cast("double") - lit(lo)) / lit(w)), lit(0.0)),
@@ -140,6 +257,16 @@ object Sketches {
       case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
+  }
+
+  /** Fold the accumulated per-batch histogram cells into one base cell
+    * per bin — count-sum merge, the serve arithmetic, so
+    * [[histQuantiles]] is bit-identical pre/post fold. */
+  def compactHistogramSketches(spark: SparkSession, dir: String): Unit = {
+    if (!exists(spark, dir)) return
+    swapInFolded(spark, dir,
+      spark.read.parquet(dir)
+        .groupBy("bin").agg(sum("cnt").as("cnt")))
   }
 
   /** Quantile estimates from the merged batch histograms. For each q:

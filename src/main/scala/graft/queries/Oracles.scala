@@ -2355,8 +2355,12 @@ object Oracles {
   // per-row fences replayed as the SAME floor arithmetic Gmm.fence uses
   private def gmmFence(expr: String, pow: String) =
     s"floor(($expr) * $pow + 0.5) / $pow"
+  // weight * (pdf0 * pdf1) — parenthesised to match Gmm.responsibilities'
+  // association exactly (reduceLeft over the pdfs first, THEN the weight);
+  // IEEE multiplication is non-associative, so left-assoc SQL could differ
+  // by an ulp right at a rounding-fence boundary
   private def gmmScores: String = (0 until gmmK).map(c =>
-    gmmFence(s"pr.w$c * ${gmmPdf("x0", s"m${c}0", s"s${c}0")} * ${gmmPdf("x1", s"m${c}1", s"s${c}1")}",
+    gmmFence(s"pr.w$c * (${gmmPdf("x0", s"m${c}0", s"s${c}0")} * ${gmmPdf("x1", s"m${c}1", s"s${c}1")})",
       "1000000000000.0") + s" AS sc$c")
     .mkString(", ")
   private def gmmResps: String = {
@@ -2383,7 +2387,10 @@ object Oracles {
   val q108: String = {
     val initPivot = (0 until gmmK).flatMap { c =>
       s"round(1.0/3, 9) AS w$c" +: (0 until 2).map(j =>
-        s"max(CASE WHEN c = $c THEN x$j END) AS m$c$j, max(gg.v$j) AS s$c$j")
+        // greatest(·, varFloor) mirrors fitDiag's init floor — without it
+        // a near-constant feature (var_pop < 1e-6) would divide by ~zero
+        // here while Spark proceeds floored
+        s"max(CASE WHEN c = $c THEN x$j END) AS m$c$j, greatest(max(gg.v$j), 0.000001) AS s$c$j")
     }.mkString(", ")
     val outRows = (0 until gmmK).map { c =>
       s"""SELECT CAST($c AS BIGINT) AS component, round(p.w$c, 6) AS weight,

@@ -288,6 +288,28 @@ object DocStreams {
     writer.start()
   }
 
+  /** Streaming twin of the fixed-edge histogram appends
+    * ([[graft.operators.Sketches.appendHistogramSketches]]) — the third
+    * of the sketch triad (HLL = cardinality, CMS = frequency, this =
+    * distribution/quantiles): each micro-batch lands its (bin, cnt)
+    * cells under its own batch_id partition; quantile questions over the
+    * whole ingested stream are served from
+    * [[graft.operators.Sketches.histQuantiles]] without rescanning
+    * history. Same replay idempotence as the other two twins. */
+  def foreachBatchHistogram(docs: DataFrame, valueCol: org.apache.spark.sql.Column,
+                            outDir: String, lo: Double, hi: Double,
+                            bins: Int = 256,
+                            checkpointDir: Option[String] = None): StreamingQuery = {
+    val writer = docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Sketches.appendHistogramSketches(
+          batch, valueCol, outDir, batchId, lo, hi, bins)
+        ()
+      }
+    checkpointDir.foreach(d => writer.option("checkpointLocation", d))
+    writer.start()
+  }
+
   private def loadHistoryCounts(spark: SparkSession, dir: String,
                                 excludeBatchId: Long,
                                 emptySchema: StructType): DataFrame = {

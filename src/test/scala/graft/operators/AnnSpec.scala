@@ -271,4 +271,24 @@ class AnnSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Ann.appendToIvfPqIndex(oddA, col("vec_id"), col("embedding"), dir2, 0L))
   }
+
+  test("appendToIvfPqIndex: a retry whose input lost a cell leaves no stale partitions") {
+    // dynamic partition overwrite only replaces (cell, batch_id) partitions
+    // present in the retry's output — if the retry's input shrank (upstream
+    // change between attempts), cells only the FIRST attempt populated
+    // would survive and double-count; the batch-prefix delete must win
+    val e = graft.Tables.embeddings(spark, sf001)
+    val base = e.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val oddA = e.filter(pmod(col("vec_id"), lit(4)) === 1)
+    val both = e.filter(pmod(col("vec_id"), lit(2)) === 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft_annlost_").toString
+    Ann.writeIvfPqIndex(base, col("vec_id"), col("embedding"), dir, nlist = 16)
+    Ann.appendToIvfPqIndex(both, col("vec_id"), col("embedding"), dir, 1L)
+    Ann.appendToIvfPqIndex(oddA, col("vec_id"), col("embedding"), dir, 1L)
+    val served = Ann.readIvfPqCodes(spark, dir)
+      .filter(col("batch_id") === 1).select("nid").as[Long].collect().toSet
+    val expect = oddA.select(col("vec_id").cast("long")).as[Long].collect().toSet
+    assert(served == expect,
+      s"stale rows survived the shrunk retry: ${(served -- expect).take(5)}")
+  }
 }

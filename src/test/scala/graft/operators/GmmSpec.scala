@@ -61,6 +61,23 @@ class GmmSpec extends SparkSpec {
     assert(m1.vars.flatten[Double].toSeq == m2.vars.flatten[Double].toSeq)
   }
 
+  test("renormalize makes the weights an exact probability vector") {
+    // raw weights can sum slightly under 1 (rows whose density rounds to
+    // zero under every component carry no M-step mass — documented
+    // approximation); the flag renormalizes driver-side
+    val raw = Gmm.fitDiag(planted, Seq("a", "b"), k = 2, iters = 12,
+      keyCols = Seq(col("id")))
+    val rn = Gmm.fitDiag(planted, Seq("a", "b"), k = 2, iters = 12,
+      keyCols = Seq(col("id")), renormalize = true)
+    assert(rn.weights.sum == 1.0, rn.weights.mkString(","))
+    // only the weights change — means/vars are the oracle-replayed values
+    assert(rn.means.flatten[Double].toSeq == raw.means.flatten[Double].toSeq)
+    assert(rn.vars.flatten[Double].toSeq == raw.vars.flatten[Double].toSeq)
+    // renormalization preserves the weight RATIOS
+    assert(math.abs(rn.weights(0) / rn.weights(1) -
+      raw.weights(0) / raw.weights(1)) < 1e-12)
+  }
+
   test("degenerate component variance is floored, not collapsed") {
     // 50 identical points plus one outlier: a component that captures the
     // spike must keep variance >= varFloor

@@ -133,6 +133,106 @@ class SketchesSpec extends SparkSpec {
     assert(a.values.forall(v => v >= 0.0 && v <= 500.0), a.toString)
   }
 
+  // ---------------- compaction (the BM25 fold pattern) ------------------
+
+  private def parquetFiles(p: String): Long = {
+    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+    try walk.filter(f => f.toString.endsWith(".parquet")).count()
+    finally walk.close()
+  }
+
+  test("cardinality compaction: identical estimates, fewer files, " +
+       "folded-replay no-op, appends keep working") {
+    val dir = tmpDir()
+    (0 until 3).foreach(b => Sketches.appendCardinalitySketches(
+      df(b * 300 until (b + 1) * 300), Seq("u", "t"), dir, b.toLong))
+    def est() = Sketches.estimateCardinalities(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val before = est()
+    val filesBefore = parquetFiles(dir)
+    Sketches.compactCardinalitySketches(spark, dir)
+    assert(est() == before, "compaction changed the served estimates")
+    assert(parquetFiles(dir) < filesBefore,
+      s"no file-count drop: $filesBefore -> ${parquetFiles(dir)}")
+    // a replayed, already-folded batch must be a no-op (its rows live in
+    // the base partition now)
+    Sketches.appendCardinalitySketches(df(300 until 600), Seq("u", "t"), dir, 1L)
+    assert(est() == before, "folded-batch replay double-counted")
+    // a NEW batch after compaction adds mass over the union
+    Sketches.appendCardinalitySketches(df(900 until 1200), Seq("u", "t"), dir, 3L)
+    val after = est()
+    assert(after.find(_._1 == "u").get._2 == 1200L) // n_rows summed
+    assert(after.find(_._1 == "u").get._3 == 4L)    // batch count preserved
+    assert(after.find(_._1 == "u").get._4 == 37L)   // coupon-exact distinct
+    // re-compacting an already-compacted dir is stable
+    Sketches.compactCardinalitySketches(spark, dir)
+    assert(est() == after, "re-compaction changed the served estimates")
+  }
+
+  test("CMS compaction: identical estimates, fewer files, folded-replay no-op") {
+    val dir = tmpDir()
+    val all = (0 until 3000).map(i => (i.toLong, s"w${i % 61}")).toDF("id", "t")
+    (0 until 3).foreach(b => Sketches.appendFrequencySketches(
+      all.filter(col("id") % 3 === b), col("t"), dir, b.toLong))
+    val keys = Seq("w0", "w7", "w60", "zz_absent")
+    def est() = Sketches.cmsEstimate(spark, dir, keys).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val before = est()
+    val filesBefore = parquetFiles(dir)
+    Sketches.compactFrequencySketches(spark, dir)
+    assert(est() == before, "compaction changed the served estimates")
+    assert(parquetFiles(dir) < filesBefore)
+    Sketches.appendFrequencySketches(all.filter(col("id") % 3 === 1),
+      col("t"), dir, 1L)
+    assert(est() == before, "folded-batch replay double-counted")
+    // post-compaction append: every one of w0's bucket cells gains exactly
+    // +500, so the min-over-rows estimate moves by exactly +500
+    val extra = (0 until 500).map(i => (i.toLong, "w0")).toDF("id", "t")
+    Sketches.appendFrequencySketches(extra, col("t"), dir, 3L)
+    val w0 = Sketches.cmsEstimate(spark, dir, Seq("w0")).collect()(0).getLong(1)
+    assert(w0 == before.find(_._1 == "w0").get._2 + 500L, w0.toString)
+  }
+
+  test("histogram compaction: identical quantiles, fewer files, folded-replay no-op") {
+    val dir = tmpDir()
+    val all = (0 until 9000).map(i => (i.toLong, (i % 900).toDouble)).toDF("id", "v")
+    (0 until 3).foreach(b => Sketches.appendHistogramSketches(
+      all.filter(col("id") % 3 === b), col("v"), dir, b.toLong, 0.0, 900.0, 90))
+    val qs = Seq(0.1, 0.5, 0.95)
+    def est() = Sketches.histQuantiles(spark, dir, qs, 0.0, 900.0, 90).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1))).toSet
+    val before = est()
+    val filesBefore = parquetFiles(dir)
+    Sketches.compactHistogramSketches(spark, dir)
+    assert(est() == before, "compaction changed the served quantiles")
+    assert(parquetFiles(dir) < filesBefore)
+    Sketches.appendHistogramSketches(all.filter(col("id") % 3 === 2),
+      col("v"), dir, 2L, 0.0, 900.0, 90)
+    assert(est() == before, "folded-batch replay double-counted")
+    // a new batch after compaction shifts the distribution as it should
+    val hiVals = (0 until 9000).map(i => (i.toLong, 899.0)).toDF("id", "v")
+    Sketches.appendHistogramSketches(hiVals, col("v"), dir, 3L, 0.0, 900.0, 90)
+    val p50 = Sketches.histQuantiles(spark, dir, Seq(0.5), 0.0, 900.0, 90)
+      .collect()(0).getDouble(1)
+    assert(p50 > before.find(_._1 == 0.5).get._2, p50.toString)
+  }
+
+  test("a retried batch with EMPTY input clears its stale partition") {
+    // dynamic overwrite alone replaces only partitions the retry emits —
+    // an empty retry emits none; the batch-prefix delete must still win
+    val dir = tmpDir()
+    Sketches.appendFrequencySketches(
+      (0 until 100).map(i => (i.toLong, "x")).toDF("id", "t"), col("t"), dir, 0L)
+    Sketches.appendFrequencySketches(
+      (0 until 50).map(i => (i.toLong, "y")).toDF("id", "t"), col("t"), dir, 1L)
+    Sketches.appendFrequencySketches(
+      (0 until 0).map(i => (i.toLong, "y")).toDF("id", "t"), col("t"), dir, 1L)
+    val est = Sketches.cmsEstimate(spark, dir, Seq("x", "y")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est("x") == 100L, est.toString) // batch 0 untouched
+    assert(est("y") == 0L, est.toString)   // batch 1's stale rows gone
+  }
+
   test("an empty batch contributes an empty sketch that adds no mass") {
     val dir = tmpDir()
     Sketches.appendCardinalitySketches(df(0 until 300), Seq("u"), dir, 0L)

@@ -200,6 +200,39 @@ class DocStreamsSpec extends SparkSpec {
     assert(sc == bc, "merged cell tables differ")
   }
 
+  test("foreachBatchHistogram: streamed histogram cells equal the batch-side appends") {
+    import org.apache.spark.sql.functions.length
+    val (dir, halves) = stageBatches()
+    val (lo, hi, bins) = (0.0, 2000.0, 100)
+    val streamOut = java.nio.file.Files.createTempDirectory("graft-hist-s").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-hkck").toString
+    val q = DocStreams.foreachBatchHistogram(
+      DocStreams.readDocs(spark, dir, maxFilesPerTrigger = Some(1)),
+      length(col("text")).cast("double"), streamOut, lo, hi, bins,
+      checkpointDir = Some(ckDir))
+    try q.processAllAvailable() finally q.stop()
+
+    val batchOut = java.nio.file.Files.createTempDirectory("graft-hist-b").toString
+    halves.zipWithIndex.foreach { case (b, i) =>
+      graft.operators.Sketches.appendHistogramSketches(
+        b, length(col("text")).cast("double"), batchOut, i.toLong, lo, hi, bins)
+    }
+    // quantile estimates AND the raw merged cell tables must agree
+    val qs = Seq(0.1, 0.5, 0.9)
+    val sEst = graft.operators.Sketches.histQuantiles(spark, streamOut, qs, lo, hi, bins)
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSet
+    val bEst = graft.operators.Sketches.histQuantiles(spark, batchOut, qs, lo, hi, bins)
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSet
+    assert(sEst == bEst, s"stream $sEst != batch $bEst")
+    val sc = spark.read.parquet(streamOut)
+      .groupBy("bin").sum("cnt").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bc = spark.read.parquet(batchOut)
+      .groupBy("bin").sum("cnt").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sc == bc, "merged histogram cell tables differ")
+  }
+
   test("foreachBatchSegmentDedup: streaming loop equals the sequential batch replay " +
        "(cross-batch duplicated segments dropped from later batches)") {
     import spark.implicits._
