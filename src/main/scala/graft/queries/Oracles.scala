@@ -2598,6 +2598,14 @@ object Oracles {
     SELECT doc_id, lang, md5(coalesce(text, '')) AS text_md5
     FROM documents ORDER BY doc_id"""
 
+  // CSV round-trip (q120): same contract as q112 for the CSV reader —
+  // the Spark side exported documents as headerless CSV with 2 planted
+  // malformed lines (require-gated to quarantine) and read them back
+  // PERMISSIVE; the oracle is the parquet original.
+  val q120 = """
+    SELECT doc_id, lang, md5(coalesce(text, '')) AS text_md5
+    FROM documents ORDER BY doc_id"""
+
   // Temperature mixture (q113): share/alpha/weight arithmetic + the q62
   // per-doc md5-uniform epoch draws, replayed end-to-end.
   val q113 = """
@@ -2881,6 +2889,7 @@ object Oracles {
     "q118_ce_reweighting" -> q118,
     // q64's pinned-gate convention: the recall check runs Spark-side
     // against exact brute force; the oracle pins the expected verdict
-    "q119_ann_incremental" -> q64
+    "q119_ann_incremental" -> q64,
+    "q120_csv_source" -> q120
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

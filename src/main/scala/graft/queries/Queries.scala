@@ -1134,10 +1134,12 @@ object Queries {
     new scala.collection.concurrent.TrieMap[String, (String, String)]()
   private val annAppendDirCache =
     new scala.collection.concurrent.TrieMap[String, (String, String)]()
+  private val csvDirCache =
+    new scala.collection.concurrent.TrieMap[String, (String, String)]()
   Runtime.getRuntime.addShutdownHook(new Thread(() =>
     (ivfPqIndexCache.values ++ bm25IndexCache.values ++ sketchDirCache.values ++
       jsonlDirCache.values ++ cmsDirCache.values ++ histDirCache.values ++
-      annAppendDirCache.values)
+      annAppendDirCache.values ++ csvDirCache.values)
       .foreach { case (_, dir) =>
         try deleteDirTree(dir) catch { case _: Exception => () }
       }))
@@ -1816,7 +1818,10 @@ object Queries {
       bpeCache.get(d) match {
         case Some((s0, m)) if s0 == sig => m
         case _ =>
-          val m = Vocab.bpeTrain(Tables.documents(s, d), col("text"),
+          // batched trainer: byte-identical merge table to Vocab.bpeTrain
+          // (the q103 oracle replays the SEQUENTIAL semantics) in ~batch×
+          // fewer Spark jobs — the production-vocab training shape
+          val m = Vocab.bpeTrainBatched(Tables.documents(s, d), col("text"),
             nMerges = 40, policy = CheckpointPolicy.fromSession(s))
           bpeCache.update(d, (sig, m))
           m
@@ -2658,4 +2663,48 @@ object Queries {
     LangModel.knTrigramCrossEntropy(Tables.documents(s, d), col("doc_id"),
         TextOps.tokens(coalesce(col("text"), lit(""))), col("lang") === "en")
       .orderBy("doc_id")
+
+  /** CSV source round-trip ([[TextSources.readCsv]]) — the q112 contract
+    * for the OTHER line format corpora arrive in: the documents table is
+    * exported once per fixture as headerless CSV (`to_csv` — RFC-4180
+    * quoting) with TWO planted malformed lines (a non-numeric doc_id and
+    * an unterminated quote, both failing the BIGINT conversion), read
+    * back through the schema-enforced PERMISSIVE reader, and
+    * quarantine-split. The gate: exactly the 2 planted lines quarantine
+    * (require — a wrong count fails the query) and every clean row's
+    * (doc_id, lang, md5(text)) matches the parquet original — any
+    * quote/escape/null-handling defect in the export+read chain breaks
+    * the hash. */
+  def q120CsvSource(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val sig = tableSignature(s, d, "documents")
+    val dir = csvDirCache.synchronized {
+      csvDirCache.get(d) match {
+        case Some((s0, dd)) if s0 == sig => dd
+        case prev =>
+          prev.foreach { case (_, old) =>
+            try deleteDirTree(old) catch { case _: Exception => () } }
+          val tmp = java.nio.file.Files.createTempDirectory("graft_csv_").toString
+          val docs = Tables.documents(s, d).select("doc_id", "lang", "text")
+          import s.implicits._
+          docs.select(to_csv(struct(col("doc_id"), col("lang"), col("text")))
+              .as("value"))
+            .unionByName(Seq("not_a_number,en,planted bad row",
+              "\"unterminated,xx,zz").toDF("value"))
+            .write.mode("overwrite").text(tmp)
+          csvDirCache.update(d, (sig, tmp))
+          tmp
+      }
+    }
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("text", StringType)))
+    val (clean, bad) = TextSources.quarantineSplit(
+      TextSources.readCsv(s, dir, schema))
+    val nBad = bad.count() // bounded: the quarantine side of the fixture
+    require(nBad == 2, s"expected 2 quarantined lines, got $nBad")
+    clean.select(col("doc_id"), col("lang"),
+        md5(coalesce(col("text"), lit("")).cast("binary")).as("text_md5"))
+      .orderBy("doc_id")
+  }
 }

@@ -83,6 +83,59 @@ class VocabSpec extends SparkSpec {
     assert(direct == exploded)
   }
 
+  test("bpeTrainBatched equals sequential training byte-for-byte") {
+    // corpora chosen to exercise every prefix guard: Zipf-ish words
+    // (interactions + chained merges), overlap runs (self-pairs), exact
+    // count ties (tie-parent guard), and early exhaustion
+    val corpora = Seq(
+      (0L until 120L).map(i => (i, s"banana bandana ana${i % 5}")),
+      (0L until 40L).map(i => (i, s"aaaa aab baa${i % 3} cc${i % 2}")),
+      (0L until 30L).map(i => (i, "xy xz zy yx zz")), // dense tie counts
+      Seq((0L, "aa ab aa"), (1L, "ab aa b"))          // exhausts early
+    ).map(_.toSeq.toDF("doc_id", "text"))
+    for (c <- corpora; n <- Seq(3, 10, 25); b <- Seq(1, 4, 32)) {
+      val seqM = Vocab.bpeTrain(c, col("text"), nMerges = n)
+      val batM = Vocab.bpeTrainBatched(c, col("text"), nMerges = n, batch = b)
+      assert(batM == seqM, s"batch=$b nMerges=$n diverged:\n$batM\nvs\n$seqM")
+    }
+  }
+
+  test("bpeTrainBatched uses far fewer jobs than merges learned") {
+    // 13 disjoint-letter bigram words with distinct frequencies: no pair
+    // interacts with any other, so ONE sample job certifies all 13 merges
+    // (the corpus shape real text approaches as the alphabet grows —
+    // interaction-dense toy corpora like "banana" degrade toward
+    // prefix-of-1, i.e. sequential, which is the conservative floor)
+    val bigrams = Seq("ab", "cd", "ef", "gh", "ij", "kl", "mn",
+      "op", "qr", "st", "uv", "wx", "yz")
+    val many = bigrams.zipWithIndex.flatMap { case (w, i) =>
+      Seq.fill(i + 2)(w)
+    }.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val sc = spark.sparkContext
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    sc.addSparkListener(listener)
+    try {
+      val m = Vocab.bpeTrainBatched(many, col("text"), nMerges = 13, batch = 32)
+      // listener events are async — poll briefly for the job starts
+      val deadline = System.nanoTime() + 5e9.toLong
+      while (listener.jobs.get() == 0 && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      val batchedJobs = listener.jobs.get()
+      assert(m.size == 13)
+      assert(m == Vocab.bpeTrain(many, col("text"), nMerges = 13))
+      // sequential training launches ≥ 13 argmax jobs; batched needs the
+      // prep pin + one sample + the exhaustion probe
+      assert(batchedJobs < 8,
+        s"expected batched training to use < 8 jobs, saw $batchedJobs")
+    } finally sc.removeSparkListener(listener)
+  }
+
   test("bpe merge table round-trips through the persisted artifact in order") {
     val corpus = Seq((0L, "aa ab aa"), (1L, "ab aa b")).toDF("doc_id", "text")
     val merges = Vocab.bpeTrain(corpus, col("text"), nMerges = 5)
