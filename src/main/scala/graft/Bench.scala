@@ -38,6 +38,15 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"BENCH WARMUP FAIL: ${e.getClass.getName}: ${e.getMessage}")
     }
+    // Host load bracketing: the bench host carries heavy EXTERNAL load
+    // (2-7x phantom swings on identical code across rounds) — record
+    // /proc/loadavg before and after so a reader can separate host jitter
+    // from real regressions without a local re-run.
+    def loadavg(): String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split("\\s+").take(3).mkString(" ")
+      catch { case _: Exception => "unavailable" }
+    val loadBefore = loadavg()
     var failed = List.empty[String]
     // The host carries heavy external load (observed ±50% swings on
     // identical code between driver rounds); report steady-state as the
@@ -73,7 +82,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._3).sum
     val failedJson = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$colds,"reps":$reps,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$colds,"reps":$reps,"failed":$failedJson,"load_before":"$loadBefore","load_after":"${loadavg()}","sf":"$sfDir"}""")
     spark.stop()
   }
 }
