@@ -2404,6 +2404,10 @@ object Queries {
             ev.filter(pmod(col("event_id"), lit(3)) === b), cols, s"$tmp/a", b.toLong))
           (0 until 2).foreach(b => Sketches.appendCardinalitySketches(
             ev.filter(pmod(col("event_id"), lit(2)) === b), cols, s"$tmp/b", b.toLong))
+          // fold a/ into its base partition; b/ stays per-batch — the
+          // merge_ok equality below then drives COMPACTION through the
+          // oracle gate too (folded vs unfolded must estimate identically)
+          Sketches.compactCardinalitySketches(s, s"$tmp/a")
           sketchDirCache.update(d, (sig, tmp))
           tmp
       }
@@ -2513,6 +2517,9 @@ object Queries {
           (0 until 2).foreach(b => Sketches.appendFrequencySketches(
             toks.filter(pmod(col("doc_id"), lit(2)) === b), col("tok"),
             tmp, b.toLong))
+          // fold into the base partition: the oracle's whole-corpus build
+          // must equal the folded cells — compaction is oracle-gated
+          Sketches.compactFrequencySketches(s, tmp)
           cmsDirCache.update(d, (sig, tmp))
           tmp
       }
@@ -2553,6 +2560,9 @@ object Queries {
           (0 until 2).foreach(b => Sketches.appendHistogramSketches(
             ev.filter(pmod(col("event_id"), lit(2)) === b), col("value"),
             tmp, b.toLong, lo, hi, bins))
+          // fold into the base partition: the oracle's exact quantile
+          // replay must match the folded sketch — compaction oracle-gated
+          Sketches.compactHistogramSketches(s, tmp)
           histDirCache.update(d, (sig, tmp))
           tmp
       }
