@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared fold/compaction plumbing for every `batch_id=N`-partitioned
+  * incremental artifact (sketches, streaming admission histories): fold
+  * the accumulated per-batch partitions into the reserved base partition
+  * `batch_id=-1`, record a fold watermark, and make replays of folded
+  * batches no-ops in the corresponding append path. Without this, every
+  * continuously-ingesting artifact accretes one partition (and at least
+  * one file) per batch forever — the small-files failure mode
+  * [[Retrieval.compactBm25Postings]] first fixed for postings.
+  *
+  * Crash posture (the round-7 advice, applied uniformly): the watermark
+  * is written INTO the staging dir, so watermark and folded data become
+  * visible together at the rename swap — a crash before the swap leaves
+  * the per-batch layout and the old watermark fully intact; the
+  * no-live-dir window is two namenode metadata ops with the previous
+  * data recoverable under `__fold_old`. Folding is NOT transactional
+  * against concurrent readers or writers — run it in the maintenance
+  * window (streams stopped).
+  *
+  * Batch-id contract: ids must be monotone over the artifact's lifetime
+  * (for streaming twins that means one stable checkpoint lineage — a
+  * fresh checkpoint restarts micro-batch ids at 0, which the watermark
+  * would wrongly no-op; compact only artifacts whose ingest keeps its
+  * checkpoint).
+  */
+private[graft] object ArtifactFold {
+
+  /** Watermark filename INSIDE the artifact dir — underscore-prefixed so
+    * Spark's parquet reader ignores it alongside the data files. */
+  private val WatermarkFile = "_folded_watermark"
+
+  /** Highest batch id folded into the base partition (Long.MinValue if
+    * never compacted) — the no-op-replay guard for append paths. */
+  def foldedWatermark(spark: SparkSession, dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(dir, WatermarkFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Long.MinValue
+    else {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      finally in.close()
+    }
+  }
+
+  /** Retry safety shared by append paths: drop this batch's partition
+    * BEFORE the write. Dynamic partition overwrite only replaces
+    * partitions present in the retry's output — a retry whose input went
+    * empty (or lost rows) would otherwise leave the first attempt's
+    * stale partition to double-count. */
+  def deleteBatchPartition(spark: SparkSession, dir: String,
+                           batchId: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/batch_id=$batchId")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
+  def exists(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Materialize `folded` (must NOT carry a batch_id column) under the
+    * reserved base partition `batch_id=-1` in a staging dir together
+    * with the updated watermark, then swap it in with two renames.
+    * `targetFiles` bounds the folded file count (sketch-sized artifacts
+    * pass 1; doc-sized histories pass something proportional to size). */
+  def swapInFolded(spark: SparkSession, dir: String, folded: DataFrame,
+                   targetFiles: Int): Unit = {
+    require(targetFiles >= 1, "need at least one output file")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val live = new org.apache.hadoop.fs.Path(dir)
+    val fs = live.getFileSystem(conf)
+    val tmp = new org.apache.hadoop.fs.Path(dir + "__fold_tmp")
+    val old = new org.apache.hadoop.fs.Path(dir + "__fold_old")
+    if (fs.exists(old)) fs.delete(old, true) // stale from a prior crash
+    // merged with the previous watermark so compacting an already-fully-
+    // compacted dir (max batch_id = -1) can't regress it
+    val maxBatch = math.max(
+      spark.read.parquet(dir).agg(max(col("batch_id").cast("long")))
+        .head().getLong(0),
+      foldedWatermark(spark, dir))
+    folded.withColumn("batch_id", lit(-1L))
+      .coalesce(targetFiles).write.mode("overwrite").partitionBy("batch_id")
+      .parquet(tmp.toString)
+    val out = fs.create(new org.apache.hadoop.fs.Path(tmp, WatermarkFile), true)
+    try out.write(maxBatch.toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    require(fs.rename(live, old), s"rename failed for $live")
+    require(fs.rename(tmp, live), s"rename failed for $tmp")
+    fs.delete(old, true)
+  }
+}

@@ -35,77 +35,19 @@ import org.apache.spark.sql.functions._
   */
 object Sketches {
 
-  /** Fold-watermark filename INSIDE the sketch dir — underscore-prefixed
-    * so Spark's parquet reader ignores it alongside the data files. */
-  private val WatermarkFile = "_folded_watermark"
-
-  /** Highest batch id folded into the base partition (Long.MinValue if
-    * never compacted) — the no-op-replay guard for the appends. */
-  private[operators] def foldedWatermark(spark: SparkSession, dir: String): Long = {
-    val p = new org.apache.hadoop.fs.Path(dir, WatermarkFile)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Long.MinValue
-    else {
-      val in = fs.open(p)
-      try new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-      finally in.close()
-    }
-  }
-
-  /** Retry safety shared by the appends: drop this batch's partition
-    * BEFORE the write. Dynamic partition overwrite only replaces
-    * partitions present in the retry's output — a retry whose input went
-    * empty (or lost rows) would otherwise leave the first attempt's stale
-    * partition to double-count. */
+  // Fold/watermark/retry plumbing lives in [[ArtifactFold]] (shared with
+  // the streaming admission histories); sketches fold to ONE file — the
+  // folded frames are ≤columns / ≤depth×width / ≤bins rows by construction.
+  private def foldedWatermark(spark: SparkSession, dir: String): Long =
+    ArtifactFold.foldedWatermark(spark, dir)
   private def deleteBatchPartition(spark: SparkSession, dir: String,
-                                   batchId: Long): Unit = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/batch_id=$batchId")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) fs.delete(p, true)
-  }
-
-  /** Fold plumbing shared by the three families: materialize `folded`
-    * (tiny by construction — ≤columns / ≤depth×width / ≤bins rows) under
-    * the reserved base partition `batch_id=-1` in a staging dir WITH the
-    * watermark file, then swap it in with two metadata renames. The
-    * watermark and the folded data become visible together (the
-    * compactBm25Postings crash-window fix, done one better here because
-    * a sketch dir is a single parquet root): a crash before the swap
-    * leaves the per-batch layout and old watermark fully intact; the
-    * no-live-dir window is two namenode ops with the previous data
-    * recoverable under `__fold_old`. Run in the ingest maintenance
-    * window — the swap is not transactional against concurrent readers. */
+                                   batchId: Long): Unit =
+    ArtifactFold.deleteBatchPartition(spark, dir, batchId)
   private def swapInFolded(spark: SparkSession, dir: String,
-                           folded: DataFrame): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val live = new org.apache.hadoop.fs.Path(dir)
-    val fs = live.getFileSystem(conf)
-    val tmp = new org.apache.hadoop.fs.Path(dir + "__fold_tmp")
-    val old = new org.apache.hadoop.fs.Path(dir + "__fold_old")
-    if (fs.exists(old)) fs.delete(old, true) // stale from a prior crash
-    // merged with the previous watermark so compacting an already-fully-
-    // compacted dir (max batch_id = -1) can't regress it
-    val maxBatch = math.max(
-      spark.read.parquet(dir).agg(max(col("batch_id").cast("long")))
-        .head().getLong(0),
-      foldedWatermark(spark, dir))
-    folded.withColumn("batch_id", lit(-1L))
-      .coalesce(1).write.mode("overwrite").partitionBy("batch_id")
-      .parquet(tmp.toString)
-    val out = fs.create(new org.apache.hadoop.fs.Path(tmp, WatermarkFile), true)
-    try out.write(maxBatch.toString
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    require(fs.rename(live, old), s"rename failed for $live")
-    require(fs.rename(tmp, live), s"rename failed for $tmp")
-    fs.delete(old, true)
-  }
-
-  private def exists(spark: SparkSession, dir: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-  }
+                           folded: DataFrame): Unit =
+    ArtifactFold.swapInFolded(spark, dir, folded, targetFiles = 1)
+  private def exists(spark: SparkSession, dir: String): Boolean =
+    ArtifactFold.exists(spark, dir)
 
   /** Append one HLL sketch row per column for this batch.
     * Rows: (batch_id, column, n_rows, n_batches=1, sketch) — `n_batches`

@@ -101,25 +101,32 @@ object DocStreams {
     val writer = docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val b = batch.select(col("doc_id").cast("long").as("doc_id"), col("text"))
-          .localCheckpoint()
-        // foreachBatch is AT-LEAST-ONCE: a crash between the two writes (or
-        // after both, before the checkpoint commit) re-runs this batchId.
-        // Idempotence: (a) the history visible to a batch EXCLUDES any
-        // partial write of the SAME batchId, so a retry recomputes the
-        // identical verdicts; (b) both outputs land in batch_id partitions
-        // under DYNAMIC partition overwrite, so a retry REPLACES its own
-        // partition instead of appending duplicates.
-        val history = loadHistory(spark, historyDir, excludeBatchId = batchId,
-          payload = "text", docsSchema)
-        val flags = Dedup.incrementalAdmit(b, history, col("doc_id"), col("text"),
-          maxHamming = maxHamming)
-          .withColumn("batch_id", lit(batchId))
-          .localCheckpoint() // pin BEFORE history mutates beneath the plan
-        writePartition(flags, admitDir)
-        writePartition(
-          b.join(flags.filter(col("admitted") === 1L).select("doc_id"), Seq("doc_id"))
-            .withColumn("batch_id", lit(batchId)), historyDir)
+        // a replay of a batch [[compactHistory]] already folded must be a
+        // no-op: its admitted docs live in the base partition now, so the
+        // same-batch_id exclusion below would no longer hide them and the
+        // batch's own docs would read as "already in history"
+        if (batchId > graft.operators.ArtifactFold.foldedWatermark(
+            spark, historyDir)) {
+          val b = batch.select(col("doc_id").cast("long").as("doc_id"), col("text"))
+            .localCheckpoint()
+          // foreachBatch is AT-LEAST-ONCE: a crash between the two writes (or
+          // after both, before the checkpoint commit) re-runs this batchId.
+          // Idempotence: (a) the history visible to a batch EXCLUDES any
+          // partial write of the SAME batchId, so a retry recomputes the
+          // identical verdicts; (b) both outputs land in batch_id partitions
+          // under DYNAMIC partition overwrite, so a retry REPLACES its own
+          // partition instead of appending duplicates.
+          val history = loadHistory(spark, historyDir, excludeBatchId = batchId,
+            payload = "text", docsSchema)
+          val flags = Dedup.incrementalAdmit(b, history, col("doc_id"), col("text"),
+            maxHamming = maxHamming)
+            .withColumn("batch_id", lit(batchId))
+            .localCheckpoint() // pin BEFORE history mutates beneath the plan
+          writePartition(flags, admitDir)
+          writePartition(
+            b.join(flags.filter(col("admitted") === 1L).select("doc_id"), Seq("doc_id"))
+              .withColumn("batch_id", lit(batchId)), historyDir)
+        }
         ()
       }
     checkpointDir.foreach(d => writer.option("checkpointLocation", d))
@@ -147,8 +154,10 @@ object DocStreams {
             col("embedding").cast("array<double>").as("embedding"))
           .localCheckpoint()
         // empty micro-batches (trigger with no new files) have no dim to
-        // infer and nothing to admit — emit nothing, mutate nothing
-        if (!b.isEmpty) {
+        // infer and nothing to admit — emit nothing, mutate nothing; and
+        // replays of compaction-folded batches no-op (the text-loop guard)
+        if (!b.isEmpty && batchId > graft.operators.ArtifactFold
+            .foldedWatermark(spark, historyDir)) {
           val history = loadHistory(spark, historyDir, excludeBatchId = batchId,
             payload = "embedding", embeddingsSchema)
           val flags = Dedup.embeddingIncrementalAdmit(b, history,
@@ -189,19 +198,23 @@ object DocStreams {
     val writer = docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val b = batch.select(col("doc_id").cast("long").as("doc_id"), col("text"))
-          .localCheckpoint()
-        val history = loadHistoryCounts(spark, historyDir,
-          excludeBatchId = batchId, countsSchema)
-        val (cleaned, counts) = Dedup.segmentDedupAgainstHistory(b,
-          col("doc_id"), TextOps.tokens(coalesce(col("text"), lit(""))),
-          history, segLen = segLen, maxDocs = maxDocs)
-        val pinned = cleaned.withColumn("batch_id", lit(batchId))
-          .localCheckpoint() // pin BEFORE history mutates beneath the plan
-        val pinnedCounts = counts.withColumn("batch_id", lit(batchId))
-          .localCheckpoint()
-        writePartition(pinned, outDir)
-        writePartition(pinnedCounts, historyDir)
+        // replays of compaction-folded batches no-op (the admit-loop guard)
+        if (batchId > graft.operators.ArtifactFold.foldedWatermark(
+            spark, historyDir)) {
+          val b = batch.select(col("doc_id").cast("long").as("doc_id"), col("text"))
+            .localCheckpoint()
+          val history = loadHistoryCounts(spark, historyDir,
+            excludeBatchId = batchId, countsSchema)
+          val (cleaned, counts) = Dedup.segmentDedupAgainstHistory(b,
+            col("doc_id"), TextOps.tokens(coalesce(col("text"), lit(""))),
+            history, segLen = segLen, maxDocs = maxDocs)
+          val pinned = cleaned.withColumn("batch_id", lit(batchId))
+            .localCheckpoint() // pin BEFORE history mutates beneath the plan
+          val pinnedCounts = counts.withColumn("batch_id", lit(batchId))
+            .localCheckpoint()
+          writePartition(pinned, outDir)
+          writePartition(pinnedCounts, historyDir)
+        }
         ()
       }
     checkpointDir.foreach(d => writer.option("checkpointLocation", d))
@@ -308,6 +321,40 @@ object DocStreams {
       }
     checkpointDir.foreach(d => writer.option("checkpointLocation", d))
     writer.start()
+  }
+
+  /** Fold an admission-history dir (text or embedding payloads — one row
+    * per ADMITTED doc under its `batch_id=N` partition) into the reserved
+    * base partition `batch_id=-1`: pure re-layout, no merge — doc_ids are
+    * unique across batches by the admission contract. A year of hourly
+    * micro-batches otherwise leaves ~9k partitions whose files every
+    * subsequent batch must list and read. `targetFiles` bounds the folded
+    * layout. Replays of folded batches become NO-OPS in the admit loops
+    * (their verdicts and admitted rows are already fully present; the
+    * same-batch_id exclusion can no longer hide folded rows, so
+    * recomputing would self-collide — the watermark guard prevents it).
+    * Run while the stream is STOPPED, and only for ingests that keep one
+    * checkpoint lineage (a fresh checkpoint restarts batch ids at 0,
+    * which the watermark would wrongly no-op). */
+  def compactHistory(spark: SparkSession, dir: String,
+                     targetFiles: Int = 8): Unit = {
+    if (!graft.operators.ArtifactFold.exists(spark, dir)) return
+    graft.operators.ArtifactFold.swapInFolded(spark, dir,
+      spark.read.parquet(dir).drop("batch_id"), targetFiles)
+  }
+
+  /** Fold a segment-frequency history dir ([[foreachBatchSegmentDedup]])
+    * — unlike the doc histories this one genuinely SHRINKS: per-batch
+    * (h, n_docs) rows for the same fingerprint merge by count-sum, the
+    * exact arithmetic the serve path runs, so post-fold dedup decisions
+    * are identical (DocStreamsSpec gates it). Same stopped-stream /
+    * stable-checkpoint contract as [[compactHistory]]. */
+  def compactSegmentHistory(spark: SparkSession, dir: String,
+                            targetFiles: Int = 1): Unit = {
+    if (!graft.operators.ArtifactFold.exists(spark, dir)) return
+    graft.operators.ArtifactFold.swapInFolded(spark, dir,
+      spark.read.parquet(dir)
+        .groupBy("h").agg(sum("n_docs").as("n_docs")), targetFiles)
   }
 
   private def loadHistoryCounts(spark: SparkSession, dir: String,

@@ -281,6 +281,111 @@ class DocStreamsSpec extends SparkSpec {
 
   /** Mod-time-ordered parquet files, one per micro-batch (the stageBatches
     * device generalized to any frame sequence). */
+  test("compactHistory: folded history serves identically; folded-batch replays no-op") {
+    import spark.implicits._
+    val (dir, halves) = stageBatches()
+    val histDir = java.nio.file.Files.createTempDirectory("graft-chist").toString
+    val admitDir = java.nio.file.Files.createTempDirectory("graft-cadmit").toString
+    val ck1 = java.nio.file.Files.createTempDirectory("graft-cck1").toString
+    val q = DocStreams.foreachBatchAdmit(
+      DocStreams.readDocs(spark, dir, maxFilesPerTrigger = Some(1)),
+      histDir, admitDir, maxHamming = 7, checkpointDir = Some(ck1))
+    try q.processAllAvailable() finally q.stop()
+
+    def historyRows() = spark.read.parquet(histDir)
+      .select("doc_id", "text").collect().map(_.toSeq).toSet
+    def admitRows() = spark.read.parquet(admitDir)
+      .select("doc_id", "admitted").collect().map(_.toSeq).toSet
+    def partitions() = {
+      val f = new java.io.File(histDir)
+      f.listFiles().count(_.getName.startsWith("batch_id="))
+    }
+    val (histBefore, admitBefore, partsBefore) =
+      (historyRows(), admitRows(), partitions())
+    // keep an unfolded copy to compare next-batch verdicts against
+    val unfolded = java.nio.file.Files.createTempDirectory("graft-chist2").toString
+    spark.read.parquet(histDir).write.mode("overwrite")
+      .partitionBy("batch_id").parquet(unfolded)
+
+    DocStreams.compactHistory(spark, histDir, targetFiles = 2)
+    assert(historyRows() == histBefore, "fold changed the history row set")
+    // the all-duplicates batch admits nothing and writes no partition, so
+    // 2 per-batch partitions fold into the single base partition
+    assert(partitions() == 1 && partsBefore == 2,
+      s"expected 2 -> 1 partitions, got $partsBefore -> ${partitions()}")
+
+    // a NEW batch sees identical verdicts against folded vs unfolded history
+    val next = Seq((90000L, "a brand new document"),
+      (90001L, halves.head.orderBy("doc_id").select("text")
+        .first().getString(0))).toDF("doc_id", "text")
+    def verdicts(hdir: String) = graft.operators.Dedup.incrementalAdmit(
+        next, spark.read.parquet(hdir).select("doc_id", "text"),
+        col("doc_id"), col("text"))
+      .select("doc_id", "exact_hist", "exact_batch", "near_hist", "admitted")
+      .collect().map(_.toSeq).toSet
+    assert(verdicts(histDir) == verdicts(unfolded),
+      "folded history changed admission verdicts")
+
+    // a fresh-checkpoint rerun over the SAME files replays batches 0..2 —
+    // all ≤ the fold watermark, so every one must no-op (without the
+    // guard, a folded batch's own docs would read as already-in-history
+    // and self-collide)
+    val ck2 = java.nio.file.Files.createTempDirectory("graft-cck2").toString
+    val q2 = DocStreams.foreachBatchAdmit(
+      DocStreams.readDocs(spark, dir, maxFilesPerTrigger = Some(1)),
+      histDir, admitDir, maxHamming = 7, checkpointDir = Some(ck2))
+    try q2.processAllAvailable() finally q2.stop()
+    assert(historyRows() == histBefore, "folded-batch replay mutated history")
+    assert(admitRows() == admitBefore, "folded-batch replay mutated verdicts")
+  }
+
+  test("compactSegmentHistory: count-sum fold serves identically; new batches keep working") {
+    import spark.implicits._
+    val b1 = Seq((0L, "a b c d e f"), (1L, "a b c x y z")).toDF("doc_id", "text")
+    val b2 = Seq((10L, "q r s a b c"), (11L, "m n o p q u")).toDF("doc_id", "text")
+    val b3 = Seq((20L, "m n o p q u")).toDF("doc_id", "text")
+    val dir = stageFiles(Seq(b1, b2), "graft-segcmp")
+    val histDir = java.nio.file.Files.createTempDirectory("graft-seghc").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-segoc").toString
+    val ck1 = java.nio.file.Files.createTempDirectory("graft-segck1").toString
+    val q = DocStreams.foreachBatchSegmentDedup(
+      DocStreams.readDocs(spark, dir, maxFilesPerTrigger = Some(1)),
+      histDir, outDir, segLen = 3, maxDocs = 1, checkpointDir = Some(ck1))
+    try q.processAllAvailable() finally q.stop()
+
+    def counts() = spark.read.parquet(histDir)
+      .groupBy("h").agg(org.apache.spark.sql.functions.sum("n_docs"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = counts()
+    DocStreams.compactSegmentHistory(spark, histDir)
+    assert(counts() == before, "fold changed the merged segment counts")
+
+    // new file + fresh checkpoint: old files replay as folded batches 0-1
+    // (no-ops), the new file lands as batch 2 > watermark and dedups
+    // against the folded counts exactly like the sequential replay
+    val now = System.currentTimeMillis()
+    val tmp = java.nio.file.Files.createTempDirectory("graft-segnew")
+    b3.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = java.nio.file.Files.list(tmp)
+      .filter(_.toString.endsWith(".parquet")).findFirst().get()
+    val dest = java.nio.file.Paths.get(dir).resolve("2.parquet")
+    java.nio.file.Files.copy(part, dest)
+    dest.toFile.setLastModified(now + 60000)
+    val outBefore = spark.read.parquet(outDir).count()
+    val ck2 = java.nio.file.Files.createTempDirectory("graft-segck2").toString
+    val q2 = DocStreams.foreachBatchSegmentDedup(
+      DocStreams.readDocs(spark, dir, maxFilesPerTrigger = Some(1)),
+      histDir, outDir, segLen = 3, maxDocs = 1, checkpointDir = Some(ck2))
+    try q2.processAllAvailable() finally q2.stop()
+    val out = spark.read.parquet(outDir)
+    assert(out.count() == outBefore + 1, "new batch must emit exactly doc 20")
+    // doc 20 copies doc 11: its segments now cross maxDocs=1 → all dropped
+    val d20 = out.filter(col("doc_id") === 20L)
+      .select("n_dropped_segments", "n_kept_tokens").head()
+    assert(d20.getLong(0) == 2L && d20.getLong(1) == 0L,
+      s"doc 20 should lose both duplicated segments, got $d20")
+  }
+
   private def stageFiles(dfs: Seq[DataFrame], prefix: String): String = {
     val dir = java.nio.file.Files.createTempDirectory(prefix)
     val now = System.currentTimeMillis()
