@@ -72,8 +72,14 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
+      // sweep each query's dead localCheckpoint pins after its reps —
+      // accumulated dead blocks (tens of GB over the suite) caused the
+      // historical back-half eviction/GC swings (see DeadPins)
+      val pins = DeadPins.snapshot(spark)
       val cold = once()
       val warm = Seq.fill(if (cold > 0.3) reps else 1)(once())
+      if (!DeadPins.sharedStateQueries.contains(name))
+        DeadPins.sweep(spark, pins)
       (name, cold, median(warm))
     }
     val qs = results.map { case (k, _, m) => s"\"" + k + "\":" + m }

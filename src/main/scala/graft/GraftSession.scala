@@ -59,3 +59,39 @@ object GraftSession {
     s
   }
 }
+
+/** Dead-pin reclamation for suite runners (Bench/Verify).
+  *
+  * Almost every operator pins intermediate frames with `localCheckpoint`
+  * (the lineage-truncation discipline iterative plans need), and those
+  * RDD blocks stay in the storage region until the context dies. A
+  * 120-query suite accumulates tens of GB of DEAD pinned blocks —
+  * enough to push a 48g driver into eviction/GC churn mid-run, which is
+  * where the historical "phantom 2-7× swings" in the back half of the
+  * bench alphabet came from (q34/q70/q84 episodes in BENCH.md). The
+  * runners sweep each query's newly-created pins after its timing —
+  * EXCEPT for the queries that build the cross-query shared audit frame
+  * (unpersisting a localCheckpoint is unrecoverable: lineage is
+  * truncated, so a swept shared frame cannot be recomputed). On a real
+  * cluster the same sweep belongs at job boundaries of any long-lived
+  * session. */
+object DeadPins {
+
+  /** Queries whose construction pins DataFrames REUSED by later queries
+    * (the shared curation audit serving q66 + q100). Their pins survive. */
+  val sharedStateQueries: Set[String] =
+    Set("q100_curation_audit", "q66_corpus_to_dataloader")
+
+  def snapshot(spark: SparkSession): Set[Int] =
+    spark.sparkContext.getPersistentRDDs.keySet.toSet
+
+  /** Unpersist every persistent RDD created since `before` (non-blocking;
+    * storage is freed asynchronously). Call only after a query's output
+    * has been fully materialized. */
+  def sweep(spark: SparkSession, before: Set[Int]): Unit = {
+    val rdds = spark.sparkContext.getPersistentRDDs
+    rdds.keysIterator.filterNot(before.contains).foreach { id =>
+      rdds.get(id).foreach(_.unpersist(blocking = false))
+    }
+  }
+}

@@ -16,12 +16,16 @@ object Verify {
       .foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       System.err.println(s"[verify] start $name")
+      val pins = DeadPins.snapshot(spark) // see DeadPins: reclaim per query
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         System.err.println(f"[verify] done $name in ${(System.nanoTime() - t0) / 1e9}%.1fs")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      } finally {
+        if (!DeadPins.sharedStateQueries.contains(name))
+          DeadPins.sweep(spark, pins)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -111,8 +111,10 @@ object Ranking {
     * order so bucket assignment is deterministic at bucket boundaries. */
   def equiDepth(df: DataFrame, value: Column, tieBreak: Seq[Column], k: Int,
                 out: String = "bucket", partitions: Int = 32): DataFrame = {
+    // pinned: the rank window + offsets join would otherwise recompute on
+    // BOTH crossJoin branches (the count agg and the projection)
     val ranked = globalRowNumber(df, value +: tieBreak, out = "__edr",
-      partitions = partitions)
+      partitions = partitions).localCheckpoint()
     ranked
       .crossJoin(broadcast(ranked.agg(count(lit(1)).as("__edn"))))
       .withColumn(out, ntileFromRank(col("__edr"), col("__edn"), k))

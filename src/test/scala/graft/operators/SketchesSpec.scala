@@ -217,6 +217,24 @@ class SketchesSpec extends SparkSpec {
     assert(p50 > before.find(_._1 == 0.5).get._2, p50.toString)
   }
 
+  test("compaction recovers from a stale __fold_old left by a prior crash") {
+    val dir = tmpDir()
+    (0 until 2).foreach(b => Sketches.appendFrequencySketches(
+      (0 until 100).map(i => (i.toLong, s"t${i % 9}")).toDF("id", "t"),
+      col("t"), dir, b.toLong))
+    val before = Sketches.cmsEstimate(spark, dir, Seq("t0", "t8")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    // simulate a crash that left the previous data parked under _old
+    val old = new java.io.File(dir + "__fold_old")
+    assert(old.mkdir())
+    assert(new java.io.File(old, "leftover.txt").createNewFile())
+    Sketches.compactFrequencySketches(spark, dir)
+    val after = Sketches.cmsEstimate(spark, dir, Seq("t0", "t8")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(after == before, "stale __fold_old corrupted the fold")
+    assert(!old.exists(), "stale __fold_old must be cleaned up")
+  }
+
   test("a retried batch with EMPTY input clears its stale partition") {
     // dynamic overwrite alone replaces only partitions the retry emits —
     // an empty retry emits none; the batch-prefix delete must still win

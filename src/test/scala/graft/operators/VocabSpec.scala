@@ -100,6 +100,15 @@ class VocabSpec extends SparkSpec {
     }
   }
 
+  test("bpeTrainBatched equals sequential on the real fixture corpus") {
+    // natural text (not the toy corpora above): 60 merges crosses well
+    // past the interaction-dense early regime
+    val docs = graft.Tables.documents(spark, sf001)
+    val a = Vocab.bpeTrain(docs, col("text"), nMerges = 60)
+    val b = Vocab.bpeTrainBatched(docs, col("text"), nMerges = 60, batch = 24)
+    assert(a.size == 60 && a == b)
+  }
+
   test("bpeTrainBatched uses far fewer jobs than merges learned") {
     // 13 disjoint-letter bigram words with distinct frequencies: no pair
     // interacts with any other, so ONE sample job certifies all 13 merges
