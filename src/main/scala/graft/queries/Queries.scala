@@ -1643,12 +1643,15 @@ object Queries {
   }
 
   /** BM25 served from the PERSISTED inverted index ([[Retrieval
-    * .writeBm25Index]]/[[Retrieval.bm25TopKIndexed]] — the repeated-query
-    * serving path; q85 is the ad-hoc scan). Index artifacts are built once
-    * per fixture (signature-cached like q64's IVF-PQ index) and the query
-    * reads ONLY the query terms' bucket partitions. Oracle: the SAME full
-    * BM25 replay as q85 — the indexed path must reproduce the scan path's
-    * doubles bit-for-bit. */
+    * .bm25TopKIndexed]] — the repeated-query serving path; q85 is the
+    * ad-hoc scan), with the index built through the full INCREMENTAL
+    * lifecycle: three [[Retrieval.appendBm25Postings]] ingest batches
+    * folded by [[Retrieval.compactBm25Postings]]. Index artifacts are
+    * built once per fixture (signature-cached like q64's IVF-PQ index)
+    * and the query reads ONLY the query terms' bucket partitions.
+    * Oracle: the SAME full BM25 replay as q85 — append + compaction +
+    * indexed serving must reproduce the scan path's doubles
+    * bit-for-bit. */
   // one persisted BM25 index per fixture (built at first use, signature-
   // invalidated) — shared by q89 and the q105 hybrid fusion
   private def bm25IndexFor(s: SparkSession, d: String): String = {
@@ -1660,8 +1663,16 @@ object Queries {
           prev.foreach { case (_, old) =>
             try deleteDirTree(old) catch { case _: Exception => () } }
           val tmp = java.nio.file.Files.createTempDirectory("graft_bm25_").toString
-          Retrieval.writeBm25Index(Tables.documents(s, d), col("doc_id"),
-            TextOps.tokens(coalesce(col("text"), lit(""))), tmp)
+          // build the index INCREMENTALLY (3 ingest batches) and compact —
+          // q89/q105's oracle hash-match then gates the whole
+          // append+fold+serve path bit-for-bit against the scan replay
+          // (stats partials are integer-valued doubles, so the summed
+          // (n, Σdl) equal the one-shot build's exactly)
+          val docs = Tables.documents(s, d)
+          (0 until 3).foreach(b => Retrieval.appendBm25Postings(
+            docs.filter(pmod(col("doc_id"), lit(3)) === b), col("doc_id"),
+            TextOps.tokens(coalesce(col("text"), lit(""))), tmp, b.toLong))
+          Retrieval.compactBm25Postings(s, tmp)
           bm25IndexCache.update(d, (sig, tmp))
           tmp
       }
