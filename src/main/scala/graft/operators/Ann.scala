@@ -380,6 +380,12 @@ object Ann {
                          dir: String, batchId: Long): Unit = {
     require(batchId > 0, "batch 0 is the base build; appends start at 1")
     val spark = newVectors.sparkSession
+    // a replay of a batch [[compactIvfPqIndex]] already folded into the
+    // base partitions must be a no-op — its codes live under batch_id=0
+    // now, so the per-cell prefix delete below would remove nothing and
+    // the write would double-count (batch ids are monotone, the ingest
+    // contract)
+    if (batchId <= ArtifactFold.foldedWatermark(spark, s"$dir/codes")) return
     // retry safety: drop every cell's partition for THIS batch first —
     // batch_id is the inner partition level, so one listing of dir/codes
     // finds each cell=*/batch_id=N leaf
@@ -409,6 +415,30 @@ object Ann {
       case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
+  }
+
+  /** Fold a grown index's per-batch code partitions back into the base:
+    * every (cell, batch_id) leaf rewrites as `cell=…/batch_id=0` with ONE
+    * file per cell — k daily ingests otherwise leave k files per probed
+    * cell, so every query's pruned scan opens k× the files it needs.
+    * Same [[ArtifactFold]] contract as the BM25/sketch/history folds:
+    * watermark and folded codes become visible together, replays of
+    * folded batches no-op in [[appendToIvfPqIndex]], serving layout is
+    * unchanged (cell pruning sees one partition per cell). The frozen
+    * model is untouched — compaction is a layout fold, never a retrain
+    * (retraining is the drift-monitor rebuild, a different operation). */
+  def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+                        dir: String): Unit = {
+    val codes = s"$dir/codes"
+    if (!ArtifactFold.exists(spark, codes)) return
+    val maxBatch = ArtifactFold.liveMaxBatch(spark, codes)
+    spark.read.parquet(codes)
+      .select(col("nid"), col("codes"), col("cell"))
+      .repartition(col("cell")) // one task → one file per cell value
+      .withColumn("batch_id", lit(0L))
+      .write.mode("overwrite").partitionBy("cell", "batch_id")
+      .parquet(ArtifactFold.stagePath(codes))
+    ArtifactFold.commitFold(spark, codes, maxBatch)
   }
 
   def readIvfPqIndexMeta(spark: org.apache.spark.sql.SparkSession,

@@ -64,29 +64,31 @@ private[graft] object ArtifactFold {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
-  /** Materialize `folded` (must NOT carry a batch_id column) under the
-    * reserved base partition `batch_id=-1` in a staging dir together
-    * with the updated watermark, then swap it in with two renames.
-    * `targetFiles` bounds the folded file count (sketch-sized artifacts
-    * pass 1; doc-sized histories pass something proportional to size). */
-  def swapInFolded(spark: SparkSession, dir: String, folded: DataFrame,
-                   targetFiles: Int): Unit = {
-    require(targetFiles >= 1, "need at least one output file")
-    val conf = spark.sparkContext.hadoopConfiguration
-    val live = new org.apache.hadoop.fs.Path(dir)
-    val fs = live.getFileSystem(conf)
-    val tmp = new org.apache.hadoop.fs.Path(dir + "__fold_tmp")
-    val old = new org.apache.hadoop.fs.Path(dir + "__fold_old")
-    if (fs.exists(old)) fs.delete(old, true) // stale from a prior crash
-    // merged with the previous watermark so compacting an already-fully-
-    // compacted dir (max batch_id = -1) can't regress it
-    val maxBatch = math.max(
+  /** The staging dir a fold writes into before [[commitFold]] swaps it
+    * live. `write.mode("overwrite")` clears any crashed prior attempt. */
+  def stagePath(dir: String): String = dir + "__fold_tmp"
+
+  /** Highest live batch id merged with the previous watermark, so
+    * compacting an already-fully-compacted dir can't regress it. */
+  def liveMaxBatch(spark: SparkSession, dir: String): Long =
+    math.max(
       spark.read.parquet(dir).agg(max(col("batch_id").cast("long")))
         .head().getLong(0),
       foldedWatermark(spark, dir))
-    folded.withColumn("batch_id", lit(-1L))
-      .coalesce(targetFiles).write.mode("overwrite").partitionBy("batch_id")
-      .parquet(tmp.toString)
+
+  /** Stamp the watermark INTO the staged dir, then swap it live with two
+    * renames. Watermark and folded data become visible together: a crash
+    * before the swap leaves the per-batch layout and old watermark fully
+    * intact; the no-live-dir window is two namenode metadata ops with the
+    * previous data recoverable under `__fold_old`. The caller must have
+    * fully written the staged layout (any partitioning) first. */
+  def commitFold(spark: SparkSession, dir: String, maxBatch: Long): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val live = new org.apache.hadoop.fs.Path(dir)
+    val fs = live.getFileSystem(conf)
+    val tmp = new org.apache.hadoop.fs.Path(stagePath(dir))
+    val old = new org.apache.hadoop.fs.Path(dir + "__fold_old")
+    if (fs.exists(old)) fs.delete(old, true) // stale from a prior crash
     val out = fs.create(new org.apache.hadoop.fs.Path(tmp, WatermarkFile), true)
     try out.write(maxBatch.toString
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -94,5 +96,20 @@ private[graft] object ArtifactFold {
     require(fs.rename(live, old), s"rename failed for $live")
     require(fs.rename(tmp, live), s"rename failed for $tmp")
     fs.delete(old, true)
+  }
+
+  /** Materialize `folded` (must NOT carry a batch_id column) under the
+    * reserved base partition `batch_id=-1` in the staging dir, then
+    * [[commitFold]]. `targetFiles` bounds the folded file count
+    * (sketch-sized artifacts pass 1; doc-sized histories pass something
+    * proportional to size). */
+  def swapInFolded(spark: SparkSession, dir: String, folded: DataFrame,
+                   targetFiles: Int): Unit = {
+    require(targetFiles >= 1, "need at least one output file")
+    val maxBatch = liveMaxBatch(spark, dir)
+    folded.withColumn("batch_id", lit(-1L))
+      .coalesce(targetFiles).write.mode("overwrite").partitionBy("batch_id")
+      .parquet(stagePath(dir))
+    commitFold(spark, dir, maxBatch)
   }
 }

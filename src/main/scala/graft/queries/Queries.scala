@@ -1206,6 +1206,10 @@ object Queries {
             col("vec_id"), col("embedding"), tmp, batchId = 1L)
           Ann.appendToIvfPqIndex(e.filter(pmod(col("vec_id"), lit(4)) === 3),
             col("vec_id"), col("embedding"), tmp, batchId = 2L)
+          // fold the appended batches into the base partitions — the
+          // recall gate below then drives append + compaction + serving
+          // through the driver gate (AnnSpec proves the fold bit-exact)
+          Ann.compactIvfPqIndex(s, tmp)
           annAppendDirCache.update(d, (sig, tmp))
           tmp
       }

@@ -272,6 +272,48 @@ class AnnSpec extends SparkSpec {
       Ann.appendToIvfPqIndex(oddA, col("vec_id"), col("embedding"), dir2, 0L))
   }
 
+  test("compactIvfPqIndex: folded index serves bit-identically; folded replays no-op; appends continue") {
+    val e = graft.Tables.embeddings(spark, sf001)
+    val base = e.filter(pmod(col("vec_id"), lit(4)) === 0)
+    val b1 = e.filter(pmod(col("vec_id"), lit(4)) === 1)
+    val b2 = e.filter(pmod(col("vec_id"), lit(4)) === 2)
+    val b3 = e.filter(pmod(col("vec_id"), lit(4)) === 3)
+    val queries = e.filter(col("vec_id") < 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_anncmp_").toString
+    Ann.writeIvfPqIndex(base, col("vec_id"), col("embedding"), dir, nlist = 16)
+    Ann.appendToIvfPqIndex(b1, col("vec_id"), col("embedding"), dir, 1L)
+    Ann.appendToIvfPqIndex(b2, col("vec_id"), col("embedding"), dir, 2L)
+    def serve() = Ann.ivfPqTopKIndexed(e, col("vec_id"), col("embedding"),
+      queries, col("vec_id"), col("embedding"), dir, k = 10, nprobe = 8,
+      refine = 100).collect().map(_.toSeq).toSet
+    def codeFiles(): Long = {
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$dir/codes"))
+      try walk.filter(f => f.toString.endsWith(".parquet")).count()
+      finally walk.close()
+    }
+    val before = serve()
+    val filesBefore = codeFiles()
+    Ann.compactIvfPqIndex(spark, dir)
+    assert(serve() == before, "compaction changed serving results")
+    assert(codeFiles() < filesBefore,
+      s"no file-count drop: $filesBefore -> ${codeFiles()}")
+    // a replayed, already-folded batch must be a no-op (its codes live in
+    // the base partitions now)
+    Ann.appendToIvfPqIndex(b2, col("vec_id"), col("embedding"), dir, 2L)
+    assert(serve() == before, "folded-batch replay double-counted")
+    // a NEW batch after compaction serves (its self-hits appear) and its
+    // own retry still replaces rather than duplicates
+    Ann.appendToIvfPqIndex(b3, col("vec_id"), col("embedding"), dir, 3L)
+    val after = serve()
+    val b3SelfHits = after.collect {
+      case row if row(0).asInstanceOf[Long] % 4 == 3 &&
+        row(0) == row(1) => row(0)
+    }
+    assert(b3SelfHits.nonEmpty, "post-compaction append did not serve")
+    Ann.appendToIvfPqIndex(b3, col("vec_id"), col("embedding"), dir, 3L)
+    assert(serve() == after, "post-compaction retry double-counted")
+  }
+
   test("appendToIvfPqIndex: a retry whose input lost a cell leaves no stale partitions") {
     // dynamic partition overwrite only replaces (cell, batch_id) partitions
     // present in the retry's output — if the retry's input shrank (upstream
