@@ -25,6 +25,27 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("property: batched BPE training equals sequential on random corpora") {
+    // small alphabets + short words maximize pair interactions, count
+    // ties, self-pairs, and early exhaustion — precisely the regimes the
+    // batched trainer's prefix guards must survive to stay byte-identical
+    val word = Gen.choose(1, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val corpus = Gen.choose(5, 40).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" ")))
+    for ((docs, i) <- cases(Gen.listOfN(6, corpus), 5).zipWithIndex) {
+      val df = docs.zipWithIndex.map { case (t, j) => (j.toLong, t) }
+        .toDF("doc_id", "text")
+      val n = 4 + 3 * i // vary merge budget across cases
+      val b = 1 + (i * 7) % 30 // and batch size, incl. batch=1
+      val seqM = graft.operators.Vocab.bpeTrain(df, col("text"), nMerges = n)
+      val batM = graft.operators.Vocab.bpeTrainBatched(df, col("text"),
+        nMerges = n, batch = b)
+      assert(batM == seqM,
+        s"case $i (nMerges=$n batch=$b) diverged:\n$batM\nvs\n$seqM")
+    }
+  }
+
   test("property: weighted sample size = min(k, n), subset, no replacement") {
     for ((k, seed) <- cases(Gen.zip(Gen.choose(1, 30), Gen.choose(1L, 10000L)), 5)) {
       val df = (1L to 50L).map(i => (i, i.toDouble)).toDF("id", "w")
