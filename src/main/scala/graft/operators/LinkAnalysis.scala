@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Link-graph centrality — weighted PageRank (Page, Brin, Motwani,
+  * Winograd 1999, public method) as iterative DataFrame joins.
+  *
+  * Why it's here: crawl-corpus curation ranks HOSTS before it ranks
+  * documents — Common Crawl publishes host/domain-level centrality
+  * rankings for exactly this use, and a sampling weight derived from link
+  * centrality is a standard quality prior for web-scale training data.
+  * This is the iterative-graph sibling of [[Dedup.clusters]]' connected
+  * components: per iteration one join (ranks → out-edges) and one
+  * aggregation (incoming mass per destination), both hash-shuffles on node
+  * keys.
+  *
+  * 100 TB shape: the edge list is pinned once with out-weight totals
+  * attached (the join input never recomputes); each iteration shuffles
+  * only (node, rank) pairs — 16 bytes of payload per node — against it.
+  * On a real cluster, pre-partition edges by `src` and the per-iteration
+  * rank frame co-partitions into a one-sided shuffle. Iterations pin via
+  * the policy (lineage would otherwise double per round).
+  *
+  * Cross-engine determinism (the q108 GMM convention): every rank is
+  * fenced to 9 dp with the pure-arithmetic `floor(x·1e9 + 0.5)/1e9`
+  * (IEEE-deterministic, codegen-friendly — no BigDecimal round-trip), and
+  * every composite expression is written in the same left-to-right
+  * association the DuckDB oracle replays.
+  */
+object LinkAnalysis {
+
+  private def fence9(c: Column): Column = floor(c * lit(1e9) + lit(0.5)) / lit(1e9)
+
+  /** Fixed-iteration weighted PageRank over directed `edges`
+    * (src: string, dst: string, w: double, w > 0). Returns (node, rank)
+    * for every node appearing as a src or dst. Dangling mass (nodes with
+    * no out-edges) is redistributed uniformly each iteration. */
+  def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85,
+               policy: CheckpointPolicy = CheckpointPolicy.Local): DataFrame = {
+    require(iters >= 1, s"iters >= 1: $iters")
+    val e = edges.select(col("src").cast("string").as("src"),
+      col("dst").cast("string").as("dst"), col("w").cast("double").as("w"))
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+    // Edge list with the source's total out-weight attached, pinned once —
+    // this is the static join input every iteration reuses.
+    val outW = e.groupBy("src").agg(sum("w").as("ow"))
+    val eo = policy.pin(e.join(outW, "src"))
+    val nodesPinned = policy.pin(nodes)
+    val n = nodesPinned.count().toDouble
+    val base = lit(1.0 - damping) / lit(n)
+    var ranks = policy.pin(
+      nodesPinned.withColumn("rank", fence9(lit(1.0) / lit(n))))
+    for (_ <- 1 to iters) {
+      // per-edge contribution, left-assoc (rank * w) / ow — the oracle
+      // replays this exact association
+      val contrib = eo.join(ranks, eo("src") === ranks("node"))
+        .select(col("dst"), (col("rank") * col("w") / col("ow")).as("c"))
+      val incoming = contrib.groupBy("dst").agg(sum("c").as("inw"))
+      // dangling nodes (no out-edges) leak their rank; redistribute evenly
+      val dangling = ranks.join(eo.select("src").distinct(),
+          ranks("node") === col("src"), "left_anti")
+        .agg(coalesce(sum("rank"), lit(0.0))).head().getDouble(0)
+      ranks = policy.pin(
+        nodesPinned.join(incoming, nodesPinned("node") === incoming("dst"), "left")
+          .select(col("node"),
+            fence9(base + lit(damping) *
+              (coalesce(col("inw"), lit(0.0)) + lit(dangling) / lit(n))).as("rank")))
+    }
+    ranks
+  }
+
+  /** The purchase graph: customer c ↔ supplier s, weighted by how many
+    * lineitems connect them — both directions explicitly, so the walk
+    * mixes and no node dangles. Node ids are 'c<custkey>' / 's<suppkey>'. */
+  def purchaseGraph(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    val el = lineitem.join(orders,
+        lineitem("l_orderkey") === orders("o_orderkey"))
+      .groupBy(col("o_custkey"), col("l_suppkey"))
+      .agg(count(lit(1)).cast("double").as("w"))
+      .select(concat(lit("c"), col("o_custkey")).as("cn"),
+        concat(lit("s"), col("l_suppkey")).as("sn"), col("w"))
+    el.select(col("cn").as("src"), col("sn").as("dst"), col("w"))
+      .unionByName(el.select(col("sn").as("src"), col("cn").as("dst"), col("w")))
+  }
+}

@@ -2606,6 +2606,72 @@ object Oracles {
     SELECT doc_id, lang, md5(coalesce(text, '')) AS text_md5
     FROM documents ORDER BY doc_id"""
 
+  // q122: the ORC round-trip gate — digests of the parquet original under
+  // the same pushdown filter; the ORC read must reproduce them exactly.
+  val q122 = """
+    SELECT doc_id, lang, n_chars, md5(coalesce(text, '')) AS text_md5
+    FROM documents WHERE n_chars >= 200 ORDER BY doc_id"""
+
+  // q123: the PageRank trajectory, all 5 iterations unrolled as CTE blocks.
+  // Arithmetic mirrors LinkAnalysis.pageRank exactly: contribution
+  // (rnk * w) / ow left-assoc, base (1.0 - 0.85)/n (NOT the literal 0.15 —
+  // a different double), 9-dp floor fence after every iteration. The
+  // purchase graph has no dangling nodes (both edge directions are
+  // materialized), so the Spark side's dangling term is exactly 0.0 and
+  // adding it is the IEEE identity — the replay omits it.
+  val q123: String = {
+    val head = """
+    WITH el AS (
+      SELECT 'c' || o_custkey AS cn, 's' || l_suppkey AS sn,
+             CAST(count(*) AS DOUBLE) AS w
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2),
+    edges AS (SELECT cn AS src, sn AS dst, w FROM el
+              UNION ALL SELECT sn AS src, cn AS dst, w FROM el),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY src),
+    r0 AS (SELECT node, floor(1.0 / nn.n * 1e9 + 0.5) / 1e9 AS rnk
+           FROM nodes, nn)"""
+    val its = (1 to 5).map { i =>
+      s"""
+    c$i AS (SELECT e.dst AS node, sum(r.rnk * e.w / o.ow) AS inw
+            FROM edges e JOIN outw o ON e.src = o.src
+            JOIN r${i - 1} r ON r.node = e.src
+            GROUP BY e.dst),
+    r$i AS (SELECT n.node,
+              floor(((1.0 - 0.85) / nn.n + 0.85 * coalesce(c.inw, 0.0))
+                    * 1e9 + 0.5) / 1e9 AS rnk
+            FROM nodes n CROSS JOIN nn LEFT JOIN c$i c ON c.node = n.node)"""
+    }.mkString(",")
+    head + "," + its + """
+    SELECT node, rnk AS "rank" FROM r5 ORDER BY node"""
+  }
+
+  // q121: brute-force all-pairs word-set Jaccard — the exactness oracle for
+  // the prefix-filtered similarity join, on the doc_id % 10 sample (the
+  // q17 convention; see the query's scaladoc). Tokenization mirrors
+  // TextOps.normalized + whitespace split; empty token sets drop out.
+  val q121 = """
+    WITH norm AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS nt
+      FROM documents WHERE doc_id % 10 = 0),
+    t AS (
+      SELECT doc_id, unnest(list_distinct(string_split_regex(nt, ' +'))) AS tok
+      FROM norm WHERE length(nt) > 0),
+    sizes AS (SELECT doc_id, count(*) AS n FROM t GROUP BY doc_id),
+    o AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS ov
+          FROM t a JOIN t b USING (tok)
+          WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+    p AS (SELECT ia AS id_a, ib AS id_b,
+                 round(ov::DOUBLE / (sa.n + sb.n - ov)::DOUBLE, 6) AS jaccard
+          FROM o JOIN sizes sa ON sa.doc_id = o.ia
+                 JOIN sizes sb ON sb.doc_id = o.ib)
+    SELECT id_a, id_b, jaccard FROM p
+    WHERE jaccard >= 0.8
+    ORDER BY id_a, id_b"""
+
   // Temperature mixture (q113): share/alpha/weight arithmetic + the q62
   // per-doc md5-uniform epoch draws, replayed end-to-end.
   val q113 = """
@@ -2890,6 +2956,9 @@ object Oracles {
     // q64's pinned-gate convention: the recall check runs Spark-side
     // against exact brute force; the oracle pins the expected verdict
     "q119_ann_incremental" -> q64,
-    "q120_csv_source" -> q120
+    "q120_csv_source" -> q120,
+    "q121_allpairs_jaccard" -> q121,
+    "q122_orc_source" -> q122,
+    "q123_pagerank" -> q123
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

@@ -1136,10 +1136,12 @@ object Queries {
     new scala.collection.concurrent.TrieMap[String, (String, String)]()
   private val csvDirCache =
     new scala.collection.concurrent.TrieMap[String, (String, String)]()
+  private val orcDirCache =
+    new scala.collection.concurrent.TrieMap[String, (String, String)]()
   Runtime.getRuntime.addShutdownHook(new Thread(() =>
     (ivfPqIndexCache.values ++ bm25IndexCache.values ++ sketchDirCache.values ++
       jsonlDirCache.values ++ cmsDirCache.values ++ histDirCache.values ++
-      annAppendDirCache.values ++ csvDirCache.values)
+      annAppendDirCache.values ++ csvDirCache.values ++ orcDirCache.values)
       .foreach { case (_, dir) =>
         try deleteDirTree(dir) catch { case _: Exception => () }
       }))
@@ -2732,4 +2734,75 @@ object Queries {
         md5(coalesce(col("text"), lit("")).cast("binary")).as("text_md5"))
       .orderBy("doc_id")
   }
+
+  /** q122: ORC round-trip with predicate pushdown — the documents table
+    * exported to ORC (sorted by doc_id for tight stripe statistics), read
+    * back through the schema-enforced [[ColumnarSources.readOrc]], and
+    * filtered on n_chars (an ORC-pushdown-eligible predicate — the spec
+    * asserts the scan carries it as a pushed filter). The gate: every
+    * surviving row's (doc_id, lang, n_chars, md5(text)) must match the
+    * parquet original under the same filter — any encode/decode/pushdown
+    * defect in the ORC path breaks the hash. */
+  def q122OrcSource(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val sig = tableSignature(s, d, "documents")
+    val dir = orcDirCache.synchronized {
+      orcDirCache.get(d) match {
+        case Some((s0, dd)) if s0 == sig => dd
+        case prev =>
+          prev.foreach { case (_, old) =>
+            try deleteDirTree(old) catch { case _: Exception => () } }
+          val tmp = java.nio.file.Files.createTempDirectory("graft_orc_").toString
+          ColumnarSources.writeOrc(
+            Tables.documents(s, d).select("doc_id", "lang", "n_chars", "text"),
+            tmp, layoutCols = Seq("doc_id"))
+          orcDirCache.update(d, (sig, tmp))
+          tmp
+      }
+    }
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("n_chars", LongType), StructField("text", StringType)))
+    ColumnarSources.readOrc(s, dir, schema)
+      .filter(col("n_chars") >= 200)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        md5(coalesce(col("text"), lit("")).cast("binary")).as("text_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** q123: weighted PageRank over the customer↔supplier purchase graph —
+    * the link-centrality quality prior crawl curation ranks hosts with
+    * ([[LinkAnalysis.pageRank]]), oracle-replayed END-TO-END: the DuckDB
+    * side unrolls all 5 iterations as CTE blocks with the identical
+    * left-assoc contribution arithmetic and the identical 9-dp floor
+    * fence, so any defect in the edge weights, out-weight normalization,
+    * damping arithmetic, or iteration order breaks the hash. */
+  def q123PageRank(s: SparkSession, d: String): DataFrame = {
+    val edges = LinkAnalysis.purchaseGraph(
+      Tables.lineitem(s, d), Tables.orders(s, d))
+    LinkAnalysis.pageRank(edges, iters = 5, damping = 0.85)
+      .select(col("node"), col("rank"))
+      .orderBy("node")
+  }
+
+  /** q121: EXACT all-pairs word-Jaccard similarity self-join over the
+    * corpus via prefix filtering (AllPairs/PPJoin) — the COMPLETE
+    * counterpart of the approximate LSH paths (q28 minhash, q15 blocked
+    * n-gram): every pair with Jaccard ≥ 0.8 is guaranteed emitted, no
+    * blocking recall loss, yet candidates come from an equi-join on
+    * rarest-first prefix tokens, never a cross join. The DuckDB oracle is
+    * the brute-force all-pairs join — any dropped pair (a prefix-length
+    * or ordering defect) or wrong score breaks the hash.
+    *
+    * Gated on the doc_id % 10 sample (the q17 convention): the fixture
+    * corpus is templated and pathologically self-similar — the FULL sf0.1
+    * answer at t = 0.8 is ~700k true pairs (measured), which any complete
+    * algorithm must emit, so the full-corpus form is output-bound by
+    * construction; the sample keeps the brute-force oracle and the bench
+    * rep inside their budgets while gating the identical code path. */
+  def q121AllPairsJaccard(s: SparkSession, d: String): DataFrame =
+    SimilarityJoin.allPairsJaccard(
+        Tables.documents(s, d).filter(col("doc_id") % 10 === 0),
+        col("doc_id"), col("text"), threshold = 0.8)
+      .orderBy("id_a", "id_b")
 }
