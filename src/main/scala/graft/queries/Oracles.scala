@@ -2648,6 +2648,33 @@ object Oracles {
     SELECT node, rnk AS "rank" FROM r5 ORDER BY node"""
   }
 
+  // q124: the gap-fill replay — same floor-of-epoch bucket arithmetic,
+  // per-bucket rounded sums, generate_series grid per series span, and
+  // IGNORE NULLS forward-fill window as TimeSeries.gapFill.
+  val q124 = """
+    WITH e AS (
+      SELECT user_id,
+             CAST(floor(floor(epoch(ts)) / 3600) AS BIGINT) AS bucket, value
+      FROM events WHERE user_id % 10 = 0),
+    obs AS (SELECT user_id, bucket, count(*) AS n_events,
+                   round(sum(value), 2) AS vs
+            FROM e GROUP BY 1, 2),
+    spans AS (SELECT user_id, min(bucket) AS b0, max(bucket) AS b1
+              FROM obs GROUP BY 1),
+    grid AS (SELECT user_id, unnest(generate_series(b0, b1)) AS bucket
+             FROM spans),
+    j AS (SELECT g.user_id, g.bucket,
+                 coalesce(o.n_events, 0) AS n_events,
+                 CAST(CASE WHEN o.n_events IS NULL THEN 1 ELSE 0 END AS BIGINT) AS filled,
+                 o.vs
+          FROM grid g LEFT JOIN obs o
+            ON o.user_id = g.user_id AND o.bucket = g.bucket)
+    SELECT user_id, bucket, n_events, filled,
+           last_value(vs IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_sum
+    FROM j ORDER BY user_id, bucket"""
+
   // q121: brute-force all-pairs word-set Jaccard — the exactness oracle for
   // the prefix-filtered similarity join, on the doc_id % 10 sample (the
   // q17 convention; see the query's scaladoc). Tokenization mirrors
@@ -2959,6 +2986,7 @@ object Oracles {
     "q120_csv_source" -> q120,
     "q121_allpairs_jaccard" -> q121,
     "q122_orc_source" -> q122,
-    "q123_pagerank" -> q123
+    "q123_pagerank" -> q123,
+    "q124_gap_fill" -> q124
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

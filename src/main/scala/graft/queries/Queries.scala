@@ -2785,6 +2785,20 @@ object Queries {
       .orderBy("node")
   }
 
+  /** q124: hourly gap fill with forward fill over the events stream
+    * ([[TimeSeries.gapFill]]) — irregular events densified onto each
+    * user's hourly grid, missing hours materialized with `filled = 1` and
+    * the last observed hourly sum carried forward. On the user_id % 10
+    * sample to bound the output grid (the q17/q121 convention). The
+    * oracle replays bucket arithmetic, per-bucket aggregates, the
+    * generate_series grid, and the IGNORE NULLS forward-fill window. */
+  def q124GapFill(s: SparkSession, d: String): DataFrame =
+    TimeSeries.gapFill(
+        Tables.events(s, d).filter(col("user_id") % 10 === 0),
+        col("user_id"), col("ts"), col("value"), bucketSeconds = 3600L)
+      .withColumnRenamed("series_id", "user_id")
+      .orderBy("user_id", "bucket")
+
   /** q121: EXACT all-pairs word-Jaccard similarity self-join over the
     * corpus via prefix filtering (AllPairs/PPJoin) — the COMPLETE
     * counterpart of the approximate LSH paths (q28 minhash, q15 blocked
