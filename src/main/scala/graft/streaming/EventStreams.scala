@@ -36,6 +36,14 @@ case class AnomalyRow(event_id: Long, key: String, bucket_us: Long,
 case class UserFunnel(user_id: Long, steps_completed: Long, first_us: Long,
                       last_us: Long, convert_us: Long)
 
+/** Streaming gap-fill state per series: the OPEN bucket's running count
+  * and sum — fixed size, never the events. */
+case class GapFillState(openBucket: Long, n: Long, sum: Double)
+
+/** Streaming gap-fill output row (matches TimeSeries.gapFill's schema). */
+case class GapRow(series_id: Long, bucket: Long, n_events: Long,
+                  filled: Long, value_sum: Double)
+
 /** Structured Streaming form of the event-table operators. The reference has
   * no streaming (SURVEY.md §2.8 — its "time series" is batch-simulated), so
   * this is the forward-looking surface for the 100 TB pipeline: the same
@@ -347,6 +355,69 @@ object EventStreams {
   /** Run a streaming query to completion against the (static) fixture dir
     * via the memory sink — the batch-parity harness used by tests: process
     * all available input, return the materialized result. */
+  /** Streaming twin of [[graft.operators.TimeSeries.gapFill]] via
+    * `flatMapGroupsWithState`: per series the state is the OPEN bucket's
+    * running (n, Σv) — fixed size, never the events. A bucket is emitted
+    * when a LATER bucket's first event closes it; the gap buckets between
+    * them are emitted at the same moment, `filled = 1`, carrying the
+    * just-closed bucket's rounded sum — exactly the batch operator's
+    * forward fill, which by construction carries the most recently
+    * OBSERVED bucket's value. The perpetually-open last bucket is never
+    * emitted (a stream has no "max bucket"); replaying a closed stream
+    * therefore equals the batch gapFill minus each series' final row.
+    *
+    * Rounding mirrors the batch side bit-for-bit: Spark's `round(x, 2)` on
+    * doubles is `BigDecimal.decimal(x).setScale(2, HALF_UP)` — the same
+    * expression used here, so a filled row's carried value is identical to
+    * the batch fill (the per-bucket SUM itself folds in ts order, which
+    * can differ from the aggregate's order in final ulps; the 2-dp round
+    * resolves it for any realistically-scaled values, and the parity spec
+    * pins it on the real fixture).
+    *
+    * In-order contract (the [[statefulFeaturize]] shape): per-series
+    * non-decreasing bucket across and within micro-batches — an event for
+    * an already-closed bucket fails loudly rather than silently
+    * double-emitting. */
+  def statefulGapFill(events: DataFrame, bucketSeconds: Long = 3600L): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.{Encoders, Row}
+    val schema = new StructType()
+      .add("series_id", LongType).add("ts_s", LongType).add("value", DoubleType)
+    def round2(x: Double): Double =
+      BigDecimal.decimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val byKey = events
+      .select(col("user_id").cast("long").as("series_id"),
+        col("ts").cast("long").as("ts_s"), col("value").cast("double").as("value"))
+      .as(Encoders.row(schema))
+      .groupByKey((r: Row) => r.getLong(0))(Encoders.scalaLong)
+    byKey.flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      (key: Long, rows: Iterator[Row],
+       state: org.apache.spark.sql.streaming.GroupState[GapFillState]) => {
+        val batch = rows.map(r => (r.getLong(1), r.getDouble(2)))
+          .toArray.sortBy(_._1)
+        var st = state.getOption.getOrElse(GapFillState(Long.MinValue, 0L, 0.0))
+        val out = scala.collection.mutable.ArrayBuffer.empty[GapRow]
+        batch.foreach { case (tsS, v) =>
+          val b = Math.floorDiv(tsS, bucketSeconds)
+          if (st.openBucket == Long.MinValue) {
+            st = GapFillState(b, 0L, 0.0)
+          } else if (b < st.openBucket) {
+            throw new IllegalStateException(
+              s"out-of-order event for series $key: bucket $b after ${st.openBucket}")
+          } else if (b > st.openBucket) {
+            val vs = round2(st.sum)
+            out += GapRow(key, st.openBucket, st.n, 0L, vs)
+            var g = st.openBucket + 1
+            while (g < b) { out += GapRow(key, g, 0L, 1L, vs); g += 1 }
+            st = GapFillState(b, 0L, 0.0)
+          }
+          st = st.copy(n = st.n + 1, sum = st.sum + v)
+        }
+        state.update(st)
+        out.iterator
+      })(Encoders.product[GapFillState], Encoders.product[GapRow]).toDF()
+  }
+
   def runToMemory(spark: SparkSession, streamed: DataFrame, name: String,
                   outputMode: String = "append"): DataFrame = {
     val q = streamed.writeStream.format("memory").queryName(name)

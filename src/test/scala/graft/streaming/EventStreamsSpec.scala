@@ -260,6 +260,42 @@ class EventStreamsSpec extends SparkSpec {
     assert(totalN == 3 * events, s"$totalN != 3*$events")
   }
 
+  test("stateful gap fill equals the batch gapFill across micro-batch seams") {
+    // slice by event_id range (the fixture's time order), one file per
+    // trigger, so open buckets and gaps straddle the batch boundaries
+    val raw = spark.read.parquet(s"$sf001/events.parquet")
+    val maxId = raw.agg(max("event_id")).head().getLong(0)
+    val cut1 = maxId / 3; val cut2 = 2 * maxId / 3
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-gap")
+    Seq(("a", 0L, cut1), ("b", cut1 + 1, cut2), ("c", cut2 + 1, maxId))
+      .foreach { case (name, lo, hi) =>
+        val tmp = java.nio.file.Files.createTempDirectory(s"graft-gap-$name")
+        raw.filter(col("event_id").between(lo, hi))
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+          .find(_.endsWith(".parquet")).get
+        java.nio.file.Files.copy(java.nio.file.Paths.get(part),
+          dir.resolve(s"$name.parquet"))
+        Thread.sleep(1100) // distinct mtimes -> deterministic oldest-first order
+      }
+    val streamed = EventStreams.statefulGapFill(
+      EventStreams.readEvents(spark, dir.toString, maxFilesPerTrigger = Some(1)),
+      bucketSeconds = 3600L)
+    val got = EventStreams.runToMemory(spark, streamed, "gap_parity", "append")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // batch truth minus each series' final (perpetually open) bucket
+    val full = graft.operators.TimeSeries.gapFill(
+        Tables.events(spark, sf001), col("user_id"), col("ts"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val lastBucket = full.keys.groupBy(_._1).map { case (s, ks) => s -> ks.map(_._2).max }
+    val expected = full.filter { case ((s, b), _) => b != lastBucket(s) }
+    assert(got.size == expected.size, s"${got.size} vs ${expected.size}")
+    expected.foreach { case (k, v) =>
+      assert(got(k) == v, s"series/bucket $k: ${got(k)} vs $v") }
+  }
+
   test("stream-stream attribution join matches the batch range join (q47)") {
     val streamed = EventStreams.attributionJoin(
       EventStreams.readEvents(spark, eventsDir))
