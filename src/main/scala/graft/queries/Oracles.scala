@@ -2675,6 +2675,123 @@ object Oracles {
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_sum
     FROM j ORDER BY user_id, bucket"""
 
+  /** q125: the unigram-LM tokenizer, trained AND applied inside one
+    * generated query (the q103 convention). Mirrors [[graft.operators.Unigram]]
+    * term for term: substring seed with the multi-char cap and char
+    * closure, per-EM-round Viterbi DP unrolled to MaxWordLen positions ×
+    * maxPieceLen candidate lengths with the exact (score desc, pieces
+    * asc, lastLen desc) tie order, list-prepend backtracks, char-floored
+    * recounts, prune windows, and the 6-dp floor fence on every ln —
+    * fenced because libm and JVM `log` may differ in the last ulp. Every
+    * chain CTE is MATERIALIZED (the bpeOracle lesson: default inlining
+    * doubles the plan per stage). */
+  def unigramOracle(vocabSize: Int, maxPieceLen: Int, minCount: Long,
+                    seedCap: Int, rounds: Int, maxLen: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""
+    WITH d0 AS (SELECT doc_id,
+                  trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS norm
+                FROM documents),
+    d1 AS MATERIALIZED (SELECT doc_id, regexp_split_to_array(norm, '\\s+') AS toks
+           FROM d0 WHERE length(norm) > 0),
+    w0 AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq
+           FROM (SELECT unnest(toks) AS word FROM d1) GROUP BY word),
+    sidx AS (SELECT word, freq, unnest(generate_series(1, length(word))) AS i FROM w0),
+    sexp AS (SELECT word, freq, i, gl.l
+             FROM sidx CROSS JOIN (SELECT unnest(generate_series(1, $maxPieceLen)) AS l) gl
+             WHERE i + l - 1 <= length(word)),
+    seed AS MATERIALIZED (SELECT substr(word, i, l) AS piece,
+             CAST(sum(freq) AS BIGINT) AS cnt FROM sexp GROUP BY 1),
+    chars0 AS MATERIALIZED (SELECT piece, cnt FROM seed WHERE length(piece) = 1),
+    multi0 AS (SELECT piece, cnt FROM (
+        SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rn
+        FROM seed WHERE length(piece) > 1 AND cnt >= $minCount) WHERE rn <= $seedCap),
+    vc0 AS (SELECT piece, cnt FROM chars0 UNION ALL SELECT piece, cnt FROM multi0),
+    v0 AS MATERIALIZED (SELECT piece, cnt,
+           floor(ln(CAST(cnt AS DOUBLE) /
+                    (SELECT CAST(sum(cnt) AS DOUBLE) FROM vc0)) * 1e6 + 0.5) / 1e6 AS lp
+         FROM vc0)"""
+    for (p <- 0 to rounds) {
+      sb ++= s""",
+    dp${p}_0 AS (SELECT word, CAST(0.0 AS DOUBLE) AS s, 0 AS k, 0 AS l FROM w0)"""
+      for (i <- 1 to maxLen) {
+        val cands = (1 to math.min(maxPieceLen, i)).map { l =>
+          s"""SELECT d.word, d.s + v.lp AS s, d.k + 1 AS k, $l AS l
+              FROM dp${p}_${i - l} d JOIN v$p v
+                ON v.piece = substr(d.word, ${i - l + 1}, $l)
+              WHERE length(d.word) >= $i"""
+        }.mkString(" UNION ALL ")
+        sb ++= s""",
+    dp${p}_$i AS MATERIALIZED (SELECT word, s, k, l FROM (
+        SELECT word, s, k, l,
+               row_number() OVER (PARTITION BY word ORDER BY s DESC, k ASC, l DESC) AS rn
+        FROM ($cands)) WHERE rn = 1)"""
+      }
+      sb ++= s""",
+    dpall$p AS MATERIALIZED (${(1 to maxLen).map(i =>
+        s"SELECT word, $i AS i, l FROM dp${p}_$i").mkString(" UNION ALL ")}),
+    bt${p}_0 AS (SELECT word, length(word) AS pos, CAST([] AS VARCHAR[]) AS seg FROM w0)"""
+      for (j <- 1 to maxLen) {
+        sb ++= s""",
+    bt${p}_$j AS MATERIALIZED (
+        SELECT b.word, b.pos - d.l AS pos,
+               list_prepend(substr(b.word, b.pos - d.l + 1, d.l), b.seg) AS seg
+        FROM bt${p}_${j - 1} b JOIN dpall$p d ON d.word = b.word AND d.i = b.pos
+        WHERE b.pos > 0
+        UNION ALL
+        SELECT word, pos, seg FROM bt${p}_${j - 1} WHERE pos = 0)"""
+      }
+      sb ++= s""",
+    segs$p AS MATERIALIZED (SELECT word, seg FROM bt${p}_$maxLen WHERE pos = 0)"""
+      if (p < rounds) {
+        sb ++= s""",
+    cnt$p AS MATERIALIZED (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+        SELECT w0.freq, unnest(s.seg) AS piece
+        FROM segs$p s JOIN w0 USING (word)) GROUP BY 1),
+    vc${p + 1} AS (
+        SELECT c0.piece, CAST(greatest(coalesce(c.cnt, 0), 1) AS BIGINT) AS cnt
+        FROM chars0 c0 LEFT JOIN cnt$p c ON c.piece = c0.piece
+        UNION ALL
+        SELECT piece, cnt FROM (
+          SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rn
+          FROM cnt$p WHERE length(piece) > 1)
+        WHERE rn <= $vocabSize - (SELECT count(*) FROM chars0)),
+    v${p + 1} AS MATERIALIZED (SELECT piece, cnt,
+           floor(ln(CAST(cnt AS DOUBLE) /
+                    (SELECT CAST(sum(cnt) AS DOUBLE) FROM vc${p + 1})) * 1e6 + 0.5) / 1e6 AS lp
+         FROM vc${p + 1})"""
+      }
+    }
+    sb ++= s""",
+    vocabf AS MATERIALIZED (SELECT piece, cnt, lp,
+           CAST(row_number() OVER (ORDER BY piece) - 1 AS BIGINT) AS id FROM v$rounds),
+    d2 AS (SELECT doc_id, i AS wpos, toks[i] AS word
+           FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i
+                 FROM d1)),
+    d3a AS MATERIALIZED (SELECT d2.doc_id, d2.wpos, s.seg
+           FROM d2 JOIN segs$rounds s USING (word)),
+    d3 AS (SELECT doc_id, wpos, j, seg[j] AS piece
+           FROM (SELECT doc_id, wpos, seg,
+                   unnest(generate_series(1, len(seg))) AS j FROM d3a)),
+    d4 AS (SELECT doc_id, piece,
+             CAST(row_number() OVER (PARTITION BY doc_id ORDER BY wpos, j) AS BIGINT) AS pos
+           FROM d3),
+    docrows AS (SELECT 'doc' AS kind, CAST(doc_id AS BIGINT) AS key, '' AS piece,
+                  CAST(count(*) AS BIGINT) AS n1, CAST(sum(id) AS BIGINT) AS n2,
+                  CAST(sum(pos * id) AS BIGINT) AS n3, CAST(0.0 AS DOUBLE) AS f1
+                FROM d4 JOIN vocabf USING (piece) GROUP BY doc_id),
+    piecerows AS (SELECT 'piece' AS kind, id AS key, piece, cnt AS n1,
+                    CAST(0 AS BIGINT) AS n2, CAST(0 AS BIGINT) AS n3, lp AS f1
+                  FROM vocabf)
+    SELECT * FROM (SELECT * FROM piecerows UNION ALL SELECT * FROM docrows)
+    ORDER BY kind, key"""
+    sb.toString
+  }
+
+  val q125: String = unigramOracle(vocabSize = 48, maxPieceLen = 4,
+    minCount = 2, seedCap = 48, rounds = 2,
+    maxLen = graft.operators.Unigram.MaxWordLen)
+
   // q121: brute-force all-pairs word-set Jaccard — the exactness oracle for
   // the prefix-filtered similarity join, on the doc_id % 10 sample (the
   // q17 convention; see the query's scaladoc). Tokenization mirrors
@@ -2987,6 +3104,7 @@ object Oracles {
     "q121_allpairs_jaccard" -> q121,
     "q122_orc_source" -> q122,
     "q123_pagerank" -> q123,
-    "q124_gap_fill" -> q124
+    "q124_gap_fill" -> q124,
+    "q125_unigram_tokenizer" -> q125
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

@@ -2799,6 +2799,39 @@ object Queries {
       .withColumnRenamed("series_id", "user_id")
       .orderBy("user_id", "bucket")
 
+  private val unigramCache =
+    new scala.collection.concurrent.TrieMap[String, (String, Seq[Unigram.UPiece])]()
+  private[graft] def unigramVocabFor(s: SparkSession, d: String): Seq[Unigram.UPiece] = {
+    val sig = tableSignature(s, d, "documents")
+    unigramCache.synchronized {
+      unigramCache.get(d) match {
+        case Some((s0, v)) if s0 == sig => v
+        case _ =>
+          val v = Unigram.train(Tables.documents(s, d), col("text"),
+            vocabSize = 48, maxPieceLen = 4, minCount = 2, seedCap = 48,
+            rounds = 2, policy = CheckpointPolicy.fromSession(s))
+          unigramCache.update(d, (sig, v))
+          v
+      }
+    }
+  }
+
+  /** q125: unigram-LM subword tokenization ([[Unigram]] — the
+    * SentencePiece model family, the second real tokenizer next to q103's
+    * BPE), driver-gated END-TO-END: substring seed with cap + char
+    * closure, two hard-EM rounds (Viterbi segmentation → re-count →
+    * prune → re-fence log-probs), then encode every doc with the final
+    * model. Output = the full final vocabulary (piece, count, fenced
+    * log-prob) plus per-doc token-id digests. The oracle replays
+    * EVERYTHING: seed counts, both EM rounds' unrolled Viterbi DPs (16
+    * positions × 4 piece lengths, identical tie-break order) and
+    * backtracks, the prune steps, every fenced log-prob, and the final
+    * encode — a defect anywhere in the model trajectory reds the hash. */
+  def q125UnigramTokenizer(s: SparkSession, d: String): DataFrame =
+    Unigram.encodeStats(Tables.documents(s, d), col("doc_id"), col("text"),
+      unigramVocabFor(s, d), maxPieceLen = 4,
+      policy = CheckpointPolicy.fromSession(s))
+
   /** q121: EXACT all-pairs word-Jaccard similarity self-join over the
     * corpus via prefix filtering (AllPairs/PPJoin) — the COMPLETE
     * counterpart of the approximate LSH paths (q28 minhash, q15 blocked

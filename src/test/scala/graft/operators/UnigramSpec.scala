@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class UnigramSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("viterbi picks the max-likelihood segmentation") {
+    val v = Map("a" -> -1.0, "b" -> -1.2, "ab" -> -1.9)
+    assert(Unigram.viterbi("ab", v, 2) == List("ab"))
+    assert(Unigram.viterbi("aab", v, 2) == List("a", "ab"))
+    assert(Unigram.viterbi("b", v, 2) == List("b"))
+  }
+
+  test("viterbi tie-breaks: fewer pieces, then longer last piece") {
+    // equal score, different piece count -> fewer wins
+    assert(Unigram.viterbi("aa", Map("a" -> -1.0, "aa" -> -2.0), 2)
+      == List("aa"))
+    // equal score AND count -> longer last piece wins
+    val v = Map("a" -> -1.0, "c" -> -1.0, "ab" -> -2.0, "bc" -> -2.0)
+    assert(Unigram.viterbi("abc", v, 2) == List("a", "bc"))
+  }
+
+  test("train: closed-form seed, hard-EM recount, char floor, fenced logps") {
+    val docs = Seq((0L, "ab ab cd"), (1L, "ab cd cd")).toDF("doc_id", "text")
+    val vocab = Unigram.train(docs, col("text"), vocabSize = 6,
+      maxPieceLen = 2, minCount = 1, seedCap = 10, rounds = 1)
+    val m = vocab.map(p => p.piece -> p).toMap
+    assert(vocab.map(_.piece) == Seq("a", "ab", "b", "c", "cd", "d"))
+    // round 1: every word segments to its 2-char piece; chars floor to 1
+    assert(m("ab").cnt == 3 && m("cd").cnt == 3)
+    assert(Seq("a", "b", "c", "d").forall(m(_).cnt == 1))
+    // total = 10; fence6(ln(3/10)) and fence6(ln(1/10))
+    assert(m("ab").logp == Unigram.fence6(math.log(3.0 / 10)))
+    assert(m("a").logp == Unigram.fence6(math.log(1.0 / 10)))
+  }
+
+  test("encodeStats digests match a hand computation") {
+    val docs = Seq((0L, "ab ab cd"), (1L, "ab cd cd")).toDF("doc_id", "text")
+    val vocab = Unigram.train(docs, col("text"), vocabSize = 6,
+      maxPieceLen = 2, minCount = 1, seedCap = 10, rounds = 1)
+    val out = Unigram.encodeStats(docs, col("doc_id"), col("text"), vocab,
+        maxPieceLen = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6)))
+      .toMap
+    // ids sorted by piece: a=0, ab=1, b=2, c=3, cd=4, d=5
+    assert(out(("piece", 1L))._1 == "ab" && out(("piece", 1L))._2 == 3L)
+    // doc 0 = [ab, ab, cd] at pos 1,2,3: n=3, idsum=1+1+4, possum=1+2+12
+    assert(out(("doc", 0L)) == (("", 3L, 6L, 15L, 0.0)))
+    // doc 1 = [ab, cd, cd]: idsum=1+4+4=9, possum=1+8+12=21
+    assert(out(("doc", 1L)) == (("", 3L, 9L, 21L, 0.0)))
+  }
+
+  test("training is deterministic under repartitioning and words stay coverable") {
+    val docs = Seq((0L, "the quick brown fox"), (1L, "the lazy dog dog"),
+      (2L, "quick quick brown")).toDF("doc_id", "text")
+    val v1 = Unigram.train(docs, col("text"), vocabSize = 26,
+      maxPieceLen = 3, minCount = 1, seedCap = 8, rounds = 2)
+    val v2 = Unigram.train(docs.repartition(7), col("text"), vocabSize = 26,
+      maxPieceLen = 3, minCount = 1, seedCap = 8, rounds = 2)
+    assert(v1 == v2)
+    val vm = v1.map(p => p.piece -> p.logp).toMap
+    Seq("the", "quick", "brown", "fox", "lazy", "dog").foreach { w =>
+      assert(Unigram.viterbi(w, vm, 3).mkString("") == w)
+    }
+  }
+
+  test("trains and encodes the real fixture corpus end-to-end") {
+    val docs = graft.Tables.documents(spark, sf001)
+    val vocab = Unigram.train(docs, col("text"), vocabSize = 48,
+      maxPieceLen = 4, minCount = 2, seedCap = 48, rounds = 2)
+    assert(vocab.size <= 48 && vocab.exists(_.piece.length > 1))
+    val out = Unigram.encodeStats(docs, col("doc_id"), col("text"), vocab)
+    val docsN = out.filter(col("kind") === "doc").count()
+    assert(docsN == docs.count())
+  }
+}
