@@ -52,6 +52,14 @@ object LinkAnalysis {
     val base = lit(1.0 - damping) / lit(n)
     var ranks = policy.pin(
       nodesPinned.withColumn("rank", fence9(lit(1.0) / lit(n))))
+    // the DANGLING NODE SET is static — decide once whether the
+    // per-iteration mass action is needed at all; when it is not, adding
+    // the 0.0/n term is the IEEE identity and is skipped (the oracle
+    // replays the skipped form)
+    val danglingNodes = policy.pin(
+      nodesPinned.join(eo.select("src").distinct(),
+        nodesPinned("node") === col("src"), "left_anti"))
+    val hasDangling = danglingNodes.limit(1).count() > 0
     for (_ <- 1 to iters) {
       // per-edge contribution, left-assoc (rank * w) / ow — the oracle
       // replays this exact association
@@ -59,14 +67,19 @@ object LinkAnalysis {
         .select(col("dst"), (col("rank") * col("w") / col("ow")).as("c"))
       val incoming = contrib.groupBy("dst").agg(sum("c").as("inw"))
       // dangling nodes (no out-edges) leak their rank; redistribute evenly
-      val dangling = ranks.join(eo.select("src").distinct(),
-          ranks("node") === col("src"), "left_anti")
-        .agg(coalesce(sum("rank"), lit(0.0))).head().getDouble(0)
+      val inMass =
+        if (!hasDangling) coalesce(col("inw"), lit(0.0))
+        else {
+          val dangling = ranks
+            .join(danglingNodes.select(col("node").as("__dn")),
+              ranks("node") === col("__dn"), "left_semi")
+            .agg(coalesce(sum("rank"), lit(0.0))).head().getDouble(0)
+          coalesce(col("inw"), lit(0.0)) + lit(dangling) / lit(n)
+        }
       ranks = policy.pin(
         nodesPinned.join(incoming, nodesPinned("node") === incoming("dst"), "left")
           .select(col("node"),
-            fence9(base + lit(damping) *
-              (coalesce(col("inw"), lit(0.0)) + lit(dangling) / lit(n))).as("rank")))
+            fence9(base + lit(damping) * inMass).as("rank")))
     }
     ranks
   }

@@ -51,4 +51,43 @@ object TimeSeries {
         when(col("n_events").isNull, lit(1L)).otherwise(lit(0L)).as("filled"),
         last(col("__vs"), ignoreNulls = true).over(w).as("value_sum"))
   }
+
+  /** Exponentially-weighted moving average over a DENSE per-series grid
+    * (what [[gapFill]] produces — the gap fill is exactly what makes the
+    * recurrence well-defined: every bucket has a predecessor):
+    * y₁ = x₁, yᵢ = α·xᵢ + (1−α)·yᵢ₋₁ — the trailing baseline smoother
+    * for drift/anomaly monitors.
+    *
+    * A window function cannot express the recurrence, so each series folds
+    * sequentially inside one task (`flatMapGroups`) — bounded by the grid
+    * length ([[gapFill]]'s span ÷ bucket width), the same per-series bound
+    * the fill window already carries; series are processed in parallel.
+    *
+    * Cross-engine determinism: the fold is two products and one sum per
+    * step in a fixed order, so for an exactly-representable α (0.5, 0.25,
+    * …) the trajectory is bit-identical to a SQL recursive replay with no
+    * rounding fence at all. */
+  def ewma(grid: DataFrame, alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha in (0,1]: $alpha")
+    val spark = grid.sparkSession
+    import spark.implicits._
+    val beta = 1.0 - alpha
+    grid.select(col("series_id").cast("long"), col("bucket").cast("long"),
+        col("value_sum").cast("double"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (sid, it) =>
+        val rows = it.toArray.sortBy(_._2)
+        val out = new Array[(Long, Long, Double, Double)](rows.length)
+        var y = 0.0
+        var i = 0
+        while (i < rows.length) {
+          val x = rows(i)._3
+          y = if (i == 0) x else alpha * x + beta * y
+          out(i) = (sid, rows(i)._2, x, y)
+          i += 1
+        }
+        out.iterator
+      }.toDF("series_id", "bucket", "value_sum", "ewma")
+  }
 }

@@ -150,6 +150,24 @@ object Unigram {
     vocab.sortBy(_.piece)
   }
 
+  /** Persist a trained vocabulary — the train-once-at-ingest serve path
+    * (the [[Vocab.writeBpe]] convention): pieces with counts and fenced
+    * log-probs, kilobytes regardless of corpus size. */
+  def writeVocab(spark: org.apache.spark.sql.SparkSession, dir: String,
+                 vocab: Seq[UPiece]): Unit = {
+    import spark.implicits._
+    vocab.map(p => (p.piece, p.cnt, p.logp)).toDF("piece", "cnt", "logp")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** Load a [[writeVocab]] artifact, sorted by piece (the id order). */
+  def readVocab(spark: org.apache.spark.sql.SparkSession,
+                dir: String): Seq[UPiece] =
+    spark.read.parquet(dir).orderBy("piece")
+      .collect() // the model: ≤ vocabSize rows, kilobytes
+      .map(r => UPiece(r.getAs[String]("piece"), r.getAs[Long]("cnt"),
+        r.getAs[Double]("logp"))).toSeq
+
   /** Tokenize the corpus with a trained vocabulary and emit the
     * hash-gateable digest frame (the q103 convention): one row per vocab
     * piece (kind='piece', key=alphabetical id, cnt, fenced logp) and one

@@ -2648,11 +2648,11 @@ object Oracles {
     SELECT node, rnk AS "rank" FROM r5 ORDER BY node"""
   }
 
-  // q124: the gap-fill replay — same floor-of-epoch bucket arithmetic,
-  // per-bucket rounded sums, generate_series grid per series span, and
-  // IGNORE NULLS forward-fill window as TimeSeries.gapFill.
-  val q124 = """
-    WITH e AS (
+  // q124/q126 shared grid: floor-of-epoch bucket arithmetic, per-bucket
+  // rounded sums, generate_series grid per series span, IGNORE NULLS
+  // forward-fill window — exactly TimeSeries.gapFill.
+  private val gapGridCtes = """
+    e AS (
       SELECT user_id,
              CAST(floor(floor(epoch(ts)) / 3600) AS BIGINT) AS bucket, value
       FROM events WHERE user_id % 10 = 0),
@@ -2668,12 +2668,32 @@ object Oracles {
                  CAST(CASE WHEN o.n_events IS NULL THEN 1 ELSE 0 END AS BIGINT) AS filled,
                  o.vs
           FROM grid g LEFT JOIN obs o
-            ON o.user_id = g.user_id AND o.bucket = g.bucket)
-    SELECT user_id, bucket, n_events, filled,
-           last_value(vs IGNORE NULLS) OVER (
-             PARTITION BY user_id ORDER BY bucket
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_sum
-    FROM j ORDER BY user_id, bucket"""
+            ON o.user_id = g.user_id AND o.bucket = g.bucket),
+    f AS MATERIALIZED (
+      SELECT user_id, bucket, n_events, filled,
+             last_value(vs IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_sum
+      FROM j)"""
+
+  val q124: String = "WITH " + gapGridCtes + """
+    SELECT user_id, bucket, n_events, filled, value_sum
+    FROM f ORDER BY user_id, bucket"""
+
+  // q126: the EWMA recurrence over the dense gap-filled grid — the fill is
+  // what makes "bucket + 1" a total per-series chain the recursive CTE can
+  // walk. alpha = 0.5 is exactly representable, so 0.5*x + 0.5*y replays
+  // the Spark fold bit-for-bit with no rounding fence.
+  val q126: String = "WITH RECURSIVE " + gapGridCtes + """,
+    base AS (SELECT user_id, min(bucket) AS b0 FROM f GROUP BY 1),
+    r AS (
+      SELECT f.user_id, f.bucket, f.value_sum, f.value_sum AS ewma
+      FROM f JOIN base ON f.user_id = base.user_id AND f.bucket = base.b0
+      UNION ALL
+      SELECT f.user_id, f.bucket, f.value_sum,
+             0.5 * f.value_sum + 0.5 * r.ewma AS ewma
+      FROM f JOIN r ON f.user_id = r.user_id AND f.bucket = r.bucket + 1)
+    SELECT user_id, bucket, value_sum, ewma FROM r ORDER BY user_id, bucket"""
 
   /** q125: the unigram-LM tokenizer, trained AND applied inside one
     * generated query (the q103 convention). Mirrors [[graft.operators.Unigram]]
@@ -3105,6 +3125,7 @@ object Oracles {
     "q122_orc_source" -> q122,
     "q123_pagerank" -> q123,
     "q124_gap_fill" -> q124,
-    "q125_unigram_tokenizer" -> q125
+    "q125_unigram_tokenizer" -> q125,
+    "q126_ewma" -> q126
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

@@ -2832,6 +2832,20 @@ object Queries {
       unigramVocabFor(s, d), maxPieceLen = 4,
       policy = CheckpointPolicy.fromSession(s))
 
+  /** q126: EWMA smoothing over the q124 gap-filled grid
+    * ([[TimeSeries.ewma]]) — the trailing baseline smoother, well-defined
+    * exactly BECAUSE the fill densified the grid. α = 0.5 makes the
+    * per-step fold exactly representable, so the DuckDB recursive-CTE
+    * replay matches bit-for-bit with no rounding fence. */
+  def q126Ewma(s: SparkSession, d: String): DataFrame =
+    TimeSeries.ewma(
+        TimeSeries.gapFill(
+          Tables.events(s, d).filter(col("user_id") % 10 === 0),
+          col("user_id"), col("ts"), col("value"), bucketSeconds = 3600L),
+        alpha = 0.5)
+      .withColumnRenamed("series_id", "user_id")
+      .orderBy("user_id", "bucket")
+
   /** q121: EXACT all-pairs word-Jaccard similarity self-join over the
     * corpus via prefix filtering (AllPairs/PPJoin) — the COMPLETE
     * counterpart of the approximate LSH paths (q28 minhash, q15 blocked

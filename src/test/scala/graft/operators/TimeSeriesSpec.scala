@@ -37,6 +37,30 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out.length == 3 && out.forall(_.getLong(3) == 0L))
   }
 
+  test("ewma folds the closed-form recurrence per series") {
+    val grid = Seq(
+      (1L, 0L, 4.0), (1L, 1L, 8.0), (1L, 2L, 2.0),
+      (2L, 5L, 10.0))
+      .toDF("series_id", "bucket", "value_sum")
+    val out = TimeSeries.ewma(grid, alpha = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(out == Map(
+      (1L, 0L) -> 4.0,            // y1 = x1
+      (1L, 1L) -> 6.0,            // .5*8 + .5*4
+      (1L, 2L) -> 4.0,            // .5*2 + .5*6
+      (2L, 5L) -> 10.0))
+  }
+
+  test("ewma over a gap-filled grid carries through filled buckets") {
+    val out = TimeSeries.ewma(
+        TimeSeries.gapFill(events, col("series_id"), col("ts"), col("value"), 10L),
+        alpha = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    // series 1 grid x = [3.0, 3.0, 3.0, 4.0] (buckets 1,2 filled with 3.0)
+    assert(out((1L, 0L)) == 3.0 && out((1L, 1L)) == 3.0 && out((1L, 2L)) == 3.0)
+    assert(out((1L, 3L)) == 3.5)  // .5*4 + .5*3
+  }
+
   test("deterministic under repartitioning") {
     val a = TimeSeries.gapFill(events, col("series_id"), col("ts"),
       col("value"), 10L).collect().map(_.toSeq).toSet

@@ -67,6 +67,15 @@ class UnigramSpec extends SparkSpec {
     }
   }
 
+  test("vocabulary round-trips through the persisted artifact") {
+    val docs = Seq((0L, "ab ab cd"), (1L, "ab cd cd")).toDF("doc_id", "text")
+    val vocab = Unigram.train(docs, col("text"), vocabSize = 6,
+      maxPieceLen = 2, minCount = 1, seedCap = 10, rounds = 1)
+    val dir = java.nio.file.Files.createTempDirectory("unigram_vocab_").toString
+    Unigram.writeVocab(spark, dir, vocab)
+    assert(Unigram.readVocab(spark, dir) == vocab)
+  }
+
   test("trains and encodes the real fixture corpus end-to-end") {
     val docs = graft.Tables.documents(spark, sf001)
     val vocab = Unigram.train(docs, col("text"), vocabSize = 48,
