@@ -2836,6 +2836,37 @@ object Oracles {
     WHERE jaccard >= 0.8
     ORDER BY id_a, id_b"""
 
+  // q127: q121's exact pair set → recursive min-label components → the q76
+  // uniform/cumulative-cut split arithmetic keyed on cluster_id ('leaksafe'
+  // salt). Pairs body reuses q121 verbatim (same sample, same threshold).
+  val q127: String = {
+    val pairsBody = q121.trim.stripSuffix("ORDER BY id_a, id_b").trim
+    s"""
+    WITH RECURSIVE pr AS ($pairsBody),
+    ids AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 0),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pr
+              UNION ALL SELECT id_b, id_a FROM pr),
+    lbl(id, label) AS (
+        SELECT doc_id, doc_id FROM ids
+      UNION
+        SELECT e.src, l.label FROM edges e JOIN lbl l ON l.id = e.dst
+    ),
+    cl AS (SELECT id AS doc_id, min(label) AS cluster_id FROM lbl GROUP BY id),
+    u AS (
+      SELECT doc_id, cluster_id, list_reduce(list_prepend(0.0,
+          list_transform(generate_series(1, 13),
+            k -> CAST(strpos('0123456789abcdef',
+                   substr(substr(md5(concat_ws('|', cluster_id, 'leaksafe')), 1, 13), k, 1)) - 1 AS DOUBLE)
+                 * pow(16.0, 13 - k))),
+        (a, x) -> a + x) / 4503599627370496.0 AS u
+      FROM cl)
+    SELECT doc_id, cluster_id,
+           CASE WHEN u < CAST(0.8 AS DOUBLE) THEN 'train'
+                WHEN u < CAST(0.8 AS DOUBLE) + CAST(0.1 AS DOUBLE) THEN 'val'
+                ELSE 'test' END AS split
+    FROM u ORDER BY doc_id"""
+  }
+
   // Temperature mixture (q113): share/alpha/weight arithmetic + the q62
   // per-doc md5-uniform epoch draws, replayed end-to-end.
   val q113 = """
@@ -3126,6 +3157,7 @@ object Oracles {
     "q123_pagerank" -> q123,
     "q124_gap_fill" -> q124,
     "q125_unigram_tokenizer" -> q125,
-    "q126_ewma" -> q126
+    "q126_ewma" -> q126,
+    "q127_leakage_safe_split" -> q127
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

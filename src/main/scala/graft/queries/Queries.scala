@@ -2846,6 +2846,26 @@ object Queries {
       .withColumnRenamed("series_id", "user_id")
       .orderBy("user_id", "bucket")
 
+  /** q127: LEAKAGE-SAFE train/val/test split — the q76 hash split keyed by
+    * near-dup COMPONENT instead of document: q121's exact prefix-filter
+    * pairs (COMPLETE at the threshold — no LSH miss can leak a pair) feed
+    * [[Dedup.clusters]], and [[Mixture.hashSplit]] assigns the split from
+    * the md5 uniform of the CLUSTER id, so a test document can never have
+    * a train-side near-duplicate at Jaccard ≥ 0.8 — the
+    * eval-contamination guarantee a doc-keyed split cannot give. Same
+    * doc_id % 10 sample as q121 (the pair oracle's budget). */
+  def q127LeakageSafeSplit(s: SparkSession, d: String): DataFrame = {
+    val policy = CheckpointPolicy.fromSession(s)
+    val docs = Tables.documents(s, d).filter(col("doc_id") % 10 === 0)
+    val pairs = SimilarityJoin.allPairsJaccard(docs, col("doc_id"), col("text"),
+      threshold = 0.8, policy = policy)
+    val clusters = Dedup.clusters(pairs, docs.select("doc_id"), policy = policy)
+    Mixture.hashSplit(clusters, col("cluster_id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "leaksafe")
+      .select("doc_id", "cluster_id", "split")
+      .orderBy("doc_id")
+  }
+
   /** q121: EXACT all-pairs word-Jaccard similarity self-join over the
     * corpus via prefix filtering (AllPairs/PPJoin) — the COMPLETE
     * counterpart of the approximate LSH paths (q28 minhash, q15 blocked
