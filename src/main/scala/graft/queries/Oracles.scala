@@ -2622,7 +2622,7 @@ object Oracles {
   val q123: String = {
     val head = """
     WITH el AS (
-      SELECT 'c' || o_custkey AS cn, 's' || l_suppkey AS sn,
+      SELECT o_custkey * 2 AS cn, l_suppkey * 2 + 1 AS sn,
              CAST(count(*) AS DOUBLE) AS w
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY 1, 2),

@@ -44,6 +44,15 @@ case class GapFillState(openBucket: Long, n: Long, sum: Double)
 case class GapRow(series_id: Long, bucket: Long, n_events: Long,
                   filled: Long, value_sum: Double)
 
+/** Streaming EWMA state: the gap-fill state plus the running smoother
+  * (`hasY` distinguishes "no closed bucket yet" from y = 0). */
+case class EwmaState(openBucket: Long, n: Long, sum: Double,
+                     y: Double, hasY: Boolean)
+
+/** Streaming EWMA output row (matches TimeSeries.ewma's schema). */
+case class EwmaRow(series_id: Long, bucket: Long, value_sum: Double,
+                   ewma: Double)
+
 /** Structured Streaming form of the event-table operators. The reference has
   * no streaming (SURVEY.md §2.8 — its "time series" is batch-simulated), so
   * this is the forward-looking surface for the 100 TB pipeline: the same
@@ -416,6 +425,63 @@ object EventStreams {
         state.update(st)
         out.iterator
       })(Encoders.product[GapFillState], Encoders.product[GapRow]).toDF()
+  }
+
+  /** Streaming twin of `TimeSeries.ewma(TimeSeries.gapFill(...))` — the
+    * [[statefulGapFill]] state machine carrying the running smoother: when
+    * a bucket closes, its rounded sum x updates y (y₁ = x₁, then
+    * y = α·x + (1−α)·y) and the (bucket, x, y) row is emitted; gap buckets
+    * re-feed the carried x, exactly like the batch fill feeds the batch
+    * fold. The per-step arithmetic is the identical product/sum order, so
+    * on a closed stream the rows equal the batch composition bit-for-bit
+    * (minus each series' perpetually-open final bucket). Same in-order
+    * contract as [[statefulGapFill]]. */
+  def statefulEwma(events: DataFrame, bucketSeconds: Long = 3600L,
+                   alpha: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.{Encoders, Row}
+    val beta = 1.0 - alpha
+    val schema = new StructType()
+      .add("series_id", LongType).add("ts_s", LongType).add("value", DoubleType)
+    def round2(x: Double): Double =
+      BigDecimal.decimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val byKey = events
+      .select(col("user_id").cast("long").as("series_id"),
+        col("ts").cast("long").as("ts_s"), col("value").cast("double").as("value"))
+      .as(Encoders.row(schema))
+      .groupByKey((r: Row) => r.getLong(0))(Encoders.scalaLong)
+    byKey.flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      (key: Long, rows: Iterator[Row],
+       state: org.apache.spark.sql.streaming.GroupState[EwmaState]) => {
+        val batch = rows.map(r => (r.getLong(1), r.getDouble(2)))
+          .toArray.sortBy(_._1)
+        var st = state.getOption.getOrElse(
+          EwmaState(Long.MinValue, 0L, 0.0, 0.0, hasY = false))
+        val out = scala.collection.mutable.ArrayBuffer.empty[EwmaRow]
+        def step(x: Double): Double = {
+          val y = if (!st.hasY) x else alpha * x + beta * st.y
+          st = st.copy(y = y, hasY = true)
+          y
+        }
+        batch.foreach { case (tsS, v) =>
+          val b = Math.floorDiv(tsS, bucketSeconds)
+          if (st.openBucket == Long.MinValue) {
+            st = st.copy(openBucket = b, n = 0L, sum = 0.0)
+          } else if (b < st.openBucket) {
+            throw new IllegalStateException(
+              s"out-of-order event for series $key: bucket $b after ${st.openBucket}")
+          } else if (b > st.openBucket) {
+            val x = round2(st.sum)
+            out += EwmaRow(key, st.openBucket, x, step(x))
+            var g = st.openBucket + 1
+            while (g < b) { out += EwmaRow(key, g, x, step(x)); g += 1 }
+            st = st.copy(openBucket = b, n = 0L, sum = 0.0)
+          }
+          st = st.copy(n = st.n + 1, sum = st.sum + v)
+        }
+        state.update(st)
+        out.iterator
+      })(Encoders.product[EwmaState], Encoders.product[EwmaRow]).toDF()
   }
 
   def runToMemory(spark: SparkSession, streamed: DataFrame, name: String,

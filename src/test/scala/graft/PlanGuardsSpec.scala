@@ -53,7 +53,8 @@ class PlanGuardsSpec extends SparkSpec {
     "q36_sessionize", "q37_cube", "q39_percentiles", "q40_left_join",
     "q41_multi_distinct", "q42_stratified_sample", "q43_contamination",
     "q45_quality_gate", "q46_repetition", "q47_range_join",
-    "q49_interp_join", "q107_flac_roundtrip", "q109_ranking_metrics")
+    "q49_interp_join", "q107_flac_roundtrip", "q109_ranking_metrics",
+    "q124_gap_fill", "q126_ewma")
 
   test("no lazily-constructed query plans a cartesian product") {
     lazyOnes.foreach { name =>

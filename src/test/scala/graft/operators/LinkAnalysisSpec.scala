@@ -61,10 +61,11 @@ class LinkAnalysisSpec extends SparkSpec {
       .toDF("l_orderkey", "l_suppkey")
     val ord = Seq((1L, 100L), (2L, 200L)).toDF("o_orderkey", "o_custkey")
     val g = LinkAnalysis.purchaseGraph(li, ord)
-      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // customer 100 -> 200, 200 -> 400; supplier 10 -> 21, 20 -> 41
     assert(g == Set(
-      ("c100", "s10", 2.0), ("s10", "c100", 2.0),
-      ("c100", "s20", 1.0), ("s20", "c100", 1.0),
-      ("c200", "s10", 1.0), ("s10", "c200", 1.0)))
+      (200L, 21L, 2.0), (21L, 200L, 2.0),
+      (200L, 41L, 1.0), (41L, 200L, 1.0),
+      (400L, 21L, 1.0), (21L, 400L, 1.0)))
   }
 }

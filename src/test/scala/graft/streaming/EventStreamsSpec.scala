@@ -296,6 +296,41 @@ class EventStreamsSpec extends SparkSpec {
       assert(got(k) == v, s"series/bucket $k: ${got(k)} vs $v") }
   }
 
+  test("stateful ewma equals the batch ewma-over-gapfill across seams") {
+    val raw = spark.read.parquet(s"$sf001/events.parquet")
+    val maxId = raw.agg(max("event_id")).head().getLong(0)
+    val cut1 = maxId / 3; val cut2 = 2 * maxId / 3
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-ewma")
+    Seq(("a", 0L, cut1), ("b", cut1 + 1, cut2), ("c", cut2 + 1, maxId))
+      .foreach { case (name, lo, hi) =>
+        val tmp = java.nio.file.Files.createTempDirectory(s"graft-ewma-$name")
+        raw.filter(col("event_id").between(lo, hi))
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+          .find(_.endsWith(".parquet")).get
+        java.nio.file.Files.copy(java.nio.file.Paths.get(part),
+          dir.resolve(s"$name.parquet"))
+        Thread.sleep(1100)
+      }
+    val streamed = EventStreams.statefulEwma(
+      EventStreams.readEvents(spark, dir.toString, maxFilesPerTrigger = Some(1)),
+      bucketSeconds = 3600L, alpha = 0.5)
+    val got = EventStreams.runToMemory(spark, streamed, "ewma_parity", "append")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    val full = graft.operators.TimeSeries.ewma(
+        graft.operators.TimeSeries.gapFill(
+          Tables.events(spark, sf001), col("user_id"), col("ts"), col("value")),
+        alpha = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    val lastBucket = full.keys.groupBy(_._1).map { case (s, ks) => s -> ks.map(_._2).max }
+    val expected = full.filter { case ((s, b), _) => b != lastBucket(s) }
+    assert(got.size == expected.size, s"${got.size} vs ${expected.size}")
+    expected.foreach { case (k, v) =>
+      assert(got(k) == v, s"series/bucket $k: ${got(k)} vs $v") }
+  }
+
   test("stream-stream attribution join matches the batch range join (q47)") {
     val streamed = EventStreams.attributionJoin(
       EventStreams.readEvents(spark, eventsDir))
