@@ -67,6 +67,41 @@ class UnigramSpec extends SparkSpec {
     }
   }
 
+  test("property: viterbi equals brute-force enumeration under the tie order") {
+    val rnd = new scala.util.Random(11)
+    val alphabet = "abc"
+    def allSegs(w: String, vocab: Map[String, Double], L: Int): Seq[List[String]] =
+      if (w.isEmpty) Seq(Nil)
+      else (1 to math.min(L, w.length)).flatMap { l =>
+        val p = w.substring(0, l)
+        if (vocab.contains(p)) allSegs(w.substring(l), vocab, L).map(p :: _)
+        else Nil
+      }
+    for (_ <- 1 to 300) {
+      val L = 1 + rnd.nextInt(3) // max piece length 1..3
+      val word = Seq.fill(1 + rnd.nextInt(7))(alphabet(rnd.nextInt(3))).mkString
+      // random multi-char pieces over the alphabet + full char closure;
+      // logps drawn from a tiny grid so score TIES actually occur
+      val pieces = (alphabet.map(_.toString) ++
+        Seq.fill(6)(Seq.fill(2 + rnd.nextInt(2))(alphabet(rnd.nextInt(3))).mkString))
+        .distinct.filter(_.length <= L)
+      val vocab = pieces.map(p => p -> -(1 + rnd.nextInt(3)).toDouble).toMap
+      val got = Unigram.viterbi(word, vocab, L)
+      // best under (score desc, count asc, last-piece-len desc, then any):
+      val scored = allSegs(word, vocab, L)
+        .map(s => (s, s.map(vocab).sum, s.length, s.last.length))
+      val bestScore = scored.map(_._2).max
+      val atScore = scored.filter(_._2 == bestScore)
+      val bestK = atScore.map(_._3).min
+      val atK = atScore.filter(_._3 == bestK)
+      val bestL = atK.map(_._4).max
+      val gotScore = got.map(vocab).sum
+      assert(gotScore == bestScore && got.length == bestK &&
+        got.last.length == bestL,
+        s"word=$word vocab=$vocab got=$got expected score=$bestScore k=$bestK lastLen=$bestL")
+    }
+  }
+
   test("vocabulary round-trips through the persisted artifact") {
     val docs = Seq((0L, "ab ab cd"), (1L, "ab cd cd")).toDF("doc_id", "text")
     val vocab = Unigram.train(docs, col("text"), vocabSize = 6,
