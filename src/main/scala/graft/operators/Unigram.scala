@@ -150,6 +150,73 @@ object Unigram {
     vocab.sortBy(_.piece)
   }
 
+  /** Subword-regularization sampling (the training-time use of the unigram
+    * model — Kudo 2018 §3.2): draw a segmentation with probability
+    * ∝ P(seg)^α via forward-filter / backward-sample over the piece
+    * lattice. α → ∞ recovers [[viterbi]]'s argmax (up to its tie order);
+    * α = 0 samples segmentations uniformly. DETERMINISTIC: every random
+    * draw is the md5 uniform of (word, salt, position) — the
+    * Efraimidis–Spirakis device the engine's samplers already use — so a
+    * distributed encode pass is retry-stable and reproducible per salt.
+    * Forward mass is accumulated in log space (log-sum-exp) for numeric
+    * safety; the sampling itself is spec-gated, not oracle-gated (the
+    * deterministic argmax path is the oracle surface). */
+  def sampleSegment(word: String, vocab: Map[String, Double],
+                    maxPieceLen: Int, alpha: Double,
+                    salt: String = "seg"): List[String] = {
+    require(alpha >= 0, s"alpha >= 0: $alpha")
+    val n = word.length
+    val NegInf = Double.NegativeInfinity
+    def lse(a: Double, b: Double): Double =
+      if (a == NegInf) b else if (b == NegInf) a
+      else { val m = math.max(a, b); m + math.log(math.exp(a - m) + math.exp(b - m)) }
+    // forward: logF(i) = logsumexp over l of logF(i-l) + alpha * logp(piece)
+    val logF = Array.fill(n + 1)(NegInf)
+    logF(0) = 0.0
+    for (i <- 1 to n; l <- 1 to math.min(maxPieceLen, i)) {
+      if (logF(i - l) != NegInf) {
+        vocab.get(word.substring(i - l, i)).foreach { lp =>
+          logF(i) = lse(logF(i), logF(i - l) + alpha * lp)
+        }
+      }
+    }
+    require(logF(n) != NegInf,
+      s"word '$word' not segmentable — vocabulary lost its character closure")
+    // backward: at pos i pick piece length l w.p. exp(logF(i-l) + a·lp - logF(i))
+    var out = List.empty[String]
+    var i = n
+    while (i > 0) {
+      val u = {
+        val h = graft.functions.PortableHash.md5Long(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s"$word|$salt|$i"))
+        ((h >>> 12).toDouble) / 4503599627370496.0 // top 52 bits → [0, 1)
+      }
+      var acc = 0.0
+      var pick = -1
+      var l = 1
+      while (l <= math.min(maxPieceLen, i) && pick < 0) {
+        if (logF(i - l) != NegInf) {
+          vocab.get(word.substring(i - l, i)).foreach { lp =>
+            acc += math.exp(logF(i - l) + alpha * lp - logF(i))
+            if (u < acc) pick = l
+          }
+        }
+        l += 1
+      }
+      if (pick < 0) { // float-tail guard: take the last feasible length
+        var ll = math.min(maxPieceLen, i)
+        while (pick < 0 && ll >= 1) {
+          if (logF(i - ll) != NegInf && vocab.contains(word.substring(i - ll, i)))
+            pick = ll
+          else ll -= 1
+        }
+      }
+      out = word.substring(i - pick, i) :: out
+      i -= pick
+    }
+    out
+  }
+
   /** Persist a trained vocabulary — the train-once-at-ingest serve path
     * (the [[Vocab.writeBpe]] convention): pieces with counts and fenced
     * log-probs, kilobytes regardless of corpus size. */

@@ -102,6 +102,35 @@ class UnigramSpec extends SparkSpec {
     }
   }
 
+  test("sampleSegment: valid, deterministic, alpha-extremes behave") {
+    val v = Map("a" -> -1.0, "b" -> -1.5, "ab" -> -1.2, "ba" -> -2.5,
+      "aba" -> -2.0)
+    val words = Seq("ab", "aba", "abab", "bab", "aabba")
+    // validity + per-salt determinism
+    for (w <- words; salt <- Seq("s1", "s2", "s3")) {
+      val s = Unigram.sampleSegment(w, v, 3, alpha = 1.0, salt = salt)
+      assert(s.mkString("") == w && s.forall(v.contains))
+      assert(s == Unigram.sampleSegment(w, v, 3, alpha = 1.0, salt = salt))
+    }
+    // different salts eventually yield different segmentations
+    val variants = (1 to 50).map(i =>
+      Unigram.sampleSegment("abab", v, 3, alpha = 1.0, salt = s"x$i")).toSet
+    assert(variants.size > 1, "alpha=1 sampling should explore")
+    // alpha -> infinity concentrates on the Viterbi argmax (score equality)
+    val vit = Unigram.viterbi("abab", v, 3).map(v).sum
+    (1 to 20).foreach { i =>
+      val s = Unigram.sampleSegment("abab", v, 3, alpha = 1000.0, salt = s"y$i")
+      assert(s.map(v).sum == vit, s"high-alpha sample missed the argmax: $s")
+    }
+    // alpha = 0 is uniform over the FOUR segmentations of "aba":
+    // [aba], [ab,a], [a,ba], [a,b,a] — each should actually occur
+    val segs = (1 to 200).map(i =>
+      Unigram.sampleSegment("aba", v, 3, alpha = 0.0, salt = s"z$i"))
+    val counts = segs.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts.size == 4, s"expected all 4 segmentations, got ${counts.keys}")
+    assert(counts.values.forall(_ > 20), s"grossly non-uniform at alpha=0: $counts")
+  }
+
   test("vocabulary round-trips through the persisted artifact") {
     val docs = Seq((0L, "ab ab cd"), (1L, "ab cd cd")).toDF("doc_id", "text")
     val vocab = Unigram.train(docs, col("text"), vocabSize = 6,
