@@ -249,6 +249,119 @@ object Sketches {
     out.toDF("q", "estimate")
   }
 
+  // ---------------- KMV (k-minimum-values / theta) sketches ------------
+
+  /** The engine-portable 52-bit md5 integer of `key` under the "kmv" salt
+    * (the q26/q115 device) — the uniform hash whose k smallest DISTINCT
+    * values form the sketch. */
+  private def kmvHash(key: Column): Column =
+    conv(substring(md5(concat_ws("|", key, lit("kmv")).cast("binary")),
+      1, 13), 16, 10).cast("long")
+
+  /** 2^52 — the hash space; normalized hash u = h / 2^52 ∈ [0, 1). */
+  private val KmvSpace = 4503599627370496.0
+
+  /** (k−1)/u_(k) when the sketch is full, the exact kept count when it
+    * holds the whole value set. (k−1)·2^52 is exactly representable
+    * (≤ 2^64-ish with a ≤ 12-bit mantissa head), so the expression is one
+    * IEEE product + quotient — identical in any engine. */
+  private def kmvEstimateCol(nKept: Column, hk: Column, k: Int): Column =
+    when(nKept < k, nKept.cast("double"))
+      .otherwise(lit((k - 1).toDouble) * lit(KmvSpace) / hk.cast("double"))
+
+  private def fence6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+
+  /** Append this batch's KMV sketch of `key`: the k smallest distinct
+    * hash values as (batch_id, h) rows — ≤ 8k bytes of payload. KMV
+    * (Bar-Yossef et al. 2002; Beyer et al. 2007's unbiased estimator —
+    * public methods) is the sketch family with cheap SET OPERATIONS:
+    * merging is "union + keep k smallest" (order-independent, hence
+    * split-invariant like the HLL registers), and because the k-min
+    * sample of a union is a uniform sample of its distinct values,
+    * intersection / Jaccard / overlap estimates come from membership
+    * counts ([[kmvOverlap]]) — arithmetic HLL register state cannot
+    * answer. Fully DETERMINISTIC (md5, no seeds, no insertion-order
+    * sensitivity), so every estimate replays exactly in SQL (q129).
+    *
+    * 100 TB shape: one scan; the partial-aggregate distinct on the
+    * 8-byte hash runs map-side, TakeOrdered(k) cuts the rest — the
+    * artifact is ≤ k rows per batch and the serve cost is
+    * (batches × k) rows, constant in corpus size. Same layout /
+    * retry-delete / fold contract as the other sketch families. */
+  def appendKmvSketches(df: DataFrame, key: Column, dir: String,
+                        batchId: Long, k: Int = 1024): Unit = {
+    require(k >= 16, "k must be >= 16")
+    if (batchId <= foldedWatermark(df.sparkSession, dir)) return
+    deleteBatchPartition(df.sparkSession, dir, batchId)
+    val rows = df.select(key.cast("string").as("__k"))
+      .filter(col("__k").isNotNull)
+      .select(kmvHash(col("__k")).as("h"))
+      .distinct().orderBy("h").limit(k)
+      .select(lit(batchId).as("batch_id"), col("h"))
+    val spark = df.sparkSession
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try rows.coalesce(1).write.mode("overwrite")
+      .partitionBy("batch_id").parquet(dir)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
+  /** The served sketch: the k smallest distinct hashes across batches. */
+  private def kmvTopK(spark: SparkSession, dir: String, k: Int): DataFrame =
+    spark.read.parquet(dir).select("h").distinct().orderBy("h").limit(k)
+
+  /** Distinct-count estimate over the accumulated batches — one row
+    * (n_kept, estimate): exact when fewer than k distinct hashes exist
+    * (the sketch then IS the value set), else the order-statistics
+    * estimator (k−1)/u_(k); 6-dp arithmetic fence. */
+  def kmvEstimate(spark: SparkSession, dir: String, k: Int = 1024): DataFrame =
+    kmvTopK(spark, dir, k)
+      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("__hk"))
+      .select(col("n_kept"),
+        fence6(kmvEstimateCol(col("n_kept"), col("__hk"), k)).as("estimate"))
+
+  /** Set-operation estimates between two sketch dirs — corpus-overlap
+    * auditing ("how much of snapshot B is already in A?") at constant
+    * serve cost. The k smallest distinct hashes of sketchA ∪ sketchB are
+    * a valid k-min sample of A ∪ B: when both sketches are full their
+    * combined k-th minimum is ≤ both thresholds (each sketch alone
+    * contributes k values under its own θ), and a non-full sketch is its
+    * complete value set — so membership of every sampled hash in A and B
+    * is decided EXACTLY by the sketches. With ρ = n_both / n_kept:
+    * |A ∪ B| ≈ (k−1)/u_(k), |A ∩ B| ≈ ρ · |A ∪ B|, Jaccard ≈ ρ
+    * (Beyer et al. 2007). One row: (n_kept, n_both, union_est,
+    * inter_est, jaccard), estimates 6-dp fenced. */
+  def kmvOverlap(spark: SparkSession, dirA: String, dirB: String,
+                 k: Int = 1024): DataFrame = {
+    val a = spark.read.parquet(dirA).select("h").distinct()
+    val b = spark.read.parquet(dirB).select("h").distinct()
+    val u = a.unionByName(b).distinct().orderBy("h").limit(k)
+    val flagged = u
+      .join(a.select(col("h"), lit(1L).as("__in_a")), Seq("h"), "left")
+      .join(b.select(col("h"), lit(1L).as("__in_b")), Seq("h"), "left")
+      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("__hk"),
+        sum(when(col("__in_a") === 1L && col("__in_b") === 1L, 1L)
+          .otherwise(0L)).as("n_both"))
+    val est = kmvEstimateCol(col("n_kept"), col("__hk"), k)
+    val rho = col("n_both").cast("double") / col("n_kept").cast("double")
+    flagged.select(col("n_kept"), col("n_both"),
+      fence6(est).as("union_est"),
+      fence6(rho * est).as("inter_est"),
+      fence6(rho).as("jaccard"))
+  }
+
+  /** Fold the accumulated per-batch KMV rows into the base partition:
+    * distinct + k smallest — exactly the serve-path arithmetic, so
+    * [[kmvEstimate]]/[[kmvOverlap]] are bit-identical pre/post fold. */
+  def compactKmvSketches(spark: SparkSession, dir: String,
+                         k: Int = 1024): Unit = {
+    if (!exists(spark, dir)) return
+    swapInFolded(spark, dir, kmvTopK(spark, dir, k))
+  }
+
   /** Point-frequency estimates for `keys` over the accumulated batches:
     * min over hash rows of the summed bucket counts — (key, estimate).
     * Absent keys estimate ≥ 0 (collision mass only). The probe list is a

@@ -2867,6 +2867,112 @@ object Oracles {
     FROM u ORDER BY doc_id"""
   }
 
+  // q128: exact triangle counting over the co-purchase part graph — the
+  // full derivation replayed: canonical distinct edges, degrees,
+  // (deg, id)-orientation, the ordered wedge join, the closing-edge join,
+  // per-node triangle counts, and the 6-dp fenced clustering coefficient
+  // with the identical left-assoc arithmetic.
+  val q128 = """
+    WITH li AS (SELECT l_orderkey AS ok, l_partkey FROM lineitem),
+    e0 AS (SELECT DISTINCT x.l_partkey AS u, y.l_partkey AS v
+           FROM li x JOIN li y ON x.ok = y.ok AND x.l_partkey < y.l_partkey),
+    deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM
+            (SELECT u AS node FROM e0 UNION ALL SELECT v AS node FROM e0)
+            GROUP BY node),
+    eo AS (SELECT CASE WHEN du < dv OR (du = dv AND u < v) THEN u ELSE v END AS src,
+                  CASE WHEN du < dv OR (du = dv AND u < v) THEN v ELSE u END AS dst,
+                  greatest(du, dv) AS dd
+           FROM (SELECT e0.u, e0.v, a.deg AS du, b.deg AS dv
+                 FROM e0 JOIN deg a ON a.node = e0.u
+                         JOIN deg b ON b.node = e0.v)),
+    w AS (SELECT e1.src AS src, e1.dst AS d1, e2.dst AS d2
+          FROM eo e1 JOIN eo e2 ON e1.src = e2.src
+          WHERE e1.dd < e2.dd OR (e1.dd = e2.dd AND e1.dst < e2.dst)),
+    t AS (SELECT w.src, w.d1, w.d2
+          FROM w JOIN eo ON eo.src = w.d1 AND eo.dst = w.d2),
+    pn AS (SELECT node, CAST(count(*) AS BIGINT) AS tri FROM
+           (SELECT src AS node FROM t UNION ALL SELECT d1 AS node FROM t
+            UNION ALL SELECT d2 AS node FROM t) GROUP BY node)
+    SELECT CAST(deg.node AS BIGINT) AS node, deg.deg AS deg,
+           CAST(coalesce(pn.tri, 0) AS BIGINT) AS tri,
+           CASE WHEN deg.deg < 2 THEN 0.0
+                ELSE floor(2.0 * CAST(coalesce(pn.tri, 0) AS DOUBLE) /
+                     (CAST(deg.deg AS DOUBLE) * CAST(deg.deg - 1 AS DOUBLE)) *
+                     1e6 + 0.5) / 1e6 END AS coef
+    FROM deg LEFT JOIN pn ON pn.node = deg.node
+    ORDER BY node"""
+
+  // q129: KMV theta-sketch set operations, replayed EXACTLY (KMV is
+  // deterministic md5 order statistics — no tolerance gate needed): the
+  // per-batch k-min sketches of both corpus snapshots, side A's fold
+  // (k-min of the batch union — the compacted layout the Spark side
+  // serves), the union k-min sample with membership flags, the
+  // (k−1)/u_(k) estimator, the ρ-scaled intersection, the 6-dp fences,
+  // and the exact anchors, all from the same scan.
+  val q129: String = {
+    val k = 512
+    val h = md5Int52("concat_ws('|', word, 'kmv')")
+    def batchA(i: Int) =
+      s"""(SELECT h FROM (SELECT DISTINCT $h AS h FROM w
+           WHERE side = 0 AND (doc_id // 2) % 3 = $i) ORDER BY h LIMIT $k)"""
+    def batchB(i: Int) =
+      s"""(SELECT h FROM (SELECT DISTINCT $h AS h FROM w
+           WHERE side = 1 AND ((doc_id - 1) // 2) % 2 = $i) ORDER BY h LIMIT $k)"""
+    s"""
+    WITH t AS (SELECT doc_id,
+                 CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN []::VARCHAR[]
+                      ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+               FROM documents),
+    w AS (SELECT doc_id, doc_id % 2 AS side, unnest(toks) AS word
+          FROM t WHERE len(toks) > 0),
+    sa AS MATERIALIZED (SELECT h FROM (
+          SELECT DISTINCT h FROM (${batchA(0)} UNION ALL ${batchA(1)}
+                                  UNION ALL ${batchA(2)}))
+          ORDER BY h LIMIT $k),
+    sb AS MATERIALIZED (SELECT DISTINCT h FROM (${batchB(0)} UNION ALL ${batchB(1)})),
+    ea AS (SELECT count(*) AS kept_a, max(h) AS hk FROM
+           (SELECT h FROM sa ORDER BY h LIMIT $k)),
+    eb AS (SELECT count(*) AS kept_b, max(h) AS hk FROM
+           (SELECT h FROM (SELECT DISTINCT h FROM sb) ORDER BY h LIMIT $k)),
+    uk AS (SELECT h FROM (SELECT DISTINCT h FROM
+           (SELECT h FROM sa UNION ALL SELECT h FROM sb)) ORDER BY h LIMIT $k),
+    fl AS (SELECT count(*) AS n_kept, max(uk.h) AS hk,
+                  sum(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL
+                      THEN 1 ELSE 0 END) AS n_both
+           FROM uk LEFT JOIN sa a ON a.h = uk.h LEFT JOIN sb b ON b.h = uk.h),
+    ov AS (SELECT CAST(n_kept AS BIGINT) AS n_kept,
+                  CAST(n_both AS BIGINT) AS n_both,
+                  floor((CASE WHEN n_kept < $k THEN CAST(n_kept AS DOUBLE)
+                         ELSE CAST(${k - 1} AS DOUBLE) * 4503599627370496.0 /
+                              CAST(hk AS DOUBLE) END) * 1e6 + 0.5) / 1e6 AS union_est,
+                  floor((CAST(n_both AS DOUBLE) / CAST(n_kept AS DOUBLE)) *
+                        (CASE WHEN n_kept < $k THEN CAST(n_kept AS DOUBLE)
+                         ELSE CAST(${k - 1} AS DOUBLE) * 4503599627370496.0 /
+                              CAST(hk AS DOUBLE) END) * 1e6 + 0.5) / 1e6 AS inter_est,
+                  floor((CAST(n_both AS DOUBLE) / CAST(n_kept AS DOUBLE))
+                        * 1e6 + 0.5) / 1e6 AS jaccard
+           FROM fl),
+    ca AS (SELECT CAST(kept_a AS BIGINT) AS kept_a,
+                  floor((CASE WHEN kept_a < $k THEN CAST(kept_a AS DOUBLE)
+                         ELSE CAST(${k - 1} AS DOUBLE) * 4503599627370496.0 /
+                              CAST(hk AS DOUBLE) END) * 1e6 + 0.5) / 1e6 AS est_a
+           FROM ea),
+    cb AS (SELECT CAST(kept_b AS BIGINT) AS kept_b,
+                  floor((CASE WHEN kept_b < $k THEN CAST(kept_b AS DOUBLE)
+                         ELSE CAST(${k - 1} AS DOUBLE) * 4503599627370496.0 /
+                              CAST(hk AS DOUBLE) END) * 1e6 + 0.5) / 1e6 AS est_b
+           FROM eb),
+    sides AS (SELECT word, max(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS in_a,
+                     max(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS in_b
+              FROM w GROUP BY word),
+    ex AS (SELECT CAST(sum(in_a) AS BIGINT) AS exact_a,
+                  CAST(sum(in_b) AS BIGINT) AS exact_b,
+                  CAST(count(*) AS BIGINT) AS exact_union,
+                  CAST(sum(in_a * in_b) AS BIGINT) AS exact_inter
+           FROM sides)
+    SELECT * FROM ca, cb, ov, ex"""
+  }
+
   // Temperature mixture (q113): share/alpha/weight arithmetic + the q62
   // per-doc md5-uniform epoch draws, replayed end-to-end.
   val q113 = """
@@ -3158,6 +3264,8 @@ object Oracles {
     "q124_gap_fill" -> q124,
     "q125_unigram_tokenizer" -> q125,
     "q126_ewma" -> q126,
-    "q127_leakage_safe_split" -> q127
+    "q127_leakage_safe_split" -> q127,
+    "q128_triangle_count" -> q128,
+    "q129_kmv_overlap" -> q129
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

@@ -1136,12 +1136,15 @@ object Queries {
     new scala.collection.concurrent.TrieMap[String, (String, String)]()
   private val csvDirCache =
     new scala.collection.concurrent.TrieMap[String, (String, String)]()
+  private val kmvDirCache =
+    new scala.collection.concurrent.TrieMap[String, (String, String)]()
   private val orcDirCache =
     new scala.collection.concurrent.TrieMap[String, (String, String)]()
   Runtime.getRuntime.addShutdownHook(new Thread(() =>
     (ivfPqIndexCache.values ++ bm25IndexCache.values ++ sketchDirCache.values ++
       jsonlDirCache.values ++ cmsDirCache.values ++ histDirCache.values ++
-      annAppendDirCache.values ++ csvDirCache.values ++ orcDirCache.values)
+      annAppendDirCache.values ++ csvDirCache.values ++ orcDirCache.values ++
+      kmvDirCache.values)
       .foreach { case (_, dir) =>
         try deleteDirTree(dir) catch { case _: Exception => () }
       }))
@@ -2886,4 +2889,77 @@ object Queries {
         Tables.documents(s, d).filter(col("doc_id") % 10 === 0),
         col("doc_id"), col("text"), threshold = 0.8)
       .orderBy("id_a", "id_b")
+
+  /** q128: exact triangle counting + local clustering coefficients over
+    * the co-purchase part graph ([[LinkAnalysis.triangles]] /
+    * [[LinkAnalysis.coPurchaseGraph]]) — the community-density companion
+    * to q123's PageRank centrality. Degree-ordered edge orientation
+    * bounds the wedge join by O(m^{3/2}); the DuckDB oracle replays the
+    * whole derivation (canonical edges, degrees, orientation, wedge +
+    * closing-edge joins, per-node counts, the 6-dp fenced coefficient) —
+    * a single lost or double-counted triangle breaks the hash. */
+  def q128Triangles(s: SparkSession, d: String): DataFrame =
+    LinkAnalysis.triangles(
+        LinkAnalysis.coPurchaseGraph(Tables.lineitem(s, d)))
+      .orderBy("node")
+
+  /** q129: KMV (k-minimum-values / theta) sketch set operations
+    * ([[Sketches.appendKmvSketches]] / [[Sketches.kmvOverlap]]) — the
+    * corpus-overlap audit the HLL family can't do: how much of snapshot
+    * B's vocabulary is already in snapshot A, from kilobyte sketches
+    * instead of a distinct-join over the corpora. The documents table
+    * splits into two snapshots (doc_id parity); side A ingests in three
+    * batches and is COMPACTED, side B in two (the q111 batching/fold
+    * proof shape — the serve path reads folded and per-batch layouts
+    * alike). KMV is deterministic (md5, no seeds), so the oracle replays
+    * every estimate EXACTLY — hash distinct, k-min cut, membership
+    * flags, the (k−1)/u_(k) estimator, ρ-scaling, 6-dp fences — while
+    * the exact per-side/union/intersection anchors ride along in the
+    * same row. */
+  def q129KmvOverlap(s: SparkSession, d: String): DataFrame = {
+    val k = 512
+    val sig = tableSignature(s, d, "documents")
+    val dir = kmvDirCache.synchronized {
+      kmvDirCache.get(d) match {
+        case Some((s0, dd)) if s0 == sig => dd
+        case prev =>
+          prev.foreach { case (_, old) =>
+            try deleteDirTree(old) catch { case _: Exception => () } }
+          val tmp = java.nio.file.Files.createTempDirectory("graft_kmv_").toString
+          val words = Tables.documents(s, d).select(col("doc_id"),
+            explode(TextOps.tokens(coalesce(col("text"), lit("")))).as("word"))
+          val a = words.filter(pmod(col("doc_id"), lit(2)) === 0)
+          val b = words.filter(pmod(col("doc_id"), lit(2)) === 1)
+          (0 until 3).foreach(i => Sketches.appendKmvSketches(
+            a.filter(pmod(expr("doc_id div 2"), lit(3)) === i), col("word"),
+            s"$tmp/a", i.toLong, k))
+          (0 until 2).foreach(i => Sketches.appendKmvSketches(
+            b.filter(pmod(expr("(doc_id - 1) div 2"), lit(2)) === i), col("word"),
+            s"$tmp/b", i.toLong, k))
+          // fold side A only: the oracle's single-build replay must equal
+          // BOTH layouts — compaction rides through the correctness gate
+          Sketches.compactKmvSketches(s, s"$tmp/a", k)
+          kmvDirCache.update(d, (sig, tmp))
+          tmp
+      }
+    }
+    val estA = Sketches.kmvEstimate(s, s"$dir/a", k)
+      .select(col("n_kept").as("kept_a"), col("estimate").as("est_a"))
+    val estB = Sketches.kmvEstimate(s, s"$dir/b", k)
+      .select(col("n_kept").as("kept_b"), col("estimate").as("est_b"))
+    val ov = Sketches.kmvOverlap(s, s"$dir/a", s"$dir/b", k)
+    // exact anchors, one scan: per-side distinct word sets
+    val words = Tables.documents(s, d).select(col("doc_id"),
+      explode(TextOps.tokens(coalesce(col("text"), lit("")))).as("word"))
+    val sides = words
+      .select(col("word"), pmod(col("doc_id"), lit(2)).as("side"))
+      .groupBy("word")
+      .agg(max(when(col("side") === 0, 1L).otherwise(0L)).as("in_a"),
+        max(when(col("side") === 1, 1L).otherwise(0L)).as("in_b"))
+    val exact = sides.agg(
+      sum(col("in_a")).as("exact_a"), sum(col("in_b")).as("exact_b"),
+      count(lit(1)).as("exact_union"),
+      sum(col("in_a") * col("in_b")).as("exact_inter"))
+    estA.crossJoin(estB).crossJoin(ov).crossJoin(exact)
+  }
 }

@@ -56,6 +56,65 @@ class LinkAnalysisSpec extends SparkSpec {
     assert(m("a") > m("x"), "cycle member with an extra in-edge outranks the feeder")
   }
 
+  test("triangles: K4 is all-ones clustering, every node in 3 triangles") {
+    val k4 = (for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)).toDF("a", "b")
+    val got = k4.transform(LinkAnalysis.triangles)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == (1L to 4L).map(n => (n, 3L, 3L, 1.0)).toSet)
+  }
+
+  test("triangles: pendant node gets zero coef; fence matches 1/3") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("a", "b")
+    val got = edges.transform(LinkAnalysis.triangles)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((2L, 1L, 1.0)))
+    assert(got(2L) == ((2L, 1L, 1.0)))
+    assert(got(3L) == ((3L, 1L, 0.333333))) // floor(1/3 * 1e6 + 0.5) / 1e6
+    assert(got(4L) == ((1L, 0L, 0.0)))
+  }
+
+  test("triangles: duplicates, reversed edges, and self-loops canonicalize away") {
+    val clean = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("a", "b")
+    val dirty = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 3L),
+      (2L, 2L), (3L, 3L)).toDF("a", "b")
+    val c = clean.transform(LinkAnalysis.triangles)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val d = dirty.transform(LinkAnalysis.triangles)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(c == d && c == Set((1L, 2L, 1L), (2L, 2L, 1L), (3L, 2L, 1L)))
+  }
+
+  test("triangles matches brute-force enumeration on a seeded random graph") {
+    val rnd = new scala.util.Random(42)
+    val n = 30
+    val edges = (for {
+      a <- 0 until n; b <- (a + 1) until n if rnd.nextDouble() < 0.25
+    } yield (a.toLong, b.toLong)).toVector
+    val adj = edges.toSet
+    def has(x: Long, y: Long) = adj((math.min(x, y), math.max(x, y)))
+    val brute = (for {
+      a <- 0L until n; b <- (a + 1) until n; c <- (b + 1) until n
+      if has(a, b) && has(b, c) && has(a, c)
+    } yield (a, b, c)).toVector
+    val perNode = brute.flatMap(t => Seq(t._1, t._2, t._3))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val got = edges.toDF("a", "b").transform(LinkAnalysis.triangles)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got.values.sum == 3L * brute.size, "every triangle counted at its 3 corners")
+    perNode.foreach { case (node, tri) =>
+      assert(got(node) == tri, s"node $node: ${got(node)} vs $tri") }
+  }
+
+  test("coPurchaseGraph: pairs within an order only, a < b, both parts kept") {
+    val li = Seq((1L, 30L), (1L, 10L), (1L, 20L), (2L, 10L), (2L, 40L), (3L, 50L))
+      .toDF("l_orderkey", "l_partkey")
+    val g = LinkAnalysis.coPurchaseGraph(li)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(g == Set((10L, 30L), (10L, 20L), (20L, 30L), (10L, 40L)))
+  }
+
   test("purchaseGraph materializes both directions with lineitem-count weights") {
     val li = Seq((1L, 10L), (1L, 10L), (1L, 20L), (2L, 10L))
       .toDF("l_orderkey", "l_suppkey")

@@ -251,6 +251,78 @@ class SketchesSpec extends SparkSpec {
     assert(est("y") == 0L, est.toString)   // batch 1's stale rows gone
   }
 
+  test("KMV: under-k regime is exact, for counts and all set operations") {
+    val dirA = tmpDir(); val dirB = tmpDir()
+    // A = 0..79, B = 40..119 → |A| = |B| = 80, ∩ = 40, ∪ = 120, J = 1/3
+    Sketches.appendKmvSketches(
+      (0 until 80).map(i => (i.toLong, s"v$i")).toDF("id", "t"), col("t"), dirA, 0L)
+    Sketches.appendKmvSketches(
+      (40 until 120).map(i => (i.toLong, s"v$i")).toDF("id", "t"), col("t"), dirB, 0L)
+    val ea = Sketches.kmvEstimate(spark, dirA).collect()(0)
+    assert(ea.getLong(0) == 80L && ea.getDouble(1) == 80.0)
+    val ov = Sketches.kmvOverlap(spark, dirA, dirB).collect()(0)
+    assert(ov.getLong(0) == 120L && ov.getLong(1) == 40L)
+    assert(ov.getDouble(2) == 120.0, "union_est exact under k")
+    // inter_est replays ρ·est in IEEE: (40/120)·120 ≠ 40 by an ulp,
+    // and the 6-dp fence preserves that — pin the fenced value
+    val expInter = math.floor(40.0 / 120.0 * 120.0 * 1e6 + 0.5) / 1e6
+    assert(ov.getDouble(3) == expInter, s"inter_est ${ov.getDouble(3)}")
+    assert(math.abs(ov.getDouble(4) - 0.333333) < 1e-9, "jaccard = fenced 1/3")
+  }
+
+  test("KMV: split-invariant (bit-identical served sketch across batchings)") {
+    val big = (0 until 60000).map(i => (i.toLong, s"k${i % 20000}")).toDF("id", "t")
+    val dir3 = tmpDir(); val dir2 = tmpDir()
+    (0 until 3).foreach(b => Sketches.appendKmvSketches(
+      big.filter(pmod(col("id"), lit(3)) === b), col("t"), dir3, b.toLong))
+    (0 until 2).foreach(b => Sketches.appendKmvSketches(
+      big.filter(pmod(col("id"), lit(2)) === b), col("t"), dir2, b.toLong))
+    val e3 = Sketches.kmvEstimate(spark, dir3).collect()(0)
+    val e2 = Sketches.kmvEstimate(spark, dir2).collect()(0)
+    assert(e3 == e2, s"split-variant KMV estimates: $e3 vs $e2")
+    // ... and within the order-statistics error envelope (RSE ~ 1/√(k−2))
+    assert(math.abs(e3.getDouble(1) - 20000.0) <= 0.15 * 20000.0, e3.toString)
+  }
+
+  test("KMV: overlap estimates track a planted Jaccard at sketch error") {
+    // A = 0..14999, B = 7500..22499 → ∪ = 22500, ∩ = 7500, J = 1/3
+    val dirA = tmpDir(); val dirB = tmpDir()
+    Sketches.appendKmvSketches(
+      (0 until 15000).map(i => (i.toLong, s"d$i")).toDF("id", "t"), col("t"), dirA, 0L)
+    Sketches.appendKmvSketches(
+      (7500 until 22500).map(i => (i.toLong, s"d$i")).toDF("id", "t"), col("t"), dirB, 0L)
+    val ov = Sketches.kmvOverlap(spark, dirA, dirB).collect()(0)
+    assert(ov.getLong(0) == 1024L, "sketch full at this cardinality")
+    assert(math.abs(ov.getDouble(4) - 1.0 / 3) < 0.06,
+      s"jaccard ${ov.getDouble(4)} vs 1/3")
+    assert(math.abs(ov.getDouble(2) - 22500.0) <= 0.15 * 22500.0, ov.toString)
+    assert(math.abs(ov.getDouble(3) - 7500.0) <= 0.2 * 7500.0, ov.toString)
+  }
+
+  test("KMV compaction: bit-identical serve, fewer files, folded-replay no-op") {
+    val dir = tmpDir(); val dirB = tmpDir()
+    val all = (0 until 30000).map(i => (i.toLong, s"w${i % 9000}")).toDF("id", "t")
+    (0 until 3).foreach(b => Sketches.appendKmvSketches(
+      all.filter(col("id") % 3 === b), col("t"), dir, b.toLong))
+    Sketches.appendKmvSketches(
+      (0 until 4000).map(i => (i.toLong, s"w${i * 2}")).toDF("id", "t"),
+      col("t"), dirB, 0L)
+    def serve() = (Sketches.kmvEstimate(spark, dir).collect()(0),
+      Sketches.kmvOverlap(spark, dir, dirB).collect()(0))
+    val before = serve()
+    val filesBefore = parquetFiles(dir)
+    Sketches.compactKmvSketches(spark, dir)
+    assert(serve() == before, "compaction changed the served estimates")
+    assert(parquetFiles(dir) < filesBefore)
+    Sketches.appendKmvSketches(all.filter(col("id") % 3 === 1), col("t"), dir, 1L)
+    assert(serve() == before, "folded-batch replay changed the sketch")
+    // a post-compaction batch of strictly new values grows the estimate
+    Sketches.appendKmvSketches(
+      (0 until 9000).map(i => (i.toLong, s"x$i")).toDF("id", "t"),
+      col("t"), dir, 3L)
+    assert(serve()._1.getDouble(1) > before._1.getDouble(1))
+  }
+
   test("an empty batch contributes an empty sketch that adds no mass") {
     val dir = tmpDir()
     Sketches.appendCardinalitySketches(df(0 until 300), Seq("u"), dir, 0L)
