@@ -2902,6 +2902,112 @@ object Oracles {
     FROM deg LEFT JOIN pn ON pn.node = deg.node
     ORDER BY node"""
 
+  /** q130: WordPiece — trained AND applied inside one generated query
+    * (the q103/q125 convention). Mirrors [[graft.operators.WordPiece]]
+    * term for term: the `|sym|` wrap with `##` spliced at internal
+    * boundaries, per-iteration pair counts + symbol counts + the
+    * likelihood-score argmax (`cnt/(cl·cr)` — ONE IEEE product+quotient
+    * of long-exact doubles, identical cross-engine, ties on (l, r)),
+    * merge application via the same non-overlapping replace, the
+    * alphabet∪merge-output piece inventory with alphabetical ids, and
+    * the greedy longest-match walk unrolled to MaxWordLen steps × 16
+    * candidate lengths. Every chain CTE is MATERIALIZED (the bpeOracle
+    * lesson). chr(1) is the never-matching replace pattern when an
+    * iteration exhausts the pair table. */
+  def wordPieceOracle(nMerges: Int, maxLen: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""
+    WITH d0 AS (SELECT doc_id,
+                  trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS norm
+                FROM documents),
+    d1 AS MATERIALIZED (SELECT doc_id, regexp_split_to_array(norm, '\\s+') AS toks
+           FROM d0 WHERE length(norm) > 0),
+    w0 AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq
+           FROM (SELECT unnest(toks) AS word FROM d1) GROUP BY word),
+    s0 AS MATERIALIZED (SELECT word, freq,
+           replace(regexp_replace(word, '(.)', '|\\1|', 'g'), '||', '||##') AS w
+         FROM w0)"""
+    for (i <- 1 to nMerges) {
+      sb ++= s""",
+    y$i AS (SELECT freq, str_split(substring(w, 2, length(w) - 2), '||') AS syms
+            FROM s${i - 1}),
+    p$i AS (SELECT syms[i] AS l, syms[i + 1] AS r, CAST(sum(freq) AS BIGINT) AS cnt
+            FROM (SELECT syms, freq, unnest(generate_series(1, len(syms) - 1)) AS i
+                  FROM y$i WHERE len(syms) >= 2)
+            GROUP BY 1, 2),
+    u$i AS MATERIALIZED (SELECT sym AS s, CAST(sum(freq) AS BIGINT) AS c
+            FROM (SELECT freq, unnest(syms) AS sym FROM y$i) GROUP BY 1),
+    b$i AS MATERIALIZED (SELECT l, r, cnt, ul.c AS cl, ur.c AS cr
+            FROM p$i JOIN u$i ul ON ul.s = p$i.l JOIN u$i ur ON ur.s = p$i.r
+            ORDER BY CAST(cnt AS DOUBLE) / (CAST(ul.c AS DOUBLE) * CAST(ur.c AS DOUBLE)) DESC,
+                     l, r
+            LIMIT 1),
+    s$i AS MATERIALIZED (SELECT word, freq,
+              replace(w,
+                coalesce((SELECT '|' || l || '||' || r || '|' FROM b$i), chr(1)),
+                coalesce((SELECT '|' || l || substr(r, 3) || '|' FROM b$i), '')) AS w
+            FROM s${i - 1})"""
+    }
+    sb ++= s""",
+    alpha AS (SELECT DISTINCT sym AS piece FROM
+        (SELECT unnest(str_split(substring(w, 2, length(w) - 2), '||')) AS sym
+         FROM s0)),
+    vw AS (SELECT DISTINCT piece FROM (SELECT piece FROM alpha
+        ${(1 to nMerges).map(i =>
+          s"UNION ALL SELECT l || substr(r, 3) AS piece FROM b$i").mkString(" ")})),
+    vid AS MATERIALIZED (SELECT piece,
+           CAST(row_number() OVER (ORDER BY piece) - 1 AS BIGINT) AS id FROM vw),
+    g0 AS (SELECT word, 0 AS pos, CAST([] AS VARCHAR[]) AS seg FROM w0)"""
+    for (j <- 1 to maxLen) {
+      sb ++= s""",
+    g$j AS MATERIALIZED (
+        SELECT word, pos, seg FROM (
+          SELECT s.word, s.pos + gl.l AS pos, list_append(s.seg, v.piece) AS seg,
+                 row_number() OVER (PARTITION BY s.word ORDER BY gl.l DESC) AS rn
+          FROM g${j - 1} s
+          CROSS JOIN (SELECT unnest(generate_series(1, $maxLen)) AS l) gl
+          JOIN vid v ON v.piece =
+            (CASE WHEN s.pos = 0 THEN '' ELSE '##' END) ||
+            substr(s.word, s.pos + 1, gl.l)
+          WHERE s.pos < length(s.word) AND s.pos + gl.l <= length(s.word)
+        ) WHERE rn = 1
+        UNION ALL
+        SELECT word, pos, seg FROM g${j - 1} WHERE pos = length(word))"""
+    }
+    sb ++= s""",
+    d2 AS (SELECT doc_id, i AS wpos, toks[i] AS word
+           FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i
+                 FROM d1)),
+    d3a AS MATERIALIZED (SELECT d2.doc_id, d2.wpos, g.seg
+            FROM d2 JOIN g$maxLen g USING (word)),
+    d3 AS (SELECT doc_id, wpos, j, seg[j] AS piece
+           FROM (SELECT doc_id, wpos, seg,
+                   unnest(generate_series(1, len(seg))) AS j FROM d3a)),
+    d4 AS (SELECT doc_id, piece,
+             CAST(row_number() OVER (PARTITION BY doc_id ORDER BY wpos, j) AS BIGINT) AS pos
+           FROM d3),
+    docrows AS (SELECT 'doc' AS kind, CAST(doc_id AS BIGINT) AS key,
+                  '' AS lft, '' AS rgt,
+                  CAST(count(*) AS BIGINT) AS n1, CAST(sum(id) AS BIGINT) AS n2,
+                  CAST(sum(pos * id) AS BIGINT) AS n3
+                FROM d4 JOIN vid USING (piece) GROUP BY doc_id),
+    piecerows AS (SELECT 'piece' AS kind, id AS key, piece AS lft, '' AS rgt,
+                    CAST(0 AS BIGINT) AS n1, CAST(0 AS BIGINT) AS n2,
+                    CAST(0 AS BIGINT) AS n3
+                  FROM vid),
+    mergerows AS (${(1 to nMerges).map(i =>
+        s"""SELECT 'merge' AS kind, CAST($i AS BIGINT) AS key, l AS lft,
+            r AS rgt, cnt AS n1, cl AS n2, cr AS n3 FROM b$i""")
+      .mkString(" UNION ALL ")})
+    SELECT * FROM (SELECT * FROM mergerows UNION ALL SELECT * FROM piecerows
+                   UNION ALL SELECT * FROM docrows)
+    ORDER BY kind, key"""
+    sb.toString
+  }
+
+  val q130: String = wordPieceOracle(nMerges = 30,
+    maxLen = graft.operators.WordPiece.MaxWordLen)
+
   // q129: KMV theta-sketch set operations, replayed EXACTLY (KMV is
   // deterministic md5 order statistics — no tolerance gate needed): the
   // per-batch k-min sketches of both corpus snapshots, side A's fold
@@ -3266,6 +3372,7 @@ object Oracles {
     "q126_ewma" -> q126,
     "q127_leakage_safe_split" -> q127,
     "q128_triangle_count" -> q128,
-    "q129_kmv_overlap" -> q129
+    "q129_kmv_overlap" -> q129,
+    "q130_wordpiece_tokenizer" -> q130
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

@@ -2962,4 +2962,40 @@ object Queries {
       sum(col("in_a") * col("in_b")).as("exact_inter"))
     estA.crossJoin(estB).crossJoin(ov).crossJoin(exact)
   }
+
+  private val wordPieceCache = new scala.collection.concurrent.TrieMap[
+    String, (String, (Seq[WordPiece.WpMerge], Seq[String]))]()
+  private[graft] def wordPieceFor(s: SparkSession, d: String)
+      : (Seq[WordPiece.WpMerge], Seq[String]) = {
+    val sig = tableSignature(s, d, "documents")
+    wordPieceCache.synchronized {
+      wordPieceCache.get(d) match {
+        case Some((s0, v)) if s0 == sig => v
+        case _ =>
+          val docs = Tables.documents(s, d)
+          val m = WordPiece.train(docs, col("text"), nMerges = 30,
+            policy = CheckpointPolicy.fromSession(s))
+          val v = (m, WordPiece.pieces(docs, col("text"), m))
+          wordPieceCache.update(d, (sig, v))
+          v
+      }
+    }
+  }
+
+  /** q130: WordPiece subword tokenization ([[WordPiece]] — the BERT
+    * tokenizer family, completing the real-tokenizer trio next to q103's
+    * BPE and q125's unigram LM): 30 likelihood-scored merges
+    * (`cnt/(cl·cr)` argmax — NOT the BPE count argmax) trained on the
+    * distinct-word table, then greedy longest-match-first encoding with
+    * `##` continuation classes. The oracle replays EVERYTHING in DuckDB:
+    * every iteration's pair counts, symbol counts, scored argmax and
+    * merge application, the piece-inventory ids, and the unrolled
+    * 16-step MaxMatch walk — the merge rows carry the score's exact
+    * integer numerator/denominators, so a defect anywhere in the
+    * trajectory or the greedy tie order breaks the hash. */
+  def q130WordPiece(s: SparkSession, d: String): DataFrame = {
+    val (m, inv) = wordPieceFor(s, d)
+    WordPiece.encodeStats(Tables.documents(s, d), col("doc_id"), col("text"),
+      m, inv, policy = CheckpointPolicy.fromSession(s))
+  }
 }
