@@ -105,4 +105,43 @@ object SimilarityJoin {
       .select(col("ia").as("id_a"), col("ib").as("id_b"), lit(1.0).as("jaccard"))
     cross.unionByName(intra).select("id_a", "id_b", "jaccard")
   }
+
+  /** EXACT all-pairs edit-distance-1 self-join over distinct strings, via
+    * deletion-neighborhood blocking (the SymSpell device — Garbe 2012;
+    * Mor & Fraenkel 1982's deletion-variant dictionary — public methods):
+    * the fuzzy-matching primitive behind typo-tolerant entity resolution
+    * and spell-correction candidate tables.
+    *
+    * Completeness: if lev(a, b) ≤ 1 the two strings share a DELETION KEY
+    * — a member of {x} ∪ {x minus one char}: equal strings share
+    * themselves; an insertion's longer side deletes the inserted char to
+    * reach the shorter; a substitution at position i gives both sides the
+    * same string when position i is deleted. The key join is therefore a
+    * complete candidate generator (it also admits some distance-2 pairs —
+    * two different single-char deletions meeting in the middle — which
+    * the exact `levenshtein` verification removes).
+    *
+    * 100 TB shape: candidates come from an equi-join on exploded deletion
+    * keys over DISTINCT strings — (len+1) keys per string, per-key
+    * fan-out bounded by how many strings collapse onto one deletion (a
+    * vocabulary property, ~alphabet-sized for natural keys) — never an
+    * all-pairs product; the verifier is one codegen `levenshtein` per
+    * candidate. Output: (word_a, word_b) with word_a < word_b, exactly
+    * the lev ≤ 1 pairs.
+    */
+  def editNeighborPairs(words: DataFrame, word: Column): DataFrame = {
+    val w = words.select(word.cast("string").as("word"))
+      .filter(col("word").isNotNull).distinct()
+    val keyed = w.select(col("word"), explode(concat(
+        array(col("word")),
+        transform(sequence(lit(1), length(col("word"))), i =>
+          concat(col("word").substr(lit(1), i - 1),
+            col("word").substr(i + 1, length(col("word"))))))).as("key"))
+      .distinct() // duplicate chars give duplicate deletion keys
+    keyed.select(col("key"), col("word").as("word_a"))
+      .join(keyed.select(col("key"), col("word").as("word_b")), Seq("key"))
+      .filter(col("word_a") < col("word_b"))
+      .select("word_a", "word_b").distinct()
+      .filter(levenshtein(col("word_a"), col("word_b")) <= 1)
+  }
 }

@@ -3008,6 +3008,17 @@ object Oracles {
   val q130: String = wordPieceOracle(nMerges = 30,
     maxLen = graft.operators.WordPiece.MaxWordLen)
 
+  // q131: brute-force all-pairs levenshtein ≤ 1 over customer names — the
+  // exactness oracle for the deletion-key-blocked fuzzy join (the q121
+  // brute-force convention: completeness is the claim, so the oracle must
+  // not share the blocking).
+  val q131 = """
+    WITH w AS (SELECT DISTINCT c_name AS word FROM customer)
+    SELECT a.word AS word_a, b.word AS word_b
+    FROM w a JOIN w b ON a.word < b.word
+    WHERE levenshtein(a.word, b.word) <= 1
+    ORDER BY word_a, word_b"""
+
   // q129: KMV theta-sketch set operations, replayed EXACTLY (KMV is
   // deterministic md5 order statistics — no tolerance gate needed): the
   // per-batch k-min sketches of both corpus snapshots, side A's fold
@@ -3373,6 +3384,7 @@ object Oracles {
     "q127_leakage_safe_split" -> q127,
     "q128_triangle_count" -> q128,
     "q129_kmv_overlap" -> q129,
-    "q130_wordpiece_tokenizer" -> q130
+    "q130_wordpiece_tokenizer" -> q130,
+    "q131_fuzzy_name_pairs" -> q131
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

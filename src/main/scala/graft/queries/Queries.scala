@@ -2982,6 +2982,18 @@ object Queries {
     }
   }
 
+  /** q131: exact edit-distance-1 fuzzy self-join over customer names
+    * ([[SimilarityJoin.editNeighborPairs]]) — the typo-tolerant entity
+    * resolution / spell-correction-candidate primitive, COMPLETE (every
+    * lev ≤ 1 pair emitted) without an all-pairs product: candidates come
+    * from the SymSpell deletion-key equi-join, the exact codegen
+    * `levenshtein` verifies. The DuckDB oracle is the brute-force
+    * all-pairs levenshtein join — a single pair missed by the blocking
+    * (a deletion-key defect) breaks the hash. */
+  def q131FuzzyNamePairs(s: SparkSession, d: String): DataFrame =
+    SimilarityJoin.editNeighborPairs(Tables.customer(s, d), col("c_name"))
+      .orderBy("word_a", "word_b")
+
   /** q130: WordPiece subword tokenization ([[WordPiece]] — the BERT
     * tokenizer family, completing the real-tokenizer trio next to q103's
     * BPE and q125's unigram LM): 30 likelihood-scored merges

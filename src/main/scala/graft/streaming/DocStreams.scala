@@ -323,6 +323,27 @@ object DocStreams {
     writer.start()
   }
 
+  /** Streaming twin of the KMV theta-sketch appends
+    * ([[graft.operators.Sketches.appendKmvSketches]]) — the fourth sketch
+    * family (HLL = cardinality, CMS = frequency, histogram =
+    * distribution, KMV = SET OPERATIONS): each micro-batch lands its k
+    * smallest distinct key hashes under its own batch_id partition, so
+    * corpus-overlap questions between two ingested streams
+    * ([[graft.operators.Sketches.kmvOverlap]]) are served from KB-sized
+    * artifacts. Same replay idempotence as the other twins. */
+  def foreachBatchKmv(docs: DataFrame, key: org.apache.spark.sql.Column,
+                      outDir: String, k: Int = 1024,
+                      checkpointDir: Option[String] = None): StreamingQuery = {
+    val writer = docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Sketches.appendKmvSketches(
+          batch, key, outDir, batchId, k)
+        ()
+      }
+    checkpointDir.foreach(d => writer.option("checkpointLocation", d))
+    writer.start()
+  }
+
   /** Fold an admission-history dir (text or embedding payloads — one row
     * per ADMITTED doc under its `batch_id=N` partition) into the reserved
     * base partition `batch_id=-1`: pure re-layout, no merge — doc_ids are

@@ -66,4 +66,35 @@ class SimilarityJoinSpec extends SparkSpec {
     val b = run(docs.repartition(13), 0.5)
     assert(a == b && a.nonEmpty)
   }
+
+  private def editPairs(words: Seq[String]) =
+    SimilarityJoin.editNeighborPairs(words.toDF("w"), col("w"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+
+  test("editNeighborPairs: substitutions, insertions, deletions, no false pairs") {
+    val got = editPairs(Seq("cat", "cut", "cart", "at", "dog", "cat"))
+    // cat~cut (sub), cat~cart (ins), cat~at (del); cut~at and cart~at are
+    // lev-2 candidates the verifier must reject; dup "cat" collapses
+    assert(got == Set(("cat", "cut"), ("cart", "cat"), ("at", "cat")),
+      got.toString)
+  }
+
+  test("editNeighborPairs equals brute-force levenshtein on random strings") {
+    val rnd = new scala.util.Random(11)
+    val words = Vector.fill(250)(
+      (0 until (2 + rnd.nextInt(5))).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+      .distinct
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    val brute = (for {
+      a <- words; b <- words if a < b && lev(a, b) <= 1
+    } yield (a, b)).toSet
+    assert(editPairs(words) == brute)
+  }
 }

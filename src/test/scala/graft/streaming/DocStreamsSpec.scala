@@ -233,6 +233,32 @@ class DocStreamsSpec extends SparkSpec {
     assert(sc == bc, "merged histogram cell tables differ")
   }
 
+  test("foreachBatchKmv: streamed KMV sketch equals the batch-side appends") {
+    val (dir, halves) = stageBatches()
+    val streamOut = java.nio.file.Files.createTempDirectory("graft-kmv-s").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-kck").toString
+    val q = DocStreams.foreachBatchKmv(
+      DocStreams.readDocs(spark, dir, maxFilesPerTrigger = Some(1)),
+      col("text"), streamOut, k = 64, checkpointDir = Some(ckDir))
+    try q.processAllAvailable() finally q.stop()
+
+    val batchOut = java.nio.file.Files.createTempDirectory("graft-kmv-b").toString
+    halves.zipWithIndex.foreach { case (b, i) =>
+      graft.operators.Sketches.appendKmvSketches(
+        b, col("text"), batchOut, i.toLong, k = 64)
+    }
+    val sEst = graft.operators.Sketches.kmvEstimate(spark, streamOut, k = 64)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val bEst = graft.operators.Sketches.kmvEstimate(spark, batchOut, k = 64)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(sEst == bEst, s"stream $sEst != batch $bEst")
+    // the overlap serve path sees identical sketches too (self-overlap
+    // of stream vs batch dirs: everything in both)
+    val ov = graft.operators.Sketches.kmvOverlap(spark, streamOut, batchOut, k = 64)
+      .collect()(0)
+    assert(ov.getLong(0) == ov.getLong(1), "stream and batch sketches differ")
+  }
+
   test("foreachBatchSegmentDedup: streaming loop equals the sequential batch replay " +
        "(cross-batch duplicated segments dropped from later batches)") {
     import spark.implicits._
