@@ -3019,6 +3019,22 @@ object Oracles {
     WHERE levenshtein(a.word, b.word) <= 1
     ORDER BY word_a, word_b"""
 
+  // q132: SCD2 intervals — the second clamp, the (t, attr) total order,
+  // the consecutive-equal collapse, and the lead/row_number interval
+  // windows, replayed term for term.
+  val q132 = """
+    WITH e AS (SELECT user_id AS key, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+                      CAST(event_type AS VARCHAR) AS attr
+               FROM events WHERE user_id % 10 = 0),
+    c AS (SELECT key, t, attr,
+                 lag(attr) OVER (PARTITION BY key ORDER BY t, attr) AS prev
+          FROM e),
+    f AS (SELECT key, t, attr FROM c WHERE prev IS NULL OR prev <> attr)
+    SELECT key AS user_id, attr, t AS valid_from,
+           lead(t) OVER (PARTITION BY key ORDER BY t, attr) AS valid_to,
+           CAST(row_number() OVER (PARTITION BY key ORDER BY t, attr) AS BIGINT) AS version
+    FROM f ORDER BY user_id, version"""
+
   // q129: KMV theta-sketch set operations, replayed EXACTLY (KMV is
   // deterministic md5 order statistics — no tolerance gate needed): the
   // per-batch k-min sketches of both corpus snapshots, side A's fold
@@ -3385,6 +3401,7 @@ object Oracles {
     "q128_triangle_count" -> q128,
     "q129_kmv_overlap" -> q129,
     "q130_wordpiece_tokenizer" -> q130,
-    "q131_fuzzy_name_pairs" -> q131
+    "q131_fuzzy_name_pairs" -> q131,
+    "q132_scd2_intervals" -> q132
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

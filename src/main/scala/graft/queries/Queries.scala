@@ -2994,6 +2994,22 @@ object Queries {
     SimilarityJoin.editNeighborPairs(Tables.customer(s, d), col("c_name"))
       .orderBy("word_a", "word_b")
 
+  /** q132: SCD2 dimension build ([[Compaction.scd2Intervals]]) — the
+    * history twin of q69's latest-per-key compaction: each user's
+    * event_type change log becomes validity intervals
+    * [valid_from, valid_to) with a NULL-closed current row and a 1..n
+    * version chain, the standard warehouse dimension shape every as-of
+    * question then range-joins against. Same user_id % 10 sample as
+    * q124 (output is change-log-sized). The oracle replays the second
+    * clamp, the (t, attr) total order, the consecutive-equal collapse,
+    * and both interval windows. */
+  def q132Scd2Intervals(s: SparkSession, d: String): DataFrame =
+    Compaction.scd2Intervals(
+        Tables.events(s, d).filter(col("user_id") % 10 === 0),
+        col("user_id"), col("ts"), col("event_type"))
+      .withColumnRenamed("key", "user_id")
+      .orderBy("user_id", "version")
+
   /** q130: WordPiece subword tokenization ([[WordPiece]] — the BERT
     * tokenizer family, completing the real-tokenizer trio next to q103's
     * BPE and q125's unigram LM): 30 likelihood-scored merges
