@@ -162,6 +162,61 @@ object LinkAnalysis {
             lit(1e6) + lit(0.5)) / lit(1e6)).as("coef"))
   }
 
+  /** k-core: the maximal subgraph in which every node has degree ≥ k
+    * (Seidman 1983 — public method), by iterative peeling: drop nodes of
+    * degree < k, recompute degrees over the surviving edges, repeat to
+    * fixpoint. The density filter of graph curation — spam link farms and
+    * genuinely dense communities survive, tendrils and satellites peel
+    * away — and the third static-graph operator next to [[pageRank]]
+    * (walk centrality) and [[triangles]] (local density).
+    *
+    * Input: `edges(a, b)` as in [[triangles]] (canonicalized the same
+    * way). Output: the surviving nodes with their degree INSIDE the core
+    * — `(node, deg)`; empty when no k-core exists.
+    *
+    * 100 TB shape: each round is one degree aggregate + one semi-join of
+    * the edge list against the surviving node set (both hash shuffles on
+    * node keys, edge payload 16 bytes); the edge frame is pinned per
+    * round (the iterative-join convention — lineage would otherwise
+    * nest). Rounds are data-dependent but bounded: each non-final round
+    * removes ≥ 1 node, and in practice peeling converges in a few rounds
+    * (the `maxRounds` guard fails loudly instead of looping — the q125
+    * MaxWordLen convention, because the oracle unrolls exactly
+    * `maxRounds` rounds). */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 24,
+            policy: CheckpointPolicy = CheckpointPolicy.Local): DataFrame = {
+    require(k >= 1, s"k >= 1: $k")
+    val canon = edges.select(
+        least(col("a"), col("b")).cast("long").as("u"),
+        greatest(col("a"), col("b")).cast("long").as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .distinct()
+    var e = policy.pin(canon)
+    var n = e.count() // edge count drives the fixpoint check
+    var rounds = 0
+    var converged = n == 0L
+    while (!converged) {
+      require(rounds < maxRounds,
+        s"k-core did not converge in $maxRounds rounds (the oracle's unroll)")
+      val deg = e.select(col("u").as("node"))
+        .unionByName(e.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select("node")
+      val next = policy.pin(
+        e.join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
+          .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
+          .select("u", "v"))
+      val m = next.count()
+      converged = m == n || m == 0L
+      e = next
+      n = m
+      rounds += 1
+    }
+    e.select(col("u").as("node"))
+      .unionByName(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+  }
+
   /** The co-purchase part graph: an undirected edge between every pair of
     * distinct parts appearing in the same order ("frequently bought
     * together") — the self-join is per-order (≤ 7 lineitems in the TPC-H

@@ -3019,6 +3019,33 @@ object Oracles {
     WHERE levenshtein(a.word, b.word) <= 1
     ORDER BY word_a, word_b"""
 
+  /** q133: k-core peeling, unrolled to the Spark side's 24-round guard
+    * (converged rounds are no-ops): per round, degrees over the surviving
+    * edges, the ≥ k node set, and the doubly-semi-joined edge filter. */
+  def kCoreOracle(k: Int, rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """
+    WITH li AS (SELECT l_orderkey AS ok, l_partkey FROM lineitem),
+    e0 AS MATERIALIZED (SELECT DISTINCT x.l_partkey AS u, y.l_partkey AS v
+          FROM li x JOIN li y ON x.ok = y.ok AND x.l_partkey < y.l_partkey)"""
+    for (r <- 1 to rounds) {
+      sb ++= s""",
+    d$r AS (SELECT node, count(*) AS deg FROM
+            (SELECT u AS node FROM e${r - 1} UNION ALL SELECT v AS node FROM e${r - 1})
+            GROUP BY node),
+    k$r AS (SELECT node FROM d$r WHERE deg >= $k),
+    e$r AS MATERIALIZED (SELECT u, v FROM e${r - 1}
+            WHERE u IN (SELECT node FROM k$r) AND v IN (SELECT node FROM k$r))"""
+    }
+    sb ++= s"""
+    SELECT CAST(node AS BIGINT) AS node, CAST(count(*) AS BIGINT) AS deg FROM
+    (SELECT u AS node FROM e$rounds UNION ALL SELECT v AS node FROM e$rounds)
+    GROUP BY node ORDER BY node"""
+    sb.toString
+  }
+
+  val q133: String = kCoreOracle(k = 65, rounds = 24)
+
   // q132: SCD2 intervals — the second clamp, the (t, attr) total order,
   // the consecutive-equal collapse, and the lead/row_number interval
   // windows, replayed term for term.
@@ -3402,6 +3429,7 @@ object Oracles {
     "q129_kmv_overlap" -> q129,
     "q130_wordpiece_tokenizer" -> q130,
     "q131_fuzzy_name_pairs" -> q131,
-    "q132_scd2_intervals" -> q132
+    "q132_scd2_intervals" -> q132,
+    "q133_kcore" -> q133
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

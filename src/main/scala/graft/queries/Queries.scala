@@ -3010,6 +3010,20 @@ object Queries {
       .withColumnRenamed("key", "user_id")
       .orderBy("user_id", "version")
 
+  /** q133: k-core of the co-purchase part graph ([[LinkAnalysis.kCore]])
+    * — the density filter of graph curation (dense communities / spam
+    * farms survive, tendrils peel) and the third graph operator next to
+    * PageRank and triangles. k = 65 sits just under the fixture graph's
+    * degeneracy, so the peel genuinely CASCADES (removals drop neighbors
+    * below k across several rounds — 4 rounds at sf0.001) rather than
+    * converging in one pass. The oracle unrolls all 24 guard rounds
+    * (converged rounds no-op); the Spark side fails loudly past the
+    * guard instead of diverging from the replay. */
+  def q133KCore(s: SparkSession, d: String): DataFrame =
+    LinkAnalysis.kCore(
+        LinkAnalysis.coPurchaseGraph(Tables.lineitem(s, d)), k = 65)
+      .orderBy("node")
+
   /** q130: WordPiece subword tokenization ([[WordPiece]] — the BERT
     * tokenizer family, completing the real-tokenizer trio next to q103's
     * BPE and q125's unigram LM): 30 likelihood-scored merges

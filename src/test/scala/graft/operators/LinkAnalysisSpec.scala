@@ -107,6 +107,52 @@ class LinkAnalysisSpec extends SparkSpec {
       assert(got(node) == tri, s"node $node: ${got(node)} vs $tri") }
   }
 
+  test("kCore: K4 plus a tail — the 3-core is exactly the K4") {
+    val k4 = for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)
+    val edges = (k4 ++ Seq((4L, 5L), (5L, 6L))).toDF("a", "b")
+    val got = LinkAnalysis.kCore(edges, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == (1L to 4L).map(n => (n, 3L)).toSet)
+  }
+
+  test("kCore: a path graph cascades to an empty 2-core") {
+    val path = (1L until 6L).map(i => (i, i + 1)).toDF("a", "b")
+    assert(LinkAnalysis.kCore(path, k = 2).count() == 0L)
+    // ...while a cycle IS its own 2-core
+    val cycle = ((1L until 6L).map(i => (i, i + 1)) :+ (6L, 1L)).toDF("a", "b")
+    val got = LinkAnalysis.kCore(cycle, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == (1L to 6L).map(n => (n, 2L)).toSet)
+  }
+
+  test("kCore matches driver-side peeling on a seeded random graph") {
+    val rnd = new scala.util.Random(19)
+    val n = 40
+    val edges = (for {
+      a <- 0 until n; b <- (a + 1) until n if rnd.nextDouble() < 0.2
+    } yield (a.toLong, b.toLong)).toVector
+    def peel(k: Int): Map[Long, Int] = {
+      var e = edges.toSet
+      var changed = true
+      while (changed) {
+        val deg = e.toSeq.flatMap(p => Seq(p._1, p._2))
+          .groupBy(identity).map { case (x, v) => x -> v.size }
+        val keep = deg.filter(_._2 >= k).keySet
+        val next = e.filter(p => keep(p._1) && keep(p._2))
+        changed = next != e
+        e = next
+      }
+      e.toSeq.flatMap(p => Seq(p._1, p._2))
+        .groupBy(identity).map { case (x, v) => x -> v.size }
+    }
+    for (k <- Seq(3, 5, 7)) {
+      val want = peel(k).map { case (a, b) => (a, b.toLong) }.toSet
+      val got = LinkAnalysis.kCore(edges.toDF("a", "b"), k)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want, s"k=$k")
+    }
+  }
+
   test("coPurchaseGraph: pairs within an order only, a < b, both parts kept") {
     val li = Seq((1L, 30L), (1L, 10L), (1L, 20L), (2L, 10L), (2L, 40L), (3L, 50L))
       .toDF("l_orderkey", "l_partkey")
