@@ -129,6 +129,12 @@ object LinkAnalysis {
       .groupBy("node").agg(count(lit(1)).as("deg"))
     // Orient low (deg, id) -> high (deg, id); carry the destination's rank
     // so the wedge join can order its two legs without re-joining degrees.
+    // Deliberately NOT pinned although three branches consume it: measured
+    // at sf0.1, a localCheckpoint here ran 2.4x SLOWER (13.7 s vs 5.8 s
+    // warm) — exchange reuse already covers both wedge legs, AQE re-plans
+    // the closing probe from runtime stats, and the pin trades those for
+    // an eager materialization plus a codegen fence (the inverse of the
+    // pageRank pinEvery finding: measure, don't assume).
     val e = canon
       .join(deg.select(col("node").as("u"), col("deg").as("du")), Seq("u"))
       .join(deg.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))

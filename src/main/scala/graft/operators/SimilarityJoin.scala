@@ -138,10 +138,13 @@ object SimilarityJoin {
           concat(col("word").substr(lit(1), i - 1),
             col("word").substr(i + 1, length(col("word"))))))).as("key"))
       .distinct() // duplicate chars give duplicate deletion keys
+    // verify BEFORE deduplicating: the codegen levenshtein is cheaper per
+    // row than shuffling every multi-key candidate into the distinct —
+    // only true pairs (× their key multiplicity, ≤ 3) reach the exchange
     keyed.select(col("key"), col("word").as("word_a"))
       .join(keyed.select(col("key"), col("word").as("word_b")), Seq("key"))
-      .filter(col("word_a") < col("word_b"))
+      .filter(col("word_a") < col("word_b") &&
+        levenshtein(col("word_a"), col("word_b")) <= 1)
       .select("word_a", "word_b").distinct()
-      .filter(levenshtein(col("word_a"), col("word_b")) <= 1)
   }
 }
