@@ -3046,22 +3046,9 @@ object Oracles {
 
   val q133: String = kCoreOracle(k = 65, rounds = 24)
 
-  // q134: CUBE with per-dimension grouping flags (q01's rounding
-  // conventions; flags instead of grouping_id — bit order is engine-local).
-  val q134 = """
-    SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2) AS sum_qty,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           count(*) AS count_order,
-           CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
-           CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls
-    FROM lineitem
-    GROUP BY CUBE (l_returnflag, l_linestatus)
-    ORDER BY g_rf, g_ls, l_returnflag, l_linestatus"""
-
-  // q135: PIVOT as filtered counts — count(*) FILTER is 0 (not NULL) for
+  // q134: PIVOT as filtered counts — count(*) FILTER is 0 (not NULL) for
   // absent combos, matching the Spark side's coalesce.
-  val q135 = """
+  val q134 = """
     SELECT user_id,
            count(*) FILTER (WHERE event_type = 'click') AS click,
            count(*) FILTER (WHERE event_type = 'error') AS error,
@@ -3456,7 +3443,6 @@ object Oracles {
     "q131_fuzzy_name_pairs" -> q131,
     "q132_scd2_intervals" -> q132,
     "q133_kcore" -> q133,
-    "q134_cube" -> q134,
-    "q135_pivot" -> q135
+    "q134_pivot" -> q134
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

@@ -3024,31 +3024,13 @@ object Queries {
         LinkAnalysis.coPurchaseGraph(Tables.lineitem(s, d)), k = 65)
       .orderBy("node")
 
-  /** q134: CUBE with grouping flags — the OLAP subtotal surface (all four
-    * grouping sets of returnflag × linestatus in ONE pass; Spark plans it
-    * as a single Expand + hash aggregate, ×4 the input rows map-side, not
-    * four scans). Per-dimension `grouping()` flags ride out (engine-
-    * portable, unlike the combined grouping_id bit order) and double the
-    * NULL group keys can't be confused with data NULLs. q01's rounding
-    * conventions. */
-  def q134Cube(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
-      .cube(col("l_returnflag"), col("l_linestatus"))
-      .agg(round(sum("l_quantity"), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .as("sum_disc_price"),
-        count(lit(1)).as("count_order"),
-        grouping(col("l_returnflag")).cast("long").as("g_rf"),
-        grouping(col("l_linestatus")).cast("long").as("g_ls"))
-      .orderBy("g_rf", "g_ls", "l_returnflag", "l_linestatus")
-
-  /** q135: PIVOT — long-to-wide reshaping with an explicit value list
+  /** q134: PIVOT — long-to-wide reshaping with an explicit value list
     * (deterministic schema, the production form: inferring pivot values
     * is an extra distinct scan AND nondeterministic columns): per-user
     * event counts spread across the five event types, absent combos 0.
     * One hash aggregate; the pivot is a projection shape, not a shuffle
     * multiplier. Same user_id % 10 sample as the other event queries. */
-  def q135Pivot(s: SparkSession, d: String): DataFrame = {
+  def q134Pivot(s: SparkSession, d: String): DataFrame = {
     val types = Seq("click", "error", "purchase", "signup", "view")
     Tables.events(s, d).filter(col("user_id") % 10 === 0)
       .groupBy("user_id")
