@@ -106,7 +106,12 @@ object WordPiece {
             policy: CheckpointPolicy = CheckpointPolicy.Local): Seq[WpMerge] = {
     require(nMerges >= 1, "need at least one merge")
     var words = policy.pin(wpWords(docs, text))
-    val maxLen = words.agg(max(length(col("word")))).head().getInt(0)
+    // max() over an empty word table aggregates to NULL — read it as a
+    // nullable so an empty corpus fails with a clear message, not an NPE.
+    val maxLen = Option(words.agg(max(length(col("word")))).head().get(0))
+      .map(_.asInstanceOf[Int])
+      .getOrElse(throw new IllegalArgumentException(
+        "WordPiece.train: corpus has no tokens after normalization"))
     require(maxLen <= MaxWordLen,
       s"longest word $maxLen exceeds the replayable walk bound $MaxWordLen")
     val merges = scala.collection.mutable.ArrayBuffer.empty[WpMerge]

@@ -1726,6 +1726,29 @@ object Oracles {
            CAST(1 AS BIGINT) AS acc_ok
     FROM u"""
 
+  // q137: trained char-n-gram language ID — the q87 posture, PER CLASS:
+  // the planted language is doc_id mod 5, the folds are the same md5-
+  // uniform split arithmetic, and every class's held-out recall flag is
+  // pinned (the planted phrase makes each class linearly recoverable, so
+  // a correct n-gram sweep + hasher + multinomial fit always clears it).
+  val q137 = """
+    WITH u AS (
+      SELECT doc_id, list_reduce(list_prepend(0.0,
+          list_transform(generate_series(1, 13),
+            k -> CAST(strpos('0123456789abcdef',
+                   substr(substr(md5(concat_ws('|', doc_id, 'split')), 1, 13), k, 1)) - 1 AS DOUBLE)
+                 * pow(16.0, 13 - k))),
+        (a, x) -> a + x) / 4503599627370496.0 AS u,
+        CASE CAST(doc_id % 5 AS INTEGER)
+          WHEN 0 THEN 'de' WHEN 1 THEN 'en' WHEN 2 THEN 'es'
+          WHEN 3 THEN 'fr' ELSE 'zh' END AS lang
+      FROM documents)
+    SELECT lang,
+           CAST(sum(CASE WHEN u < 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+           CAST(sum(CASE WHEN u >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+           CAST(1 AS BIGINT) AS recall_ok
+    FROM u GROUP BY lang ORDER BY lang"""
+
   // (q88's token-budget oracle is q88bpe below — the per-domain available
   // tokens moved from the BPE-ish heuristic to the real BPE count in
   // round 7.)
@@ -2979,18 +3002,30 @@ object Oracles {
            FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i
                  FROM d1)),
     d3a AS MATERIALIZED (SELECT d2.doc_id, d2.wpos, g.seg
-            FROM d2 JOIN g$maxLen g USING (word)),
+            FROM d2 LEFT JOIN g$maxLen g USING (word)),"""
+    // A word MaxMatch could not cover falls out of the g-chain (no
+    // pos = length(word) row survives the walk); the operator emits ONE
+    // [UNK] row for it (id = |vid|), so the oracle synthesizes the same
+    // row from the LEFT-join miss below. Unreachable for q130's closed
+    // corpus, where every initial symbol is in vid. (Scala comment, not
+    // SQL `--`: oracle strings are whitespace-collapsed to one line.)
+    sb ++= s"""
     d3 AS (SELECT doc_id, wpos, j, seg[j] AS piece
            FROM (SELECT doc_id, wpos, seg,
-                   unnest(generate_series(1, len(seg))) AS j FROM d3a)),
+                   unnest(generate_series(1, len(seg))) AS j FROM d3a
+                 WHERE seg IS NOT NULL)
+           UNION ALL
+           SELECT doc_id, wpos, 1 AS j, NULL AS piece
+           FROM d3a WHERE seg IS NULL),
     d4 AS (SELECT doc_id, piece,
              CAST(row_number() OVER (PARTITION BY doc_id ORDER BY wpos, j) AS BIGINT) AS pos
            FROM d3),
     docrows AS (SELECT 'doc' AS kind, CAST(doc_id AS BIGINT) AS key,
                   '' AS lft, '' AS rgt,
-                  CAST(count(*) AS BIGINT) AS n1, CAST(sum(id) AS BIGINT) AS n2,
-                  CAST(sum(pos * id) AS BIGINT) AS n3
-                FROM d4 JOIN vid USING (piece) GROUP BY doc_id),
+                  CAST(count(*) AS BIGINT) AS n1,
+                  CAST(sum(COALESCE(id, (SELECT count(*) FROM vid))) AS BIGINT) AS n2,
+                  CAST(sum(pos * COALESCE(id, (SELECT count(*) FROM vid))) AS BIGINT) AS n3
+                FROM d4 LEFT JOIN vid USING (piece) GROUP BY doc_id),
     piecerows AS (SELECT 'piece' AS kind, id AS key, piece AS lft, '' AS rgt,
                     CAST(0 AS BIGINT) AS n1, CAST(0 AS BIGINT) AS n2,
                     CAST(0 AS BIGINT) AS n3
@@ -3057,6 +3092,19 @@ object Oracles {
            count(*) FILTER (WHERE event_type = 'view') AS view
     FROM events WHERE user_id % 10 = 0
     GROUP BY user_id ORDER BY user_id"""
+
+  // q135: CUBE with per-dimension grouping flags (q01's rounding
+  // conventions; flags instead of grouping_id — bit order is engine-local).
+  val q135 = """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           count(*) AS count_order,
+           CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+           CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY g_rf, g_ls, l_returnflag, l_linestatus"""
 
   // q132: SCD2 intervals — the second clamp, the (t, attr) total order,
   // the consecutive-equal collapse, and the lead/row_number interval
@@ -3443,6 +3491,11 @@ object Oracles {
     "q131_fuzzy_name_pairs" -> q131,
     "q132_scd2_intervals" -> q132,
     "q133_kcore" -> q133,
-    "q134_pivot" -> q134
+    "q134_pivot" -> q134,
+    "q135_cube" -> q135,
+    // q136: the Avro round-trip gate is the ORC one — the format changes,
+    // the parquet-original digests the read must reproduce do not.
+    "q136_avro_source" -> q122,
+    "q137_langid_trained" -> q137
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

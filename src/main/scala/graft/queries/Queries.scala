@@ -1140,11 +1140,13 @@ object Queries {
     new scala.collection.concurrent.TrieMap[String, (String, String)]()
   private val orcDirCache =
     new scala.collection.concurrent.TrieMap[String, (String, String)]()
+  private val avroDirCache =
+    new scala.collection.concurrent.TrieMap[String, (String, String)]()
   Runtime.getRuntime.addShutdownHook(new Thread(() =>
     (ivfPqIndexCache.values ++ bm25IndexCache.values ++ sketchDirCache.values ++
       jsonlDirCache.values ++ cmsDirCache.values ++ histDirCache.values ++
       annAppendDirCache.values ++ csvDirCache.values ++ orcDirCache.values ++
-      kmvDirCache.values)
+      kmvDirCache.values ++ avroDirCache.values)
       .foreach { case (_, dir) =>
         try deleteDirTree(dir) catch { case _: Exception => () }
       }))
@@ -2773,6 +2775,73 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** q136: Avro round-trip — the third interchange format (Kafka dumps,
+    * schema-registry pipelines), through the from-scratch
+    * [[AvroSources]] (this container ships avro-core, not spark-avro):
+    * documents exported as sync-splittable Avro container files, read
+    * back split-parallel with a PROJECTED reader schema (decode-time
+    * column pruning — Avro's row blocks have no columnar skip and no
+    * stats, so the n_chars filter correctly evaluates post-decode,
+    * the honest contrast with q122's ORC pushdown). The gate is q122's:
+    * every surviving row's (doc_id, lang, n_chars, md5(text)) must match
+    * the parquet original — any encode/decode/split/projection defect
+    * breaks the hash. */
+  def q136AvroSource(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val sig = tableSignature(s, d, "documents")
+    val dir = avroDirCache.synchronized {
+      avroDirCache.get(d) match {
+        case Some((s0, dd)) if s0 == sig => dd
+        case prev =>
+          prev.foreach { case (_, old) =>
+            try deleteDirTree(old) catch { case _: Exception => () } }
+          val tmp = java.nio.file.Files.createTempDirectory("graft_avro_").toString
+          AvroSources.writeAvro(
+            Tables.documents(s, d)
+              .select("doc_id", "lang", "n_chars", "text", "source"),
+            tmp, layoutCols = Seq("doc_id"), codec = "deflate")
+          avroDirCache.update(d, (sig, tmp))
+          tmp
+      }
+    }
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("n_chars", LongType), StructField("text", StringType),
+      StructField("source", StringType)))
+    AvroSources.readAvro(s, dir, schema,
+        columns = Seq("doc_id", "lang", "n_chars", "text"))
+      .filter(col("n_chars") >= 200)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        md5(coalesce(col("text"), lit("")).cast("binary")).as("text_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** q137: TRAINED character-n-gram language ID ([[graft.ml
+    * .LangClassifier]] — the fastText-langid shape, upgrading q13's
+    * marker-lexicon argmax to a model with per-doc confidence; the
+    * lexicon stays as the oracle-exact fallback). The fixture corpus's
+    * `lang` column is uncorrelated with its text, so the query PLANTS
+    * the recoverable signal (the q87 convention): each doc gets a
+    * deterministic language from doc_id mod 5 and that language's
+    * characteristic phrase appended to its (shared-boilerplate) text —
+    * the discriminative char n-grams live only in the planted phrase, so
+    * a correct sweep/hash/fit/score path must recover the language on
+    * the held-out fold. The oracle replays the md5 split arithmetic per
+    * class exactly and pins every recall flag. */
+  def q137LangIdTrained(s: SparkSession, d: String): DataFrame = {
+    val langs = graft.ml.LangPlant.langs
+    val idx = pmod(col("doc_id"), lit(5)).cast("int")
+    val phrase = langs.zipWithIndex
+      .foldLeft(lit(""): Column) { case (acc, (code, i)) =>
+        when(idx === i, lit(graft.ml.LangPlant.planted(code))).otherwise(acc) }
+    val planted = Tables.documents(s, d)
+      .select(col("doc_id"),
+        concat_ws(" ", coalesce(col("text"), lit("")), phrase).as("ptext"),
+        idx.cast("double").as("lidx"))
+    graft.ml.LangClassifier.holdoutGatePerClass(
+      planted, col("doc_id"), col("ptext"), col("lidx"), langs)
+  }
+
   /** q123: weighted PageRank over the customer↔supplier purchase graph —
     * the link-centrality quality prior crawl curation ranks hosts with
     * ([[LinkAnalysis.pageRank]]), oracle-replayed END-TO-END: the DuckDB
@@ -3040,6 +3109,27 @@ object Queries {
         types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
       .orderBy("user_id")
   }
+
+  /** q135: CUBE over lineitem with grouping flags — the OLAP subtotal
+    * surface (all four grouping sets of returnflag × linestatus in ONE
+    * pass; Spark plans it as a single Expand + hash aggregate, ×4 the
+    * input rows map-side, not four scans). Per-dimension `grouping()`
+    * flags ride out (engine-portable, unlike the combined grouping_id bit
+    * order) and double the NULL group keys can't be confused with data
+    * NULLs. q01's rounding conventions. Complements q37_cube, which cubes
+    * the EVENTS table — this is the fact-table form. (Was briefly
+    * registered as q134_cube in round 8 and dropped in the snapshot
+    * renumber; restored here per the round-8 verdict.) */
+  def q135Cube(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        count(lit(1)).as("count_order"),
+        grouping(col("l_returnflag")).cast("long").as("g_rf"),
+        grouping(col("l_linestatus")).cast("long").as("g_ls"))
+      .orderBy("g_rf", "g_ls", "l_returnflag", "l_linestatus")
 
   /** q130: WordPiece subword tokenization ([[WordPiece]] — the BERT
     * tokenizer family, completing the real-tokenizer trio next to q103's

@@ -125,6 +125,19 @@ class LinkAnalysisSpec extends SparkSpec {
     assert(got == (1L to 6L).map(n => (n, 2L)).toSet)
   }
 
+  test("kCore: a LONG peel cascade exceeds the default guard and " +
+      "converges under an explicit maxRounds") {
+    // 61-node path, k=2: each round only the two endpoints drop, so the
+    // cascade needs ~30 rounds — past the default 24 (which must fail
+    // LOUDLY, the oracle's unroll bound), fine at maxRounds = 64.
+    val long = (1L until 61L).map(i => (i, i + 1)).toDF("a", "b")
+    val e = intercept[IllegalArgumentException] {
+      LinkAnalysis.kCore(long, k = 2)
+    }
+    assert(e.getMessage.contains("did not converge"), e.getMessage)
+    assert(LinkAnalysis.kCore(long, k = 2, maxRounds = 64).count() == 0L)
+  }
+
   test("kCore matches driver-side peeling on a seeded random graph") {
     val rnd = new scala.util.Random(19)
     val n = 40

@@ -94,6 +94,32 @@ class WordPieceSpec extends SparkSpec {
     assert(docRows(1L) == ((3L, 6L, 14L)))
   }
 
+  test("encodeStats against a PRUNED inventory takes the UNK path") {
+    val d = docs(Seq("ab ab", "ab zq"))
+    val m = WordPiece.train(d, col("text"), nMerges = 1)
+    val inv = WordPiece.pieces(d, col("text"), m)
+    // drop every 'z'-bearing piece: "zq" becomes unmatchable mid-walk
+    val pruned = inv.filterNot(p => p.contains("z"))
+    assert(pruned == Seq("##b", "##q", "a"))
+    val out = WordPiece.encodeStats(d, col("doc_id"), col("text"), m, pruned)
+      .filter(col("kind") === "doc")
+      .collect().map(r => r.getLong(1) -> ((r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    // ids over pruned: ##b=0, ##q=1, a=2; unkId = 3 (= |pieces|)
+    // doc0 "ab ab" → a ##b a ##b: n=4, sum=4, possum=8 (unchanged)
+    assert(out(0L) == ((4L, 4L, 8L)))
+    // doc1 "ab zq" → a ##b [UNK]: exactly ONE row for the dead word,
+    // pid = 3: n=3, sum=2+0+3=5, possum=1·2+2·0+3·3=11
+    assert(out(1L) == ((3L, 5L, 11L)))
+  }
+
+  test("train on an empty corpus fails with a clear message, not an NPE") {
+    val e = intercept[IllegalArgumentException] {
+      WordPiece.train(docs(Seq("", "   ")), col("text"), nMerges = 1)
+    }
+    assert(e.getMessage.contains("no tokens"), e.getMessage)
+  }
+
   test("training and encoding are invariant under repartitioning") {
     val texts = Seq("the cat sat", "the bat sat on the mat", "cat and bat",
       "satin hat", "thin mat on cat")
