@@ -54,7 +54,16 @@ object Unigram {
     * (score desc, pieces asc, lastLen desc). Single-character closure of
     * the vocabulary guarantees a path exists. */
   private[operators] def viterbi(word: String, vocab: Map[String, Double],
-                                 maxPieceLen: Int): List[String] = {
+                                 maxPieceLen: Int): List[String] =
+    viterbiOpt(word, vocab, maxPieceLen).getOrElse(
+      throw new IllegalArgumentException(
+        s"word '$word' not segmentable — vocabulary lost its character closure"))
+
+  /** [[viterbi]] without the closure requirement: None when the word has
+    * no lattice path (a character outside the vocabulary) — the
+    * byte-fallback trigger in [[encodeStats]]. */
+  private[operators] def viterbiOpt(word: String, vocab: Map[String, Double],
+                                    maxPieceLen: Int): Option[List[String]] = {
     val n = word.length
     val dpS = Array.fill(n + 1)(Double.NegativeInfinity)
     val dpK = Array.fill(n + 1)(Int.MaxValue)
@@ -80,12 +89,13 @@ object Unigram {
       }
       i += 1
     }
-    require(dpS(n) != Double.NegativeInfinity,
-      s"word '$word' not segmentable — vocabulary lost its character closure")
-    var out = List.empty[String]
-    var p = n
-    while (p > 0) { out = word.substring(p - dpL(p), p) :: out; p -= dpL(p) }
-    out
+    if (dpS(n) == Double.NegativeInfinity) None
+    else {
+      var out = List.empty[String]
+      var p = n
+      while (p > 0) { out = word.substring(p - dpL(p), p) :: out; p -= dpL(p) }
+      Some(out)
+    }
   }
 
   /** The distinct-word frequency table (the corpus's only full scan). */
@@ -239,7 +249,9 @@ object Unigram {
     * hash-gateable digest frame (the q103 convention): one row per vocab
     * piece (kind='piece', key=alphabetical id, cnt, fenced logp) and one
     * per document (kind='doc', token count, id sum, position-weighted id
-    * sum over the doc's flattened piece sequence). */
+    * sum over the doc's flattened piece sequence). A word with no lattice
+    * path encodes as its UTF-8 bytes at ids `|pieces| + byte` (byte
+    * fallback — zero-OOV on arbitrary input). */
   def encodeStats(docs: DataFrame, id: Column, text: Column,
                   vocab: Seq[UPiece], maxPieceLen: Int = 4,
                   policy: CheckpointPolicy = CheckpointPolicy.Local): DataFrame = {
@@ -247,14 +259,22 @@ object Unigram {
     import spark.implicits._
     val sorted = vocab.sortBy(_.piece)
     val ids = sorted.zipWithIndex.map { case (p, i) => p.piece -> i.toLong }.toMap
+    // byte-fallback base: ids [|pieces|, |pieces|+256) are the reserved
+    // UTF-8 byte ids for words with no lattice path (zero-OOV encode on
+    // arbitrary input — the [[graft.functions.ByteFallback]] contract)
+    val byteBase = sorted.size.toLong
     val vb = spark.sparkContext.broadcast(
       (sorted.map(p => p.piece -> p.logp).toMap, ids))
     val occ = docs.select(id.cast("long").as("doc_id"),
       posexplode(TextOps.tokens(TextOps.normalized(text))).as(Seq("wpos", "word")))
     val wseg = policy.pin(occ.select("word").distinct().as[String]
       .flatMap { w =>
-        viterbi(w, vb.value._1, maxPieceLen).zipWithIndex
-          .map { case (p, j) => (w, j.toLong, vb.value._2(p)) }
+        viterbiOpt(w, vb.value._1, maxPieceLen) match {
+          case Some(seg) => seg.zipWithIndex
+            .map { case (p, j) => (w, j.toLong, vb.value._2(p)) }
+          case None => graft.functions.ByteFallback.utf8(w).zipWithIndex
+            .map { case (b, j) => (w, j.toLong, byteBase + b) }
+        }
       }.toDF("word", "j", "pid"))
     val pos = occ.join(wseg, Seq("word"))
       .withColumn("pos",

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextOps
@@ -246,6 +247,56 @@ object Vocab {
       .collect() // merge table: ≤ vocabSize rows, kilobytes
       .map(r => BpeMerge(r.getAs[String]("left"), r.getAs[String]("right"),
         r.getAs[Long]("count"))).toSeq
+
+  /** Subword-encode the corpus against a TRAINED merge table + symbol
+    * vocabulary (the persisted-artifact serve path — [[readBpe]] feeds
+    * `merges`; q103's corpus-derived symbol set or any pruned production
+    * vocabulary feeds `vocab`) and emit the q103 digest frame: merge rows
+    * (kind='merge', key=iteration, lft/rgt, n1=count) and doc rows
+    * (kind='doc', n1=token count, n2=id sum, n3=position-weighted id
+    * sum). Ids are the alphabetical ranks of `vocab`; a final symbol NOT
+    * in `vocab` emits its UTF-8 bytes at the reserved ids
+    * `|vocab| + byte` ([[graft.functions.ByteFallback]] — zero-OOV on
+    * arbitrary input, the production-pretraining contract). The encode
+    * chain runs once per DISTINCT word (codegen replace chain), the
+    * byte expansion is a codegen HOF over the unknown symbols only, and
+    * the vocab join is broadcast — scan-speed at any corpus size. */
+  def encodeStatsBpe(docs: DataFrame, id: Column, text: Column,
+                     merges: Seq[BpeMerge], vocab: Seq[String],
+                     policy: CheckpointPolicy = CheckpointPolicy.Local): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sorted = vocab.distinct.sorted
+    val byteBase = sorted.size
+    val vocabDf = sorted.zipWithIndex
+      .map { case (s, i) => (s, i.toLong) }.toDF("sym", "id")
+    val occ = docs.select(id.cast("long").as("doc_id"),
+      posexplode(TextOps.tokens(TextOps.normalized(text))).as(Seq("wpos", "word")))
+    val wsym = policy.pin(occ.select("word").distinct()
+      .select(col("word"), bpeSymbols(col("word"), merges).as("syms")))
+    val syms = policy.pin(occ.join(wsym, Seq("word"))
+      .select(col("doc_id"), col("wpos"),
+        posexplode(col("syms")).as(Seq("j", "sym"))))
+    val tids = syms.join(broadcast(vocabDf), Seq("sym"), "left")
+      .select(col("doc_id"), col("wpos"), col("j"),
+        when(col("id").isNotNull, array(col("id")))
+          .otherwise(graft.functions.ByteFallback.byteIds(col("sym"), byteBase))
+          .as("tids"))
+      .select(col("doc_id"), col("wpos"), col("j"),
+        posexplode(col("tids")).as(Seq("k", "tid")))
+    val pos = tids.withColumn("pos",
+      row_number().over(Window.partitionBy("doc_id").orderBy("wpos", "j", "k"))
+        .cast("long"))
+    val docRows = pos.groupBy("doc_id")
+      .agg(count(lit(1)).as("n1"), sum("tid").as("n2"),
+        sum(col("pos") * col("tid")).as("n3"))
+      .select(lit("doc").as("kind"), col("doc_id").cast("long").as("key"),
+        lit("").as("lft"), lit("").as("rgt"), col("n1"), col("n2"), col("n3"))
+    val mergeRows = merges.zipWithIndex.map { case (m, i) =>
+        ("merge", (i + 1).toLong, m.left, m.right, m.count, 0L, 0L) }
+      .toDF("kind", "key", "lft", "rgt", "n1", "n2", "n3")
+    mergeRows.unionByName(docRows).orderBy("kind", "key")
+  }
 
   /** Per-doc encoding digests against `vocab` (UNK id = vocab size):
     * (doc_id, n_tok, n_unk, sum_ids, possum_ids) where

@@ -190,8 +190,10 @@ object WordPiece {
     * lft/rgt, n1=cnt, n2=cnt_left, n3=cnt_right — the score's exact
     * integers), piece rows (kind='piece', key=alphabetical id,
     * lft=piece), and doc rows (kind='doc', n1=token count, n2=id sum,
-    * n3=position-weighted id sum; UNK id = |pieces|). Segmentation runs
-    * once per DISTINCT word with the broadcast inventory. */
+    * n3=position-weighted id sum). A word MaxMatch cannot cover emits
+    * its UTF-8 bytes at ids `|pieces| + byte` (byte fallback — zero-OOV
+    * on arbitrary input, no [UNK]). Segmentation runs once per DISTINCT
+    * word with the broadcast inventory. */
   def encodeStats(docs: DataFrame, id: Column, text: Column,
                   merges: Seq[WpMerge], inventory: Seq[String],
                   policy: CheckpointPolicy = CheckpointPolicy.Local): DataFrame = {
@@ -199,7 +201,11 @@ object WordPiece {
     import spark.implicits._
     val sorted = inventory.distinct.sorted
     val ids = sorted.zipWithIndex.map { case (p, i) => p -> i.toLong }.toMap
-    val unkId = sorted.size.toLong
+    // byte-fallback base: the 256 reserved byte ids live in
+    // [|pieces|, |pieces|+256) — a word MaxMatch cannot cover encodes as
+    // its UTF-8 bytes instead of an [UNK] (zero-OOV on any input; the
+    // [[graft.functions.ByteFallback]] contract)
+    val byteBase = sorted.size.toLong
     val vb = spark.sparkContext.broadcast((sorted.toSet, ids))
     val occ = docs.select(id.cast("long").as("doc_id"),
       posexplode(TextOps.tokens(TextOps.normalized(text))).as(Seq("wpos", "word")))
@@ -208,7 +214,8 @@ object WordPiece {
         maxMatch(w, vb.value._1) match {
           case Some(seg) => seg.zipWithIndex.map { case (p, j) =>
             (w, j.toLong, vb.value._2(p)) }
-          case None => Seq((w, 0L, unkId))
+          case None => graft.functions.ByteFallback.utf8(w).zipWithIndex
+            .map { case (b, j) => (w, j.toLong, byteBase + b) }
         }
       }.toDF("word", "j", "pid"))
     val pos = occ.join(wseg, Seq("word"))

@@ -2147,6 +2147,44 @@ object Oracles {
 
   val q103: String = bpeOracle(40)
 
+  /** q138: byte-fallback BPE encode — q103's 40-merge chain served with
+    * the corpus symbol vocabulary MINUS every 'e'-bearing symbol; a
+    * pruned-away symbol emits its UTF-8 bytes at ids `|vocab| + byte`
+    * (hex-digit arithmetic — the md5 device pointed at `hex(encode(sym))`),
+    * interleaved into the (word, symbol, byte) position order. */
+  val q138: String =
+    s"""
+    WITH ${bpeChainCtes(40)},
+    d3 AS MATERIALIZED (SELECT doc_id, wpos, j, syms[j] AS sym
+           FROM (SELECT doc_id, wpos, syms,
+                   unnest(generate_series(1, len(syms))) AS j
+                 FROM d3a)),
+    vid AS MATERIALIZED (
+        SELECT sym, CAST(row_number() OVER (ORDER BY sym) - 1 AS BIGINT) AS id
+        FROM (SELECT DISTINCT sym FROM d3) WHERE sym NOT LIKE '%e%'),
+    e2 AS (SELECT d3.doc_id, d3.wpos, d3.j, 0 AS k, v.id AS tid
+           FROM d3 JOIN vid v USING (sym)
+           UNION ALL
+           SELECT doc_id, wpos, j, k,
+             (SELECT count(*) FROM vid)
+             + (strpos('0123456789abcdef',
+                  substr(lower(hex(encode(sym))), 2 * k - 1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef',
+                  substr(lower(hex(encode(sym))), 2 * k, 1)) - 1) AS tid
+           FROM (SELECT doc_id, wpos, j, sym,
+                   unnest(generate_series(1, octet_length(encode(sym)))) AS k
+                 FROM d3 WHERE sym NOT IN (SELECT sym FROM vid))),
+    e3 AS (SELECT doc_id, CAST(tid AS BIGINT) AS tid,
+             CAST(row_number() OVER (PARTITION BY doc_id ORDER BY wpos, j, k) AS BIGINT) AS pos
+           FROM e2),
+    docrows AS (SELECT 'doc' AS kind, CAST(doc_id AS BIGINT) AS key,
+                  '' AS lft, '' AS rgt,
+                  CAST(count(*) AS BIGINT) AS n1, CAST(sum(tid) AS BIGINT) AS n2,
+                  CAST(sum(pos * tid) AS BIGINT) AS n3
+                FROM e3 GROUP BY doc_id)
+    SELECT * FROM (${bpeMergeRowsSql(40)} UNION ALL SELECT * FROM docrows)
+    ORDER BY kind, key"""
+
   // Sequence packing over REAL BPE token counts (the q103 chain's bcnt —
   // budgets denominated in what a subword tokenizer would emit, not the
   // whitespace heuristic), then the plain window-cumsum replay of the
@@ -2811,18 +2849,36 @@ object Oracles {
     d2 AS (SELECT doc_id, i AS wpos, toks[i] AS word
            FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i
                  FROM d1)),
-    d3a AS MATERIALIZED (SELECT d2.doc_id, d2.wpos, s.seg
-           FROM d2 JOIN segs$rounds s USING (word)),
-    d3 AS (SELECT doc_id, wpos, j, seg[j] AS piece
+    d3a AS MATERIALIZED (SELECT d2.doc_id, d2.wpos, d2.word, s.seg
+           FROM d2 LEFT JOIN segs$rounds s USING (word)),"""
+    // A word with no lattice path never backtracks to pos = 0, so it
+    // falls out of segs; the operator byte-falls-back (ids |vocabf| +
+    // byte), and the oracle synthesizes the same rows from the LEFT-join
+    // miss. Unreachable for q125's closed corpus (single-char closure).
+    sb ++= s"""
+    d3 AS (SELECT doc_id, wpos, j, seg[j] AS piece, CAST(NULL AS BIGINT) AS bid
            FROM (SELECT doc_id, wpos, seg,
-                   unnest(generate_series(1, len(seg))) AS j FROM d3a)),
-    d4 AS (SELECT doc_id, piece,
+                   unnest(generate_series(1, len(seg))) AS j FROM d3a
+                 WHERE seg IS NOT NULL)
+           UNION ALL
+           SELECT doc_id, wpos, k AS j, NULL AS piece,
+             CAST((SELECT count(*) FROM vocabf)
+             + (strpos('0123456789abcdef',
+                  substr(lower(hex(encode(word))), 2 * k - 1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef',
+                  substr(lower(hex(encode(word))), 2 * k, 1)) - 1) AS BIGINT) AS bid
+           FROM (SELECT doc_id, wpos, word,
+                   unnest(generate_series(1, octet_length(encode(word)))) AS k
+                 FROM d3a WHERE seg IS NULL)),
+    d4 AS (SELECT doc_id, piece, bid,
              CAST(row_number() OVER (PARTITION BY doc_id ORDER BY wpos, j) AS BIGINT) AS pos
            FROM d3),
     docrows AS (SELECT 'doc' AS kind, CAST(doc_id AS BIGINT) AS key, '' AS piece,
-                  CAST(count(*) AS BIGINT) AS n1, CAST(sum(id) AS BIGINT) AS n2,
-                  CAST(sum(pos * id) AS BIGINT) AS n3, CAST(0.0 AS DOUBLE) AS f1
-                FROM d4 JOIN vocabf USING (piece) GROUP BY doc_id),
+                  CAST(count(*) AS BIGINT) AS n1,
+                  CAST(sum(COALESCE(id, bid)) AS BIGINT) AS n2,
+                  CAST(sum(pos * COALESCE(id, bid)) AS BIGINT) AS n3,
+                  CAST(0.0 AS DOUBLE) AS f1
+                FROM d4 LEFT JOIN vocabf USING (piece) GROUP BY doc_id),
     piecerows AS (SELECT 'piece' AS kind, id AS key, piece, cnt AS n1,
                     CAST(0 AS BIGINT) AS n2, CAST(0 AS BIGINT) AS n3, lp AS f1
                   FROM vocabf)
@@ -3001,30 +3057,38 @@ object Oracles {
     d2 AS (SELECT doc_id, i AS wpos, toks[i] AS word
            FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i
                  FROM d1)),
-    d3a AS MATERIALIZED (SELECT d2.doc_id, d2.wpos, g.seg
+    d3a AS MATERIALIZED (SELECT d2.doc_id, d2.wpos, d2.word, g.seg
             FROM d2 LEFT JOIN g$maxLen g USING (word)),"""
     // A word MaxMatch could not cover falls out of the g-chain (no
-    // pos = length(word) row survives the walk); the operator emits ONE
-    // [UNK] row for it (id = |vid|), so the oracle synthesizes the same
-    // row from the LEFT-join miss below. Unreachable for q130's closed
-    // corpus, where every initial symbol is in vid. (Scala comment, not
-    // SQL `--`: oracle strings are whitespace-collapsed to one line.)
+    // pos = length(word) row survives the walk); the operator encodes it
+    // as its UTF-8 BYTES at ids |vid| + byte (byte fallback, zero-OOV),
+    // so the oracle synthesizes those rows from the LEFT-join miss with
+    // hex-digit arithmetic. Unreachable for q130's closed corpus, where
+    // every initial symbol is in vid. (Scala comment, not SQL `--`:
+    // oracle strings are whitespace-collapsed to one line.)
     sb ++= s"""
-    d3 AS (SELECT doc_id, wpos, j, seg[j] AS piece
+    d3 AS (SELECT doc_id, wpos, j, seg[j] AS piece, CAST(NULL AS BIGINT) AS bid
            FROM (SELECT doc_id, wpos, seg,
                    unnest(generate_series(1, len(seg))) AS j FROM d3a
                  WHERE seg IS NOT NULL)
            UNION ALL
-           SELECT doc_id, wpos, 1 AS j, NULL AS piece
-           FROM d3a WHERE seg IS NULL),
-    d4 AS (SELECT doc_id, piece,
+           SELECT doc_id, wpos, k AS j, NULL AS piece,
+             CAST((SELECT count(*) FROM vid)
+             + (strpos('0123456789abcdef',
+                  substr(lower(hex(encode(word))), 2 * k - 1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef',
+                  substr(lower(hex(encode(word))), 2 * k, 1)) - 1) AS BIGINT) AS bid
+           FROM (SELECT doc_id, wpos, word,
+                   unnest(generate_series(1, octet_length(encode(word)))) AS k
+                 FROM d3a WHERE seg IS NULL)),
+    d4 AS (SELECT doc_id, piece, bid,
              CAST(row_number() OVER (PARTITION BY doc_id ORDER BY wpos, j) AS BIGINT) AS pos
            FROM d3),
     docrows AS (SELECT 'doc' AS kind, CAST(doc_id AS BIGINT) AS key,
                   '' AS lft, '' AS rgt,
                   CAST(count(*) AS BIGINT) AS n1,
-                  CAST(sum(COALESCE(id, (SELECT count(*) FROM vid))) AS BIGINT) AS n2,
-                  CAST(sum(pos * COALESCE(id, (SELECT count(*) FROM vid))) AS BIGINT) AS n3
+                  CAST(sum(COALESCE(id, bid)) AS BIGINT) AS n2,
+                  CAST(sum(pos * COALESCE(id, bid)) AS BIGINT) AS n3
                 FROM d4 LEFT JOIN vid USING (piece) GROUP BY doc_id),
     piecerows AS (SELECT 'piece' AS kind, id AS key, piece AS lft, '' AS rgt,
                     CAST(0 AS BIGINT) AS n1, CAST(0 AS BIGINT) AS n2,
@@ -3496,6 +3560,7 @@ object Oracles {
     // q136: the Avro round-trip gate is the ORC one — the format changes,
     // the parquet-original digests the read must reproduce do not.
     "q136_avro_source" -> q122,
-    "q137_langid_trained" -> q137
+    "q137_langid_trained" -> q137,
+    "q138_bpe_byte_fallback" -> q138
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

@@ -1899,6 +1899,35 @@ object Queries {
     mergeDf.unionByName(docRows).orderBy("kind", "key")
   }
 
+  /** q138: BPE encode with BYTE FALLBACK against a pruned vocabulary
+    * ([[Vocab.encodeStatsBpe]] — the persisted-artifact serve path).
+    * Production pretraining tokenizers must encode arbitrary UTF-8 with
+    * zero OOV loss; here the q103 merges are served with the corpus
+    * symbol vocabulary MINUS every 'e'-bearing symbol, so a deterministic
+    * slice of real symbols has no id and must emit its UTF-8 bytes at the
+    * reserved ids `|vocab| + byte` instead of an [UNK]/drop. The oracle
+    * replays the whole thing: the 40-merge chain, the pruned alphabetical
+    * id table, the per-symbol vocab-vs-bytes branch (hex-digit
+    * arithmetic), and the flattened (word, symbol, byte) position
+    * order — any defect in the fallback trigger, the byte ids, or the
+    * position interleave breaks the hash. */
+  def q138BpeByteFallback(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val merges = bpeMergesFor(s, d)
+    val docs = Tables.documents(s, d)
+    // corpus final-symbol vocabulary (bounded by |alphabet| + nMerges —
+    // a documented kilobyte driver pull), then the deterministic prune
+    val symSet = docs
+      .select(posexplode(TextOps.tokens(TextOps.normalized(col("text"))))
+        .as(Seq("wpos", "word")))
+      .select("word").distinct()
+      .select(explode(Vocab.bpeSymbols(col("word"), merges)).as("sym"))
+      .distinct().as[String].collect()
+    val pruned = symSet.filterNot(_.contains("e")).toSeq
+    Vocab.encodeStatsBpe(docs, col("doc_id"), col("text"), merges, pruned,
+      policy = CheckpointPolicy.fromSession(s))
+  }
+
   /** Corpus drift monitoring ([[Profiling.drift]]): even-doc_id docs play
     * yesterday's snapshot, odd play today's. Numeric drift (token count,
     * char count) as 10-bin PSI histograms over the combined range,

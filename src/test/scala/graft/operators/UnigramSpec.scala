@@ -53,6 +53,27 @@ class UnigramSpec extends SparkSpec {
     assert(out(("doc", 1L)) == (("", 3L, 9L, 21L, 0.0)))
   }
 
+  test("encodeStats byte-falls-back for words with no lattice path") {
+    val docs = Seq((0L, "ab ab cd"), (1L, "ab cd cd")).toDF("doc_id", "text")
+    val vocab = Unigram.train(docs, col("text"), vocabSize = 6,
+      maxPieceLen = 2, minCount = 1, seedCap = 10, rounds = 1)
+    // ids: a=0, ab=1, b=2, c=3, cd=4, d=5; byte base = 6
+    val oov = Seq((0L, "ab x9 cd")).toDF("doc_id", "text")
+    val out = Unigram.encodeStats(oov, col("doc_id"), col("text"), vocab,
+        maxPieceLen = 2)
+      .filter(col("kind") === "doc").collect()(0)
+    // "x9" has no lattice path → UTF-8 bytes: x=0x78→6+120=126, 9=0x39→6+57=63
+    // tokens: ab(1) 126 63 cd(4): n=4, idsum=1+126+63+4=194,
+    // possum=1·1+2·126+3·63+4·4=458
+    assert((out.getLong(3), out.getLong(4), out.getLong(5)) == ((4L, 194L, 458L)))
+    // viterbi (the training path) still fails LOUDLY — closure is a
+    // training invariant, only the encode path byte-falls-back
+    val e = intercept[IllegalArgumentException] {
+      Unigram.viterbi("x9", vocab.map(p => p.piece -> p.logp).toMap, 2)
+    }
+    assert(e.getMessage.contains("not segmentable"))
+  }
+
   test("training is deterministic under repartitioning and words stay coverable") {
     val docs = Seq((0L, "the quick brown fox"), (1L, "the lazy dog dog"),
       (2L, "quick quick brown")).toDF("doc_id", "text")

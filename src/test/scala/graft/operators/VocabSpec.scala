@@ -159,6 +159,35 @@ class VocabSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("encodeStatsBpe: closed-form digests with a covering vocab, " +
+      "byte fallback for pruned symbols") {
+    val d = Seq((0L, "ab ab"), (1L, "ab cd")).toDF("doc_id", "text")
+    // 1 merge on counts: pairs (a,b)=3, (c,d)=1 → merge (a,b)
+    val merges = Vocab.bpeTrain(d, col("text"), nMerges = 1)
+    assert(merges.map(m => (m.left, m.right)) == Seq(("a", "b")))
+    // final symbols: ab, c, d → sorted ids ab=0, c=1, d=2
+    val full = Seq("ab", "c", "d")
+    val out = Vocab.encodeStatsBpe(d, col("doc_id"), col("text"), merges, full)
+      .filter(col("kind") === "doc")
+      .collect().map(r => r.getLong(1) -> ((r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    // doc0 = [ab, ab]: n=2, sum=0, possum=0; doc1 = [ab, c, d]:
+    // n=3, sum=0+1+2=3, possum=1·0+2·1+3·2=8
+    assert(out(0L) == ((2L, 0L, 0L)))
+    assert(out(1L) == ((3L, 3L, 8L)))
+    // prune 'ab' out of the vocab: ids c=0, d=1, base=2; the 'ab' symbol
+    // now emits its UTF-8 bytes a=0x61→2+97=99, b=0x62→2+98=100
+    val pruned = Seq("c", "d")
+    val out2 = Vocab.encodeStatsBpe(d, col("doc_id"), col("text"), merges, pruned)
+      .filter(col("kind") === "doc")
+      .collect().map(r => r.getLong(1) -> ((r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    // doc0 = [99,100, 99,100]: n=4, sum=398, possum=1·99+2·100+3·99+4·100=996
+    assert(out2(0L) == ((4L, 398L, 996L)))
+    // doc1 = [99,100, 0, 1]: n=4, sum=200, possum=99+200+0+4=303
+    assert(out2(1L) == ((4L, 200L, 303L)))
+  }
+
   test("encode digests are invariant to input partitioning") {
     val many = (0L until 200L)
       .map(i => (i, s"tok${i % 7} tok${i % 3} tok${i % 7} filler$i"))

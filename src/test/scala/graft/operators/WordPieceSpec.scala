@@ -72,7 +72,7 @@ class WordPieceSpec extends SparkSpec {
     }
   }
 
-  test("encodeStats: digests match a hand computation, UNK id = |pieces|") {
+  test("encodeStats: digests match a hand computation") {
     val d = docs(Seq("ab ab", "ab zq"))
     val m = WordPiece.train(d, col("text"), nMerges = 1)
     // counts: a=3... words: ab(freq 3), zq(1): symbols a=3,##b=3,z=1,##q=1
@@ -94,7 +94,7 @@ class WordPieceSpec extends SparkSpec {
     assert(docRows(1L) == ((3L, 6L, 14L)))
   }
 
-  test("encodeStats against a PRUNED inventory takes the UNK path") {
+  test("encodeStats against a PRUNED inventory byte-falls-back, no [UNK]") {
     val d = docs(Seq("ab ab", "ab zq"))
     val m = WordPiece.train(d, col("text"), nMerges = 1)
     val inv = WordPiece.pieces(d, col("text"), m)
@@ -105,12 +105,45 @@ class WordPieceSpec extends SparkSpec {
       .filter(col("kind") === "doc")
       .collect().map(r => r.getLong(1) -> ((r.getLong(4), r.getLong(5), r.getLong(6))))
       .toMap
-    // ids over pruned: ##b=0, ##q=1, a=2; unkId = 3 (= |pieces|)
+    // ids over pruned: ##b=0, ##q=1, a=2; byte base = 3 (= |pieces|)
     // doc0 "ab ab" → a ##b a ##b: n=4, sum=4, possum=8 (unchanged)
     assert(out(0L) == ((4L, 4L, 8L)))
-    // doc1 "ab zq" → a ##b [UNK]: exactly ONE row for the dead word,
-    // pid = 3: n=3, sum=2+0+3=5, possum=1·2+2·0+3·3=11
-    assert(out(1L) == ((3L, 5L, 11L)))
+    // doc1 "ab zq" → a ##b then the dead word's UTF-8 BYTES:
+    // 'z'=0x7a→3+122=125, 'q'=0x71→3+113=116; n=4, sum=2+0+125+116=243,
+    // possum=1·2+2·0+3·125+4·116=841
+    assert(out(1L) == ((4L, 243L, 841L)))
+  }
+
+  test("byte fallback: arbitrary post-normalization input never drops " +
+      "a word, never emits [UNK], and byte ids decode back") {
+    val d = docs(Seq("ab ab", "ab zq"))
+    val m = WordPiece.train(d, col("text"), nMerges = 1)
+    val inv = WordPiece.pieces(d, col("text"), m)
+    val base = inv.size
+    // random words over the FULL pre-tokenizer alphabet [a-z0-9] — far
+    // outside the {a,b,z,q} training inventory (raw CJK/emoji are
+    // stripped by TextOps.normalized before tokenization, the pipeline's
+    // pre-tokenization contract; fallback covers everything after it)
+    val rnd = new scala.util.Random(23)
+    val alphabet = "abzq0123456789xkw"
+    val weird = (0 until 40).map(_ =>
+      (0 to rnd.nextInt(6)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val fd = docs(weird.grouped(5).map(_.mkString(" ")).toSeq)
+    val rows = WordPiece.encodeStats(fd, col("doc_id"), col("text"), m, inv)
+      .filter(col("kind") === "doc")
+      .collect().map(r => (r.getLong(1), r.getLong(4)))
+    // every doc emits at least its word count in tokens (nothing dropped)
+    val wordsPerDoc = weird.grouped(5).map(_.count(_.nonEmpty)).toSeq
+    rows.foreach { case (docId, n) =>
+      assert(n >= wordsPerDoc(docId.toInt), s"doc $docId lost words") }
+    // and a known OOV word round-trips through its byte ids exactly
+    val seg = WordPiece.encodeStats(docs(Seq("x9")), col("doc_id"), col("text"), m, inv)
+      .filter(col("kind") === "doc").collect()
+    val bytes = "x9".getBytes("UTF-8").map(b => (b & 0xff).toLong + base)
+    assert(seg(0).getLong(4) == bytes.length.toLong)
+    assert(seg(0).getLong(5) == bytes.sum)
+    assert(seg(0).getLong(6) ==
+      bytes.zipWithIndex.map { case (v, i) => (i + 1) * v }.sum)
   }
 
   test("train on an empty corpus fails with a clear message, not an NPE") {
