@@ -54,7 +54,7 @@ class PlanGuardsSpec extends SparkSpec {
     "q41_multi_distinct", "q42_stratified_sample", "q43_contamination",
     "q45_quality_gate", "q46_repetition", "q47_range_join",
     "q49_interp_join", "q107_flac_roundtrip", "q109_ranking_metrics",
-    "q124_gap_fill", "q126_ewma")
+    "q124_gap_fill", "q126_ewma", "q135_cube")
 
   test("no lazily-constructed query plans a cartesian product") {
     lazyOnes.foreach { name =>
@@ -74,7 +74,7 @@ class PlanGuardsSpec extends SparkSpec {
     // scale trap (q48 lesson: 115 s vs 2 s at sf0.1). q37 (CUBE is Expand by
     // definition) and q41 (the deliberate multi-distinct surface) are the
     // two documented exceptions.
-    val exceptions = Set("q37_cube", "q41_multi_distinct")
+    val exceptions = Set("q37_cube", "q41_multi_distinct", "q135_cube")
     lazyOnes.filterNot(exceptions).foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf001)
       assert(expandNodes(df).isEmpty,
