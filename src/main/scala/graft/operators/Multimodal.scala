@@ -23,13 +23,15 @@ case class MediaFeaturesSafe(media_id: Long, kind: String, n_bytes: Long,
   * Real decoders: [[WavPcmDecoder]] (RIFF/16-bit PCM, plain byte walk),
   * [[PgmDecoder]] (netpbm P5, plain byte walk), [[ImageIoDecoder]]
   * (PNG/JPEG/BMP/GIF via the JDK's bundled `javax.imageio` readers — no
-  * external codec dependency), and [[graft.operators.Flac]] — a
-  * spec-complete pure-JVM codec for the one COMPRESSED audio format whose
-  * spec is fully algorithmic (lossless, so the q107 gate is exact).
-  * MP3/AAC/H264 sample decode stays behind [[StubDecoder]]: their specs
-  * normatively tabulate Huffman codebooks and synthesis windows as data
-  * that cannot be verifiably re-derived offline, and the JRE ships no such
-  * codecs — the stub produces deterministic pseudo-features from the
+  * external codec dependency), [[graft.operators.Flac]] — a spec-complete
+  * pure-JVM codec for the one COMPRESSED audio format whose spec is fully
+  * algorithmic (lossless, so the q107 gate is exact) — and, since round 9,
+  * [[graft.operators.Mp3]]: a Layer III SAMPLE decoder with the full
+  * normative pipeline (reservoir, Huffman, requantize, IMDCT, polyphase)
+  * whose validated-transcription boundaries are documented in its own
+  * scaladoc. AAC/H264 sample decode stays behind [[StubDecoder]] (their
+  * codebook data cannot be verified offline, and the JRE ships no such
+  * codecs) — the stub produces deterministic pseudo-features from the
   * payload bytes until a [[DecoderProvider]] codec pack replaces it. Everything
   * Spark-side is real and tested — schema, batch shape (per-partition
   * iterator, so a decoder amortizes codec/model init per partition exactly
@@ -224,6 +226,40 @@ object Multimodal {
       }
       bits
     }
+  }
+
+  /** [[WavPcmDecoder.envelopeHash64]]'s exact integer construction over
+    * in-memory signed 16-bit samples — the shared core for decoders that
+    * PRODUCE PCM rather than carry it (FLAC, MP3): Σq² per window,
+    * strictly-increasing transition bits. Same windowing (first
+    * frames·⌊n/frames⌋ samples), same comparisons, so an mp3 and a wav
+    * encoding of the same clip hash to nearby (lossy) or identical
+    * (lossless) fingerprints. */
+  def envelopeHashSamples(samples: Array[Short], frames: Int = 33): Long = {
+    require(frames >= 2 && frames <= 65, "need 2..65 envelope frames")
+    val n = samples.length
+    val win = n / frames
+    require(win >= 1, s"need >= $frames samples, got $n")
+    val e = new Array[Long](frames)
+    var k = 0
+    while (k < frames) {
+      var s = 0L
+      var j = 0
+      while (j < win) {
+        val q = samples(k * win + j).toLong
+        s += q * q
+        j += 1
+      }
+      e(k) = s
+      k += 1
+    }
+    var bits = 0L
+    var i = 1
+    while (i < frames) {
+      if (e(i) > e(i - 1)) bits |= 1L << (i - 1)
+      i += 1
+    }
+    bits
   }
 
   /** Encode 16-bit mono PCM samples as a WAV payload (the synthesis half

@@ -843,7 +843,9 @@ object Oracles {
            CAST(count(*) * 1152 * 1000 // 44100 AS BIGINT) AS dur_ms,
            CAST(count(*) AS BIGINT) AS xing_frames,
            CAST(sum(144000 * kbps // 44100 + pad) AS BIGINT) AS xing_bytes,
-           CAST(count(*) * 1152 * 1000 // 44100 AS BIGINT) AS xing_dur_ms
+           CAST(count(*) * 1152 * 1000 // 44100 AS BIGINT) AS xing_dur_ms,
+           CAST((1 + user_id % 3) * 1152 AS BIGINT) AS dec_n,
+           CAST(0 AS BIGINT) AS dec_abs_sum
     FROM f GROUP BY user_id ORDER BY user_id"""
 
   // MP4 metadata round-trip: replays the duration/dims derivations from the
@@ -2146,6 +2148,31 @@ object Oracles {
   }
 
   val q103: String = bpeOracle(40)
+
+  /** q139: mp3 fingerprint dedup — the pair list and the 32-bit arithmetic
+    * envelope fingerprint replayed from the supplier table. Planted twins
+    * are ×2-amplitude copies (suppkey % 4 = 1, id + 200000) that collide
+    * at Hamming 0 THROUGH the lossy codec (exact global_gain+4 linearity);
+    * the Spark side's decode-derived pairing must emit exactly these rows,
+    * and `ah_a` pins the Knuth-hash-driven transition bits: odd windows
+    * carry hash bit (w-1)/2, even windows return to MID (inverted bit). */
+  val q139: String = """
+    WITH t AS (SELECT CAST(s_suppkey AS BIGINT) AS s,
+                      (CAST(s_suppkey AS BIGINT) * 2654435761) % 4294967296 AS h
+               FROM supplier WHERE s_suppkey % 4 = 1),
+    bits AS (SELECT s, w,
+                    CASE WHEN w % 2 = 1 THEN (h >> CAST((w - 1) // 2 AS INT)) & 1
+                         ELSE 1 - ((h >> CAST((w - 2) // 2 AS INT)) & 1) END AS b
+             FROM t, (SELECT unnest(generate_series(1, 32)) AS w)),
+    ah AS (SELECT s, CAST(sum(b * (1::BIGINT << CAST(w - 1 AS INT))) AS BIGINT) AS ah_a
+           FROM bits GROUP BY s)
+    SELECT s AS id_a,
+           s + 200000 AS id_b,
+           CAST(0 AS BIGINT) AS hamming,
+           ah_a,
+           CAST(1 AS BIGINT) AS a_ok,
+           CAST(1 AS BIGINT) AS b_ok
+    FROM ah ORDER BY id_a"""
 
   /** q138: byte-fallback BPE encode — q103's 40-merge chain served with
     * the corpus symbol vocabulary MINUS every 'e'-bearing symbol; a
@@ -3561,6 +3588,7 @@ object Oracles {
     // the parquet-original digests the read must reproduce do not.
     "q136_avro_source" -> q122,
     "q137_langid_trained" -> q137,
-    "q138_bpe_byte_fallback" -> q138
+    "q138_bpe_byte_fallback" -> q138,
+    "q139_mp3_fingerprint_dedup" -> q139
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

@@ -927,12 +927,26 @@ object Queries {
           val (xf, xb) = dec.vbrInfo(
             Multimodal.encodeMp3Frames(spec, xingHeader = true))
             .getOrElse((-1L, -1L))
+          // SAMPLE-decode second stage (round 9): a real Layer III stream
+          // (1 + u%3 frames of silence at this user's bitrate index) runs
+          // the FULL graft.operators.Mp3 decode chain — header, side info,
+          // Huffman, requantize, IMDCT, polyphase synthesis. Silence is
+          // exactly linear-zero through every stage, so the decoded sample
+          // count AND the absolute sample sum are integer-replayable.
+          val nsil = (1 + u % 3).toInt
+          val silent = Mp3.decode(
+            Mp3.encodeMono(
+              new Array[Double](nsil * 1152), (1 + u % 14).toInt))
+          var absSum = 0L
+          val s16 = silent.mixedS16
+          var si = 0
+          while (si < s16.length) { absSum += math.abs(s16(si).toLong); si += 1 }
           (u, frames, sumKbps, sumBytes, samples * 1000L / sr,
-            xf, xb, xf * 1152L * 1000L / 44100L)
+            xf, xb, xf * 1152L * 1000L / 44100L, silent.frames.toLong, absSum)
         }
       }
       .toDF("user_id", "n_frames", "sum_kbps", "sum_bytes", "dur_ms",
-        "xing_frames", "xing_bytes", "xing_dur_ms")
+        "xing_frames", "xing_bytes", "xing_dur_ms", "dec_n", "dec_abs_sum")
       .orderBy("user_id")
   }
 
@@ -3175,5 +3189,76 @@ object Queries {
     val (m, inv) = wordPieceFor(s, d)
     WordPiece.encodeStats(Tables.documents(s, d), col("doc_id"), col("text"),
       m, inv, policy = CheckpointPolicy.fromSession(s))
+  }
+
+  /** q139: audio fingerprint dedup over COMPRESSED (Layer III) payloads —
+    * q95's lossy twin, proving [[Mp3]] sample decode feeds
+    * [[Dedup.hammingNearDupPairs]] end to end. Per supplier, a 33-window
+    * burst clip whose window amplitudes alternate MID(16) / EXTREME(30|2)
+    * on the bits of a Knuth multiplicative hash of the supplier key, so
+    * every one of the 32 energy-envelope transition bits is determined by
+    * supplier arithmetic with huge margins (≥3.5× energy ratios — codec
+    * smearing cannot flip them). The clip is ENCODED to a real MP3 stream,
+    * SAMPLE-DECODED back, delay-trimmed, and fingerprinted with the same
+    * integer construction as the WAV path. Planted twins are exact
+    * ×2-amplitude copies: the quantizer's global_gain shifts by exactly 4
+    * (2^(gg/4) step), making the quantized spectrum IDENTICAL, the decode
+    * exactly 2× — so twins collide at Hamming 0 THROUGH the lossy codec.
+    * Distinct suppliers differ in ≥2 bits (each hash bit drives two
+    * transitions), so radius-1 MIH pairing emits exactly the planted
+    * pairs. The oracle replays the pair list AND the 32-bit arithmetic
+    * fingerprint (`ah_a`) from the supplier table. */
+  def q139Mp3FingerprintDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sup = Tables.supplier(s, d)
+      .select(col("s_suppkey").cast("long")).as[Long]
+    val clips = sup.flatMap { k =>
+      if (k % 4 == 1) Seq((k, 1.0), (k + 200000L, 2.0)) else Seq((k, 1.0))
+    }
+    val hashed = clips
+      .repartition(s.sparkContext.defaultParallelism, col("_1"))
+      .map { case (id, scale) =>
+        val sk = if (id >= 200000L) id - 200000L else id
+        val h = (sk * 2654435761L) & 0xFFFFFFFFL
+        def amp(w: Int): Double =
+          if (w % 2 == 0) 16.0
+          else if (((h >> ((w - 1) / 2)) & 1L) == 1L) 30.0 else 2.0
+        val freq = 500.0 + (sk % 5) * 400.0
+        val n = 33 * 1152
+        val x = new Array[Double](n + 1152) // one tail frame of silence
+        var i = 0
+        while (i < n) {
+          x(i) = scale * (amp(i / 1152) / 100.0) *
+            math.sin(2 * math.Pi * freq * i / 44100.0)
+          i += 1
+        }
+        val dec = Mp3.decode(Mp3.encodeMono(x))
+        val s16 = dec.mixedS16
+        val trimmed = new Array[Short](n)
+        System.arraycopy(s16, Mp3.CodecDelay, trimmed, 0, n)
+        val mp3Hash = Multimodal.envelopeHashSamples(trimmed)
+        // the arithmetic fingerprint the oracle replays: odd windows carry
+        // hash bit j=(w-1)/2, even windows return to MID (inverted bit)
+        var arith = 0L
+        var w = 1
+        while (w <= 32) {
+          val bit = if (w % 2 == 1) (h >> ((w - 1) / 2)) & 1L
+            else 1L - ((h >> ((w - 2) / 2)) & 1L)
+          arith |= bit << (w - 1)
+          w += 1
+        }
+        val ok = if (java.lang.Long.bitCount(mp3Hash ^ arith) <= 4) 1L else 0L
+        (id, mp3Hash, arith, ok)
+      }.toDF("doc_id", "sh", "ah", "ok")
+    val pinned = CheckpointPolicy.fromSession(s).pin(hashed)
+    val flags = pinned.select(col("doc_id"), col("ah"), col("ok"))
+    Dedup.hammingNearDupPairs(pinned.select("doc_id", "sh"), maxHamming = 1,
+        policy = CheckpointPolicy.fromSession(s))
+      .join(flags.select(col("doc_id").as("id_a"), col("ah").as("ah_a"),
+        col("ok").as("a_ok")), "id_a")
+      .join(flags.select(col("doc_id").as("id_b"), col("ok").as("b_ok")), "id_b")
+      .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"),
+        col("ah_a"), col("a_ok"), col("b_ok"))
+      .orderBy("id_a", "id_b")
   }
 }
