@@ -533,20 +533,38 @@ object Mp3 {
   // ------------------------------------------------------------------
 
   /** Encode PCM (per-channel doubles, 44.1 kHz) as MPEG-1 Layer III.
-    * Mono (1 channel) or stereo L/R (2 channels, mode 0, no joint coding).
-    * Quantized values are capped at |5| (tables 7-9), so fidelity is
-    * deliberately coarse (~15-25 dB) — these are structural test streams,
-    * not transparent audio. */
-  def encode(channelsPcm: Array[Array[Double]], bitrateIdx: Int = 14): Array[Byte] = {
+    * Mono (1 channel) or stereo (2 channels): plain L/R (mode 0) or, with
+    * `jointMs`, MS joint stereo (mode 1, mode_ext 2 — exercises the
+    * decoder's mid/side reconstruction). With `shortBlocks` every granule
+    * is block_type 2 (window switching), exercising the decoder's short
+    * IMDCT + sfb-major→subband-major reorder end to end. Quantized values
+    * are capped at |5| (tables 7-9), so fidelity is deliberately coarse
+    * (~15-25 dB) — these are structural test streams, not transparent
+    * audio. */
+  def encode(channelsPcm: Array[Array[Double]], bitrateIdx: Int = 14,
+      jointMs: Boolean = false, shortBlocks: Boolean = false): Array[Byte] = {
     require(channelsPcm.nonEmpty && channelsPcm.length <= 2, "1 or 2 channels")
     require(bitrateIdx >= 1 && bitrateIdx <= 14, "bitrate index 1..14")
     val nch = channelsPcm.length
+    require(!jointMs || nch == 2, "jointMs needs 2 channels")
     val n = channelsPcm.map(_.length).max
     val nFrames = math.max(1, (n + 1151) / 1152)
     val total = nFrames * 1152
     val x = Array.ofDim[Double](nch, total)
     for (c <- 0 until nch; i <- 0 until math.min(n, channelsPcm(c).length))
       x(c)(i) = channelsPcm(c)(i)
+    if (jointMs) {
+      // channel 0 carries MID, channel 1 carries SIDE; the decoder's MS
+      // reconstruction ((m±s)/sqrt2) inverts this exactly
+      val inv = 1.0 / math.sqrt(2.0)
+      var i = 0
+      while (i < total) {
+        val l = x(0)(i); val r = x(1)(i)
+        x(0)(i) = (l + r) * inv
+        x(1)(i) = (l - r) * inv
+        i += 1
+      }
+    }
 
     val ana = Array.fill(nch)(new Mp3Filterbank.Analysis)
     val prevS = Array.fill(nch, 32)(new Array[Double](18))
@@ -577,7 +595,8 @@ object Mp3 {
             k += 1
           }
         }
-        // forward MDCT (scale 1/9 gives exact TDAC with the spec IMDCT)
+        // forward MDCT (long: scale 1/9; short: 3x12-point chain at scale
+        // 1/3 — both the exact TDAC inverses of the spec IMDCTs)
         val xr = new Array[Double](576)
         var k = 0
         while (k < 32) {
@@ -586,13 +605,15 @@ object Mp3 {
           var t = 0
           while (t < 18) { s36(18 + t) = s(k)(t); t += 1 }
           prevS(ch)(k) = s(k)
-          val spec = Mp3Imdct.forwardMdctLong(s36)
+          val spec = if (shortBlocks) Mp3Imdct.forwardMdctShort(s36)
+            else Mp3Imdct.forwardMdctLong(s36)
           System.arraycopy(spec, 0, xr, k * 18, 18)
           k += 1
         }
-        // inverse alias butterflies (so the decoder's forward pass undoes them)
+        // inverse alias butterflies (so the decoder's forward pass undoes
+        // them); short blocks have no alias reduction
         var sb = 1
-        while (sb <= 31) {
+        while (!shortBlocks && sb <= 31) {
           var bi = 0
           while (bi < 8) {
             val lo = 18 * sb - 1 - bi
@@ -616,12 +637,38 @@ object Mp3 {
           while (gg < 255 && quantMax(xr, gg) > 5) gg += 1
         }
         val step = math.pow(2.0, -(gg - 210.0) / 4.0)
-        val is = new Array[Int](576)
+        val isSub = new Array[Int](576) // subband-major (decoder xr layout)
         i = 0
         while (i < 576) {
           val q = math.rint(math.pow(math.abs(xr(i)) * step, 0.75)).toInt
-          is(i) = if (xr(i) < 0) -q else q
+          isSub(i) = if (xr(i) < 0) -q else q
           i += 1
+        }
+        // bitstream (huffman) order: long blocks carry subband-major values
+        // directly; short blocks carry sfb-major (band, window, line) order
+        // — the exact inverse of the decoder's requantShort reorder
+        val is = if (!shortBlocks) isSub else {
+          val out = new Array[Int](576)
+          val widths = SfbShortWidths(0)
+          var src = 0
+          var freqBase = 0
+          var sfb = 0
+          while (sfb < 13) {
+            var win = 0
+            while (win < 3) {
+              var l = 0
+              while (l < widths(sfb)) {
+                val fl = freqBase + l
+                out(src) = isSub((fl / 6) * 18 + win * 6 + (fl % 6))
+                src += 1
+                l += 1
+              }
+              win += 1
+            }
+            freqBase += widths(sfb)
+            sfb += 1
+          }
+          out
         }
         // partition: big values through the last |v|>1, count1 quads after
         var l1 = -1; var l0 = -1
@@ -634,9 +681,9 @@ object Mp3 {
         val bv = if (l1 < 0) 0 else (l1 / 2) + 1
         val nQuads = if (l0 < 2 * bv) 0 else (l0 - 2 * bv) / 4 + 1
         require(2 * bv + 4 * nQuads <= 576, "count1 region overflow")
-        // region tables (region0_count=15 -> boundary at line 196 @44.1k)
-        val bounds = sfbLongBounds(0)
-        val r1s = bounds(16)
+        // region tables: long blocks use region0_count=15 (boundary at line
+        // 196 @44.1k); window switching implies the fixed 36-line boundary
+        val r1s = if (shortBlocks) 36 else sfbLongBounds(0)(16)
         def pickTable(lo: Int, hi: Int): Int = {
           var m = 0
           var j = lo
@@ -696,8 +743,9 @@ object Mp3 {
       fw.write(0, 2)        // 44.1 kHz
       fw.write(0, 1)        // no padding
       fw.write(0, 1)        // private
-      fw.write(if (nch == 1) 3 else 0, 2) // mono / stereo
-      fw.write(0, 2)        // mode_ext
+      // mono / joint stereo (MS) / plain stereo
+      fw.write(if (nch == 1) 3 else if (jointMs) 1 else 0, 2)
+      fw.write(if (jointMs) 2 else 0, 2) // mode_ext: MS on, intensity off
       fw.write(0, 1)        // copyright
       fw.write(1, 1)        // original
       fw.write(0, 2)        // emphasis
@@ -712,10 +760,18 @@ object Mp3 {
         fw.write(bv, 9)
         fw.write(gg, 8)
         fw.write(0, 4)      // scalefac_compress
-        fw.write(0, 1)      // window_switching
-        fw.write(t0, 5); fw.write(t1, 5); fw.write(0, 5)
-        fw.write(15, 4)     // region0_count
-        fw.write(5, 3)      // region1_count (15+5+2 = 22 bands exactly)
+        if (shortBlocks) {
+          fw.write(1, 1)    // window_switching
+          fw.write(2, 2)    // block_type 2 (short)
+          fw.write(0, 1)    // not mixed
+          fw.write(t0, 5); fw.write(t1, 5)
+          fw.write(0, 3); fw.write(0, 3); fw.write(0, 3) // subblock gains
+        } else {
+          fw.write(0, 1)    // window_switching
+          fw.write(t0, 5); fw.write(t1, 5); fw.write(0, 5)
+          fw.write(15, 4)   // region0_count
+          fw.write(5, 3)    // region1_count (15+5+2 = 22 bands exactly)
+        }
         fw.write(0, 1)      // preflag
         fw.write(0, 1)      // scalefac_scale
         fw.write(1, 1)      // count1 table B

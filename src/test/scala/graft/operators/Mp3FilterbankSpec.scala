@@ -97,6 +97,23 @@ class Mp3FilterbankSpec extends AnyFunSuite {
       assert(math.abs(rec(i) - x(i)) < 1e-10, s"TDAC broken at $i")
   }
 
+  test("forward short MDCT + short IMDCT + overlap-add is the exact TDAC identity") {
+    // all-short granule chain: forward consumes 36-sample spans hopping 18
+    // (three 12-point MDCTs each), inverse overlap-adds the same spans
+    val hops = 24
+    val x = lcg(18 * (hops + 2), 13L)
+    val rec = new Array[Double](18 * (hops + 2))
+    for (t <- 0 until hops) {
+      val spec = Mp3Imdct.forwardMdctShort(x.slice(18 * t, 18 * t + 36))
+      val z = Mp3Imdct.imdct(spec, 2)
+      for (i <- 0 until 36) rec(18 * t + i) += z(i)
+    }
+    // interior excludes the half-window edges of the short chain (the
+    // first/last 12 samples have incomplete hop-6 coverage)
+    for (i <- 48 until 18 * hops - 12)
+      assert(math.abs(rec(i) - x(i)) < 1e-10, s"short TDAC broken at $i")
+  }
+
   test("short-block IMDCT occupies only the 6..29 window span") {
     val spec = lcg(18, 9L)
     val z = Mp3Imdct.imdct(spec, 2)

@@ -120,6 +120,41 @@ class Mp3Spec extends AnyFunSuite {
     }
   }
 
+  test("MS joint stereo reconstructs L/R through the mid/side path") {
+    val n = 8 * 1152
+    val enc = Mp3.encode(Array(sine(n, 1000.0, 0.25), sine(n, 3000.0, 0.25)),
+      jointMs = true)
+    // header must actually claim joint stereo + MS
+    assert((enc(3) & 0xC0) >> 6 == 1 && (enc(3) & 0x30) >> 4 == 2)
+    val dec = Mp3.decode(enc)
+    assert(dec.channels == 2 && dec.frames == n)
+    val lo = 3000; val len = 4410
+    for ((ch, own, other) <- Seq((0, 1000.0, 3000.0), (1, 3000.0, 1000.0))) {
+      val ownP = goertzelPower(dec.pcm(ch), lo, len, own)
+      val otherP = goertzelPower(dec.pcm(ch), lo, len, other)
+      assert(ownP > 20 * otherP,
+        s"MS channel $ch: own/other power ${ownP / otherP} — mid/side broken")
+    }
+  }
+
+  test("short blocks (block_type 2) round-trip: IMDCT + reorder end to end") {
+    val n = 8 * 1152
+    val enc = Mp3.encodeMono(sine(n, 2000.0, 0.3)) // long-block reference
+    val encS = Mp3.encode(Array(sine(n, 2000.0, 0.3)), shortBlocks = true)
+    val dec = Mp3.decode(encS)
+    assert(dec.frames == n)
+    val lo = 3000; val len = 4410
+    val tone = goertzelPower(dec.pcm(0), lo, len, 2000.0)
+    val total = totalPower(dec.pcm(0), lo, len)
+    assert(tone / total > 0.8,
+      s"short-block tone fraction ${tone / total} — reorder/short-IMDCT broken")
+    // rms parity with the long-block encode of the same content
+    val rmsS = math.sqrt(dec.pcm(0).slice(lo, lo + len).map(v => v * v).sum / len)
+    val rmsL = math.sqrt(Mp3.decode(enc).pcm(0).slice(lo, lo + len)
+      .map(v => v * v).sum / len)
+    assert(math.abs(rmsS / rmsL - 1.0) < 0.2, s"short rms $rmsS vs long $rmsL")
+  }
+
   test("multi-frequency content round-trips with bounded error (SNR gate)") {
     val n = 8 * 1152
     val x = new Array[Double](n)
