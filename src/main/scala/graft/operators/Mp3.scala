@@ -299,6 +299,10 @@ object Mp3 {
       for (gr <- 0 until 2) {
         val xrCh = Array.ofDim[Double](channels, 576)
         val giCh = gi(gr)
+        // retained for the stereo stage: intensity positions are the RIGHT
+        // channel's scalefactors, applied above its huffman-data end
+        val longSfCh = Array.ofDim[Array[Int]](channels)
+        val huffEnd = new Array[Int](channels)
         for (ch <- 0 until channels) {
           val g = giCh(ch)
           val granuleStart = br.bitPos
@@ -376,6 +380,8 @@ object Mp3 {
           }
           // skip stuffing to the granule boundary
           br.seek(granuleStart + g.part23Length)
+          longSfCh(ch) = longSf
+          huffEnd(ch) = idx // rzero starts here — the intensity boundary
 
           // ---- requantize ----
           val xr = xrCh(ch)
@@ -394,9 +400,10 @@ object Mp3 {
 
         // ---- stereo ----
         if (channels == 2 && h.mode == 1) { // joint stereo
-          require((h.modeExt & 1) == 0,
-            "intensity stereo not supported (decoder limitation, documented)")
-          if ((h.modeExt & 2) != 0) { // MS stereo (§2.4.3.4.9.2)
+          require(h.modeExt != 3,
+            "combined MS+intensity stereo not exercised by any encoder " +
+              "path in this build — refusing to decode it untested")
+          if (h.modeExt == 2) { // MS stereo (§2.4.3.4.9.2)
             val l = xrCh(0); val r = xrCh(1)
             val inv = 1.0 / math.sqrt(2.0)
             var i2 = 0
@@ -406,6 +413,41 @@ object Mp3 {
               r(i2) = (m - s) * inv
               i2 += 1
             }
+          } else if (h.modeExt == 1) {
+            // intensity stereo (§2.4.3.4.9.3), long blocks: for scalefactor
+            // bands at/above the right channel's rzero boundary, the left
+            // channel carries the combined signal and the right channel's
+            // SCALEFACTOR is the panning position: ratio = tan(pos*pi/12),
+            // L = x*ratio/(1+ratio), R = x/(1+ratio); pos 7 = band opts out
+            // (stays independent), pos 6 = fully left (tan is infinite)
+            val gRight = giCh(1)
+            require(!gRight.windowSwitching || gRight.blockType != 2,
+              "intensity stereo for short blocks not supported " +
+                "(decoder limitation, documented)")
+            val bound = huffEnd(1)
+            val sfR = longSfCh(1)
+            val l = xrCh(0); val r = xrCh(1)
+            var sfb = 0
+            while (sfb < 21) {
+              if (longBounds(sfb) >= bound && sfR(sfb) != 7) {
+                val pos = sfR(sfb)
+                var i2 = longBounds(sfb)
+                val end = longBounds(sfb + 1)
+                while (i2 < end) {
+                  val x0 = l(i2)
+                  if (pos == 6) { l(i2) = x0; r(i2) = 0.0 }
+                  else {
+                    val ratio = math.tan(pos * math.Pi / 12.0)
+                    l(i2) = x0 * ratio / (1.0 + ratio)
+                    r(i2) = x0 / (1.0 + ratio)
+                  }
+                  i2 += 1
+                }
+              }
+              sfb += 1
+            }
+            // band 21 has no scalefactor slot: it stays independent (the
+            // test encoder keeps it empty)
           }
         }
 
@@ -542,11 +584,18 @@ object Mp3 {
     * (~15-25 dB) — these are structural test streams, not transparent
     * audio. */
   def encode(channelsPcm: Array[Array[Double]], bitrateIdx: Int = 14,
-      jointMs: Boolean = false, shortBlocks: Boolean = false): Array[Byte] = {
+      jointMs: Boolean = false, shortBlocks: Boolean = false,
+      intensityFrom: Int = -1, intensityPos: Int = 3): Array[Byte] = {
     require(channelsPcm.nonEmpty && channelsPcm.length <= 2, "1 or 2 channels")
     require(bitrateIdx >= 1 && bitrateIdx <= 14, "bitrate index 1..14")
     val nch = channelsPcm.length
     require(!jointMs || nch == 2, "jointMs needs 2 channels")
+    val useIntensity = intensityFrom >= 0
+    require(!useIntensity || (nch == 2 && !jointMs && !shortBlocks &&
+      intensityFrom >= 1 && intensityFrom <= 20),
+      "intensity needs 2 channels, long blocks, no MS, sfb 1..20")
+    require(!useIntensity || (intensityPos >= 0 && intensityPos <= 6),
+      "intensity position 0..6")
     val n = channelsPcm.map(_.length).max
     val nFrames = math.max(1, (n + 1151) / 1152)
     val total = nFrames * 1152
@@ -579,8 +628,11 @@ object Mp3 {
     for (f <- 0 until nFrames) {
       // granule payloads first (side info needs part2_3_length)
       val granuleBits = Array.ofDim[BitWriter](2, nch)
-      val granuleMeta = Array.ofDim[(Int, Int, Int, Int, Int)](2, nch) // part23, bv, gg, t0, t1
-      for (g <- 0 until 2; ch <- 0 until nch) {
+      // part23, bv, gg, t0, t1, scalefac_compress
+      val granuleMeta = Array.ofDim[(Int, Int, Int, Int, Int, Int)](2, nch)
+      for (g <- 0 until 2) {
+      val xrAll = Array.ofDim[Double](nch, 576)
+      for (ch <- 0 until nch) {
         // 18 filterbank steps -> 32x18 subband samples
         val s = Array.ofDim[Double](32, 18)
         for (t <- 0 until 18) {
@@ -597,7 +649,7 @@ object Mp3 {
         }
         // forward MDCT (long: scale 1/9; short: 3x12-point chain at scale
         // 1/3 — both the exact TDAC inverses of the spec IMDCTs)
-        val xr = new Array[Double](576)
+        val xr = xrAll(ch)
         var k = 0
         while (k < 32) {
           val s36 = new Array[Double](36)
@@ -625,6 +677,20 @@ object Mp3 {
           }
           sb += 1
         }
+      }
+      if (useIntensity) {
+        // channel 0 carries the combined signal above the intensity
+        // boundary; channel 1 is zero there and its SCALEFACTORS carry the
+        // panning position (written below)
+        var i = sfbLongBounds(0)(intensityFrom)
+        while (i < 576) {
+          xrAll(0)(i) += xrAll(1)(i)
+          xrAll(1)(i) = 0.0
+          i += 1
+        }
+      }
+      for (ch <- 0 until nch) {
+        val xr = xrAll(ch)
         // quantize: choose global_gain so max |is| <= 5
         var maxAbs = 0.0
         var i = 0
@@ -678,7 +744,14 @@ object Mp3 {
           if (is(i) != 0) l0 = i
           i += 1
         }
-        val bv = if (l1 < 0) 0 else (l1 / 2) + 1
+        var bv = if (l1 < 0) 0 else (l1 / 2) + 1
+        if (useIntensity && ch == 1) {
+          // pad the right channel's big-values region (zero pairs under
+          // table select 0 cost no bits) so its rzero boundary — the
+          // decoder's intensity trigger — lands EXACTLY at the configured
+          // band start
+          bv = math.max(bv, sfbLongBounds(0)(intensityFrom) / 2)
+        }
         val nQuads = if (l0 < 2 * bv) 0 else (l0 - 2 * bv) / 4 + 1
         require(2 * bv + 4 * nQuads <= 576, "count1 region overflow")
         // region tables: long blocks use region0_count=15 (boundary at line
@@ -696,6 +769,16 @@ object Mp3 {
         val t1 = if (2 * bv > r1s) pickTable(r1s, 2 * bv) else 0
         // emit
         val bw = new BitWriter
+        val sfc = if (useIntensity && ch == 1) 13 else 0
+        if (sfc == 13) {
+          // scalefac_compress 13 -> slen (3,3): 21 long scalefactors of 3
+          // bits; intensity bands carry the panning position, the rest 0
+          var sfb = 0
+          while (sfb < 21) {
+            bw.write(if (sfb >= intensityFrom) intensityPos else 0, 3)
+            sfb += 1
+          }
+        }
         i = 0
         while (i < 2 * bv) {
           val tid = if (i < r1s) t0 else t1
@@ -730,7 +813,8 @@ object Mp3 {
         }
         val part23 = bw.bitLength.toInt
         granuleBits(g)(ch) = bw
-        granuleMeta(g)(ch) = (part23, bv, gg, t0, t1)
+        granuleMeta(g)(ch) = (part23, bv, gg, t0, t1, sfc)
+      }
       }
 
       // frame assembly
@@ -743,9 +827,10 @@ object Mp3 {
       fw.write(0, 2)        // 44.1 kHz
       fw.write(0, 1)        // no padding
       fw.write(0, 1)        // private
-      // mono / joint stereo (MS) / plain stereo
-      fw.write(if (nch == 1) 3 else if (jointMs) 1 else 0, 2)
-      fw.write(if (jointMs) 2 else 0, 2) // mode_ext: MS on, intensity off
+      // mono / joint stereo (MS or intensity) / plain stereo
+      fw.write(if (nch == 1) 3 else if (jointMs || useIntensity) 1 else 0, 2)
+      // mode_ext: 2 = MS only, 1 = intensity only
+      fw.write(if (jointMs) 2 else if (useIntensity) 1 else 0, 2)
       fw.write(0, 1)        // copyright
       fw.write(1, 1)        // original
       fw.write(0, 2)        // emphasis
@@ -754,12 +839,12 @@ object Mp3 {
       for (_ <- 0 until nch) fw.write(0, 4) // scfsi = 0
       var mainBits = 0L
       for (g <- 0 until 2; ch <- 0 until nch) {
-        val (p23, bv, gg, t0, t1) = granuleMeta(g)(ch)
+        val (p23, bv, gg, t0, t1, sfc) = granuleMeta(g)(ch)
         mainBits += p23
         fw.write(p23, 12)
         fw.write(bv, 9)
         fw.write(gg, 8)
-        fw.write(0, 4)      // scalefac_compress
+        fw.write(sfc, 4)    // scalefac_compress
         if (shortBlocks) {
           fw.write(1, 1)    // window_switching
           fw.write(2, 2)    // block_type 2 (short)

@@ -137,6 +137,33 @@ class Mp3Spec extends AnyFunSuite {
     }
   }
 
+  test("intensity stereo pans the combined high band by tan(pos*pi/12)") {
+    val n = 8 * 1152
+    // common low tone in both channels (independent region), high tone in
+    // L only; encoded with intensity from sfb 8 at position 4, so the
+    // decoder must reconstruct L/R high-band amplitudes in ratio sqrt(3)
+    val low = sine(n, 700.0, 0.2)
+    val highL = sine(n, 3000.0, 0.24)
+    val l = Array.tabulate(n)(i => low(i) + highL(i))
+    val enc = Mp3.encode(Array(l, low.clone()), intensityFrom = 8,
+      intensityPos = 4)
+    // header: joint stereo, mode_ext = intensity only
+    assert((enc(3) & 0xC0) >> 6 == 1 && (enc(3) & 0x30) >> 4 == 1)
+    val dec = Mp3.decode(enc)
+    val lo = 3000; val len = 4410
+    // low band stays independent and equal
+    val lowL = goertzelPower(dec.pcm(0), lo, len, 700.0)
+    val lowR = goertzelPower(dec.pcm(1), lo, len, 700.0)
+    assert(math.abs(lowL / lowR - 1.0) < 0.3, s"low band L/R $lowL/$lowR")
+    // high band: power ratio = tan(4*pi/12)^2 = 3
+    val hiL = goertzelPower(dec.pcm(0), lo, len, 3000.0)
+    val hiR = goertzelPower(dec.pcm(1), lo, len, 3000.0)
+    assert(hiL / hiR > 2.0 && hiL / hiR < 4.5,
+      s"high-band L/R power ratio ${hiL / hiR}, want ~3 (pos 4)")
+    // and the high band is genuinely present in BOTH channels
+    assert(hiR > 0.05 * lowR, "right channel lost the intensity band")
+  }
+
   test("short blocks (block_type 2) round-trip: IMDCT + reorder end to end") {
     val n = 8 * 1152
     val enc = Mp3.encodeMono(sine(n, 2000.0, 0.3)) // long-block reference
