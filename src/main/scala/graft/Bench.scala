@@ -59,7 +59,15 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional name filter for local profiling (comma-separated substrings);
+    // the driver sets nothing and gets the full sweep
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
+      only.isEmpty || only.exists(n.contains)
+    }
+    val results = selected.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         // queryExecution.toRdd runs the plan AS WRITTEN: df.count() would

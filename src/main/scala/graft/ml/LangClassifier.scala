@@ -66,11 +66,23 @@ object LangClassifier {
     concat(charNgrams(t, 2), charNgrams(t, 3))
   }
 
-  /** Hashed char-n-gram features + class-index label frame. */
+  /** Hashed char-n-gram features + class-index label frame.
+    *
+    * The lowered text is BOUND TO AN ATTRIBUTE behind a projection
+    * boundary before the n-gram HOF sweep: `transform`'s lambda inlines
+    * whatever expression tree the text column is, so a computed column
+    * (q137 feeds `concat_ws(substr(...), phrase)`) would be re-evaluated
+    * once PER ARRAY ELEMENT — ~1000 re-lowercased full strings per doc
+    * (measured 26 s of a 30 s q137 before this boundary, ~3 s after). */
   def featurize(docs: DataFrame, id: Column, text: Column, labelIdx: Column,
                 numFeatures: Int = 4096): DataFrame = {
-    val base = docs.select(id.cast("long").as("doc_id"),
-      charFeatures(text).as("cgrams"), labelIdx.cast("double").as("label"))
+    val bound = docs.select(id.cast("long").as("doc_id"),
+      lower(coalesce(text, lit(""))).as("lctext"),
+      labelIdx.cast("double").as("label"))
+    val base = bound.select(col("doc_id"),
+      concat(charNgrams(col("lctext"), 2), charNgrams(col("lctext"), 3))
+        .as("cgrams"),
+      col("label"))
     new HashingTF().setInputCol("cgrams").setOutputCol("features")
       .setNumFeatures(numFeatures).transform(base)
   }
@@ -111,9 +123,16 @@ object LangClassifier {
     val feat = featurize(docs, id, text, labelIdx, numFeatures)
     val split = graft.operators.Mixture.hashSplit(feat, col("doc_id"),
       Seq("train" -> trainFrac, "test" -> (1.0 - trainFrac)))
-    val train0 = split.filter(col("split") === "train").localCheckpoint(true)
+    // the FIT runs tens of L-BFGS jobs over a KB-scale coefficient vector:
+    // on a bounded training sample the per-iteration cost is Spark job
+    // overhead, not compute — coalesce the fit input to a few partitions
+    // (measured 22 s -> ~8 s at sf0.1 on 32 cores). Featurization and
+    // scoring stay at full width; this narrows only the iterative stage.
+    val fitParts = math.max(2, docs.sparkSession.sparkContext.defaultParallelism / 8)
+    val train0 = split.filter(col("split") === "train")
+      .coalesce(fitParts).localCheckpoint(true)
     val test0 = split.filter(col("split") === "test").localCheckpoint(true)
-    val model = train(train0)
+    val model = train(train0, maxIter = 20)
     val scored = score(model, test0)
     val langName = langs.zipWithIndex
       .foldLeft(lit("?"): Column) { case (acc, (code, i)) =>
