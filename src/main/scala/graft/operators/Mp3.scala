@@ -39,10 +39,12 @@ import scala.collection.mutable.ArrayBuffer
   * are insensitive to that floor.
   *
   * The encoder ([[Mp3.encode]]) exists to synthesize valid Layer III
-  * streams for tests and oracle-gated queries: mono or stereo 44.1 kHz,
-  * long blocks, scalefactors zero, `main_data_begin` = 0, stuffing to the
-  * frame boundary. It is a bitstream producer for the decode gates, not a
-  * psychoacoustic coder.
+  * streams for tests and oracle-gated queries: mono or stereo at any
+  * MPEG-1 rate (44.1/48/32 kHz — exercising all three scalefactor-band
+  * tables end to end), long or forced-short blocks, L/R, MS, or intensity
+  * joint coding, scalefactors zero (except intensity positions),
+  * `main_data_begin` = 0, stuffing to the frame boundary. It is a
+  * bitstream producer for the decode gates, not a psychoacoustic coder.
   *
   * Reference behavior anchor: the multimodal north star in BASELINE.json;
   * the metadata-only triage stage lives in
@@ -585,9 +587,13 @@ object Mp3 {
     * audio. */
   def encode(channelsPcm: Array[Array[Double]], bitrateIdx: Int = 14,
       jointMs: Boolean = false, shortBlocks: Boolean = false,
-      intensityFrom: Int = -1, intensityPos: Int = 3): Array[Byte] = {
+      intensityFrom: Int = -1, intensityPos: Int = 3,
+      sampleRate: Int = 44100): Array[Byte] = {
     require(channelsPcm.nonEmpty && channelsPcm.length <= 2, "1 or 2 channels")
     require(bitrateIdx >= 1 && bitrateIdx <= 14, "bitrate index 1..14")
+    val srIdx = SampleRates.indexOf(sampleRate)
+    require(srIdx >= 0, s"sample rate $sampleRate not an MPEG-1 rate " +
+      s"(${SampleRates.mkString("/")})")
     val nch = channelsPcm.length
     require(!jointMs || nch == 2, "jointMs needs 2 channels")
     val useIntensity = intensityFrom >= 0
@@ -617,7 +623,7 @@ object Mp3 {
 
     val ana = Array.fill(nch)(new Mp3Filterbank.Analysis)
     val prevS = Array.fill(nch, 32)(new Array[Double](18))
-    val frameLen = (144000L * KbpsV1L3(bitrateIdx) / 44100L).toInt
+    val frameLen = (144000L * KbpsV1L3(bitrateIdx) / sampleRate).toInt
     val sideLen = if (nch == 1) 17 else 32
     val mainCapacityBits = (frameLen - 4 - sideLen) * 8
     require(mainCapacityBits > 0, "bitrate too low for side info")
@@ -682,7 +688,7 @@ object Mp3 {
         // channel 0 carries the combined signal above the intensity
         // boundary; channel 1 is zero there and its SCALEFACTORS carry the
         // panning position (written below)
-        var i = sfbLongBounds(0)(intensityFrom)
+        var i = sfbLongBounds(srIdx)(intensityFrom)
         while (i < 576) {
           xrAll(0)(i) += xrAll(1)(i)
           xrAll(1)(i) = 0.0
@@ -715,7 +721,7 @@ object Mp3 {
         // — the exact inverse of the decoder's requantShort reorder
         val is = if (!shortBlocks) isSub else {
           val out = new Array[Int](576)
-          val widths = SfbShortWidths(0)
+          val widths = SfbShortWidths(srIdx)
           var src = 0
           var freqBase = 0
           var sfb = 0
@@ -750,13 +756,13 @@ object Mp3 {
           // table select 0 cost no bits) so its rzero boundary — the
           // decoder's intensity trigger — lands EXACTLY at the configured
           // band start
-          bv = math.max(bv, sfbLongBounds(0)(intensityFrom) / 2)
+          bv = math.max(bv, sfbLongBounds(srIdx)(intensityFrom) / 2)
         }
         val nQuads = if (l0 < 2 * bv) 0 else (l0 - 2 * bv) / 4 + 1
         require(2 * bv + 4 * nQuads <= 576, "count1 region overflow")
         // region tables: long blocks use region0_count=15 (boundary at line
         // 196 @44.1k); window switching implies the fixed 36-line boundary
-        val r1s = if (shortBlocks) 36 else sfbLongBounds(0)(16)
+        val r1s = if (shortBlocks) 36 else sfbLongBounds(srIdx)(16)
         def pickTable(lo: Int, hi: Int): Int = {
           var m = 0
           var j = lo
@@ -824,7 +830,7 @@ object Mp3 {
       fw.write(1, 2)        // Layer III
       fw.write(1, 1)        // no CRC
       fw.write(bitrateIdx, 4)
-      fw.write(0, 2)        // 44.1 kHz
+      fw.write(srIdx, 2)    // sample-rate index
       fw.write(0, 1)        // no padding
       fw.write(0, 1)        // private
       // mono / joint stereo (MS or intensity) / plain stereo

@@ -226,6 +226,32 @@ class Mp3Spec extends AnyFunSuite {
     assert(tone / total > 0.8)
   }
 
+  test("48 kHz and 32 kHz streams round-trip (the other two sfb tables)") {
+    for (sr <- Seq(48000, 32000)) {
+      val n = 8 * 1152
+      // mid-subband tone (2.5 subband widths = 2.5*sr/64): a tone ON a
+      // subband boundary splits across the filterbank crossover and the
+      // 5-level quantizer turns the split into a depressed tone fraction
+      // (measured 0.61 at 32 kHz with a 2000 Hz tone = exactly band 4's
+      // edge) — that is fixture physics, not a table defect
+      val freq = 2.5 * sr / 64.0
+      val enc = Mp3.encode(Array(sine(n, freq, 0.3, sr = sr)),
+        sampleRate = sr)
+      // header sample-rate index must match
+      assert(((enc(2) & 0x0C) >> 2) == Mp3.SampleRates.indexOf(sr))
+      val dec = Mp3.decode(enc)
+      assert(dec.sampleRate == sr && dec.frames == n)
+      // len 4096 makes 2.5*sr/64 exactly DFT bin 160 (160/4096 = 2.5/64)
+      // at every rate — off-bin leakage would depress the fraction
+      val lo = 3000; val len = 4096
+      val tone = goertzelPower(dec.pcm(0), lo, len, freq, sr = sr)
+      val total = totalPower(dec.pcm(0), lo, len)
+      assert(tone / total > 0.8,
+        s"$sr Hz tone fraction ${tone / total} — sfb tables or frame " +
+          "geometry broken at this rate")
+    }
+  }
+
   test("malformed payloads fail loudly") {
     intercept[IllegalArgumentException](Mp3.decode(Array[Byte](1, 2, 3, 4)))
     val enc = Mp3.encodeMono(new Array[Double](1152))
