@@ -258,6 +258,42 @@ class Mp3Spec extends AnyFunSuite {
     intercept[IllegalArgumentException](Mp3.decode(enc.take(enc.length - 10)))
   }
 
+  test("fuzz: mutated streams throw or succeed — never hang or escape") {
+    // the decodeFeaturesSafe quarantine contract (the media-walker fuzz
+    // convention): byte flips, truncations, and extensions of a valid
+    // stream must either decode or raise a catchable exception — no
+    // out-of-bounds escape, no unbounded loop
+    val base = Mp3.encodeMono(sine(2 * 1152, 1100.0, 0.2))
+    var s = 0x2545F4914F6CDD1DL
+    def nextInt(bound: Int): Int = {
+      s ^= s << 13; s ^= s >>> 7; s ^= s << 17
+      (((s >>> 33) % bound).toInt + bound) % bound
+    }
+    var decoded = 0; var threw = 0
+    for (trial <- 0 until 300) {
+      val m = base.clone()
+      val mutated: Array[Byte] = trial % 3 match {
+        case 0 => // flip 1-4 bytes anywhere (header, side info, main data)
+          for (_ <- 0 to nextInt(4)) {
+            val p = nextInt(m.length)
+            m(p) = (m(p) ^ (1 << nextInt(8))).toByte
+          }
+          m
+        case 1 => m.take(nextInt(m.length)) // truncate
+        case 2 => m ++ Array.fill(nextInt(64))(nextInt(256).toByte) // extend
+      }
+      try { Mp3.decode(mutated); decoded += 1 }
+      catch {
+        // IAE/ISE are the decode contract; an OOB/NPE escaping here is a
+        // real bug and fails the suite
+        case _: IllegalArgumentException | _: IllegalStateException =>
+          threw += 1
+      }
+    }
+    assert(decoded + threw == 300)
+    assert(threw > 0, "no mutation ever threw — the fuzz is too gentle")
+  }
+
   test("header walk (triage) and sample decode agree on stream geometry") {
     val n = 3 * 1152
     val enc = Mp3.encodeMono(sine(n, 800.0, 0.2))
