@@ -4,9 +4,12 @@ package graft.operators
   *
   * The engine ships real byte-level decoders for every format the JRE can
   * handle without codec libraries (WAV/PCM, PGM, PNG/JPEG/BMP/GIF via
-  * ImageIO, AIFF/AU, G.711) plus metadata-first triage for MP3/MP4; the
-  * compressed SAMPLE decode (mp3/aac/h264 payload → features) genuinely
-  * needs an FFI codec dependency this container doesn't ship and sits
+  * ImageIO, AIFF/AU, G.711), pure-JVM codecs for flac
+  * ([[graft.operators.Flac.FlacDecoder]]) and mp3 Layer III
+  * ([[graft.operators.Mp3.SampleDecoder]], within its documented Huffman
+  * boundary), and metadata-first triage for MP3/MP4; only the remaining
+  * compressed SAMPLE decodes (aac/h264 payload → features) genuinely
+  * need an FFI codec dependency this container doesn't ship and sit
   * behind [[Multimodal.StubDecoder]]. This interface is that stub's
   * retirement path: implement it in a codec-pack jar, declare the impl in
   * `META-INF/services/graft.operators.DecoderProvider`, drop the jar on
@@ -49,4 +52,22 @@ object DecoderProviders {
   def routing(builtin: Map[String, Multimodal.Decoder],
               fallback: Multimodal.Decoder): Multimodal.RoutingDecoder =
     new Multimodal.RoutingDecoder(builtin ++ discovered, fallback)
+
+  /** The SHIPPED builtin routes — every kind the engine sample-decodes
+    * with no external codec pack. `mp3` routes to the real
+    * [[graft.operators.Mp3.SampleDecoder]] (within its documented
+    * Huffman-table boundary — unsupported tables throw, so pair this
+    * with [[Multimodal.decodeFeaturesSafe]] on third-party corpora);
+    * only aac/h264 fall through to the routing fallback. */
+  def builtinRoutes: Map[String, Multimodal.Decoder] = Map(
+    "wav" -> new Multimodal.WavPcmDecoder,
+    "pgm" -> new Multimodal.PgmDecoder,
+    "flac" -> new Flac.FlacDecoder,
+    "mp3" -> new Mp3.SampleDecoder)
+
+  /** [[routing]] over [[builtinRoutes]] plus discovered codec packs —
+    * the default production decoder for a mixed media table. */
+  def defaultRouting(fallback: Multimodal.Decoder =
+      new Multimodal.StubDecoder()): Multimodal.RoutingDecoder =
+    routing(builtinRoutes, fallback)
 }

@@ -185,6 +185,10 @@ object Mp3 {
 
   final case class Mp3Audio(sampleRate: Int, channels: Int,
       pcm: Array[Array[Double]]) {
+    /** Per-channel SAMPLE count (PCM sample-frames), NOT the number of
+      * MPEG frames — each MPEG-1 Layer III frame contributes 1152 of
+      * these. Named to match audio convention; don't confuse with
+      * decode()'s internal MPEG-frame counter. */
     def frames: Int = if (pcm.isEmpty) 0 else pcm(0).length
     /** Channel-mixed 16-bit PCM (clamped), for fingerprint paths. */
     def mixedS16: Array[Short] = {
@@ -919,9 +923,10 @@ object Mp3 {
   def envelopeHash64(payload: Array[Byte], frames: Int = 33): Long =
     Multimodal.envelopeHashSamples(decode(payload).mixedS16, frames)
 
-  /** SAMPLE-decoding feature extractor for `mp3` payloads — the
-    * [[DecoderProvider]] retirement of [[Multimodal.StubDecoder]] for this
-    * kind, feature-compatible with [[Multimodal.WavPcmDecoder]]:
+  /** SAMPLE-decoding feature extractor for `mp3` payloads — shipped in
+    * [[DecoderProviders.builtinRoutes]] (so the default routing decoder
+    * sends kind=mp3 here, not to [[Multimodal.StubDecoder]]),
+    * feature-compatible with [[Multimodal.WavPcmDecoder]]:
     * `[duration_sec, rms, zero_crossing_rate, peak]` over channel-mixed
     * samples. Throws on malformed payloads — route by kind upstream. */
   class SampleDecoder extends Multimodal.Decoder {

@@ -74,10 +74,12 @@ object Multimodal {
     * channel-averaged samples. Features (fixed width 4):
     * `[duration_sec, rms, zero_crossing_rate, peak]`, amplitudes
     * normalized to [-1, 1]. Demonstrates that the [[decodeFeatures]]
-    * plumbing runs an actual byte-level decoder end-to-end; compressed
-    * formats (jpeg/mp3/h264) remain behind [[StubDecoder]], documented as
-    * requiring codecs this container doesn't ship. Throws on malformed
-    * payloads — route by `kind` upstream. */
+    * plumbing runs an actual byte-level decoder end-to-end; of the
+    * compressed formats, flac ([[Flac.FlacDecoder]]) and mp3
+    * ([[Mp3.SampleDecoder]]) now sample-decode for real — only aac/h264
+    * remain behind [[StubDecoder]], documented as requiring codecs this
+    * container doesn't ship. Throws on malformed payloads — route by
+    * `kind` upstream. */
   class WavPcmDecoder extends Decoder {
     val featureDim = 4
 

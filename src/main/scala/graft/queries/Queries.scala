@@ -3220,6 +3220,15 @@ object Queries {
     import s.implicits._
     val sup = Tables.supplier(s, d)
       .select(col("s_suppkey").cast("long")).as[Long]
+    // Scale guard: the planted-twin arithmetic uses only bits 0-15 of the
+    // Knuth hash (keys congruent mod 65536 would collide at Hamming 0) and
+    // the +200000 twin-id offset must not alias real supplier keys. TPC-H
+    // supplier has 10k rows/SF, so this holds through ~sf6.5; fail loudly
+    // beyond that rather than emit unplanned oracle-breaking pairs.
+    val maxKey = sup.agg(max(col("s_suppkey"))).as[Long].head()
+    require(maxKey < 65536L && maxKey < 200000L,
+      s"q139 planted-twin fixture supports s_suppkey < 65536 (got max " +
+        s"$maxKey); regenerate with a wider fingerprint for larger SF")
     val clips = sup.flatMap { k =>
       if (k % 4 == 1) Seq((k, 1.0), (k + 200000L, 2.0)) else Seq((k, 1.0))
     }

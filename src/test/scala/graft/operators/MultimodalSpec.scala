@@ -500,6 +500,76 @@ class MultimodalSpec extends SparkSpec {
     assert(DecoderProviders.discovered eq DecoderProviders.discovered)
   }
 
+  test("default routing ships mp3 -> Mp3.SampleDecoder (not the stub)") {
+    val routes = DecoderProviders.builtinRoutes
+    assert(routes("mp3").isInstanceOf[Mp3.SampleDecoder])
+    assert(routes("flac").isInstanceOf[Flac.FlacDecoder])
+    assert(routes("wav").isInstanceOf[Multimodal.WavPcmDecoder])
+    // a real Layer III stream sample-decodes through the DEFAULT router —
+    // no manual wiring (the round-9 gap: SampleDecoder existed but nothing
+    // routed kind=mp3 to it)
+    val router = DecoderProviders.defaultRouting()
+    val pcm = Array.tabulate(2 * 1152)(i =>
+      0.3 * math.sin(2 * math.Pi * 1000.0 * i / 44100.0))
+    val f = router.decode("mp3", Mp3.encodeMono(pcm))
+    assert(f(0) > 0f && f(1) > 0f, s"mp3 route did not sample-decode: ${f.toSeq}")
+    // aac still falls through to the fallback (dim padded to router width)
+    assert(router.decode("aac", Array[Byte](1, 2, 3)).length == router.featureDim)
+  }
+
+  test("mixed-corpus mp3 compat: an unsupported-Huffman-table stream " +
+       "quarantines through decodeFeaturesSafe with triage metadata intact") {
+    import spark.implicits._
+    // patch `width` bits at absolute bit offset `bitOff` (MSB-first)
+    def setBits(buf: Array[Byte], bitOff: Int, width: Int, value: Int): Unit = {
+      var i = 0
+      while (i < width) {
+        val bit = (value >> (width - 1 - i)) & 1
+        val pos = bitOff + i
+        val by = pos / 8; val sh = 7 - (pos % 8)
+        buf(by) = ((buf(by) & ~(1 << sh)) | (bit << sh)).toByte
+        i += 1
+      }
+    }
+    val pcm = Array.tabulate(2 * 1152)(i =>
+      0.3 * math.sin(2 * math.Pi * 1000.0 * i / 44100.0))
+    val good = Mp3.encodeMono(pcm)
+    // a third-party encoder routinely selects tables 10-31; ours can't, so
+    // synthesize one by patching granule-0 table_select(0) to ESC table 16.
+    // Mono long-block layout: header(32) + main_data_begin(9) + private(5)
+    // + scfsi(4) + part2_3_length(12) + big_values(9) + global_gain(8) +
+    // scalefac_compress(4) + window_switching(1) = bit 84, width 5.
+    val bad = good.clone()
+    setBits(bad, 84, 5, 16)
+    // strict decode fails loudly by name (the documented boundary) ...
+    val err = intercept[IllegalArgumentException](Mp3.decode(bad))
+    assert(err.getMessage.contains("not transcribed"))
+    // ... but a MIXED corpus degrades instead of erroring out: the bad
+    // member lands in quarantine, healthy members keep decoding in the
+    // SAME pass — q139-style pipelines over real-world MP3s survive.
+    val wav = Multimodal.encodeWavPcm(16000,
+      Array.tabulate(400)(i => (1000 * math.sin(i * 0.1)).toShort))
+    val media = Seq(
+      MediaRow(1L, "mp3", good, 0, 0, 44100),
+      MediaRow(2L, "mp3", bad, 0, 0, 44100),
+      MediaRow(3L, "wav", wav, 0, 0, 16000)).toDS()
+    val out = Multimodal
+      .decodeFeaturesSafe(media, DecoderProviders.defaultRouting())
+      .collect().map(r => r.media_id -> r).toMap
+    assert(out(2L).decode_error != null &&
+      out(2L).decode_error.contains("not transcribed"),
+      s"expected named quarantine, got: ${out(2L).decode_error}")
+    assert(out(2L).features == null)
+    // triage metadata survives the failure: true byte count + payload crc
+    assert(out(2L).n_bytes == bad.length.toLong)
+    var crc = 1469598103934665603L // independent FNV-1a 64 fold
+    bad.foreach { b => crc ^= (b & 0xFFL); crc *= 1099511628211L }
+    assert(out(2L).checksum == crc)
+    assert(out(1L).decode_error == null && out(1L).features != null &&
+      out(1L).features(0) > 0f)
+    assert(out(3L).decode_error == null && out(3L).features != null)
+  }
+
   test("envelopeHash64: amplitude-scale invariant, content sensitive, short clips rejected") {
     val dec = new Multimodal.WavPcmDecoder()
     val rnd = new scala.util.Random(5)
