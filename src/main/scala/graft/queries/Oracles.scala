@@ -2174,6 +2174,15 @@ object Oracles {
            CAST(1 AS BIGINT) AS b_ok
     FROM ah ORDER BY id_a"""
 
+  /** q140: the WARC/WET round-trip gate — digests of the parquet original;
+    * the WARC read (gzip member framing, header parse, Content-Length
+    * slice, UTF-8 content) must reproduce them exactly. `strlen` is the
+    * UTF-8 OCTET length, matching the WARC Content-Length contract. */
+  val q140: String = """
+    SELECT doc_id, strlen(coalesce(text, '')) AS content_length,
+           md5(coalesce(text, '')) AS text_md5
+    FROM documents ORDER BY doc_id"""
+
   /** q138: byte-fallback BPE encode — q103's 40-merge chain served with
     * the corpus symbol vocabulary MINUS every 'e'-bearing symbol; a
     * pruned-away symbol emits its UTF-8 bytes at ids `|vocab| + byte`
@@ -3589,6 +3598,7 @@ object Oracles {
     "q136_avro_source" -> q122,
     "q137_langid_trained" -> q137,
     "q138_bpe_byte_fallback" -> q138,
-    "q139_mp3_fingerprint_dedup" -> q139
+    "q139_mp3_fingerprint_dedup" -> q139,
+    "q140_warc_source" -> q140
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

@@ -1156,11 +1156,13 @@ object Queries {
     new scala.collection.concurrent.TrieMap[String, (String, String)]()
   private val avroDirCache =
     new scala.collection.concurrent.TrieMap[String, (String, String)]()
+  private val warcDirCache =
+    new scala.collection.concurrent.TrieMap[String, (String, String)]()
   Runtime.getRuntime.addShutdownHook(new Thread(() =>
     (ivfPqIndexCache.values ++ bm25IndexCache.values ++ sketchDirCache.values ++
       jsonlDirCache.values ++ cmsDirCache.values ++ histDirCache.values ++
       annAppendDirCache.values ++ csvDirCache.values ++ orcDirCache.values ++
-      kmvDirCache.values ++ avroDirCache.values)
+      kmvDirCache.values ++ avroDirCache.values ++ warcDirCache.values)
       .foreach { case (_, dir) =>
         try deleteDirTree(dir) catch { case _: Exception => () }
       }))
@@ -2856,6 +2858,64 @@ object Queries {
       .filter(col("n_chars") >= 200)
       .select(col("doc_id"), col("lang"), col("n_chars"),
         md5(coalesce(col("text"), lit("")).cast("binary")).as("text_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** q140: WARC/WET crawl round-trip — the container web-scale text
+    * corpora actually arrive in (Common Crawl), through the from-scratch
+    * [[WarcSources]]: documents exported as record-per-gzip-member WET
+    * conversion records (the split-parallel layout), PLUS a planted
+    * corrupt shard (one truncated member, one bit-flipped member — the
+    * q120 planted-malformation convention), read back via [[WarcSources
+    * .readWarc]]. The gate: exactly 2 quarantine rows (require-gated, so
+    * a quarantine regression fails loudly), and every clean conversion
+    * record's (doc_id-from-url, content_length, md5(text)) must match the
+    * parquet original — any member-framing/header-parse/content-slice
+    * defect in the WARC path breaks the hash. */
+  def q140WarcSource(s: SparkSession, d: String): DataFrame = {
+    val sig = tableSignature(s, d, "documents")
+    val dir = warcDirCache.synchronized {
+      warcDirCache.get(d) match {
+        case Some((s0, dd)) if s0 == sig => dd
+        case prev =>
+          prev.foreach { case (_, old) =>
+            try deleteDirTree(old) catch { case _: Exception => () } }
+          val tmp = java.nio.file.Files.createTempDirectory("graft_warc_").toString
+          WarcSources.writeWarc(
+            Tables.documents(s, d).select(
+              lit("conversion").as("record_type"),
+              concat(lit("https://example.com/doc/"), col("doc_id")).as("url"),
+              lit("2024-05-01T00:00:00Z").as("date"),
+              lit("text/plain").as("content_type"),
+              concat(lit("<urn:uuid:"), col("doc_id"), lit(">"))
+                .as("warc_record_id"),
+              encode(coalesce(col("text"), lit("")), "UTF-8").as("content")),
+            tmp, layoutCols = Seq("url"))
+          // planted corrupt shard: a truncated member + a bit-flipped one
+          val m0 = WarcSources.gzipWrap(WarcSources.recordBytes("conversion",
+            "https://example.com/corrupt/0", "2024-05-01T00:00:00Z",
+            "text/plain", "<urn:uuid:c0>", "corrupt body 0".getBytes("UTF-8")))
+          val m1 = WarcSources.gzipWrap(WarcSources.recordBytes("conversion",
+            "https://example.com/corrupt/1", "2024-05-01T00:00:00Z",
+            "text/plain", "<urn:uuid:c1>", "corrupt body 1".getBytes("UTF-8")))
+            .clone()
+          m1(m1.length / 2) = (m1(m1.length / 2) ^ 0x41).toByte
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(tmp, "zz-corrupt.warc.gz"),
+            m0.take(m0.length - 9) ++ m1)
+          warcDirCache.update(d, (sig, tmp))
+          tmp
+      }
+    }
+    val all = WarcSources.readWarc(s, dir)
+    val nBad = all.filter(col("error").isNotNull).count()
+    require(nBad == 2, s"expected 2 quarantined WARC members, got $nBad")
+    all.filter(col("error").isNull && col("record_type") === "conversion" &&
+        !col("url").contains("/corrupt/"))
+      .select(
+        regexp_extract(col("url"), "/doc/(\\d+)$", 1).cast("long").as("doc_id"),
+        col("content_length"),
+        md5(col("content")).as("text_md5"))
       .orderBy("doc_id")
   }
 
