@@ -2183,6 +2183,59 @@ object Oracles {
            md5(coalesce(text, '')) AS text_md5
     FROM documents ORDER BY doc_id"""
 
+  /** q141: exact substring dedup — brute-force replay over the literal
+    * strings: EVERY (position, m) window for m in [16, 40], grouped by
+    * gram TEXT (not fingerprints — so the Spark side's 64-bit ladder is
+    * gated against true string equality), maxdup per position, the same
+    * left-maximality lag, the coverage union, and the post-removal
+    * string_agg digest. */
+  val q141 = """
+    WITH t AS (SELECT doc_id,
+                 CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN []::VARCHAR[]
+                      ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+               FROM documents),
+    base AS (SELECT doc_id, len(toks) AS n, toks FROM t),
+    gr AS (SELECT doc_id, p, m, array_to_string(toks[p:p+m-1], ' ') AS g
+           FROM base,
+                unnest(generate_series(1, n)) AS s(p),
+                unnest(generate_series(16, 40)) AS mm(m)
+           WHERE p + m - 1 <= n),
+    cnt AS (SELECT m, g FROM gr GROUP BY m, g HAVING count(*) >= 2),
+    md AS (SELECT gr.doc_id, gr.p, max(gr.m) AS len
+           FROM gr JOIN cnt ON cnt.m = gr.m AND cnt.g = gr.g
+           GROUP BY gr.doc_id, gr.p),
+    lm AS (SELECT doc_id, p, len,
+             CASE WHEN lag(p) OVER w IS NULL OR lag(p) OVER w != p - 1
+                       OR NOT (lag(len) OVER w >= len + 1 OR lag(len) OVER w = 40)
+                  THEN 1 ELSE 0 END AS left_max
+           FROM md WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+    spn AS (SELECT doc_id, sum(left_max) AS n_spans, max(len) AS max_len
+            FROM lm GROUP BY doc_id),
+    covi AS (SELECT DISTINCT doc_id, i
+             FROM (SELECT doc_id, unnest(generate_series(p, p + len - 1)) AS i
+                   FROM md)),
+    cv AS (SELECT doc_id, count(*) AS covered FROM covi GROUP BY doc_id),
+    pos AS (SELECT doc_id, i, toks[i] AS w
+            FROM base, unnest(generate_series(1, n)) AS s(i)),
+    kept AS (SELECT pos.doc_id,
+                    md5(coalesce(string_agg(pos.w, ' ' ORDER BY pos.i), ''))
+                      AS kept_md5
+             FROM pos ANTI JOIN covi USING (doc_id, i)
+             GROUP BY pos.doc_id)
+    SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_tokens,
+           CAST(coalesce(spn.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(coalesce(spn.max_len, 0) AS BIGINT) AS max_len,
+           CAST(coalesce(cv.covered, 0) AS BIGINT) AS covered,
+           round(CASE WHEN b.n = 0 THEN 0.0
+                 ELSE CAST(coalesce(cv.covered, 0) AS DOUBLE) / CAST(b.n AS DOUBLE)
+                 END, 6) AS covered_frac,
+           coalesce(kept.kept_md5, md5('')) AS kept_md5
+    FROM base b
+    LEFT JOIN spn USING (doc_id)
+    LEFT JOIN cv USING (doc_id)
+    LEFT JOIN kept USING (doc_id)
+    ORDER BY b.doc_id"""
+
   /** q138: byte-fallback BPE encode — q103's 40-merge chain served with
     * the corpus symbol vocabulary MINUS every 'e'-bearing symbol; a
     * pruned-away symbol emits its UTF-8 bytes at ids `|vocab| + byte`
@@ -3599,6 +3652,7 @@ object Oracles {
     "q137_langid_trained" -> q137,
     "q138_bpe_byte_fallback" -> q138,
     "q139_mp3_fingerprint_dedup" -> q139,
-    "q140_warc_source" -> q140
+    "q140_warc_source" -> q140,
+    "q141_exact_substring_dedup" -> q141
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

@@ -2919,6 +2919,21 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** q141: EXACT substring dedup ([[ExactSubstring]] — the Lee et al.
+    * suffix-array semantics, distributed as a hash ladder + two-anchor
+    * window keys): per doc, the maximal duplicated ≥16-token spans
+    * (length exact up to the 40-token cap), the covered removal mass,
+    * and the md5 of the document AFTER removing every covered token.
+    * The oracle replays the WHOLE computation in DuckDB over the literal
+    * strings — every (position, m) window of every doc, grouped by gram
+    * text — so a fingerprint collision, ladder defect, maximality error,
+    * or removal slip anywhere breaks the hash. */
+  def q141ExactSubstringDedup(s: SparkSession, d: String): DataFrame =
+    ExactSubstring.dedupStats(Tables.documents(s, d), col("doc_id"),
+        TextOps.tokens(coalesce(col("text"), lit(""))),
+        minLen = 16, maxLen = 40, policy = CheckpointPolicy.fromSession(s))
+      .orderBy("doc_id")
+
   /** q137: TRAINED character-n-gram language ID ([[graft.ml
     * .LangClassifier]] — the fastText-langid shape, upgrading q13's
     * marker-lexicon argmax to a model with per-doc confidence; the
