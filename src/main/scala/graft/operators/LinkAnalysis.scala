@@ -168,6 +168,52 @@ object LinkAnalysis {
             lit(1e6) + lit(0.5)) / lit(1e6)).as("coef"))
   }
 
+  /** Doulion sampled triangle estimate (Tsourakakis, Kang, Miller &
+    * Faloutsos, KDD 2009 — public method): keep each canonical edge
+    * independently with probability `p`, count triangles EXACTLY on the
+    * sparsified graph with [[triangles]]' degree-ordered machinery, and
+    * scale by 1/p³ — an unbiased estimator of the true count (each
+    * triangle survives with probability p³). The 100 TB answer to
+    * [[triangles]]' O(m^{3/2}) wedge bound: at p the wedge mass shrinks
+    * by ~p³ (candidate wedges p², closure p) for a p⁻³-variance trade —
+    * Doulion's published accuracy envelope; the q142 spec gates the
+    * relative error and the across-salts unbiasedness empirically.
+    *
+    * Sampling is DETERMINISTIC — the engine-portable md5 uniform
+    * ([[graft.functions.TextOps.portableUniform52]]) over `"u:v|salt"` —
+    * so runs are reproducible, re-executions of a failed stage keep the
+    * same subgraph (a `rand()` sample would break retry idempotence),
+    * and the DuckDB oracle replays the exact estimate. Vary `salt` for
+    * independent estimates (averaging k salted runs divides the variance
+    * by k at k·p³ of the exact cost).
+    *
+    * Output: ONE row `(total_edges, kept_edges, tri_sampled, tri_est)`
+    * (6-dp arithmetic fence on the estimate). */
+  def trianglesDoulion(edges: DataFrame, p: Double,
+                       salt: String = "doulion"): DataFrame = {
+    require(p > 0.0 && p <= 1.0, "keep probability in (0, 1]")
+    val canon = edges.select(
+        least(col("a"), col("b")).cast("long").as("u"),
+        greatest(col("a"), col("b")).cast("long").as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .distinct()
+    val u01 = graft.functions.TextOps.portableUniform52(
+      concat_ws("|", concat_ws(":", col("u"), col("v")), lit(salt)))
+    val flagged = canon.withColumn("keep", u01 < lit(p))
+    val kept = flagged.filter(col("keep"))
+      .select(col("u").as("a"), col("v").as("b"))
+    val triSampled = triangles(kept)
+      .agg((coalesce(sum("tri"), lit(0L)) / 3).cast("long").as("tri_sampled"))
+    val edgeStats = flagged.agg(count(lit(1)).as("total_edges"),
+      sum(when(col("keep"), 1L).otherwise(0L)).as("kept_edges"))
+    // both sides are single aggregate rows — a broadcast pairing, not a
+    // data cartesian (the LangModel stats-frame convention)
+    edgeStats.crossJoin(triSampled)
+      .select(col("total_edges"), col("kept_edges"), col("tri_sampled"),
+        (floor(col("tri_sampled").cast("double") / lit(p * p * p) * lit(1e6)
+          + lit(0.5)) / lit(1e6)).as("tri_est"))
+  }
+
   /** k-core: the maximal subgraph in which every node has degree ≥ k
     * (Seidman 1983 — public method), by iterative peeling: drop nodes of
     * degree < k, recompute degrees over the surviving edges, repeat to

@@ -2183,6 +2183,36 @@ object Oracles {
            md5(coalesce(text, '')) AS text_md5
     FROM documents ORDER BY doc_id"""
 
+  /** q142: Doulion triangle estimate — full replay: canonical co-purchase
+    * edges, the 13-hex md5-uniform keep decision per edge (q76 device over
+    * 'u:v|doulion'), an exact a<b<c triple-join triangle count on the kept
+    * subgraph, and the ×8 (= 1/p³ at p=1/2) scale-up under the 6-dp
+    * fence. */
+  val q142 = """
+    WITH li AS (SELECT l_orderkey AS ok, l_partkey FROM lineitem),
+    e0 AS (SELECT DISTINCT x.l_partkey AS u, y.l_partkey AS v
+           FROM li x JOIN li y ON x.ok = y.ok AND x.l_partkey < y.l_partkey),
+    s AS (SELECT u, v,
+            CASE WHEN list_reduce(list_prepend(0.0,
+                   list_transform(generate_series(1, 13),
+                     k -> CAST(strpos('0123456789abcdef',
+                            substr(substr(md5(concat_ws('|',
+                              concat_ws(':', u, v), 'doulion')), 1, 13), k, 1))
+                            - 1 AS DOUBLE) * pow(16.0, 13 - k))),
+                   (a, x) -> a + x) / 4503599627370496.0 < 0.5
+                 THEN 1 ELSE 0 END AS keep
+          FROM e0),
+    ke AS (SELECT u, v FROM s WHERE keep = 1),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS tri_sampled
+          FROM ke e1 JOIN ke e2 ON e2.u = e1.v
+                     JOIN ke e3 ON e3.u = e1.u AND e3.v = e2.v),
+    es AS (SELECT CAST(count(*) AS BIGINT) AS total_edges,
+                  CAST(sum(keep) AS BIGINT) AS kept_edges FROM s)
+    SELECT es.total_edges, es.kept_edges, t.tri_sampled,
+           floor(CAST(t.tri_sampled AS DOUBLE) / 0.125 * 1e6 + 0.5) / 1e6
+             AS tri_est
+    FROM es, t"""
+
   /** q141: exact substring dedup — brute-force replay over the literal
     * strings: EVERY (position, m) window for m in [16, 40], grouped by
     * gram TEXT (not fingerprints — so the Spark side's 64-bit ladder is
@@ -3653,6 +3683,7 @@ object Oracles {
     "q138_bpe_byte_fallback" -> q138,
     "q139_mp3_fingerprint_dedup" -> q139,
     "q140_warc_source" -> q140,
-    "q141_exact_substring_dedup" -> q141
+    "q141_exact_substring_dedup" -> q141,
+    "q142_triangles_doulion" -> q142
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

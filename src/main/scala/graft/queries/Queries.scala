@@ -2919,6 +2919,18 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** q142: Doulion sampled triangle estimate ([[LinkAnalysis
+    * .trianglesDoulion]]) over q128's co-purchase graph at p = 1/2 — the
+    * 100 TB path past exact counting's O(m^{3/2}) wedge bound (q128 scales
+    * 8.6× at 10× edges; the sampled pipeline shrinks wedge mass ~p³).
+    * p = 1/2 makes the 1/p³ scale-up an exact ×8 — zero float divergence —
+    * and sampling is the md5-portable uniform, so the oracle replays the
+    * sparsified graph and the estimate EXACTLY; the unbiasedness and
+    * relative-error properties are spec-gated (LinkAnalysisSpec). */
+  def q142TrianglesDoulion(s: SparkSession, d: String): DataFrame =
+    LinkAnalysis.trianglesDoulion(
+      LinkAnalysis.coPurchaseGraph(Tables.lineitem(s, d)), p = 0.5)
+
   /** q141: EXACT substring dedup ([[ExactSubstring]] — the Lee et al.
     * suffix-array semantics, distributed as a hash ladder + two-anchor
     * window keys): per doc, the maximal duplicated ≥16-token spans

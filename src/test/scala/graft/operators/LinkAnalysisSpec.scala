@@ -174,6 +174,52 @@ class LinkAnalysisSpec extends SparkSpec {
     assert(g == Set((10L, 30L), (10L, 20L), (20L, 30L), (10L, 40L)))
   }
 
+  test("trianglesDoulion: deterministic sampling, exact sub-count, x8 scale-up") {
+    // K10 ∪ a disjoint 40-cycle: 120 triangles, all in the clique
+    val k10 = for (a <- 1 to 10; b <- (a + 1) to 10) yield (a.toLong, b.toLong)
+    val cyc = (0 until 40).map(i => (100L + i, 100L + (i + 1) % 40))
+    val edges = (k10 ++ cyc).toDF("a", "b")
+    val r = LinkAnalysis.trianglesDoulion(edges, p = 0.5).collect()(0)
+    assert(r.getAs[Long]("total_edges") == k10.size + 40L)
+    // replay the sampled subgraph by hand: same md5-uniform, same p
+    val kept = (k10 ++ cyc).filter { case (u, v) =>
+      val key = s"$u:$v|doulion"
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(13)
+      java.lang.Long.parseLong(hex, 16).toDouble / 4503599627370496.0 < 0.5
+    }.toSet
+    assert(r.getAs[Long]("kept_edges") == kept.size.toLong)
+    val bruteTri = (for {
+      (a, b) <- kept; (b2, c) <- kept; if b2 == b; if kept((a, c))
+    } yield (a, b, c)).size
+    assert(r.getAs[Long]("tri_sampled") == bruteTri.toLong)
+    assert(r.getAs[Double]("tri_est") == bruteTri * 8.0)
+  }
+
+  test("trianglesDoulion: unbiased across salts, tolerable error per run") {
+    import spark.implicits._
+    // a triangle-rich deterministic graph: nodes 0..59, edge iff a seeded
+    // hash keeps it (~38% density) — brute exact count via triangles()
+    val rnd = new scala.util.Random(17)
+    val edges = (for (a <- 0 until 60; b <- (a + 1) until 60
+                      if rnd.nextDouble() < 0.38) yield (a.toLong, b.toLong))
+      .toDF("a", "b")
+    val exact = LinkAnalysis.triangles(edges)
+      .agg(sum("tri")).collect()(0).getLong(0) / 3
+    assert(exact > 500, s"fixture too sparse: $exact triangles")
+    val ests = (0 until 12).map { i =>
+      LinkAnalysis.trianglesDoulion(edges, p = 0.5, salt = s"s$i")
+        .collect()(0).getAs[Double]("tri_est")
+    }
+    // each deterministic run lands inside Doulion's published envelope
+    ests.foreach(e => assert(math.abs(e / exact - 1.0) < 0.5,
+      s"single-run error too large: $e vs $exact"))
+    // and the salt-ensemble mean concentrates on the true count
+    val mean = ests.sum / ests.size
+    assert(math.abs(mean / exact - 1.0) < 0.12,
+      s"ensemble mean $mean vs exact $exact — estimator looks biased")
+  }
+
   test("purchaseGraph materializes both directions with lineitem-count weights") {
     val li = Seq((1L, 10L), (1L, 10L), (1L, 20L), (2L, 10L))
       .toDF("l_orderkey", "l_suppkey")
