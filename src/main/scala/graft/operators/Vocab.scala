@@ -119,11 +119,17 @@ object Vocab {
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .select(col("freq"), bpeWrap(col("word")).as("w"))
 
+  /** Wrapped symbol string → symbol array, for a caller-chosen sep. */
+  private def unwrapSep(w: Column, sep: String): Column =
+    split(w.substr(lit(2), length(w) - 2),
+      java.util.regex.Pattern.quote(sep + sep))
+
   /** Top `n` adjacent symbol pairs of the wrapped word table, in the
     * training order (cnt desc, left asc, right asc) — ≤ n driver rows. */
-  private def topPairs(words: DataFrame, n: Int): Array[BpeMerge] =
+  private def topPairs(words: DataFrame, n: Int,
+                       sep: String = "|"): Array[BpeMerge] =
     words
-      .select(col("freq"), bpeUnwrap(col("w")).as("syms"))
+      .select(col("freq"), unwrapSep(col("w"), sep).as("syms"))
       .filter(size(col("syms")) >= 2) // guard: sequence(1, 0) descends
       .select(col("freq"),
         explode(transform(sequence(lit(1), size(col("syms")) - 1),
@@ -180,15 +186,24 @@ object Vocab {
     * q103's oracle replays the sequential semantics in DuckDB). */
   def bpeTrainBatched(docs: DataFrame, text: Column, nMerges: Int,
                       batch: Int = 32,
-                      policy: CheckpointPolicy = CheckpointPolicy.Local): Seq[BpeMerge] = {
+                      policy: CheckpointPolicy = CheckpointPolicy.Local): Seq[BpeMerge] =
+    trainBatchedCore(bpeWords(docs, text), nMerges, batch, policy, sep = "|")
+
+  /** The [[bpeTrainBatched]] loop over an already-wrapped word table with
+    * a caller-chosen symbol separator (`"|"` for the normalized-text
+    * trainer whose alphabet excludes it; [[ByteSep]] for the byte-level
+    * trainer whose alphabet contains every printable ASCII char). */
+  private def trainBatchedCore(words0: DataFrame, nMerges: Int, batch: Int,
+                               policy: CheckpointPolicy,
+                               sep: String): Seq[BpeMerge] = {
     require(nMerges >= 1, "need at least one merge")
     require(batch >= 1, "need a positive batch size")
-    var words = policy.pin(bpeWords(docs, text))
+    var words = policy.pin(words0)
     val merges = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
     var exhausted = false
     var sincePin = 0
     while (merges.size < nMerges && !exhausted) {
-      val sample = topPairs(words, batch)
+      val sample = topPairs(words, batch, sep)
       if (sample.isEmpty) exhausted = true
       else {
         val complete = sample.length < batch // the ENTIRE pair table
@@ -217,7 +232,8 @@ object Vocab {
         }
         merges ++= prefix
         words = words.withColumn("w", prefix.foldLeft(col("w")) { (w, m) =>
-          replace(w, lit(s"|${m.left}||${m.right}|"), lit(s"|${m.left}${m.right}|"))
+          replace(w, lit(s"$sep${m.left}$sep$sep${m.right}$sep"),
+            lit(s"$sep${m.left}${m.right}$sep"))
         })
         sincePin += prefix.size
         if (sincePin >= 8) { words = policy.pin(words); sincePin = 0 }
@@ -314,4 +330,95 @@ object Vocab {
         sum(col("tid")).as("sum_ids"),
         sum((col("pos") + 1).cast("long") * col("tid")).as("possum_ids"))
   }
+
+  // --- byte-level BPE (the GPT-2 tokenizer family) -------------------------
+
+  /** Symbol separator for byte-level wrapped strings: the byte-mapped
+    * alphabet contains every printable ASCII char (including `|`), so the
+    * wrap uses U+0001 — a code point the GPT-2 byte→unicode bijection can
+    * never emit (its image is [33,126] ∪ [161,172] ∪ [174,255] ∪
+    * [256,323]). */
+  val ByteSep = "\u0001"
+
+  /** The GPT-2 pretokenization regex (public, from the GPT-2 release —
+    * Radford et al. 2019): contractions, optionally-space-prefixed
+    * letter/number/punctuation runs, and whitespace (the lookahead keeps
+    * one space glued to the following word). Runs on RAW text — no
+    * lowercasing, no normalization: case and punctuation merges are the
+    * point of the byte-level family. */
+  val Gpt2Pattern: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)|\\s+"
+
+  /** Pretoken array of raw `text` under [[Gpt2Pattern]] (Spark's regexp
+    * functions run java.util.regex, which supports the lookahead; the
+    * q143 oracle replays an RE2-safe equivalent + whitespace fix-up). */
+  def gpt2Pretokens(text: Column): Column =
+    regexp_extract_all(coalesce(text, lit("")), lit(Gpt2Pattern), lit(0))
+
+  /** The GPT-2 byte→unicode bijection: bytes that are printable and not
+    * whitespace-ish ([33,126] ∪ [161,172] ∪ [174,255]) map to themselves;
+    * the other 68 bytes map to 256+k in first-seen order — every byte
+    * gets a visible, round-trippable char, so BPE can merge across raw
+    * bytes with no unk and no invisible symbols. */
+  val byteToUnicode: Array[Char] = {
+    val arr = new Array[Char](256)
+    var next = 0
+    for (b <- 0 until 256) {
+      val keep = (b >= 33 && b <= 126) || (b >= 161 && b <= 172) ||
+        (b >= 174 && b <= 255)
+      if (keep) arr(b) = b.toChar
+      else { arr(b) = (256 + next).toChar; next += 1 }
+    }
+    arr
+  }
+
+  /** A pretoken's UTF-8 bytes through [[byteToUnicode]] — the symbol
+    * string byte-level BPE trains and encodes on. */
+  def byteMap(word: String): String = {
+    val bytes = word.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val sb = new java.lang.StringBuilder(bytes.length)
+    var i = 0
+    while (i < bytes.length) { sb.append(byteToUnicode(bytes(i) & 0xFF)); i += 1 }
+    sb.toString
+  }
+
+  /** The wrapped distinct-pretoken frequency table the byte-level trainer
+    * iterates on: GPT-2 pretokenize the RAW text, count pretokens, then
+    * byte-map the DISTINCT pretokens behind a typed-map boundary (the
+    * mapping is per-byte Scala arithmetic — a tiny bounded table, not a
+    * corpus pass). */
+  private def byteWords(docs: DataFrame, text: Column): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counts = docs.select(explode(gpt2Pretokens(text)).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    counts.select(col("word"), col("freq")).toDF("_1", "_2")
+      .as[(String, Long)]
+      .map { case (w, f) => (byteMap(w), f) }
+      .toDF("word", "freq")
+      .select(col("freq"),
+        regexp_replace(col("word"), "(.)", s"$ByteSep$$1$ByteSep").as("w"))
+  }
+
+  /** Byte-level BPE training (the GPT-2 family): [[Gpt2Pattern]]
+    * pretokens of the RAW text, byte-mapped, merged with the exact
+    * [[bpeTrainBatched]] algorithm over the [[ByteSep]]-wrapped table —
+    * same argmax order, same batched-prefix exactness proof, different
+    * alphabet. Case, punctuation, and the Ġ space-prefix convention all
+    * participate in merges, which is precisely what the normalized-text
+    * trainer cannot express. */
+  def bpeTrainByteLevel(docs: DataFrame, text: Column, nMerges: Int,
+                        batch: Int = 32,
+                        policy: CheckpointPolicy = CheckpointPolicy.Local): Seq[BpeMerge] =
+    trainBatchedCore(byteWords(docs, text), nMerges, batch, policy, ByteSep)
+
+  /** The byte-level symbol array of an already-[[byteMap]]ped pretoken
+    * after applying `merges` in order — [[bpeSymbols]] with the
+    * [[ByteSep]] wrap (one codegen'd replace chain, no UDF). */
+  def byteLevelSymbols(mapped: Column, merges: Seq[BpeMerge]): Column =
+    unwrapSep(merges.foldLeft(
+      regexp_replace(mapped, "(.)", s"$ByteSep$$1$ByteSep")) { case (w, m) =>
+      replace(w, lit(s"$ByteSep${m.left}$ByteSep$ByteSep${m.right}$ByteSep"),
+        lit(s"$ByteSep${m.left}${m.right}$ByteSep"))
+    }, ByteSep)
 }

@@ -2149,6 +2149,107 @@ object Oracles {
 
   val q103: String = bpeOracle(40)
 
+  /** q143: byte-level BPE — the full GPT-2-family replay. Pretokenize the
+    * RAW (planted) text with the RE2-safe GPT-2 pattern + the
+    * lookahead fix-up (an all-space run of length w ≥ 2 followed by a
+    * token donates its last space: the run shrinks to w-1 and the next
+    * token gains the ' ' prefix — verified token-for-token against
+    * java.util.regex's lookahead semantics for this corpus shape, where
+    * multi-space runs are always space-only and letter-followed), byte-map
+    * every distinct pretoken through the GPT-2 byte→unicode bijection
+    * (hex-digit byte extraction + the CASE bijection + chr), then run the
+    * EXACT q103 merge-chain replay with chr(1) as the symbol separator
+    * (the byte alphabet contains '|') and chr(2) as the never-matching
+    * fallback. Digests: merge rows + per-doc (count, id-sum, pos-weighted
+    * id-sum) against the binary-collation symbol vocabulary. */
+  def byteBpeOracle(nMerges: Int, plantSqlLiteral: String): String = {
+    val pat = """''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"""
+    val sb = new StringBuilder
+    sb ++= s"""
+    WITH d0 AS (SELECT doc_id,
+             rtrim(coalesce(text, '')) || '$plantSqlLiteral' ||
+               CAST(doc_id % 7 AS VARCHAR) || chr(32) AS raw
+           FROM documents),
+    tk0 AS (SELECT doc_id, regexp_extract_all(raw, '$pat') AS tks FROM d0),
+    tk1 AS (SELECT doc_id, i, tks[i] AS t0, len(tks) AS nt
+            FROM tk0, unnest(generate_series(1, len(tks))) AS u(i)),
+    tk2 AS MATERIALIZED (SELECT doc_id, i AS wpos,
+            CASE WHEN regexp_matches(t0, '^ {2,}$$') AND i < nt
+                   THEN substr(t0, 1, length(t0) - 1)
+                 WHEN lag(t0) OVER w IS NOT NULL
+                   AND regexp_matches(lag(t0) OVER w, '^ {2,}$$')
+                   THEN ' ' || t0
+                 ELSE t0 END AS word
+            FROM tk1 WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+    w0 AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM tk2 GROUP BY word),
+    wb AS (SELECT word, k,
+             (strpos('0123456789abcdef',
+                substr(lower(hex(encode(word))), 2*k-1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef',
+                substr(lower(hex(encode(word))), 2*k, 1)) - 1) AS b
+           FROM w0, unnest(generate_series(1, strlen(word))) AS u(k)),
+    wm AS MATERIALIZED (SELECT word,
+             string_agg(chr(1) || chr(CAST(CASE
+               WHEN (b BETWEEN 33 AND 126) OR (b BETWEEN 161 AND 172)
+                    OR (b BETWEEN 174 AND 255) THEN b
+               WHEN b <= 32 THEN 256 + b
+               WHEN b BETWEEN 127 AND 160 THEN 256 + 33 + b - 127
+               ELSE 256 + 67 END AS INTEGER)) || chr(1), '' ORDER BY k) AS w
+           FROM wb GROUP BY word),
+    s0 AS MATERIALIZED (SELECT wm.word, wm.w, w0.freq
+           FROM wm JOIN w0 USING (word))"""
+    for (i <- 1 to nMerges) {
+      sb ++= s""",
+    y$i AS (SELECT freq, str_split(substring(w, 2, length(w) - 2),
+                     chr(1) || chr(1)) AS syms
+            FROM s${i - 1}),
+    p$i AS (SELECT syms[i] AS l, syms[i + 1] AS r, CAST(sum(freq) AS BIGINT) AS cnt
+            FROM (SELECT syms, freq, unnest(generate_series(1, len(syms) - 1)) AS i
+                  FROM y$i WHERE len(syms) >= 2)
+            GROUP BY 1, 2),
+    b$i AS MATERIALIZED (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
+    s$i AS MATERIALIZED (SELECT word,
+              replace(w,
+                coalesce((SELECT chr(1) || l || chr(1) || chr(1) || r || chr(1)
+                          FROM b$i), chr(2)),
+                coalesce((SELECT chr(1) || l || r || chr(1) FROM b$i), '')) AS w,
+              freq
+            FROM s${i - 1})"""
+    }
+    sb ++= s""",
+    wsym AS (SELECT word, str_split(substring(w, 2, length(w) - 2),
+                      chr(1) || chr(1)) AS syms
+             FROM s$nMerges),
+    d3a AS MATERIALIZED (SELECT tk2.doc_id, tk2.wpos, wsym.syms
+            FROM tk2 JOIN wsym USING (word)),
+    d3 AS MATERIALIZED (SELECT doc_id, wpos, j, syms[j] AS sym
+           FROM (SELECT doc_id, wpos, syms,
+                   unnest(generate_series(1, len(syms))) AS j
+                 FROM d3a)),
+    d4 AS (SELECT doc_id, sym,
+             CAST(row_number() OVER (PARTITION BY doc_id ORDER BY wpos, j) AS BIGINT) AS pos
+           FROM d3),
+    vocab AS (SELECT sym, CAST(row_number() OVER (ORDER BY sym) - 1 AS BIGINT) AS id
+              FROM (SELECT DISTINCT sym FROM d3)),
+    docrows AS (SELECT 'doc' AS kind, CAST(doc_id AS BIGINT) AS key,
+                  '' AS lft, '' AS rgt,
+                  CAST(count(*) AS BIGINT) AS n1, CAST(sum(id) AS BIGINT) AS n2,
+                  CAST(sum(pos * id) AS BIGINT) AS n3
+                FROM d4 JOIN vocab USING (sym) GROUP BY doc_id)
+    SELECT * FROM (${bpeMergeRowsSql(nMerges)} UNION ALL SELECT * FROM docrows)
+    ORDER BY kind, key"""
+    sb.toString
+  }
+
+  val q143: String = {
+    // SQL-escape the plant; the map-build normalization collapses every
+    // whitespace run in oracle SQL to one space, so the plant's
+    // significant DOUBLE space ships as chr(32) concatenation instead
+    val esc = graft.queries.Queries.Gpt2Plant.replace("'", "''")
+      .replace("  ", "' || chr(32) || chr(32) || '")
+    byteBpeOracle(40, esc)
+  }
+
   /** q139: mp3 fingerprint dedup — the pair list and the 32-bit arithmetic
     * envelope fingerprint replayed from the supplier table. Planted twins
     * are ×2-amplitude copies (suppkey % 4 = 1, id + 200000) that collide
@@ -3684,6 +3785,7 @@ object Oracles {
     "q139_mp3_fingerprint_dedup" -> q139,
     "q140_warc_source" -> q140,
     "q141_exact_substring_dedup" -> q141,
-    "q142_triangles_doulion" -> q142
+    "q142_triangles_doulion" -> q142,
+    "q143_byte_level_bpe" -> q143
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

@@ -2919,6 +2919,85 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** q143's planted byte-level content (the q87/q137 convention — the
+    * fixture text is single-spaced lowercase-ish ASCII, so the shapes the
+    * GPT-2 tokenizer family exists for are planted): mixed case,
+    * multi-byte UTF-8 letters (é, ü) and symbol (€), a contraction, a
+    * punctuation run, digits with a decimal-comma, and a significant
+    * DOUBLE space (exercising the `\\s+(?!\\S)` lookahead donation).
+    * Appended per doc as `rtrim(text) + Gpt2Plant + (doc_id % 7) + " "`.
+    * Kept multi-space-before-LETTERS only: the oracle's RE2 fix-up is
+    * exact for that shape (and for none that doesn't occur here). */
+  private[graft] val Gpt2Plant = " The Café isn't  über 42!! €9,99 grp"
+
+  private val byteBpeCache =
+    new scala.collection.concurrent.TrieMap[String, (String, Seq[Vocab.BpeMerge])]()
+
+  private def q143Raw(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+      concat(rtrim(coalesce(col("text"), lit(""))), lit(Gpt2Plant),
+        (col("doc_id") % 7).cast("string"), lit(" ")).as("raw"))
+
+  private[graft] def byteBpeMergesFor(s: SparkSession, d: String): Seq[Vocab.BpeMerge] = {
+    val sig = tableSignature(s, d, "documents")
+    byteBpeCache.synchronized {
+      byteBpeCache.get(d) match {
+        case Some((s0, m)) if s0 == sig => m
+        case _ =>
+          val m = Vocab.bpeTrainByteLevel(q143Raw(s, d), col("raw"),
+            nMerges = 40, policy = CheckpointPolicy.fromSession(s))
+          byteBpeCache.update(d, (sig, m))
+          m
+      }
+    }
+  }
+
+  /** q143: BYTE-LEVEL BPE — the GPT-2 tokenizer family ([[Vocab
+    * .bpeTrainByteLevel]] / [[Vocab.byteLevelSymbols]]): RAW text (no
+    * normalization) pretokenized with the GPT-2 regex (java.util.regex,
+    * lookahead included), every pretoken byte-mapped through the GPT-2
+    * byte→unicode bijection, 40 merges trained with the batched trainer
+    * over the chr(1)-wrapped table, then the corpus encoded through the
+    * learned merges. Case, punctuation, multi-byte UTF-8, and the Ġ
+    * space-prefix convention all participate — exactly what q103's
+    * normalized-word trainer cannot express (q103/q138 unchanged). The
+    * oracle replays pretokenization (RE2 + lookahead fix-up), the byte
+    * bijection (hex-digit arithmetic + chr), the full merge chain, and
+    * the per-doc digests. */
+  def q143ByteLevelBpe(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val policy = CheckpointPolicy.fromSession(s)
+    val merges = byteBpeMergesFor(s, d)
+    val occ = q143Raw(s, d)
+      .select(col("doc_id"),
+        posexplode(Vocab.gpt2Pretokens(col("raw"))).as(Seq("wpos", "word")))
+    // byte-map the DISTINCT pretokens behind a typed-map boundary, then
+    // run the 40-replace encode chain once per distinct word
+    val mapped = occ.select("word").distinct().toDF("_1").as[String]
+      .map(w => (w, Vocab.byteMap(w))).toDF("word", "mapped")
+    val wsym = policy.pin(mapped.select(col("word"),
+      Vocab.byteLevelSymbols(col("mapped"), merges).as("syms")))
+    val syms = policy.pin(occ.join(wsym, Seq("word"))
+      .select(col("doc_id"), col("wpos"),
+        posexplode(col("syms")).as(Seq("j", "sym"))))
+    val vocab = Ranking.globalRowNumber(
+        syms.select("sym").distinct(), Seq(col("sym")), out = "__rn")
+      .select(col("sym"), (col("__rn") - 1).cast("long").as("id"))
+    val pos = syms.withColumn("pos",
+      row_number().over(Window.partitionBy("doc_id").orderBy("wpos", "j"))
+        .cast("long"))
+    val docRows = pos.join(broadcast(vocab), Seq("sym"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n1"), sum("id").as("n2"),
+        sum(col("pos") * col("id")).as("n3"))
+      .select(lit("doc").as("kind"), col("doc_id").cast("long").as("key"),
+        lit("").as("lft"), lit("").as("rgt"), col("n1"), col("n2"), col("n3"))
+    val mergeDf = merges.zipWithIndex.map { case (m, i) =>
+        ("merge", (i + 1).toLong, m.left, m.right, m.count, 0L, 0L) }
+      .toDF("kind", "key", "lft", "rgt", "n1", "n2", "n3")
+    mergeDf.unionByName(docRows).orderBy("kind", "key")
+  }
+
   /** q142: Doulion sampled triangle estimate ([[LinkAnalysis
     * .trianglesDoulion]]) over q128's co-purchase graph at p = 1/2 — the
     * 100 TB path past exact counting's O(m^{3/2}) wedge bound (q128 scales

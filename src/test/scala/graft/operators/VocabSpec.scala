@@ -198,4 +198,77 @@ class VocabSpec extends SparkSpec {
         .orderBy("doc_id").collect().map(_.toSeq).toSeq
     assert(run(many.repartition(13)) == run(many.coalesce(1)))
   }
+
+  // ---------------- byte-level BPE (GPT-2 family) ----------------
+
+  test("byteToUnicode is the GPT-2 bijection (known renderings)") {
+    // bijective over 256 bytes
+    assert(Vocab.byteToUnicode.distinct.length == 256)
+    // printable identity band; the displaced band starts at 256
+    assert(Vocab.byteToUnicode('A'.toInt) == 'A')
+    assert(Vocab.byteToUnicode(126) == 126.toChar)
+    assert(Vocab.byteToUnicode(0) == 256.toChar)
+    // the canonical GPT-2 renderings: space -> Ġ (U+0120), newline -> Ċ
+    assert(Vocab.byteMap(" ") == "Ġ")
+    assert(Vocab.byteMap("\n") == "Ċ")
+    // multi-byte UTF-8 maps per BYTE: " Café" -> ĠCafÃ©, "€" -> âĤ¬
+    assert(Vocab.byteMap(" Café") == "ĠCafÃ©")
+    assert(Vocab.byteMap("€") == "âĤ¬")
+  }
+
+  test("gpt2Pretokens matches the GPT-2 regex semantics (lookahead cases)") {
+    def toks(s: String): Seq[String] = {
+      val df = Seq(Tuple1(s)).toDF("t")
+      df.select(Vocab.gpt2Pretokens(col("t")).as("p"))
+        .collect()(0).getSeq[String](0)
+    }
+    assert(toks("hello world") == Seq("hello", " world"))
+    // double space before a word: the run donates its last space
+    assert(toks("a  b") == Seq("a", " ", " b"))
+    assert(toks("The Café isn't  über 42!! €9,99 grp3 ") == Seq(
+      "The", " Café", " isn", "'t", " ", " über", " 42", "!!", " €",
+      "9", ",", "99", " grp", "3", " "))
+    // raw text: case preserved, no normalization
+    assert(toks("Mixed CASE") == Seq("Mixed", " CASE"))
+  }
+
+  test("byte-level training learns space-prefix merges q103's trainer cannot") {
+    // a corpus dominated by " the": byte-level must merge across the
+    // mapped space (Ġ), which word-granular normalized BPE cannot see
+    val docs = (0 until 50).map(i => (i.toLong, "the cat the dog the fox"))
+      .toDF("doc_id", "text")
+    val merges = Vocab.bpeTrainByteLevel(docs, col("text"), nMerges = 6)
+    assert(merges.nonEmpty)
+    val syms = merges.map(m => m.left + m.right)
+    assert(syms.exists(_.startsWith("Ġ")),
+      s"no space-prefixed merge learned: $syms")
+    // "the" (150x incl. first-word) dominates: Ġ+t or t+h first
+    val first = merges.head
+    assert(first.count >= 100, s"unexpected first merge ${first}")
+  }
+
+  test("bpeTrainByteLevel batch sizes agree (the batched-prefix proof " +
+       "holds over the byte alphabet)") {
+    val docs = (0 until 30).map(i =>
+        (i.toLong, s"Hello world! It's ${i % 4} o'clock  NOW"))
+      .toDF("doc_id", "text")
+    val b1 = Vocab.bpeTrainByteLevel(docs, col("text"), nMerges = 12, batch = 1)
+    val b32 = Vocab.bpeTrainByteLevel(docs, col("text"), nMerges = 12, batch = 32)
+    assert(b1 == b32)
+  }
+
+  test("byteLevelSymbols applies merges over the chr(1) wrap (alphabet " +
+       "contains '|')") {
+    // ' ||' pretokens make '|' itself a merge participant: pairs (|,|)
+    // and (Ġ,|) tie on count, '|' < 'Ġ' alphabetically -> (|,|) merges
+    // first, then (Ġ,||) — the wrap must survive pipes as SYMBOLS
+    val docs = Seq((1L, "x || y || z ||")).toDF("doc_id", "text")
+    val merges = Vocab.bpeTrainByteLevel(docs, col("text"), nMerges = 2)
+    assert(merges.map(m => (m.left, m.right)) == Seq(("|", "|"), ("Ġ", "||")),
+      s"unexpected merges: $merges")
+    val mapped = Seq(Tuple1(Vocab.byteMap(" ||"))).toDF("m")
+    val syms = mapped.select(Vocab.byteLevelSymbols(col("m"), merges).as("s"))
+      .collect()(0).getSeq[String](0)
+    assert(syms == Seq("Ġ||"), s"wrap broke on pipes: $syms")
+  }
 }
