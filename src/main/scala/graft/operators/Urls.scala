@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization + domain curation — the crawl-corpus stages
+  * between [[Html]] extraction and the quality filters: a crawl sees the
+  * same page under `HTTP://Site.com:80/a?b=2&a=1&utm_source=x#frag` and
+  * `http://site.com/a?a=1&b=2`, and curation decisions (URL dedup,
+  * per-domain caps, blocklist decontamination) all key on a CANONICAL
+  * form and a REGISTERED domain.
+  *
+  * [[normalizeUrl]] is a pure builtin-expression chain (parse_url +
+  * string/array functions — whole-stage codegen, no UDF, scan-speed):
+  * scheme and host lowercase, default ports (http:80 / https:443) strip,
+  * non-default ports survive, the fragment drops, `utm_*` tracking
+  * params drop, surviving query params sort (order-insensitive
+  * canonical form), empty path → `/`.
+  *
+  * [[registeredDomain]] is the public-suffix heuristic at the depth a
+  * curation pipeline needs: last two labels, or three when the last two
+  * are a known multi-label suffix (co.uk-family — the embedded set is a
+  * deliberately small, documented slice of the Public Suffix List; swap
+  * in the full PSL as a broadcast table for production).
+  *
+  * The curation operators are one aggregate / one filter each:
+  * [[domainStats]] (per-domain doc counts + corpus share — the
+  * per-domain-cap input), [[decontaminateByDomain]] (blocklist filter on
+  * the registered domain — UT1-blocklist-shaped, list inlined as a
+  * codegen IN for small lists), and URL-keyed dedup = `dropDuplicates`
+  * on the normalized form (exact, no similarity machinery needed once
+  * the form is canonical).
+  *
+  * Scale: everything here is per-row expression work plus at most one
+  * domain-keyed aggregate; nothing shuffles text. The q145 oracle
+  * re-derives every normalization step with INDEPENDENT string ops
+  * (DuckDB has no parse_url), so the two engines cross-check the
+  * URL grammar handling, not just each other's bugs.
+  */
+object Urls {
+
+  /** Multi-label public suffixes recognized by [[registeredDomain]]
+    * (documented slice of the PSL — see class doc). */
+  val MultiSuffixes: Seq[String] =
+    Seq("co.uk", "org.uk", "ac.uk", "co.jp", "com.au", "com.br", "co.in")
+
+  /** Lowercased host of `url`. */
+  def host(url: Column): Column = lower(parse_url(url, lit("HOST")))
+
+  /** Canonical URL — see class doc for the exact rules. */
+  def normalizeUrl(url: Column): Column = {
+    val scheme = lower(parse_url(url, lit("PROTOCOL")))
+    val h = host(url)
+    val port = regexp_extract(url, "://[^/?#]*:(\\d+)", 1)
+    val keepPort = port =!= "" &&
+      !(scheme === "http" && port === "80") &&
+      !(scheme === "https" && port === "443")
+    val path0 = parse_url(url, lit("PATH"))
+    val path = when(path0.isNull || path0 === "", lit("/")).otherwise(path0)
+    val q0 = parse_url(url, lit("QUERY"))
+    val params = array_sort(filter(split(coalesce(q0, lit("")), "&"),
+      p => !p.startsWith("utm_") && p =!= ""))
+    val query = array_join(params, "&")
+    concat(scheme, lit("://"), h,
+      when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
+      path,
+      when(query =!= "", concat(lit("?"), query)).otherwise(lit("")))
+  }
+
+  /** Registered domain of `url`'s host (last-2 labels, last-3 over a
+    * [[MultiSuffixes]] member; a single-label host is its own domain). */
+  def registeredDomain(url: Column): Column = {
+    val labels = split(host(url), "\\.")
+    val n = size(labels)
+    val last2 = concat_ws(".", element_at(labels, -2), element_at(labels, -1))
+    val last3 = concat_ws(".", element_at(labels, -3), element_at(labels, -2),
+      element_at(labels, -1))
+    when(n <= 1, element_at(labels, 1))
+      .when(n >= 3 && last2.isin(MultiSuffixes: _*), last3)
+      .otherwise(last2)
+  }
+
+  /** Per-domain doc counts + corpus share (6-dp fence) — the input of a
+    * per-domain cap policy. One domain-keyed aggregate. */
+  def domainStats(df: DataFrame, url: Column): DataFrame = {
+    val d = df.select(registeredDomain(url).as("domain"))
+    val total = d.count()
+    d.groupBy("domain").agg(count(lit(1)).as("docs"))
+      .select(col("domain"), col("docs"),
+        (floor(col("docs").cast("double") / lit(total.toDouble) * lit(1e6)
+          + lit(0.5)) / lit(1e6)).as("share"))
+  }
+
+  /** Drop every row whose registered domain is blocklisted (UT1-shaped
+    * decontamination). Small lists inline as a codegen IN; for a
+    * million-domain production blocklist use a broadcast anti-join on
+    * [[registeredDomain]] instead. */
+  def decontaminateByDomain(df: DataFrame, url: Column,
+                            blocked: Seq[String]): DataFrame =
+    df.filter(!registeredDomain(url).isin(blocked: _*))
+}

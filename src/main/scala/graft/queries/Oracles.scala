@@ -2314,6 +2314,97 @@ object Oracles {
              AS tri_est
     FROM es, t"""
 
+  /** q144: raw-crawl HTML extraction — the expected title and visible
+    * text built CLOSED-FORM from the documents table: the planted page
+    * renders as (escaped text round-tripped back to the original) + the
+    * decoded entity tail + the anchor/list lines; script/style/comment
+    * content and every tag must vanish. NBSP (chr(160)) must survive the
+    * per-line whitespace collapse; the decimal/hex references decode to
+    * chr(8364)/chr(160). */
+  val q144 = """
+    SELECT doc_id, 'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+           md5(ltrim(trim(coalesce(text, '')) || ' Fish & Chips <deal> ' ||
+                 chr(8364) || '5 ' || chr(160) || 'now') ||
+               chr(10) || 'anchor text' ||
+               chr(10) || 'item one' || chr(10) || 'item two') AS text_md5
+    FROM documents ORDER BY doc_id"""
+
+  /** q145: URL curation — the planted-URL construction (same doc_id
+    * arithmetic as the Spark side) normalized by INDEPENDENT string ops:
+    * split on ://, authority carve-out (stop at / ? #), host lowercase +
+    * port split, default-port rule, path default, query param
+    * filter/sort via list functions, and the last-2/last-3 registered
+    * domain with the multi-label-suffix set. No parse_url anywhere. */
+  val q145 = """
+    WITH u AS (SELECT doc_id,
+        (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END) || '://' ||
+        (CASE WHEN doc_id % 5 = 0 THEN 'News.Example.COM'
+              WHEN doc_id % 5 = 1 THEN 'Blog.example.co.uk'
+              WHEN doc_id % 5 = 2 THEN 'SPAM.badsite.com'
+              WHEN doc_id % 5 = 3 THEN 'example.org'
+              ELSE 'cdn.Site.com' END) ||
+        (CASE WHEN doc_id % 3 = 0 THEN
+                (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END)
+              WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END) ||
+        (CASE WHEN doc_id % 7 = 0 THEN ''
+              ELSE '/a/' || CAST(doc_id AS VARCHAR) END) ||
+        (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=x&b=2&a=1'
+              WHEN doc_id % 4 = 1 THEN '?b=2&a=1'
+              WHEN doc_id % 4 = 2 THEN '?utm_campaign=z' ELSE '' END) ||
+        (CASE WHEN doc_id % 2 = 1 THEN '#frag' ELSE '' END) AS url
+      FROM documents),
+    parts AS (SELECT doc_id, url,
+        lower(split_part(url, '://', 1)) AS scheme,
+        split_part(url, '://', 2) AS rest
+      FROM u),
+    auth AS (SELECT *,
+        split_part(split_part(split_part(rest, '/', 1), '?', 1), '#', 1)
+          AS authority
+      FROM parts),
+    comps AS (SELECT doc_id, scheme,
+        lower(split_part(authority, ':', 1)) AS h,
+        CASE WHEN strpos(authority, ':') > 0
+             THEN split_part(authority, ':', 2) ELSE '' END AS port,
+        substr(rest, length(authority) + 1) AS afterauth
+      FROM auth),
+    norm0 AS (SELECT doc_id, scheme, h, port,
+        CASE WHEN split_part(split_part(afterauth, '?', 1), '#', 1) = ''
+             THEN '/' ELSE split_part(split_part(afterauth, '?', 1), '#', 1)
+             END AS path,
+        coalesce(array_to_string(list_sort(list_filter(
+          str_split(CASE WHEN strpos(afterauth, '?') > 0
+                         THEN split_part(split_part(afterauth, '?', 2), '#', 1)
+                         ELSE '' END, '&'),
+          x -> substr(x, 1, 4) <> 'utm_' AND x <> '')), '&'), '') AS q
+      FROM comps),
+    dom AS (SELECT doc_id,
+        str_split(h, '.') AS labels
+      FROM norm0),
+    dom2 AS (SELECT doc_id,
+        CASE WHEN len(labels) <= 1 THEN labels[1]
+             WHEN len(labels) >= 3
+                  AND labels[len(labels) - 1] || '.' || labels[len(labels)]
+                      IN ('co.uk','org.uk','ac.uk','co.jp','com.au',
+                          'com.br','co.in')
+             THEN labels[len(labels) - 2] || '.' ||
+                  labels[len(labels) - 1] || '.' || labels[len(labels)]
+             ELSE labels[len(labels) - 1] || '.' || labels[len(labels)]
+             END AS domain
+      FROM dom)
+    SELECT n.doc_id,
+           n.scheme || '://' || n.h ||
+           (CASE WHEN n.port = ''
+                   OR (n.scheme = 'http' AND n.port = '80')
+                   OR (n.scheme = 'https' AND n.port = '443') THEN ''
+                 ELSE ':' || n.port END) ||
+           n.path ||
+           (CASE WHEN n.q = '' THEN '' ELSE '?' || n.q END) AS norm_url,
+           d.domain,
+           CAST(CASE WHEN d.domain = 'badsite.com' THEN 1 ELSE 0 END AS BIGINT)
+             AS blocked
+    FROM norm0 n JOIN dom2 d USING (doc_id)
+    ORDER BY n.doc_id"""
+
   /** q141: exact substring dedup — brute-force replay over the literal
     * strings: EVERY (position, m) window for m in [16, 40], grouped by
     * gram TEXT (not fingerprints — so the Spark side's 64-bit ladder is
@@ -3786,6 +3877,8 @@ object Oracles {
     "q140_warc_source" -> q140,
     "q141_exact_substring_dedup" -> q141,
     "q142_triangles_doulion" -> q142,
-    "q143_byte_level_bpe" -> q143
+    "q143_byte_level_bpe" -> q143,
+    "q144_html_extract" -> q144,
+    "q145_url_curation" -> q145
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

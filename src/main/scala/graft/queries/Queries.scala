@@ -2919,6 +2919,107 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  private val warcHtmlDirCache =
+    new scala.collection.concurrent.TrieMap[String, (String, String)]()
+
+  /** q144: raw-crawl HTML extraction ([[Html]] + [[WarcSources]] — the
+    * full capture-to-corpus composition): each document is wrapped in a
+    * synthesized HTML page PLANTED with every classic extractor trap —
+    * quoted `>` inside attributes, a `<script>` whose body contains
+    * `</div>` and a bare `<`, a `<style>` block, a comment containing
+    * tags, uppercase tag names, named/decimal/hex character references,
+    * an NBSP that must survive whitespace collapse — written as WARC
+    * `response` records (the raw-capture shape, vs q140's WET), read
+    * back split-parallel, and extracted. The oracle builds the expected
+    * title and visible text CLOSED-FORM from the documents table: any
+    * tag residue, entity slip, raw-text leak, or line-structure defect
+    * breaks the hash. */
+  def q144HtmlExtract(s: SparkSession, d: String): DataFrame = {
+    val sig = tableSignature(s, d, "documents")
+    val dir = warcHtmlDirCache.synchronized {
+      warcHtmlDirCache.get(d) match {
+        case Some((s0, dd)) if s0 == sig => dd
+        case prev =>
+          prev.foreach { case (_, old) =>
+            try deleteDirTree(old) catch { case _: Exception => () } }
+          val tmp = java.nio.file.Files.createTempDirectory("graft_warch_").toString
+          val esc = regexp_replace(regexp_replace(regexp_replace(
+            coalesce(col("text"), lit("")),
+            "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+          val html = concat(
+            lit("<!DOCTYPE html><html><HEAD><title>Doc "), col("doc_id"),
+            lit("</title><style>body{color:red}</style>" +
+              "<script>if(1<2){var x=\"</div>\";}</script></HEAD>" +
+              "<BODY><!-- <p>ghost</p> --><P class=\"intro\">"),
+            esc,
+            lit(" Fish &amp; Chips &lt;deal&gt; &#8364;5 &#xA0;now</P>" +
+              "<div><a href=\"/x?q=1>2\" class='y>z'>anchor text</a></div>" +
+              "<ul><li>item one</li><li>item two</li></ul></BODY></html>"))
+          WarcSources.writeWarc(
+            Tables.documents(s, d).select(
+              lit("response").as("record_type"),
+              concat(lit("https://example.com/doc/"), col("doc_id")).as("url"),
+              lit("2024-05-01T00:00:00Z").as("date"),
+              lit("text/html").as("content_type"),
+              concat(lit("<urn:uuid:h"), col("doc_id"), lit(">"))
+                .as("warc_record_id"),
+              encode(html, "UTF-8").as("content")),
+            tmp, layoutCols = Seq("url"))
+          warcHtmlDirCache.update(d, (sig, tmp))
+          tmp
+      }
+    }
+    val recs = WarcSources.readWarc(s, dir)
+      .filter(col("error").isNull && col("record_type") === "response")
+      .select(
+        regexp_extract(col("url"), "/doc/(\\d+)$", 1).cast("long").as("id"),
+        decode(col("content"), "UTF-8").as("html"))
+    Html.extract(recs, col("id"), col("html"))
+      .select(col("doc_id"), col("title"),
+        md5(col("text").cast("binary")).as("text_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** q145: URL canonicalization + domain curation ([[Urls]]): every doc
+    * gets a PLANTED dirty URL (uppercase scheme/host, default and
+    * non-default ports, utm tracking params, unsorted params, fragments,
+    * missing paths, multi-label public suffixes — all driven by doc_id
+    * arithmetic), normalized via Spark's `parse_url` builtins and mapped
+    * to its registered domain; `badsite.com` rows carry the blocklist
+    * flag. The oracle re-derives every step with INDEPENDENT DuckDB
+    * string ops (no parse_url there), so the two engines cross-check the
+    * URL grammar, not a shared implementation. */
+  def q145UrlCuration(s: SparkSession, d: String): DataFrame = {
+    val m2 = col("doc_id") % 2
+    val m3 = col("doc_id") % 3
+    val m4 = col("doc_id") % 4
+    val m5 = col("doc_id") % 5
+    val m7 = col("doc_id") % 7
+    val scheme = when(m2 === 0, lit("HTTP")).otherwise(lit("https"))
+    val hostStr = when(m5 === 0, lit("News.Example.COM"))
+      .when(m5 === 1, lit("Blog.example.co.uk"))
+      .when(m5 === 2, lit("SPAM.badsite.com"))
+      .when(m5 === 3, lit("example.org"))
+      .otherwise(lit("cdn.Site.com"))
+    val port = when(m3 === 0, when(m2 === 0, lit(":80")).otherwise(lit(":443")))
+      .when(m3 === 1, lit(":8080")).otherwise(lit(""))
+    val path = when(m7 === 0, lit(""))
+      .otherwise(concat(lit("/a/"), col("doc_id")))
+    val query = when(m4 === 0, lit("?utm_source=x&b=2&a=1"))
+      .when(m4 === 1, lit("?b=2&a=1"))
+      .when(m4 === 2, lit("?utm_campaign=z"))
+      .otherwise(lit(""))
+    val frag = when(m2 === 1, lit("#frag")).otherwise(lit(""))
+    val url = concat(scheme, lit("://"), hostStr, port, path, query, frag)
+    Tables.documents(s, d)
+      .select(col("doc_id"), url.as("url"))
+      .select(col("doc_id"),
+        Urls.normalizeUrl(col("url")).as("norm_url"),
+        Urls.registeredDomain(col("url")).as("domain"))
+      .withColumn("blocked", (col("domain") === "badsite.com").cast("long"))
+      .orderBy("doc_id")
+  }
+
   /** q143's planted byte-level content (the q87/q137 convention — the
     * fixture text is single-spaced lowercase-ish ASCII, so the shapes the
     * GPT-2 tokenizer family exists for are planted): mixed case,

@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Gates for URL canonicalization + domain curation. */
+class UrlsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def norm(u: String): String =
+    Seq(Tuple1(u)).toDF("u")
+      .select(Urls.normalizeUrl(col("u"))).collect()(0).getString(0)
+
+  private def dom(u: String): String =
+    Seq(Tuple1(u)).toDF("u")
+      .select(Urls.registeredDomain(col("u"))).collect()(0).getString(0)
+
+  test("normalizeUrl: case, default ports, fragments, tracking params, sort") {
+    assert(norm("HTTP://News.Example.COM:80/a?utm_source=x&b=2&a=1#frag")
+      == "http://news.example.com/a?a=1&b=2")
+    assert(norm("https://Site.com:443/p") == "https://site.com/p")
+    // non-default ports survive
+    assert(norm("http://h.com:8080/x") == "http://h.com:8080/x")
+    // empty path -> '/', all-tracking query -> no '?'
+    assert(norm("https://h.com?utm_campaign=z") == "https://h.com/")
+    assert(norm("http://h.com") == "http://h.com/")
+    // already-canonical input is a fixed point
+    assert(norm("http://news.example.com/a?a=1&b=2")
+      == "http://news.example.com/a?a=1&b=2")
+  }
+
+  test("registeredDomain: last-2 labels, multi-label suffixes, bare hosts") {
+    assert(dom("http://news.example.com/x") == "example.com")
+    assert(dom("https://Blog.example.co.uk/y") == "example.co.uk")
+    assert(dom("http://a.b.c.site.com") == "site.com")
+    assert(dom("http://example.org") == "example.org")
+    assert(dom("http://localhost/x") == "localhost")
+    // the suffix itself (no registrable label) falls back to last-2
+    assert(dom("http://co.uk/") == "co.uk")
+  }
+
+  test("URL dedup: variants of one page collapse on the normalized form") {
+    val urls = Seq(
+      "HTTP://Site.com:80/a?b=2&a=1",
+      "http://site.com/a?a=1&b=2#frag",
+      "http://site.com/a?utm_source=x&a=1&b=2",
+      "http://site.com/b").toDF("url")
+    val distinct = urls.select(Urls.normalizeUrl(col("url")).as("n"))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(distinct == Set("http://site.com/a?a=1&b=2", "http://site.com/b"))
+  }
+
+  test("domainStats + decontaminateByDomain") {
+    val df = Seq(
+      "http://a.good.com/1", "http://b.good.com/2",
+      "http://spam.badsite.com/3", "http://other.org/4").toDF("url")
+    val stats = Urls.domainStats(df, col("url"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(stats("good.com") == ((2L, 0.5)))
+    assert(stats("badsite.com") == ((1L, 0.25)))
+    val kept = Urls.decontaminateByDomain(df, col("url"), Seq("badsite.com"))
+      .collect().map(_.getString(0)).toSet
+    assert(kept.size == 3 && !kept.exists(_.contains("badsite")))
+  }
+}
