@@ -2324,10 +2324,29 @@ object Oracles {
   val q144 = """
     SELECT doc_id, 'Doc ' || CAST(doc_id AS VARCHAR) AS title,
            md5(ltrim(trim(coalesce(text, '')) || ' Fish & Chips <deal> ' ||
-                 chr(8364) || '5 ' || chr(160) || 'now') ||
+                 chr(8364) || '5 ' || chr(160) || 'now.') ||
                chr(10) || 'anchor text' ||
                chr(10) || 'item one' || chr(10) || 'item two') AS text_md5
     FROM documents ORDER BY doc_id"""
+
+  /** q146: the crawl-to-corpus pipeline — the surviving cleaned line
+    * rebuilt closed-form (the q144 page's content line, which alone
+    * passes the C4 terminal-punct + min-words rules; the planted
+    * boilerplate lines drop), the badsite.com blocklist predicate
+    * (doc_id % 5 = 2), and the min-doc_id keeper election over the
+    * surviving corpus. */
+  val q146 = """
+    WITH base AS (SELECT doc_id,
+        ltrim(trim(coalesce(text, '')) || ' Fish & Chips <deal> ' ||
+          chr(8364) || '5 ' || chr(160) || 'now.') AS pline
+      FROM documents WHERE doc_id % 5 <> 2),
+    k AS (SELECT pline, min(doc_id) AS keeper_id FROM base GROUP BY pline)
+    SELECT b.doc_id, CAST(4 AS BIGINT) AS n_lines, CAST(1 AS BIGINT) AS n_kept,
+           md5(b.pline) AS clean_md5, CAST(k.keeper_id AS BIGINT) AS keeper_id,
+           CAST(CASE WHEN b.doc_id = k.keeper_id THEN 1 ELSE 0 END AS BIGINT)
+             AS is_keeper
+    FROM base b JOIN k USING (pline)
+    ORDER BY b.doc_id"""
 
   /** q145: URL curation — the planted-URL construction (same doc_id
     * arithmetic as the Spark side) normalized by INDEPENDENT string ops:
@@ -3879,6 +3898,7 @@ object Oracles {
     "q142_triangles_doulion" -> q142,
     "q143_byte_level_bpe" -> q143,
     "q144_html_extract" -> q144,
-    "q145_url_curation" -> q145
+    "q145_url_curation" -> q145,
+    "q146_crawl_pipeline" -> q146
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

@@ -2934,9 +2934,13 @@ object Queries {
     * title and visible text CLOSED-FORM from the documents table: any
     * tag residue, entity slip, raw-text leak, or line-structure defect
     * breaks the hash. */
-  def q144HtmlExtract(s: SparkSession, d: String): DataFrame = {
+  /** The synthesized-HTML WARC dir q144 and q146 share: one `response`
+    * record per document, page = every classic extractor trap around the
+    * escaped doc text (see q144's scaladoc); cached per fixture
+    * signature. */
+  private def crawlWarcDir(s: SparkSession, d: String): String = {
     val sig = tableSignature(s, d, "documents")
-    val dir = warcHtmlDirCache.synchronized {
+    warcHtmlDirCache.synchronized {
       warcHtmlDirCache.get(d) match {
         case Some((s0, dd)) if s0 == sig => dd
         case prev =>
@@ -2952,7 +2956,7 @@ object Queries {
               "<script>if(1<2){var x=\"</div>\";}</script></HEAD>" +
               "<BODY><!-- <p>ghost</p> --><P class=\"intro\">"),
             esc,
-            lit(" Fish &amp; Chips &lt;deal&gt; &#8364;5 &#xA0;now</P>" +
+            lit(" Fish &amp; Chips &lt;deal&gt; &#8364;5 &#xA0;now.</P>" +
               "<div><a href=\"/x?q=1>2\" class='y>z'>anchor text</a></div>" +
               "<ul><li>item one</li><li>item two</li></ul></BODY></html>"))
           WarcSources.writeWarc(
@@ -2969,6 +2973,10 @@ object Queries {
           tmp
       }
     }
+  }
+
+  def q144HtmlExtract(s: SparkSession, d: String): DataFrame = {
+    val dir = crawlWarcDir(s, d)
     val recs = WarcSources.readWarc(s, dir)
       .filter(col("error").isNull && col("record_type") === "response")
       .select(
@@ -2989,12 +2997,51 @@ object Queries {
     * flag. The oracle re-derives every step with INDEPENDENT DuckDB
     * string ops (no parse_url there), so the two engines cross-check the
     * URL grammar, not a shared implementation. */
-  def q145UrlCuration(s: SparkSession, d: String): DataFrame = {
-    val m2 = col("doc_id") % 2
-    val m3 = col("doc_id") % 3
-    val m4 = col("doc_id") % 4
-    val m5 = col("doc_id") % 5
-    val m7 = col("doc_id") % 7
+  /** q146: the END-TO-END crawl-to-corpus pipeline — every stage a
+    * real-world Common-Crawl curation run chains, each individually
+    * gated elsewhere, composed here through the actual container:
+    * q144's WARC `response` records (split-parallel read) → doc identity
+    * from the capture URL → BLOCKLIST decontamination on the planted
+    * per-doc curation URL ([[Urls.decontaminateByDomain]], badsite.com
+    * drops doc_id % 5 = 2) → [[Html.extract]] → [[QualityRules
+    * .c4LineFilter]] (the planted anchor/list boilerplate lines fail the
+    * terminal-punctuation rule and drop; the content line survives) →
+    * exact dedup with keeper election (min doc_id per cleaned text).
+    * The oracle rebuilds the surviving cleaned line closed-form from the
+    * documents table and replays the blocklist predicate and the keeper
+    * election — a defect in ANY stage (member framing, extraction,
+    * entity decode, line filter, domain rule, keeper tie) breaks it. */
+  def q146CrawlPipeline(s: SparkSession, d: String): DataFrame = {
+    val dir = crawlWarcDir(s, d)
+    val recs = WarcSources.readWarc(s, dir)
+      .filter(col("error").isNull && col("record_type") === "response")
+      .select(
+        regexp_extract(col("url"), "/doc/(\\d+)$", 1).cast("long").as("id"),
+        decode(col("content"), "UTF-8").as("html"))
+      .withColumn("curl", plantedUrl(col("id")))
+    val kept = Urls.decontaminateByDomain(recs, col("curl"), Seq("badsite.com"))
+    val ext = Html.extract(kept.select(col("id"), col("html")),
+      col("id"), col("html"))
+    val clean = QualityRules.c4LineFilter(ext, col("doc_id"), col("text"),
+      minWords = 3, banned = Seq.empty)
+    val keepers = clean.groupBy("text_clean")
+      .agg(min(col("doc_id")).as("keeper_id"))
+    clean.join(keepers, Seq("text_clean"))
+      .select(col("doc_id"), col("n_lines"), col("n_kept"),
+        md5(col("text_clean").cast("binary")).as("clean_md5"),
+        col("keeper_id"),
+        (col("doc_id") === col("keeper_id")).cast("long").as("is_keeper"))
+      .orderBy("doc_id")
+  }
+
+  /** The planted dirty URL keyed on a document id — shared by q145 (over
+    * doc_id) and q146 (over the id recovered from the WARC record). */
+  private def plantedUrl(id: Column): Column = {
+    val m2 = id % 2
+    val m3 = id % 3
+    val m4 = id % 4
+    val m5 = id % 5
+    val m7 = id % 7
     val scheme = when(m2 === 0, lit("HTTP")).otherwise(lit("https"))
     val hostStr = when(m5 === 0, lit("News.Example.COM"))
       .when(m5 === 1, lit("Blog.example.co.uk"))
@@ -3004,15 +3051,18 @@ object Queries {
     val port = when(m3 === 0, when(m2 === 0, lit(":80")).otherwise(lit(":443")))
       .when(m3 === 1, lit(":8080")).otherwise(lit(""))
     val path = when(m7 === 0, lit(""))
-      .otherwise(concat(lit("/a/"), col("doc_id")))
+      .otherwise(concat(lit("/a/"), id))
     val query = when(m4 === 0, lit("?utm_source=x&b=2&a=1"))
       .when(m4 === 1, lit("?b=2&a=1"))
       .when(m4 === 2, lit("?utm_campaign=z"))
       .otherwise(lit(""))
     val frag = when(m2 === 1, lit("#frag")).otherwise(lit(""))
-    val url = concat(scheme, lit("://"), hostStr, port, path, query, frag)
+    concat(scheme, lit("://"), hostStr, port, path, query, frag)
+  }
+
+  def q145UrlCuration(s: SparkSession, d: String): DataFrame = {
     Tables.documents(s, d)
-      .select(col("doc_id"), url.as("url"))
+      .select(col("doc_id"), plantedUrl(col("doc_id")).as("url"))
       .select(col("doc_id"),
         Urls.normalizeUrl(col("url")).as("norm_url"),
         Urls.registeredDomain(col("url")).as("domain"))
