@@ -450,6 +450,84 @@ object WarcSources {
   }
 
   // ------------------------------------------------------------------
+  // whole-buffer record walk (the streaming-ingest unit)
+  // ------------------------------------------------------------------
+
+  /** One WARC record as a flat row — the typed shape the streaming
+    * crawl-ingest twin flatMaps to ([[graft.streaming.CrawlStreams]]);
+    * field-compatible with [[schema]]. */
+  final case class WarcRec(file: String, offset: Long, record_type: String,
+      url: String, date: String, content_type: String,
+      warc_record_id: String, content_length: java.lang.Long,
+      content: Array[Byte], error: String)
+
+  private def recToRec(file: String, off: Long, r: Rec): WarcRec =
+    if (r.error == null)
+      WarcRec(file, off, r.recordType, r.url, r.date, r.contentType,
+        r.recordId, r.contentLength, r.content, null)
+    else WarcRec(file, off, null, null, null, null, null, null,
+      r.content, r.error)
+
+  /** Decode EVERY record of one in-memory WARC payload (gzip
+    * record-per-member if it starts with the gzip magic, plain
+    * otherwise) — the per-file unit of streaming ingest, where whole
+    * files are the arrival granularity and splitting happens across
+    * FILES, not within them. Same quarantine semantics as [[readWarc]]. */
+  def recordsFromBytes(name: String, buf: Array[Byte]): Seq[WarcRec] = {
+    val out = ArrayBuffer.empty[WarcRec]
+    if (buf.length >= 3 && buf(0) == GzMagic0 && buf(1) == GzMagic1 &&
+        buf(2) == GzDeflate) {
+      var pos = 0
+      if (!isMemberAt(buf, 0)) pos = nextMember(buf, 1)
+      while (pos >= 0 && pos < buf.length) {
+        val memberOff = pos.toLong
+        val rec: Either[String, Member] =
+          try Right(gzipMember(buf, pos))
+          catch { case e: IOException => Left(e.getMessage) }
+        rec match {
+          case Right(m) =>
+            var o = 0
+            while (o < m.payload.length) {
+              val r = parseRecord(m.payload, o)
+              out += recToRec(name, memberOff, r)
+              o += math.max(1, r.consumed)
+            }
+            pos += m.compressedLen.toInt
+            if (pos < buf.length && !isMemberAt(buf, pos)) {
+              val next = nextMember(buf, pos + 1)
+              val gapEnd = if (next >= 0) next else buf.length
+              out += WarcRec(name, pos.toLong, null, null, null, null, null,
+                null, java.util.Arrays.copyOfRange(buf, pos,
+                  math.min(gapEnd, pos + QuarantineCap)),
+                "garbage between gzip members")
+              pos = next
+            }
+          case Left(err) =>
+            val next = nextMember(buf, pos + 1)
+            val capAt = if (next >= 0) next else buf.length
+            out += WarcRec(name, memberOff, null, null, null, null, null,
+              null, java.util.Arrays.copyOfRange(buf, pos,
+                math.min(capAt, pos + QuarantineCap)),
+              s"gzip member corrupt: $err")
+            pos = next
+        }
+        if (pos < 0) pos = buf.length
+      }
+    } else {
+      var pos = 0
+      while (pos < buf.length) {
+        if (buf(pos) == '\r' || buf(pos) == '\n') pos += 1
+        else {
+          val r = parseRecord(buf, pos)
+          out += recToRec(name, pos.toLong, r)
+          pos += math.max(1, r.consumed)
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  // ------------------------------------------------------------------
   // write (round-trip gates / fixture synthesis)
   // ------------------------------------------------------------------
 

@@ -1,0 +1,104 @@
+package graft.streaming
+
+import graft.operators.{Html, WarcSources}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Continuous crawl ingest — the streaming twin of the batch
+  * [[graft.operators.WarcSources.readWarc]] path: crawlers DROP `.warc.gz`
+  * files into a landing directory for hours/days, and the corpus should
+  * grow per arrival instead of waiting for a nightly batch.
+  *
+  * Shape: Spark's `binaryFile` streaming source watches the landing dir
+  * (whole files are the arrival unit — the parallelism axis of a crawl
+  * landing zone is its thousands of ~1 GB files, so per-file decode is
+  * the right streaming granularity; the batch reader's WITHIN-file
+  * member splitting matters for reprocessing, not tailing); each
+  * micro-batch flatMaps every new file through the SAME RFC 1952 member
+  * walk + record parse as the batch path
+  * ([[WarcSources.recordsFromBytes]] — one decode implementation, two
+  * execution modes), extracts text (WET `conversion` records decode
+  * UTF-8 directly; raw `response` records run [[Html.extract]]), and
+  * lands clean text and quarantine rows in separate sinks.
+  *
+  * At-least-once idempotence (the [[DocStreams]] device): both sinks are
+  * `batch_id`-partitioned under dynamic partition overwrite, so a
+  * replayed micro-batch REPLACES its own partitions instead of
+  * duplicating rows. There is no cross-batch state — ingest is
+  * per-record local — so no history table and no fold contract; chain
+  * [[DocStreams.foreachBatchAdmit]] downstream for continuous dedup.
+  */
+object CrawlStreams {
+
+  /** The `binaryFile` source's fixed schema (streaming sources need it
+    * stated explicitly). */
+  val binaryFileSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("path", StringType),
+      StructField("modificationTime", TimestampType),
+      StructField("length", LongType),
+      StructField("content", BinaryType)))
+  }
+
+  /** Watch `dir` for arriving WARC files (whole-file rows). */
+  def readWarcFiles(spark: SparkSession, dir: String,
+                    glob: String = "*.warc.gz"): DataFrame =
+    spark.readStream.format("binaryFile")
+      .schema(binaryFileSchema)
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(col("path"), col("content"))
+
+  /** The continuous ingest loop: per micro-batch decode every arrived
+    * file, land clean text rows at `textDir`
+    * (doc-shaped: file, offset, url, date, record_type, title, text) and
+    * quarantine rows at `quarantineDir` (file, offset, error, raw). */
+  def foreachBatchCrawlIngest(files: DataFrame, textDir: String,
+                              quarantineDir: String,
+                              checkpointDir: Option[String] = None): StreamingQuery = {
+    val writer = files.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val recs = batch.select(col("path"), col("content"))
+          .as[(String, Array[Byte])]
+          .flatMap { case (p, b) => WarcSources.recordsFromBytes(p, b) }
+          .toDF()
+          .localCheckpoint() // one decode pass feeds both sinks
+        val quarantine = recs.filter(col("error").isNotNull)
+          .select(col("file"), col("offset"), col("error"),
+            col("content").as("raw"))
+          .withColumn("batch_id", lit(batchId))
+        // WET conversion records ARE text; raw captures extract
+        val conv = recs.filter(col("error").isNull &&
+            col("record_type") === "conversion")
+          .select(col("file"), col("offset"), col("url"), col("date"),
+            col("record_type"), lit("").as("title"),
+            decode(col("content"), "UTF-8").as("text"))
+        val respText = recs.filter(col("error").isNull &&
+            col("record_type") === "response")
+          .select(col("file"), col("offset"), col("url"), col("date"),
+            col("record_type"), decode(col("content"), "UTF-8").as("html"))
+          .as[(String, Long, String, String, String, String)]
+          .map { case (f, o, u, dt, rt, html) =>
+            val e = Html.toText(html)
+            (f, o, u, dt, rt, e.title, e.text)
+          }
+          .toDF("file", "offset", "url", "date", "record_type",
+            "title", "text")
+        val text = conv.unionByName(respText).withColumn("batch_id", lit(batchId))
+        writePartition(text, textDir)
+        writePartition(quarantine, quarantineDir)
+        ()
+      }
+    checkpointDir.foreach(d => writer.option("checkpointLocation", d))
+    writer.start()
+  }
+
+  private def writePartition(df: DataFrame, dir: String): Unit =
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(dir)
+}
