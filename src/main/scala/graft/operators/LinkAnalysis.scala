@@ -94,6 +94,82 @@ object LinkAnalysis {
     ranks
   }
 
+  /** Personalized PageRank (random walk with restart — Page et al. 1999
+    * §6 "personalized" vector; Jeh & Widom 2003, public methods): the
+    * restart mass lands on the `sources` node set instead of uniformly,
+    * so ranks measure proximity TO THE SOURCES rather than global
+    * centrality. The crawl-curation use: seed with a trusted host/domain
+    * whitelist and the stationary mass becomes a "distance from trust"
+    * quality prior per host (TrustRank, Gyöngyi et al. 2004 is exactly
+    * this shape) — the personalized sibling of [[pageRank]]'s global
+    * prior.
+    *
+    * Inputs: directed `edges(src, dst, w)` with w > 0, and `sources`
+    * (one column, node ids castable to the edge key type); sources not
+    * present in the graph still receive restart mass (they rank by it),
+    * and the restart distribution is uniform over the DISTINCT source
+    * set. Nodes unreachable from every source fence to exactly 0.0.
+    * Dangling nodes redistribute their mass through the RESTART vector
+    * (the standard PPR convention: a terminated walk restarts at a
+    * source), not uniformly.
+    *
+    * Same 100 TB shape as [[pageRank]] — the static edge+out-weight frame
+    * is pinned once, each iteration shuffles only (node, rank) — plus one
+    * extra static column: the per-node restart mass `rst` rides the node
+    * frame, so the iteration adds zero joins over the global variant.
+    * Same 9-dp fence, same left-assoc arithmetic, oracle-replayable
+    * iteration for iteration. */
+  def personalizedPageRank(edges: DataFrame, sources: DataFrame, iters: Int,
+                           damping: Double = 0.85,
+                           policy: CheckpointPolicy = CheckpointPolicy.Local): DataFrame = {
+    require(iters >= 1, s"iters >= 1: $iters")
+    val e = edges.select(col("src"), col("dst"), col("w").cast("double").as("w"))
+    val src0 = sources.toDF("node").select(col("node")).distinct()
+    val graphNodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+    // node universe = graph nodes ∪ sources (an off-graph source still
+    // holds restart mass; dropping it would leak (1-d)/|S| every round)
+    val nodes = graphNodes.unionByName(src0).distinct()
+    val outW = e.groupBy("src").agg(sum("w").as("ow"))
+    val eo = policy.pin(e.join(outW, "src"))
+    val nS = src0.count().toDouble
+    require(nS >= 1.0, "personalizedPageRank needs a non-empty source set")
+    // static per-node restart mass: 1/|S| on sources, 0 elsewhere — joined
+    // ONCE into the pinned node frame, reused every iteration
+    val nodesR = policy.pin(
+      nodes.join(src0.withColumn("__s", lit(1)), Seq("node"), "left")
+        .select(col("node"),
+          when(col("__s").isNotNull, lit(1.0 / nS)).otherwise(lit(0.0)).as("rst")))
+    var ranks = policy.pin(
+      nodesR.select(col("node"), fence9(col("rst")).as("rank")))
+    val danglingNodes = policy.pin(
+      nodesR.join(eo.select("src").distinct(),
+        nodesR("node") === col("src"), "left_anti").select("node"))
+    val hasDangling = danglingNodes.limit(1).count() > 0
+    for (it <- 1 to iters) {
+      val contrib = eo.join(ranks, eo("src") === ranks("node"))
+        .select(col("dst"), (col("rank") * col("w") / col("ow")).as("c"))
+      val incoming = contrib.groupBy("dst").agg(sum("c").as("inw"))
+      // dangling mass restarts at the sources: scaled by each node's rst
+      val inMass =
+        if (!hasDangling) coalesce(col("inw"), lit(0.0))
+        else {
+          val dangling = ranks
+            .join(danglingNodes.select(col("node").as("__dn")),
+              ranks("node") === col("__dn"), "left_semi")
+            .agg(coalesce(sum("rank"), lit(0.0))).head().getDouble(0)
+          coalesce(col("inw"), lit(0.0)) + lit(dangling) * col("rst")
+        }
+      val next =
+        nodesR.join(incoming, nodesR("node") === incoming("dst"), "left")
+          .select(col("node"), col("rst"),
+            fence9(lit(1.0 - damping) * col("rst") + lit(damping) * inMass)
+              .as("rank"))
+      ranks = policy.pin(next)
+    }
+    ranks.select("node", "rank")
+  }
+
   /** Exact triangle counting + local clustering coefficients over an
     * undirected simple graph, via degree-ordered edge orientation
     * (Schank & Wagner 2005; Suri & Vassilvitskii 2011 — public methods).

@@ -362,6 +362,96 @@ object Sketches {
     swapInFolded(spark, dir, kmvTopK(spark, dir, k))
   }
 
+  // ---------------- bottom-k rank (quantile) sketches ------------------
+
+  /** The engine-portable 52-bit md5 integer of a ROW key under the "rank"
+    * salt — unlike [[kmvHash]] there is no distinct: each row draws its
+    * own uniform, so the k rows with the smallest hashes are a simple
+    * random sample OF ROWS (Bar-Yossef et al.'s bottom-k device pointed
+    * at rank statistics instead of distinct counts). */
+  private def rankHash(key: Column): Column =
+    conv(substring(md5(concat_ws("|", key, lit("rank")).cast("binary")),
+      1, 13), 16, 10).cast("long")
+
+  /** Append this batch's RANK sketch of `value`: the k rows with the
+    * smallest row-key hashes, carrying their values — the mergeable
+    * quantile sketch that, unlike the fixed-edge histogram family
+    * ([[appendHistogramSketches]]), needs NO prior knowledge of the value
+    * range: the retained values are a deterministic uniform row sample,
+    * so every quantile of the sample estimates the corpus quantile with
+    * rank error ≤ √(ln(2/δ)/2k) (Dvoretzky–Kiefer–Wolfowitz; k=4096 ⇒
+    * ≤ 4.3% at δ=1e-6). Merging is "union + keep k smallest" exactly as
+    * KMV — any of the k overall-smallest rows is among its own batch's k
+    * smallest — so batching is invariant and fully deterministic (md5,
+    * no seeds): every estimate replays exactly in SQL (q148).
+    *
+    * `key` must be unique per row (it is the sampling coin — duplicate
+    * keys would enter the sample together or not at all and bias heavy
+    * values); NULL values drop before sampling.
+    *
+    * 100 TB shape: one scan; TakeOrdered(k) cuts map-side — each task
+    * retains ≤ k (hash, value) pairs and the artifact is ≤ k rows per
+    * batch. Serve reads (batches × k) rows, constant in corpus size.
+    * Same layout / retry-delete / fold contract as the other families. */
+  def appendRankSketches(df: DataFrame, value: Column, key: Column,
+                         dir: String, batchId: Long, k: Int = 4096): Unit = {
+    require(k >= 16, "k must be >= 16")
+    if (batchId <= foldedWatermark(df.sparkSession, dir)) return
+    deleteBatchPartition(df.sparkSession, dir, batchId)
+    val rows = df
+      .select(rankHash(key.cast("string")).as("h"),
+        value.cast("double").as("v"))
+      .filter(col("v").isNotNull)
+      .orderBy("h", "v").limit(k) // (h, v) order: boundary ties deterministic
+      .select(lit(batchId).as("batch_id"), col("h"), col("v"))
+    val spark = df.sparkSession
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try rows.coalesce(1).write.mode("overwrite")
+      .partitionBy("batch_id").parquet(dir)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
+  /** The served sketch: the k hash-smallest sampled rows across batches. */
+  private def rankTopK(spark: SparkSession, dir: String, k: Int): DataFrame =
+    spark.read.parquet(dir).select("h", "v").orderBy("h", "v").limit(k)
+
+  /** Fold the accumulated per-batch rank rows into the base partition:
+    * union + k smallest — exactly the serve-path arithmetic, so
+    * [[rankQuantiles]] is bit-identical pre/post fold. */
+  def compactRankSketches(spark: SparkSession, dir: String,
+                          k: Int = 4096): Unit = {
+    if (!exists(spark, dir)) return
+    swapInFolded(spark, dir, rankTopK(spark, dir, k))
+  }
+
+  /** Quantile estimates over the accumulated batches: the sample's
+    * empirical quantile — sort the ≤k retained values, pick position
+    * `max(⌈q·m⌉, 1)` (1-based). Exact when the sample holds the whole
+    * corpus (m = n < k). The merged sample is ≤ k rows BY CONSTRUCTION,
+    * so the pick runs on the driver (the [[histQuantiles]] argument); the
+    * distributed read is (batches × k) rows regardless of corpus size.
+    * Returns (q, estimate) with the estimate a VERBATIM sampled value —
+    * no interpolation, no fence needed: both engines read the same
+    * parquet double. */
+  def rankQuantiles(spark: SparkSession, dir: String, qs: Seq[Double],
+                    k: Int = 4096): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1), "qs must be in (0,1]")
+    import spark.implicits._
+    val sample = rankTopK(spark, dir, k)
+      .collect() // ≤ k rows — bounded by the sketch's construction
+      .map(_.getDouble(1)).sorted
+    require(sample.nonEmpty, "rankQuantiles: no sample mass in the sketch dir")
+    val m = sample.length
+    qs.distinct.map { q =>
+      val idx = math.max(math.ceil(q * m).toLong, 1L).toInt
+      (q, sample(idx - 1))
+    }.toDF("q", "estimate")
+  }
+
   /** Point-frequency estimates for `keys` over the accumulated batches:
     * min over hash rows of the summed bucket counts — (key, estimate).
     * Absent keys estimate ≥ 0 (collision mass only). The probe list is a

@@ -3039,6 +3039,52 @@ object Oracles {
     SELECT node, rnk AS "rank" FROM r5 ORDER BY node"""
   }
 
+  // q147: the personalized-PageRank trajectory, all 5 iterations unrolled.
+  // Same edge/out-weight CTEs as q123, plus: the seed set (nation-0
+  // customers, DISTINCT), a node universe that UNIONs off-graph seeds in,
+  // the per-node restart mass rst = 1/|S| on seeds else 0.0, the
+  // per-iteration dangling scalar (rank mass on nodes with no out-edges —
+  // the orderless seeds), and the (1.0-0.85)*rst + 0.85*(in + dm*rst)
+  // association with the 9-dp floor fence, mirroring
+  // LinkAnalysis.personalizedPageRank term for term.
+  val q147: String = {
+    val head = """
+    WITH el AS (
+      SELECT o_custkey * 2 AS cn, l_suppkey * 2 + 1 AS sn,
+             CAST(count(*) AS DOUBLE) AS w
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2),
+    edges AS (SELECT cn AS src, sn AS dst, w FROM el
+              UNION ALL SELECT sn AS src, cn AS dst, w FROM el),
+    srcs AS (SELECT DISTINCT c_custkey * 2 AS node
+             FROM customer WHERE c_nationkey = 0),
+    gnodes AS (SELECT DISTINCT src AS node FROM edges),
+    nodes AS (SELECT node FROM gnodes UNION SELECT node FROM srcs),
+    ns AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM srcs),
+    outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY src),
+    nr AS (SELECT nodes.node,
+             CASE WHEN s.node IS NOT NULL THEN 1.0 / ns.n ELSE 0.0 END AS rst
+           FROM nodes CROSS JOIN ns LEFT JOIN srcs s ON s.node = nodes.node),
+    r0 AS (SELECT node, rst, floor(rst * 1e9 + 0.5) / 1e9 AS rnk FROM nr)"""
+    val its = (1 to 5).map { i =>
+      s"""
+    c$i AS (SELECT e.dst AS node, sum(r.rnk * e.w / o.ow) AS inw
+            FROM edges e JOIN outw o ON e.src = o.src
+            JOIN r${i - 1} r ON r.node = e.src
+            GROUP BY e.dst),
+    dg$i AS (SELECT coalesce(sum(r.rnk), 0.0) AS dm
+             FROM r${i - 1} r LEFT JOIN outw o ON o.src = r.node
+             WHERE o.src IS NULL),
+    r$i AS (SELECT n.node, n.rst,
+              floor(((1.0 - 0.85) * n.rst
+                     + 0.85 * (coalesce(c.inw, 0.0) + dg$i.dm * n.rst))
+                    * 1e9 + 0.5) / 1e9 AS rnk
+            FROM nr n CROSS JOIN dg$i LEFT JOIN c$i c ON c.node = n.node)"""
+    }.mkString(",")
+    head + "," + its + """
+    SELECT node, rnk AS "rank" FROM r5 ORDER BY node"""
+  }
+
   // q124/q126 shared grid: floor-of-epoch bucket arithmetic, per-bucket
   // rounded sums, generate_series grid per series span, IGNORE NULLS
   // forward-fill window — exactly TimeSeries.gapFill.
@@ -3653,6 +3699,42 @@ object Oracles {
     SELECT CAST(rk AS BIGINT) AS mmr_rank, doc_id, round(score, 6) AS mmr_score
     FROM selu6 ORDER BY rk"""
 
+  // q148: the bottom-k rank sketch, FULL replay — per-row 52-bit md5
+  // uniforms over the (l_orderkey:l_linenumber) row key, the (h, v)
+  // bottom-4096 cut, the ceil(q·m) empirical-quantile pick, the exact
+  // quantiles, and the corpus rank fraction of every estimate with the
+  // 4.5% DKW gate. The direct build here equaling the Spark side's
+  // merged-and-folded per-batch builds IS the merge proof (the q115
+  // argument: bottom-k of a union = bottom-k of concatenated bottom-ks).
+  val q148: String = {
+    val k = 4096
+    val qList = "[0.1, 0.25, 0.5, 0.75, 0.9, 0.99]"
+    val h = md5Int52("concat_ws('|', concat_ws(':', l_orderkey, " +
+      "l_linenumber, l_partkey, l_suppkey), 'rank')")
+    s"""
+    WITH src AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v,
+                        $h AS h
+                 FROM lineitem),
+    samp AS MATERIALIZED (SELECT h, v FROM src ORDER BY h, v LIMIT $k),
+    mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM samp),
+    ord AS (SELECT v, row_number() OVER (ORDER BY v) AS rk FROM samp),
+    qq AS (SELECT unnest($qList) AS q),
+    est AS (SELECT q, o.v AS estimate
+            FROM qq CROSS JOIN mm JOIN ord o
+              ON o.rk = greatest(CAST(ceil(q * CAST(mm.m AS DOUBLE)) AS BIGINT), 1)),
+    rf AS (SELECT e.q, e.estimate,
+                  floor(CAST(sum(CASE WHEN s.v <= e.estimate THEN 1 ELSE 0 END)
+                             AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                        * 1e6 + 0.5) / 1e6 AS rank_frac
+           FROM est e CROSS JOIN src s GROUP BY e.q, e.estimate),
+    ex AS (SELECT unnest($qList) AS q, round(unnest(l), 6) AS exact_q
+           FROM (SELECT quantile_cont(v, $qList) AS l FROM src))
+    SELECT r.q, r.estimate, x.exact_q, r.rank_frac,
+           CAST(CASE WHEN abs(r.rank_frac - r.q) <= 0.045 THEN 1 ELSE 0 END
+                AS BIGINT) AS dkw_ok
+    FROM rf r JOIN ex x ON x.q = r.q ORDER BY r.q"""
+  }
+
   // Count-Min replay (q115): the 52-bit md5 integer (the q26 fold,
   // undivided) mod width gives every bucket; cells are count-sums so the
   // whole-corpus build here equals the Spark side's merged per-batch
@@ -3899,6 +3981,8 @@ object Oracles {
     "q143_byte_level_bpe" -> q143,
     "q144_html_extract" -> q144,
     "q145_url_curation" -> q145,
-    "q146_crawl_pipeline" -> q146
+    "q146_crawl_pipeline" -> q146,
+    "q147_personalized_pagerank" -> q147,
+    "q148_rank_sketch_quantiles" -> q148
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

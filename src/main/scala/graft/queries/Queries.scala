@@ -1158,11 +1158,14 @@ object Queries {
     new scala.collection.concurrent.TrieMap[String, (String, String)]()
   private val warcDirCache =
     new scala.collection.concurrent.TrieMap[String, (String, String)]()
+  private val rankDirCache =
+    new scala.collection.concurrent.TrieMap[String, (String, String)]()
   Runtime.getRuntime.addShutdownHook(new Thread(() =>
     (ivfPqIndexCache.values ++ bm25IndexCache.values ++ sketchDirCache.values ++
       jsonlDirCache.values ++ cmsDirCache.values ++ histDirCache.values ++
       annAppendDirCache.values ++ csvDirCache.values ++ orcDirCache.values ++
-      kmvDirCache.values ++ avroDirCache.values ++ warcDirCache.values)
+      kmvDirCache.values ++ avroDirCache.values ++ warcDirCache.values ++
+      rankDirCache.values)
       .foreach { case (_, dir) =>
         try deleteDirTree(dir) catch { case _: Exception => () }
       }))
@@ -3032,6 +3035,104 @@ object Queries {
         col("keeper_id"),
         (col("doc_id") === col("keeper_id")).cast("long").as("is_keeper"))
       .orderBy("doc_id")
+  }
+
+  /** q147: personalized PageRank over the purchase graph
+    * ([[LinkAnalysis.personalizedPageRank]]) — the TrustRank shape: the
+    * restart mass is pinned to nation-0 customers (the "trusted seed
+    * set"), so ranks measure proximity to the seeds, not global
+    * centrality; suppliers trading mostly with nation-0 customers
+    * outrank equally-connected suppliers that don't. The seed set
+    * includes customers with NO orders (off-graph nodes), so the
+    * dangling-restart path — a terminated walk restarts AT A SOURCE,
+    * mass scaled by each node's restart weight — is exercised and
+    * replayed, not just the no-dangling identity. The oracle unrolls all
+    * 5 iterations as CTE blocks: per-iteration contribution sums, the
+    * per-iteration dangling-mass scalar, the `(1-d)·rst + d·(in +
+    * dm·rst)` association, and the 9-dp floor fence. */
+  def q147PersonalizedPagerank(s: SparkSession, d: String): DataFrame = {
+    val edges = LinkAnalysis.purchaseGraph(
+      Tables.lineitem(s, d), Tables.orders(s, d))
+    val sources = Tables.customer(s, d)
+      .filter(col("c_nationkey") === 0)
+      .select((col("c_custkey") * 2).as("node"))
+    LinkAnalysis.personalizedPageRank(edges, sources, iters = 5,
+        damping = 0.85)
+      .orderBy("node")
+  }
+
+  /** q148: bottom-k RANK sketch quantiles ([[Sketches.appendRankSketches]]
+    * / [[Sketches.rankQuantiles]]) — the fourth mergeable ingest artifact
+    * (HLL = cardinality, CMS = frequency, histogram = fixed-range
+    * distribution, this = distribution with NO prior range knowledge):
+    * two batches (l_orderkey mod 2) append the k=4096 hash-smallest
+    * (row-key md5, l_extendedprice) pairs, the fold compacts them, and
+    * quantile estimates are the merged sample's empirical quantiles.
+    * The oracle replays the WHOLE sketch — per-row 52-bit md5 uniforms,
+    * the (h, v) bottom-k cut, the ⌈q·m⌉ pick — so the direct build
+    * equaling the Spark side's merged per-batch builds IS the merge
+    * proof (the q115 argument); it also replays the exact quantiles and
+    * the corpus rank fraction of every estimate, DKW-gated: k=4096 ⇒
+    * rank error ≤ √(ln(2/δ)/2k) ≈ 4.2% at δ=1e-6, gated at 4.5% (the
+    * 1/m pick offset rides inside the slack). */
+  def q148RankQuantiles(s: SparkSession, d: String): DataFrame = {
+    val k = 4096
+    val qsP = Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+    val sig = tableSignature(s, d, "lineitem")
+    val dir = rankDirCache.synchronized {
+      rankDirCache.get(d) match {
+        case Some((s0, dd)) if s0 == sig => dd
+        case prev =>
+          prev.foreach { case (_, old) =>
+            try deleteDirTree(old) catch { case _: Exception => () } }
+          val tmp = java.nio.file.Files.createTempDirectory("graft_rank_").toString
+          val li = Tables.lineitem(s, d)
+          // row key: all four integer identity fields — the fixtures do
+          // NOT enforce TPC-H uniqueness on (orderkey, linenumber) (23% of
+          // rows collide, correlating their sampling coins); the 4-field
+          // key is unique at sf0.01/0.1 and has ONE collision at sf0.001
+          (0 until 2).foreach(b => Sketches.appendRankSketches(
+            li.filter(pmod(col("l_orderkey"), lit(2)) === b),
+            col("l_extendedprice"),
+            concat_ws(":", col("l_orderkey"), col("l_linenumber"),
+              col("l_partkey"), col("l_suppkey")),
+            tmp, b.toLong, k))
+          // fold into the base partition: the oracle's direct-build replay
+          // must match the folded sketch — compaction oracle-gated
+          Sketches.compactRankSketches(s, tmp, k)
+          rankDirCache.update(d, (sig, tmp))
+          tmp
+      }
+    }
+    import s.implicits._
+    val est = Sketches.rankQuantiles(s, dir, qsP, k)
+    val estRows = est.orderBy("q").collect() // ≤ |qsP| rows, bounded
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    // corpus rank fraction of each estimate, all |qsP| conditional sums in
+    // ONE scan-aggregate (no join, no cartesian)
+    val v = col("l_extendedprice").cast("double")
+    val aggs = count(lit(1)).cast("double").as("__n") +:
+      estRows.zipWithIndex.map { case ((_, e), i) =>
+        sum(when(v <= lit(e), 1L).otherwise(0L)).cast("double").as(s"__c_$i") }
+    val one = Tables.lineitem(s, d).agg(aggs.head, aggs.tail: _*)
+    val fences = estRows.zipWithIndex.map { case ((q, e), i) =>
+      struct(lit(q).as("q"), lit(e).as("estimate"),
+        (floor(col(s"__c_$i") / col("__n") * lit(1e6) + lit(0.5)) / lit(1e6))
+          .as("rank_frac")) }
+    val rf = one.select(explode(array(fences: _*)).as("s"))
+      .select(col("s.q"), col("s.estimate"), col("s.rank_frac"))
+    val exact = Tables.lineitem(s, d)
+      .agg(expr(s"percentile(cast(l_extendedprice as double), " +
+        s"array(${qsP.mkString("D, ")}D))").as("p"))
+      .select(posexplode(col("p")).as(Seq("i", "exact")))
+      .join(qsP.zipWithIndex.map { case (q, i) => (i, q) }.toDF("i", "q"),
+        Seq("i"))
+      .select(col("q"), round(col("exact"), 6).as("exact_q"))
+    rf.join(exact, Seq("q"))
+      .select(col("q"), col("estimate"), col("exact_q"), col("rank_frac"),
+        when(abs(col("rank_frac") - col("q")) <= lit(0.045), 1L)
+          .otherwise(0L).as("dkw_ok"))
+      .orderBy("q")
   }
 
   /** The planted dirty URL keyed on a document id — shared by q145 (over

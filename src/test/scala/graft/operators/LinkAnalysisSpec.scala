@@ -56,6 +56,64 @@ class LinkAnalysisSpec extends SparkSpec {
     assert(m("a") > m("x"), "cycle member with an extra in-edge outranks the feeder")
   }
 
+  test("personalizedPageRank matches a hand-rolled reference, dangling " +
+      "mass restarts at the sources") {
+    // a -> b -> c, c dangling; seeds {a}: walks restart at a, so a's rank
+    // stays high and c's dangling mass cycles back to a, never vanishes
+    val edges = Seq(("a", "b", 1.0), ("b", "c", 1.0)).toDF("src", "dst", "w")
+    val seeds = Seq("a").toDF("node")
+    // 3 iterations: the chain's rank front oscillates; at odd counts the
+    // dangling mass has just cycled home and the seed leads
+    val got = LinkAnalysis.personalizedPageRank(edges, seeds, iters = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+    val rst = Map("a" -> 1.0, "b" -> 0.0, "c" -> 0.0)
+    var r = rst.map { case (k, v) => k -> fence9(v) }
+    for (_ <- 1 to 3) {
+      val in = Map("b" -> r("a") * 1.0 / 1.0, "c" -> r("b") * 1.0 / 1.0)
+      val dm = r("c") // the only node with no out-edges
+      r = rst.map { case (k, v) =>
+        k -> fence9((1.0 - 0.85) * v + 0.85 * (in.getOrElse(k, 0.0) + dm * v)) }
+    }
+    got.foreach { case (k, v) => assert(math.abs(v - r(k)) < 2e-9, s"$k: $v vs ${r(k)}") }
+    assert(got("a") > got("b") && got("b") > got("c"), "proximity order to the seed")
+  }
+
+  test("personalizedPageRank: off-graph seeds hold restart mass; nodes " +
+      "unreachable from every seed fence to exactly 0.0") {
+    // two disjoint 2-cycles; seeds = {a, z} where z is NOT in the graph.
+    // The x<->y component is unreachable from any seed: rank exactly 0.
+    val edges = Seq(("a", "b", 1.0), ("b", "a", 1.0),
+      ("x", "y", 1.0), ("y", "x", 1.0)).toDF("src", "dst", "w")
+    val seeds = Seq("a", "z").toDF("node")
+    // even iteration count: the a<->b 2-cycle oscillates, a leads on evens
+    val got = LinkAnalysis.personalizedPageRank(edges, seeds, iters = 4)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == Set("a", "b", "x", "y", "z"), got.keySet.toString)
+    assert(got("x") == 0.0 && got("y") == 0.0, "unreachable component must be 0")
+    assert(got("z") > 0.0, "off-graph seed keeps its restart share")
+    assert(got("a") > got("b"), "seed outranks its neighbor")
+    // mass conservation: restart + walk mass stays ~1 (fence drift only)
+    assert(math.abs(got.values.sum - 1.0) < 1e-6, s"mass ${got.values.sum}")
+  }
+
+  test("personalizedPageRank is deterministic under repartitioning and " +
+      "reduces to pageRank's arithmetic when every node is a seed") {
+    val edges = Seq(("a", "b", 1.0), ("b", "c", 1.0), ("c", "a", 1.0),
+      ("x", "a", 1.0)).toDF("src", "dst", "w")
+    val all = Seq("a", "b", "c", "x").toDF("node")
+    val r1 = LinkAnalysis.personalizedPageRank(edges, all, iters = 4)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    val r2 = LinkAnalysis.personalizedPageRank(edges.repartition(7), all, iters = 4)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    assert(r1 == r2)
+    // uniform seeds over the full node set == the global teleport vector
+    val global = LinkAnalysis.pageRank(edges, iters = 4)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    r1.foreach { case (k, v) =>
+      assert(math.abs(v - global(k)) < 2e-9, s"$k: $v vs ${global(k)}") }
+  }
+
   test("triangles: K4 is all-ones clustering, every node in 3 triangles") {
     val k4 = (for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)).toDF("a", "b")
     val got = k4.transform(LinkAnalysis.triangles)

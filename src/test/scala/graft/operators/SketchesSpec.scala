@@ -323,6 +323,68 @@ class SketchesSpec extends SparkSpec {
     assert(serve()._1.getDouble(1) > before._1.getDouble(1))
   }
 
+  test("rank sketch: under-k regime is exact order statistics") {
+    val dir = tmpDir()
+    // 100 values < k: the sample IS the data, the pick is the exact
+    // ceil(q·100)-th order statistic
+    val vals = (1 to 100).map(i => (i.toLong, i.toDouble * 10))
+    Sketches.appendRankSketches(vals.toDF("id", "v"), col("v"), col("id"),
+      dir, 0L, k = 4096)
+    val got = Sketches.rankQuantiles(spark, dir, Seq(0.01, 0.25, 0.5, 0.995))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(got(0.01) == 10.0)    // ceil(1.0) = 1st
+    assert(got(0.25) == 250.0)   // ceil(25.0) = 25th
+    assert(got(0.5) == 500.0)    // ceil(50.0) = 50th
+    assert(got(0.995) == 1000.0) // ceil(99.5) = 100th
+  }
+
+  test("rank sketch: split-invariant (bit-identical sample and quantiles " +
+      "across batchings)") {
+    val big = (0 until 50000).map(i => (i.toLong, ((i * 7919) % 50000).toDouble))
+      .toDF("id", "v")
+    val dir3 = tmpDir(); val dir2 = tmpDir()
+    (0 until 3).foreach(b => Sketches.appendRankSketches(
+      big.filter(pmod(col("id"), lit(3)) === b), col("v"), col("id"), dir3, b.toLong))
+    (0 until 2).foreach(b => Sketches.appendRankSketches(
+      big.filter(pmod(col("id"), lit(2)) === b), col("v"), col("id"), dir2, b.toLong))
+    val qs = Seq(0.1, 0.5, 0.9)
+    val e3 = Sketches.rankQuantiles(spark, dir3, qs).collect().toSeq
+    val e2 = Sketches.rankQuantiles(spark, dir2, qs).collect().toSeq
+    assert(e3 == e2, s"split-variant rank quantiles: $e3 vs $e2")
+    // values are a permutation of 0..49999: true quantile(q) ≈ 50000q,
+    // DKW at k=4096 bounds the rank error well under 4.5%
+    e3.foreach { r =>
+      val (q, est) = (r.getDouble(0), r.getDouble(1))
+      assert(math.abs(est / 50000.0 - q) <= 0.045, s"q=$q est=$est") }
+  }
+
+  test("rank compaction: bit-identical quantiles, fewer files, " +
+      "folded-replay no-op; duplicate-heavy values stay unbiased") {
+    val dir = tmpDir()
+    // 30000 rows but only 3 distinct values, 80% of mass on 7.0: a
+    // DISTINCT-based sample would collapse to 3 rows and misplace every
+    // quantile; the row-keyed sample must put the median on the heavy value
+    val rows = (0 until 30000).map { i =>
+      (i.toLong, if (i % 10 < 8) 7.0 else if (i % 10 == 8) 1.0 else 9.0) }
+    (0 until 3).foreach(b => Sketches.appendRankSketches(
+      rows.toDF("id", "v").filter(pmod(col("id"), lit(3)) === b),
+      col("v"), col("id"), dir, b.toLong))
+    val qs = Seq(0.1, 0.5, 0.9)
+    def serve() = Sketches.rankQuantiles(spark, dir, qs)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val before = serve()
+    assert(before(0.5) == 7.0, s"median must land on the 80% value: $before")
+    assert(before(0.1) == 1.0 || before(0.1) == 7.0)
+    val filesBefore = parquetFiles(dir)
+    Sketches.compactRankSketches(spark, dir)
+    assert(serve() == before, "compaction changed the served quantiles")
+    assert(parquetFiles(dir) < filesBefore)
+    Sketches.appendRankSketches(
+      rows.toDF("id", "v").filter(pmod(col("id"), lit(3)) === 1L),
+      col("v"), col("id"), dir, 1L)
+    assert(serve() == before, "folded-batch replay changed the sketch")
+  }
+
   test("an empty batch contributes an empty sketch that adds no mass") {
     val dir = tmpDir()
     Sketches.appendCardinalitySketches(df(0 until 300), Seq("u"), dir, 0L)
