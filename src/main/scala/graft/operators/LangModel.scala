@@ -93,6 +93,39 @@ object LangModel {
           col("n_tokens").cast("double"), 6).as("ce"))
   }
 
+  /** The CCNet CUT on top of [[bigramCrossEntropy]]: per-language
+    * equal-mass perplexity buckets (Wenzek et al. 2020 §4.3 — head /
+    * middle / tail thirds of the per-language cross-entropy
+    * distribution; CCNet keeps head+middle and drops the tail). Bucket
+    * assignment is `ntile(nBuckets)` over the deterministic total order
+    * (ce, doc_id) within each language — rank-based, so it replays
+    * exactly cross-engine with no threshold-interpolation convention to
+    * match. Output: (doc_id, lang, n_tokens, ce, bucket ∈ 1..nBuckets,
+    * keep = bucket < nBuckets as a BIGINT flag).
+    *
+    * 100 TB shape: scoring is [[bigramCrossEntropy]]'s scan-speed plan;
+    * the cut is ONE window partitioned by language over (doc_id, ce)
+    * pairs — 16 bytes of payload per doc, not the text. Languages are
+    * the partition keys, so a skewed corpus (90% English) makes one big
+    * sort partition: at real scale swap the exact ntile for cutoffs
+    * served by the bottom-k rank sketch ([[Sketches.rankQuantiles]] per
+    * language, broadcast compare — rank error ≤ 4.3% at k=4096, far
+    * inside CCNet's bucket tolerance); the exact rank form here is what
+    * the oracle can replay verbatim. */
+  def perplexityBuckets(df: DataFrame, id: Column, toks: Column,
+                        isRef: Column, lang: Column,
+                        nBuckets: Int = 3): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets >= 2: $nBuckets")
+    val ce = bigramCrossEntropy(df, id, toks, isRef)
+    val langs = df.select(id.cast("long").as("doc_id"), lang.as("lang"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("ce"), col("doc_id"))
+    ce.join(langs, Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("ce"),
+        ntile(nBuckets).over(w).cast("long").as("bucket"))
+      .withColumn("keep", (col("bucket") < nBuckets).cast("long"))
+  }
+
   /** Per-document cross-entropy under an interpolated Kneser–Ney TRIGRAM
     * LM trained on the `isRef` rows — the estimator class real
     * perplexity-bucket filters use (CCNet ships KenLM's modified KN;

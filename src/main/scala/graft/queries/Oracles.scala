@@ -1614,6 +1614,45 @@ object Oracles {
     LEFT JOIN rest r ON r.doc_id = s.doc_id
     ORDER BY s.doc_id"""
 
+  // q149: q83's bigram-LM scoring CTEs verbatim, then the CCNet cut — the
+  // per-language ntile(3) over the (ce, doc_id) total order and the
+  // keep = not-tail flag. Only docs with >= 1 token rank (q83's sc gate);
+  // lang rides from the t CTE.
+  val q149 = """
+    WITH t AS (SELECT doc_id, lang,
+                 CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN []::VARCHAR[]
+                      ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+               FROM documents),
+    uni AS (SELECT w, count(*) AS cu
+            FROM (SELECT unnest(toks) AS w FROM t WHERE lang = 'en') GROUP BY w),
+    tot AS (SELECT CAST(sum(cu) AS DOUBLE) AS t, CAST(count(*) AS DOUBLE) AS v FROM uni),
+    bg AS (SELECT doc_id, lang, toks[i-1] AS w1, toks[i] AS w2
+           FROM t, unnest(generate_series(2, len(toks))) AS u(i)),
+    bi AS (SELECT w1, w2, count(*) AS cb FROM bg WHERE lang = 'en' GROUP BY w1, w2),
+    sc AS (SELECT doc_id, lang, toks, len(toks) AS n FROM t WHERE len(toks) >= 1),
+    frst AS (SELECT s.doc_id,
+                -ln((CAST(coalesce(u.cu, 0) AS DOUBLE) + 1.0) / (tot.t + tot.v)) AS h1
+              FROM sc s LEFT JOIN uni u ON u.w = s.toks[1] CROSS JOIN tot),
+    rest AS (SELECT doc_id, sum(h) AS hrest FROM (
+               SELECT g.doc_id,
+                 -ln((CAST(coalesce(b.cb, 0) AS DOUBLE) + 1.0) /
+                     (CAST(coalesce(u.cu, 0) AS DOUBLE) + tot.v)) AS h
+               FROM bg g
+               LEFT JOIN bi b ON b.w1 = g.w1 AND b.w2 = g.w2
+               LEFT JOIN uni u ON u.w = g.w1
+               CROSS JOIN tot) GROUP BY doc_id),
+    ce AS (SELECT s.doc_id, s.lang, CAST(s.n AS BIGINT) AS n_tokens,
+             round((f.h1 + coalesce(r.hrest, 0.0)) / CAST(s.n AS DOUBLE), 6) AS ce
+           FROM sc s JOIN frst f ON f.doc_id = s.doc_id
+           LEFT JOIN rest r ON r.doc_id = s.doc_id),
+    bk AS (SELECT doc_id, lang, n_tokens, ce,
+             CAST(ntile(3) OVER (PARTITION BY lang ORDER BY ce, doc_id)
+                  AS BIGINT) AS bucket
+           FROM ce)
+    SELECT doc_id, lang, n_tokens, ce, bucket,
+           CAST(CASE WHEN bucket < 3 THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM bk ORDER BY doc_id"""
+
   // Duplicated-span stats, FULL replay: every positional 5-token span is
   // regenerated as a STRING (Spark ships xxhash64 fingerprints — a
   // collision there would produce extra dup marks and hash-break here),
@@ -3983,6 +4022,7 @@ object Oracles {
     "q145_url_curation" -> q145,
     "q146_crawl_pipeline" -> q146,
     "q147_personalized_pagerank" -> q147,
-    "q148_rank_sketch_quantiles" -> q148
+    "q148_rank_sketch_quantiles" -> q148,
+    "q149_perplexity_buckets" -> q149
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

@@ -3135,6 +3135,20 @@ object Queries {
       .orderBy("q")
   }
 
+  /** q149: the CCNet perplexity CUT ([[LangModel.perplexityBuckets]]) —
+    * q83's add-one bigram cross-entropy taken to its actual filtering
+    * decision: per-language equal-mass head/middle/tail thirds over the
+    * (ce, doc_id) total order, keep = not-tail (Wenzek et al. 2020
+    * §4.3). The oracle retrains the identical LM in SQL (the q83 CTEs),
+    * re-derives every per-doc score, and replays the per-language ntile
+    * and keep flag — a defect in the scoring OR the rank cut breaks the
+    * hash. */
+  def q149PerplexityBuckets(s: SparkSession, d: String): DataFrame =
+    LangModel.perplexityBuckets(Tables.documents(s, d), col("doc_id"),
+        TextOps.tokens(coalesce(col("text"), lit(""))),
+        col("lang") === "en", col("lang"))
+      .orderBy("doc_id")
+
   /** The planted dirty URL keyed on a document id — shared by q145 (over
     * doc_id) and q146 (over the id recovered from the WARC record). */
   private def plantedUrl(id: Column): Column = {

@@ -55,6 +55,54 @@ class LangModelSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("perplexityBuckets: per-language equal-mass thirds over (ce, doc_id), " +
+      "keep drops exactly the tail") {
+    // 7 "en" docs: 3 fluent (reference-like), 4 increasingly OOV; 2 "xx"
+    // docs bucket WITHIN their own language, never against en scores
+    val docs = Seq(
+      (0L, Seq("a", "b", "a"), true, "en"),
+      (1L, Seq("b", "a"), true, "en"),
+      (2L, Seq("a", "b", "a", "b"), true, "en"),
+      (3L, Seq("a", "q"), false, "en"),
+      (4L, Seq("z", "z"), false, "en"),
+      (5L, Seq("z", "q", "y"), false, "en"),
+      (6L, Seq("a"), false, "en"),
+      (7L, Seq("z"), false, "xx"),
+      (8L, Seq("a", "b"), false, "xx")
+    ).toDF("doc_id", "toks", "is_ref", "lang")
+    val out = LangModel.perplexityBuckets(docs, col("doc_id"), col("toks"),
+        col("is_ref"), col("lang"))
+      .as[(Long, String, Long, Double, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    // ntile(3) over 7 en docs: bucket sizes 3, 2, 2 in (ce, doc_id) order
+    val enByBucket = out.values.filter(_._2 == "en").groupBy(_._5)
+      .map { case (b, rs) => b -> rs.map(_._1).toSet }
+    assert(enByBucket(1L).size == 3 && enByBucket(2L).size == 2 &&
+      enByBucket(3L).size == 2, enByBucket.toString)
+    // the fluent reference docs rank ahead of the OOV docs
+    assert(enByBucket(1L).subsetOf(Set(0L, 1L, 2L, 6L)), enByBucket(1L).toString)
+    assert(enByBucket(3L).subsetOf(Set(3L, 4L, 5L)), enByBucket(3L).toString)
+    // keep = not-tail, and the xx docs bucket within their own partition
+    out.values.foreach(r => assert(r._6 == (if (r._5 < 3L) 1L else 0L)))
+    val xx = out.values.filter(_._2 == "xx").map(r => r._1 -> r._5).toMap
+    assert(xx(8L) == 1L && xx(7L) > 1L, s"xx buckets: $xx") // in-model text heads
+  }
+
+  test("perplexityBuckets ties break on doc_id (deterministic under " +
+      "repartitioning)") {
+    // four identical docs => identical ce: buckets must follow doc_id
+    val docs = (0L until 4L).map(i => (i, Seq("a", "b"), i == 0L, "en"))
+      .toDF("doc_id", "toks", "is_ref", "lang")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      LangModel.perplexityBuckets(df, col("doc_id"), col("toks"),
+          col("is_ref"), col("lang"))
+        .as[(Long, String, Long, Double, Long, Long)].collect()
+        .map(r => r._1 -> r._5).toMap
+    val a = run(docs.repartition(5))
+    assert(a == Map(0L -> 1L, 1L -> 1L, 2L -> 2L, 3L -> 3L), a.toString)
+    assert(a == run(docs.coalesce(1)))
+  }
+
   // ---------------- Kneser-Ney trigram -------------------------------
   // ref: doc10 "a b c a b d", doc11 "a b c"
   //   tri: (a,b,c):2 (b,c,a):1 (c,a,b):1 (a,b,d):1
