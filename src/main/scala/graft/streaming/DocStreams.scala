@@ -344,6 +344,31 @@ object DocStreams {
     writer.start()
   }
 
+  /** Streaming twin of the bottom-k rank-sketch appends
+    * ([[graft.operators.Sketches.appendRankSketches]]) — the fifth sketch
+    * family (HLL = cardinality, CMS = frequency, histogram = fixed-range
+    * distribution, KMV = set operations, this = QUANTILES WITH NO PRIOR
+    * RANGE): each micro-batch lands its k hash-smallest (row-key md5,
+    * value) pairs under its own batch_id partition, so "what's the p99
+    * of X over everything ingested so far?" is served from
+    * [[graft.operators.Sketches.rankQuantiles]] without rescanning
+    * history — and without the up-front [lo, hi) commitment the
+    * histogram twin needs. Same replay idempotence as the other twins
+    * (bottom-k of a union is batching-invariant). */
+  def foreachBatchRank(docs: DataFrame, value: org.apache.spark.sql.Column,
+                       key: org.apache.spark.sql.Column,
+                       outDir: String, k: Int = 4096,
+                       checkpointDir: Option[String] = None): StreamingQuery = {
+    val writer = docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Sketches.appendRankSketches(
+          batch, value, key, outDir, batchId, k)
+        ()
+      }
+    checkpointDir.foreach(d => writer.option("checkpointLocation", d))
+    writer.start()
+  }
+
   /** Fold an admission-history dir (text or embedding payloads — one row
     * per ADMITTED doc under its `batch_id=N` partition) into the reserved
     * base partition `batch_id=-1`: pure re-layout, no merge — doc_ids are

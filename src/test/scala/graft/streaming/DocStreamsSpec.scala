@@ -259,6 +259,31 @@ class DocStreamsSpec extends SparkSpec {
     assert(ov.getLong(0) == ov.getLong(1), "stream and batch sketches differ")
   }
 
+  test("foreachBatchRank: streamed rank sketch serves identical quantiles " +
+      "to the batch-side appends") {
+    val (dir, halves) = stageBatches()
+    val streamOut = java.nio.file.Files.createTempDirectory("graft-rank-s").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-rck").toString
+    val q = DocStreams.foreachBatchRank(
+      DocStreams.readDocs(spark, dir, maxFilesPerTrigger = Some(1)),
+      length(coalesce(col("text"), lit(""))), col("doc_id"),
+      streamOut, k = 64, checkpointDir = Some(ckDir))
+    try q.processAllAvailable() finally q.stop()
+
+    val batchOut = java.nio.file.Files.createTempDirectory("graft-rank-b").toString
+    halves.zipWithIndex.foreach { case (b, i) =>
+      graft.operators.Sketches.appendRankSketches(
+        b, length(coalesce(col("text"), lit(""))), col("doc_id"),
+        batchOut, i.toLong, k = 64)
+    }
+    val qs = Seq(0.1, 0.5, 0.9)
+    val sQ = graft.operators.Sketches.rankQuantiles(spark, streamOut, qs, k = 64)
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSet
+    val bQ = graft.operators.Sketches.rankQuantiles(spark, batchOut, qs, k = 64)
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSet
+    assert(sQ == bQ, s"stream $sQ != batch $bQ")
+  }
+
   test("foreachBatchSegmentDedup: streaming loop equals the sequential batch replay " +
        "(cross-batch duplicated segments dropped from later batches)") {
     import spark.implicits._
