@@ -3104,33 +3104,30 @@ object Queries {
           tmp
       }
     }
-    import s.implicits._
-    val est = Sketches.rankQuantiles(s, dir, qsP, k)
-    val estRows = est.orderBy("q").collect() // ≤ |qsP| rows, bounded
+    val estRows = Sketches.rankQuantiles(s, dir, qsP, k)
+      .orderBy("q").collect() // ≤ |qsP| rows, bounded
       .map(r => (r.getDouble(0), r.getDouble(1)))
-    // corpus rank fraction of each estimate, all |qsP| conditional sums in
-    // ONE scan-aggregate (no join, no cartesian)
+    // the percentile-array pick below indexes by position: the sorted
+    // estimate rows must line up with qsP (ascending by construction)
+    require(estRows.map(_._1).sameElements(qsP), "qsP must be ascending")
+    // exact quantiles + the corpus rank fraction of every estimate, all
+    // |qsP| conditional sums AND the percentile array in ONE
+    // scan-aggregate (no join, no cartesian, no second pass)
     val v = col("l_extendedprice").cast("double")
-    val aggs = count(lit(1)).cast("double").as("__n") +:
+    val aggs = (count(lit(1)).cast("double").as("__n") +:
       estRows.zipWithIndex.map { case ((_, e), i) =>
-        sum(when(v <= lit(e), 1L).otherwise(0L)).cast("double").as(s"__c_$i") }
+        sum(when(v <= lit(e), 1L).otherwise(0L)).cast("double").as(s"__c_$i") }) :+
+      expr(s"percentile(cast(l_extendedprice as double), " +
+        s"array(${qsP.mkString("D, ")}D))").as("__p")
     val one = Tables.lineitem(s, d).agg(aggs.head, aggs.tail: _*)
     val fences = estRows.zipWithIndex.map { case ((q, e), i) =>
       struct(lit(q).as("q"), lit(e).as("estimate"),
+        round(element_at(col("__p"), i + 1), 6).as("exact_q"),
         (floor(col(s"__c_$i") / col("__n") * lit(1e6) + lit(0.5)) / lit(1e6))
           .as("rank_frac")) }
-    val rf = one.select(explode(array(fences: _*)).as("s"))
-      .select(col("s.q"), col("s.estimate"), col("s.rank_frac"))
-    val exact = Tables.lineitem(s, d)
-      .agg(expr(s"percentile(cast(l_extendedprice as double), " +
-        s"array(${qsP.mkString("D, ")}D))").as("p"))
-      .select(posexplode(col("p")).as(Seq("i", "exact")))
-      .join(qsP.zipWithIndex.map { case (q, i) => (i, q) }.toDF("i", "q"),
-        Seq("i"))
-      .select(col("q"), round(col("exact"), 6).as("exact_q"))
-    rf.join(exact, Seq("q"))
-      .select(col("q"), col("estimate"), col("exact_q"), col("rank_frac"),
-        when(abs(col("rank_frac") - col("q")) <= lit(0.045), 1L)
+    one.select(explode(array(fences: _*)).as("s"))
+      .select(col("s.q"), col("s.estimate"), col("s.exact_q"), col("s.rank_frac"),
+        when(abs(col("s.rank_frac") - col("s.q")) <= lit(0.045), 1L)
           .otherwise(0L).as("dkw_ok"))
       .orderBy("q")
   }
