@@ -3774,6 +3774,51 @@ object Oracles {
     FROM rf r JOIN ex x ON x.q = r.q ORDER BY r.q"""
   }
 
+  // q150: the JL projection, FULL replay — the md5 Rademacher sign matrix
+  // (+1 iff the first hex digit of md5('i:j|jl') has its top bit set),
+  // every coordinate's left fold over the zipped (value, sign) list, the
+  // norm-ratio witness folds, and the exact-integer distortion gate. The
+  // 16 coordinates are hash-compared RAW (identical IEEE association both
+  // sides — no fence); only the display ratio is fenced.
+  val q150: String = {
+    val dIn = 64; val dOut = 16
+    val pivot = (1 to dOut).map(j =>
+      s"max(CASE WHEN j = $j THEN p END) AS p${"%02d".format(j)}")
+      .mkString(", ")
+    val plist = (1 to dOut).map(j => s"p${"%02d".format(j)}").mkString(", ")
+    s"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    sg AS (SELECT j, list_transform(generate_series(1, $dIn),
+             i -> CASE WHEN strpos('89abcdef',
+                    substr(md5(CAST(i AS VARCHAR) || ':' ||
+                               CAST(j AS VARCHAR) || '|jl'), 1, 1)) > 0
+                  THEN 1.0 ELSE -1.0 END) AS sl
+           FROM (SELECT unnest(generate_series(1, $dOut)) AS j)),
+    pj AS (SELECT vec_id, j,
+             list_reduce(list_prepend(0.0, list_transform(
+               generate_series(1, $dIn), i -> emb[i] * sl[i])),
+               (a, x) -> a + x) / sqrt(${dOut}.0) AS p
+           FROM e CROSS JOIN sg),
+    w AS (SELECT vec_id, $pivot FROM pj GROUP BY vec_id),
+    en AS (SELECT vec_id, list_reduce(list_prepend(0.0,
+             list_transform(emb, x -> x * x)), (a, x) -> a + x) AS s2
+           FROM e),
+    rt AS (SELECT w.vec_id, $plist,
+             CASE WHEN en.s2 > 0.0 THEN
+               list_reduce(list_prepend(0.0, list_transform([$plist],
+                 x -> x * x)), (a, x) -> a + x) / en.s2 END AS ratio
+           FROM w JOIN en ON en.vec_id = w.vec_id),
+    g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN ratio BETWEEN 0.4 AND 2.5
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_ok
+          FROM rt)
+    SELECT r.vec_id, $plist,
+           floor(r.ratio * 1e6 + 0.5) / 1e6 AS norm_ratio, g.n, g.n_ok,
+           CAST(CASE WHEN g.n_ok * 100 >= g.n * 95 THEN 1 ELSE 0 END
+                AS BIGINT) AS gate_ok
+    FROM rt r CROSS JOIN g ORDER BY r.vec_id"""
+  }
+
   // Count-Min replay (q115): the 52-bit md5 integer (the q26 fold,
   // undivided) mod width gives every bucket; cells are count-sums so the
   // whole-corpus build here equals the Spark side's merged per-batch
@@ -4023,6 +4068,7 @@ object Oracles {
     "q146_crawl_pipeline" -> q146,
     "q147_personalized_pagerank" -> q147,
     "q148_rank_sketch_quantiles" -> q148,
-    "q149_perplexity_buckets" -> q149
+    "q149_perplexity_buckets" -> q149,
+    "q150_jl_projection" -> q150
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

@@ -3146,6 +3146,34 @@ object Queries {
         col("lang") === "en", col("lang"))
       .orderBy("doc_id")
 
+  /** q150: Johnson–Lindenstrauss random projection
+    * ([[RandomProjection.project]]) — the embedding-compression scale
+    * path: 64-float vectors to 16 deterministic Rademacher coordinates
+    * (Achlioptas 2003), preserving pairwise distances to JL distortion at
+    * a quarter of the shuffle/memory cost for the ANN and semantic-dedup
+    * passes. All 16 coordinates are exact left-fold arithmetic over md5
+    * sign coins, so the oracle replays every value BIT FOR BIT (no
+    * rounding fence on the coordinates); the per-row norm-ratio witness
+    * is fenced for display and gated in aggregate — ≥95% of rows inside
+    * [0.4, 2.5] (chi²₁₆-shaped concentration leaves ~1.6% outside;
+    * exact integer counting, so the flag replays exactly). */
+  def q150JlProjection(s: SparkSession, d: String): DataFrame = {
+    val outDim = 16
+    val proj = RandomProjection.project(Tables.embeddings(s, d),
+      col("vec_id"), col("embedding"), inDim = 64, outDim = outDim)
+    val gate = proj.agg(count(lit(1)).as("n"),
+      sum(when(col("norm_ratio").between(0.4, 2.5), 1L).otherwise(0L))
+        .as("n_ok"))
+    val pcols = (1 to outDim).map(j => element_at(col("proj"), j).as(f"p$j%02d"))
+    proj.select(col("id").as("vec_id") +: pcols :+
+        (floor(col("norm_ratio") * lit(1e6) + lit(0.5)) / lit(1e6))
+          .as("norm_ratio"): _*)
+      .crossJoin(broadcast(gate))
+      .withColumn("gate_ok",
+        (col("n_ok") * lit(100L) >= col("n") * lit(95L)).cast("long"))
+      .orderBy("vec_id")
+  }
+
   /** The planted dirty URL keyed on a document id — shared by q145 (over
     * doc_id) and q146 (over the id recovered from the WARC record). */
   private def plantedUrl(id: Column): Column = {
