@@ -1,7 +1,57 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
+
+/** A rank-sketch sample row: the row-key hash coin and the carried value. */
+case class RankHV(h: Long, v: Double)
+
+/** Bounded BOTTOM-k aggregate over (h, v) pairs — [[TopKAggregator]]'s
+  * mirror for the rank-sketch order: keeps the k smallest by (h asc,
+  * v asc), evicting the largest at capacity, so a per-group rank sample
+  * does map-side partial bottom-k and shuffles at most k rows per
+  * (partition, group). Duplicates are kept (each row is its own coin);
+  * the (h, v) tie order makes the kept multiset — and therefore every
+  * served quantile — deterministic and SQL-replayable
+  * (`ORDER BY h, v LIMIT k` per group). */
+class BottomKRankAggregator(k: Int)
+    extends Aggregator[RankHV, Seq[RankHV], Seq[RankHV]] {
+  require(k > 0)
+  def zero: Seq[RankHV] = Vector.empty
+
+  // descending (h, v): the head is the LARGEST kept pair — the element
+  // bottom-k preference evicts next
+  private def greaterThan(a: RankHV, b: RankHV): Boolean =
+    a.h > b.h || (a.h == b.h && a.v > b.v)
+
+  private def insert(buf: Seq[RankHV], s: RankHV): Seq[RankHV] = {
+    val n = buf.length
+    if (n >= k && !greaterThan(buf.head, s)) buf
+    else {
+      val drop = if (n >= k) 1 else 0 // at capacity: evict the head (largest)
+      val arr = new Array[RankHV](n - drop + 1)
+      var lo = drop
+      var hi = n
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (greaterThan(buf(mid), s)) lo = mid + 1 else hi = mid
+      }
+      var i = drop
+      while (i < lo) { arr(i - drop) = buf(i); i += 1 }
+      arr(lo - drop) = s
+      while (lo < n) { arr(lo - drop + 1) = buf(lo); lo += 1 }
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(arr)
+    }
+  }
+
+  def reduce(buf: Seq[RankHV], in: RankHV): Seq[RankHV] = insert(buf, in)
+  def merge(a: Seq[RankHV], b: Seq[RankHV]): Seq[RankHV] = b.foldLeft(a)(insert)
+  def finish(buf: Seq[RankHV]): Seq[RankHV] = buf.reverse // ascending (h, v)
+  def bufferEncoder: Encoder[Seq[RankHV]] = ExpressionEncoder[Seq[RankHV]]()
+  def outputEncoder: Encoder[Seq[RankHV]] = ExpressionEncoder[Seq[RankHV]]()
+}
 
 /** Persisted MERGEABLE cardinality sketches — the incremental twin of the
   * exact/approx distinct profiling (q21/q48): each ingest batch writes one
@@ -418,6 +468,40 @@ object Sketches {
   /** The served sketch: the k hash-smallest sampled rows across batches. */
   private def rankTopK(spark: SparkSession, dir: String, k: Int): DataFrame =
     spark.read.parquet(dir).select("h", "v").orderBy("h", "v").limit(k)
+
+  /** GROUP-WISE rank sketches in one aggregate: per group, the k rows
+    * with the smallest (row-key hash, value) pairs, kept by a bounded
+    * [[BottomKRankAggregator]] — the same shape argument as
+    * [[Selection.topKPerGroup]]: the window form
+    * (`row_number().over(partitionBy(group).orderBy(h))`) sorts every
+    * group's FULL contents through the exchange; this carries at most k
+    * (h, v) pairs per group per map partition, so per-group quantiles
+    * over a 100 TB fact table are one scan + a k-bounded shuffle.
+    * Quantile estimates are each group's empirical sample quantiles at
+    * `max(⌈q·m⌉, 1)` — the [[rankQuantiles]] arithmetic, DKW rank error
+    * ≤ √(ln(2/δ)/2k) per group. Output: (groups..., q, estimate, m). */
+  def groupRankQuantiles(df: DataFrame, groups: Seq[String], value: Column,
+                         key: Column, qs: Seq[Double],
+                         k: Int = 1024): DataFrame = {
+    require(k >= 16, "k must be >= 16")
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1), "qs must be in (0,1]")
+    val bk = udaf(new BottomKRankAggregator(k),
+      org.apache.spark.sql.Encoders.product[RankHV])
+    val sample = df
+      .select(groups.map(col) :+ rankHash(key.cast("string")).as("__h") :+
+        value.cast("double").as("__v"): _*)
+      .filter(col("__v").isNotNull)
+      .groupBy(groups.map(col): _*)
+      .agg(bk(col("__h"), col("__v")).as("__s"))
+      .select(groups.map(col) :+ size(col("__s")).cast("long").as("m") :+
+        array_sort(transform(col("__s"), x => x.getField("v"))).as("__vs"): _*)
+    val qArr = explode(array(qs.distinct.map(lit): _*)).as("q")
+    sample.select(groups.map(col) :+ col("m") :+ col("__vs") :+ qArr: _*)
+      .select(groups.map(col) :+ col("q") :+
+        element_at(col("__vs"),
+          greatest(ceil(col("q") * col("m").cast("double")), lit(1L))
+            .cast("int")).as("estimate") :+ col("m"): _*)
+  }
 
   /** Fold the accumulated per-batch rank rows into the base partition:
     * union + k smallest — exactly the serve-path arithmetic, so

@@ -3819,6 +3819,51 @@ object Oracles {
     FROM rt r CROSS JOIN g ORDER BY r.vec_id"""
   }
 
+  // q151: the group-wise rank sketch, FULL replay — per-group (h, v)
+  // bottom-1024 cut (row_number over the same order), per-group ceil(q·m)
+  // picks, exact per-group quantile anchors, corpus rank fractions, and
+  // the 9% DKW gate. The Spark side's bounded aggregator kept-multiset
+  // equals this ORDER BY h, v LIMIT k per group by construction.
+  val q151: String = {
+    val k = 1024
+    val qList = "[0.25, 0.5, 0.9]"
+    val h = md5Int52("concat_ws('|', concat_ws(':', l_orderkey, " +
+      "l_linenumber, l_partkey, l_suppkey), 'rank')")
+    s"""
+    WITH src AS (SELECT l_returnflag AS flag,
+                        CAST(l_extendedprice AS DOUBLE) AS v,
+                        $h AS hh
+                 FROM lineitem),
+    rk AS (SELECT flag, v,
+             row_number() OVER (PARTITION BY flag ORDER BY hh, v) AS r
+           FROM src),
+    samp AS MATERIALIZED (SELECT flag, v FROM rk WHERE r <= $k),
+    mm AS (SELECT flag, CAST(count(*) AS BIGINT) AS m FROM samp GROUP BY flag),
+    ord AS (SELECT flag, v,
+              row_number() OVER (PARTITION BY flag ORDER BY v) AS rk2
+            FROM samp),
+    qq AS (SELECT unnest($qList) AS q),
+    est AS (SELECT mm.flag, qq.q, o.v AS estimate, mm.m
+            FROM mm CROSS JOIN qq JOIN ord o ON o.flag = mm.flag
+              AND o.rk2 = greatest(CAST(ceil(qq.q * CAST(mm.m AS DOUBLE))
+                                        AS BIGINT), 1)),
+    rf AS (SELECT e.flag, e.q, e.estimate, e.m,
+              floor(CAST(sum(CASE WHEN s.v <= e.estimate THEN 1 ELSE 0 END)
+                         AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                    * 1e6 + 0.5) / 1e6 AS rank_frac
+           FROM est e JOIN src s ON s.flag = e.flag
+           GROUP BY e.flag, e.q, e.estimate, e.m),
+    ex AS (SELECT flag, unnest($qList) AS q, round(unnest(l), 6) AS exact_q
+           FROM (SELECT flag, quantile_cont(v, $qList) AS l
+                 FROM src GROUP BY flag))
+    SELECT r.flag AS l_returnflag, r.q, r.estimate, x.exact_q, r.rank_frac,
+           r.m,
+           CAST(CASE WHEN abs(r.rank_frac - r.q) <= 0.09 THEN 1 ELSE 0 END
+                AS BIGINT) AS dkw_ok
+    FROM rf r JOIN ex x ON x.flag = r.flag AND x.q = r.q
+    ORDER BY r.flag, r.q"""
+  }
+
   // Count-Min replay (q115): the 52-bit md5 integer (the q26 fold,
   // undivided) mod width gives every bucket; cells are count-sums so the
   // whole-corpus build here equals the Spark side's merged per-batch
@@ -4069,6 +4114,7 @@ object Oracles {
     "q147_personalized_pagerank" -> q147,
     "q148_rank_sketch_quantiles" -> q148,
     "q149_perplexity_buckets" -> q149,
-    "q150_jl_projection" -> q150
+    "q150_jl_projection" -> q150,
+    "q151_group_rank_quantiles" -> q151
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

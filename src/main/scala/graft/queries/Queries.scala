@@ -3174,6 +3174,52 @@ object Queries {
       .orderBy("vec_id")
   }
 
+  /** q151: GROUP-WISE rank-sketch quantiles
+    * ([[Sketches.groupRankQuantiles]]) — q148's bottom-k sample held PER
+    * GROUP by a bounded aggregator ([[BottomKRankAggregator]]), the
+    * scale-correct alternative to `row_number().over(partitionBy(group))`
+    * which sorts every group's full contents through the exchange: here
+    * each map partition ships at most k (hash, value) pairs per group,
+    * so per-key quantiles over a 100 TB fact table cost one scan plus a
+    * k-bounded shuffle. Per l_returnflag: p25/p50/p90 of
+    * l_extendedprice at k=1024 (DKW rank error ≤ 8.4% at δ=1e-6, gated
+    * at 9%), with exact per-group quantile anchors and the corpus rank
+    * fraction of every estimate in-row. The oracle replays the per-group
+    * (h, v) bottom-k cut, the ⌈q·m⌉ picks, the anchors, and the gates. */
+  def q151GroupRankQuantiles(s: SparkSession, d: String): DataFrame = {
+    val k = 1024
+    val qsP = Seq(0.25, 0.5, 0.9)
+    val li = Tables.lineitem(s, d)
+    val keyCol = concat_ws(":", col("l_orderkey"), col("l_linenumber"),
+      col("l_partkey"), col("l_suppkey")) // the q148 near-unique row key
+    val est = Sketches.groupRankQuantiles(li, Seq("l_returnflag"),
+      col("l_extendedprice"), keyCol, qsP, k)
+    import s.implicits._
+    val exact = li.groupBy("l_returnflag")
+      .agg(expr(s"percentile(cast(l_extendedprice as double), " +
+        s"array(${qsP.mkString("D, ")}D))").as("p"))
+      .select(col("l_returnflag"), posexplode(col("p")).as(Seq("i", "exact")))
+      .join(qsP.zipWithIndex.map { case (q, i) => (i, q) }.toDF("i", "q"),
+        Seq("i"))
+      .select(col("l_returnflag"), col("q"), round(col("exact"), 6).as("exact_q"))
+    // rank fraction of each estimate within its own group: ONE scan, the
+    // |groups|×|qs| estimate frame rides a broadcast hash join
+    val rf = li
+      .select(col("l_returnflag"), col("l_extendedprice").cast("double").as("__v"))
+      .join(broadcast(est), Seq("l_returnflag"))
+      .groupBy("l_returnflag", "q", "estimate", "m")
+      .agg((floor(
+        sum(when(col("__v") <= col("estimate"), 1L).otherwise(0L)).cast("double") /
+          count(lit(1)).cast("double") * lit(1e6) + lit(0.5)) / lit(1e6))
+        .as("rank_frac"))
+    rf.join(exact, Seq("l_returnflag", "q"))
+      .select(col("l_returnflag"), col("q"), col("estimate"), col("exact_q"),
+        col("rank_frac"), col("m"),
+        when(abs(col("rank_frac") - col("q")) <= lit(0.09), 1L)
+          .otherwise(0L).as("dkw_ok"))
+      .orderBy("l_returnflag", "q")
+  }
+
   /** The planted dirty URL keyed on a document id — shared by q145 (over
     * doc_id) and q146 (over the id recovered from the WARC record). */
   private def plantedUrl(id: Column): Column = {

@@ -385,6 +385,52 @@ class SketchesSpec extends SparkSpec {
     assert(serve() == before, "folded-batch replay changed the sketch")
   }
 
+  test("groupRankQuantiles: under-k groups are exact order statistics; " +
+      "kept multiset equals ORDER BY (h, v) LIMIT k per group") {
+    // group "a": 2000 rows (> k=64, real sampling); group "b": 10 rows
+    val rows = (0 until 2000).map(i => ("a", i.toLong, ((i * 37) % 2000).toDouble)) ++
+      (0 until 10).map(i => ("b", 10000L + i, (i * 100).toDouble))
+    val df = rows.toDF("g", "id", "v")
+    val got = Sketches.groupRankQuantiles(df, Seq("g"), col("v"), col("id"),
+        Seq(0.1, 0.5, 0.9), k = 64)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        ((r.getDouble(2), r.getLong(3)))).toMap
+    // group b holds the whole value set: exact ceil(q·10) order statistics
+    assert(got(("b", 0.1)) == ((0.0, 10L)))    // ceil(1.0) = 1st of 0,100,...
+    assert(got(("b", 0.5)) == ((400.0, 10L)))  // ceil(5.0) = 5th
+    assert(got(("b", 0.9)) == ((800.0, 10L)))  // ceil(9.0) = 9th
+    // group a: replay the md5 bottom-k by hand and pick the same indices
+    def u52(key: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$key|rank".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(13)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val kept = rows.filter(_._1 == "a")
+      .map { case (_, id, v) => (u52(id.toString), v) }
+      .sorted.take(64).map(_._2).sorted
+    Seq(0.1, 0.5, 0.9).foreach { q =>
+      val want = kept(math.max(math.ceil(q * 64).toInt, 1) - 1)
+      assert(got(("a", q))._1 == want && got(("a", q))._2 == 64L, s"q=$q")
+    }
+    // DKW at k=64 (eps ~0.35 at 1e-6; values are a 0..1999 permutation):
+    // even this tiny sketch pins the median loosely
+    assert(math.abs(got(("a", 0.5))._1 / 2000.0 - 0.5) < 0.35)
+  }
+
+  test("groupRankQuantiles is partitioning-invariant (bounded aggregator " +
+      "merges are order-insensitive)") {
+    val rows = (0 until 5000).map(i =>
+      (s"g${i % 3}", i.toLong, ((i * 101) % 5000).toDouble))
+    val df = rows.toDF("g", "id", "v")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sketches.groupRankQuantiles(d, Seq("g"), col("v"), col("id"),
+          Seq(0.25, 0.75), k = 128)
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+          r.getLong(3))).toSet
+    assert(run(df.repartition(17)) == run(df.coalesce(1)))
+  }
+
   test("an empty batch contributes an empty sketch that adds no mass") {
     val dir = tmpDir()
     Sketches.appendCardinalitySketches(df(0 until 300), Seq("u"), dir, 0L)
