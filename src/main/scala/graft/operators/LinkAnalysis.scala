@@ -150,7 +150,13 @@ object LinkAnalysis {
       val contrib = eo.join(ranks, eo("src") === ranks("node"))
         .select(col("dst"), (col("rank") * col("w") / col("ow")).as("c"))
       val incoming = contrib.groupBy("dst").agg(sum("c").as("inw"))
-      // dangling mass restarts at the sources: scaled by each node's rst
+      // dangling mass restarts at the sources, scaled by each node's rst.
+      // The scalar is a driver .head() on the PINNED rank frame — the
+      // "one job per iteration" alternative (riding the aggregate in as
+      // a broadcast 1-row crossJoin) measured 21.6 s vs 15.6 s at sf1
+      // quiet: the BNLJ + in-plan broadcast subtree costs more than the
+      // tiny synchronous job it saves. Measured, not assumed (the
+      // pageRank pinEvery lesson).
       val inMass =
         if (!hasDangling) coalesce(col("inw"), lit(0.0))
         else {
