@@ -92,6 +92,41 @@ object Ann {
         col("n.id").as("neighbor_id"), round(col("n.score"), 6).as("score"))
   }
 
+  /** Compressed-space ANN via [[RandomProjection]] — the
+    * project-once / search-compressed / verify-original recipe:
+    * corpus and queries JL-project to `jlDim` Rademacher coordinates,
+    * candidates come from brute-force cosine top-`kCand` in the
+    * compressed space (scoring cost ÷ inDim/jlDim, and at ingest the
+    * projection is stored so the original vectors never enter the
+    * scoring scan), survivors re-rank by ORIGINAL-space cosine and the
+    * top-`k` emerge. Distance distortion is the JL bound, and the
+    * kCand > k refine margin absorbs it — the same refine argument as
+    * [[ivfPqTopK]], with a data-independent (model-free, merge-free)
+    * index. 100 TB shape: one compressed scan with the bounded top-k
+    * aggregate; the re-rank joins touch Q·kCand candidate rows against
+    * the corpus by id (broadcast of the candidate side). */
+  def jlTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+             queries: DataFrame, queryId: Column, queryVec: Column,
+             inDim: Int, jlDim: Int, kCand: Int, k: Int): DataFrame = {
+    require(kCand >= k, s"kCand ($kCand) must be >= k ($k)")
+    val pc = RandomProjection.project(corpus, corpusId, corpusVec, inDim, jlDim)
+      .select(col("id"), col("proj"))
+    val pq = RandomProjection.project(queries, queryId, queryVec, inDim, jlDim)
+      .select(col("id"), col("proj"))
+    val cand = bruteForceTopK(pc, col("id"), col("proj"),
+      pq, col("id"), col("proj"), kCand)
+    val nvec = corpus.select(corpusId.cast("long").as("neighbor_id"),
+      corpusVec.cast("array<double>").as("__nv"))
+    val qvec = queries.select(queryId.cast("long").as("query_id"),
+      queryVec.cast("array<double>").as("__qv"))
+    val scored = broadcast(cand.select("query_id", "neighbor_id"))
+      .join(nvec, Seq("neighbor_id"))
+      .join(broadcast(qvec), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id").as("nid"),
+        VectorOps.cosine(col("__nv"), col("__qv")).as("score"))
+    topKFromScores(scored, k)
+  }
+
   /** IVF-style ANN: partition the corpus into `nlist` Voronoi cells around
     * sampled centroids (cell id = argmax dot with a literal centroid matrix
     * — pure codegen expression), then scan only the `nprobe` cells nearest

