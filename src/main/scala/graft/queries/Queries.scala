@@ -3105,7 +3105,7 @@ object Queries {
       }
     }
     val estRows = Sketches.rankQuantiles(s, dir, qsP, k)
-      .orderBy("q").collect() // ≤ |qsP| rows, bounded
+      .orderBy("q").collect().toSeq // ≤ |qsP| rows, bounded
       .map(r => (r.getDouble(0), r.getDouble(1)))
     // the percentile-array pick below indexes by position: the sorted
     // estimate rows must line up with qsP (ascending by construction)
