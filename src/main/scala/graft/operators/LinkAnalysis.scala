@@ -160,10 +160,15 @@ object LinkAnalysis {
       val inMass =
         if (!hasDangling) coalesce(col("inw"), lit(0.0))
         else {
-          val dangling = ranks
+          val raw = ranks
             .join(danglingNodes.select(col("node").as("__dn")),
               ranks("node") === col("__dn"), "left_semi")
             .agg(coalesce(sum("rank"), lit(0.0))).head().getDouble(0)
+          // 9-dp fence on the cross-engine scalar: Spark's partial-agg
+          // merge order can differ from the oracle's sequential sum by an
+          // ulp; fencing both sides (the oracle's dg CTEs mirror this
+          // floor) pins the value instead of relying on ulp coincidence.
+          val dangling = math.floor(raw * 1e9 + 0.5) / 1e9
           coalesce(col("inw"), lit(0.0)) + lit(dangling) * col("rst")
         }
       val next =

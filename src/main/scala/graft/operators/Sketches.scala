@@ -446,6 +446,12 @@ object Sketches {
   def appendRankSketches(df: DataFrame, value: Column, key: Column,
                          dir: String, batchId: Long, k: Int = 4096): Unit = {
     require(k >= 16, "k must be >= 16")
+    // k is part of the artifact's identity: appends at a different k than
+    // the dir was built with would make the union no longer a uniform
+    // bottom-k row sample (small batches over-represented). Validate
+    // against the persisted k and stamp it on first append.
+    storedRankK(df.sparkSession, dir).foreach(k0 => require(k0 == k,
+      s"appendRankSketches: k=$k but artifact $dir was built with k=$k0"))
     if (batchId <= foldedWatermark(df.sparkSession, dir)) return
     deleteBatchPartition(df.sparkSession, dir, batchId)
     val rows = df
@@ -463,6 +469,46 @@ object Sketches {
       case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
+    writeRankK(spark, dir, k) // idempotent restamp (validated equal above)
+  }
+
+  /** Sidecar filename for the rank sketch's k — underscore-prefixed so the
+    * parquet reader ignores it alongside the data files (the
+    * `_folded_watermark` convention). */
+  private val RankKFile = "_rank_k"
+
+  /** The k this rank artifact was built with, if stamped. */
+  private[graft] def storedRankK(spark: SparkSession, dir: String): Option[Int] = {
+    val p = new org.apache.hadoop.fs.Path(dir, RankKFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toInt)
+      finally in.close()
+    }
+  }
+
+  private def writeRankK(spark: SparkSession, dir: String, k: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir, RankKFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(k.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Resolve the k to serve/compact at: the persisted artifact k wins;
+    * an EXPLICIT caller k must match it (serving with a larger k than the
+    * appends used would read the raw union of per-batch samples — no
+    * longer a uniform row sample, quantiles biased toward small batches).
+    * `k < 0` (the default) means "use the stored k"; a pre-stamp artifact
+    * with no sidecar falls back to the historical default 4096. */
+  private def resolveRankK(spark: SparkSession, dir: String, k: Int): Int = {
+    val stored = storedRankK(spark, dir)
+    stored.foreach(k0 => require(k < 0 || k == k0,
+      s"rank sketch $dir was built with k=$k0 but k=$k was requested"))
+    if (k >= 0) k else stored.getOrElse(4096)
   }
 
   /** The served sketch: the k hash-smallest sampled rows across batches. */
@@ -505,11 +551,20 @@ object Sketches {
 
   /** Fold the accumulated per-batch rank rows into the base partition:
     * union + k smallest — exactly the serve-path arithmetic, so
-    * [[rankQuantiles]] is bit-identical pre/post fold. */
+    * [[rankQuantiles]] is bit-identical pre/post fold. k defaults to the
+    * artifact's persisted k ([[resolveRankK]]); the sidecar is staged
+    * WITH the folded data so the swap keeps data, watermark and k
+    * visible together. */
   def compactRankSketches(spark: SparkSession, dir: String,
-                          k: Int = 4096): Unit = {
+                          k: Int = -1): Unit = {
     if (!exists(spark, dir)) return
-    swapInFolded(spark, dir, rankTopK(spark, dir, k))
+    val kEff = resolveRankK(spark, dir, k)
+    val maxBatch = ArtifactFold.liveMaxBatch(spark, dir)
+    rankTopK(spark, dir, kEff).withColumn("batch_id", lit(-1L))
+      .coalesce(1).write.mode("overwrite").partitionBy("batch_id")
+      .parquet(ArtifactFold.stagePath(dir))
+    writeRankK(spark, ArtifactFold.stagePath(dir), kEff)
+    ArtifactFold.commitFold(spark, dir, maxBatch)
   }
 
   /** Quantile estimates over the accumulated batches: the sample's
@@ -520,12 +575,13 @@ object Sketches {
     * distributed read is (batches × k) rows regardless of corpus size.
     * Returns (q, estimate) with the estimate a VERBATIM sampled value —
     * no interpolation, no fence needed: both engines read the same
-    * parquet double. */
+    * parquet double. k defaults to the artifact's persisted k; an
+    * explicit k must match it ([[resolveRankK]]). */
   def rankQuantiles(spark: SparkSession, dir: String, qs: Seq[Double],
-                    k: Int = 4096): DataFrame = {
+                    k: Int = -1): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1), "qs must be in (0,1]")
     import spark.implicits._
-    val sample = rankTopK(spark, dir, k)
+    val sample = rankTopK(spark, dir, resolveRankK(spark, dir, k))
       .collect() // ≤ k rows — bounded by the sketch's construction
       .map(_.getDouble(1)).sorted
     require(sample.nonEmpty, "rankQuantiles: no sample mass in the sketch dir")

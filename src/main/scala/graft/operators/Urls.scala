@@ -17,11 +17,14 @@ import org.apache.spark.sql.functions._
   * params drop, surviving query params sort (order-insensitive
   * canonical form), empty path → `/`.
   *
-  * [[registeredDomain]] is the public-suffix heuristic at the depth a
-  * curation pipeline needs: last two labels, or three when the last two
-  * are a known multi-label suffix (co.uk-family — the embedded set is a
-  * deliberately small, documented slice of the Public Suffix List; swap
-  * in the full PSL as a broadcast table for production).
+  * [[registeredDomain]] implements the real Public Suffix List
+  * algorithm over the embedded ICANN-section slice in [[Psl]] —
+  * exception rules prevail, then longest match (wildcard rules match
+  * one extra label), then the implicit `*` default; registered domain =
+  * public suffix + one label. The rule sets compile to `InSet` hash
+  * lookups inside whole-stage codegen, so the lookup is scan-speed with
+  * no join; see [[Psl]] for the slice contents and the full-PSL swap
+  * path.
   *
   * The curation operators are one aggregate / one filter each:
   * [[domainStats]] (per-domain doc counts + corpus share — the
@@ -38,11 +41,6 @@ import org.apache.spark.sql.functions._
   * URL grammar handling, not just each other's bugs.
   */
 object Urls {
-
-  /** Multi-label public suffixes recognized by [[registeredDomain]]
-    * (documented slice of the PSL — see class doc). */
-  val MultiSuffixes: Seq[String] =
-    Seq("co.uk", "org.uk", "ac.uk", "co.jp", "com.au", "com.br", "co.in")
 
   /** Lowercased host of `url`. */
   def host(url: Column): Column = lower(parse_url(url, lit("HOST")))
@@ -67,27 +65,30 @@ object Urls {
       when(query =!= "", concat(lit("?"), query)).otherwise(lit("")))
   }
 
-  /** Registered domain of `url`'s host (last-2 labels, last-3 over a
-    * [[MultiSuffixes]] member; a single-label host is its own domain). */
+  /** Registered domain of `url`'s host per the PSL algorithm
+    * ([[Psl.publicSuffixLen]]): the public suffix plus one host label.
+    * When the host has no registrable part (it IS a public suffix, or a
+    * bare single label), the whole host is returned — a curation
+    * pipeline needs a non-null group key (documented divergence from
+    * the spec's "null"). */
   def registeredDomain(url: Column): Column = {
     val labels = split(host(url), "\\.")
     val n = size(labels)
-    val last2 = concat_ws(".", element_at(labels, -2), element_at(labels, -1))
-    val last3 = concat_ws(".", element_at(labels, -3), element_at(labels, -2),
-      element_at(labels, -1))
-    when(n <= 1, element_at(labels, 1))
-      .when(n >= 3 && last2.isin(MultiSuffixes: _*), last3)
-      .otherwise(last2)
+    val regLen = least(Psl.publicSuffixLen(labels, n) + lit(1), n)
+    array_join(slice(labels, -regLen, regLen), ".")
   }
 
   /** Per-domain doc counts + corpus share (6-dp fence) — the input of a
     * per-domain cap policy. One domain-keyed aggregate. */
   def domainStats(df: DataFrame, url: Column): DataFrame = {
     val d = df.select(registeredDomain(url).as("domain"))
-    val total = d.count()
+    // In-plan scalar (the repo-wide crossJoin(broadcast(agg)) convention):
+    // one job instead of a driver-side count() action plus the aggregate.
+    val total = d.agg(count(lit(1)).cast("double").as("__total"))
     d.groupBy("domain").agg(count(lit(1)).as("docs"))
+      .crossJoin(broadcast(total))
       .select(col("domain"), col("docs"),
-        (floor(col("docs").cast("double") / lit(total.toDouble) * lit(1e6)
+        (floor(col("docs").cast("double") / col("__total") * lit(1e6)
           + lit(0.5)) / lit(1e6)).as("share"))
   }
 

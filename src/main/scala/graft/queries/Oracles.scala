@@ -9,6 +9,11 @@ package graft.queries
   */
 object Oracles {
 
+  /** SQL IN-list literal for a rule table (PSL entries are bare ASCII
+    * hostname labels — no quoting hazards). */
+  private def inList(xs: Seq[String]): String =
+    xs.map(x => s"'$x'").mkString(", ")
+
   val q01 = """
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2) AS sum_qty,
@@ -2388,13 +2393,24 @@ object Oracles {
     ORDER BY b.doc_id"""
 
   /** q145: URL curation — the planted-URL construction (same doc_id
-    * arithmetic as the Spark side) normalized by INDEPENDENT string ops:
-    * split on ://, authority carve-out (stop at / ? #), host lowercase +
-    * port split, default-port rule, path default, query param
-    * filter/sort via list functions, and the last-2/last-3 registered
-    * domain with the multi-label-suffix set. No parse_url anywhere. */
-  val q145 = """
+    * arithmetic as the Spark side, including the doc_id % 11 PSL-class
+    * overrides) normalized by INDEPENDENT string ops: split on ://,
+    * authority carve-out (stop at / ? #), host lowercase + port split,
+    * default-port rule, path default, query param filter/sort via list
+    * functions. No parse_url anywhere. The registered domain replays the
+    * published PSL algorithm (exception > longest match > default `*`;
+    * wildcard base matches one extra label) over the SAME rule tables as
+    * [[graft.operators.Psl]] — the rule DATA is shared (it is public
+    * data, not logic); the matching/string machinery is independent. */
+  val q145 = s"""
     WITH u AS (SELECT doc_id,
+        CASE WHEN doc_id % 11 = 0 THEN 'https://deep.www.CK/x'
+             WHEN doc_id % 11 = 1 THEN 'HTTP://shop.stores.example.ck:80/y?b=2&a=1'
+             WHEN doc_id % 11 = 2 THEN 'https://www.City.gov.uk/services?utm_source=t'
+             WHEN doc_id % 11 = 3 THEN 'http://district.k12.CA.us:8080/school'
+             WHEN doc_id % 11 = 4 THEN 'https://metro.nagoya.jp'
+             WHEN doc_id % 11 = 5 THEN 'http://www.city.Nagoya.jp/index#top'
+             ELSE
         (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END) || '://' ||
         (CASE WHEN doc_id % 5 = 0 THEN 'News.Example.COM'
               WHEN doc_id % 5 = 1 THEN 'Blog.example.co.uk'
@@ -2409,7 +2425,7 @@ object Oracles {
         (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=x&b=2&a=1'
               WHEN doc_id % 4 = 1 THEN '?b=2&a=1'
               WHEN doc_id % 4 = 2 THEN '?utm_campaign=z' ELSE '' END) ||
-        (CASE WHEN doc_id % 2 = 1 THEN '#frag' ELSE '' END) AS url
+        (CASE WHEN doc_id % 2 = 1 THEN '#frag' ELSE '' END) END AS url
       FROM documents),
     parts AS (SELECT doc_id, url,
         lower(split_part(url, '://', 1)) AS scheme,
@@ -2435,20 +2451,29 @@ object Oracles {
                          ELSE '' END, '&'),
           x -> substr(x, 1, 4) <> 'utm_' AND x <> '')), '&'), '') AS q
       FROM comps),
-    dom AS (SELECT doc_id,
-        str_split(h, '.') AS labels
+    dom AS (SELECT doc_id, h,
+        str_split(h, '.') AS labels, len(str_split(h, '.')) AS n
       FROM norm0),
+    sfx AS (SELECT doc_id, h, labels, n,
+        CASE WHEN n >= 1 THEN array_to_string(labels[n:n], '.') END AS s1,
+        CASE WHEN n >= 2 THEN array_to_string(labels[n-1:n], '.') END AS s2,
+        CASE WHEN n >= 3 THEN array_to_string(labels[n-2:n], '.') END AS s3,
+        CASE WHEN n >= 4 THEN array_to_string(labels[n-3:n], '.') END AS s4
+      FROM dom),
+    psl AS (SELECT doc_id, h, labels, n,
+        CASE WHEN n >= 3 AND s3 IN (${inList(graft.operators.Psl.exc3)}) THEN 2
+             WHEN n >= 2 AND s2 IN (${inList(graft.operators.Psl.exc2)}) THEN 1
+             WHEN n >= 4 AND s4 IN (${inList(graft.operators.Psl.exact4)}) THEN 4
+             WHEN n >= 3 AND (s3 IN (${inList(graft.operators.Psl.exact3)})
+                  OR s2 IN (${inList(graft.operators.Psl.wild2)})) THEN 3
+             WHEN n >= 2 AND (s2 IN (${inList(graft.operators.Psl.exact2)})
+                  OR s1 IN (${inList(graft.operators.Psl.wild1)})) THEN 2
+             ELSE 1 END AS pslen
+      FROM sfx),
     dom2 AS (SELECT doc_id,
-        CASE WHEN len(labels) <= 1 THEN labels[1]
-             WHEN len(labels) >= 3
-                  AND labels[len(labels) - 1] || '.' || labels[len(labels)]
-                      IN ('co.uk','org.uk','ac.uk','co.jp','com.au',
-                          'com.br','co.in')
-             THEN labels[len(labels) - 2] || '.' ||
-                  labels[len(labels) - 1] || '.' || labels[len(labels)]
-             ELSE labels[len(labels) - 1] || '.' || labels[len(labels)]
-             END AS domain
-      FROM dom)
+        CASE WHEN n <= pslen THEN h
+             ELSE array_to_string(labels[n-pslen:n], '.') END AS domain
+      FROM psl)
     SELECT n.doc_id,
            n.scheme || '://' || n.h ||
            (CASE WHEN n.port = ''
@@ -3111,7 +3136,7 @@ object Oracles {
             FROM edges e JOIN outw o ON e.src = o.src
             JOIN r${i - 1} r ON r.node = e.src
             GROUP BY e.dst),
-    dg$i AS (SELECT coalesce(sum(r.rnk), 0.0) AS dm
+    dg$i AS (SELECT floor(coalesce(sum(r.rnk), 0.0) * 1e9 + 0.5) / 1e9 AS dm
              FROM r${i - 1} r LEFT JOIN outw o ON o.src = r.node
              WHERE o.src IS NULL),
     r$i AS (SELECT n.node, n.rst,

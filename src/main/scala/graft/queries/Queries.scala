@@ -3062,9 +3062,10 @@ object Queries {
   }
 
   /** q148: bottom-k RANK sketch quantiles ([[Sketches.appendRankSketches]]
-    * / [[Sketches.rankQuantiles]]) — the fourth mergeable ingest artifact
-    * (HLL = cardinality, CMS = frequency, histogram = fixed-range
-    * distribution, this = distribution with NO prior range knowledge):
+    * / [[Sketches.rankQuantiles]]) — the fifth mergeable ingest artifact
+    * (HLL = cardinality, CMS = frequency, KMV = distinct sampling,
+    * histogram = fixed-range distribution, this = distribution with NO
+    * prior range knowledge):
     * two batches (l_orderkey mod 2) append the k=4096 hash-smallest
     * (row-key md5, l_extendedprice) pairs, the fold compacts them, and
     * quantile estimates are the merged sample's empirical quantiles.
@@ -3221,10 +3222,10 @@ object Queries {
   }
 
   /** q152: compressed-space ANN ([[Ann.jlTopK]]) — q150's projection
-    * doing its actual job: candidates from brute-force cosine top-32
-    * over the 16-dim JL space (4× less scoring payload than the
-    * original vectors), survivors re-ranked by original-space cosine,
-    * top-10 served. Gate: recall@10 against exact original-space brute
+    * doing its actual job: candidates from brute-force cosine top-256
+    * over the 32-dim JL space (2× less scoring payload than the
+    * original 64-dim vectors), survivors re-ranked by original-space
+    * cosine, top-10 served. Gate: recall@10 against exact original-space brute
     * force over the 8 standard queries (the q64 pinned-verdict
     * convention — the oracle pins the expected flag row, which only
     * holds if the compressed candidates genuinely contain the true
@@ -3276,9 +3277,27 @@ object Queries {
     concat(scheme, lit("://"), hostStr, port, path, query, frag)
   }
 
+  /** q145's URL plant: [[plantedUrl]]'s normalization grid, overridden on
+    * a doc_id % 11 slice with hosts that exercise each PSL rule CLASS
+    * ([[graft.operators.Psl]]): the `!www.ck` exception, the `*.ck`
+    * all-label wildcard, a gov.uk-class exact-2 registry, the depth-4
+    * `k12.<st>.us` school hierarchy, a `*.nagoya.jp` designated-city
+    * wildcard where the host IS the public suffix, and its
+    * `!city.nagoya.jp` exception. q146 keeps the narrower shared plant. */
+  private def q145Url(id: Column): Column = {
+    val m11 = id % 11
+    when(m11 === 0, lit("https://deep.www.CK/x"))
+      .when(m11 === 1, lit("HTTP://shop.stores.example.ck:80/y?b=2&a=1"))
+      .when(m11 === 2, lit("https://www.City.gov.uk/services?utm_source=t"))
+      .when(m11 === 3, lit("http://district.k12.CA.us:8080/school"))
+      .when(m11 === 4, lit("https://metro.nagoya.jp"))
+      .when(m11 === 5, lit("http://www.city.Nagoya.jp/index#top"))
+      .otherwise(plantedUrl(id))
+  }
+
   def q145UrlCuration(s: SparkSession, d: String): DataFrame = {
     Tables.documents(s, d)
-      .select(col("doc_id"), plantedUrl(col("doc_id")).as("url"))
+      .select(col("doc_id"), q145Url(col("doc_id")).as("url"))
       .select(col("doc_id"),
         Urls.normalizeUrl(col("url")).as("norm_url"),
         Urls.registeredDomain(col("url")).as("domain"))

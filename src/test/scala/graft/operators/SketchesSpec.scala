@@ -385,6 +385,34 @@ class SketchesSpec extends SparkSpec {
     assert(serve() == before, "folded-batch replay changed the sketch")
   }
 
+  test("rank sketch: k persists in the artifact — derived on serve, " +
+      "mismatches rejected, survives compaction") {
+    val dir = tmpDir()
+    val rows = (0 until 5000).map(i => (i.toLong, ((i * 31) % 5000).toDouble))
+    Sketches.appendRankSketches(rows.toDF("id", "v").filter(col("id") < 2500),
+      col("v"), col("id"), dir, 0L, k = 64)
+    // appending at a different k is a contract violation, not a silent union
+    val eApp = intercept[IllegalArgumentException] {
+      Sketches.appendRankSketches(rows.toDF("id", "v"),
+        col("v"), col("id"), dir, 1L, k = 128) }
+    assert(eApp.getMessage.contains("k=64"))
+    Sketches.appendRankSketches(rows.toDF("id", "v").filter(col("id") >= 2500),
+      col("v"), col("id"), dir, 1L, k = 64)
+    // default serve derives k=64 from the sidecar (equals explicit k=64)
+    val qs = Seq(0.25, 0.75)
+    val derived = Sketches.rankQuantiles(spark, dir, qs).collect().toSeq
+    assert(derived == Sketches.rankQuantiles(spark, dir, qs, k = 64)
+      .collect().toSeq)
+    // serving at a larger k than the appends used is rejected
+    val eServe = intercept[IllegalArgumentException] {
+      Sketches.rankQuantiles(spark, dir, qs, k = 4096) }
+    assert(eServe.getMessage.contains("k=64"))
+    // the sidecar survives the fold swap; serve stays bit-identical
+    Sketches.compactRankSketches(spark, dir)
+    assert(Sketches.storedRankK(spark, dir).contains(64))
+    assert(Sketches.rankQuantiles(spark, dir, qs).collect().toSeq == derived)
+  }
+
   test("groupRankQuantiles: under-k groups are exact order statistics; " +
       "kept multiset equals ORDER BY (h, v) LIMIT k per group") {
     // group "a": 2000 rows (> k=64, real sampling); group "b": 10 rows

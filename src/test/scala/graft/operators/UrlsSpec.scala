@@ -29,14 +29,45 @@ class UrlsSpec extends SparkSpec {
       == "http://news.example.com/a?a=1&b=2")
   }
 
-  test("registeredDomain: last-2 labels, multi-label suffixes, bare hosts") {
+  test("registeredDomain: default rule, exact-2 registries, bare hosts") {
     assert(dom("http://news.example.com/x") == "example.com")
     assert(dom("https://Blog.example.co.uk/y") == "example.co.uk")
     assert(dom("http://a.b.c.site.com") == "site.com")
     assert(dom("http://example.org") == "example.org")
     assert(dom("http://localhost/x") == "localhost")
-    // the suffix itself (no registrable label) falls back to last-2
+    // gov.uk-class registry suffix
+    assert(dom("https://www.city.gov.uk/x") == "city.gov.uk")
+    assert(dom("http://news.example.com.au/") == "example.com.au")
+    // jp prefecture suffix
+    assert(dom("http://a.b.tokyo.jp") == "b.tokyo.jp")
+    // a public suffix itself has no registrable part -> host convention
     assert(dom("http://co.uk/") == "co.uk")
+  }
+
+  test("registeredDomain: PSL wildcard rules (*.ck, *.sch.uk, *.nagoya.jp)") {
+    // *.ck: every second-level ck name is itself a public suffix
+    assert(dom("http://shop.stores.example.ck/y") == "stores.example.ck")
+    assert(dom("http://example.ck") == "example.ck") // host IS the suffix
+    // *.sch.uk: schools sit one level below their institution suffix
+    assert(dom("http://school.bristol.sch.uk") == "school.bristol.sch.uk")
+    // *.nagoya.jp designated-city geographic
+    assert(dom("http://metro.nagoya.jp") == "metro.nagoya.jp")
+    assert(dom("http://www.metro.nagoya.jp/x") == "www.metro.nagoya.jp")
+  }
+
+  test("registeredDomain: PSL exception rules beat wildcards") {
+    // !www.ck carves www.ck out of *.ck
+    assert(dom("http://deep.www.ck/x") == "www.ck")
+    assert(dom("http://www.ck/") == "www.ck")
+    // !city.nagoya.jp carves the city site out of *.nagoya.jp
+    assert(dom("http://www.city.nagoya.jp/x") == "city.nagoya.jp")
+  }
+
+  test("registeredDomain: depth-3 and depth-4 exact rules (us hierarchy)") {
+    assert(dom("http://district.k12.ca.us/x") == "district.k12.ca.us")
+    assert(dom("http://www.district.k12.ca.us/x") == "district.k12.ca.us")
+    assert(dom("http://www.pvt.k12.ma.us") == "www.pvt.k12.ma.us")
+    assert(dom("http://city.ca.us") == "city.ca.us") // <st>.us exact-2
   }
 
   test("URL dedup: variants of one page collapse on the normalized form") {
