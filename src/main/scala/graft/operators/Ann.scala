@@ -115,6 +115,19 @@ object Ann {
       .select(col("id"), col("proj"))
     val cand = bruteForceTopK(pc, col("id"), col("proj"),
       pq, col("id"), col("proj"), kCand)
+    rerankOriginal(corpus, corpusId, corpusVec, queries, queryId, queryVec,
+      cand, k)
+  }
+
+  /** Shared refine tail of the compressed-space searches: re-score the
+    * Q·kCand candidate (query, neighbor) pairs by ORIGINAL-space cosine
+    * and keep the top-k. The candidate side broadcasts (bounded by
+    * Q·kCand ids), so the corpus is touched by one id-keyed semi-join —
+    * no second full scan of the original vectors. */
+  private def rerankOriginal(corpus: DataFrame, corpusId: Column,
+                             corpusVec: Column, queries: DataFrame,
+                             queryId: Column, queryVec: Column,
+                             cand: DataFrame, k: Int): DataFrame = {
     val nvec = corpus.select(corpusId.cast("long").as("neighbor_id"),
       corpusVec.cast("array<double>").as("__nv"))
     val qvec = queries.select(queryId.cast("long").as("query_id"),
@@ -127,6 +140,42 @@ object Ann {
     topKFromScores(scored, k)
   }
 
+  /** Compressed-space IVF — [[jlTopK]]'s payload cut COMPOSED with
+    * [[ivfTopK]]'s cell pruning, so the 100 TB scan is sublinear AND
+    * compressed: corpus and queries JL-project to `jlDim` (at ingest the
+    * projection is stored; original vectors never enter the scoring
+    * scan), the coarse centroids are trained IN the JL space (distance
+    * distortion is the JL bound, so Voronoi structure survives
+    * projection), each query scores only its `nprobe` of `nlist` cells
+    * in the compressed space, and the surviving top-`kCand` re-rank by
+    * original-space cosine ([[rerankOriginal]]). Per-query scoring cost:
+    * (nprobe/nlist) · (jlDim/inDim) of brute force — the two dials
+    * multiply — plus the id-keyed refine join. Recall loses both to cell
+    * misses and to JL distortion; `kCand` ≫ `k` absorbs the latter, and
+    * nprobe is the dial for the former (q153 pins the fixture gate).
+    *
+    * Reference scope note: `/root/reference` has no vector search; this
+    * is part of the LLM-data-pipeline extension surface (brute / JL /
+    * IVF / PQ / IVF-PQ family, see SURVEY.md). */
+  def jlIvfTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+                queries: DataFrame, queryId: Column, queryVec: Column,
+                inDim: Int, jlDim: Int, kCand: Int, k: Int,
+                nlist: Int = 16, nprobe: Int = 8, seed: Long = 42,
+                refineIters: Int = 1): DataFrame = {
+    require(kCand >= k, s"kCand ($kCand) must be >= k ($k)")
+    val pc = RandomProjection.project(corpus, corpusId, corpusVec, inDim, jlDim)
+      .select(col("id"), col("proj"))
+    val pq = RandomProjection.project(queries, queryId, queryVec, inDim, jlDim)
+      .select(col("id"), col("proj"))
+    val cand = topKFromScores(ivfScoredPairs(
+      pc.select(col("id").as("nid"), col("proj").cast("array<double>").as("cv")),
+      pq.select(col("id").as("query_id"), col("proj").cast("array<double>").as("qv")),
+      nlist, nprobe, seed, refineIters), kCand)
+      .select(col("query_id"), col("neighbor_id"))
+    rerankOriginal(corpus, corpusId, corpusVec, queries, queryId, queryVec,
+      cand, k)
+  }
+
   /** IVF-style ANN: partition the corpus into `nlist` Voronoi cells around
     * sampled centroids (cell id = argmax dot with a literal centroid matrix
     * — pure codegen expression), then scan only the `nprobe` cells nearest
@@ -137,22 +186,31 @@ object Ann {
   def ivfTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
               queries: DataFrame, queryId: Column, queryVec: Column,
               k: Int, nlist: Int = 16, nprobe: Int = 4, seed: Long = 42,
-              refineIters: Int = 1): DataFrame = {
-    val c = corpus.select(corpusId.cast("long").as("nid"),
-      corpusVec.cast("array<double>").as("cv"))
+              refineIters: Int = 1): DataFrame =
+    topKFromScores(ivfScoredPairs(
+      corpus.select(corpusId.cast("long").as("nid"),
+        corpusVec.cast("array<double>").as("cv")),
+      queries.select(queryId.cast("long").as("query_id"),
+        queryVec.cast("array<double>").as("qv")),
+      nlist, nprobe, seed, refineIters), k)
+
+  /** The IVF candidate-scoring frame — (query_id, nid, score) for every
+    * vector in each query's `nprobe` probed cells and NOTHING else (the
+    * spec-visible pruning contract: row count = Σ_query probed-cell
+    * populations). `c` is (nid, cv), `q` is (query_id, qv). */
+  private[operators] def ivfScoredPairs(c: DataFrame, q: DataFrame,
+                                        nlist: Int, nprobe: Int, seed: Long,
+                                        refineIters: Int): DataFrame = {
     val cents = trainIvfCentroids(c, nlist, seed, refineIters)
     // NB: ONE transform lambda over a 2-D centroid literal — the cosine body
     // is planned/compiled once, not nlist times (and never as a pairwise
     // when/otherwise reduce, which would duplicate subtrees exponentially).
     val centArr = typedLit(cents.map(_.toSeq).toSeq)
     val cc = c.withColumn("cell", ivfCellOf(centArr, col("cv")))
-    val q = queries.select(queryId.cast("long").as("query_id"),
-        queryVec.cast("array<double>").as("qv"))
-      .withColumn("cell", explode(ivfProbesOf(centArr, col("qv"), nprobe)))
-    val scored = cc.join(broadcast(q), Seq("cell"))
+    val qq = q.withColumn("cell", explode(ivfProbesOf(centArr, col("qv"), nprobe)))
+    cc.join(broadcast(qq), Seq("cell"))
       .select(col("query_id"), col("nid"),
         VectorOps.cosine(col("cv"), col("qv")).as("score"))
-    topKFromScores(scored, k)
   }
 
   /** IVF coarse centroids: deterministic sample of nlist corpus vectors
@@ -160,8 +218,8 @@ object Ann {
     * distributed assignment pass + a posexplode/groupBy mean (nlist x dim
     * rows back to the driver). Tighter cells raise recall at the same
     * nprobe. */
-  private def trainIvfCentroids(c: DataFrame, nlist: Int, seed: Long,
-                                refineIters: Int): Array[Array[Double]] = {
+  private[operators] def trainIvfCentroids(c: DataFrame, nlist: Int, seed: Long,
+                                           refineIters: Int): Array[Array[Double]] = {
     var cents: Array[Array[Double]] = c.select(col("cv"))
       .orderBy(xxhash64(col("nid"), lit(seed)))
       .limit(nlist).collect().map(_.getSeq[Double](0).toArray)
@@ -183,9 +241,9 @@ object Ann {
   private def ivfScoredCells(centArr: Column, vec: Column): Column =
     transform(centArr, (c, i) =>
       struct(VectorOps.cosine(vec, c).as("s"), i.as("cell")))
-  private def ivfCellOf(centArr: Column, vec: Column): Column =
+  private[operators] def ivfCellOf(centArr: Column, vec: Column): Column =
     array_max(ivfScoredCells(centArr, vec)).getField("cell")
-  private def ivfProbesOf(centArr: Column, vec: Column, nprobe: Int): Column =
+  private[operators] def ivfProbesOf(centArr: Column, vec: Column, nprobe: Int): Column =
     slice(reverse(array_sort(ivfScoredCells(centArr, vec))), 1, nprobe)
       .getField("cell")
 

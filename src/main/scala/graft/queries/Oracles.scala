@@ -4141,8 +4141,9 @@ object Oracles {
     "q149_perplexity_buckets" -> q149,
     "q150_jl_projection" -> q150,
     "q151_group_rank_quantiles" -> q151,
-    // q152: the q64 pinned-gate convention — recall vs exact brute force
-    // runs Spark-side; the oracle pins the expected verdict row
-    "q152_jl_ann" -> q64
+    // q152/q153: the q64 pinned-gate convention — recall vs exact brute
+    // force runs Spark-side; the oracle pins the expected verdict row
+    "q152_jl_ann" -> q64,
+    "q153_jl_ivf_ann" -> q64
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

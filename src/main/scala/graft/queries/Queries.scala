@@ -3251,6 +3251,37 @@ object Queries {
         lit(8L).as("n_queries"), lit(10L).as("k"))
   }
 
+  /** q153: compressed-space IVF ([[Ann.jlIvfTopK]]) — q152's JL payload
+    * cut composed with q31's cell pruning, the full 100 TB path:
+    * centroids train in the 32-dim JL space, each query scores only
+    * nprobe=8 of nlist=16 compressed cells (per-query scoring cost
+    * (8/16)·(32/64) = 1/4 of brute force, multiplicative dials), top-256
+    * survivors re-rank by original-space cosine. Same recall gate as
+    * q152 (≥ 0.70 = 56/80 vs exact brute force over the 8 standard
+    * queries; oracle pins the verdict row). Calibration on the
+    * i.i.d.-gaussian worst-case fixture: recall@10 = 0.80/0.71/0.74 at
+    * sf0.001/0.01/0.1 — the extra loss vs q152's brute-compressed-scan
+    * (0.96/0.96/0.80) is cell misses, the price of the (nprobe/nlist)
+    * scan cut; clustered real-embedding corpora lose far less.
+    * AnnSpec additionally asserts the pruning contract: the candidate
+    * scan touches exactly Σ_query probed-cell populations of the
+    * compressed corpus, never all of it. */
+  def q153JlIvfAnn(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < 8)
+    val ann = Ann.jlIvfTopK(e, col("vec_id"), col("embedding"),
+      q, col("vec_id"), col("embedding"),
+      inDim = 64, jlDim = 32, kCand = 256, k = 10, nlist = 16, nprobe = 8)
+    val brute = Ann.bruteForceTopK(e, col("vec_id"), col("embedding"),
+      q, col("vec_id"), col("embedding"), k = 10)
+    ann.select("query_id", "neighbor_id")
+      .join(brute.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"))
+      .agg(count(lit(1)).as("__hits"))
+      .select((col("__hits") >= lit(56L)).cast("long").as("recall_pass"),
+        lit(8L).as("n_queries"), lit(10L).as("k"))
+  }
+
   /** The planted dirty URL keyed on a document id — shared by q145 (over
     * doc_id) and q146 (over the id recovered from the WARC record). */
   private def plantedUrl(id: Column): Column = {

@@ -220,6 +220,45 @@ class AnnSpec extends SparkSpec {
     assert(r01.getLong(0) == 1L, "q152 recall gate at sf0.1")
   }
 
+  test("jlIvfTopK clears the q153 gate; the candidate scan touches exactly " +
+      "the probed compressed cells, never the whole corpus") {
+    val e = graft.Tables.embeddings(spark, sf001)
+    val queries = e.filter(col("vec_id") < 8)
+    def pairs(res: org.apache.spark.sql.DataFrame) = res
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = pairs(Ann.bruteForceTopK(e, col("vec_id"), col("embedding"),
+      queries, col("vec_id"), col("embedding"), k = 10))
+    def run() = Ann.jlIvfTopK(e, col("vec_id"), col("embedding"),
+      queries, col("vec_id"), col("embedding"),
+      inDim = 64, jlDim = 32, kCand = 256, k = 10, nlist = 16, nprobe = 8)
+    val got = pairs(run())
+    val recall = (exact intersect got).size.toDouble / exact.size
+    info(s"JL-IVF recall@10 = $recall (${(exact intersect got).size}/${exact.size})")
+    assert(recall >= 0.7, s"recall $recall")
+    assert(pairs(run()) == got, "compressed IVF must be run-deterministic")
+    // Pruning contract: the scored candidate frame holds one row per
+    // (query, vector-in-probed-cell) pair — recomputed independently from
+    // the same deterministic centroids — and strictly fewer than Q·N.
+    val pc = RandomProjection.project(e, col("vec_id"), col("embedding"), 64, 32)
+      .select(col("id").as("nid"), col("proj").cast("array<double>").as("cv"))
+    val pq = RandomProjection.project(queries, col("vec_id"), col("embedding"), 64, 32)
+      .select(col("id").as("query_id"), col("proj").cast("array<double>").as("qv"))
+    val scoredN = Ann.ivfScoredPairs(pc, pq, nlist = 16, nprobe = 8,
+      seed = 42, refineIters = 1).count()
+    val cents = Ann.trainIvfCentroids(pc.select(col("nid"), col("cv")), 16, 42, 1)
+    val centArr = typedLit(cents.map(_.toSeq).toSeq)
+    val cellSizes = pc.select(Ann.ivfCellOf(centArr, col("cv")).as("cell"))
+      .groupBy("cell").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val expected = pq
+      .select(explode(Ann.ivfProbesOf(centArr, col("qv"), 8)).as("cell"))
+      .collect().map(r => cellSizes.getOrElse(r.getInt(0), 0L)).sum
+    assert(scoredN == expected,
+      s"candidate rows $scoredN != sum of probed cell sizes $expected")
+    val n = e.count()
+    assert(scoredN < 8 * n, s"scan must prune: $scoredN vs Q*N = ${8 * n}")
+  }
+
   test("ivfPqTopKIndexed over persisted artifacts equals inline ivfPqTopK bit-for-bit") {
     val e = graft.Tables.embeddings(spark, sf001)
     val queries = e.filter(col("vec_id") < 8)
