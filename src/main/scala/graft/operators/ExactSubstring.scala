@@ -33,17 +33,25 @@ import org.apache.spark.sql.functions._
   *     survivors are exact corpus-wide counts. On real corpora this cuts
   *     the candidate mass to the duplicated tail; one 8-byte-key shuffle;
   *  3. expansion — survivors emit the two-anchor key for every m in
-  *     [L, C] that fits their document (C caps the measured length;
-  *     spans at the cap are flagged, and coverage is unaffected because
-  *     every start inside a longer duplicated region is itself a
-  *     duplicated ≥L start). One grouped count of (m, anchor, anchor)
-  *     keys — 25 longs per surviving position at the default window,
-  *     text never shuffles;
-  *  4. `maxdup(p)` = max duplicated m per position; spans are
+  *     [L, C] that fits their document (C is the FIRST band's width — a
+  *     performance dial, not a report cap). One grouped count of
+  *     (m, anchor, anchor) keys — 25 longs per surviving position at
+  *     the default window, text never shuffles;
+  *  4. anchor-doubling extension — positions measured AT the band cap
+  *     double it ([C+1, 2C], then [2C+1, 4C], …) until every span's
+  *     TRUE maximal length is known. Per-round completeness is the same
+  *     induction as the prefilter: any position q sharing a window of
+  *     length in round r's band has maxdup(q) past every earlier cap,
+  *     so q was measured at-cap in every earlier round and is in round
+  *     r's probe set — the grouped count ≥ 2 stays corpus-exact. Rounds
+  *     = log2(longest-span/C); total keys per position ≤ 2·maxdup —
+  *     the geometric series, same order as its own span length;
+  *  5. `maxdup(p)` = max duplicated m per position; spans are
   *     right-maximal by construction and LEFT-maximal iff position p-1
   *     cannot absorb them (`maxdup(p-1) < maxdup(p)+1`) — the exact
-  *     maximal-repeat set, each emitted span verbatim-duplicated
-  *     somewhere in the corpus.
+  *     maximal-repeat set (no cap convention needed: lengths are true
+  *     maxima), each emitted span verbatim-duplicated somewhere in the
+  *     corpus.
   *
   * Identity is 64-bit fingerprint equality (FNV-1a token hash +
   * splitmix64 combiner): like every content-hash dedup in this engine,
@@ -52,10 +60,13 @@ import org.apache.spark.sql.functions._
   * a collision (or any ladder defect) breaks the hash gate.
   *
   * 100 TB notes: everything upstream of the grouped counts is per-doc
-  * local; both shuffles carry fixed-width keys; the expansion factor is
-  * (C-L+1) on SURVIVORS only — tune (L, C) to the corpus (production
-  * presets: L=50 per Lee et al.; C bounds the per-span length report,
-  * not removal coverage). Removal ([[dedupStats]]' kept digest) drops
+  * local; all shuffles carry fixed-width keys; the expansion factor is
+  * (C-L+1) on SURVIVORS only, and each doubling round touches only the
+  * still-at-cap tail — tune (L, C) to the corpus (production presets:
+  * L=50 per Lee et al.; C ≈ the corpus's typical duplicated-run length
+  * so most positions finish in band one). The ladder carries
+  * O(log n) levels per doc (documents are bounded-length after
+  * upstream chunking). Removal ([[dedupStats]]' kept digest) drops
   * every covered occurrence — the conservative variant; keeping one
   * canonical occurrence is a per-cluster keeper election over span
   * fingerprints, the [[Dedup.clusters]] machinery.
@@ -110,78 +121,71 @@ object ExactSubstring {
 
   private def log2floor(x: Int): Int = 31 - Integer.numberOfLeadingZeros(x)
 
-  /** The pinned per-doc ladder frame: (doc_id, n, toks, lvls). */
+  /** The pinned per-doc ladder frame: (doc_id, n, toks, lvls). Levels
+    * run to max(minLevel, log2floor(n)) PER DOC — deep enough for the
+    * anchor-doubling extension to reach any in-doc window length, at
+    * O(n log n) longs per doc (levels beyond the doc are empty arrays,
+    * and every band access is fit-guarded). */
   private def ladderFrame(df: DataFrame, id: Column, toks: Column,
-                          maxLevel: Int, policy: CheckpointPolicy): DataFrame = {
+                          minLevel: Int, policy: CheckpointPolicy): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val ds = df.select(id.cast("long").as("doc_id"), toks.as("toks"))
       .as[(Long, Seq[String])]
       .map { case (d, t) =>
         val tt = if (t == null) Seq.empty[String] else t
-        (d, tt.length, tt, ladder(tt, maxLevel).toSeq.map(_.toSeq))
+        val lvl = math.max(minLevel, log2floor(math.max(tt.length, 1)))
+        (d, tt.length, tt, ladder(tt, lvl).toSeq.map(_.toSeq))
       }
     policy.pin(ds.toDF("doc_id", "n", "toks", "lvls"))
   }
 
-  /** All duplicated-substring starts with their exact (capped) maximal
-    * lengths: (doc_id, start [1-based token index], len, capped, left_max)
-    * — one row per position p with maxdup(p) ≥ minLen. `left_max = 1`
-    * marks the maximal-repeat occurrences (not absorbable by a span
-    * starting one position earlier); `capped = 1` means the span hit
-    * maxLen and may extend further. Cap convention: a CAPPED predecessor
-    * conservatively absorbs its successor (its true length is ≥ maxLen,
-    * unknowable within the cap), so inside a longer-than-cap duplicated
-    * run only the run head is flagged left-maximal; below the cap the
-    * flag is exact. */
+  /** All duplicated-substring starts with their TRUE maximal lengths:
+    * (doc_id, start [1-based token index], len, left_max) — one row per
+    * position p with maxdup(p) ≥ minLen, len the exact corpus-wide
+    * maximal duplicated length at p (the anchor-doubling extension runs
+    * past maxLen until every length is resolved). `left_max = 1` marks
+    * the maximal-repeat occurrences (not absorbable by a span starting
+    * one position earlier: `maxdup(p-1) < maxdup(p)+1` — exact, no cap
+    * convention). */
   def dupSpans(df: DataFrame, id: Column, toks: Column,
                minLen: Int = 16, maxLen: Int = 40,
                policy: CheckpointPolicy = CheckpointPolicy.Local): DataFrame = {
     val lf = ladderFrame(df, id, toks, log2floor(maxLen), policy)
-    policy.pin(dupStarts(lf, minLen, maxLen))
-      .withColumn("capped", (col("len") === maxLen).cast("long"))
-      .withColumn("left_max", leftMaxCol(maxLen).cast("long"))
+    dupStarts(lf, minLen, maxLen, policy)
+      .withColumn("left_max", leftMaxCol.cast("long"))
       .select(col("doc_id"), col("p").cast("long").as("start"), col("len"),
-        col("capped"), col("left_max"))
+        col("left_max"))
   }
 
-  /** The left-maximality predicate over (doc_id, p, len) rows — see the
-    * [[dupSpans]] cap convention. */
-  private def leftMaxCol(maxLen: Int): Column = {
+  /** The exact left-maximality predicate over (doc_id, p, len) rows. */
+  private def leftMaxCol: Column = {
     val w = Window.partitionBy("doc_id").orderBy("p")
     lag(col("p"), 1).over(w).isNull ||
       lag(col("p"), 1).over(w) =!= col("p") - 1 ||
-      !(lag(col("len"), 1).over(w) >= col("len") + 1 ||
-        lag(col("len"), 1).over(w) === maxLen)
+      !(lag(col("len"), 1).over(w) >= col("len") + 1)
   }
 
-  /** (doc_id, p, len): every position whose maximal duplicated length is
-    * ≥ minLen, exact up to the maxLen cap. */
-  private def dupStarts(lf: DataFrame, minLen: Int, maxLen: Int): DataFrame = {
-    require(minLen >= 2, "minLen >= 2")
-    require(maxLen >= minLen, "maxLen >= minLen")
-    val j = log2floor(minLen)
-    // prefilter: positions whose 2^j-prefix fingerprint occurs >= 2 times
-    val pre = lf.select(col("doc_id"), col("n"),
-        posexplode(element_at(col("lvls"), j + 1)))
-      .select(col("doc_id"), col("n"), (col("pos") + 1).as("p"), col("col").as("h"))
-      .filter(col("p") <= col("n") - minLen + 1)
-    val dupH = pre.groupBy("h").agg(count(lit(1)).as("c"))
-      .filter(col("c") >= 2).select("h")
-    val surv = pre.join(dupH, Seq("h")).select("doc_id", "p")
-    // expansion: per k-band two-anchor keys for every m in [minLen, maxLen]
-    // that fits the doc (anchors read from the bound `lvls` attribute —
-    // no recompute; the ladder frame sits behind a typed-map boundary)
+  /** Max duplicated m per (doc_id, p) over m ∈ [mLo, mHi] — the banded
+    * two-anchor expansion + grouped count, with occurrences counted over
+    * the GIVEN survivor set. Exactness requires `surv` to contain EVERY
+    * corpus position whose maxdup is ≥ mLo (the prefilter argument at
+    * the base band; the at-cap induction in the doubling rounds).
+    * Anchors read from the bound `lvls` attribute — no recompute; the
+    * ladder frame sits behind a typed-map boundary. Positions with no
+    * duplicated m in the band are absent from the result. */
+  private def bandMax(lf: DataFrame, surv: DataFrame,
+                      mLo: Int, mHi: Int): DataFrame = {
     val sj = surv.join(lf.select("doc_id", "n", "lvls"), Seq("doc_id"))
-    val kLo = log2floor(minLen)
-    val kHi = log2floor(maxLen)
+    val kLo = log2floor(mLo)
+    val kHi = log2floor(mHi)
     val bands = (kLo to kHi).map { k =>
-      val mLo = math.max(minLen, 1 << k)
-      val mHi = math.min(maxLen, (1 << (k + 1)) - 1)
+      val bLo = math.max(mLo, 1 << k)
+      val bHi = math.min(mHi, (1 << (k + 1)) - 1)
       val lvl = element_at(col("lvls"), k + 1)
-      val hiFit = least(lit(mHi), col("n") - col("p") + 1)
-      when(hiFit >= mLo,
-        transform(sequence(lit(mLo), hiFit), m =>
+      val hiFit = least(lit(bHi), col("n") - col("p") + 1)
+      when(hiFit >= bLo,
+        transform(sequence(lit(bLo), hiFit), m =>
           struct(m.cast("int").as("m"),
             element_at(lvl, col("p").cast("int")).as("a1"),
             element_at(lvl, (col("p") + m - (1 << k)).cast("int")).as("a2"))))
@@ -197,6 +201,46 @@ object ExactSubstring {
       .groupBy("doc_id", "p").agg(max(col("m")).cast("long").as("len"))
   }
 
+  /** (doc_id, p, len): every position whose maximal duplicated length is
+    * ≥ minLen, with len the TRUE corpus-wide maximum (prefilter + base
+    * band + anchor-doubling extension — class doc steps 2-4). */
+  private def dupStarts(lf: DataFrame, minLen: Int, maxLen: Int,
+                        policy: CheckpointPolicy): DataFrame = {
+    require(minLen >= 2, "minLen >= 2")
+    require(maxLen >= minLen, "maxLen >= minLen")
+    val j = log2floor(minLen)
+    // prefilter: positions whose 2^j-prefix fingerprint occurs >= 2 times
+    val pre = lf.select(col("doc_id"), col("n"),
+        posexplode(element_at(col("lvls"), j + 1)))
+      .select(col("doc_id"), col("n"), (col("pos") + 1).as("p"), col("col").as("h"))
+      .filter(col("p") <= col("n") - minLen + 1)
+    val dupH = pre.groupBy("h").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("h")
+    val surv = pre.join(dupH, Seq("h")).select("doc_id", "p")
+    val base = policy.pin(bandMax(lf, surv, minLen, maxLen))
+    // anchor-doubling: re-probe the at-cap tail over [cap+1, 2·cap]
+    // until no position sits at its round's cap. Each round's probe set
+    // is exactly the positions that were at-cap in EVERY earlier round
+    // (see bandMax's completeness contract); a round that finds nothing
+    // for a position proves maxdup == cap by monotonicity.
+    var resolved = base.filter(col("len") < maxLen)
+    var capped = policy.pin(base.filter(col("len") === maxLen))
+    var cap = maxLen
+    while (capped.limit(1).count() > 0) {
+      val hi = cap * 2
+      val ext = bandMax(lf, capped.select("doc_id", "p"), cap + 1, hi)
+      val merged = policy.pin(
+        capped.select("doc_id", "p", "len")
+          .join(ext.withColumnRenamed("len", "__ext"), Seq("doc_id", "p"), "left")
+          .select(col("doc_id"), col("p"),
+            coalesce(col("__ext"), col("len")).as("len")))
+      resolved = resolved.unionByName(merged.filter(col("len") < hi))
+      capped = policy.pin(merged.filter(col("len") === hi))
+      cap = hi
+    }
+    resolved
+  }
+
   /** Per-document removal statistics + post-removal digest:
     * (doc_id, n_tokens, n_spans [maximal repeats], max_len, covered
     * [tokens inside ANY duplicated ≥minLen span], covered_frac,
@@ -206,9 +250,9 @@ object ExactSubstring {
                  minLen: Int = 16, maxLen: Int = 40,
                  policy: CheckpointPolicy = CheckpointPolicy.Local): DataFrame = {
     val lf = ladderFrame(df, id, toks, log2floor(maxLen), policy)
-    val starts = policy.pin(dupStarts(lf, minLen, maxLen))
+    val starts = policy.pin(dupStarts(lf, minLen, maxLen, policy))
     val perDocSpans = starts
-      .withColumn("left_max", leftMaxCol(maxLen))
+      .withColumn("left_max", leftMaxCol)
       .groupBy("doc_id")
       .agg(sum(when(col("left_max"), 1L).otherwise(0L)).as("n_spans"),
         max(col("len")).as("max_len"))

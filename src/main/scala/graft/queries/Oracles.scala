@@ -2489,11 +2489,12 @@ object Oracles {
     ORDER BY n.doc_id"""
 
   /** q141: exact substring dedup — brute-force replay over the literal
-    * strings: EVERY (position, m) window for m in [16, 40], grouped by
-    * gram TEXT (not fingerprints — so the Spark side's 64-bit ladder is
-    * gated against true string equality), maxdup per position, the same
-    * left-maximality lag, the coverage union, and the post-removal
-    * string_agg digest. */
+    * strings: EVERY (position, m) window for m in [16, n] — UNCAPPED, so
+    * the Spark side's anchor-doubling extension past its band cap is
+    * gated against true string equality — grouped by gram TEXT (not
+    * fingerprints), maxdup per position, the exact left-maximality lag
+    * (no cap-absorption clause), the coverage union, and the
+    * post-removal string_agg digest. */
   val q141 = """
     WITH t AS (SELECT doc_id,
                  CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN []::VARCHAR[]
@@ -2503,7 +2504,7 @@ object Oracles {
     gr AS (SELECT doc_id, p, m, array_to_string(toks[p:p+m-1], ' ') AS g
            FROM base,
                 unnest(generate_series(1, n)) AS s(p),
-                unnest(generate_series(16, 40)) AS mm(m)
+                unnest(generate_series(16, n)) AS mm(m)
            WHERE p + m - 1 <= n),
     cnt AS (SELECT m, g FROM gr GROUP BY m, g HAVING count(*) >= 2),
     md AS (SELECT gr.doc_id, gr.p, max(gr.m) AS len
@@ -2511,7 +2512,7 @@ object Oracles {
            GROUP BY gr.doc_id, gr.p),
     lm AS (SELECT doc_id, p, len,
              CASE WHEN lag(p) OVER w IS NULL OR lag(p) OVER w != p - 1
-                       OR NOT (lag(len) OVER w >= len + 1 OR lag(len) OVER w = 40)
+                       OR NOT (lag(len) OVER w >= len + 1)
                   THEN 1 ELSE 0 END AS left_max
            FROM md WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
     spn AS (SELECT doc_id, sum(left_max) AS n_spans, max(len) AS max_len

@@ -4,7 +4,8 @@ import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
 /** Gates for the exact substring dedup: the emitted spans are VERBATIM
-  * duplicated in the corpus, MAXIMAL (inextensible either way below the
+  * duplicated in the corpus, TRUE-MAXIMAL (inextensible either way —
+  * the anchor-doubling extension resolves spans past the first band's
   * cap), coverage equals the brute-force union over all duplicated
   * ≥L-token substrings, and the removal digest matches a hand removal. */
 class ExactSubstringSpec extends SparkSpec {
@@ -33,7 +34,8 @@ class ExactSubstringSpec extends SparkSpec {
   // corpus with planted structure (L=3, C=8):
   //   docs 1/2 share an exact 6-token run (a maximal repeat)
   //   doc 3 repeats a 4-token phrase INTERNALLY twice
-  //   docs 4/5 share a 12-token run (> cap 8 -> capped spans)
+  //   docs 4/5 share a 12-token run (> band cap 8 -> exercises the
+  //   anchor-doubling extension: true length must be reported)
   //   doc 6 is all-unique filler
   private val corpus: Seq[(Long, Seq[String])] = Seq(
     (1L, "x1 x2 alpha beta gamma delta epsilon zeta x3 x4".split(" ").toSeq),
@@ -59,61 +61,66 @@ class ExactSubstringSpec extends SparkSpec {
     ExactSubstring.dupSpans(df, col("doc_id"), col("toks"), minLen = L, maxLen = C)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1).toInt, r.getLong(2).toInt,
-        r.getLong(3) == 1L, r.getLong(4) == 1L))
-      .toSeq // (doc, start, len, capped, leftMax)
+        r.getLong(3) == 1L))
+      .toSeq // (doc, start, len, leftMax)
   }
 
   test("every emitted span is verbatim-duplicated in the corpus") {
     assert(spansOut.nonEmpty)
-    spansOut.foreach { case (d, s, len, _, _) =>
+    spansOut.foreach { case (d, s, len, _) =>
       val slice = tokensOf(d).slice(s - 1, s - 1 + len)
       assert(slice.length == len, s"doc $d span at $s overruns the doc")
       assert(occ(slice) >= 2, s"doc $d span [$s,+$len) '$slice' occurs once")
     }
   }
 
-  test("spans are right-maximal (inextensible) below the cap") {
-    spansOut.foreach { case (d, s, len, capped, _) =>
+  test("spans are right-maximal (inextensible) — including past the band cap") {
+    spansOut.foreach { case (d, s, len, _) =>
       val t = tokensOf(d)
-      if (!capped && s - 1 + len < t.length) {
+      if (s - 1 + len < t.length) {
         val ext = t.slice(s - 1, s - 1 + len + 1)
         assert(occ(ext) < 2, s"doc $d span at $s extends right to ${len + 1}")
       }
-      if (capped) assert(len == C)
     }
   }
 
-  test("left_max flags exactly the spans no earlier start absorbs " +
-       "(capped predecessors conservatively absorb)") {
-    // capped measured length at (doc, p): min(true maxdup, C)
-    val measured = spansOut.map { case (d, s, len, _, _) => ((d, s), len) }.toMap
-    spansOut.foreach { case (d, s, len, _, leftMax) =>
+  test("a >cap planted duplicate reports its TRUE maximal length") {
+    // docs 4/5 share the 12-token c1..c12 run; band cap C=8 forces the
+    // anchor-doubling extension ([9,16]) to resolve it
+    val run4 = spansOut.find { case (d, s, _, _) => d == 4L && s == 2 }.get
+    val run5 = spansOut.find { case (d, s, _, _) => d == 5L && s == 3 }.get
+    assert(run4._3 == 12, s"doc 4 run head length: $run4")
+    assert(run5._3 == 12, s"doc 5 run head length: $run5")
+    assert(spansOut.forall(_._3 <= 12) && spansOut.exists(_._3 > C))
+  }
+
+  test("left_max flags exactly the spans no earlier start absorbs (exact, " +
+       "no cap convention)") {
+    val measured = spansOut.map { case (d, s, len, _) => ((d, s), len) }.toMap
+    spansOut.foreach { case (d, s, len, leftMax) =>
       val prev = measured.get((d, s - 1))
-      val absorbable = prev.exists(pl => pl >= len + 1 || pl == C)
+      val absorbable = prev.exists(pl => pl >= len + 1)
       assert(leftMax == !absorbable,
         s"doc $d span at $s len $len: left_max=$leftMax absorbable=$absorbable")
-      // below the cap the flag is EXACT against uncapped string truth
-      if (prev.forall(_ < C)) {
-        val t = tokensOf(d)
-        val ext = t.slice(s - 2, s - 2 + len + 1)
-        val trueAbsorb = s > 1 && prev.nonEmpty &&
-          ext.length == len + 1 && occ(ext) >= 2
-        assert(leftMax == !trueAbsorb,
-          s"doc $d span at $s len $len: uncapped truth mismatch")
-      }
+      // the flag is EXACT against string truth everywhere now
+      val t = tokensOf(d)
+      val ext = t.slice(s - 2, s - 2 + len + 1)
+      val trueAbsorb = s > 1 && prev.nonEmpty &&
+        ext.length == len + 1 && occ(ext) >= 2
+      assert(leftMax == !trueAbsorb,
+        s"doc $d span at $s len $len: string-truth mismatch")
     }
   }
 
-  test("per-position lengths are the exact maxima (brute-force parity)") {
-    // brute maxdup for every position of every doc, capped at C
+  test("per-position lengths are the exact UNCAPPED maxima (brute-force parity)") {
     val brute = for {
       (d, t) <- corpus
       p <- 1 to t.length
-      lens = (L to math.min(C, t.length - p + 1))
+      lens = (L to (t.length - p + 1))
         .filter(m => occ(t.slice(p - 1, p - 1 + m)) >= 2)
       if lens.nonEmpty
     } yield ((d, p), lens.max)
-    val got = spansOut.map { case (d, s, len, _, _) => ((d, s), len) }.toMap
+    val got = spansOut.map { case (d, s, len, _) => ((d, s), len) }.toMap
     assert(got == brute.toMap)
   }
 
@@ -143,7 +150,10 @@ class ExactSubstringSpec extends SparkSpec {
     }
     // the all-unique doc keeps everything
     assert(stats(6L).getLong(4) == 0L && stats(6L).getLong(2) == 0L)
-    // docs 4/5 hit the cap: max_len == C, coverage still the full 12-run
-    assert(stats(4L).getLong(3) == C.toLong)
+    // docs 4/5 exceed the band cap: max_len is the TRUE 12-token run
+    assert(stats(4L).getLong(3) == 12L)
+    assert(stats(5L).getLong(3) == 12L)
+    // and the >cap run is ONE maximal repeat, not a cap-fragmented chain
+    assert(stats(4L).getLong(2) == 1L, "doc 4 span count")
   }
 }
