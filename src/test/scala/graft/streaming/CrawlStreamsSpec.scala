@@ -78,4 +78,100 @@ class CrawlStreamsSpec extends SparkSpec {
     val streamConv = got.collect { case (u, ("conversion", _, t)) => u -> t }
     assert(streamConv == batchConv, "stream/batch conversion-text mismatch")
   }
+
+  test("chained continuous pipeline: WARC drop -> extract -> admit yields " +
+       "the SAME corpus as the batch crawl->dedup run, across a seam") {
+    import spark.implicits._
+    val land = java.nio.file.Files.createTempDirectory("graft-chain-land").toString
+    val textDir = java.nio.file.Files.createTempDirectory("graft-chain-text").toString
+    val quarDir = java.nio.file.Files.createTempDirectory("graft-chain-quar").toString
+    val ck1 = java.nio.file.Files.createTempDirectory("graft-chain-ck1").toString
+    val histDir = java.nio.file.Files.createTempDirectory("graft-chain-hist").toString
+    val admitDir = java.nio.file.Files.createTempDirectory("graft-chain-admit").toString
+    val ck2 = java.nio.file.Files.createTempDirectory("graft-chain-ck2").toString
+    def drop(name: String, bytes: Array[Byte]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(land, name), bytes)
+
+    // arrival 1: two distinct WET docs + one raw HTML response
+    val html = "<html><head><title>T3</title></head>" +
+      "<body><p>Fish &amp; chips with vinegar.</p></body></html>"
+    drop("a.warc.gz",
+      member(1, "conversion", "alpha bravo charlie delta echo".getBytes(Utf8)) ++
+        member(2, "conversion", "foxtrot golf hotel india juliet".getBytes(Utf8)) ++
+        member(3, "response", html.getBytes(Utf8), ctype = "text/html"))
+
+    val crawl = CrawlStreams.foreachBatchCrawlIngest(
+      CrawlStreams.readWarcFiles(spark, land),
+      textDir, quarDir, checkpointDir = Some(ck1))
+    val admit =
+      try {
+        crawl.processAllAvailable()
+        // stage 2 of the chain: stream the text sink into the admission loop
+        val textSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("url",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("batch_id",
+            org.apache.spark.sql.types.LongType)))
+        val docsStream = spark.readStream.schema(textSchema).parquet(textDir)
+          .select(regexp_extract(col("url"), "/doc/(\\d+)$", 1)
+            .cast("long").as("doc_id"), col("text"))
+        DocStreams.foreachBatchAdmit(docsStream, histDir, admitDir,
+          maxHamming = 7, checkpointDir = Some(ck2))
+      } finally ()
+    try {
+      admit.processAllAvailable()
+      // arrival 2, ACROSS the seam of BOTH stages: one new doc + an EXACT
+      // re-crawl of doc 1's content under a new id (cross-batch dup)
+      drop("b.warc.gz",
+        member(4, "conversion", "kilo lima mike november oscar".getBytes(Utf8)) ++
+          member(5, "conversion", "alpha bravo charlie delta echo".getBytes(Utf8)))
+      crawl.processAllAvailable()
+      admit.processAllAvailable()
+    } finally { crawl.stop(); admit.stop() }
+
+    // both stages really saw two micro-batches (the seam is exercised)
+    assert(spark.read.parquet(textDir).select("batch_id").distinct().count() == 2)
+    assert(spark.read.parquet(admitDir).select("batch_id").distinct().count() == 2)
+    // the cross-seam exact dup was rejected by the admission history
+    val verdicts = spark.read.parquet(admitDir)
+      .select("doc_id", "admitted").as[(Long, Long)].collect().toMap
+    assert(verdicts(5L) == 0L, "re-crawled content must be rejected")
+    assert(verdicts.size == 5 && verdicts.values.count(_ == 1L) == 4)
+
+    // final STREAM corpus = the admission history (doc_id, text)
+    val streamCorpus = spark.read.parquet(histDir)
+      .select("doc_id", "text").as[(Long, String)].collect().toSet
+
+    // batch twin over the SAME landing dir: the q146 composition —
+    // one-shot decode, extract, min-id keeper election per exact text
+    val recs = WarcSources.readWarc(spark, land).filter(col("error").isNull)
+    val conv = recs.filter(col("record_type") === "conversion")
+      .select(regexp_extract(col("url"), "/doc/(\\d+)$", 1)
+        .cast("long").as("doc_id"), decode(col("content"), "UTF-8").as("text"))
+    val resp = graft.operators.Html.extract(
+      recs.filter(col("record_type") === "response")
+        .select(regexp_extract(col("url"), "/doc/(\\d+)$", 1)
+          .cast("long").as("id"), decode(col("content"), "UTF-8").as("html")),
+      col("id"), col("html"))
+      .select("doc_id", "text")
+    val all = conv.unionByName(resp)
+    val batchCorpus = all
+      .withColumn("keeper",
+        min("doc_id").over(org.apache.spark.sql.expressions.Window
+          .partitionBy("text")))
+      .filter(col("doc_id") === col("keeper"))
+      .select("doc_id", "text").as[(Long, String)].collect().toSet
+    assert(streamCorpus == batchCorpus,
+      s"stream corpus != batch corpus:\n$streamCorpus\nvs\n$batchCorpus")
+    // and as a single digest (the corpus-equality gate in one value)
+    def digest(c: Set[(Long, String)]): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(c.toSeq.sorted.map { case (i, t) => s"$i|$t" }
+        .mkString("\n").getBytes(Utf8))
+        .map("%02x".format(_)).mkString
+    }
+    assert(digest(streamCorpus) == digest(batchCorpus))
+  }
 }
