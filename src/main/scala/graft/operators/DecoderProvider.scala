@@ -7,7 +7,7 @@ package graft.operators
   * ImageIO, AIFF/AU, G.711), pure-JVM codecs for flac
   * ([[graft.operators.Flac.FlacDecoder]]) and mp3 Layer III
   * ([[graft.operators.Mp3.SampleDecoder]], within its documented Huffman
-  * boundary), and metadata-first triage for MP3/MP4; only the remaining
+  * boundary), and metadata-first triage for MP3/MP4/ADTS-AAC; only the remaining
   * compressed SAMPLE decodes (aac/h264 payload → features) genuinely
   * need an FFI codec dependency this container doesn't ship and sit
   * behind [[Multimodal.StubDecoder]]. This interface is that stub's

@@ -869,6 +869,143 @@ object Multimodal {
     out
   }
 
+  /** The 13-entry ADTS sampling-frequency table (index 0..12, ISO/IEC
+    * 14496-3) — shared by the walker and the synthesis half so the q154
+    * round-trip can't be satisfied by two diverged copies. */
+  private val AdtsSampleRates = Array(96000, 88200, 64000, 48000, 44100,
+    32000, 24000, 22050, 16000, 12000, 11025, 8000, 7350)
+
+  /** ADTS (the MPEG-4 AAC transport framing, ISO/IEC 14496-3 §1.A.3)
+    * header walk — AAC audio triage WITHOUT a sample decoder, the
+    * [[Mp3HeaderDecoder]]/[[Mp4BoxDecoder]] shape for the third major
+    * compressed-audio framing a crawl sees: syncword-framed fixed
+    * headers carry profile (audio object type), sampling-frequency
+    * index, channel configuration, CRC presence, the 13-bit whole-frame
+    * length, and the raw-data-block count (1024 samples each), so a
+    * 100 TB pipeline can compute duration/bitrate/channel columns and
+    * route/filter mixed audio corpora BEFORE paying for sample decode.
+    * AAC SAMPLE decode itself stays behind [[StubDecoder]] /
+    * [[DecoderProvider]] — that genuinely needs a codec; frame TRIAGE
+    * does not. Malformed payloads throw (the quarantine path:
+    * [[decodeFeaturesSafe]]-style callers catch per row).
+    * Features (fixed width 4): `[duration_sec, sample_rate, channels,
+    * n_frames]`. */
+  class AdtsHeaderDecoder extends Decoder {
+    val featureDim = 4
+
+    /** Exact integer stream stats: frame count, total samples
+      * (1024 × raw blocks), sample rate, channel config, profile
+      * (audio object type, 1-based: 2 = AAC-LC), Σ whole-frame bytes,
+      * and how many frames carry a CRC. */
+    case class AdtsMeta(frames: Long, samples: Long, sampleRate: Int,
+                        channels: Int, profile: Int, sumBytes: Long,
+                        crcFrames: Long)
+
+    /** Offset of the first byte past an ID3v2 prefix (0 if none) — ADTS
+      * files in the wild carry the same tag prefix MP3s do. */
+    private def id3End(payload: Array[Byte]): Long =
+      if (payload.length >= 10 && payload(0) == 'I' && payload(1) == 'D' &&
+          payload(2) == '3') {
+        val size = ((payload(6) & 0x7FL) << 21) | ((payload(7) & 0x7FL) << 14) |
+          ((payload(8) & 0x7FL) << 7) | (payload(9) & 0x7FL)
+        10L + size + (if ((payload(5) & 0x10) != 0) 10L else 0L)
+      } else 0L
+
+    def walk(payload: Array[Byte]): AdtsMeta = {
+      var off = id3End(payload)
+      var frames = 0L; var samples = 0L; var sumBytes = 0L; var crcFrames = 0L
+      var sampleRate = 0; var channels = 0; var profile = 0
+      while (off < payload.length) {
+        val o = off.toInt
+        require(off + 7 <= payload.length, "truncated ADTS header")
+        val b1 = payload(o) & 0xFF; val b2 = payload(o + 1) & 0xFF
+        val b3 = payload(o + 2) & 0xFF; val b4 = payload(o + 3) & 0xFF
+        val b5 = payload(o + 4) & 0xFF; val b6 = payload(o + 5) & 0xFF
+        val b7 = payload(o + 6) & 0xFF
+        require(b1 == 0xFF && (b2 & 0xF0) == 0xF0, "lost ADTS frame sync")
+        require(((b2 >> 1) & 3) == 0, "ADTS layer bits must be 0")
+        val protAbsent = b2 & 1
+        val prof = ((b3 >> 6) & 3) + 1 // 2-bit field stores AOT - 1
+        val srIdx = (b3 >> 2) & 15
+        require(srIdx <= 12, "reserved ADTS sampling-frequency index")
+        val sr = AdtsSampleRates(srIdx)
+        val ch = ((b3 & 1) << 2) | ((b4 >> 6) & 3)
+        require(ch >= 1, "channel configuration 0 (in-band PCE) unsupported")
+        val frameLen = ((b4 & 3) << 11) | (b5 << 3) | ((b6 >> 5) & 7)
+        val headerLen = if (protAbsent == 1) 7 else 9
+        require(frameLen >= headerLen,
+          "ADTS frame length smaller than its own header")
+        require(off + frameLen <= payload.length, "truncated ADTS frame")
+        val blocks = (b7 & 3) + 1
+        require(sampleRate == 0 || sr == sampleRate,
+          "sample rate changed mid-stream")
+        require(channels == 0 || ch == channels,
+          "channel configuration changed mid-stream")
+        require(profile == 0 || prof == profile, "profile changed mid-stream")
+        sampleRate = sr; channels = ch; profile = prof
+        frames += 1; samples += 1024L * blocks; sumBytes += frameLen
+        crcFrames += (1 - protAbsent)
+        off += frameLen
+      }
+      require(frames > 0, "no ADTS frames found")
+      AdtsMeta(frames, samples, sampleRate, channels, profile, sumBytes,
+        crcFrames)
+    }
+
+    def decode(kind: String, payload: Array[Byte]): Array[Float] = {
+      val m = walk(payload)
+      Array(m.samples.toFloat / m.sampleRate, m.sampleRate.toFloat,
+        m.channels.toFloat, m.frames.toFloat)
+    }
+  }
+
+  /** Synthesize a structurally-valid ADTS stream from per-frame
+    * (payloadBytes, withCrc 0|1) pairs — the synthesis half of the q154
+    * gate: real 7/9-byte headers (syncword, MPEG-4 id, profile-1 bits,
+    * sampling-frequency index, channel config, 13-bit frame length,
+    * 0x7FF buffer fullness, single raw data block), a deterministic
+    * ID3v2 prefix (exercises the skip path), deterministic CRC
+    * placeholder and filler payload bytes — the walker never reads
+    * them; structural validity is what's under test. */
+  def encodeAdtsFrames(frames: Array[(Int, Int)], srIdx: Int = 4,
+                       channels: Int = 2, profile: Int = 2): Array[Byte] = {
+    require(srIdx >= 0 && srIdx <= 12, s"bad sampling-frequency index $srIdx")
+    require(channels >= 1 && channels <= 7, s"bad channel config $channels")
+    require(profile >= 1 && profile <= 4, s"2-bit profile field: $profile")
+    val id3 = Array[Byte]('I', 'D', '3', 4, 0, 0, 0, 0, 0, 12,
+      'T', 'X', 'X', 'X', 0, 0, 0, 2, 0, 0, 0, 'g') // 10 hdr + 12 body
+    val lens = frames.map { case (payload, crc) =>
+      require(payload >= 0 && (crc == 0 || crc == 1), "bad frame spec")
+      val len = payload + (if (crc == 1) 9 else 7)
+      require(len < (1 << 13), s"frame length $len exceeds the 13-bit field")
+      len
+    }
+    val out = new Array[Byte](id3.length + lens.sum)
+    System.arraycopy(id3, 0, out, 0, id3.length)
+    var off = id3.length
+    var i = 0
+    while (i < frames.length) {
+      val crc = frames(i)._2
+      val len = lens(i)
+      out(off) = 0xFF.toByte
+      out(off + 1) = (0xF0 | (1 - crc)).toByte // MPEG-4, layer 0, prot_absent
+      out(off + 2) = (((profile - 1) << 6) | (srIdx << 2) |
+        ((channels >> 2) & 1)).toByte
+      out(off + 3) = (((channels & 3) << 6) | ((len >> 11) & 3)).toByte
+      out(off + 4) = ((len >> 3) & 0xFF).toByte
+      out(off + 5) = (((len & 7) << 5) | 0x1F).toByte // fullness hi (0x7FF)
+      out(off + 6) = 0xFC.toByte // fullness lo | one raw data block
+      var j = 7
+      if (crc == 1) { // deterministic CRC placeholder (not verified on walk)
+        out(off + 7) = 0xBE.toByte; out(off + 8) = 0xEF.toByte; j = 9
+      }
+      while (j < len) { out(off + j) = ((i * 37 + j) & 0x7F).toByte; j += 1 }
+      off += len
+      i += 1
+    }
+    out
+  }
+
   /** MP4 / ISO base-media (ISO/IEC 14496-12) box walk — VIDEO container
     * metadata WITHOUT an h264/aac decoder: movie timescale + duration
     * (`moov/mvhd`), per-track dimensions (`trak/tkhd`, 16.16 fixed point),

@@ -853,6 +853,36 @@ object Oracles {
            CAST(0 AS BIGINT) AS dec_abs_sum
     FROM f GROUP BY user_id ORDER BY user_id"""
 
+  // ADTS/AAC metadata round-trip: replays the per-frame header-length
+  // arithmetic (payload + 7, or + 9 when event_id % 3 = 0 adds a CRC), the
+  // sampling-frequency table lookup keyed on user_id % 5, 1024 samples per
+  // frame, and integer-floor duration — the Spark side carried the same
+  // numbers through a real ADTS stream (7/9-byte headers + ID3 prefix) and
+  // back through the syncword walk.
+  val q154 = """
+    WITH s AS (SELECT user_id,
+                      (event_id % 200) + 50 AS plen,
+                      CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END AS crc
+               FROM events),
+    f AS (SELECT user_id, plen + CASE WHEN crc = 1 THEN 9 ELSE 7 END AS flen,
+                 crc
+          FROM s),
+    u AS (SELECT user_id,
+                 [48000,44100,32000,24000,22050][CAST(user_id % 5 AS INT) + 1]
+                   AS sr
+          FROM (SELECT DISTINCT user_id FROM events))
+    SELECT f.user_id,
+           CAST(count(*) AS BIGINT) AS n_frames,
+           CAST(count(*) * 1024 AS BIGINT) AS samples,
+           CAST(any_value(u.sr) AS BIGINT) AS sample_rate,
+           CAST(1 + f.user_id % 2 AS BIGINT) AS channels,
+           CAST(2 AS BIGINT) AS profile,
+           CAST(sum(flen) AS BIGINT) AS sum_bytes,
+           CAST(sum(crc) AS BIGINT) AS crc_frames,
+           CAST(count(*) * 1024 * 1000 // any_value(u.sr) AS BIGINT) AS dur_ms
+    FROM f JOIN u USING (user_id)
+    GROUP BY f.user_id ORDER BY f.user_id"""
+
   // MP4 metadata round-trip: replays the duration/dims derivations from the
   // raw table — the Spark side carried the same numbers through a real
   // ISO-BMFF box tree (mvhd/tkhd 16.16 fixed point/stsd fourccs) and back.
@@ -4145,6 +4175,7 @@ object Oracles {
     // q152/q153: the q64 pinned-gate convention — recall vs exact brute
     // force runs Spark-side; the oracle pins the expected verdict row
     "q152_jl_ann" -> q64,
-    "q153_jl_ivf_ann" -> q64
+    "q153_jl_ivf_ann" -> q64,
+    "q154_adts_metadata" -> q154
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

@@ -3282,6 +3282,49 @@ object Queries {
         lit(8L).as("n_queries"), lit(10L).as("k"))
   }
 
+  /** q154: ADTS/AAC metadata round-trip gate — q58's AAC twin, closing
+    * the triage gap for the third major compressed-audio framing: per
+    * user, derive a per-event (payload-bytes, CRC) frame spec and
+    * per-user stream parameters (sampling-frequency index, channel
+    * config) from the raw table, ENCODE a structurally-valid ADTS
+    * stream ([[Multimodal.encodeAdtsFrames]] — real 7/9-byte headers +
+    * ID3v2 prefix), WALK it back with
+    * [[Multimodal.AdtsHeaderDecoder]], and emit exact integer stream
+    * stats. The oracle replays the header-length arithmetic
+    * (payload + 7/9 by the CRC flag), the sampling-rate table lookup,
+    * the 1024-samples-per-frame duration, and the CRC-frame count from
+    * the raw table — any defect in the header encode, the sync walk,
+    * the 13-bit length split, or the ID3 skip breaks the hash. AAC
+    * SAMPLE decode stays behind the [[graft.operators.DecoderProvider]]
+    * SPI; triage — what a 100 TB pipeline filters and routes on — no
+    * longer does. */
+  def q154AdtsMetadata(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        (pmod(col("event_id"), lit(200)) + 50).cast("int").as("plen"),
+        pmod(col("event_id"), lit(3)).cast("int").as("crcm"))
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(struct(col("event_id"), col("plen"),
+        col("crcm")))).as("fs"))
+      .as[(Long, Seq[(Long, Int, Int)])]
+      .mapPartitions { it =>
+        val dec = new Multimodal.AdtsHeaderDecoder() // amortized per partition
+        it.map { case (u, fs) =>
+          val srIdx = (3 + u % 5).toInt // 48000/44100/32000/24000/22050
+          val ch = (1 + u % 2).toInt
+          val spec = fs.map(f => (f._2, if (f._3 == 0) 1 else 0)).toArray
+          val m = dec.walk(Multimodal.encodeAdtsFrames(spec, srIdx, ch))
+          (u, m.frames, m.samples, m.sampleRate.toLong, m.channels.toLong,
+            m.profile.toLong, m.sumBytes, m.crcFrames,
+            m.samples * 1000L / m.sampleRate)
+        }
+      }
+      .toDF("user_id", "n_frames", "samples", "sample_rate", "channels",
+        "profile", "sum_bytes", "crc_frames", "dur_ms")
+      .orderBy("user_id")
+  }
+
   /** The planted dirty URL keyed on a document id — shared by q145 (over
     * doc_id) and q146 (over the id recovered from the WARC record). */
   private def plantedUrl(id: Column): Column = {

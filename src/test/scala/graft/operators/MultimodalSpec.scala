@@ -300,6 +300,67 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("AdtsHeaderDecoder walks synthesized AAC frames to exact closed-form stats") {
+    // 3 frames: payloads 100 (CRC), 200 (no CRC), 50 (CRC) at 48 kHz stereo LC
+    val adts = Multimodal.encodeAdtsFrames(
+      Array((100, 1), (200, 0), (50, 1)), srIdx = 3, channels = 2, profile = 2)
+    val dec = new Multimodal.AdtsHeaderDecoder
+    val m = dec.walk(adts)
+    assert(m.frames == 3 && m.sampleRate == 48000 && m.channels == 2)
+    assert(m.profile == 2 && m.samples == 3 * 1024 && m.crcFrames == 2)
+    val expBytes = (100 + 9) + (200 + 7) + (50 + 9)
+    assert(m.sumBytes == expBytes)
+    // payload = ID3v2 prefix (22 bytes) + frame bytes exactly
+    assert(adts.length == 22 + expBytes)
+    val Array(dur, rate, ch, nf) = dec.decode("aac", adts)
+    assert(nf == 3.0f && rate == 48000.0f && ch == 2.0f)
+    assert(math.abs(dur - 3.0 * 1024 / 48000) < 1e-6)
+    // mono 8 kHz HE-ish variant exercises the other field encodings
+    val m2 = dec.walk(Multimodal.encodeAdtsFrames(
+      Array((10, 0)), srIdx = 11, channels = 1, profile = 1))
+    assert(m2.sampleRate == 8000 && m2.channels == 1 && m2.profile == 1)
+  }
+
+  test("AdtsHeaderDecoder quarantines malformed streams instead of stalling") {
+    val dec = new Multimodal.AdtsHeaderDecoder
+    val base = Multimodal.encodeAdtsFrames(Array((100, 0), (100, 0)))
+    // clean walk first (the cases below are single-defect mutants of it)
+    assert(dec.walk(base).frames == 2)
+    // truncated final frame
+    intercept[IllegalArgumentException](dec.walk(base.dropRight(1)))
+    // junk after the last frame loses sync
+    intercept[IllegalArgumentException](dec.walk(base :+ 0x00.toByte))
+    // frame length smaller than its own header (13-bit field zeroed)
+    val tiny = base.clone()
+    tiny(25) = (tiny(25) & 0xFC).toByte // 22 ID3 + 3: len hi bits
+    tiny(26) = 0x00.toByte
+    tiny(27) = (tiny(27) & 0x1F).toByte // len lo bits
+    intercept[IllegalArgumentException](dec.walk(tiny))
+    // reserved sampling-frequency index (13)
+    val badSr = base.clone()
+    badSr(24) = ((badSr(24) & 0xC1) | (13 << 2)).toByte
+    intercept[IllegalArgumentException](dec.walk(badSr))
+    // channel config 0 (in-band PCE) rejected
+    val ch0 = base.clone()
+    ch0(24) = (ch0(24) & 0xFE).toByte
+    ch0(25) = (ch0(25) & 0x3F).toByte
+    intercept[IllegalArgumentException](dec.walk(ch0))
+    // mid-stream sample-rate change rejected (stream-constancy contract)
+    val twoRates = Multimodal.encodeAdtsFrames(Array((100, 0)), srIdx = 3) ++
+      Multimodal.encodeAdtsFrames(Array((100, 0)), srIdx = 4).drop(22)
+    intercept[IllegalArgumentException](dec.walk(twoRates))
+    // and the quarantine route: corrupt payloads isolate per-row in
+    // decodeFeaturesSafe instead of failing the job
+    val media = Seq(
+      MediaRow(1L, "aac", base, 0, 0, 48000),
+      MediaRow(2L, "aac", base.dropRight(1), 0, 0, 48000)).toDS()
+    val rows = Multimodal.decodeFeaturesSafe(media,
+        new Multimodal.AdtsHeaderDecoder)
+      .collect().map(r => r.media_id -> r).toMap
+    assert(rows(1L).decode_error == null && rows(1L).features.length == 4)
+    assert(rows(2L).decode_error != null && rows(2L).features == null)
+  }
+
   test("container parsers route through decodeFeaturesSafe in a mixed media table") {
     val mp3 = Multimodal.encodeMp3Frames(Array((9, 0), (9, 1)))
     val mp4 = Multimodal.encodeMp4Meta(600L, 1200L, Seq((640, 480, "avc1")))
