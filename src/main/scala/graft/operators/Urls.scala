@@ -99,4 +99,32 @@ object Urls {
   def decontaminateByDomain(df: DataFrame, url: Column,
                             blocked: Seq[String]): DataFrame =
     df.filter(!registeredDomain(url).isin(blocked: _*))
+
+  /** Per-domain document cap — the policy [[domainStats]] feeds (the
+    * CCNet/C4 move: a handful of boilerplate-heavy domains otherwise
+    * dominate a crawl corpus): keep at most `cap` docs per registered
+    * domain, chosen as the cap smallest per-doc md5 uniforms
+    * (deterministic, append-stable uniform sample within each domain —
+    * the q42/q76/q148 coin device; ties break on smaller doc_id).
+    * Output: one row per INPUT doc — (doc_id, domain, kept 1|0) — so the
+    * caller decides whether to drop or downweight.
+    *
+    * 100 TB shape: [[Selection.topKPerGroup]]'s bounded aggregator holds
+    * ≤ cap (hash, id) pairs per (map partition, domain) — map-side
+    * combine, no per-domain window sort, a mega-domain costs the same
+    * state as a tiny one — plus one id-keyed join back (kept side ≤
+    * domains × cap rows). */
+  def domainCap(df: DataFrame, id: Column, url: Column, cap: Int): DataFrame = {
+    require(cap >= 1, s"cap >= 1: $cap")
+    val coined = df.select(id.cast("long").as("doc_id"),
+      registeredDomain(url).as("domain"),
+      conv(substring(md5(concat_ws("|", id.cast("long"), lit("domain-cap"))
+        .cast("binary")), 1, 13), 16, 10).cast("long").as("__h"))
+    val kept = Selection.topKPerGroup(coined, Seq("domain"),
+        -col("__h"), col("doc_id"), cap)
+      .select(col("id").as("doc_id"), lit(1L).as("__kept"))
+    coined.join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("domain"),
+        coalesce(col("__kept"), lit(0L)).as("kept"))
+  }
 }

@@ -2432,8 +2432,10 @@ object Oracles {
     * wildcard base matches one extra label) over the SAME rule tables as
     * [[graft.operators.Psl]] — the rule DATA is shared (it is public
     * data, not logic); the matching/string machinery is independent. */
-  val q145 = s"""
-    WITH u AS (SELECT doc_id,
+  /** The planted-URL → normalized parts → PSL registered-domain CTE chain
+    * shared by q145 (curation columns) and q155 (per-domain cap). */
+  private def q145UrlCtes: String = s"""
+    u AS (SELECT doc_id,
         CASE WHEN doc_id % 11 = 0 THEN 'https://deep.www.CK/x'
              WHEN doc_id % 11 = 1 THEN 'HTTP://shop.stores.example.ck:80/y?b=2&a=1'
              WHEN doc_id % 11 = 2 THEN 'https://www.City.gov.uk/services?utm_source=t'
@@ -2503,7 +2505,10 @@ object Oracles {
     dom2 AS (SELECT doc_id,
         CASE WHEN n <= pslen THEN h
              ELSE array_to_string(labels[n-pslen:n], '.') END AS domain
-      FROM psl)
+      FROM psl)"""
+
+  val q145 = s"""
+    WITH $q145UrlCtes
     SELECT n.doc_id,
            n.scheme || '://' || n.h ||
            (CASE WHEN n.port = ''
@@ -2517,6 +2522,23 @@ object Oracles {
              AS blocked
     FROM norm0 n JOIN dom2 d USING (doc_id)
     ORDER BY n.doc_id"""
+
+  /** q155: per-domain cap — the PSL domain chain, then the 52-bit md5
+    * coin per doc and a (h, doc_id)-ordered row_number per domain: kept
+    * iff rank ≤ cap (20). Replays Urls.domainCap's bounded bottom-k
+    * selection as an explicit window rank. */
+  val q155: String = {
+    val h = md5Int52("concat_ws('|', doc_id, 'domain-cap')")
+    s"""
+    WITH $q145UrlCtes,
+    hh AS (SELECT doc_id, domain, $h AS h FROM dom2),
+    rk AS (SELECT doc_id, domain,
+             row_number() OVER (PARTITION BY domain ORDER BY h, doc_id) AS r
+           FROM hh)
+    SELECT doc_id, domain,
+           CAST(CASE WHEN r <= 20 THEN 1 ELSE 0 END AS BIGINT) AS kept
+    FROM rk ORDER BY doc_id"""
+  }
 
   /** q141: exact substring dedup — brute-force replay over the literal
     * strings: EVERY (position, m) window for m in [16, n] — UNCAPPED, so
@@ -4176,6 +4198,7 @@ object Oracles {
     // force runs Spark-side; the oracle pins the expected verdict row
     "q152_jl_ann" -> q64,
     "q153_jl_ivf_ann" -> q64,
-    "q154_adts_metadata" -> q154
+    "q154_adts_metadata" -> q154,
+    "q155_domain_cap" -> q155
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

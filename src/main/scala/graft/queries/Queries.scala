@@ -3369,6 +3369,23 @@ object Queries {
       .otherwise(plantedUrl(id))
   }
 
+  /** q155: per-domain cap ([[Urls.domainCap]]) over q145's PSL-exercising
+    * URL plant — the policy stage between [[Urls.domainStats]] and the
+    * corpus write: at most 20 docs per registered domain, kept = the 20
+    * smallest per-doc md5 coins (deterministic uniform sample; ties on
+    * doc_id). Every planted domain holds ≥ 45 docs, so every domain is
+    * genuinely capped and the boundary rank is exercised. The oracle
+    * replays the coin and the (h, doc_id) rank as an explicit window;
+    * the Spark side computes the same selection with the BOUNDED
+    * topKPerGroup aggregator — no window, no per-domain sort (the 100 TB
+    * point of the operator). */
+  def q155DomainCap(s: SparkSession, d: String): DataFrame =
+    Urls.domainCap(
+      Tables.documents(s, d)
+        .select(col("doc_id"), q145Url(col("doc_id")).as("url")),
+      col("doc_id"), col("url"), cap = 20)
+      .orderBy("doc_id")
+
   def q145UrlCuration(s: SparkSession, d: String): DataFrame = {
     Tables.documents(s, d)
       .select(col("doc_id"), q145Url(col("doc_id")).as("url"))

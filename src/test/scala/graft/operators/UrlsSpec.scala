@@ -81,6 +81,30 @@ class UrlsSpec extends SparkSpec {
     assert(distinct == Set("http://site.com/a?a=1&b=2", "http://site.com/b"))
   }
 
+  test("domainCap keeps exactly cap docs per domain — the smallest md5 " +
+       "coins — and flags every input row") {
+    // 30 docs on big.com, 2 on small.org: big capped at 5, small untouched
+    val df = ((1L to 30L).map(i => (i, s"http://a.big.com/$i")) ++
+      Seq((100L, "http://x.small.org/1"), (101L, "http://y.small.org/2")))
+      .toDF("doc_id", "url")
+    val got = Urls.domainCap(df, col("doc_id"), col("url"), cap = 5)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    assert(got.size == 32, "one verdict row per input doc")
+    assert(got.count(_._2 == (("big.com", 1L))) == 5)
+    assert(got.count { case (_, (d, _)) => d == "big.com" } == 30)
+    assert(got(100L) == (("small.org", 1L)) && got(101L) == (("small.org", 1L)))
+    // the kept set is exactly the 5 smallest md5 coins (hand replay)
+    def coin(id: Long): String = java.security.MessageDigest
+      .getInstance("MD5")
+      .digest(s"$id|domain-cap".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(13)
+    val expect = (1L to 30L).sortBy(i => (coin(i), i)).take(5).toSet
+    val keptBig = got.collect {
+      case (id, ("big.com", 1L)) => id }.toSet
+    assert(keptBig == expect, s"kept $keptBig != coin-smallest $expect")
+  }
+
   test("domainStats + decontaminateByDomain") {
     val df = Seq(
       "http://a.good.com/1", "http://b.good.com/2",
