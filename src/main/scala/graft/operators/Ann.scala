@@ -163,8 +163,15 @@ object Ann {
                 nlist: Int = 16, nprobe: Int = 8, seed: Long = 42,
                 refineIters: Int = 1): DataFrame = {
     require(kCand >= k, s"kCand ($kCand) must be >= k ($k)")
+    // Pin the projected corpus: a pure projection recomputes on EVERY
+    // downstream action, and three consume it (the centroid sample
+    // collect, the Lloyd refinement pass, and the scoring scan) — each
+    // re-running the O(inDim·jlDim) fold per row. Measured at sf0.1:
+    // 7.3 s unpinned vs ~1 s pinned (the ivfPqTopK checkpoint lesson).
+    // At ingest this frame is the PERSISTED compressed column anyway.
     val pc = RandomProjection.project(corpus, corpusId, corpusVec, inDim, jlDim)
       .select(col("id"), col("proj"))
+      .localCheckpoint()
     val pq = RandomProjection.project(queries, queryId, queryVec, inDim, jlDim)
       .select(col("id"), col("proj"))
     val cand = topKFromScores(ivfScoredPairs(
