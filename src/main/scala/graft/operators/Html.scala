@@ -161,6 +161,85 @@ object Html {
       lines.mkString("\n"))
   }
 
+  /** One visible block: whitespace-collapsed text, its char count, and
+    * the char count of the portion enclosed in `<a>` elements (both
+    * counts over the collapsed forms) — the inputs of a text-density
+    * boilerplate classifier ([[Boilerplate]]). */
+  final case class Block(text: String, chars: Int, anchorChars: Int)
+
+  /** Segment one HTML payload into visible blocks: every block-level
+    * tag ([[BlockTags]], open or close) ends the current block; empty
+    * blocks drop. Same tokenization as [[toText]] (raw-text elements,
+    * quoted attributes, comments, entities, `<title>` excluded), plus
+    * an `<a>` nesting depth so each block knows how much of its text is
+    * anchor text — link density is THE jusText/trafilatura boilerplate
+    * signal, and it needs the pre-flattening tag structure, which is
+    * why this lives in the parser and not in a downstream line filter.
+    * Anchor text split by a block boundary counts toward each block's
+    * own anchor tally. Total on malformed input like [[toText]]. */
+  def blocks(html: String): Seq[Block] = {
+    val s = if (html == null) "" else html
+    val out = Seq.newBuilder[Block]
+    val seg = new java.lang.StringBuilder()
+    val anchorSeg = new java.lang.StringBuilder()
+    var anchorDepth = 0
+    var inTitle = false
+    def flush(): Unit = {
+      val text = seg.toString.replaceAll("\\s+", " ").trim
+      if (text.nonEmpty) {
+        val anchor = anchorSeg.toString.replaceAll("\\s+", " ").trim
+        out += Block(text, text.length, anchor.length)
+      }
+      seg.setLength(0); anchorSeg.setLength(0)
+    }
+    def append(txt: String): Unit = if (!inTitle) {
+      seg.append(txt)
+      if (anchorDepth > 0) anchorSeg.append(txt)
+    }
+    def appendChar(ch: Char): Unit = if (!inTitle) {
+      seg.append(ch)
+      if (anchorDepth > 0) anchorSeg.append(ch)
+    }
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '<') {
+        if (matchesAt(s, i, "<!--")) {
+          val end = s.indexOf("-->", i + 4)
+          i = if (end < 0) s.length else end + 3
+        } else if (matchesAt(s, i, "<script") || matchesAt(s, i, "<style")) {
+          val name = tagNameAt(s, i)
+          var p = skipTag(s, i)
+          var end = -1
+          while (end < 0 && p < s.length) {
+            if (s.charAt(p) == '<' && matchesAt(s, p, "</" + name)) end = p
+            else p += 1
+          }
+          i = if (end < 0) s.length else skipTag(s, end)
+        } else {
+          val name = tagNameAt(s, i)
+          val isClose = matchesAt(s, i, "</")
+          if (name == "title") inTitle = !isClose
+          else if (name == "a")
+            anchorDepth = if (isClose) math.max(0, anchorDepth - 1)
+                          else anchorDepth + 1
+          else if (BlockTags.contains(name)) flush()
+          i = skipTag(s, i)
+        }
+      } else if (c == '&') {
+        val e = entityAt(s, i)
+        val (txt, next) = if (e == null) (s.substring(i, i + 1), i + 1) else e
+        append(txt)
+        i = next
+      } else {
+        appendChar(c)
+        i += 1
+      }
+    }
+    flush()
+    out.result()
+  }
+
   // ------------------------------------------------------------------
   // DataFrame surface
   // ------------------------------------------------------------------

@@ -2540,6 +2540,117 @@ object Oracles {
     FROM rk ORDER BY doc_id"""
   }
 
+  /** q156: robots.txt verdicts — every planted rule semantics replayed
+    * closed-form from the doc_id arithmetic (the q144/q146 convention:
+    * the fixture construction IS the spec, so the expected verdict per
+    * residue class is derivable by hand and encoded directly):
+    * example.com = longest-match + allow-wins-tie on the `/a/1` pair
+    * (first digit 1 → allowed); example.co.uk = the GraftBot group only
+    * (star group shadowed), the `/a/` + `*1$` pattern matching any target that starts
+    * `/a/` and ENDS in `1` — which includes the `…a=1` query tails, and
+    * the bare path only when the id's last digit is 1; badsite.com =
+    * blanket disallow; example.org = `Allow: /a/` for the
+    * case-insensitive graftbot head; site.com = no robots → allowed. */
+  val q156 = """
+    WITH t AS (SELECT doc_id,
+        CASE WHEN doc_id % 5 = 0 THEN 'example.com'
+             WHEN doc_id % 5 = 1 THEN 'example.co.uk'
+             WHEN doc_id % 5 = 2 THEN 'badsite.com'
+             WHEN doc_id % 5 = 3 THEN 'example.org'
+             ELSE 'site.com' END AS domain,
+        (CASE WHEN doc_id % 7 = 0 THEN '/'
+              ELSE '/a/' || CAST(doc_id AS VARCHAR) END) ||
+        (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=x&b=2&a=1'
+              WHEN doc_id % 4 = 1 THEN '?b=2&a=1'
+              WHEN doc_id % 4 = 2 THEN '?utm_campaign=z'
+              ELSE '' END) AS target
+      FROM documents)
+    SELECT doc_id, domain, target,
+      CAST(CASE
+        WHEN domain = 'example.com' THEN
+          CASE WHEN doc_id % 7 = 0 THEN 1
+               WHEN substr(CAST(doc_id AS VARCHAR), 1, 1) = '1' THEN 1
+               ELSE 0 END
+        WHEN domain = 'example.co.uk' THEN
+          CASE WHEN doc_id % 7 <> 0 AND (doc_id % 4 IN (0, 1)
+                 OR (doc_id % 4 = 3 AND doc_id % 10 = 1))
+               THEN 0 ELSE 1 END
+        WHEN domain = 'badsite.com' THEN 0
+        ELSE 1 END AS BIGINT) AS allowed,
+      CASE
+        WHEN domain = 'example.com' THEN
+          CASE WHEN doc_id % 7 = 0 THEN ''
+               WHEN substr(CAST(doc_id AS VARCHAR), 1, 1) = '1' THEN '/a/1'
+               ELSE '/a/' END
+        WHEN domain = 'example.co.uk' THEN
+          CASE WHEN doc_id % 7 <> 0 AND (doc_id % 4 IN (0, 1)
+                 OR (doc_id % 4 = 3 AND doc_id % 10 = 1))
+               THEN '/a/*1$' ELSE '' END
+        WHEN domain = 'badsite.com' THEN '/'
+        WHEN domain = 'example.org' THEN
+          CASE WHEN doc_id % 7 = 0 THEN '' ELSE '/a/' END
+        ELSE '' END AS rule,
+      CASE
+        WHEN domain = 'example.com' THEN
+          CASE WHEN doc_id % 7 = 0 THEN 'none'
+               WHEN substr(CAST(doc_id AS VARCHAR), 1, 1) = '1' THEN 'allow'
+               ELSE 'disallow' END
+        WHEN domain = 'example.co.uk' THEN
+          CASE WHEN doc_id % 7 <> 0 AND (doc_id % 4 IN (0, 1)
+                 OR (doc_id % 4 = 3 AND doc_id % 10 = 1))
+               THEN 'disallow' ELSE 'none' END
+        WHEN domain = 'badsite.com' THEN 'disallow'
+        WHEN domain = 'example.org' THEN
+          CASE WHEN doc_id % 7 = 0 THEN 'none' ELSE 'allow' END
+        ELSE 'none' END AS kind
+    FROM t ORDER BY doc_id"""
+
+  /** q157: boilerplate blocks — the six planted blocks rebuilt
+    * closed-form (texts as literals; the body-prose block from the
+    * documents table with q144's ltrim guard for empty docs), anchor
+    * char counts as length() arithmetic over the planted anchor texts,
+    * the 6-dp density fence, and the rule-order class (density BEFORE
+    * word count — the footer link farm has ≥5 words and must still
+    * read `bad`). */
+  val q157 = """
+    WITH b AS (
+      SELECT doc_id, CAST(0 AS BIGINT) AS block_idx,
+             'Home About us Contact' AS text,
+             CAST(length('Home') + length('About us') + length('Contact')
+               AS BIGINT) AS anchor_chars
+      FROM documents
+      UNION ALL
+      SELECT doc_id, 1,
+             ltrim(trim(coalesce(text, '')) || ' Read the full story today.'),
+             0
+      FROM documents
+      UNION ALL
+      SELECT doc_id, 2, 'Short teaser', 0 FROM documents
+      UNION ALL
+      SELECT doc_id, 3, 'See our promo page for the details of the offer.',
+             length('promo page')
+      FROM documents
+      UNION ALL
+      SELECT doc_id, 4, 'Copyright 2024 Example Corp', 0 FROM documents
+      UNION ALL
+      SELECT doc_id, 5,
+             'Terms of service page' || ' ' || 'Privacy policy notice',
+             length('Terms of service page') + length('Privacy policy notice')
+      FROM documents),
+    c AS (SELECT doc_id, block_idx, text, anchor_chars,
+             CAST(length(text) AS BIGINT) AS chars,
+             CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS words
+          FROM b),
+    d AS (SELECT *, floor(CAST(anchor_chars AS DOUBLE) / chars * 1e6 + 0.5)
+                    / 1e6 AS link_density
+          FROM c)
+    SELECT doc_id, block_idx, words, chars, anchor_chars, link_density,
+           CASE WHEN link_density > 0.33 THEN 'bad'
+                WHEN words < 5 THEN 'short'
+                ELSE 'good' END AS cls,
+           md5(text) AS text_md5
+    FROM d ORDER BY doc_id, block_idx"""
+
   /** q141: exact substring dedup — brute-force replay over the literal
     * strings: EVERY (position, m) window for m in [16, n] — UNCAPPED, so
     * the Spark side's anchor-doubling extension past its band cap is
@@ -4199,6 +4310,8 @@ object Oracles {
     "q152_jl_ann" -> q64,
     "q153_jl_ivf_ann" -> q64,
     "q154_adts_metadata" -> q154,
-    "q155_domain_cap" -> q155
+    "q155_domain_cap" -> q155,
+    "q156_robots_filter" -> q156,
+    "q157_boilerplate_blocks" -> q157
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

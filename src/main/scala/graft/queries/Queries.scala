@@ -3386,6 +3386,93 @@ object Queries {
       col("doc_id"), col("url"), cap = 20)
       .orderBy("doc_id")
 
+  /** q156: robots.txt compliance ([[Robots]]) over [[plantedUrl]]'s
+    * URL grid — one synthesized robots.txt per registered domain, each
+    * planting a distinct protocol shape for crawler agent "GraftBot":
+    * example.com exercises longest-match (`/a/` vs `/a/1`) AND the
+    * allow-wins length tie (an `Allow` and a `Disallow` with the same
+    * pattern); example.co.uk exercises group precedence (a specific
+    * GraftBot group shadows a blanket `Disallow: /` star group) plus
+    * the `*`-wildcard + `$`-anchor + query-string interplay
+    * (the pattern `/a/` + `*1$` matches `?…a=1` query tails, not just
+    * path tails);
+    * badsite.com blankets `Disallow: /`; example.org exercises
+    * multi-agent group heads, case-insensitive agent match, the
+    * empty-Disallow no-op, and an ignored `Sitemap:` directive;
+    * site.com has NO robots.txt (protocol default: allowed). Comments,
+    * key-case variance, and `Crawl-delay` are planted too. The oracle
+    * replays every verdict closed-form from the same doc_id arithmetic. */
+  def q156RobotsFilter(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val robots = Seq(
+      ("example.com",
+        "# graft crawl fixture\n" +
+        "User-Agent: *\n" +
+        "Disallow: /a/\n" +
+        "Allow: /a/1\n" +
+        "disallow: /a/1\n" +
+        "Crawl-delay: 10\n"),
+      ("example.co.uk",
+        "User-agent: GraftBot\n" +
+        "Disallow: /a/*1$\n" +
+        "\n" +
+        "User-agent: *\n" +
+        "Disallow: /\n"),
+      ("badsite.com",
+        "User-agent: *\nDisallow: /\n"),
+      ("example.org",
+        "User-agent: graftbot\n" +
+        "User-agent: otherbot\n" +
+        "Disallow:\n" +
+        "Allow: /a/\n" +
+        "Sitemap: https://example.org/sitemap.xml\n")
+    ).toDF("domain", "robots_txt")
+    Robots.verdicts(
+      Tables.documents(s, d)
+        .select(col("doc_id"), plantedUrl(col("doc_id")).as("url")),
+      col("doc_id"), col("url"),
+      robots, col("domain"), col("robots_txt"), agent = "GraftBot")
+      .orderBy("doc_id")
+  }
+
+  /** q157: text-density boilerplate classification ([[Html.blocks]] +
+    * [[Boilerplate.classify]]) over a planted six-block page per doc:
+    * a nav bar (4 words, ~90% anchor chars → `bad` by density), the
+    * doc's body prose (`good`), a two-word teaser (`short`), prose
+    * with ONE inline anchor (density ~0.2 — must survive as `good`:
+    * the case a naive "has links" rule gets wrong), a four-word
+    * copyright stub (`short`), and a footer link farm with ≥5 words
+    * (→ `bad`: proves the density rule fires BEFORE the word rule).
+    * The oracle rebuilds every block's text, char/anchor counts,
+    * density fence, and class closed-form from the documents table. */
+  def q157BoilerplateBlocks(s: SparkSession, d: String): DataFrame = {
+    val esc = regexp_replace(regexp_replace(regexp_replace(
+      coalesce(col("text"), lit("")),
+      "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+    val html = concat(
+      lit("<!DOCTYPE html><html><head><title>Doc "), col("doc_id"),
+      lit("</title></head><body>" +
+        "<div><a href=\"/\">Home</a> <a href=\"/about\">About us</a> " +
+        "<a href=\"/contact\">Contact</a></div>" +
+        "<p>"), esc,
+      lit(" Read the full story today.</p>" +
+        "<p>Short teaser</p>" +
+        "<p>See our <a href=\"/promo\">promo page</a> for the details " +
+        "of the offer.</p>" +
+        "<div>Copyright 2024 Example Corp</div>" +
+        "<div><a href=\"/t\">Terms of service page</a> " +
+        "<a href=\"/p\">Privacy policy notice</a></div>" +
+        "</body></html>"))
+    val b = Boilerplate.blocks(
+      Tables.documents(s, d).select(col("doc_id"), html.as("html")),
+      col("doc_id"), col("html"))
+    Boilerplate.classify(b, minWords = 5, maxLinkDensity = 0.33)
+      .select(col("doc_id"), col("block_idx"), col("words"), col("chars"),
+        col("anchor_chars"), col("link_density"), col("cls"),
+        md5(col("text").cast("binary")).as("text_md5"))
+      .orderBy("doc_id", "block_idx")
+  }
+
   def q145UrlCuration(s: SparkSession, d: String): DataFrame = {
     Tables.documents(s, d)
       .select(col("doc_id"), q145Url(col("doc_id")).as("url"))

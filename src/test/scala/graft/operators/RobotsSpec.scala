@@ -1,0 +1,160 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import Robots.Rule
+
+/** Gates for the robots.txt stage: RFC 9309 parsing (groups, comments,
+  * case, empty values, unknown directives), group selection, the
+  * wildcard/anchor matcher, longest-match + allow-wins-tie decisions,
+  * and the broadcast DataFrame surface incl. the missing-robots
+  * default. */
+class RobotsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------------------
+  // parser
+  // ------------------------------------------------------------------
+
+  test("parse: groups, comments, key case, unknown directives") {
+    val rules = Robots.parse(
+      """# header comment
+        |User-Agent: *
+        |Disallow: /a/   # trailing comment
+        |ALLOW: /a/pub
+        |Crawl-delay: 10
+        |Sitemap: https://x/s.xml
+        |""".stripMargin)
+    assert(rules == Seq(Rule("*", allow = false, "/a/"),
+                        Rule("*", allow = true, "/a/pub")))
+  }
+
+  test("parse: consecutive user-agent lines head ONE group; a user-agent" +
+       " after a rule starts a new group") {
+    val rules = Robots.parse(
+      """User-agent: alpha
+        |User-agent: beta
+        |Disallow: /x
+        |User-agent: gamma
+        |Disallow: /y
+        |""".stripMargin)
+    assert(rules.toSet == Set(
+      Rule("alpha", allow = false, "/x"), Rule("beta", allow = false, "/x"),
+      Rule("gamma", allow = false, "/y")))
+  }
+
+  test("parse: empty-valued rules are no-ops; rules before any group drop") {
+    assert(Robots.parse("Disallow: /orphan\nUser-agent: *\nDisallow:\n")
+      .isEmpty)
+    // an empty Disallow still counts as "saw a rule" for group splitting
+    val rules = Robots.parse(
+      "User-agent: a\nDisallow:\nUser-agent: b\nDisallow: /z\n")
+    assert(rules == Seq(Rule("b", allow = false, "/z")))
+  }
+
+  test("parse is total on junk input") {
+    assert(Robots.parse(null).isEmpty)
+    assert(Robots.parse("").isEmpty)
+    assert(Robots.parse("::::\nno colon line\n:leading\n").isEmpty)
+  }
+
+  // ------------------------------------------------------------------
+  // group selection
+  // ------------------------------------------------------------------
+
+  test("rulesFor: exact agent token (case-insensitive) shadows the star group") {
+    val rules = Seq(Rule("GraftBot", allow = false, "/g"),
+                    Rule("*", allow = false, "/"))
+    assert(Robots.rulesFor(rules, "graftbot") ==
+      Seq(Rule("GraftBot", allow = false, "/g")))
+    assert(Robots.rulesFor(rules, "otherbot") ==
+      Seq(Rule("*", allow = false, "/")))
+    assert(Robots.rulesFor(Seq.empty, "x").isEmpty)
+  }
+
+  // ------------------------------------------------------------------
+  // matcher
+  // ------------------------------------------------------------------
+
+  test("matches: start-anchored prefixes, '*' runs, '$' end anchor") {
+    assert(Robots.matches("/a/", "/a/1"))
+    assert(!Robots.matches("/a/", "/b/a/")) // start-anchored
+    assert(Robots.matches("/a/*.pdf", "/a/x/y/doc.pdf"))
+    assert(Robots.matches("/a/*.pdf", "/a/doc.pdfx")) // prefix semantics
+    assert(!Robots.matches("/a/*.pdf$", "/a/doc.pdfx"))
+    assert(Robots.matches("/a/*.pdf$", "/a/x/doc.pdf"))
+    assert(Robots.matches("/*?*utm_", "/p?x=1&utm_src=a"))
+    assert(Robots.matches("*", "/anything"))
+    assert(Robots.matches("/a/*1$", "/a/21?b=2&a=1")) // query participates
+    assert(!Robots.matches("/a/*1$", "/a/21?c=z"))
+    // greedy earliest middle segments never block a feasible tail
+    assert(Robots.matches("/x*ab*ab$", "/xabab"))
+    assert(Robots.matches("/x*ab*ab", "/xabzab"))
+    assert(!Robots.matches("/x*ab*ab$", "/xab"))
+    // consecutive stars collapse; exact match needed without any star
+    assert(Robots.matches("/a/**b$", "/a/zzb"))
+    assert(Robots.matches("/a$", "/a"))
+    assert(!Robots.matches("/a$", "/a/"))
+    assert(Robots.matches("", "/whatever"))
+  }
+
+  // ------------------------------------------------------------------
+  // decisions
+  // ------------------------------------------------------------------
+
+  test("decide: longest match wins; allow wins a length tie; no match allows") {
+    val rules = Seq(Rule("*", allow = false, "/a/"),
+                    Rule("*", allow = true, "/a/1"),
+                    Rule("*", allow = false, "/a/1"))
+    assert(Robots.decide(rules, "/a/15") == (true, "/a/1", "allow"))
+    assert(Robots.decide(rules, "/a/25") == (false, "/a/", "disallow"))
+    assert(Robots.decide(rules, "/b") == (true, "", "none"))
+    assert(Robots.decide(Seq.empty, "/a") == (true, "", "none"))
+  }
+
+  // ------------------------------------------------------------------
+  // DataFrame surface
+  // ------------------------------------------------------------------
+
+  private val robots = Seq(
+    ("example.com", "User-agent: *\nDisallow: /private/\nAllow: /private/ok\n"),
+    ("closed.org", "User-agent: graftbot\nDisallow: /\n")
+  ).toDF("domain", "robots_txt")
+
+  test("verdicts: per-URL rows; missing robots.txt defaults to allowed") {
+    val urls = Seq(
+      (1L, "https://www.example.com/private/x"),
+      (2L, "https://www.example.com/private/ok/page"),
+      (3L, "https://sub.closed.org/any"),
+      (4L, "https://norobots.net/whatever")
+    ).toDF("doc_id", "url")
+    val got = Robots.verdicts(urls, col("doc_id"), col("url"),
+        robots, col("domain"), col("robots_txt"), agent = "GraftBot")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3),
+        r.getString(4), r.getString(5)))
+    assert(got.toSeq == Seq(
+      (1L, "example.com", 0L, "/private/", "disallow"),
+      (2L, "example.com", 1L, "/private/ok", "allow"),
+      (3L, "closed.org", 0L, "/", "disallow"),
+      (4L, "norobots.net", 1L, "", "none")))
+  }
+
+  test("matchTarget: path defaults to '/', query rides along, fragment drops") {
+    val got = Seq(
+      "https://h.com", "https://h.com/p?q=1#frag", "https://h.com?q=1"
+    ).toDF("url").select(Robots.matchTarget(col("url"))).as[String].collect()
+    assert(got.toSeq == Seq("/", "/p?q=1", "/?q=1"))
+  }
+
+  test("filterAllowed keeps exactly the allowed rows with original columns") {
+    val urls = Seq(
+      (1L, "https://www.example.com/private/x", "keep-cols"),
+      (2L, "https://www.example.com/public", "stay")
+    ).toDF("doc_id", "url", "extra")
+    val kept = Robots.filterAllowed(urls, col("doc_id"), col("url"),
+      robots, col("domain"), col("robots_txt"), agent = "GraftBot")
+    assert(kept.columns.toSeq == Seq("doc_id", "url", "extra"))
+    assert(kept.select("doc_id").as[Long].collect().toSeq == Seq(2L))
+  }
+}
