@@ -2651,6 +2651,71 @@ object Oracles {
            md5(text) AS text_md5
     FROM d ORDER BY doc_id, block_idx"""
 
+  /** q158: MediaWiki dump source — every field rebuilt closed-form from
+    * the fixture construction: entity-decoded title (the `&quot;`
+    * plant), ns arithmetic, the redirect flag + `&amp;`-decoded target,
+    * the text body (escaper round trip + the raw reference tail
+    * `A&B <tag> €5`; empty for the self-closing plant), and the
+    * missing-title quarantine row (err non-empty, page id still
+    * recovered — NOT the planted revision id, which is what a naive
+    * "first id anywhere" scan would return for it). */
+  val q158 = """
+    SELECT doc_id AS page_id,
+      CASE WHEN doc_id % 25 = 7 THEN ''
+           ELSE 'Doc "' || CAST(doc_id AS VARCHAR) || '"' END AS title,
+      CAST(doc_id % 4 AS BIGINT) AS ns,
+      CAST(CASE WHEN doc_id % 6 = 0 THEN 1 ELSE 0 END AS BIGINT) AS redirect,
+      CASE WHEN doc_id % 6 = 0 THEN 'R & D ' || CAST(doc_id AS VARCHAR)
+           ELSE '' END AS redirect_title,
+      md5(CASE WHEN doc_id % 9 = 0 THEN ''
+            ELSE coalesce(text, '') || ' A&B <tag> ' || chr(8364) || '5'
+          END) AS text_md5,
+      CASE WHEN doc_id % 25 = 7 THEN 'missing id or title'
+           ELSE '' END AS err
+    FROM documents ORDER BY page_id"""
+
+  /** q159: lexicon scan — INDEPENDENT machinery (list lambdas over the
+    * token array, bigrams as position filters counting overlaps), the
+    * weighted score under the 6-dp fence, and the (count desc, name
+    * asc) top-pattern election via a struct sort on (-count, name). */
+  val q159 = """
+    WITH t AS (SELECT doc_id,
+        list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+          '[^a-z0-9]+'), x -> x <> '') AS toks
+      FROM documents),
+    c AS (SELECT doc_id,
+        len(list_filter(toks, x -> x = 'spark')) AS c_spark,
+        len(list_filter(toks, x -> x = 'slow')) AS c_slow,
+        len(list_filter(toks, x -> x = 'dup')) AS c_dup,
+        len(list_filter(toks, x -> x = 'batch')) AS c_batch,
+        len(list_filter(range(1, len(toks)),
+          i -> toks[i] = 'batch' AND toks[i+1] = 'batch')) AS c_bb,
+        len(list_filter(range(1, len(toks)),
+          i -> toks[i] = 'table' AND toks[i+1] = 'scan')) AS c_ts
+      FROM t),
+    s AS (SELECT doc_id,
+        CAST(c_spark + c_slow + c_dup + c_batch + c_bb + c_ts AS BIGINT)
+          AS n_hits,
+        CAST((CASE WHEN c_spark > 0 THEN 1 ELSE 0 END) +
+             (CASE WHEN c_slow > 0 THEN 1 ELSE 0 END) +
+             (CASE WHEN c_dup > 0 THEN 1 ELSE 0 END) +
+             (CASE WHEN c_batch > 0 THEN 1 ELSE 0 END) +
+             (CASE WHEN c_bb > 0 THEN 1 ELSE 0 END) +
+             (CASE WHEN c_ts > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_patterns,
+        floor((1.0*c_spark + 2.0*c_slow + 5.0*c_dup + 1.0*c_batch +
+               3.0*c_bb + 4.0*c_ts) * 1e6 + 0.5) / 1e6 AS score,
+        (list_sort([
+           {'k': -c_spark, 'n': 'spark'},
+           {'k': -c_slow, 'n': 'slow'},
+           {'k': -c_dup, 'n': 'dup'},
+           {'k': -c_batch, 'n': 'batch'},
+           {'k': -c_bb, 'n': 'batch batch'},
+           {'k': -c_ts, 'n': 'table scan'}]))[1] AS top
+      FROM c)
+    SELECT doc_id, n_hits, n_patterns, score,
+      CASE WHEN top.k = 0 THEN '' ELSE top.n END AS top_pattern
+    FROM s ORDER BY doc_id"""
+
   /** q141: exact substring dedup — brute-force replay over the literal
     * strings: EVERY (position, m) window for m in [16, n] — UNCAPPED, so
     * the Spark side's anchor-doubling extension past its band cap is
@@ -4312,6 +4377,8 @@ object Oracles {
     "q154_adts_metadata" -> q154,
     "q155_domain_cap" -> q155,
     "q156_robots_filter" -> q156,
-    "q157_boilerplate_blocks" -> q157
+    "q157_boilerplate_blocks" -> q157,
+    "q158_wikixml_source" -> q158,
+    "q159_blockword_scan" -> q159
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

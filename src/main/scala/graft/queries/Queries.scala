@@ -3473,6 +3473,94 @@ object Queries {
       .orderBy("doc_id", "block_idx")
   }
 
+  private val wikiXmlDirCache =
+    new scala.collection.concurrent.TrieMap[String, (String, String)]()
+
+  /** The synthesized MediaWiki dump dir q158 reads: one `<page>` per
+    * document with planted entities in the title (`&quot;`), a
+    * `<redirect>` attribute with `&amp;` (doc_id % 6 = 0), a revision
+    * `<id>` that must NOT win over the page id, attribute-carrying and
+    * self-closing `<text>` forms (doc_id % 9 = 0 → empty), a
+    * missing-title quarantine plant (doc_id % 25 = 7), raw numeric/
+    * named references appended OUTSIDE the escaper, and `<mediawiki>`/
+    * `<siteinfo>` preamble + `</mediawiki>` tail fragments planted on
+    * residue classes so non-page records appear mid-stream; written as
+    * 4 plain text files (rows are full `<page>…</page>` strings, so
+    * the file IS a valid record stream for the `lineSep` reader).
+    * Cached per fixture signature. */
+  private def wikiXmlDir(s: SparkSession, d: String): String = {
+    val sig = tableSignature(s, d, "documents")
+    wikiXmlDirCache.synchronized {
+      wikiXmlDirCache.get(d) match {
+        case Some((s0, dd)) if s0 == sig => dd
+        case prev =>
+          prev.foreach { case (_, old) =>
+            try deleteDirTree(old) catch { case _: Exception => () } }
+          val tmp = java.nio.file.Files.createTempDirectory("graft_wikix_").toString
+          val id = col("doc_id")
+          val esc = WikiXml.escapeXml(coalesce(col("text"), lit("")))
+          val page = concat(
+            when(id % 50 === 0, lit("<mediawiki><siteinfo><sitename>" +
+              "graft</sitename></siteinfo>\n")).otherwise(lit("")),
+            lit("<page>\n"),
+            when(id % 25 === 7, lit(""))
+              .otherwise(concat(lit("    <title>Doc &quot;"), id,
+                lit("&quot;</title>\n"))),
+            lit("    <ns>"), id % 4, lit("</ns>\n"),
+            lit("    <id>"), id, lit("</id>\n"),
+            when(id % 6 === 0,
+              concat(lit("    <redirect title=\"R &amp; D "), id,
+                lit("\" />\n"))).otherwise(lit("")),
+            lit("    <revision>\n      <id>"), id + 1000000,
+            lit("</id>\n"),
+            when(id % 9 === 0, lit("      <text bytes=\"0\" />\n"))
+              .otherwise(concat(
+                lit("      <text bytes=\"1\" xml:space=\"preserve\">"),
+                esc, lit(" A&amp;B &lt;tag&gt; &#8364;5</text>\n"))),
+            lit("    </revision>\n  </page>"),
+            when(id % 50 === 49, lit("\n</mediawiki>")).otherwise(lit("")))
+          Tables.documents(s, d).select(page.as("value"))
+            .repartition(4)
+            .write.mode("overwrite").text(tmp)
+          wikiXmlDirCache.update(d, (sig, tmp))
+          tmp
+      }
+    }
+  }
+
+  /** q158: MediaWiki dump XML source ([[WikiXml]]) — the round trip
+    * through the REAL split mechanism: the synthesized dump reads back
+    * via `lineSep="</page>"` (split-parallel, the 100 TB path), the
+    * forward scanner recovers page id (FIRST `<id>`, not the planted
+    * revision id), entity-decoded title and redirect target, ns, the
+    * text body past the open tag's attributes (self-closing → empty),
+    * and quarantines the missing-title plant without killing the scan.
+    * Preamble/tail fragments must vanish. The oracle rebuilds every
+    * field closed-form from the documents table. */
+  def q158WikixmlSource(s: SparkSession, d: String): DataFrame = {
+    WikiXml.readPages(s, wikiXmlDir(s, d))
+      .select(col("page_id"), col("title"), col("ns"), col("redirect"),
+        col("redirect_title"),
+        md5(col("text").cast("binary")).as("text_md5"),
+        coalesce(col("error"), lit("")).as("err"))
+      .orderBy("page_id")
+  }
+
+  /** q159: Aho–Corasick lexicon scan ([[BlockWords]]) — the badwords
+    * stage over the NATURAL corpus text (no plant): the lexicon mixes
+    * unigrams, a repeated-token bigram (`batch batch`, whose overlapping
+    * occurrences the fail-link walk must count: `batch batch batch` = 2),
+    * a cross-token bigram (`table scan`), and a unigram (`batch`) that
+    * is a PREFIX of a phrase pattern — so phrase states must also emit
+    * the unigram via merged fail outputs. The oracle replays every
+    * count with independent list-lambda machinery and the same
+    * (count desc, name asc) top-pattern election. */
+  def q159BlockwordScan(s: SparkSession, d: String): DataFrame =
+    BlockWords.scan(Tables.documents(s, d), col("doc_id"), col("text"),
+      Seq("spark" -> 1.0, "slow" -> 2.0, "dup" -> 5.0, "batch" -> 1.0,
+          "batch batch" -> 3.0, "table scan" -> 4.0))
+      .orderBy("doc_id")
+
   def q145UrlCuration(s: SparkSession, d: String): DataFrame = {
     Tables.documents(s, d)
       .select(col("doc_id"), q145Url(col("doc_id")).as("url"))
