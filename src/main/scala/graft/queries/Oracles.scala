@@ -2716,6 +2716,42 @@ object Oracles {
       CASE WHEN top.k = 0 THEN '' ELSE top.n END AS top_pattern
     FROM s ORDER BY doc_id"""
 
+  /** q160: crawl pipeline v2 — q146's closed-form replay with two more
+    * stages folded in: the robots admission predicate (q156's
+    * residue-class verdicts inlined as one boolean CASE) composed with
+    * the blocklist, and the boilerplate stage's outcome (on the q144
+    * page only the content block survives — the anchor div is density
+    * 1.0, the list items are 2-word stubs — so the cleaned doc is ONE
+    * line and n_lines/n_kept pin to 1, vs q146's 4/1 via the line
+    * rule). Keeper election runs over the SMALLER robots-surviving
+    * corpus, so keeper ids differ from q146 wherever a duplicate's
+    * min-id doc was robots-disallowed. */
+  val q160 = """
+    WITH a AS (SELECT doc_id,
+        CASE WHEN doc_id % 5 = 0 THEN
+               CASE WHEN doc_id % 7 = 0 THEN 1
+                    WHEN substr(CAST(doc_id AS VARCHAR), 1, 1) = '1' THEN 1
+                    ELSE 0 END
+             WHEN doc_id % 5 = 1 THEN
+               CASE WHEN doc_id % 7 <> 0 AND (doc_id % 4 IN (0, 1)
+                      OR (doc_id % 4 = 3 AND doc_id % 10 = 1))
+                    THEN 0 ELSE 1 END
+             WHEN doc_id % 5 = 2 THEN 0
+             ELSE 1 END AS allowed
+      FROM documents),
+    base AS (SELECT d.doc_id,
+        ltrim(trim(coalesce(d.text, '')) || ' Fish & Chips <deal> ' ||
+          chr(8364) || '5 ' || chr(160) || 'now.') AS pline
+      FROM documents d JOIN a USING (doc_id)
+      WHERE a.allowed = 1 AND d.doc_id % 5 <> 2),
+    k AS (SELECT pline, min(doc_id) AS keeper_id FROM base GROUP BY pline)
+    SELECT b.doc_id, CAST(1 AS BIGINT) AS n_lines, CAST(1 AS BIGINT) AS n_kept,
+           md5(b.pline) AS clean_md5, CAST(k.keeper_id AS BIGINT) AS keeper_id,
+           CAST(CASE WHEN b.doc_id = k.keeper_id THEN 1 ELSE 0 END AS BIGINT)
+             AS is_keeper
+    FROM base b JOIN k USING (pline)
+    ORDER BY b.doc_id"""
+
   /** q141: exact substring dedup — brute-force replay over the literal
     * strings: EVERY (position, m) window for m in [16, n] — UNCAPPED, so
     * the Spark side's anchor-doubling extension past its band cap is
@@ -4379,6 +4415,7 @@ object Oracles {
     "q156_robots_filter" -> q156,
     "q157_boilerplate_blocks" -> q157,
     "q158_wikixml_source" -> q158,
-    "q159_blockword_scan" -> q159
+    "q159_blockword_scan" -> q159,
+    "q160_crawl_pipeline_v2" -> q160
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

@@ -3402,9 +3402,11 @@ object Queries {
     * site.com has NO robots.txt (protocol default: allowed). Comments,
     * key-case variance, and `Crawl-delay` are planted too. The oracle
     * replays every verdict closed-form from the same doc_id arithmetic. */
-  def q156RobotsFilter(s: SparkSession, d: String): DataFrame = {
+  /** The per-domain robots.txt fixture q156 and q160 share (see q156's
+    * scaladoc for what each domain plants). */
+  private def plantedRobots(s: SparkSession): DataFrame = {
     import s.implicits._
-    val robots = Seq(
+    Seq(
       ("example.com",
         "# graft crawl fixture\n" +
         "User-Agent: *\n" +
@@ -3427,13 +3429,15 @@ object Queries {
         "Allow: /a/\n" +
         "Sitemap: https://example.org/sitemap.xml\n")
     ).toDF("domain", "robots_txt")
+  }
+
+  def q156RobotsFilter(s: SparkSession, d: String): DataFrame =
     Robots.verdicts(
       Tables.documents(s, d)
         .select(col("doc_id"), plantedUrl(col("doc_id")).as("url")),
       col("doc_id"), col("url"),
-      robots, col("domain"), col("robots_txt"), agent = "GraftBot")
+      plantedRobots(s), col("domain"), col("robots_txt"), agent = "GraftBot")
       .orderBy("doc_id")
-  }
 
   /** q157: text-density boilerplate classification ([[Html.blocks]] +
     * [[Boilerplate.classify]]) over a planted six-block page per doc:
@@ -3555,6 +3559,52 @@ object Queries {
     * the unigram via merged fail outputs. The oracle replays every
     * count with independent list-lambda machinery and the same
     * (count desc, name asc) top-pattern election. */
+  /** q160: the crawl-to-corpus pipeline, SECOND GENERATION — q146's
+    * composition upgraded with the two round-11 curation stages a
+    * production pipeline runs, each individually gated elsewhere and
+    * chained here through the REAL container: q144's WARC `response`
+    * records (split-parallel read) → doc identity from the capture URL
+    * → ROBOTS COMPLIANCE on the planted curation URL
+    * ([[Robots.filterAllowed]] against [[plantedRobots]] — drops
+    * badsite.com wholesale plus the example.com/example.co.uk
+    * residue-class disallows q156 pins) → blocklist decontamination
+    * (badsite.com — stacked after robots to prove the stages compose) →
+    * BOILERPLATE REMOVAL ([[Boilerplate]] over the raw HTML: the
+    * planted anchor div is 100% link density and the list items are
+    * 2-word stubs, so ONLY the content block survives — vs q146, which
+    * needed the C4 terminal-punct rule to kill that boilerplate) →
+    * [[QualityRules.c4LineFilter]] over the cleaned text → exact dedup
+    * with min-doc_id keeper election. A defect in ANY stage — robots
+    * group selection, block segmentation, density arithmetic, line
+    * filter, keeper tie — breaks the oracle's closed-form replay. */
+  def q160CrawlPipelineV2(s: SparkSession, d: String): DataFrame = {
+    val dir = crawlWarcDir(s, d)
+    val recs = WarcSources.readWarc(s, dir)
+      .filter(col("error").isNull && col("record_type") === "response")
+      .select(
+        regexp_extract(col("url"), "/doc/(\\d+)$", 1).cast("long").as("id"),
+        decode(col("content"), "UTF-8").as("html"))
+      .withColumn("curl", plantedUrl(col("id")))
+    val allowed = Robots.filterAllowed(recs, col("id"), col("curl"),
+      plantedRobots(s), col("domain"), col("robots_txt"), agent = "GraftBot")
+    val kept = Urls.decontaminateByDomain(allowed, col("curl"),
+      Seq("badsite.com"))
+    val cleanDocs = Boilerplate.cleanText(Boilerplate.classify(
+      Boilerplate.blocks(kept.select(col("id"), col("html")),
+        col("id"), col("html")),
+      minWords = 5, maxLinkDensity = 0.33))
+    val clean = QualityRules.c4LineFilter(cleanDocs, col("doc_id"),
+      col("text_clean"), minWords = 3, banned = Seq.empty)
+    val keepers = clean.groupBy("text_clean")
+      .agg(min(col("doc_id")).as("keeper_id"))
+    clean.join(keepers, Seq("text_clean"))
+      .select(col("doc_id"), col("n_lines"), col("n_kept"),
+        md5(col("text_clean").cast("binary")).as("clean_md5"),
+        col("keeper_id"),
+        (col("doc_id") === col("keeper_id")).cast("long").as("is_keeper"))
+      .orderBy("doc_id")
+  }
+
   def q159BlockwordScan(s: SparkSession, d: String): DataFrame =
     BlockWords.scan(Tables.documents(s, d), col("doc_id"), col("text"),
       Seq("spark" -> 1.0, "slow" -> 2.0, "dup" -> 5.0, "batch" -> 1.0,
