@@ -209,4 +209,35 @@ object Robots {
       .filter(col("allowed") === 1L).select(col("doc_id").as("__keep_id"))
     urls.join(v, id.cast("long") === col("__keep_id"), "leftsemi")
   }
+
+  /** The STREAMING-composable form of [[filterAllowed]]: schema- and
+    * shape-preserving (a plain row filter — legal in any micro-batch
+    * plan, no self-join, no id column required), with the rule map
+    * collected to the driver at plan time and shipped in the closure.
+    * The collect is bounded by construction: the robots side is one
+    * small text per authority (the same boundedness class as the BPE
+    * merge-table pulls), while the unbounded side — the URLs — streams
+    * through untouched. Batch == stream semantics by sharing
+    * [[rulesFor]]/[[decide]] with [[verdicts]]. */
+  def filterAllowedStreaming(urls: DataFrame, url: Column,
+                             robots: DataFrame, domainCol: Column,
+                             txtCol: Column, agent: String): DataFrame = {
+    val ruleMap: Map[String, Seq[Rule]] =
+      robots.select(domainCol.cast("string"), txtCol.cast("string"))
+        .collect()
+        .map(r => r.getString(0) ->
+          rulesFor(parse(r.getString(1)), agent))
+        .toMap
+    val withCols = urls
+      .withColumn("__rb_domain", Urls.registeredDomain(url))
+      .withColumn("__rb_target", matchTarget(url))
+    val di = withCols.schema.fieldIndex("__rb_domain")
+    val ti = withCols.schema.fieldIndex("__rb_target")
+    withCols
+      .filter { (r: org.apache.spark.sql.Row) =>
+        decide(ruleMap.getOrElse(r.getString(di), Seq.empty),
+          r.getString(ti))._1
+      }
+      .drop("__rb_domain", "__rb_target")
+  }
 }

@@ -147,6 +147,24 @@ class RobotsSpec extends SparkSpec {
     assert(got.toSeq == Seq("/", "/p?q=1", "/?q=1"))
   }
 
+  test("filterAllowedStreaming: same kept set as filterAllowed, schema" +
+       " preserved (the micro-batch-legal form)") {
+    val urls = Seq(
+      (1L, "https://www.example.com/private/x", "a"),
+      (2L, "https://www.example.com/private/ok/page", "b"),
+      (3L, "https://sub.closed.org/any", "c"),
+      (4L, "https://norobots.net/whatever", "d")
+    ).toDF("doc_id", "url", "extra")
+    val batch = Robots.filterAllowed(urls, col("doc_id"), col("url"),
+        robots, col("domain"), col("robots_txt"), agent = "GraftBot")
+      .select("doc_id").as[Long].collect().toSet
+    val streamy = Robots.filterAllowedStreaming(urls, col("url"),
+      robots, col("domain"), col("robots_txt"), agent = "GraftBot")
+    assert(streamy.columns.toSeq == urls.columns.toSeq)
+    assert(streamy.select("doc_id").as[Long].collect().toSet == batch)
+    assert(batch == Set(2L, 4L))
+  }
+
   test("filterAllowed keeps exactly the allowed rows with original columns") {
     val urls = Seq(
       (1L, "https://www.example.com/private/x", "keep-cols"),

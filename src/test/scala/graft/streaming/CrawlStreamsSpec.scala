@@ -174,4 +174,85 @@ class CrawlStreamsSpec extends SparkSpec {
     }
     assert(digest(streamCorpus) == digest(batchCorpus))
   }
+
+  test("robots-gated chain: disallowed captures never reach admission and " +
+       "the stream corpus equals the robots-filtered batch corpus") {
+    import spark.implicits._
+    import graft.operators.Robots
+    val land = java.nio.file.Files.createTempDirectory("graft-rb-land").toString
+    val textDir = java.nio.file.Files.createTempDirectory("graft-rb-text").toString
+    val quarDir = java.nio.file.Files.createTempDirectory("graft-rb-quar").toString
+    val ck1 = java.nio.file.Files.createTempDirectory("graft-rb-ck1").toString
+    val histDir = java.nio.file.Files.createTempDirectory("graft-rb-hist").toString
+    val admitDir = java.nio.file.Files.createTempDirectory("graft-rb-admit").toString
+    val ck2 = java.nio.file.Files.createTempDirectory("graft-rb-ck2").toString
+    def drop(name: String, bytes: Array[Byte]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(land, name), bytes)
+    def memberAt(host: String, id: Int, body: String): Array[Byte] =
+      WarcSources.gzipWrap(WarcSources.recordBytes("conversion",
+        s"https://$host/doc/$id", "2024-05-01T00:00:00Z", "text/plain",
+        s"<urn:uuid:$id>", body.getBytes(Utf8)))
+    val robots = Seq(
+      ("closed.example", "User-agent: *\nDisallow: /\n")
+    ).toDF("domain", "robots_txt") // open.example: no robots → allowed
+
+    drop("a.warc.gz",
+      memberAt("open.example", 1, "alpha bravo charlie") ++
+        memberAt("closed.example", 2, "delta echo foxtrot"))
+    val crawl = CrawlStreams.foreachBatchCrawlIngest(
+      CrawlStreams.readWarcFiles(spark, land),
+      textDir, quarDir, checkpointDir = Some(ck1))
+    crawl.processAllAvailable()
+    val textSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("url",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("batch_id",
+        org.apache.spark.sql.types.LongType)))
+    val gated = Robots.filterAllowedStreaming(
+      spark.readStream.schema(textSchema).parquet(textDir),
+      col("url"), robots, col("domain"), col("robots_txt"),
+      agent = "GraftBot")
+      .select(regexp_extract(col("url"), "/doc/(\\d+)$", 1)
+        .cast("long").as("doc_id"), col("text"))
+    val admit = DocStreams.foreachBatchAdmit(gated, histDir, admitDir,
+      maxHamming = 7, checkpointDir = Some(ck2))
+    try {
+      admit.processAllAvailable()
+      // seam: a new allowed doc, a new DISALLOWED doc, and an exact
+      // re-crawl of doc 1's content on the allowed domain
+      drop("b.warc.gz",
+        memberAt("open.example", 3, "golf hotel india") ++
+          memberAt("closed.example", 4, "juliet kilo lima") ++
+          memberAt("open.example", 5, "alpha bravo charlie"))
+      crawl.processAllAvailable()
+      admit.processAllAvailable()
+    } finally { crawl.stop(); admit.stop() }
+
+    // disallowed docs never produced an admission VERDICT at all
+    val verdicts = spark.read.parquet(admitDir)
+      .select("doc_id", "admitted").as[(Long, Long)].collect().toMap
+    assert(verdicts.keySet == Set(1L, 3L, 5L))
+    assert(verdicts(1L) == 1L && verdicts(3L) == 1L)
+    assert(verdicts(5L) == 0L, "cross-seam re-crawl must be rejected")
+
+    // stream corpus == robots-filtered batch corpus over the landing dir
+    val streamCorpus = spark.read.parquet(histDir)
+      .select("doc_id", "text").as[(Long, String)].collect().toSet
+    val recs = WarcSources.readWarc(spark, land).filter(col("error").isNull)
+    val batchCorpus = Robots.filterAllowed(
+        recs.select(regexp_extract(col("url"), "/doc/(\\d+)$", 1)
+            .cast("long").as("doc_id"), col("url"),
+          decode(col("content"), "UTF-8").as("text")),
+        col("doc_id"), col("url"),
+        robots, col("domain"), col("robots_txt"), agent = "GraftBot")
+      .withColumn("keeper",
+        min("doc_id").over(org.apache.spark.sql.expressions.Window
+          .partitionBy("text")))
+      .filter(col("doc_id") === col("keeper"))
+      .select("doc_id", "text").as[(Long, String)].collect().toSet
+    assert(streamCorpus == batchCorpus)
+    assert(streamCorpus.map(_._1) == Set(1L, 3L))
+  }
 }
