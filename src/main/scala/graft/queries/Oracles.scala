@@ -2752,6 +2752,25 @@ object Oracles {
     FROM base b JOIN k USING (pline)
     ORDER BY b.doc_id"""
 
+  /** q161: wikitext cleanup — cleaned text rebuilt line-for-line
+    * (heading fences stripped, quote runs gone, link labels in place,
+    * template/file lines vanished with their line breaks, the q144-style
+    * ltrim guard for empty docs) and the removal counters from the
+    * plant arithmetic (nested template = ONE outer drop). */
+  val q161 = """
+    SELECT doc_id,
+      CAST(2 AS BIGINT) AS n_links,
+      CAST(1 AS BIGINT) AS n_ext,
+      CAST(CASE WHEN doc_id % 4 = 1 THEN 2 ELSE 1 END AS BIGINT) AS n_tmpl,
+      CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_files,
+      CAST(CASE WHEN doc_id % 5 = 2 THEN 1 ELSE 0 END AS BIGINT) AS n_refs,
+      md5('Doc ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+          'Lead for doc ' || CAST(doc_id AS VARCHAR) || '.' || chr(10) ||
+          'first item' || chr(10) ||
+          ltrim(trim(coalesce(text, '')) || ' See pipeline and ext link.') ||
+          chr(10) || 'See also') AS clean_md5
+    FROM documents ORDER BY doc_id"""
+
   /** q141: exact substring dedup — brute-force replay over the literal
     * strings: EVERY (position, m) window for m in [16, n] — UNCAPPED, so
     * the Spark side's anchor-doubling extension past its band cap is
@@ -4416,6 +4435,7 @@ object Oracles {
     "q157_boilerplate_blocks" -> q157,
     "q158_wikixml_source" -> q158,
     "q159_blockword_scan" -> q159,
-    "q160_crawl_pipeline_v2" -> q160
+    "q160_crawl_pipeline_v2" -> q160,
+    "q161_wikitext_clean" -> q161
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

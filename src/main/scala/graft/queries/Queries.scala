@@ -3605,6 +3605,39 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** q161: wikitext cleanup ([[WikiText]]) — each doc wrapped in the
+    * markup shapes a real wiki page carries: an infobox template (whole
+    * drop), an `== Heading ==` pair, bold/italic quote runs, a piped
+    * wiki link (label survives), a NESTED template plant (doc_id % 4 =
+    * 1 — one OUTER drop, counted once), a `*` list line, a bare wiki
+    * link, an external link with label, a `<ref>` citation plant
+    * (doc_id % 5 = 2), and a `[[File:…]]` thumbnail plant (doc_id % 3 =
+    * 0 — dropped whole, its line vanishes). The oracle rebuilds the
+    * cleaned text line-for-line and every removal counter closed-form. */
+  def q161WikitextClean(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val markup = concat(
+      lit("{{Infobox doc|id="), id, lit("}}\n"),
+      lit("== Doc "), id, lit(" ==\n"),
+      lit("'''Lead''' for [[Document processing|doc]] "), id, lit(".\n"),
+      when(id % 4 === 1, lit("{{outer {{inner}} box}}\n")).otherwise(lit("")),
+      lit("* first item\n"),
+      coalesce(col("text"), lit("")),
+      lit(" See [[pipeline]] and [http://x.example ext link]."),
+      when(id % 5 === 2, lit("<ref>cite</ref>")).otherwise(lit("")),
+      lit("\n"),
+      when(id % 3 === 0, lit("[[File:Img.png|thumb|A caption]]\n"))
+        .otherwise(lit("")),
+      lit("== See also ==\n"))
+    WikiText.cleanPages(
+      Tables.documents(s, d).select(id, markup.as("m")),
+      col("doc_id"), col("m"))
+      .select(col("doc_id"), col("n_links"), col("n_ext"), col("n_tmpl"),
+        col("n_files"), col("n_refs"),
+        md5(col("text").cast("binary")).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
   def q159BlockwordScan(s: SparkSession, d: String): DataFrame =
     BlockWords.scan(Tables.documents(s, d), col("doc_id"), col("text"),
       Seq("spark" -> 1.0, "slow" -> 2.0, "dup" -> 5.0, "batch" -> 1.0,
