@@ -2771,6 +2771,24 @@ object Oracles {
           chr(10) || 'See also') AS clean_md5
     FROM documents ORDER BY doc_id"""
 
+  /** q162: wiki dump→corpus — page selection from the q158 plant
+    * arithmetic (clean parse, ns = 0, non-redirect, non-empty text),
+    * the cleaned line (the `<tag>` plant strips and its double space
+    * collapses; `&` and `€` are plain text to wikitext), and the
+    * min-id keeper election. */
+  val q162 = """
+    WITH base AS (SELECT doc_id,
+        ltrim(trim(coalesce(text, '')) || ' A&B ' || chr(8364) || '5') AS cl
+      FROM documents
+      WHERE doc_id % 25 <> 7 AND doc_id % 4 = 0 AND doc_id % 6 <> 0
+        AND doc_id % 9 <> 0),
+    k AS (SELECT cl, min(doc_id) AS keeper_id FROM base GROUP BY cl)
+    SELECT b.doc_id, md5(b.cl) AS clean_md5,
+           CAST(k.keeper_id AS BIGINT) AS keeper_id,
+           CAST(CASE WHEN b.doc_id = k.keeper_id THEN 1 ELSE 0 END AS BIGINT)
+             AS is_keeper
+    FROM base b JOIN k USING (cl) ORDER BY b.doc_id"""
+
   /** q141: exact substring dedup — brute-force replay over the literal
     * strings: EVERY (position, m) window for m in [16, n] — UNCAPPED, so
     * the Spark side's anchor-doubling extension past its band cap is
@@ -4436,6 +4454,7 @@ object Oracles {
     "q158_wikixml_source" -> q158,
     "q159_blockword_scan" -> q159,
     "q160_crawl_pipeline_v2" -> q160,
-    "q161_wikitext_clean" -> q161
+    "q161_wikitext_clean" -> q161,
+    "q162_wiki_corpus" -> q162
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

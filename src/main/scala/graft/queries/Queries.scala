@@ -3638,6 +3638,31 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** q162: the wiki dump→corpus composition — the [[WikiXml]]/
+    * [[WikiText]] twin of q146/q160, every stage through the real
+    * container: the q158 dump dir read back split-parallel → CONTENT
+    * pages only (clean parse, ns = 0, non-redirect — the standard wiki
+    * corpus cut) → [[WikiText.clean]] over the text bodies (the planted
+    * `<tag>` strips, so the cleaned line is the doc text + `A&B €5`
+    * with the double space collapsed) → empty docs drop (the
+    * self-closing-text plant) → exact dedup with min-id keeper
+    * election. The oracle replays the page-selection arithmetic, the
+    * cleanup, and the election closed-form. */
+  def q162WikiCorpus(s: SparkSession, d: String): DataFrame = {
+    val pages = WikiXml.readPages(s, wikiXmlDir(s, d))
+      .filter(col("error").isNull && col("ns") === 0L &&
+        col("redirect") === 0L)
+    val cleaned = WikiText.cleanPages(pages, col("page_id"), col("text"))
+      .filter(col("text") =!= "")
+    val keepers = cleaned.groupBy("text")
+      .agg(min(col("doc_id")).as("keeper_id"))
+    cleaned.join(keepers, Seq("text"))
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("clean_md5"),
+        col("keeper_id"),
+        (col("doc_id") === col("keeper_id")).cast("long").as("is_keeper"))
+      .orderBy("doc_id")
+  }
+
   def q159BlockwordScan(s: SparkSession, d: String): DataFrame =
     BlockWords.scan(Tables.documents(s, d), col("doc_id"), col("text"),
       Seq("spark" -> 1.0, "slow" -> 2.0, "dup" -> 5.0, "batch" -> 1.0,
