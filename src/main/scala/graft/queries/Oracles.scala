@@ -2789,6 +2789,27 @@ object Oracles {
              AS is_keeper
     FROM base b JOIN k USING (cl) ORDER BY b.doc_id"""
 
+  /** q163: redirect resolution — the chain grid is closed-form: last
+    * digit 1 resolves 3 hops to id+7, 3 resolves 2 hops to id+5, 7
+    * resolves 1 hop to id+1; the % 100 ∈ {41, 43} override is a 2-cycle
+    * (41→43, 43→41 — note 41's edge is its NATURAL +2 edge) whose rows
+    * mask to (-1, -1, 0). */
+  val q163 = """
+    SELECT doc_id AS src,
+      CAST(CASE WHEN doc_id % 100 IN (41, 43) THEN -1
+                WHEN doc_id % 10 = 1 THEN doc_id + 7
+                WHEN doc_id % 10 = 3 THEN doc_id + 5
+                ELSE doc_id + 1 END AS BIGINT) AS final_dst,
+      CAST(CASE WHEN doc_id % 100 IN (41, 43) THEN -1
+                WHEN doc_id % 10 = 1 THEN 3
+                WHEN doc_id % 10 = 3 THEN 2
+                ELSE 1 END AS BIGINT) AS depth,
+      CAST(CASE WHEN doc_id % 100 IN (41, 43) THEN 0 ELSE 1 END AS BIGINT)
+        AS terminated
+    FROM documents
+    WHERE doc_id % 10 IN (1, 3, 7)
+    ORDER BY src"""
+
   /** q141: exact substring dedup — brute-force replay over the literal
     * strings: EVERY (position, m) window for m in [16, n] — UNCAPPED, so
     * the Spark side's anchor-doubling extension past its band cap is
@@ -4455,6 +4476,7 @@ object Oracles {
     "q159_blockword_scan" -> q159,
     "q160_crawl_pipeline_v2" -> q160,
     "q161_wikitext_clean" -> q161,
-    "q162_wiki_corpus" -> q162
+    "q162_wiki_corpus" -> q162,
+    "q163_redirect_resolution" -> q163
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

@@ -3663,6 +3663,28 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** q163: redirect-chain resolution ([[Redirects.resolve]], pointer
+    * doubling) over a planted chain grid: doc_ids with last digit
+    * 1/3/7 are redirects whose targets form chains 1→3→7→terminal
+    * (depths 3/2/1), and the doc_id % 100 ∈ {41, 43} class is
+    * overridden into a 2-CYCLE (41→43→41), which must report
+    * terminated = 0 with masked outputs instead of looping. maxDepth 8
+    * ⇒ exactly 3 doubling self-joins resolve every chain. The oracle
+    * replays final target, depth, and the cycle mask closed-form. */
+  def q163RedirectResolution(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val edges = Tables.documents(s, d)
+      .filter(id % 10 === 1 || id % 10 === 3 || id % 10 === 7)
+      .select(id.as("src"),
+        when(id % 100 === 43, id - 2)
+          .when(id % 10 === 1, id + 2)
+          .when(id % 10 === 3, id + 4)
+          .otherwise(id + 1).as("dst"))
+    Redirects.resolve(edges, "src", "dst", maxDepth = 8,
+        policy = CheckpointPolicy.fromSession(s))
+      .orderBy("src")
+  }
+
   def q159BlockwordScan(s: SparkSession, d: String): DataFrame =
     BlockWords.scan(Tables.documents(s, d), col("doc_id"), col("text"),
       Seq("spark" -> 1.0, "slow" -> 2.0, "dup" -> 5.0, "batch" -> 1.0,
