@@ -240,6 +240,99 @@ object Html {
     out.result()
   }
 
+  /** One outgoing link: the raw `href` attribute value and the
+    * collapsed anchor text. */
+  final case class Link(href: String, text: String)
+
+  /** The value of `attr` inside the tag starting at the `<` at `i`
+    * (quote-aware; unquoted values end at whitespace or `>`), or null. */
+  private def attrAt(s: String, i: Int, attr: String): String = {
+    val end = skipTag(s, i)
+    var p = i + 1
+    while (p < end) {
+      if (s.regionMatches(true, p, attr, 0, attr.length) &&
+          (p + attr.length < end) &&
+          { var q = p + attr.length
+            while (q < end && s.charAt(q).isWhitespace) q += 1
+            q < end && s.charAt(q) == '=' } &&
+          s.charAt(p - 1).isWhitespace) {
+        var q = p + attr.length
+        while (q < end && (s.charAt(q).isWhitespace || s.charAt(q) == '=')) q += 1
+        if (q >= end) return null
+        val c = s.charAt(q)
+        if (c == '"' || c == '\'') {
+          val close = s.indexOf(c, q + 1)
+          return if (close < 0 || close > end) null
+                 else s.substring(q + 1, close)
+        }
+        var r = q
+        while (r < end - 1 && !s.charAt(r).isWhitespace) r += 1
+        return s.substring(q, r)
+      }
+      p += 1
+    }
+    null
+  }
+
+  /** Extract the outgoing links of one HTML payload: every `<a href=…>`
+    * with its visible anchor text (entity-decoded, collapsed). Same
+    * tokenization as [[toText]]; a nested `<a>` implicitly closes the
+    * open one (the WHATWG rule — browsers never nest anchors). Anchors
+    * with no `href` contribute no link. This is the WEB-GRAPH builder:
+    * (page, href, anchor text) rows feed link analysis
+    * ([[LinkAnalysis]]) and anchor-text corpora once hrefs resolve
+    * against the capture URL ([[Urls.resolveRef]]). */
+  def links(html: String): Seq[Link] = {
+    val s = if (html == null) "" else html
+    val out = Seq.newBuilder[Link]
+    var href: String = null
+    val text = new java.lang.StringBuilder()
+    def closeAnchor(): Unit = {
+      if (href != null)
+        out += Link(href, text.toString.replaceAll("\\s+", " ").trim)
+      href = null; text.setLength(0)
+    }
+    var inTitle = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '<') {
+        if (matchesAt(s, i, "<!--")) {
+          val end = s.indexOf("-->", i + 4)
+          i = if (end < 0) s.length else end + 3
+        } else if (matchesAt(s, i, "<script") || matchesAt(s, i, "<style")) {
+          val name = tagNameAt(s, i)
+          var p = skipTag(s, i)
+          var end = -1
+          while (end < 0 && p < s.length) {
+            if (s.charAt(p) == '<' && matchesAt(s, p, "</" + name)) end = p
+            else p += 1
+          }
+          i = if (end < 0) s.length else skipTag(s, end)
+        } else {
+          val name = tagNameAt(s, i)
+          val isClose = matchesAt(s, i, "</")
+          if (name == "title") inTitle = !isClose
+          else if (name == "a") {
+            closeAnchor() // nested/open anchor closes first
+            if (!isClose) href = attrAt(s, i, "href")
+          }
+          i = skipTag(s, i)
+        }
+      } else if (c == '&') {
+        val e = entityAt(s, i)
+        val (txt, next) = if (e == null) (s.substring(i, i + 1), i + 1) else e
+        if (!inTitle && href != null) text.append(txt)
+        i = next
+      } else {
+        if (!inTitle && href != null) text.append(c)
+        i += 1
+      }
+    }
+    closeAnchor() // unclosed trailing anchor still emits
+    out.result()
+  }
+
   // ------------------------------------------------------------------
   // DataFrame surface
   // ------------------------------------------------------------------

@@ -100,6 +100,66 @@ object Urls {
                             blocked: Seq[String]): DataFrame =
     df.filter(!registeredDomain(url).isin(blocked: _*))
 
+  /** Resolve an href `ref` against the page URL `base` (RFC 3986 §5
+    * reference resolution, the subset a crawler's link extractor needs —
+    * plain Scala for use inside the link-extraction typed map, where the
+    * `../` merge loop lives more naturally than in column expressions):
+    * absolute refs pass through; `//host/...` takes the base scheme;
+    * `/rooted` takes scheme+authority; `?query` replaces the base query;
+    * fragment-only refs resolve to the base (self-link); relative paths
+    * merge against the base directory with `.`/`..` segment
+    * normalization; non-hierarchical schemes (`mailto:`, `javascript:`,
+    * `data:`) and empty refs return null — not graph edges. */
+  def resolveRef(base: String, ref: String): String = {
+    if (ref == null || base == null) return null
+    val r = ref.trim
+    if (r.isEmpty) return null
+    val baseNoFrag = { val h = base.indexOf('#'); if (h < 0) base else base.substring(0, h) }
+    if (r.startsWith("#")) return baseNoFrag
+    val colon = r.indexOf(':')
+    val slash = r.indexOf('/')
+    if (colon > 0 && (slash < 0 || colon < slash)) {
+      // scheme-qualified: keep http(s), reject non-hierarchical schemes
+      val scheme = r.substring(0, colon).toLowerCase
+      return if (scheme == "http" || scheme == "https") r else null
+    }
+    val schemeEnd = baseNoFrag.indexOf("://")
+    if (schemeEnd < 0) return null
+    val scheme = baseNoFrag.substring(0, schemeEnd)
+    if (r.startsWith("//")) return scheme + ":" + r
+    val authEnd = {
+      val from = schemeEnd + 3
+      val i = baseNoFrag.indexWhere(c => c == '/' || c == '?', from)
+      if (i < 0) baseNoFrag.length else i
+    }
+    val root = baseNoFrag.substring(0, authEnd) // scheme://authority
+    if (r.startsWith("/")) return root + normalizePath(r)
+    val basePathQ = baseNoFrag.substring(authEnd)
+    val basePath = { val q = basePathQ.indexOf('?')
+      if (q < 0) basePathQ else basePathQ.substring(0, q) }
+    if (r.startsWith("?")) return root + (if (basePath.isEmpty) "/" else basePath) + r
+    val dir = basePath.lastIndexOf('/') match {
+      case -1 => "/"
+      case i => basePath.substring(0, i + 1)
+    }
+    root + normalizePath(dir + r)
+  }
+
+  /** Remove `.` and `..` segments (RFC 3986 §5.2.4; `..` above root is
+    * dropped). The path must start with `/`. */
+  private def normalizePath(path: String): String = {
+    val q = path.indexOf('?')
+    val (p, query) = if (q < 0) (path, "") else (path.substring(0, q), path.substring(q))
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    p.split("/", -1).foreach {
+      case "" | "." => ()
+      case ".." => if (out.nonEmpty) out.remove(out.length - 1)
+      case seg => out += seg
+    }
+    val trailingSlash = p.endsWith("/") || p.endsWith("/.") || p.endsWith("/..")
+    "/" + out.mkString("/") + (if (trailingSlash && out.nonEmpty) "/" else "") + query
+  }
+
   /** Per-domain document cap — the policy [[domainStats]] feeds (the
     * CCNet/C4 move: a handful of boilerplate-heavy domains otherwise
     * dominate a crawl corpus): keep at most `cap` docs per registered

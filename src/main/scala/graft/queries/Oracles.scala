@@ -2810,6 +2810,34 @@ object Oracles {
     WHERE doc_id % 10 IN (1, 3, 7)
     ORDER BY src"""
 
+  /** q164: link-graph edges — every planted href class rebuilt
+    * closed-form: absolute pass-through, protocol-relative scheme
+    * inheritance, rooted path, child-relative and `../` RFC 3986
+    * merges against the `/a/b/` base dir, fragment-only self link;
+    * mailto and href-less anchors emit nothing, so link_idx is dense
+    * 0-5; registered domains via the PSL default rule. */
+  val q164 = """
+    WITH b AS (SELECT doc_id,
+        'https://site' || CAST(doc_id % 5 AS VARCHAR) || '.example' AS root,
+        'site' || CAST(doc_id % 5 AS VARCHAR) || '.example' AS dom
+      FROM documents)
+    SELECT doc_id, CAST(0 AS BIGINT) AS link_idx,
+           'https://ext.example/page?z=1' AS href,
+           'https://ext.example/page?z=1' AS resolved,
+           'Abs & Link' AS anchor, 'ext.example' AS domain FROM b
+    UNION ALL SELECT doc_id, 1, '//cdn.example/lib',
+           'https://cdn.example/lib', 'Proto Rel', 'cdn.example' FROM b
+    UNION ALL SELECT doc_id, 2, '/rooted/page',
+           root || '/rooted/page', 'Rooted', dom FROM b
+    UNION ALL SELECT doc_id, 3, 'sub/page.html',
+           root || '/a/b/sub/page.html', 'Child', dom FROM b
+    UNION ALL SELECT doc_id, 4, '../up/page.html',
+           root || '/a/up/page.html', 'Up', dom FROM b
+    UNION ALL SELECT doc_id, 5, '#top',
+           root || '/a/b/doc' || CAST(doc_id AS VARCHAR) || '.html',
+           'Self ' || CAST(doc_id AS VARCHAR), dom FROM b
+    ORDER BY doc_id, link_idx"""
+
   /** q141: exact substring dedup — brute-force replay over the literal
     * strings: EVERY (position, m) window for m in [16, n] — UNCAPPED, so
     * the Spark side's anchor-doubling extension past its band cap is
@@ -4477,6 +4505,7 @@ object Oracles {
     "q160_crawl_pipeline_v2" -> q160,
     "q161_wikitext_clean" -> q161,
     "q162_wiki_corpus" -> q162,
-    "q163_redirect_resolution" -> q163
+    "q163_redirect_resolution" -> q163,
+    "q164_link_graph" -> q164
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

@@ -3685,6 +3685,38 @@ object Queries {
       .orderBy("src")
   }
 
+  /** q164: web-graph edge extraction ([[LinkGraph]]) — each doc is a
+    * page at `https://site{id%5}.example/a/b/doc{id}.html` whose body
+    * plants every href class a crawler's link extractor meets: an
+    * absolute link with query, a protocol-relative `//host` link, a
+    * rooted `/path` link, a child-relative path, a `../` parent path
+    * (the RFC 3986 merge), a fragment-only self link, a `mailto:`
+    * (no edge), and an href-less named anchor (no edge). Six edges per
+    * page; anchor text with an entity plant rides along. The oracle
+    * rebuilds every (link_idx, href, resolved, anchor, domain) row
+    * closed-form, including the PSL domain of each resolved target. */
+  def q164LinkGraph(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val base = concat(lit("https://site"), id % 5, lit(".example/a/b/doc"),
+      id, lit(".html"))
+    val html = concat(
+      lit("<html><body><div>" +
+        "<a href=\"https://ext.example/page?z=1\">Abs &amp; Link</a>" +
+        "<a href=\"//cdn.example/lib\">Proto Rel</a>" +
+        "<a href=\"/rooted/page\">Rooted</a>" +
+        "<a href=\"sub/page.html\">Child</a>" +
+        "<a href=\"../up/page.html\">Up</a>" +
+        "<a href=\"mailto:a@b.c\">Mail</a>" +
+        "<a href=\"#top\">Self "), id,
+      lit("</a><a name=\"anchor\">NoHref</a></div></body></html>"))
+    val e = LinkGraph.edges(
+      Tables.documents(s, d).select(id, base.as("u"), html.as("h")),
+      col("doc_id"), col("u"), col("h"))
+    e.select(col("doc_id"), col("link_idx"), col("href"), col("resolved"),
+        col("anchor"), Urls.registeredDomain(col("resolved")).as("domain"))
+      .orderBy("doc_id", "link_idx")
+  }
+
   def q159BlockwordScan(s: SparkSession, d: String): DataFrame =
     BlockWords.scan(Tables.documents(s, d), col("doc_id"), col("text"),
       Seq("spark" -> 1.0, "slow" -> 2.0, "dup" -> 5.0, "batch" -> 1.0,

@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import Html.Link
+
+/** Gates for web-graph construction: href attribute parsing (quotes,
+  * unquoted, decoys), anchor text capture, implicit anchor close, RFC
+  * 3986 reference resolution incl. dot-segment merges, and the edge
+  * DataFrame surface. */
+class LinkGraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("links: quoted/unquoted hrefs, entity text, no-href anchors skip") {
+    assert(Html.links("""<a href="/x">one</a><a href='/y'>two</a>""") ==
+      Seq(Link("/x", "one"), Link("/y", "two")))
+    assert(Html.links("<a href=/plain>t</a>") == Seq(Link("/plain", "t")))
+    assert(Html.links("""<a name="n">skip</a><a href="/k">keep</a>""") ==
+      Seq(Link("/k", "keep")))
+    assert(Html.links("""<a href="/e">Fish &amp; Chips</a>""") ==
+      Seq(Link("/e", "Fish & Chips")))
+    // a data-href decoy must not read as href; quoted '>' stays in value
+    assert(Html.links("""<a data-href="/no" href="/yes?q=1>2">t</a>""") ==
+      Seq(Link("/yes?q=1>2", "t")))
+  }
+
+  test("links: nested anchor implicitly closes; unclosed trailing anchor emits") {
+    assert(Html.links("""<a href="/a">first <a href="/b">second</a>tail""") ==
+      Seq(Link("/a", "first"), Link("/b", "second")))
+    assert(Html.links("""<p><a href="/u">un closed""") ==
+      Seq(Link("/u", "un closed")))
+    assert(Html.links("") == Seq.empty && Html.links(null) == Seq.empty)
+  }
+
+  test("resolveRef: the RFC 3986 cases") {
+    val base = "https://h.example/a/b/doc.html?q=1#frag"
+    assert(Urls.resolveRef(base, "https://x.example/p") == "https://x.example/p")
+    assert(Urls.resolveRef(base, "//cdn.example/l") == "https://cdn.example/l")
+    assert(Urls.resolveRef(base, "/rooted") == "https://h.example/rooted")
+    assert(Urls.resolveRef(base, "sub/p") == "https://h.example/a/b/sub/p")
+    assert(Urls.resolveRef(base, "../up") == "https://h.example/a/up")
+    assert(Urls.resolveRef(base, "../../../over") == "https://h.example/over")
+    assert(Urls.resolveRef(base, "./here") == "https://h.example/a/b/here")
+    assert(Urls.resolveRef(base, "?x=2") == "https://h.example/a/b/doc.html?x=2")
+    assert(Urls.resolveRef(base, "#top") == "https://h.example/a/b/doc.html?q=1")
+    assert(Urls.resolveRef("https://h.example", "p") == "https://h.example/p")
+    assert(Urls.resolveRef(base, "mailto:a@b.c") == null)
+    assert(Urls.resolveRef(base, "javascript:void(0)") == null)
+    assert(Urls.resolveRef(base, "") == null)
+    assert(Urls.resolveRef(base, "dir/") == "https://h.example/a/b/dir/")
+  }
+
+  test("edges: per-page dense link_idx, unresolvable hrefs emit nothing") {
+    val df = Seq((3L, "https://s.example/a/p.html",
+      """<a href="x">one</a><a href="mailto:m@x.y">no</a><a href="/r">two</a>"""))
+      .toDF("doc_id", "u", "h")
+    val got = LinkGraph.edges(df, col("doc_id"), col("u"), col("h"))
+      .orderBy("link_idx")
+      .collect().map(r => (r.getLong(1), r.getString(3), r.getString(4)))
+    assert(got.toSeq == Seq(
+      (0L, "https://s.example/a/x", "one"),
+      (1L, "https://s.example/r", "two")))
+  }
+}
