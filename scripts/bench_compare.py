@@ -48,6 +48,38 @@ def load_queries(path):
     raise SystemExit(f"{path}: no per-query timings found")
 
 
+def load_canary(path):
+    """Measured host-speed canary (see graft.HostCanary): returns the
+    canary dict or None for pre-round-12 artifacts."""
+    with open(path) as f:
+        data = json.load(f)
+    if isinstance(data, dict):
+        if isinstance(data.get("canary"), dict):
+            return data["canary"]
+        parsed = data.get("parsed")
+        if isinstance(parsed, dict) and isinstance(parsed.get("canary"), dict):
+            return parsed["canary"]
+        tail = data.get("tail")
+        if isinstance(tail, str):
+            m = re.search(r'"canary":\s*(\{[^}]*\})', tail)
+            if m:
+                try:
+                    return json.loads(m.group(1))
+                except json.JSONDecodeError:
+                    return None
+    return None
+
+
+def canary_speed(c):
+    """One host-speed scalar per artifact: the MEAN of the before/after
+    32-thread canary seconds (the sustained-multicore figure the sf1
+    drift moved), falling back to whatever fields exist."""
+    vals = [c[k] for k in ("mt_before", "mt_after") if k in c]
+    if not vals:
+        vals = [c[k] for k in ("st_before", "st_after") if k in c]
+    return sum(vals) / len(vals) if vals else None
+
+
 def load_waivers(path):
     waivers = {}
     try:
@@ -79,6 +111,23 @@ def main():
     print(f"comparing {len(common)} common queries "
           f"({len(old)} old, {len(new)} new)")
 
+    # measured host speed: normalize NEW seconds by the canary ratio so a
+    # uniformly slower/faster host reads as ~1.0x, not a phantom swing.
+    # The GATE still fires on RAW ratios (a waiver decision should see the
+    # honest numbers); normalized ratios are the adjudication aid.
+    oc, nc = load_canary(args.old), load_canary(args.new)
+    host_ratio = None
+    if oc and nc:
+        os_, ns_ = canary_speed(oc), canary_speed(nc)
+        if os_ and ns_:
+            host_ratio = ns_ / os_
+            print(f"host canary (32-thread secs): old {os_:.2f} -> new "
+                  f"{ns_:.2f}; host-speed ratio {host_ratio:.2f}x "
+                  f"(canary-normalized new = raw / {host_ratio:.2f})")
+    if host_ratio is None:
+        print("host canary: absent on one side (pre-round-12 artifact); "
+              "raw ratios only")
+
     failed = []
     for q in common:
         o, n = old[q], new[q]
@@ -87,9 +136,19 @@ def main():
         ratio = n / o
         if ratio > args.threshold and (n - o) > args.min_abs:
             tag = f"WAIVED ({waivers[q]})" if q in waivers else "REGRESSION"
-            print(f"  {tag:<12} {q}: {o:.2f}s -> {n:.2f}s ({ratio:.1f}x)")
+            norm = f", {ratio / host_ratio:.1f}x canary-normalized" \
+                if host_ratio else ""
+            print(f"  {tag:<12} {q}: {o:.2f}s -> {n:.2f}s "
+                  f"({ratio:.1f}x raw{norm})")
             if q not in waivers:
                 failed.append(q)
+    tot_o = sum(old[q] for q in common)
+    tot_n = sum(new[q] for q in common)
+    if tot_o > 0:
+        norm = f"; {tot_n / tot_o / host_ratio:.2f}x canary-normalized" \
+            if host_ratio else ""
+        print(f"common-total {tot_o:.1f}s -> {tot_n:.1f}s "
+              f"({tot_n / tot_o:.2f}x raw{norm})")
     improved = sum(1 for q in common if old[q] > 0 and new[q] / old[q] < 0.5
                    and (old[q] - new[q]) > args.min_abs)
     print(f"{len(failed)} unwaived regression(s); {improved} >2x improvement(s)")

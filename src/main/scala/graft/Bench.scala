@@ -1,5 +1,58 @@
 package graft
 import org.apache.spark.sql.functions._
+
+/** Deterministic CPU canary for the bench artifacts.
+  *
+  * The bench host carries heavy, varying external load: the sf1 pin
+  * moved 1.44x between rounds 9 and 11 on UNCHANGED code, and that
+  * drift had to be adjudicated by inference from standalone re-runs.
+  * This kernel turns host speed into DATA: a fixed-iteration SplitMix64
+  * mixing loop (integer-only, branch-free, cache-resident — immune to
+  * JIT profile differences across runs of the same build) measured
+  * single-threaded and at the bench's full 32-thread width, before and
+  * after the query sweep. Ratios of canary seconds between two
+  * artifacts estimate the host-speed component of any per-query swing;
+  * `scripts/bench_compare.py` reports canary-normalized ratios
+  * alongside raw ones. */
+object HostCanary {
+  @volatile var sink: Long = 0 // defeats dead-code elimination
+
+  private def kernel(iters: Long, seed: Long): Long = {
+    var x = seed
+    var acc = 0L
+    var i = 0L
+    while (i < iters) {
+      x += 0x9E3779B97F4A7C15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      acc ^= z ^ (z >>> 31)
+      i += 1
+    }
+    acc
+  }
+
+  /** Wall seconds for `threads` concurrent kernels of `iters` each. */
+  def measure(threads: Int, iters: Long): Double = {
+    val t0 = System.nanoTime()
+    val ts = (0 until threads).map { t =>
+      val th = new Thread(() => { sink ^= kernel(iters, t + 1L) })
+      th.start(); th
+    }
+    ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** (single-thread seconds, 32-thread seconds). One small warmup run
+    * JIT-compiles the kernel so the measured runs compare steady state. */
+  def sample(): (Double, Double) = {
+    measure(1, 10_000_000L) // warmup: force C2 compilation
+    val st = measure(1, 400_000_000L)
+    val mt = measure(32, 400_000_000L)
+    (st, mt)
+  }
+}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -47,6 +100,9 @@ object Bench {
         .split("\\s+").take(3).mkString(" ")
       catch { case _: Exception => "unavailable" }
     val loadBefore = loadavg()
+    // measured host speed (see HostCanary): bracket the sweep so drift
+    // DURING the run is visible too, not just between rounds
+    val (canStB, canMtB) = HostCanary.sample()
     var failed = List.empty[String]
     // The host carries heavy external load (observed ±50% swings on
     // identical code between driver rounds); report steady-state as the
@@ -96,7 +152,10 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._3).sum
     val failedJson = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$colds,"reps":$reps,"failed":$failedJson,"load_before":"$loadBefore","load_after":"${loadavg()}","sf":"$sfDir"}""")
+    val (canStA, canMtA) = HostCanary.sample()
+    val canaryJson = s"""{"st_before":$canStB,"mt_before":$canMtB,""" +
+      s""""st_after":$canStA,"mt_after":$canMtA,"threads":32,"iters":400000000}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$colds,"reps":$reps,"failed":$failedJson,"canary":$canaryJson,"load_before":"$loadBefore","load_after":"${loadavg()}","sf":"$sfDir"}""")
     spark.stop()
   }
 }

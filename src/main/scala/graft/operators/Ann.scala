@@ -54,6 +54,50 @@ class TopKAggregator(k: Int) extends Aggregator[ScoredId, Seq[ScoredId], Seq[Sco
   def outputEncoder: Encoder[Seq[ScoredId]] = ExpressionEncoder[Seq[ScoredId]]()
 }
 
+case class ScoredTag(score: Double, tag: String)
+
+/** [[TopKAggregator]] with a STRING payload — for top-k elections whose
+  * identity is text (anchor phrases, tokens, titles) and no long-id
+  * dictionary exists. Same bounded ascending buffer, same map-side
+  * partial top-k; ties on score break toward the LEXICOGRAPHICALLY
+  * SMALLER tag (deterministic without any id). */
+class TopKTagAggregator(k: Int)
+    extends Aggregator[ScoredTag, Seq[ScoredTag], Seq[ScoredTag]] {
+  require(k > 0)
+  def zero: Seq[ScoredTag] = Vector.empty
+
+  // ascending (score, reversed-tag): the head is always the element a
+  // full buffer evicts next — lowest score, largest tag among equals
+  private def less(a: ScoredTag, b: ScoredTag): Boolean =
+    a.score < b.score || (a.score == b.score && a.tag > b.tag)
+
+  private def insert(buf: Seq[ScoredTag], s: ScoredTag): Seq[ScoredTag] = {
+    val n = buf.length
+    if (n >= k && !less(buf.head, s)) buf
+    else {
+      val drop = if (n >= k) 1 else 0
+      val arr = new Array[ScoredTag](n - drop + 1)
+      var lo = drop
+      var hi = n
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (less(buf(mid), s)) lo = mid + 1 else hi = mid
+      }
+      var i = drop
+      while (i < lo) { arr(i - drop) = buf(i); i += 1 }
+      arr(lo - drop) = s
+      while (lo < n) { arr(lo - drop + 1) = buf(lo); lo += 1 }
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(arr)
+    }
+  }
+
+  def reduce(buf: Seq[ScoredTag], in: ScoredTag): Seq[ScoredTag] = insert(buf, in)
+  def merge(a: Seq[ScoredTag], b: Seq[ScoredTag]): Seq[ScoredTag] = b.foldLeft(a)(insert)
+  def finish(buf: Seq[ScoredTag]): Seq[ScoredTag] = buf.reverse
+  def bufferEncoder: Encoder[Seq[ScoredTag]] = ExpressionEncoder[Seq[ScoredTag]]()
+  def outputEncoder: Encoder[Seq[ScoredTag]] = ExpressionEncoder[Seq[ScoredTag]]()
+}
+
 /** Approximate / exact nearest-neighbor search over an embedding column. */
 object Ann {
 

@@ -244,32 +244,66 @@ object Html {
     * collapsed anchor text. */
   final case class Link(href: String, text: String)
 
-  /** The value of `attr` inside the tag starting at the `<` at `i`
-    * (quote-aware; unquoted values end at whitespace or `>`), or null. */
+  /** The value of `attr` inside the tag starting at the `<` at `i`, or
+    * null. Walks the tag's attributes SEQUENTIALLY (name, optional `=`,
+    * quoted/unquoted value) instead of substring-searching, so an
+    * `attr=` token INSIDE another attribute's quoted value (e.g.
+    * `<a title="a href=x" href=real>`) is skipped as part of that value
+    * and never parsed as the target. Name match is case-insensitive and
+    * exact-length; valueless (bare) attributes yield null; unquoted
+    * values end at whitespace or `>`. */
   private def attrAt(s: String, i: Int, attr: String): String = {
-    val end = skipTag(s, i)
+    val end = skipTag(s, i) // index AFTER the closing '>' (quote-aware)
     var p = i + 1
+    if (p < end && s.charAt(p) == '/') p += 1
+    // skip the tag name
+    while (p < end && !s.charAt(p).isWhitespace &&
+           s.charAt(p) != '>' && s.charAt(p) != '/') p += 1
     while (p < end) {
-      if (s.regionMatches(true, p, attr, 0, attr.length) &&
-          (p + attr.length < end) &&
-          { var q = p + attr.length
-            while (q < end && s.charAt(q).isWhitespace) q += 1
-            q < end && s.charAt(q) == '=' } &&
-          s.charAt(p - 1).isWhitespace) {
-        var q = p + attr.length
-        while (q < end && (s.charAt(q).isWhitespace || s.charAt(q) == '=')) q += 1
-        if (q >= end) return null
-        val c = s.charAt(q)
-        if (c == '"' || c == '\'') {
-          val close = s.indexOf(c, q + 1)
-          return if (close < 0 || close > end) null
-                 else s.substring(q + 1, close)
+      // inter-attribute separators (whitespace, stray '/' of '/>')
+      while (p < end && (s.charAt(p).isWhitespace || s.charAt(p) == '/')) p += 1
+      if (p >= end || s.charAt(p) == '>') return null
+      // attribute name
+      val nameStart = p
+      while (p < end && !s.charAt(p).isWhitespace &&
+             s.charAt(p) != '=' && s.charAt(p) != '>' &&
+             s.charAt(p) != '/') p += 1
+      val nameLen = p - nameStart
+      val isTarget = nameLen == attr.length &&
+        s.regionMatches(true, nameStart, attr, 0, attr.length)
+      // optional '=' value
+      var q = p
+      while (q < end && s.charAt(q).isWhitespace) q += 1
+      if (q < end && s.charAt(q) == '=') {
+        q += 1
+        while (q < end && s.charAt(q).isWhitespace) q += 1
+        if (q >= end || s.charAt(q) == '>') {
+          if (isTarget) return null
+          p = q
+        } else {
+          val c = s.charAt(q)
+          if (c == '"' || c == '\'') {
+            val close = s.indexOf(c, q + 1)
+            if (close < 0 || close >= end) { // unterminated quote
+              if (isTarget) return null
+              p = end
+            } else {
+              if (isTarget) return s.substring(q + 1, close)
+              p = close + 1
+            }
+          } else {
+            var r = q
+            while (r < end && !s.charAt(r).isWhitespace && s.charAt(r) != '>')
+              r += 1
+            if (isTarget) return s.substring(q, r)
+            p = r
+          }
         }
-        var r = q
-        while (r < end - 1 && !s.charAt(r).isWhitespace) r += 1
-        return s.substring(q, r)
+      } else {
+        // bare attribute (no value)
+        if (isTarget) return null
+        p = q
       }
-      p += 1
     }
     null
   }

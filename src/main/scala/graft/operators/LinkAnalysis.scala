@@ -79,10 +79,14 @@ object LinkAnalysis {
       val inMass =
         if (!hasDangling) coalesce(col("inw"), lit(0.0))
         else {
-          val dangling = ranks
+          val raw = ranks
             .join(danglingNodes.select(col("node").as("__dn")),
               ranks("node") === col("__dn"), "left_semi")
             .agg(coalesce(sum("rank"), lit(0.0))).head().getDouble(0)
+          // 9-dp fence on the cross-engine scalar (the PPR convention):
+          // partial-agg merge order can differ from an oracle's
+          // sequential sum by an ulp; fencing both sides pins it
+          val dangling = math.floor(raw * 1e9 + 0.5) / 1e9
           coalesce(col("inw"), lit(0.0)) + lit(dangling) / lit(n)
         }
       val next =

@@ -42,4 +42,33 @@ object LinkGraph {
       }
       .toDF("doc_id", "link_idx", "href", "resolved", "anchor")
   }
+
+  /** Anchor-text corpus: the top-`k` inlink anchor phrases per resolved
+    * target, by inlink count — the standard web-corpus retrieval/quality
+    * signal (what the rest of the web CALLS a page beats what the page
+    * says about itself; anchor aggregation over [[edges]]' output is the
+    * classic construction). Output: (target, rank, anchor, cnt) with
+    * rank 1..k per target, ties on count toward the lexicographically
+    * smaller anchor (deterministic, engine-portable).
+    *
+    * 100 TB shape: one (target, anchor)-keyed count aggregate (map-side
+    * combine — duplicate anchors collapse before the shuffle), then the
+    * BOUNDED [[Selection.topKPerGroupTagged]] election: ≤ k (count,
+    * anchor) pairs per (map partition, target), no per-target window
+    * sort — a mega-inlink page (every crawl has a few) costs the same
+    * aggregation state as a two-inlink one. */
+  def anchorCorpus(edges: DataFrame, target: Column, anchor: Column,
+                   k: Int): DataFrame = {
+    val cnt = edges
+      .select(target.cast("string").as("target"),
+        anchor.cast("string").as("anchor"))
+      .filter(col("target").isNotNull)
+      .groupBy("target", "anchor").agg(count(lit(1)).as("cnt"))
+    Selection.topKPerGroupTagged(cnt, Seq("target"),
+        col("cnt").cast("double"), col("anchor"), k)
+      .select(col("target"), col("rank"), col("tag").as("anchor"),
+        // the election score IS the count (exact in double far past any
+        // real inlink count) — no join back needed
+        col("score").cast("long").as("cnt"))
+  }
 }

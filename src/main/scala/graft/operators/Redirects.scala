@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Functional-chain resolution — the wiki REDIRECT pass ([[WikiXml]]
@@ -31,14 +31,36 @@ import org.apache.spark.sql.functions._
 object Redirects {
 
   /** Resolve every chain: (src, final_dst, depth, terminated). `edges`
-    * must be functional on `src`; `maxDepth` bounds the resolvable
-    * chain length (rounded up to the next power of two). */
+    * must be functional on `src`. `maxDepth` is a HARD bound: a row
+    * reports `terminated = 1` iff its chain reaches a non-source `dst`
+    * in ≤ `maxDepth` hops — the doubling rounds internally cover the
+    * next power of two, but any row whose resolved depth exceeds
+    * `maxDepth` is masked to `(-1, -1, 0)` in the final select exactly
+    * like a cycle, so the documented bound IS the observed bound. */
   def resolve(edges: DataFrame, srcCol: String, dstCol: String,
               maxDepth: Int = 32,
-              policy: CheckpointPolicy = CheckpointPolicy.Local): DataFrame = {
+              policy: CheckpointPolicy = CheckpointPolicy.Local): DataFrame =
+    resolveCore(edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")), maxDepth, policy, lit(-1L))
+
+  /** [[resolve]] over NON-numeric keys (URL or title alias tables,
+    * where no id dictionary exists yet): identical pointer-doubling
+    * plan on the columns' native type. String keys widen the shuffle
+    * payload — prefer [[resolve]]'s 8-byte longs when a dictionary is
+    * already at hand. Unresolved rows (cycles, over-depth) mask
+    * `final_dst` to NULL and `depth` to -1. */
+  def resolveKeyed(edges: DataFrame, srcCol: String, dstCol: String,
+                   maxDepth: Int = 32,
+                   policy: CheckpointPolicy = CheckpointPolicy.Local): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    resolveCore(e, maxDepth, policy,
+      lit(null).cast(e.schema("dst").dataType))
+  }
+
+  private def resolveCore(e: DataFrame, maxDepth: Int,
+                          policy: CheckpointPolicy,
+                          maskDst: Column): DataFrame = {
     require(maxDepth >= 1, s"maxDepth >= 1: $maxDepth")
-    val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst"))
     var m = policy.pin(e.withColumn("depth", lit(1L)))
     val rounds = 32 - Integer.numberOfLeadingZeros(math.max(1, maxDepth - 1))
     for (_ <- 0 until rounds) {
@@ -50,14 +72,15 @@ object Redirects {
           coalesce(col("__bd"), col("dst")).as("dst"),
           (col("depth") + coalesce(col("__bdep"), lit(0L))).as("depth")))
     }
-    // resolved ⇔ the final dst is not itself a source
+    // resolved ⇔ the final dst is not itself a source AND the chain fits
+    // the documented bound (doubling can overshoot maxDepth up to the
+    // next power of two — those rows mask like cycles)
     val srcs = e.select(col("src").as("__s")).distinct()
+    val ok = col("__s").isNull && col("depth") <= lit(maxDepth.toLong)
     m.join(srcs, col("dst") === col("__s"), "left")
       .select(col("src"),
-        when(col("__s").isNull, col("dst")).otherwise(lit(-1L))
-          .as("final_dst"),
-        when(col("__s").isNull, col("depth")).otherwise(lit(-1L))
-          .as("depth"),
-        col("__s").isNull.cast("long").as("terminated"))
+        when(ok, col("dst")).otherwise(maskDst).as("final_dst"),
+        when(ok, col("depth")).otherwise(lit(-1L)).as("depth"),
+        ok.cast("long").as("terminated"))
   }
 }

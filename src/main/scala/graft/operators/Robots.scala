@@ -33,13 +33,29 @@ import org.apache.spark.sql.functions._
   *    no matching rule → allowed.
   *
   * Scale: robots.txt data is one small text per authority while the URL
-  * side is the crawl — so [[verdicts]] parses the robots side behind a
-  * typed map (tiny), BROADCASTS the per-domain rule arrays, and decides
-  * each URL with per-row local work after a broadcast hash join: the
-  * 100 TB URL table never shuffles and never carries more than the
-  * match target. The wildcard matcher is hand-rolled (greedy
-  * earliest-occurrence segment scan — optimal for `*`-only wildcards),
-  * not a per-row regex compile.
+  * side is the crawl — but the NUMBER of authorities scales with the
+  * crawl (a CommonCrawl-sized corpus holds tens of millions of
+  * registrable domains, so the parsed rule arrays are tens of GB). The
+  * join strategy is therefore SIZE-AWARE: [[verdicts]] parses the
+  * robots side behind a typed map and broadcasts the per-domain rule
+  * arrays only while the domain count fits `broadcastMaxDomains`
+  * (default 250k — parsed rule arrays average ~1 KB, so the broadcast
+  * stays ≈250 MB, inside executor comfort); above it the hint is
+  * dropped and a plain domain-keyed equi-join carries the big case
+  * (AQE picks the physical join from runtime sizes). Either way the
+  * URL side carries only (domain, match target) fixed-width columns
+  * into the join — never the text. The wildcard matcher is hand-rolled
+  * (greedy earliest-occurrence segment scan — optimal for `*`-only
+  * wildcards), not a per-row regex compile.
+  *
+  * Scoping: RFC 9309 scopes robots.txt per ORIGIN (scheme+host+port).
+  * The join key here is whatever the caller supplies on the robots side
+  * (`domainCol`) paired with `urlKey` on the URL side — pass
+  * `Urls.host` for per-host RFC scoping, or keep the default
+  * [[Urls.registeredDomain]], a documented SIMPLIFICATION (like the
+  * exact-token group selection) that applies one rule set across
+  * sibling hosts of a registrable domain — the right key when the
+  * robots fixture itself is domain-grained.
   *
   * q156 gates the whole stage against a closed-form DuckDB replay of
   * the planted rule semantics (longest-match, tie→allow, `$`+query
@@ -169,14 +185,26 @@ object Robots {
       .otherwise(concat(lit("?"), q)))
   }
 
+  /** The default broadcast ceiling: parsed rule arrays average ~1 KB per
+    * domain, so 250k domains ≈ 250 MB — the upper edge of executor
+    * broadcast comfort. Above it [[verdicts]] switches to a plain
+    * domain-keyed equi-join (see class doc). */
+  val DefaultBroadcastMaxDomains: Long = 250000L
+
   /** Per-URL robots verdicts for one crawler `agent`:
     * (doc_id, domain, target, allowed 1|0, rule, kind). `robots` is
-    * (domain text, robots.txt text); URLs key to it by
-    * [[Urls.registeredDomain]]. Missing robots → allowed/none (the
-    * protocol's default). Broadcast join — see class doc. */
+    * (domain text, robots.txt text); URLs key to it by `urlKey`
+    * (default [[Urls.registeredDomain]] — see the class-doc scoping
+    * note; pass [[Urls.host]] for per-origin RFC scoping). Missing
+    * robots → allowed/none (the protocol's default). Size-aware join:
+    * broadcast while the robots side holds ≤ `broadcastMaxDomains`
+    * rows (one cheap count aggregate decides), plain equi-join above —
+    * see class doc. */
   def verdicts(urls: DataFrame, id: Column, url: Column,
                robots: DataFrame, domainCol: Column, txtCol: Column,
-               agent: String): DataFrame = {
+               agent: String,
+               broadcastMaxDomains: Long = DefaultBroadcastMaxDomains,
+               urlKey: Column => Column = Urls.registeredDomain): DataFrame = {
     val spark = urls.sparkSession
     import spark.implicits._
     val ruleRows = robots.select(domainCol.cast("string"), txtCol.cast("string"))
@@ -185,10 +213,14 @@ object Robots {
         (dom, rulesFor(parse(txt), agent).map(r => (r.allow, r.pattern)))
       }
       .toDF("domain", "__rules")
+    // size the strategy on the CHEAP side: a count over the raw robots
+    // frame (no parse map), one small aggregate job
+    val small = robots.count() <= broadcastMaxDomains
+    val ruleSide = if (small) broadcast(ruleRows) else ruleRows
     urls.select(id.cast("long").as("doc_id"),
-        Urls.registeredDomain(url).as("domain"),
+        urlKey(url).as("domain"),
         matchTarget(url).as("target"))
-      .join(broadcast(ruleRows), Seq("domain"), "left")
+      .join(ruleSide, Seq("domain"), "left")
       // the join leads with its key — restore the encoder's column order
       .select(col("doc_id"), col("domain"), col("target"), col("__rules"))
       .as[(Long, String, String, Seq[(Boolean, String)])]
@@ -204,8 +236,11 @@ object Robots {
   /** Keep only the rows `agent` may fetch. */
   def filterAllowed(urls: DataFrame, id: Column, url: Column,
                     robots: DataFrame, domainCol: Column, txtCol: Column,
-                    agent: String): DataFrame = {
-    val v = verdicts(urls, id, url, robots, domainCol, txtCol, agent)
+                    agent: String,
+                    broadcastMaxDomains: Long = DefaultBroadcastMaxDomains,
+                    urlKey: Column => Column = Urls.registeredDomain): DataFrame = {
+    val v = verdicts(urls, id, url, robots, domainCol, txtCol, agent,
+        broadcastMaxDomains, urlKey)
       .filter(col("allowed") === 1L).select(col("doc_id").as("__keep_id"))
     urls.join(v, id.cast("long") === col("__keep_id"), "leftsemi")
   }
@@ -214,14 +249,27 @@ object Robots {
     * shape-preserving (a plain row filter — legal in any micro-batch
     * plan, no self-join, no id column required), with the rule map
     * collected to the driver at plan time and shipped in the closure.
-    * The collect is bounded by construction: the robots side is one
-    * small text per authority (the same boundedness class as the BPE
-    * merge-table pulls), while the unbounded side — the URLs — streams
-    * through untouched. Batch == stream semantics by sharing
-    * [[rulesFor]]/[[decide]] with [[verdicts]]. */
+    * The collect is BOUNDED BY CONTRACT, not construction: a
+    * crawl-scale robots table does not fit a driver map, so the call
+    * `require`s the robots side to hold ≤ `maxDomains` rows (default
+    * [[DefaultBroadcastMaxDomains]] — the same ~250 MB driver/closure
+    * comfort bound as the batch broadcast ceiling, same ~1 KB-per-domain
+    * rationale). Streams whose rule universe exceeds it should
+    * pre-restrict the robots side to the stream's domain universe or
+    * run the batch [[filterAllowed]] per sink partition. Batch ==
+    * stream semantics by sharing [[rulesFor]]/[[decide]] with
+    * [[verdicts]]. */
   def filterAllowedStreaming(urls: DataFrame, url: Column,
                              robots: DataFrame, domainCol: Column,
-                             txtCol: Column, agent: String): DataFrame = {
+                             txtCol: Column, agent: String,
+                             maxDomains: Long = DefaultBroadcastMaxDomains,
+                             urlKey: Column => Column = Urls.registeredDomain): DataFrame = {
+    val n = robots.count()
+    require(n <= maxDomains,
+      s"filterAllowedStreaming collects the rule map to the driver: " +
+      s"$n robots rows exceed the documented maxDomains bound " +
+      s"($maxDomains); pre-restrict the robots side or use the batch " +
+      s"filterAllowed")
     val ruleMap: Map[String, Seq[Rule]] =
       robots.select(domainCol.cast("string"), txtCol.cast("string"))
         .collect()
@@ -229,7 +277,7 @@ object Robots {
           rulesFor(parse(r.getString(1)), agent))
         .toMap
     val withCols = urls
-      .withColumn("__rb_domain", Urls.registeredDomain(url))
+      .withColumn("__rb_domain", urlKey(url))
       .withColumn("__rb_target", matchTarget(url))
     val di = withCols.schema.fieldIndex("__rb_domain")
     val ti = withCols.schema.fieldIndex("__rb_target")

@@ -73,6 +73,28 @@ object Selection {
         col("__n.id").as("id"), col("__n.score").as("score")): _*)
   }
 
+  /** [[topKPerGroup]] for STRING-identified rows (anchor phrases,
+    * tokens, titles — no long id exists): same bounded
+    * [[graft.operators.TopKTagAggregator]] shape — ≤ k (score, tag)
+    * pairs per (map partition, group), no per-group window sort. Ties
+    * on score break toward the lexicographically SMALLER tag. Rows with
+    * a NULL score or tag are excluded, as in [[topKPerGroup]]. Output:
+    * (group columns…, rank, tag, score). */
+  def topKPerGroupTagged(df: DataFrame, groups: Seq[String], score: Column,
+                         tag: Column, k: Int): DataFrame = {
+    val topk = udaf(new TopKTagAggregator(k),
+      org.apache.spark.sql.Encoders.product[ScoredTag])
+    df.select(groups.map(col) :+ score.cast("double").as("__s") :+
+        tag.cast("string").as("__t"): _*)
+      .filter(col("__s").isNotNull && col("__t").isNotNull)
+      .groupBy(groups.map(col): _*)
+      .agg(topk(col("__s"), col("__t")).as("__nn"))
+      .select(groups.map(col) :+ posexplode(col("__nn")).as(Seq("__r0", "__n")): _*)
+      .select(groups.map(col) ++ Seq(
+        (col("__r0") + 1).cast("long").as("rank"),
+        col("__n.tag").as("tag"), col("__n.score").as("score")): _*)
+  }
+
   /** Neyman-allocation stratified sampling (the survey-sampling optimum:
     * a fixed budget is split across strata ∝ Nₕ·σₕ, so high-variance
     * strata get proportionally MORE than their population share — minimum

@@ -109,7 +109,12 @@ object Urls {
     * fragment-only refs resolve to the base (self-link); relative paths
     * merge against the base directory with `.`/`..` segment
     * normalization; non-hierarchical schemes (`mailto:`, `javascript:`,
-    * `data:`) and empty refs return null — not graph edges. */
+    * `data:`) and empty refs return null — not graph edges. A ref is
+    * scheme-qualified ONLY when its first `:` precedes any `/`, `?`, `#`
+    * AND the prefix matches the RFC 3986 scheme grammar
+    * (`ALPHA *(ALPHA / DIGIT / "+" / "-" / ".")`): a colon in the query
+    * or first path segment (`watch?t=1:30`, `10:30.html`) is a legal
+    * RELATIVE ref and must not be dropped as a bogus scheme. */
   def resolveRef(base: String, ref: String): String = {
     if (ref == null || base == null) return null
     val r = ref.trim
@@ -117,8 +122,9 @@ object Urls {
     val baseNoFrag = { val h = base.indexOf('#'); if (h < 0) base else base.substring(0, h) }
     if (r.startsWith("#")) return baseNoFrag
     val colon = r.indexOf(':')
-    val slash = r.indexOf('/')
-    if (colon > 0 && (slash < 0 || colon < slash)) {
+    val delim = r.indexWhere(c => c == '/' || c == '?' || c == '#')
+    if (colon > 0 && (delim < 0 || colon < delim) &&
+        isSchemePrefix(r, colon)) {
       // scheme-qualified: keep http(s), reject non-hierarchical schemes
       val scheme = r.substring(0, colon).toLowerCase
       return if (scheme == "http" || scheme == "https") r else null
@@ -143,6 +149,23 @@ object Urls {
       case i => basePath.substring(0, i + 1)
     }
     root + normalizePath(dir + r)
+  }
+
+  /** Is `r.substring(0, colon)` a valid RFC 3986 scheme
+    * (`ALPHA *(ALPHA / DIGIT / "+" / "-" / ".")`)? A ref like
+    * `10:30.html` fails this (digit first) and resolves relatively. */
+  private def isSchemePrefix(r: String, colon: Int): Boolean = {
+    val c0 = r.charAt(0)
+    if (!((c0 >= 'a' && c0 <= 'z') || (c0 >= 'A' && c0 <= 'Z'))) return false
+    var i = 1
+    while (i < colon) {
+      val c = r.charAt(i)
+      val ok = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+        (c >= '0' && c <= '9') || c == '+' || c == '-' || c == '.'
+      if (!ok) return false
+      i += 1
+    }
+    true
   }
 
   /** Remove `.` and `..` segments (RFC 3986 §5.2.4; `..` above root is

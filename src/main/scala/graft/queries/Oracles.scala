@@ -2665,7 +2665,9 @@ object Oracles {
            ELSE 'Doc "' || CAST(doc_id AS VARCHAR) || '"' END AS title,
       CAST(doc_id % 4 AS BIGINT) AS ns,
       CAST(CASE WHEN doc_id % 6 = 0 THEN 1 ELSE 0 END AS BIGINT) AS redirect,
-      CASE WHEN doc_id % 6 = 0 THEN 'R & D ' || CAST(doc_id AS VARCHAR)
+      CASE WHEN doc_id % 18 = 0 THEN 'Doc "' || CAST(doc_id + 2 AS VARCHAR) || '"'
+           WHEN doc_id % 18 = 6 THEN 'Doc "' || CAST(doc_id - 6 AS VARCHAR) || '"'
+           WHEN doc_id % 6 = 0 THEN 'R & D ' || CAST(doc_id AS VARCHAR)
            ELSE '' END AS redirect_title,
       md5(CASE WHEN doc_id % 9 = 0 THEN ''
             ELSE coalesce(text, '') || ' A&B <tag> ' || chr(8364) || '5'
@@ -2813,9 +2815,11 @@ object Oracles {
   /** q164: link-graph edges — every planted href class rebuilt
     * closed-form: absolute pass-through, protocol-relative scheme
     * inheritance, rooted path, child-relative and `../` RFC 3986
-    * merges against the `/a/b/` base dir, fragment-only self link;
-    * mailto and href-less anchors emit nothing, so link_idx is dense
-    * 0-5; registered domains via the PSL default rule. */
+    * merges against the `/a/b/` base dir, colon-bearing relative ref
+    * (`watch?t=1:30` resolves against the base dir — not a scheme),
+    * fragment-only self link; mailto and href-less anchors (incl. the
+    * `href=` decoy inside the title value) emit nothing, so link_idx is
+    * dense 0-6; registered domains via the PSL default rule. */
   val q164 = """
     WITH b AS (SELECT doc_id,
         'https://site' || CAST(doc_id % 5 AS VARCHAR) || '.example' AS root,
@@ -2833,10 +2837,150 @@ object Oracles {
            root || '/a/b/sub/page.html', 'Child', dom FROM b
     UNION ALL SELECT doc_id, 4, '../up/page.html',
            root || '/a/up/page.html', 'Up', dom FROM b
-    UNION ALL SELECT doc_id, 5, '#top',
+    UNION ALL SELECT doc_id, 5, 'watch?t=1:30',
+           root || '/a/b/watch?t=1:30', 'Colon Rel', dom FROM b
+    UNION ALL SELECT doc_id, 6, '#top',
            root || '/a/b/doc' || CAST(doc_id AS VARCHAR) || '.html',
            'Self ' || CAST(doc_id AS VARCHAR), dom FROM b
     ORDER BY doc_id, link_idx"""
+
+  /** q165: crawl→graph→centrality — the whole chain replayed
+    * closed-form: each page of class k = doc_id%5 emits one hub edge
+    * whose CANONICAL domain follows m = doc_id%4 (0/1 → news.example —
+    * the 1- and 2-hop chains; 2 → redir.example — the self-cycle keeps
+    * its crawl URL; 3 → shop.example) plus one static news edge; the
+    * /local/nav self-domain edge dies on the intra-domain cut. Domain
+    * edges aggregate as counts, then all 5 PageRank iterations unroll
+    * with the q123 arithmetic PLUS the live dangling term (news/shop/
+    * redir have no out-edges): the dangling scalar is 9-dp fenced on
+    * both engines (the q147 dg convention), redistributed uniformly
+    * (dm / n), and every rank re-fences per iteration. */
+  val q165: String = {
+    val head = """
+    WITH b AS (SELECT doc_id % 5 AS k, doc_id % 4 AS m FROM documents),
+    de AS (
+      SELECT 'site' || CAST(k AS VARCHAR) || '.example' AS src,
+             CASE WHEN m IN (0, 1) THEN 'news.example'
+                  WHEN m = 2 THEN 'redir.example'
+                  ELSE 'shop.example' END AS dst
+      FROM b
+      UNION ALL
+      SELECT 'site' || CAST(k AS VARCHAR) || '.example', 'news.example'
+      FROM b),
+    edges AS (SELECT src, dst, CAST(count(*) AS DOUBLE) AS w
+              FROM de GROUP BY 1, 2),
+    nodes AS (SELECT DISTINCT node FROM (
+      SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY src),
+    r0 AS (SELECT node, floor(1.0 / nn.n * 1e9 + 0.5) / 1e9 AS rnk
+           FROM nodes, nn)"""
+    val its = (1 to 5).map { i =>
+      s"""
+    c$i AS (SELECT e.dst AS node, sum(r.rnk * e.w / o.ow) AS inw
+            FROM edges e JOIN outw o ON e.src = o.src
+            JOIN r${i - 1} r ON r.node = e.src
+            GROUP BY e.dst),
+    dg$i AS (SELECT floor(coalesce(sum(r.rnk), 0.0) * 1e9 + 0.5) / 1e9 AS dm
+             FROM r${i - 1} r LEFT JOIN outw o ON o.src = r.node
+             WHERE o.src IS NULL),
+    r$i AS (SELECT n.node,
+              floor(((1.0 - 0.85) / nn.n
+                     + 0.85 * (coalesce(c.inw, 0.0) + dg$i.dm / nn.n))
+                    * 1e9 + 0.5) / 1e9 AS rnk
+            FROM nodes n CROSS JOIN nn CROSS JOIN dg$i
+            LEFT JOIN c$i c ON c.node = n.node)"""
+    }.mkString(",")
+    head + "," + its + """
+    SELECT node, rnk AS "rank" FROM r5 ORDER BY node"""
+  }
+
+  /** q166: anchor-text corpus — counts per (class target, anchor)
+    * replayed by GROUP BY over the residue plant, the top-3 election as
+    * an explicit (count desc, anchor asc) window; the near-equal class
+    * counts make the tie-break genuinely load-bearing. */
+  val q166 = """
+    WITH b AS (SELECT doc_id % 3 AS c, doc_id % 4 AS a FROM documents),
+    an AS (
+      SELECT 'https://t' || CAST(c AS VARCHAR) || '.example/page' AS target,
+             'A' || CAST(a AS VARCHAR) AS anchor FROM b
+      UNION ALL
+      SELECT 'https://t' || CAST(c AS VARCHAR) || '.example/page', 'Common'
+      FROM b),
+    cnt AS (SELECT target, anchor, count(*) AS cnt FROM an GROUP BY 1, 2),
+    rk AS (SELECT target, anchor, cnt,
+             row_number() OVER (PARTITION BY target
+                                ORDER BY cnt DESC, anchor ASC) AS rnk
+           FROM cnt)
+    SELECT target, CAST(rnk AS BIGINT) AS "rank", anchor,
+           CAST(cnt AS BIGINT) AS cnt
+    FROM rk WHERE rnk <= 3 ORDER BY target, "rank""""
+
+  /** q167: wiki redirect alias map — the resolution grid replayed with
+    * SQL joins over the rebuilt page/redirect tables: the title
+    * dictionary (quarantined %25=7 pages absent), the target join
+    * (`R & D` targets miss → broken aliases), the ≤2-hop chain as one
+    * explicit left-join step, termination = final dst is not an edge
+    * source, and the -1/''/0 masks for unresolved rows. */
+  val q167 = """
+    WITH p AS (SELECT doc_id AS id,
+                 'Doc "' || CAST(doc_id AS VARCHAR) || '"' AS title
+               FROM documents WHERE doc_id % 25 <> 7),
+    r AS (SELECT id, title,
+            CASE WHEN id % 18 = 0
+                   THEN 'Doc "' || CAST(id + 2 AS VARCHAR) || '"'
+                 WHEN id % 18 = 6
+                   THEN 'Doc "' || CAST(id - 6 AS VARCHAR) || '"'
+                 ELSE 'R & D ' || CAST(id AS VARCHAR) END AS rt
+          FROM p WHERE id % 6 = 0),
+    e AS (SELECT r.id AS src, t.id AS dst FROM r JOIN p t ON t.title = r.rt),
+    s2 AS (SELECT e.src, coalesce(e2.dst, e.dst) AS dst,
+                  1 + CASE WHEN e2.dst IS NULL THEN 0 ELSE 1 END AS depth
+           FROM e LEFT JOIN e e2 ON e2.src = e.dst),
+    fin AS (SELECT s2.src, s2.dst, s2.depth,
+                   CASE WHEN x.src IS NULL THEN 1 ELSE 0 END AS term
+            FROM s2 LEFT JOIN (SELECT DISTINCT src FROM e) x
+              ON x.src = s2.dst)
+    SELECT r.id AS page_id, r.title, r.rt AS redirect_title,
+           CAST(coalesce(CASE WHEN fin.term = 1 THEN fin.dst END, -1)
+                AS BIGINT) AS final_page_id,
+           coalesce(CASE WHEN fin.term = 1
+                      THEN 'Doc "' || CAST(fin.dst AS VARCHAR) || '"' END,
+                    '') AS final_title,
+           CAST(coalesce(CASE WHEN fin.term = 1 THEN fin.depth END, 0)
+                AS BIGINT) AS depth,
+           CAST(coalesce(fin.term, 0) AS BIGINT) AS resolved
+    FROM r LEFT JOIN fin ON fin.src = r.id
+    ORDER BY page_id"""
+
+  /** q168: JPEG/EXIF triage — every field is pure residue arithmetic:
+    * dims mirror the encode inputs, the quarantine classes mask to
+    * -1/0 with their error strings, orientation follows the id%8 plant
+    * except the no-EXIF class, and n_segments counts exactly the
+    * segments the walk passes per class (bad magic 0; truncated 2 —
+    * COM + SOF, the cut lands mid-SOS and the truncated class id%25=18
+    * implies id%5=3 so no APP1; clean 3 without EXIF, 4 with). */
+  val q168 = """
+    SELECT doc_id,
+      CAST(CASE WHEN doc_id % 25 IN (9, 18) THEN -1
+                ELSE 16 + doc_id % 64 END AS BIGINT) AS width,
+      CAST(CASE WHEN doc_id % 25 IN (9, 18) THEN -1
+                ELSE 16 + (doc_id * 7) % 64 END AS BIGINT) AS height,
+      CAST(CASE WHEN doc_id % 25 IN (9, 18) THEN 0
+                WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END AS BIGINT)
+        AS progressive,
+      CAST(CASE WHEN doc_id % 25 IN (9, 18) OR doc_id % 5 = 3 THEN 0
+                ELSE 1 + doc_id % 8 END AS BIGINT) AS orientation,
+      CAST(CASE WHEN doc_id % 25 IN (9, 18) OR doc_id % 5 = 3 THEN 0
+                ELSE 1 END AS BIGINT) AS has_exif,
+      CAST(CASE WHEN doc_id % 25 = 9 THEN 0
+                WHEN doc_id % 25 = 18 THEN 2
+                WHEN doc_id % 5 = 3 THEN 3 ELSE 4 END AS BIGINT)
+        AS n_segments,
+      CASE WHEN doc_id % 25 = 9 THEN 'bad magic'
+           WHEN doc_id % 25 = 18 THEN 'truncated'
+           ELSE '' END AS err
+    FROM documents ORDER BY doc_id"""
 
   /** q141: exact substring dedup — brute-force replay over the literal
     * strings: EVERY (position, m) window for m in [16, n] — UNCAPPED, so
@@ -4506,6 +4650,10 @@ object Oracles {
     "q161_wikitext_clean" -> q161,
     "q162_wiki_corpus" -> q162,
     "q163_redirect_resolution" -> q163,
-    "q164_link_graph" -> q164
+    "q164_link_graph" -> q164,
+    "q165_crawl_graph_centrality" -> q165,
+    "q166_anchor_corpus" -> q166,
+    "q167_wiki_redirect_aliases" -> q167,
+    "q168_jpeg_metadata" -> q168
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

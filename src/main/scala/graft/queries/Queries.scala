@@ -3482,7 +3482,11 @@ object Queries {
 
   /** The synthesized MediaWiki dump dir q158 reads: one `<page>` per
     * document with planted entities in the title (`&quot;`), a
-    * `<redirect>` attribute with `&amp;` (doc_id % 6 = 0), a revision
+    * `<redirect>` attribute on every doc_id % 6 = 0 page forming a
+    * RESOLUTION GRID for q167 (% 18 = 0 targets the content page
+    * `Doc "{id+2}"` — depth 1; % 18 = 6 targets the % 18 = 0 redirect
+    * `Doc "{id-6}"` — depth 2; % 18 = 12 keeps the `R &amp; D {id}`
+    * entity plant, a BROKEN target matching no page), a revision
     * `<id>` that must NOT win over the page id, attribute-carrying and
     * self-closing `<text>` forms (doc_id % 9 = 0 → empty), a
     * missing-title quarantine plant (doc_id % 25 = 7), raw numeric/
@@ -3512,9 +3516,16 @@ object Queries {
                 lit("&quot;</title>\n"))),
             lit("    <ns>"), id % 4, lit("</ns>\n"),
             lit("    <id>"), id, lit("</id>\n"),
-            when(id % 6 === 0,
-              concat(lit("    <redirect title=\"R &amp; D "), id,
-                lit("\" />\n"))).otherwise(lit("")),
+            when(id % 18 === 0,
+              concat(lit("    <redirect title=\"Doc &quot;"), id + 2,
+                lit("&quot;\" />\n")))
+              .when(id % 18 === 6,
+                concat(lit("    <redirect title=\"Doc &quot;"), id - 6,
+                  lit("&quot;\" />\n")))
+              .when(id % 6 === 0, // % 18 = 12: broken target, &amp; plant
+                concat(lit("    <redirect title=\"R &amp; D "), id,
+                  lit("\" />\n")))
+              .otherwise(lit("")),
             lit("    <revision>\n      <id>"), id + 1000000,
             lit("</id>\n"),
             when(id % 9 === 0, lit("      <text bytes=\"0\" />\n"))
@@ -3690,11 +3701,15 @@ object Queries {
     * plants every href class a crawler's link extractor meets: an
     * absolute link with query, a protocol-relative `//host` link, a
     * rooted `/path` link, a child-relative path, a `../` parent path
-    * (the RFC 3986 merge), a fragment-only self link, a `mailto:`
-    * (no edge), and an href-less named anchor (no edge). Six edges per
-    * page; anchor text with an entity plant rides along. The oracle
-    * rebuilds every (link_idx, href, resolved, anchor, domain) row
-    * closed-form, including the PSL domain of each resolved target. */
+    * (the RFC 3986 merge), a fragment-only self link, a COLON-bearing
+    * relative ref (`watch?t=1:30` — the RFC 3986 scheme-grammar case a
+    * naive first-colon test misreads as a scheme and drops), a
+    * `mailto:` (no edge), and an href-less named anchor (no edge) whose
+    * title value plants an `href=` TOKEN inside it (must not parse as a
+    * link — the quote-aware attribute walk). Seven edges per page;
+    * anchor text with an entity plant rides along. The oracle rebuilds
+    * every (link_idx, href, resolved, anchor, domain) row closed-form,
+    * including the PSL domain of each resolved target. */
   def q164LinkGraph(s: SparkSession, d: String): DataFrame = {
     val id = col("doc_id")
     val base = concat(lit("https://site"), id % 5, lit(".example/a/b/doc"),
@@ -3706,15 +3721,176 @@ object Queries {
         "<a href=\"/rooted/page\">Rooted</a>" +
         "<a href=\"sub/page.html\">Child</a>" +
         "<a href=\"../up/page.html\">Up</a>" +
+        "<a href=\"watch?t=1:30\">Colon Rel</a>" +
         "<a href=\"mailto:a@b.c\">Mail</a>" +
         "<a href=\"#top\">Self "), id,
-      lit("</a><a name=\"anchor\">NoHref</a></div></body></html>"))
+      lit("</a><a name=\"anchor\" title=\"a href=decoy\">NoHref</a>" +
+        "</div></body></html>"))
     val e = LinkGraph.edges(
       Tables.documents(s, d).select(id, base.as("u"), html.as("h")),
       col("doc_id"), col("u"), col("h"))
     e.select(col("doc_id"), col("link_idx"), col("href"), col("resolved"),
         col("anchor"), Urls.registeredDomain(col("resolved")).as("domain"))
       .orderBy("doc_id", "link_idx")
+  }
+
+  /** q165: crawl→graph→centrality — the composition that makes the
+    * link-graph seams FEED something: per-page link extraction (the
+    * real [[LinkGraph.edges]] container) → redirect CANONICALIZATION of
+    * the targets ([[Redirects.resolveKeyed]] over a planted URL-space
+    * chain table: a 1-hop, a 2-hop, a self-cycle whose targets keep
+    * their crawl URL, and a second 1-hop) → intra-domain edge cut
+    * (navigation, not endorsement — the standard host-graph cut) →
+    * registered-domain edge aggregation ([[Urls.registeredDomain]],
+    * count weights) → [[LinkAnalysis.pageRank]] host centrality over
+    * the ~8-node domain graph (5 iterations). The news/shop/redir hosts
+    * have no out-edges, so the DANGLING redistribution term is live —
+    * the first oracle-gated dangling path of the global PageRank. The
+    * oracle replays the planted link classes, the chain depths, the
+    * domain aggregation, and all 5 fenced iterations closed-form. */
+  def q165CrawlGraphCentrality(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val id = col("doc_id")
+    val base = concat(lit("https://site"), id % 5, lit(".example/a/b/doc"),
+      id, lit(".html"))
+    val html = concat(
+      lit("<div><a href=\"https://redir.example/r"), id % 4,
+      lit("\">Hub</a><a href=\"https://news.example/static\">News</a>" +
+        "<a href=\"/local/nav\">Nav</a></div>"))
+    val pages = Tables.documents(s, d).select(id, base.as("u"), html.as("h"))
+    val e = LinkGraph.edges(pages, col("doc_id"), col("u"), col("h"))
+    val redirects = Seq(
+      ("https://redir.example/r0", "https://news.example/final0"),
+      ("https://redir.example/r1", "https://redir.example/r0"),
+      ("https://redir.example/r2", "https://redir.example/r2"),
+      ("https://redir.example/r3", "https://shop.example/final3"))
+      .toDF("rsrc", "rdst")
+    val res = Redirects.resolveKeyed(redirects, "rsrc", "rdst", maxDepth = 4,
+      policy = CheckpointPolicy.fromSession(s))
+    val canon = e.join(res.select(col("src").as("__rs"), col("final_dst"),
+        col("terminated")), col("resolved") === col("__rs"), "left")
+      .select(col("doc_id"),
+        when(col("terminated") === 1L, col("final_dst"))
+          .otherwise(col("resolved")).as("tgt"))
+    val withSrc = canon.join(pages.select(col("doc_id"), col("u")),
+      Seq("doc_id"))
+    val dom = withSrc.select(Urls.registeredDomain(col("u")).as("sd"),
+        Urls.registeredDomain(col("tgt")).as("dd"))
+      .filter(col("sd") =!= col("dd"))
+    val domEdges = dom.groupBy(col("sd").as("src"), col("dd").as("dst"))
+      .agg(count(lit(1)).cast("double").as("w"))
+    LinkAnalysis.pageRank(domEdges, iters = 5,
+        policy = CheckpointPolicy.fromSession(s))
+      .orderBy("node")
+  }
+
+  /** q167: wiki redirect ALIAS MAP — q162's corpus cut DROPS redirect
+    * pages; this composition makes them useful instead: every redirect
+    * title maps to its FINAL content page, the alias table that dedups
+    * incoming links/mentions of "USA" vs "United States" to one target.
+    * Chain, every stage through the real container: the q158 dump dir
+    * read back split-parallel ([[WikiXml.readPages]]) → title→page_id
+    * dictionary over the clean pages → redirect targets joined to the
+    * dictionary (title-space edges; the planted % 18 = 12 `R &amp; D`
+    * targets match no page → BROKEN aliases, reported unresolved) →
+    * [[Redirects.resolve]] pointer doubling (long ids — the dictionary
+    * exists, so the 8-byte-key form applies) → alias rows. The depth-2
+    * chains (% 18 = 6 → % 18 = 0 → content) prove the composition
+    * passes THROUGH the resolver, and a % 18 = 0 page whose content
+    * target is quarantined ((id+2) % 25 = 7) or past the table end
+    * breaks that edge — its 6-class parent then terminates AT the
+    * broken-edged redirect page. The oracle replays the grid, the
+    * dictionary joins, both chain steps, and every mask closed-form. */
+  def q167WikiRedirectAliases(s: SparkSession, d: String): DataFrame = {
+    val pages = WikiXml.readPages(s, wikiXmlDir(s, d))
+      .filter(col("error").isNull)
+    val byTitle = pages.select(col("title").as("t_title"),
+      col("page_id").as("t_id"))
+    val redirs = pages.filter(col("redirect") === 1L)
+      .select(col("page_id").as("r_id"), col("title").as("r_title"),
+        col("redirect_title"))
+    val edges = redirs.join(byTitle,
+        col("redirect_title") === col("t_title"))
+      .select(col("r_id").as("src"), col("t_id").as("dst"))
+    val res = Redirects.resolve(edges, "src", "dst", maxDepth = 8,
+      policy = CheckpointPolicy.fromSession(s))
+    redirs.join(res, redirs("r_id") === res("src"), "left")
+      .join(pages.select(col("page_id").as("f_id"),
+          col("title").as("final_title")),
+        col("final_dst") === col("f_id"), "left")
+      .select(col("r_id").as("page_id"), col("r_title").as("title"),
+        col("redirect_title"),
+        coalesce(col("final_dst"), lit(-1L)).as("final_page_id"),
+        coalesce(col("final_title"), lit("")).as("final_title"),
+        coalesce(col("depth"), lit(0L)).as("depth"),
+        coalesce(col("terminated"), lit(0L)).as("resolved"))
+      .orderBy("page_id")
+  }
+
+  /** q166: anchor-text corpus ([[LinkGraph.anchorCorpus]]) — the top-3
+    * inlink anchor phrases per resolved target over a planted anchor
+    * grid: every page links its class target `t{id%3}.example/page`
+    * twice — once with a class anchor `A{id%4}` and once with the
+    * corpus-wide `Common` — so each target elects `Common` at rank 1
+    * and two of the four class anchors at ranks 2-3, with genuine
+    * count TIES at the boundary (the residue classes are near-equal),
+    * exercising the deterministic anchor-asc tie-break. The Spark side
+    * runs the BOUNDED tagged top-k aggregator (no per-target window
+    * sort); the oracle replays counts and the election with an explicit
+    * window. */
+  def q166AnchorCorpus(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val base = concat(lit("https://site"), id % 5, lit(".example/p/doc"),
+      id, lit(".html"))
+    val html = concat(
+      lit("<p><a href=\"https://t"), id % 3,
+      lit(".example/page\">A"), id % 4,
+      lit("</a> and <a href=\"https://t"), id % 3,
+      lit(".example/page\">Common</a></p>"))
+    val pages = Tables.documents(s, d).select(id, base.as("u"), html.as("h"))
+    val e = LinkGraph.edges(pages, col("doc_id"), col("u"), col("h"))
+    LinkGraph.anchorCorpus(e, col("resolved"), col("anchor"), k = 3)
+      .orderBy("target", "rank")
+  }
+
+  /** q168: JPEG/EXIF header triage ([[Jpeg]]) — the image twin of the
+    * q154 ADTS and q59 MP4 walks: per doc, ENCODE a structurally-valid
+    * JPEG header stream ([[Jpeg.encode]] — SOI, EXIF APP1 in BOTH TIFF
+    * byte orders by residue, a comment segment, SOF0/SOF2 by the
+    * progressive residue, SOS) and WALK it back ([[Jpeg.meta]]) without
+    * any pixel decode. Plants: dims from doc_id arithmetic, progressive
+    * (id%4=1), EXIF orientation 1-8 (id%8) in little-endian (id%2=0) or
+    * big-endian TIFF, a NO-EXIF class (id%5=3 → orientation 0), a
+    * bad-magic quarantine (id%25=9), and a truncation quarantine
+    * (id%25=18 — the stream cuts mid-SOS, after the dims were already
+    * seen, so the walk must still report the row as broken, not
+    * half-parsed). The oracle replays every field closed-form including
+    * the per-class segment counts. */
+  def q168JpegMetadata(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .map { id =>
+        val bytes =
+          if (id % 25 == 9) "NOTAJPEG".getBytes("US-ASCII")
+          else {
+            val full = Jpeg.encode(
+              width = 16 + (id % 64).toInt,
+              height = 16 + ((id * 7) % 64).toInt,
+              progressive = id % 4 == 1,
+              orientation = (1 + id % 8).toInt,
+              exifLittleEndian = id % 2 == 0,
+              withExif = id % 5 != 3)
+            if (id % 25 == 18) full.take(full.length - 24) else full
+          }
+        val m = Jpeg.meta(bytes)
+        (id, m.width.toLong, m.height.toLong,
+          if (m.progressive) 1L else 0L, m.orientation.toLong,
+          if (m.hasExif) 1L else 0L, m.nSegments.toLong,
+          if (m.error == null) "" else m.error)
+      }
+      .toDF("doc_id", "width", "height", "progressive", "orientation",
+        "has_exif", "n_segments", "err")
+      .orderBy("doc_id")
   }
 
   def q159BlockwordScan(s: SparkSession, d: String): DataFrame =

@@ -22,6 +22,18 @@ class LinkGraphSpec extends SparkSpec {
     // a data-href decoy must not read as href; quoted '>' stays in value
     assert(Html.links("""<a data-href="/no" href="/yes?q=1>2">t</a>""") ==
       Seq(Link("/yes?q=1>2", "t")))
+    // an 'href=' TOKEN inside another attribute's quoted value is part of
+    // that value, not a link target (the sequential attribute walk)
+    assert(Html.links("""<a title="a href=decoy" href="/real">t</a>""") ==
+      Seq(Link("/real", "t")))
+    assert(Html.links("""<a title="see href=x here">no link</a>""") ==
+      Seq.empty)
+    // decoy in a quoted value with the real href BEFORE it
+    assert(Html.links("""<a href="/first" alt='href=/ghost'>t</a>""") ==
+      Seq(Link("/first", "t")))
+    // bare (valueless) href contributes no link; case-insensitive name
+    assert(Html.links("""<a href>none</a><a HREF="/up">u</a>""") ==
+      Seq(Link("/up", "u")))
   }
 
   test("links: nested anchor implicitly closes; unclosed trailing anchor emits") {
@@ -48,6 +60,29 @@ class LinkGraphSpec extends SparkSpec {
     assert(Urls.resolveRef(base, "javascript:void(0)") == null)
     assert(Urls.resolveRef(base, "") == null)
     assert(Urls.resolveRef(base, "dir/") == "https://h.example/a/b/dir/")
+  }
+
+  test("anchorCorpus: top-k anchors per target by count, ties toward the " +
+       "lexicographically smaller anchor, bounded aggregation") {
+    val edges = Seq(
+      // t1: "beta" x3, "alpha" x2, "zeta" x2, "omega" x1 -> top3 =
+      // beta(3), alpha(2), zeta(2) (alpha beats zeta on the tie)
+      ("https://t1", "beta"), ("https://t1", "beta"), ("https://t1", "beta"),
+      ("https://t1", "alpha"), ("https://t1", "alpha"),
+      ("https://t1", "zeta"), ("https://t1", "zeta"),
+      ("https://t1", "omega"),
+      // t2: fewer distinct anchors than k
+      ("https://t2", "only"), ("https://t2", "only")
+    ).toDF("resolved", "anchor")
+    val got = LinkGraph.anchorCorpus(edges, col("resolved"), col("anchor"),
+        k = 3)
+      .orderBy("target", "rank")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(3)))
+    assert(got.toSeq == Seq(
+      ("https://t1", 1L, "beta", 3L), ("https://t1", 2L, "alpha", 2L),
+      ("https://t1", 3L, "zeta", 2L),
+      ("https://t2", 1L, "only", 2L)))
   }
 
   test("edges: per-page dense link_idx, unresolvable hrefs emit nothing") {

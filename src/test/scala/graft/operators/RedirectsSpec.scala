@@ -38,9 +38,28 @@ class RedirectsSpec extends SparkSpec {
     assert(full.head == ((0L, 20L, 20L, 1L)))
   }
 
-  test("maxDepth resolves up to the next power of two in ceil(log2) rounds") {
+  test("resolveKeyed: string chains resolve; cycles mask final_dst to null") {
+    val edges = Seq(
+      ("https://r/1", "https://r/2"), ("https://r/2", "https://end"),
+      ("https://c/a", "https://c/b"), ("https://c/b", "https://c/a"))
+      .toDF("src", "dst")
+    val got = Redirects.resolveKeyed(edges, "src", "dst", maxDepth = 4)
+      .orderBy("src").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      ("https://c/a", null, -1L, 0L), ("https://c/b", null, -1L, 0L),
+      ("https://r/1", "https://end", 2L, 1L),
+      ("https://r/2", "https://end", 1L, 1L)))
+  }
+
+  test("maxDepth is a hard bound even when the doubling rounds overshoot") {
     // depth exactly 8 with maxDepth=8 (3 rounds, 2^3 = 8): resolves
     val chain = (0L until 8L).map(i => (i, i + 1))
     assert(resolve(chain, maxDepth = 8).head == ((0L, 8L, 8L, 1L)))
+    // maxDepth 5 still runs 3 doubling rounds (internal cap 8), but the
+    // DOCUMENTED bound wins: depth-7 masks like a cycle, depth-5 resolves
+    val got5 = resolve(chain, maxDepth = 5)
+    assert(got5(1) == ((1L, -1L, -1L, 0L))) // true depth 7 > 5: masked
+    assert(got5(3) == ((3L, 8L, 5L, 1L)))   // true depth 5 = bound: exact
   }
 }

@@ -165,6 +165,63 @@ class RobotsSpec extends SparkSpec {
     assert(batch == Set(2L, 4L))
   }
 
+  test("verdicts is size-aware: above broadcastMaxDomains the forced " +
+       "broadcast hint disappears and verdicts are identical") {
+    val urls = Seq(
+      (1L, "https://www.example.com/private/x"),
+      (2L, "https://www.example.com/private/ok/page"),
+      (3L, "https://sub.closed.org/any"),
+      (4L, "https://norobots.net/whatever")
+    ).toDF("doc_id", "url")
+    def run(thr: Long) = Robots.verdicts(urls, col("doc_id"), col("url"),
+      robots, col("domain"), col("robots_txt"), agent = "GraftBot",
+      broadcastMaxDomains = thr)
+    val hinted = run(Robots.DefaultBroadcastMaxDomains)
+    val large = run(0L) // robots side "too big": plain equi-join, AQE picks
+    assert(hinted.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "small robots side keeps the explicit broadcast hint")
+    assert(!large.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "large robots side must NOT force a broadcast")
+    val key = (df: org.apache.spark.sql.DataFrame) => df.orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getString(4), r.getString(5))).toSeq
+    assert(key(large) == key(hinted), "identical verdicts on both paths")
+  }
+
+  test("urlKey = Urls.host scopes rules per host (RFC 9309 origin " +
+       "scoping) instead of per registrable domain") {
+    val hostRobots = Seq(
+      ("blog.example.com", "User-agent: *\nDisallow: /\n")
+    ).toDF("domain", "robots_txt")
+    val urls = Seq(
+      (1L, "https://blog.example.com/post"),
+      (2L, "https://shop.example.com/item")
+    ).toDF("doc_id", "url")
+    val perHost = Robots.verdicts(urls, col("doc_id"), col("url"),
+        hostRobots, col("domain"), col("robots_txt"), agent = "GraftBot",
+        urlKey = Urls.host)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(3)))
+    // sibling host does NOT inherit blog's rules
+    assert(perHost.toSeq == Seq((1L, 0L), (2L, 1L)))
+    // the default registered-domain key never even matches the host-grained
+    // fixture row (key example.com != blog.example.com): both default-allow
+    val perDomain = Robots.verdicts(urls, col("doc_id"), col("url"),
+        hostRobots, col("domain"), col("robots_txt"), agent = "GraftBot")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(3)))
+    assert(perDomain.toSeq == Seq((1L, 1L), (2L, 1L)))
+  }
+
+  test("filterAllowedStreaming refuses a robots side over its documented " +
+       "driver-collect bound") {
+    val urls = Seq((1L, "https://x.com/a")).toDF("doc_id", "url")
+    val e = intercept[IllegalArgumentException] {
+      Robots.filterAllowedStreaming(urls, col("url"),
+        robots, col("domain"), col("robots_txt"), agent = "GraftBot",
+        maxDomains = 1L)
+    }
+    assert(e.getMessage.contains("maxDomains"))
+  }
+
   test("filterAllowed keeps exactly the allowed rows with original columns") {
     val urls = Seq(
       (1L, "https://www.example.com/private/x", "keep-cols"),

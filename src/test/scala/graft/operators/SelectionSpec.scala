@@ -97,6 +97,35 @@ class SelectionSpec extends SparkSpec {
     assert(viaAgg == viaWindow)
   }
 
+  test("topKPerGroupTagged equals the window form (string payloads, " +
+       "anchor-asc ties); null scores/tags are excluded") {
+    import spark.implicits._
+    val rows = (0L until 1000L)
+      .map(i => (i % 13, s"t${i % 37}", (i * 7 % 25).toDouble))
+      .toDF("grp", "tg", "sc")
+    val viaAgg = Selection.topKPerGroupTagged(rows, Seq("grp"), col("sc"),
+        col("tg"), k = 4)
+      .select("grp", "rank", "tag", "score")
+      .orderBy("grp", "rank").collect().map(_.toSeq).toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy(desc("sc"), col("tg"))
+    val viaWindow = rows
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 4)
+      .select(col("grp"), col("rank"), col("tg").as("tag"),
+        col("sc").as("score"))
+      .orderBy("grp", "rank").collect().map(_.toSeq).toSeq
+    assert(viaAgg == viaWindow)
+    val withNulls = rows.unionByName(
+      Seq((0L, null.asInstanceOf[String], 99.0),
+          (0L, "x", Double.NaN)).toDF("grp", "tg", "sc"))
+      .withColumn("sc", when(isnan(col("sc")), lit(null)).otherwise(col("sc")))
+    val top1 = Selection.topKPerGroupTagged(withNulls, Seq("grp"),
+        col("sc"), col("tg"), k = 1)
+      .filter(col("grp") === 0L).select("tag").as[String].collect()
+    assert(!top1.contains(null) && top1.nonEmpty)
+  }
+
   test("shuffleByKey is a deterministic permutation; salts are independent") {
     val df = spark.range(500).toDF("id")
     def perm(salt: String): Seq[Long] =

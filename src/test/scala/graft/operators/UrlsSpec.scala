@@ -70,6 +70,43 @@ class UrlsSpec extends SparkSpec {
     assert(dom("http://city.ca.us") == "city.ca.us") // <st>.us exact-2
   }
 
+  test("registeredDomain: full-ICANN entries ABSENT from the former slice") {
+    // the fourth depth-4 exact rule (nsw school hierarchy)
+    assert(dom("http://x.schools.nsw.edu.au/p") == "x.schools.nsw.edu.au")
+    // *.nom.br — the one 2-label wildcard outside jp/uk
+    assert(dom("http://site.alice.nom.br/") == "site.alice.nom.br")
+    // *.pg — wildcard TLD the slice lacked
+    assert(dom("http://shop.example.com.pg") == "example.com.pg")
+    // regional SLD newly covered by the full list
+    assert(dom("http://visit.aland.fi") == "visit.aland.fi")
+    // PRIVATE-section entries (gov.scot, co.technology, *.blogspot.com)
+    // are EXCLUDED by design: they classify under the ICANN rules only
+    assert(dom("http://www.parliament.gov.scot/x") == "gov.scot")
+    assert(dom("http://a.b.co.technology") == "co.technology")
+    assert(dom("http://x.ac.gov.br") == "x.ac.gov.br") // depth-3 br
+    // IDN rules carry generated punycode twins: the on-the-wire (xn--)
+    // host form a crawler actually sees matches 公司.cn's ASCII twin
+    assert(dom("http://shop.example.xn--55qx5d.cn/x")
+      == "example.xn--55qx5d.cn")
+  }
+
+  test("resolveRef: a colon in the query or first path segment is a " +
+       "relative ref, not a scheme") {
+    val base = "https://site.example/a/b/doc.html"
+    assert(Urls.resolveRef(base, "watch?t=1:30")
+      == "https://site.example/a/b/watch?t=1:30")
+    assert(Urls.resolveRef(base, "?a=b:c")
+      == "https://site.example/a/b/doc.html?a=b:c")
+    // '10' fails the RFC 3986 scheme grammar (ALPHA first): relative path
+    assert(Urls.resolveRef(base, "10:30.html")
+      == "https://site.example/a/b/10:30.html")
+    // genuine schemes are still recognized (and non-http(s) still drop)
+    assert(Urls.resolveRef(base, "mailto:a@b.c") == null)
+    assert(Urls.resolveRef(base, "x-proto+v1.2:payload") == null)
+    assert(Urls.resolveRef(base, "HTTPS://x.example/p")
+      == "HTTPS://x.example/p")
+  }
+
   test("URL dedup: variants of one page collapse on the normalized form") {
     val urls = Seq(
       "HTTP://Site.com:80/a?b=2&a=1",
