@@ -2895,6 +2895,56 @@ object Oracles {
     SELECT node, rnk AS "rank" FROM r5 ORDER BY node"""
   }
 
+  /** q169: domain TrustRank — the q147 personalized-PageRank replay
+    * (rst seed mass, per-iteration 9-dp-fenced dangling scalar
+    * redistributed THROUGH rst, the (1-d)*rst + d*(in + dm*rst)
+    * association) over the q165 crawl-derived domain edge CTEs with a
+    * two-host literal seed set. Unreachable unseeded hosts must fence
+    * to exactly 0.0. */
+  val q169: String = {
+    val head = """
+    WITH b AS (SELECT doc_id % 5 AS k, doc_id % 4 AS m FROM documents),
+    de AS (
+      SELECT 'site' || CAST(k AS VARCHAR) || '.example' AS src,
+             CASE WHEN m IN (0, 1) THEN 'news.example'
+                  WHEN m = 2 THEN 'redir.example'
+                  ELSE 'shop.example' END AS dst
+      FROM b
+      UNION ALL
+      SELECT 'site' || CAST(k AS VARCHAR) || '.example', 'news.example'
+      FROM b),
+    edges AS (SELECT src, dst, CAST(count(*) AS DOUBLE) AS w
+              FROM de GROUP BY 1, 2),
+    srcs AS (SELECT 'site0.example' AS node
+             UNION ALL SELECT 'site1.example'),
+    gnodes AS (SELECT DISTINCT node FROM (
+      SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+    nodes AS (SELECT node FROM gnodes UNION SELECT node FROM srcs),
+    ns AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM srcs),
+    outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY src),
+    nr AS (SELECT nodes.node,
+             CASE WHEN s.node IS NOT NULL THEN 1.0 / ns.n ELSE 0.0 END AS rst
+           FROM nodes CROSS JOIN ns LEFT JOIN srcs s ON s.node = nodes.node),
+    r0 AS (SELECT node, rst, floor(rst * 1e9 + 0.5) / 1e9 AS rnk FROM nr)"""
+    val its = (1 to 5).map { i =>
+      s"""
+    c$i AS (SELECT e.dst AS node, sum(r.rnk * e.w / o.ow) AS inw
+            FROM edges e JOIN outw o ON e.src = o.src
+            JOIN r${i - 1} r ON r.node = e.src
+            GROUP BY e.dst),
+    dg$i AS (SELECT floor(coalesce(sum(r.rnk), 0.0) * 1e9 + 0.5) / 1e9 AS dm
+             FROM r${i - 1} r LEFT JOIN outw o ON o.src = r.node
+             WHERE o.src IS NULL),
+    r$i AS (SELECT n.node, n.rst,
+              floor(((1.0 - 0.85) * n.rst
+                     + 0.85 * (coalesce(c.inw, 0.0) + dg$i.dm * n.rst))
+                    * 1e9 + 0.5) / 1e9 AS rnk
+            FROM nr n CROSS JOIN dg$i LEFT JOIN c$i c ON c.node = n.node)"""
+    }.mkString(",")
+    head + "," + its + """
+    SELECT node, rnk AS "rank" FROM r5 ORDER BY node"""
+  }
+
   /** q166: anchor-text corpus — counts per (class target, anchor)
     * replayed by GROUP BY over the residue plant, the top-3 election as
     * an explicit (count desc, anchor asc) window; the near-equal class
@@ -4654,6 +4704,7 @@ object Oracles {
     "q165_crawl_graph_centrality" -> q165,
     "q166_anchor_corpus" -> q166,
     "q167_wiki_redirect_aliases" -> q167,
-    "q168_jpeg_metadata" -> q168
+    "q168_jpeg_metadata" -> q168,
+    "q169_domain_trustrank" -> q169
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

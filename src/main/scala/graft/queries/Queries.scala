@@ -3748,7 +3748,10 @@ object Queries {
     * the first oracle-gated dangling path of the global PageRank. The
     * oracle replays the planted link classes, the chain depths, the
     * domain aggregation, and all 5 fenced iterations closed-form. */
-  def q165CrawlGraphCentrality(s: SparkSession, d: String): DataFrame = {
+  /** The crawl-derived registered-domain edge frame q165 and q169 rank:
+    * real extractor → redirect canonicalization → intra-domain cut →
+    * domain aggregation (see q165's scaladoc for the plant). */
+  private def q165DomainEdges(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val id = col("doc_id")
     val base = concat(lit("https://site"), id % 5, lit(".example/a/b/doc"),
@@ -3777,10 +3780,39 @@ object Queries {
     val dom = withSrc.select(Urls.registeredDomain(col("u")).as("sd"),
         Urls.registeredDomain(col("tgt")).as("dd"))
       .filter(col("sd") =!= col("dd"))
-    val domEdges = dom.groupBy(col("sd").as("src"), col("dd").as("dst"))
-      .agg(count(lit(1)).cast("double").as("w"))
-    LinkAnalysis.pageRank(domEdges, iters = 5,
+    // PIN the aggregated edge frame: PageRank's setup consumes it on
+    // four branches (node union x2, out-weights, the edge join) and a
+    // pure-projection aggregate would replay the whole HTML extraction
+    // per branch (measured 13.3 s -> 4 s class at sf0.1 — the shared
+    // join-input convention)
+    CheckpointPolicy.fromSession(s).pin(
+      dom.groupBy(col("sd").as("src"), col("dd").as("dst"))
+        .agg(count(lit(1)).cast("double").as("w")))
+  }
+
+  def q165CrawlGraphCentrality(s: SparkSession, d: String): DataFrame =
+    LinkAnalysis.pageRank(q165DomainEdges(s, d), iters = 5,
         policy = CheckpointPolicy.fromSession(s))
+      .orderBy("node")
+
+  /** q169: domain TRUSTRANK — the trust-seeded sibling of q165's global
+    * centrality, completing the "distance from trust" quality prior
+    * (Gyöngyi et al. 2004) over the REAL crawl-derived domain graph
+    * instead of the synthetic purchase graph q147 pins: the same
+    * extractor→canonicalize→cut→aggregate edge frame, ranked by
+    * [[LinkAnalysis.personalizedPageRank]] with a two-host trusted seed
+    * set. The plant exercises every PPR regime at once: seeds keep
+    * restart mass, news.example receives from BOTH seeds (and all other
+    * sites), the three sink hosts are DANGLING (their mass restarts at
+    * the seeds — the PPR convention), and the unseeded site hosts have
+    * no in-edges at all so they fence to exactly 0.0. The oracle
+    * unrolls all 5 iterations with the q147 dg/rst arithmetic over the
+    * q165 edge CTEs. */
+  def q169DomainTrustRank(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val seeds = Seq("site0.example", "site1.example").toDF("node")
+    LinkAnalysis.personalizedPageRank(q165DomainEdges(s, d), seeds,
+        iters = 5, policy = CheckpointPolicy.fromSession(s))
       .orderBy("node")
   }
 
