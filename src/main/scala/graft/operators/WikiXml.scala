@@ -92,7 +92,7 @@ object WikiXml {
     * raw (undecoded); null if absent. Attribute-tolerant: the open tag
     * ends at the first `>` (dump XML carries no `>` inside attribute
     * values). Self-closing `<tag …/>` yields "". */
-  private def elementBody(s: String, tag: String, from: Int): String = {
+  private[operators] def elementBody(s: String, tag: String, from: Int): String = {
     var i = from
     val open = "<" + tag
     while (true) {

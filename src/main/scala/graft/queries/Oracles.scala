@@ -3032,6 +3032,65 @@ object Oracles {
            ELSE '' END AS err
     FROM documents ORDER BY doc_id"""
 
+  /** q170: sitemap seed list — every entry AND every robots verdict
+    * rebuilt closed-form: the urlset rows (full entry with the planted
+    * lastmod/changefreq/priority arithmetic; the minimal entry with the
+    * decoded `&` and the spec's 0.5 default; the missing-loc quarantine
+    * keeping its lastmod), the sitemapindex rows on the %11=5 class,
+    * and the q156 decision table applied to each loc (badsite blanket
+    * disallow, co.uk's `/a/` + `*1$` catching last-digit-1 ids on entry 0,
+    * example.com's allow-wins `/a/1` tie admitting every entry 0). */
+  val q170 = """
+    WITH t AS (SELECT doc_id,
+        doc_id % 4 AS d4, doc_id % 7 AS d7, doc_id % 9 AS d9,
+        doc_id % 3 AS d3, doc_id % 10 AS d10, doc_id % 11 AS d11,
+        CASE WHEN doc_id % 5 = 0 THEN 'example.com'
+             WHEN doc_id % 5 = 1 THEN 'example.co.uk'
+             WHEN doc_id % 5 = 2 THEN 'badsite.com'
+             WHEN doc_id % 5 = 3 THEN 'example.org'
+             ELSE 'site.com' END AS dom
+      FROM documents),
+    rows_ AS (
+      SELECT doc_id, 0 AS entry_idx, 'url' AS kind,
+             'https://' || dom || '/a/1?p=' || CAST(doc_id AS VARCHAR)
+               AS loc,
+             '2024-0' || CAST(d9 + 1 AS VARCHAR) || '-1' ||
+               CAST(d3 AS VARCHAR) AS lastmod,
+             CASE WHEN d4 = 0 THEN 'daily' WHEN d4 = 1 THEN 'weekly'
+                  WHEN d4 = 2 THEN 'monthly' ELSE 'never' END
+               AS changefreq,
+             CAST('0.' || CAST(d10 AS VARCHAR) AS DOUBLE) AS priority,
+             CASE WHEN dom = 'badsite.com' THEN 0
+                  WHEN dom = 'example.co.uk' AND d10 = 1 THEN 0
+                  ELSE 1 END AS allowed,
+             '' AS err
+      FROM t WHERE d11 <> 5
+      UNION ALL
+      SELECT doc_id, 1, 'url',
+             'https://' || dom || '/b/' || CAST(doc_id AS VARCHAR) ||
+               '?x=1&y=2',
+             '', '', CAST(0.5 AS DOUBLE),
+             CASE WHEN dom = 'badsite.com' THEN 0 ELSE 1 END, ''
+      FROM t WHERE d11 <> 5
+      UNION ALL
+      SELECT doc_id, 2, 'error', '', '2024-01-01', '',
+             CAST(0.0 AS DOUBLE), 0, 'missing loc'
+      FROM t WHERE d11 <> 5 AND d7 = 0
+      UNION ALL
+      SELECT doc_id, 0, 'sitemap', 'https://' || dom || '/maps/m1.xml',
+             '2024-02-02', '', CAST(0.0 AS DOUBLE),
+             CASE WHEN dom = 'badsite.com' THEN 0 ELSE 1 END, ''
+      FROM t WHERE d11 = 5
+      UNION ALL
+      SELECT doc_id, 1, 'sitemap', 'https://' || dom || '/maps/m2.xml',
+             '', '', CAST(0.0 AS DOUBLE),
+             CASE WHEN dom = 'badsite.com' THEN 0 ELSE 1 END, ''
+      FROM t WHERE d11 = 5)
+    SELECT doc_id, CAST(entry_idx AS BIGINT) AS entry_idx, kind, loc,
+           lastmod, changefreq, priority, CAST(allowed AS BIGINT)
+             AS allowed, err
+    FROM rows_ ORDER BY doc_id, entry_idx"""
+
   /** q141: exact substring dedup — brute-force replay over the literal
     * strings: EVERY (position, m) window for m in [16, n] — UNCAPPED, so
     * the Spark side's anchor-doubling extension past its band cap is
@@ -4705,6 +4764,7 @@ object Oracles {
     "q166_anchor_corpus" -> q166,
     "q167_wiki_redirect_aliases" -> q167,
     "q168_jpeg_metadata" -> q168,
-    "q169_domain_trustrank" -> q169
+    "q169_domain_trustrank" -> q169,
+    "q170_sitemap_seeds" -> q170
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

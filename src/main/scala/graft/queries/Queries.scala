@@ -3925,6 +3925,69 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** q170: sitemap-advertised SEED LIST ([[Sitemaps]] + [[Robots]]) —
+    * the discovery half of crawl politeness composed with the admission
+    * half: per doc, synthesize a sitemap XML (three `<url>` entries on
+    * most docs — a full entry with lastmod/changefreq/priority, a
+    * minimal entry with an `&amp;` entity in the loc and the spec's
+    * 0.5 priority default, and a MISSING-loc quarantine on id%7=0 — or
+    * a `<sitemapindex>` with two child-sitemap entries on the id%11=5
+    * class), parse it back with the forward scanner, then run every
+    * advertised URL through [[Robots.verdicts]] against the q156
+    * robots fixture (badsite.com blanket-disallowed; example.co.uk's
+    * GraftBot `/a/` + `*1$` pattern catches exactly the last-digit-1 ids;
+    * example.com's allow-wins tie admits the `/a/1` prefix). The
+    * oracle rebuilds every entry AND every verdict closed-form. */
+  def q170SitemapSeeds(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val domain = when(id % 5 === 0, lit("example.com"))
+      .when(id % 5 === 1, lit("example.co.uk"))
+      .when(id % 5 === 2, lit("badsite.com"))
+      .when(id % 5 === 3, lit("example.org"))
+      .otherwise(lit("site.com"))
+    val urlset = concat(
+      lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+        "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n" +
+        "  <url>\n    <loc>https://"), domain, lit("/a/1?p="), id,
+      lit("</loc>\n    <lastmod>2024-0"), id % 9 + 1, lit("-1"), id % 3,
+      lit("</lastmod>\n    <changefreq>"),
+      when(id % 4 === 0, lit("daily")).when(id % 4 === 1, lit("weekly"))
+        .when(id % 4 === 2, lit("monthly")).otherwise(lit("never")),
+      lit("</changefreq>\n    <priority>0."), id % 10,
+      lit("</priority>\n  </url>\n  <url>\n    <loc>https://"), domain,
+      lit("/b/"), id, lit("?x=1&amp;y=2</loc>\n  </url>\n"),
+      when(id % 7 === 0,
+        lit("  <url>\n    <lastmod>2024-01-01</lastmod>\n  </url>\n"))
+        .otherwise(lit("")),
+      lit("</urlset>"))
+    val index = concat(
+      lit("<?xml version=\"1.0\"?>\n<sitemapindex>\n" +
+        "  <sitemap>\n    <loc>https://"), domain,
+      lit("/maps/m1.xml</loc>\n    <lastmod>2024-02-02</lastmod>\n" +
+        "  </sitemap>\n  <sitemap>\n    <loc>https://"), domain,
+      lit("/maps/m2.xml</loc>\n  </sitemap>\n</sitemapindex>"))
+    val xml = when(id % 11 === 5, index).otherwise(urlset)
+    val ent = Sitemaps.entries(
+      Tables.documents(s, d).select(id, xml.as("x")),
+      col("doc_id"), col("x"))
+    // admission on every advertised URL; entries re-key as
+    // doc_id*4 + entry_idx (≤ 3 entries per file by construction)
+    val v = Robots.verdicts(
+      ent.filter(col("error") === "").select(
+        (col("doc_id") * 4 + col("entry_idx")).as("eid"), col("loc")),
+      col("eid"), col("loc"),
+      plantedRobots(s), col("domain"), col("robots_txt"),
+      agent = "GraftBot")
+      .select(col("doc_id").as("__eid"), col("allowed"))
+    ent.join(v, (col("doc_id") * 4 + col("entry_idx")) === col("__eid"),
+        "left")
+      .select(col("doc_id"), col("entry_idx"), col("kind"), col("loc"),
+        col("lastmod"), col("changefreq"), col("priority"),
+        coalesce(col("allowed"), lit(0L)).as("allowed"),
+        col("error").as("err"))
+      .orderBy("doc_id", "entry_idx")
+  }
+
   def q159BlockwordScan(s: SparkSession, d: String): DataFrame =
     BlockWords.scan(Tables.documents(s, d), col("doc_id"), col("text"),
       Seq("spark" -> 1.0, "slow" -> 2.0, "dup" -> 5.0, "batch" -> 1.0,

@@ -98,6 +98,39 @@ class RobotsSpec extends SparkSpec {
     assert(Robots.matches("", "/whatever"))
   }
 
+  test("matches agrees with an independent regex reference on a " +
+       "generated grid (adversarial cross-check)") {
+    // reference: quote literal runs, '*' -> '.*', trailing '$' -> '$',
+    // prefix semantics via a '.*' tail — a DIFFERENT derivation of the
+    // same RFC 9309 matching language than the segment scanner
+    def refMatches(pattern: String, target: String): Boolean = {
+      if (pattern.isEmpty) return true
+      val anchored = pattern.endsWith("$")
+      val body = if (anchored) pattern.dropRight(1) else pattern
+      val rx = body.split("\\*", -1).map(java.util.regex.Pattern.quote)
+        .mkString(".*")
+      val full = "^" + rx + (if (anchored) "$" else ".*")
+      java.util.regex.Pattern.compile(full, java.util.regex.Pattern.DOTALL)
+        .matcher(target).matches()
+    }
+    val pieces = Seq("/a", "b", "ab", "/", "?x=1", ".pdf", "", "a")
+    val rng = new scala.util.Random(42)
+    var checked = 0
+    for (_ <- 0 until 4000) {
+      val pat = (0 until rng.nextInt(4))
+        .map(_ => (if (rng.nextBoolean()) "*" else "") +
+          pieces(rng.nextInt(pieces.length)))
+        .mkString + (if (rng.nextBoolean()) "$" else "")
+      val tgt = "/" + (0 until rng.nextInt(5))
+        .map(_ => pieces(rng.nextInt(pieces.length))).mkString
+      assert(Robots.matches(pat, tgt) == refMatches(pat, tgt),
+        s"pattern=<$pat> target=<$tgt>: scanner=" +
+          s"${Robots.matches(pat, tgt)} regex=${refMatches(pat, tgt)}")
+      checked += 1
+    }
+    assert(checked == 4000)
+  }
+
   // ------------------------------------------------------------------
   // decisions
   // ------------------------------------------------------------------
