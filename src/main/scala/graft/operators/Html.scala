@@ -367,6 +367,58 @@ object Html {
     out.result()
   }
 
+  /** One head reference relevant to canonicalization: `kind` is the
+    * lowercased `rel` of a `<link>` (e.g. "canonical", "stylesheet") or
+    * the literal "og:url" for the OpenGraph meta form. */
+  final case class HeadRef(kind: String, href: String)
+
+  /** Extract `<link rel=… href=…>` pairs and `<meta property="og:url"
+    * content=…>` from one HTML payload, in document order — the inputs
+    * of canonical-URL election (the crawl-dedup signal: a site that
+    * serves one page under many URLs SAYS which one is canonical).
+    * Same tokenizer and quote-aware attribute walk as [[links]];
+    * script/style/comment contents are skipped, missing attributes
+    * contribute nothing. */
+  def headRefs(html: String): Seq[HeadRef] = {
+    val s = if (html == null) "" else html
+    val out = Seq.newBuilder[HeadRef]
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '<') {
+        if (matchesAt(s, i, "<!--")) {
+          val end = s.indexOf("-->", i + 4)
+          i = if (end < 0) s.length else end + 3
+        } else if (matchesAt(s, i, "<script") || matchesAt(s, i, "<style")) {
+          val name = tagNameAt(s, i)
+          var p = skipTag(s, i)
+          var end = -1
+          while (end < 0 && p < s.length) {
+            if (s.charAt(p) == '<' && matchesAt(s, p, "</" + name)) end = p
+            else p += 1
+          }
+          i = if (end < 0) s.length else skipTag(s, end)
+        } else {
+          val name = tagNameAt(s, i)
+          if (name == "link") {
+            val rel = attrAt(s, i, "rel")
+            val href = attrAt(s, i, "href")
+            if (rel != null && href != null)
+              out += HeadRef(rel.trim.toLowerCase, href)
+          } else if (name == "meta") {
+            val prop = attrAt(s, i, "property")
+            if (prop != null && prop.trim.equalsIgnoreCase("og:url")) {
+              val content = attrAt(s, i, "content")
+              if (content != null) out += HeadRef("og:url", content)
+            }
+          }
+          i = skipTag(s, i)
+        }
+      } else i += 1
+    }
+    out.result()
+  }
+
   // ------------------------------------------------------------------
   // DataFrame surface
   // ------------------------------------------------------------------

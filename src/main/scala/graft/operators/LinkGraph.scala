@@ -43,6 +43,49 @@ object LinkGraph {
       .toDF("doc_id", "link_idx", "href", "resolved", "anchor")
   }
 
+  /** Canonical-URL election per page — the crawl-dedup signal a site
+    * declares itself (one page served under many URLs names its ONE
+    * canonical form): the first `<link rel="canonical">` wins (the
+    * browser/search-engine rule for duplicate declarations), else the
+    * first `og:url` meta, else the page's own capture URL; the elected
+    * href resolves against the capture URL ([[Urls.resolveRef]]) and
+    * normalizes ([[Urls.normalizeUrl]]) so dedup keys on the canonical
+    * FORM, not the raw string. Unresolvable declared canonicals
+    * (mailto:, empty) fall through to the next source.
+    *
+    * Output: (doc_id, canon_src "canonical"|"og:url"|"self",
+    * canonical). Per-row local parse + codegen normalization — zero
+    * shuffles; the downstream dedup is one canonical-keyed aggregate.
+    * Scale note: this is the CHEAP dedup key — run it before minhash
+    * (q28-class) machinery, because a declared canonical collapses
+    * mirror URLs without any similarity work at all. */
+  def canonicalUrls(df: DataFrame, id: Column, baseUrl: Column,
+                    html: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val elected = df.select(id.cast("long").as("_1"),
+        baseUrl.cast("string").as("_2"), html.cast("string").as("_3"))
+      .as[(Long, String, String)]
+      .map { case (d, base, h) =>
+        val refs = Html.headRefs(h)
+        val canon = refs.collectFirst {
+          case Html.HeadRef("canonical", href)
+            if Urls.resolveRef(base, href) != null =>
+            ("canonical", Urls.resolveRef(base, href))
+        }
+        val og = refs.collectFirst {
+          case Html.HeadRef("og:url", href)
+            if Urls.resolveRef(base, href) != null =>
+            ("og:url", Urls.resolveRef(base, href))
+        }
+        val (src, url) = canon.orElse(og).getOrElse(("self", base))
+        (d, src, url)
+      }
+      .toDF("doc_id", "canon_src", "__raw")
+    elected.select(col("doc_id"), col("canon_src"),
+      Urls.normalizeUrl(col("__raw")).as("canonical"))
+  }
+
   /** Anchor-text corpus: the top-`k` inlink anchor phrases per resolved
     * target, by inlink count — the standard web-corpus retrieval/quality
     * signal (what the rest of the web CALLS a page beats what the page

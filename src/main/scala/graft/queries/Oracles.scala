@@ -3091,6 +3091,37 @@ object Oracles {
              AS allowed, err
     FROM rows_ ORDER BY doc_id, entry_idx"""
 
+  /** q171: canonical dedup — every elected canonical rebuilt
+    * closed-form (the %8=4 rooted form normalizes to the page's own
+    * lowercased host, the shared absolute form keys the %4∈{0,2} pair,
+    * og drops the tracking param, mailto falls through to the
+    * normalized self URL), then the min-id keeper election replayed by
+    * GROUP BY — no id-density assumption. */
+  val q171 = """
+    WITH c AS (SELECT doc_id,
+      CASE WHEN doc_id % 4 IN (0, 2) THEN 'canonical'
+           WHEN doc_id % 4 = 1 THEN 'og:url'
+           ELSE 'self' END AS canon_src,
+      CASE WHEN doc_id % 8 = 4
+             THEN 'http://site' || CAST(doc_id % 5 AS VARCHAR) ||
+                  '.example/c/' || CAST(doc_id AS VARCHAR)
+           WHEN doc_id % 4 IN (0, 2)
+             THEN 'https://canon.example/c/' ||
+                  CAST(doc_id - doc_id % 4 AS VARCHAR)
+           WHEN doc_id % 4 = 1
+             THEN 'https://canon.example/og/' ||
+                  CAST(doc_id AS VARCHAR) || '?z=1'
+           ELSE 'http://site' || CAST(doc_id % 5 AS VARCHAR) ||
+                '.example/p/' || CAST(doc_id AS VARCHAR) || '?a=1&b=2'
+           END AS canonical
+      FROM documents),
+    k AS (SELECT canonical, min(doc_id) AS keeper_id FROM c GROUP BY 1)
+    SELECT c.doc_id, c.canon_src, c.canonical,
+           CAST(k.keeper_id AS BIGINT) AS keeper_id,
+           CAST(CASE WHEN c.doc_id = k.keeper_id THEN 0 ELSE 1 END
+                AS BIGINT) AS is_dup
+    FROM c JOIN k USING (canonical) ORDER BY c.doc_id"""
+
   /** q141: exact substring dedup — brute-force replay over the literal
     * strings: EVERY (position, m) window for m in [16, n] — UNCAPPED, so
     * the Spark side's anchor-doubling extension past its band cap is
@@ -4765,6 +4796,7 @@ object Oracles {
     "q167_wiki_redirect_aliases" -> q167,
     "q168_jpeg_metadata" -> q168,
     "q169_domain_trustrank" -> q169,
-    "q170_sitemap_seeds" -> q170
+    "q170_sitemap_seeds" -> q170,
+    "q171_canonical_dedup" -> q171
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

@@ -3988,6 +3988,54 @@ object Queries {
       .orderBy("doc_id", "entry_idx")
   }
 
+  /** q171: canonical-URL dedup ([[Html.headRefs]] +
+    * [[LinkGraph.canonicalUrls]]) — the dedup signal sites declare
+    * THEMSELVES, which a crawl pipeline should spend before any
+    * similarity machinery: per doc, the capture URL is deliberately
+    * dirty (uppercase scheme/host, default port, unsorted query) and
+    * the head plants one election class per residue — an absolute
+    * `rel=canonical` shared by the id%4∈{0,2} pair (with a SECOND
+    * decoy canonical on id%8=0 that must lose to the first, and a
+    * stylesheet link that must never win), a ROOTED-relative canonical
+    * on id%8=4 (resolves against the dirty capture URL, then
+    * normalizes), an `og:url` fallback with a tracking param on
+    * id%4=1, an unresolvable `mailto:` canonical on id%16=3 (falls
+    * through to self), and bare self on the rest. Docs then dedup by
+    * the NORMALIZED canonical with min-id keeper election. The oracle
+    * rebuilds every elected canonical closed-form and replays the
+    * grouping. */
+  def q171CanonicalDedup(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val base = concat(lit("HTTP://Site"), id % 5, lit(".Example:80/p/"),
+      id, lit("?b=2&a=1"))
+    val canonHref = when(id % 8 === 4, concat(lit("/c/"), id))
+      .otherwise(concat(lit("https://canon.example/c/"), id - id % 4))
+    val html = concat(
+      lit("<html><head><link rel=\"stylesheet\" href=\"/css/x.css\">"),
+      when(id % 16 === 3,
+        lit("<link rel=\"canonical\" href=\"mailto:x@y.z\">"))
+        .otherwise(lit("")),
+      when(id % 4 === 0 || id % 4 === 2,
+        concat(lit("<link rel=\"canonical\" href=\""), canonHref,
+          lit("\">"))).otherwise(lit("")),
+      when(id % 8 === 0, lit("<link rel=\"canonical\" href=\"/WRONG\">"))
+        .otherwise(lit("")),
+      when(id % 4 === 1, concat(
+        lit("<meta property=\"og:url\" content=\"https://canon.example/og/"),
+        id, lit("?utm_source=t&z=1\">"))).otherwise(lit("")),
+      lit("</head><body><p>body</p></body></html>"))
+    val pages = Tables.documents(s, d).select(id, base.as("u"), html.as("h"))
+    val c = LinkGraph.canonicalUrls(pages, col("doc_id"), col("u"),
+      col("h"))
+    val keepers = c.groupBy("canonical")
+      .agg(min(col("doc_id")).as("keeper_id"))
+    c.join(keepers, Seq("canonical"))
+      .select(col("doc_id"), col("canon_src"), col("canonical"),
+        col("keeper_id"),
+        (col("doc_id") =!= col("keeper_id")).cast("long").as("is_dup"))
+      .orderBy("doc_id")
+  }
+
   def q159BlockwordScan(s: SparkSession, d: String): DataFrame =
     BlockWords.scan(Tables.documents(s, d), col("doc_id"), col("text"),
       Seq("spark" -> 1.0, "slow" -> 2.0, "dup" -> 5.0, "batch" -> 1.0,

@@ -85,6 +85,45 @@ class LinkGraphSpec extends SparkSpec {
       ("https://t2", 1L, "only", 2L)))
   }
 
+  test("headRefs: link rel/href pairs + og:url meta, in order; decoys " +
+       "and attribute-less tags contribute nothing") {
+    import Html.HeadRef
+    val h = """<head><link rel="stylesheet" href="/css/a.css">
+      |<link REL="Canonical" href="https://c.example/x">
+      |<link rel="alternate">
+      |<meta property="og:url" content="https://c.example/og">
+      |<meta property="og:title" content="nope">
+      |<script>var s = '<link rel="canonical" href="/ghost">';</script>
+      |</head>""".stripMargin
+    assert(Html.headRefs(h) == Seq(
+      HeadRef("stylesheet", "/css/a.css"),
+      HeadRef("canonical", "https://c.example/x"),
+      HeadRef("og:url", "https://c.example/og")))
+    assert(Html.headRefs(null) == Seq.empty)
+  }
+
+  test("canonicalUrls: first canonical wins, og:url is the fallback, " +
+       "unresolvable canonicals fall through, output is normalized") {
+    val df = Seq(
+      (1L, "HTTP://Site.Example:80/p/1?b=2&a=1",
+        "<link rel=\"canonical\" href=\"/c/1\">" +
+          "<link rel=\"canonical\" href=\"/WRONG\">"),
+      (2L, "https://site.example/p/2",
+        "<meta property=\"og:url\" content=\"https://c.example/og?utm_x=1\">"),
+      (3L, "https://site.example/p/3",
+        "<link rel=\"canonical\" href=\"mailto:x@y.z\">"),
+      (4L, "https://site.example/p/4", "<p>nothing declared</p>")
+    ).toDF("doc_id", "u", "h")
+    val got = LinkGraph.canonicalUrls(df, col("doc_id"), col("u"), col("h"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(got.toSeq == Seq(
+      (1L, "canonical", "http://site.example/c/1"),
+      (2L, "og:url", "https://c.example/og"),
+      (3L, "self", "https://site.example/p/3"),
+      (4L, "self", "https://site.example/p/4")))
+  }
+
   test("edges: per-page dense link_idx, unresolvable hrefs emit nothing") {
     val df = Seq((3L, "https://s.example/a/p.html",
       """<a href="x">one</a><a href="mailto:m@x.y">no</a><a href="/r">two</a>"""))
