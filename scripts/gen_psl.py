@@ -43,16 +43,41 @@ def parse_icann(path):
 def punycode(rule):
     """ASCII (xn--) twin of a rule with non-ASCII labels, or None.
     A crawler sees hosts on the wire in punycode, so IDN rules must
-    match BOTH forms; the stdlib idna codec covers the PSL's labels."""
+    match BOTH forms. CAVEAT: the stdlib codec implements IDNA2003;
+    labels that encode differently (or fail) under IDNA2008/UTS46 —
+    what browsers and crawlers actually put on the wire — get a
+    divergent or missing twin. Failures are REPORTED (stderr + a
+    generated comment) so a silent coverage gap is impossible; if the
+    environment has the third-party `idna` (UTS46) package we prefer
+    it."""
     if all(ord(c) < 128 for c in rule):
         return None
     try:
+        try:
+            import idna  # third-party UTS46 codec, if present
+
+            def enc(lbl):
+                return idna.encode(lbl, uts46=True).decode("ascii")
+        except ImportError:
+            def enc(lbl):
+                return lbl.encode("idna").decode("ascii")
         return ".".join(
-            lbl if all(ord(c) < 128 for c in lbl)
-            else lbl.encode("idna").decode("ascii")
+            lbl if all(ord(c) < 128 for c in lbl) else enc(lbl)
             for lbl in rule.split("."))
-    except UnicodeError:
+    except Exception:
         return None
+
+
+# The matcher's depth ceiling: Psl.publicSuffixLen walks at most this
+# many labels. classify() asserts every rule fits, so a future PSL
+# snapshot with deeper rules fails LOUDLY with the action required
+# instead of a bare KeyError.
+MAX_EXACT = 4
+MAX_WILD_BASE = 2
+MAX_EXC = 3
+
+# Rules whose punycode twin could not be generated (see punycode()).
+twin_failures = []
 
 
 def classify(rules):
@@ -60,30 +85,45 @@ def classify(rules):
            "wild1": [], "wild2": [], "exc2": [], "exc3": []}
     rules = list(rules)
     for r in list(rules):
-        p = punycode(r.lstrip("!*.")) if r.startswith(("!", "*.")) else \
-            punycode(r)
-        if p is not None:
-            if r.startswith("!"):
-                rules.append("!" + p)
-            elif r.startswith("*."):
-                rules.append("*." + p)
-            else:
-                rules.append(p)
+        body = r.lstrip("!*.") if r.startswith(("!", "*.")) else r
+        if all(ord(c) < 128 for c in body):
+            continue  # no twin needed
+        p = punycode(body)
+        if p is None:
+            twin_failures.append(r)
+        elif r.startswith("!"):
+            rules.append("!" + p)
+        elif r.startswith("*."):
+            rules.append("*." + p)
+        else:
+            rules.append(p)
     for r in rules:
         if r.startswith("!"):
             body = r[1:]
             n = len(body.split("."))
+            assert n <= MAX_EXC, (
+                f"exception rule '{r}' is {n} labels deep but "
+                f"Psl.publicSuffixLen only walks {MAX_EXC}-label "
+                f"exceptions — raise its depth cap AND these buckets")
             out[f"exc{n}"].append(body)
         elif r.startswith("*."):
             base = r[2:]
             assert "*" not in base, f"non-leading wildcard unsupported: {r}"
             n = len(base.split("."))
+            assert n <= MAX_WILD_BASE, (
+                f"wildcard rule '{r}' has a {n}-label base but "
+                f"Psl.publicSuffixLen only walks {MAX_WILD_BASE}-label "
+                f"wildcard bases — raise its depth cap AND these buckets")
             out[f"wild{n}"].append(base)
         else:
             assert "*" not in r, f"embedded wildcard unsupported: {r}"
             n = len(r.split("."))
             if n == 1:
                 continue  # identical to the implicit default rule
+            assert n <= MAX_EXACT, (
+                f"exact rule '{r}' is {n} labels deep but "
+                f"Psl.publicSuffixLen only walks {MAX_EXACT}-label exact "
+                f"rules — raise its depth cap AND these buckets")
             out[f"exact{n}"].append(r)
     for k in out:
         out[k] = sorted(set(out[k]))
@@ -131,6 +171,13 @@ def main():
     print(f"  // public_suffix_list.dat ({len(rules)} rules; {n_skipped}")
     print(f"  // 1-label exact rules omitted — identical to the implicit")
     print(f"  // default; private section excluded by design). Do not edit.")
+    print(f"  // IDN punycode-twin failures: {len(twin_failures)}" +
+          ("" if not twin_failures
+           else " — " + ", ".join(twin_failures)))
+    if twin_failures:
+        print(f"twin generation FAILED for {len(twin_failures)} rules "
+              f"(on-the-wire punycode hosts under them fall back to the "
+              f"wrong rule): {twin_failures}", file=sys.stderr)
     docs = {
         "exact2": "Exact 2-label rules (`co.uk`-class).",
         "exact3": "Exact 3-label rules (`k12.ca.us`-class).",

@@ -32,15 +32,20 @@ object HostCanary {
     acc
   }
 
-  /** Wall seconds for `threads` concurrent kernels of `iters` each. */
+  /** Wall seconds for `threads` concurrent kernels of `iters` each.
+    * Each thread writes its own slot; the XOR fold into `sink` happens
+    * after join() — no cross-thread read-modify-write races. */
   def measure(threads: Int, iters: Long): Double = {
+    val results = new Array[Long](threads)
     val t0 = System.nanoTime()
     val ts = (0 until threads).map { t =>
-      val th = new Thread(() => { sink ^= kernel(iters, t + 1L) })
+      val th = new Thread(() => { results(t) = kernel(iters, t + 1L) })
       th.start(); th
     }
     ts.foreach(_.join())
-    (System.nanoTime() - t0) / 1e9
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    sink ^= results.foldLeft(0L)(_ ^ _)
+    elapsed
   }
 
   /** (single-thread seconds, 32-thread seconds). One small warmup run

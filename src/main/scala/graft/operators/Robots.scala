@@ -198,24 +198,35 @@ object Robots {
     * note; pass [[Urls.host]] for per-origin RFC scoping). Missing
     * robots → allowed/none (the protocol's default). Size-aware join:
     * broadcast while the robots side holds ≤ `broadcastMaxDomains`
-    * rows (one cheap count aggregate decides), plain equi-join above —
-    * see class doc. */
+    * rows, plain equi-join above — see class doc. The size comes from
+    * `robotsSizeHint` when the caller knows it (zero extra jobs), else
+    * from one count over the lazily-pinned parsed frame (the robots
+    * lineage evaluates once; the join reuses the pinned blocks). */
   def verdicts(urls: DataFrame, id: Column, url: Column,
                robots: DataFrame, domainCol: Column, txtCol: Column,
                agent: String,
                broadcastMaxDomains: Long = DefaultBroadcastMaxDomains,
-               urlKey: Column => Column = Urls.registeredDomain): DataFrame = {
+               urlKey: Column => Column = Urls.registeredDomain,
+               robotsSizeHint: Option[Long] = None): DataFrame = {
     val spark = urls.sparkSession
     import spark.implicits._
-    val ruleRows = robots.select(domainCol.cast("string"), txtCol.cast("string"))
+    val parsed = robots.select(domainCol.cast("string"), txtCol.cast("string"))
       .as[(String, String)]
       .map { case (dom, txt) =>
         (dom, rulesFor(parse(txt), agent).map(r => (r.allow, r.pattern)))
       }
       .toDF("domain", "__rules")
-    // size the strategy on the CHEAP side: a count over the raw robots
-    // frame (no parse map), one small aggregate job
-    val small = robots.count() <= broadcastMaxDomains
+    // join-strategy sizing must happen at plan time: a caller-supplied
+    // hint costs nothing; otherwise one count over the LAZILY-pinned
+    // parsed frame, so the robots lineage (source scan + rule parse)
+    // evaluates exactly once and the join reuses the pinned blocks
+    val (ruleRows, nRobots) = robotsSizeHint match {
+      case Some(n) => (parsed, n)
+      case None =>
+        val pinned = parsed.localCheckpoint(false)
+        (pinned, pinned.count())
+    }
+    val small = nRobots <= broadcastMaxDomains
     val ruleSide = if (small) broadcast(ruleRows) else ruleRows
     urls.select(id.cast("long").as("doc_id"),
         urlKey(url).as("domain"),
@@ -238,9 +249,10 @@ object Robots {
                     robots: DataFrame, domainCol: Column, txtCol: Column,
                     agent: String,
                     broadcastMaxDomains: Long = DefaultBroadcastMaxDomains,
-                    urlKey: Column => Column = Urls.registeredDomain): DataFrame = {
+                    urlKey: Column => Column = Urls.registeredDomain,
+                    robotsSizeHint: Option[Long] = None): DataFrame = {
     val v = verdicts(urls, id, url, robots, domainCol, txtCol, agent,
-        broadcastMaxDomains, urlKey)
+        broadcastMaxDomains, urlKey, robotsSizeHint)
       .filter(col("allowed") === 1L).select(col("doc_id").as("__keep_id"))
     urls.join(v, id.cast("long") === col("__keep_id"), "leftsemi")
   }

@@ -61,18 +61,48 @@ object Sitemaps {
     out.result()
   }
 
+  /** True when position `at` in `s` opens a REAL `<name…` tag: the
+    * char after the name is a tag boundary ('>', '/', whitespace). */
+  private def tagAt(s: String, at: Int, name: String): Boolean =
+    s.startsWith(name, at) && {
+      val after = at + name.length
+      after < s.length && (s.charAt(after) == '>' ||
+        s.charAt(after) == '/' || s.charAt(after).isWhitespace)
+    }
+
+  /** First REAL occurrences of the two root tags — boundary-checked
+    * (so `<urlset` inside text doesn't need a matching name prefix to
+    * confuse us) and XML-comment-aware (a leading `<!-- <sitemapindex>
+    * -->` comment must not flip a urlset file into index mode).
+    * Returns (urlsetPos, sitemapindexPos), -1 for absent. */
+  private def findRoots(s: String): (Int, Int) = {
+    var i = 0
+    var u = -1
+    var x = -1
+    while (i >= 0 && (u < 0 || x < 0)) {
+      val lt = s.indexOf('<', i)
+      if (lt < 0) i = -1
+      else if (s.startsWith("<!--", lt)) {
+        val end = s.indexOf("-->", lt + 4)
+        i = if (end < 0) -1 else end + 3 // unterminated comment: stop
+      } else {
+        if (u < 0 && tagAt(s, lt, "<urlset")) u = lt
+        if (x < 0 && tagAt(s, lt, "<sitemapindex")) x = lt
+        i = lt + 1
+      }
+    }
+    (u, x)
+  }
+
   /** Parse one sitemap (or sitemap-index) payload. Total: never throws;
     * a payload with neither root yields a single error row. */
   def parse(xml: String): Seq[Entry] = {
     val s = if (xml == null) "" else xml
-    val isIndex = {
-      val i = s.indexOf("<sitemapindex")
-      val u = s.indexOf("<urlset")
-      i >= 0 && (u < 0 || i < u)
-    }
+    val (uPos, xPos) = findRoots(s)
+    val isIndex = xPos >= 0 && (uPos < 0 || xPos < uPos)
     val blockTag = if (isIndex) "sitemap" else "url"
     val kind = if (isIndex) "sitemap" else "url"
-    if (s.indexOf("<urlset") < 0 && s.indexOf("<sitemapindex") < 0)
+    if (uPos < 0 && xPos < 0)
       return Seq(Entry(0, "error", "", "", "", 0.0, "no sitemap root"))
     val out = Seq.newBuilder[Entry]
     val open = "<" + blockTag

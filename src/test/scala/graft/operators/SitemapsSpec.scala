@@ -60,6 +60,31 @@ class SitemapsSpec extends AnyFunSuite {
       Seq(Entry(0, "url", "https://ex.com/ok", "", "", 0.5, "")))
   }
 
+  test("root detection: comment-aware and boundary-checked") {
+    // a urlset file MENTIONING <sitemapindex in a leading comment must
+    // stay a urlset (its <url> entries parse, not drop)
+    val commented =
+      """<!-- generated; was <sitemapindex> once -->
+        |<urlset>
+        |  <url><loc>https://ex.com/a</loc></url>
+        |</urlset>""".stripMargin
+    assert(Sitemaps.parse(commented) ==
+      Seq(Entry(0, "url", "https://ex.com/a", "", "", 0.5, "")))
+    // boundary check: '<urlsetfoo>' is NOT a urlset root
+    assert(Sitemaps.parse("<urlsetfoo><url><loc>x</loc></url></urlsetfoo>")
+      == Seq(Entry(0, "error", "", "", "", 0.0, "no sitemap root")))
+    // an unterminated comment hides everything after it
+    assert(Sitemaps.parse("<!-- <urlset><url><loc>x</loc></url></urlset>")
+      == Seq(Entry(0, "error", "", "", "", 0.0, "no sitemap root")))
+    // comment between roots: the REAL first root wins
+    val both =
+      """<!-- <urlset> --><sitemapindex>
+        |  <sitemap><loc>https://ex.com/m.xml</loc></sitemap>
+        |</sitemapindex>""".stripMargin
+    assert(Sitemaps.parse(both) ==
+      Seq(Entry(0, "sitemap", "https://ex.com/m.xml", "", "", 0.0, "")))
+  }
+
   test("sitemapRefs: file-wide Sitemap directives, any position, " +
        "case-insensitive, comments stripped") {
     val robots =
