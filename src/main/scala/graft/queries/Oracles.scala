@@ -3122,6 +3122,80 @@ object Oracles {
                 AS BIGINT) AS is_dup
     FROM c JOIN k USING (canonical) ORDER BY c.doc_id"""
 
+  /** q172: crawl pipeline v3 — q160's replay with the two composed
+    * round-12 stages rebuilt closed-form: the advertised flag is an
+    * EXISTS over normalized-URL equality against the id%3=0 seed set
+    * (URL form, not id — the m7=0 path-less classes collide after
+    * normalization); the canonical election per residue (shared
+    * absolute canonical on %4∈{0,2}, og:url sans tracking on %4=1,
+    * normalized self on %4=3) groups the robots+blocklist SURVIVORS
+    * with min-id keeper + n_variants; boilerplate/C4 pin to the q160
+    * one-line outcome; content keeper election runs over canonical
+    * keepers only. */
+  val q172 = """
+    WITH nu AS (SELECT doc_id,
+        (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END) || '://' ||
+        (CASE WHEN doc_id % 5 = 0 THEN 'news.example.com'
+              WHEN doc_id % 5 = 1 THEN 'blog.example.co.uk'
+              WHEN doc_id % 5 = 2 THEN 'spam.badsite.com'
+              WHEN doc_id % 5 = 3 THEN 'example.org'
+              ELSE 'cdn.site.com' END) ||
+        (CASE WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END) ||
+        (CASE WHEN doc_id % 7 = 0 THEN '/'
+              ELSE '/a/' || CAST(doc_id AS VARCHAR) END) ||
+        (CASE WHEN doc_id % 4 IN (0, 1) THEN '?a=1&b=2' ELSE '' END)
+          AS norm
+      FROM documents),
+    af AS (SELECT n.doc_id,
+        CASE WHEN n.norm IN (SELECT norm FROM nu WHERE doc_id % 3 = 0)
+             THEN 1 ELSE 0 END AS advertised
+      FROM nu n),
+    a AS (SELECT doc_id,
+        CASE WHEN doc_id % 5 = 0 THEN
+               CASE WHEN doc_id % 7 = 0 THEN 1
+                    WHEN substr(CAST(doc_id AS VARCHAR), 1, 1) = '1' THEN 1
+                    ELSE 0 END
+             WHEN doc_id % 5 = 1 THEN
+               CASE WHEN doc_id % 7 <> 0 AND (doc_id % 4 IN (0, 1)
+                      OR (doc_id % 4 = 3 AND doc_id % 10 = 1))
+                    THEN 0 ELSE 1 END
+             WHEN doc_id % 5 = 2 THEN 0
+             ELSE 1 END AS allowed
+      FROM documents),
+    surv AS (SELECT doc_id FROM a
+      WHERE allowed = 1 AND doc_id % 5 <> 2),
+    canon AS (SELECT s.doc_id,
+        CASE WHEN s.doc_id % 4 IN (0, 2) THEN 'canonical'
+             WHEN s.doc_id % 4 = 1 THEN 'og:url' ELSE 'self' END
+          AS canon_src,
+        CASE WHEN s.doc_id % 4 IN (0, 2)
+               THEN 'https://dup.example/c/' ||
+                    CAST(s.doc_id - s.doc_id % 4 AS VARCHAR)
+             WHEN s.doc_id % 4 = 1
+               THEN 'https://og.example/p/' || CAST(s.doc_id AS VARCHAR)
+             ELSE n.norm END AS canonical
+      FROM surv s JOIN nu n USING (doc_id)),
+    ck AS (SELECT canonical, min(doc_id) AS ckeeper,
+             count(*) AS n_variants
+           FROM canon GROUP BY 1),
+    base AS (SELECT c.doc_id, c.canon_src, c.canonical, k.n_variants,
+        ltrim(trim(coalesce(d.text, '')) || ' Fish & Chips <deal> ' ||
+          chr(8364) || '5 ' || chr(160) || 'now.') AS pline
+      FROM canon c JOIN ck k USING (canonical)
+      JOIN documents d ON d.doc_id = c.doc_id
+      WHERE c.doc_id = k.ckeeper),
+    tk AS (SELECT pline, min(doc_id) AS keeper_id FROM base GROUP BY 1)
+    SELECT b.doc_id, CAST(af.advertised AS BIGINT) AS advertised,
+           b.canon_src, b.canonical,
+           CAST(b.n_variants AS BIGINT) AS n_variants,
+           CAST(1 AS BIGINT) AS n_lines, CAST(1 AS BIGINT) AS n_kept,
+           md5(b.pline) AS clean_md5,
+           CAST(tk.keeper_id AS BIGINT) AS keeper_id,
+           CAST(CASE WHEN b.doc_id = tk.keeper_id THEN 1 ELSE 0 END
+                AS BIGINT) AS is_keeper
+    FROM base b JOIN tk USING (pline) JOIN af ON af.doc_id = b.doc_id
+    ORDER BY b.doc_id"""
+
   /** q141: exact substring dedup — brute-force replay over the literal
     * strings: EVERY (position, m) window for m in [16, n] — UNCAPPED, so
     * the Spark side's anchor-doubling extension past its band cap is
@@ -4797,6 +4871,7 @@ object Oracles {
     "q168_jpeg_metadata" -> q168,
     "q169_domain_trustrank" -> q169,
     "q170_sitemap_seeds" -> q170,
-    "q171_canonical_dedup" -> q171
+    "q171_canonical_dedup" -> q171,
+    "q172_crawl_pipeline_v3" -> q172
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

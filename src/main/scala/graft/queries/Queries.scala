@@ -4036,6 +4036,178 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  private val warcV3DirCache =
+    new scala.collection.concurrent.TrieMap[String, (String, String)]()
+
+  /** The q172 WARC dir: the q144 trap page with a HEAD canonical plant
+    * per residue — id%4∈{0,2} declares an absolute `rel=canonical`
+    * shared by the {4k, 4k+2} pair, id%4=1 declares an `og:url` with a
+    * tracking param, id%4=3 declares nothing (self) — so the
+    * declared-canonical dedup stage has real cross-document groups to
+    * collapse. Body identical to [[crawlWarcDir]]'s (head links/metas
+    * contribute no text), so the boilerplate/C4 replay is q160's.
+    * Cached per fixture signature. */
+  private def crawlWarcV3Dir(s: SparkSession, d: String): String = {
+    val sig = tableSignature(s, d, "documents")
+    warcV3DirCache.synchronized {
+      warcV3DirCache.get(d) match {
+        case Some((s0, dd)) if s0 == sig => dd
+        case prev =>
+          prev.foreach { case (_, old) =>
+            try deleteDirTree(old) catch { case _: Exception => () } }
+          val tmp = java.nio.file.Files.createTempDirectory("graft_warcv3_").toString
+          val id = col("doc_id")
+          val esc = regexp_replace(regexp_replace(regexp_replace(
+            coalesce(col("text"), lit("")),
+            "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+          val headPlant = concat(
+            when(id % 4 === 0 || id % 4 === 2,
+              concat(lit("<link rel=\"canonical\" href=\"https://dup.example/c/"),
+                id - id % 4, lit("\">"))).otherwise(lit("")),
+            when(id % 4 === 1,
+              concat(lit("<meta property=\"og:url\" content=\"https://og.example/p/"),
+                id, lit("?utm_source=s\">"))).otherwise(lit("")))
+          val html = concat(
+            lit("<!DOCTYPE html><html><HEAD><title>Doc "), id,
+            lit("</title>"), headPlant,
+            lit("<style>body{color:red}</style>" +
+              "<script>if(1<2){var x=\"</div>\";}</script></HEAD>" +
+              "<BODY><!-- <p>ghost</p> --><P class=\"intro\">"),
+            esc,
+            lit(" Fish &amp; Chips &lt;deal&gt; &#8364;5 &#xA0;now.</P>" +
+              "<div><a href=\"/x?q=1>2\" class='y>z'>anchor text</a></div>" +
+              "<ul><li>item one</li><li>item two</li></ul></BODY></html>"))
+          WarcSources.writeWarc(
+            Tables.documents(s, d).select(
+              lit("response").as("record_type"),
+              concat(lit("https://example.com/doc/"), id).as("url"),
+              lit("2024-05-01T00:00:00Z").as("date"),
+              lit("text/html").as("content_type"),
+              concat(lit("<urn:uuid:v"), id, lit(">")).as("warc_record_id"),
+              encode(html, "UTF-8").as("content")),
+            tmp, layoutCols = Seq("url"))
+          warcV3DirCache.update(d, (sig, tmp))
+          tmp
+      }
+    }
+  }
+
+  /** q172's discovery side: one synthesized sitemap per registered
+    * domain advertising the NORMALIZED planted URL of every id%3=0 doc
+    * (XML-escaped locs, spec-shaped `<urlset>` files), parsed back
+    * through [[Sitemaps.entries]] and deduplicated into the seed set —
+    * the q170 machinery serving the pipeline instead of a standalone
+    * demo. The per-domain XML synthesis (collect_list) is FIXTURE code:
+    * a real run reads sitemap files fetched by the crawler; the
+    * spec's 50k-entry/50 MB file cap keeps each file driver-safe. */
+  private def q172AdvertisedLocs(s: SparkSession, d: String): DataFrame = {
+    val u = plantedUrl(col("doc_id"))
+    val locs = Tables.documents(s, d)
+      .filter(col("doc_id") % 3 === 0)
+      .select(Urls.registeredDomain(u).as("dom"),
+        regexp_replace(Urls.normalizeUrl(u), "&", "&amp;").as("eloc"))
+      .distinct()
+    val xml = locs.groupBy("dom")
+      .agg(concat_ws("", sort_array(collect_list(
+        concat(lit("  <url><loc>"), col("eloc"), lit("</loc></url>\n")))))
+        .as("body"))
+      .select(
+        when(col("dom") === "example.com", 0L)
+          .when(col("dom") === "example.co.uk", 1L)
+          .when(col("dom") === "badsite.com", 2L)
+          .when(col("dom") === "example.org", 3L)
+          .otherwise(4L).as("site"),
+        concat(lit("<?xml version=\"1.0\"?>\n<urlset>\n"), col("body"),
+          lit("</urlset>")).as("x"))
+    Sitemaps.entries(xml, col("site"), col("x"))
+      .filter(col("kind") === "url")
+      .select(col("loc")).distinct()
+  }
+
+  /** q172: the crawl-to-corpus pipeline, THIRD GENERATION — q160's
+    * chain with the two round-12 politeness/dedup operators composed in
+    * as real stages (the r12→r13 "operator exists, pipeline doesn't see
+    * it" fix, same pattern q165 applied to the link graph):
+    *
+    *  1. DISCOVERY ([[Sitemaps]]): per-domain sitemap files advertise
+    *     the normalized planted URL of every id%3=0 doc; the seed set
+    *     (parsed + entity-decoded + deduplicated) left-joins each
+    *     capture's normalized URL into an `advertised` flag — coverage
+    *     provenance that rides the whole chain. Membership is by URL
+    *     FORM, not id: the m7=0 path-less classes collide after
+    *     normalization, so an unadvertised doc sharing an advertised
+    *     doc's normalized URL is advertised too (the oracle replays
+    *     this with an EXISTS-by-norm, not id arithmetic).
+    *  2. ADMISSION ([[Robots.filterAllowed]] with the known 4-row
+    *     fixture passed as `robotsSizeHint` — zero sizing jobs) +
+    *     blocklist decontamination, exactly q160's stages.
+    *  3. DECLARED-CANONICAL DEDUP ([[LinkGraph.canonicalUrls]]): the
+    *     cheap site-declared signal spent BEFORE any content machinery
+    *     — election (first `rel=canonical`, else `og:url` sans tracking
+    *     params, else normalized self), min-id keeper per canonical
+    *     form, `n_variants` recording each collapsed group's size. Only
+    *     keepers proceed — at crawl scale this is the stage that stops
+    *     mirror URLs from ever reaching boilerplate/fingerprint cost.
+    *  4. BOILERPLATE + C4 + exact content dedup over the canonical
+    *     keepers — q160's tail unchanged, so content keeper ids differ
+    *     from q160 wherever a duplicate's min-id doc lost the canonical
+    *     election.
+    *
+    * The oracle replays every stage closed-form; a defect in sitemap
+    * parsing, URL normalization, robots groups, canonical election,
+    * block density, the line filter, or either keeper election breaks
+    * it. */
+  def q172CrawlPipelineV3(s: SparkSession, d: String): DataFrame = {
+    val dir = crawlWarcV3Dir(s, d)
+    val recs = WarcSources.readWarc(s, dir)
+      .filter(col("error").isNull && col("record_type") === "response")
+      .select(
+        regexp_extract(col("url"), "/doc/(\\d+)$", 1).cast("long").as("id"),
+        decode(col("content"), "UTF-8").as("html"))
+      .withColumn("curl", plantedUrl(col("id")))
+    val adv = q172AdvertisedLocs(s, d)
+      .select(col("loc").as("__norm"), lit(1L).as("advertised"))
+    val flagged = recs.withColumn("__norm", Urls.normalizeUrl(col("curl")))
+      .join(adv, Seq("__norm"), "left")
+      .select(col("id"), col("html"), col("curl"),
+        coalesce(col("advertised"), lit(0L)).as("advertised"))
+    val allowed = Robots.filterAllowed(flagged, col("id"), col("curl"),
+      plantedRobots(s), col("domain"), col("robots_txt"),
+      agent = "GraftBot", robotsSizeHint = Some(4L))
+    // pinned: feeds the canonical election AND the keeper join-back
+    val kept = Urls.decontaminateByDomain(allowed, col("curl"),
+      Seq("badsite.com")).localCheckpoint()
+    val canon = LinkGraph.canonicalUrls(kept, col("id"), col("curl"),
+      col("html"))
+    val groups = canon.groupBy("canonical")
+      .agg(min(col("doc_id")).as("__ck"), count(lit(1)).as("n_variants"))
+    val elected = canon.join(groups, Seq("canonical"))
+      .filter(col("doc_id") === col("__ck"))
+      .select(col("doc_id").as("__kid"), col("canon_src"),
+        col("canonical"), col("n_variants"))
+    // pinned: feeds the content stages AND the final attribute join
+    val keeperPages = kept.join(elected, col("id") === col("__kid"))
+      .localCheckpoint()
+    val cleanDocs = Boilerplate.cleanText(Boilerplate.classify(
+      Boilerplate.blocks(keeperPages.select(col("id"), col("html")),
+        col("id"), col("html")),
+      minWords = 5, maxLinkDensity = 0.33))
+    val clean = QualityRules.c4LineFilter(cleanDocs, col("doc_id"),
+      col("text_clean"), minWords = 3, banned = Seq.empty)
+    val keepers = clean.groupBy("text_clean")
+      .agg(min(col("doc_id")).as("keeper_id"))
+    clean.join(keepers, Seq("text_clean"))
+      .join(keeperPages.select(col("__kid"), col("advertised"),
+        col("canon_src"), col("canonical"), col("n_variants")),
+        col("doc_id") === col("__kid"))
+      .select(col("doc_id"), col("advertised"), col("canon_src"),
+        col("canonical"), col("n_variants"), col("n_lines"),
+        col("n_kept"), md5(col("text_clean").cast("binary")).as("clean_md5"),
+        col("keeper_id"),
+        (col("doc_id") === col("keeper_id")).cast("long").as("is_keeper"))
+      .orderBy("doc_id")
+  }
+
   def q159BlockwordScan(s: SparkSession, d: String): DataFrame =
     BlockWords.scan(Tables.documents(s, d), col("doc_id"), col("text"),
       Seq("spark" -> 1.0, "slow" -> 2.0, "dup" -> 5.0, "batch" -> 1.0,

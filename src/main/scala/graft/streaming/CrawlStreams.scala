@@ -97,6 +97,73 @@ object CrawlStreams {
     writer.start()
   }
 
+  /** The streaming twin of q172's declared-canonical dedup stage: per
+    * micro-batch of captured pages (doc_id, url, html), elect each
+    * page's canonical form ([[graft.operators.LinkGraph.canonicalUrls]]
+    * — the SAME election as the batch chain, so stream == batch by
+    * construction), then admit FIRST-SEEN canonical forms: within a
+    * batch the min-doc_id page per canonical wins; across batches any
+    * history hit rejects. Verdict rows (doc_id, canon_src, canonical,
+    * admitted) land at `admitDir`; admitted canonicals append to the
+    * `batch_id`-partitioned history.
+    *
+    * At-least-once idempotence (the [[DocStreams]] device): the history
+    * visible to a batch EXCLUDES partial writes of the SAME batch_id,
+    * so a retry recomputes identical verdicts, and both sinks are
+    * batch_id-partitioned under dynamic partition overwrite, so a
+    * replayed batch REPLACES its own partitions. Batches at or below
+    * the [[graft.operators.ArtifactFold]] folded watermark no-op (their
+    * admitted rows live in the base partition after compaction). */
+  def foreachBatchCanonicalAdmit(pages: DataFrame, historyDir: String,
+                                 admitDir: String,
+                                 checkpointDir: Option[String] = None): StreamingQuery = {
+    val writer = pages.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        if (batchId > graft.operators.ArtifactFold.foldedWatermark(
+            spark, historyDir)) {
+          val b = graft.operators.LinkGraph.canonicalUrls(batch,
+              col("doc_id"), col("url"), col("html"))
+            .localCheckpoint()
+          val history = loadCanonicalHistory(spark, historyDir,
+            excludeBatchId = batchId)
+          val keeper = b.groupBy("canonical")
+            .agg(org.apache.spark.sql.functions.min(col("doc_id")).as("__k"))
+          val flags = b.join(keeper, Seq("canonical"))
+            .join(history.select(col("canonical")).distinct()
+              .withColumn("__seen", lit(1L)), Seq("canonical"), "left")
+            .select(col("doc_id"), col("canon_src"), col("canonical"),
+              (col("doc_id") === col("__k") && col("__seen").isNull)
+                .cast("long").as("admitted"))
+            .withColumn("batch_id", lit(batchId))
+            .localCheckpoint() // pin BEFORE history mutates beneath the plan
+          writePartition(flags, admitDir)
+          writePartition(flags.filter(col("admitted") === 1L)
+            .select("doc_id", "canonical", "batch_id"), historyDir)
+        }
+        ()
+      }
+    checkpointDir.foreach(d => writer.option("checkpointLocation", d))
+    writer.start()
+  }
+
+  private def loadCanonicalHistory(spark: SparkSession, dir: String,
+                                   excludeBatchId: Long): DataFrame = {
+    import org.apache.spark.sql.types._
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path) && fs.listStatus(path)
+        .exists(_.getPath.getName.startsWith("batch_id=")))
+      spark.read.parquet(dir)
+        .filter(col("batch_id").cast("long") =!= excludeBatchId)
+        .select("doc_id", "canonical")
+    else
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("canonical", StringType))))
+  }
+
   private def writePartition(df: DataFrame, dir: String): Unit =
     df.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")

@@ -255,4 +255,81 @@ class CrawlStreamsSpec extends SparkSpec {
     assert(streamCorpus == batchCorpus)
     assert(streamCorpus.map(_._1) == Set(1L, 3L))
   }
+
+  test("canonical-dedup stage: stream admissions across a seam equal the " +
+       "batch canonical keeper election (q172's stage 3)") {
+    import spark.implicits._
+    import graft.operators.LinkGraph
+    val land = java.nio.file.Files.createTempDirectory("graft-can-land").toString
+    val histDir = java.nio.file.Files.createTempDirectory("graft-can-hist").toString
+    val admitDir = java.nio.file.Files.createTempDirectory("graft-can-admit").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-can-ckpt").toString
+
+    def page(id: Long, head: String): (Long, String, String) =
+      (id, s"HTTP://Mirror.Example:80/p/$id?b=2&a=1",
+        s"<html><head>$head</head><body><p>body $id</p></body></html>")
+    def canonTo(k: Long): String =
+      s"""<link rel="canonical" href="https://canon.example/c/$k">"""
+
+    // arrival 1: docs 1+2 declare the SAME canonical (within-batch dup),
+    // doc 3 declares nothing (self)
+    val batch1 = Seq(page(1, canonTo(100)), page(2, canonTo(100)),
+      page(3, ""))
+    // arrival 2 (later capture ids): doc 4 re-declares canonical 100
+    // (cross-seam dup → history reject), doc 5 is new (og:url), doc 6+7
+    // share a NEW canonical (within-batch keeper election in batch 2)
+    val batch2 = Seq(page(4, canonTo(100)),
+      page(5, """<meta property="og:url" content="https://canon.example/og/5?utm_source=t">"""),
+      page(6, canonTo(200)), page(7, canonTo(200)))
+
+    def drop(name: String, rows: Seq[(Long, String, String)]): Unit =
+      rows.toDF("doc_id", "url", "html").coalesce(1)
+        .write.parquet(s"$land/$name")
+
+    drop("b1", batch1)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("url",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("html",
+        org.apache.spark.sql.types.StringType)))
+    val q = CrawlStreams.foreachBatchCanonicalAdmit(
+      spark.readStream.schema(schema).parquet(s"$land/*"),
+      histDir, admitDir, checkpointDir = Some(ckpt))
+    try {
+      q.processAllAvailable()
+      drop("b2", batch2)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // the seam is real: two micro-batches
+    val admits = spark.read.parquet(admitDir)
+    assert(admits.select("batch_id").distinct().count() == 2)
+    val verdicts = admits.select("doc_id", "admitted")
+      .as[(Long, Long)].collect().toMap
+    assert(verdicts == Map(1L -> 1L, 2L -> 0L, 3L -> 1L, 4L -> 0L,
+      5L -> 1L, 6L -> 1L, 7L -> 0L))
+
+    // batch twin: canonical election + min-id keeper over ALL pages
+    // (capture ids increase with arrival, so first-seen == min-id)
+    val all = (batch1 ++ batch2).toDF("doc_id", "url", "html")
+    val c = LinkGraph.canonicalUrls(all, col("doc_id"), col("url"),
+      col("html"))
+    val batchKeepers = c
+      .withColumn("keeper",
+        min("doc_id").over(org.apache.spark.sql.expressions.Window
+          .partitionBy("canonical")))
+      .filter(col("doc_id") === col("keeper"))
+      .select("doc_id", "canonical").as[(Long, String)].collect().toSet
+    val streamKeepers = spark.read.parquet(histDir)
+      .select("doc_id", "canonical").as[(Long, String)].collect().toSet
+    assert(streamKeepers == batchKeepers,
+      s"stream keepers != batch keepers:\n$streamKeepers\nvs\n$batchKeepers")
+    // election semantics rode through: og:url tracking param stripped,
+    // dirty self URL normalized
+    val canonOf = streamKeepers.toMap
+    assert(canonOf(5L) == "https://canon.example/og/5")
+    assert(canonOf(3L) == "http://mirror.example/p/3?a=1&b=2")
+  }
 }
