@@ -70,6 +70,100 @@ object Retrieval {
       .limit(k)
   }
 
+  /** Two-field BM25F-lite — BODY + ANCHOR TEXT, the classic web-corpus
+    * ranking upgrade (what the rest of the web calls a page is stronger
+    * retrieval evidence than the page's own words; aggregating inlink
+    * anchors into a weighted field is the standard construction, and
+    * [[graft.operators.LinkGraph.anchorCorpus]]'s bounded top-k output
+    * is exactly the anchor side this consumes):
+    *
+    *  - per field f, tf is length-normalized FIRST:
+    *    `tf_f / (1 - b + b·dl_f/avgdl_f)`, then field-weighted and
+    *    SUMMED into one pseudo-frequency before a single saturation —
+    *    the Robertson–Zaragoza simplified BM25F (per-field weights
+    *    `wBody`/`wAnchor`, shared `b` and `k1`). With the anchor field
+    *    absent the formula degenerates EXACTLY to [[bm25TopK]]'s
+    *    classic BM25 (divide its tf and norm by B), which is why the
+    *    returned `bm25_body` column is the comparable body-only score.
+    *  - idf comes from the BODY corpus only: anchor df would let a
+    *    mirror-phrased link farm depress a term's idf corpus-wide.
+    *  - anchor tf/dl are weighted by inlink count (`anchorCnt`), so a
+    *    phrase 1 000 pages use counts 1 000× — over the top-k corpus
+    *    rows this stays bounded per target no matter the inlink skew.
+    *
+    * `anchors` rows are (anchorId → target doc, anchorText phrase,
+    * anchorCnt inlink count). Scores round to 6 dp before the cut,
+    * ties break by doc_id. Output: (doc_id, bm25f, bm25_body).
+    *
+    * 100 TB shape: one anchor-side aggregate (map-side combined, keyed
+    * by target doc), one doc-keyed equi-join body⋈anchors, two
+    * single-row stat frames broadcast — no window, nothing quadratic;
+    * docs matching NO query term in either field never survive the
+    * pre-cut filter. */
+  def bm25fTopK(docs: DataFrame, id: Column, toks: Column,
+                anchors: DataFrame, anchorId: Column, anchorText: Column,
+                anchorCnt: Column, terms: Seq[String], k: Int,
+                wBody: Double = 1.0, wAnchor: Double = 1.0,
+                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val ts = terms.distinct
+    require(ts.nonEmpty, "need at least one query term")
+    require(k > 0, "k must be positive")
+    val tfCols = ts.indices.map(i => s"__tf$i")
+    val atfCols = ts.indices.map(i => s"__atf$i")
+    val withTf = docs.select(
+      (id.cast("long").as("doc_id") +:
+        size(toks).cast("double").as("__dl") +:
+        ts.zipWithIndex.map { case (t, i) =>
+          size(filter(toks, x => x === lit(t))).cast("double").as(tfCols(i))
+        }): _*)
+    // anchor field: per-row phrase tf × inlink count, then one
+    // target-keyed sum (map-side combined)
+    val atoks = graft.functions.TextOps.tokens(anchorText)
+    val anchorRows = anchors.select(
+      (anchorId.cast("long").as("doc_id") +:
+        (anchorCnt.cast("double") * size(atoks).cast("double")).as("__dla") +:
+        ts.zipWithIndex.map { case (t, i) =>
+          (anchorCnt.cast("double") *
+            size(filter(atoks, x => x === lit(t))).cast("double"))
+            .as(atfCols(i))
+        }): _*)
+    val anchorAgg = anchorRows.groupBy("doc_id")
+      .agg(sum(col("__dla")).as("__dla"),
+        ts.indices.map(i => sum(col(atfCols(i))).as(atfCols(i))): _*)
+    val bodyStatCols =
+      count(lit(1)).cast("double").as("__n") +:
+        avg(col("__dl")).as("__avgdl") +:
+        ts.indices.map(i =>
+          sum(when(col(tfCols(i)) > 0, 1L).otherwise(0L)).cast("double")
+            .as(s"__df$i"))
+    val bodyStats = withTf.agg(bodyStatCols.head, bodyStatCols.tail: _*)
+    val anchorStats = anchorAgg.filter(col("__dla") > 0)
+      .agg(avg(col("__dla")).as("__avgdla"))
+    val joined = withTf.join(anchorAgg, Seq("doc_id"), "left")
+      .na.fill(0.0, "__dla" +: atfCols)
+      .crossJoin(broadcast(bodyStats))
+      .crossJoin(broadcast(anchorStats))
+    val bB = lit(1.0 - b) + lit(b) * col("__dl") / col("__avgdl")
+    val bA = lit(1.0 - b) + lit(b) * col("__dla") / col("__avgdla")
+    def score(withAnchor: Boolean): Column =
+      ts.indices.map { i =>
+        val idf = log(lit(1.0) +
+          (col("__n") - col(s"__df$i") + 0.5) / (col(s"__df$i") + 0.5))
+        val tft = lit(wBody) * col(tfCols(i)) / bB +
+          (if (withAnchor)
+            when(col("__dla") > 0, lit(wAnchor) * col(atfCols(i)) / bA)
+              .otherwise(lit(0.0))
+          else lit(0.0))
+        idf * tft * lit(k1 + 1.0) / (tft + lit(k1))
+      }.reduceLeft(_ + _)
+    joined
+      .filter(greatest(lit(0.0) +: (tfCols ++ atfCols).map(col): _*) > 0)
+      .select(col("doc_id"), round(score(withAnchor = true), 6).as("bm25f"),
+        round(score(withAnchor = false), 6).as("bm25_body"))
+      .orderBy(col("bm25f").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** Reciprocal-rank fusion — the standard hybrid-retrieval serving
     * pattern (RAG: fuse a keyword leg and an embedding leg over the same
     * corpus): each leg contributes `1/(c + rank)` per document, summed.

@@ -3196,6 +3196,78 @@ object Oracles {
     FROM base b JOIN tk USING (pline) JOIN af ON af.doc_id = b.doc_id
     ORDER BY b.doc_id"""
 
+  /** q173: anchor-text BM25F — the q85 body replay plus the anchor
+    * field rebuilt closed-form: per 50-bucket hub, inlink counts split
+    * by the %5 anchor-phrase residue ("join window" × c_jw, "misc
+    * link" × c_ml — only two distinct phrases, so the top-3 election
+    * keeps both exactly); anchor tf = phrase counts × per-phrase term
+    * occurrences, anchor dl = 2·(c_jw + c_ml); idf from the body only;
+    * per-field length normalization, weight-2 anchor fusion, single
+    * saturation, and the 6-dp rounded (bm25f desc, doc_id) top-20 cut
+    * — all mirroring the Spark expression's operation order. */
+  val q173 = """
+    WITH t AS (SELECT doc_id,
+                 CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN []::VARCHAR[]
+                      ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+               FROM documents),
+    w AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+            CAST(len(list_filter(toks, x -> x = 'join')) AS DOUBLE) AS tf0,
+            CAST(len(list_filter(toks, x -> x = 'filter')) AS DOUBLE) AS tf1,
+            CAST(len(list_filter(toks, x -> x = 'window')) AS DOUBLE) AS tf2
+          FROM t),
+    ac AS (SELECT doc_id - doc_id % 50 AS aid,
+             CAST(sum(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END)
+               AS DOUBLE) AS c_jw,
+             CAST(sum(CASE WHEN doc_id % 5 <> 0 THEN 1 ELSE 0 END)
+               AS DOUBLE) AS c_ml
+           FROM documents GROUP BY 1),
+    an AS (SELECT aid,
+             c_jw AS atf0, CAST(0 AS DOUBLE) AS atf1, c_jw AS atf2,
+             2.0 * c_jw + 2.0 * c_ml AS dla
+           FROM ac),
+    st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+             CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+             CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+             CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+           FROM w),
+    sa AS (SELECT avg(dla) AS avgdla FROM an WHERE dla > 0),
+    j AS (SELECT w.doc_id, w.dl, w.tf0, w.tf1, w.tf2,
+            coalesce(an.dla, 0.0) AS dla,
+            coalesce(an.atf0, 0.0) AS atf0,
+            coalesce(an.atf1, 0.0) AS atf1,
+            coalesce(an.atf2, 0.0) AS atf2
+          FROM w LEFT JOIN an ON an.aid = w.doc_id),
+    sc AS (SELECT doc_id,
+        ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) AS idf0,
+        ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) AS idf1,
+        ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) AS idf2,
+        0.25 + 0.75 * dl / avgdl AS bb,
+        0.25 + 0.75 * dla / avgdla AS ba,
+        tf0, tf1, tf2, atf0, atf1, atf2, dla
+      FROM j, st, sa
+      WHERE greatest(tf0, tf1, tf2, atf0, atf1, atf2) > 0),
+    f AS (SELECT doc_id,
+        1.0 * tf0 / bb + (CASE WHEN dla > 0 THEN 2.0 * atf0 / ba
+                               ELSE 0.0 END) AS t0,
+        1.0 * tf1 / bb + (CASE WHEN dla > 0 THEN 2.0 * atf1 / ba
+                               ELSE 0.0 END) AS t1,
+        1.0 * tf2 / bb + (CASE WHEN dla > 0 THEN 2.0 * atf2 / ba
+                               ELSE 0.0 END) AS t2,
+        1.0 * tf0 / bb + 0.0 AS b0,
+        1.0 * tf1 / bb + 0.0 AS b1,
+        1.0 * tf2 / bb + 0.0 AS b2,
+        idf0, idf1, idf2
+      FROM sc)
+    SELECT doc_id,
+           round(idf0 * t0 * 2.2 / (t0 + 1.2)
+               + idf1 * t1 * 2.2 / (t1 + 1.2)
+               + idf2 * t2 * 2.2 / (t2 + 1.2), 6) AS bm25f,
+           round(idf0 * b0 * 2.2 / (b0 + 1.2)
+               + idf1 * b1 * 2.2 / (b1 + 1.2)
+               + idf2 * b2 * 2.2 / (b2 + 1.2), 6) AS bm25_body
+    FROM f
+    ORDER BY bm25f DESC, doc_id LIMIT 20"""
+
   /** q141: exact substring dedup — brute-force replay over the literal
     * strings: EVERY (position, m) window for m in [16, n] — UNCAPPED, so
     * the Spark side's anchor-doubling extension past its band cap is
@@ -4872,6 +4944,7 @@ object Oracles {
     "q169_domain_trustrank" -> q169,
     "q170_sitemap_seeds" -> q170,
     "q171_canonical_dedup" -> q171,
-    "q172_crawl_pipeline_v3" -> q172
+    "q172_crawl_pipeline_v3" -> q172,
+    "q173_anchor_bm25f" -> q173
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

@@ -4208,6 +4208,41 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** q173: anchor-text retrieval field ([[Retrieval.bm25fTopK]] fed by
+    * [[LinkGraph.anchorCorpus]]) — the round-12 anchor corpus finally
+    * feeding ranking, BM25F-lite style: every doc links to its 50-bucket
+    * hub page, id%5=0 docs calling it "join window" and the rest "misc
+    * link", so hub pages accumulate a real anchor field (phrase counts
+    * riding [[LinkGraph.anchorCorpus]]'s bounded top-k election) while
+    * their OWN body text stays ordinary. The q85 query terms score the
+    * same corpus twice — body-only (`bm25_body`, exactly q85's BM25) and
+    * fused (`bm25f`, anchor field at weight 2) — and the oracle replays
+    * tokenization, both fields' tf/dl, the inlink-count weighting, the
+    * body-idf choice, the per-field length normalization, the fused
+    * saturation, and the rounded top-20 cut closed-form. Hub pages
+    * re-rank above their body-only standing — the reason a web corpus
+    * builds the anchor field at all. */
+  def q173AnchorBm25f(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val base = concat(lit("https://site.example/p/doc"), id, lit(".html"))
+    val html = concat(
+      lit("<p><a href=\"/p/doc"), id - id % 50, lit(".html\">"),
+      when(id % 5 === 0, lit("join window")).otherwise(lit("misc link")),
+      lit("</a></p>"))
+    val pages = Tables.documents(s, d).select(id, base.as("u"), html.as("h"))
+    val e = LinkGraph.edges(pages, col("doc_id"), col("u"), col("h"))
+    val corpus = LinkGraph.anchorCorpus(e, col("resolved"), col("anchor"),
+      k = 3)
+    val anchors = corpus.select(
+      regexp_extract(col("target"), "/p/doc(\\d+)\\.html$", 1)
+        .cast("long").as("aid"),
+      col("anchor"), col("cnt"))
+    Retrieval.bm25fTopK(Tables.documents(s, d), col("doc_id"),
+      graft.functions.TextOps.tokens(coalesce(col("text"), lit(""))),
+      anchors, col("aid"), col("anchor"), col("cnt"),
+      Seq("join", "filter", "window"), k = 20, wAnchor = 2.0)
+  }
+
   def q159BlockwordScan(s: SparkSession, d: String): DataFrame =
     BlockWords.scan(Tables.documents(s, d), col("doc_id"), col("text"),
       Seq("spark" -> 1.0, "slow" -> 2.0, "dup" -> 5.0, "batch" -> 1.0,

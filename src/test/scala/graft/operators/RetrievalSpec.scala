@@ -33,6 +33,46 @@ class RetrievalSpec extends SparkSpec {
     assert(out(0L) > out(3L) && out(3L) > out(1L))
   }
 
+  test("bm25fTopK: no anchors degenerates exactly to bm25TopK") {
+    val empty = Seq.empty[(Long, String, Long)]
+      .toDF("aid", "anchor", "cnt")
+    val out = Retrieval.bm25fTopK(corpus, col("doc_id"), col("toks"),
+        empty, col("aid"), col("anchor"), col("cnt"),
+        Seq("cat", "dog"), k = 10)
+      .as[(Long, Double, Double)].collect()
+    val scan = Retrieval.bm25TopK(corpus, col("doc_id"), col("toks"),
+        Seq("cat", "dog"), k = 10)
+      .as[(Long, Double)].collect().toMap
+    assert(out.map(r => r._1 -> r._2).toMap == scan)
+    out.foreach { case (_, f, b) => assert(f == b) } // fused == body-only
+  }
+
+  test("bm25fTopK: anchor field re-ranks and inlink counts weight it") {
+    // doc 2 has NO query term in its body but 3 inlinks calling it
+    // "cat" — it must surface, outrank the weak body-only doc 1, and
+    // report bm25_body = 0-signal absence via the pre-filter (body tf 0)
+    val anchors = Seq(
+      (2L, "cat", 3L),  // 3 pages call doc2 "cat"
+      (3L, "dog", 1L)   // 1 page calls doc3 "dog"
+    ).toDF("aid", "anchor", "cnt")
+    val out = Retrieval.bm25fTopK(corpus, col("doc_id"), col("toks"),
+        anchors, col("aid"), col("anchor"), col("cnt"),
+        Seq("cat", "dog"), k = 10, wAnchor = 2.0)
+      .as[(Long, Double, Double)].collect()
+    val byId = out.map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(byId.keySet == Set(0L, 1L, 2L, 3L))
+    val (f2, b2) = byId(2L)
+    assert(b2 == 0.0, "doc2 has no body signal")
+    assert(f2 > 0.0, "anchor evidence alone must score doc2")
+    assert(f2 > byId(1L)._1, "anchor-only doc2 outranks weak-body doc1")
+    // doc3: anchor evidence ADDS to its body score
+    assert(byId(3L)._1 > byId(3L)._2)
+    // closed-form check for doc2: dla=3 (3 × 1-token phrase), avgdla over
+    // {3, 1} = 2; tft = 2·3/(0.25+0.75·3/2) = 6/1.375; idf = ln 2
+    val tft = 2.0 * 3.0 / (0.25 + 0.75 * 3.0 / 2.0)
+    assert(f2 == r6(math.log(2.0) * tft * 2.2 / (tft + 1.2)))
+  }
+
   test("k cut is deterministic with doc_id tie-break") {
     // docs 10 and 11 are identical => identical scores; k=2 must keep the
     // top scorer and then the LOWER id of the tied pair
