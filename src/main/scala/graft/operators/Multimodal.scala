@@ -638,7 +638,8 @@ object Multimodal {
     * whose quantization tables (and thus the decoded means the gate
     * bounds) are vendor/version-specific. */
   def encodeJpeg(w: Int, h: Int, pixels: Array[Int],
-                 quality: Float = 0.9f): Array[Byte] = {
+                 quality: Float = 0.9f,
+                 progressive: Boolean = false): Array[Byte] = {
     require(pixels.length == w * h, "pixels must be w*h")
     javax.imageio.ImageIO.setUseCache(false)
     val img = new java.awt.image.BufferedImage(
@@ -648,6 +649,8 @@ object Multimodal {
     val param = writer.getDefaultWriteParam
     param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
     param.setCompressionQuality(quality)
+    if (progressive) // real progressive scan script (SOF2), not baseline
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
     val bos = new java.io.ByteArrayOutputStream()
     val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
     try {
@@ -1367,4 +1370,98 @@ object Multimodal {
     media.toDF().select(col("media_id"), col("kind"),
         explode(sequence(lit(0), lit(nFrames - 1), lit(stride))).as("frame_idx"))
       .withColumn("frame_key", concat_ws(":", col("media_id"), col("frame_idx")))
+
+  /** One routing verdict of [[imageTriage]]: `route` is "decode"
+    * (baseline path), "decode_progressive" (progressive JPEGs — a real
+    * pipeline pools them separately: multi-scan decode holds the whole
+    * image in memory), or "quarantine" (`reason` says why — never sent
+    * to a pixel decoder). `width`/`height` are the HEADER dimensions
+    * (-1 when unreadable). */
+  final case class ImageRoute(route: String, reason: String,
+                              width: Int, height: Int,
+                              progressive: Boolean)
+
+  /** Default pixel ceiling for [[imageTriage]]: 64 MPx — past any
+    * sane training image; a decompression-bomb fence, not a quality
+    * judgment (a 64 MPx 8-bit gray raster is already 64 MB per task). */
+  val DefaultMaxPixels: Long = 64L * 1024 * 1024
+
+  /** Pre-decode image triage — the [[Jpeg.meta]] consumer that routes
+    * blobs BEFORE any pixel decode (the 100 TB point: a corrupt or
+    * hostile blob must cost a header walk, not an ImageIO decode;
+    * decode cost is authorized by the header, never discovered by
+    * decoding):
+    *
+    *  - JPEG magic → [[Jpeg.meta]]'s bounded segment walk: malformed
+    *    headers quarantine with the walk's reason; progressive streams
+    *    route to the progressive pool; dimensions fence against
+    *    `maxPixels` (also catches missing-SOF streams — w/h unseen).
+    *  - PNG signature → IHDR peek (width/height at fixed offsets, the
+    *    first chunk by spec) with the same pixel fence.
+    *  - P5 PGM → the [[PgmDecoder]] header parse (total here: parse
+    *    failures quarantine instead of throwing).
+    *  - anything else → quarantine "unknown format" (the allowlist
+    *    stance: decoders are attack surface, unknown bytes don't get
+    *    to pick one via content sniffing).
+    *
+    * Pure per-blob local work — compose inside the same typed map as
+    * the decode (see [[triagedImageStats]]); zero extra passes. */
+  def imageTriage(payload: Array[Byte],
+                  maxPixels: Long = DefaultMaxPixels): ImageRoute = {
+    val b = if (payload == null) Array.empty[Byte] else payload
+    def fence(w: Int, h: Int, progressive: Boolean): ImageRoute =
+      if (w <= 0 || h <= 0)
+        ImageRoute("quarantine", "no dimensions", w, h, progressive)
+      else if (w.toLong * h > maxPixels)
+        ImageRoute("quarantine", "too large", w, h, progressive)
+      else if (progressive)
+        ImageRoute("decode_progressive", "", w, h, progressive = true)
+      else ImageRoute("decode", "", w, h, progressive = false)
+    if (b.length >= 2 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8) {
+      val m = Jpeg.meta(b)
+      if (m.error != null && m.error.nonEmpty)
+        ImageRoute("quarantine", m.error, m.width, m.height, m.progressive)
+      else fence(m.width, m.height, m.progressive)
+    } else if (b.length >= 24 && (b(0) & 0xFF) == 0x89 && b(1) == 'P' &&
+               b(2) == 'N' && b(3) == 'G' && b(12) == 'I' && b(13) == 'H' &&
+               b(14) == 'D' && b(15) == 'R') {
+      def be32(i: Int): Long =
+        ((b(i) & 0xFFL) << 24) | ((b(i + 1) & 0xFFL) << 16) |
+          ((b(i + 2) & 0xFFL) << 8) | (b(i + 3) & 0xFFL)
+      val w = be32(16); val h = be32(20)
+      if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue)
+        ImageRoute("quarantine", "no dimensions", -1, -1, progressive = false)
+      else fence(w.toInt, h.toInt, progressive = false)
+    } else if (b.length >= 2 && b(0) == 'P' && b(1) == '5') {
+      try {
+        val (w, h, _, _) = new PgmDecoder().header(b)
+        fence(w, h, progressive = false)
+      } catch {
+        case e: IllegalArgumentException =>
+          ImageRoute("quarantine",
+            Option(e.getMessage).getOrElse("bad PGM header")
+              .stripPrefix("requirement failed: "),
+            -1, -1, progressive = false)
+      }
+    } else ImageRoute("quarantine", "unknown format", -1, -1,
+      progressive = false)
+  }
+
+  /** Triage-gated pixel statistics: [[imageTriage]] first, and ONLY
+    * routed blobs reach a pixel decoder (quarantined blobs return None —
+    * spec-gated by a counting decoder: the rejected class never invokes
+    * ImageIO). Routed P5 blobs use the [[PgmDecoder]] raster walk (the
+    * JDK ships no PGM ImageIO reader); JPEG/PNG use `decoder`. The
+    * q93-class dedup and the q175 mixed-corpus routing run this per
+    * blob inside one typed map. */
+  def triagedImageStats(payload: Array[Byte],
+                        maxPixels: Long = DefaultMaxPixels,
+                        decoder: ImageIoDecoder = new ImageIoDecoder())
+      : (ImageRoute, Option[(Long, Long, Long, Long)]) = {
+    val r = imageTriage(payload, maxPixels)
+    if (r.route == "quarantine") (r, None)
+    else if (payload.length >= 2 && payload(0) == 'P' && payload(1) == '5')
+      (r, Some(new PgmDecoder().rawStats(payload)))
+    else (r, Some(decoder.rawStats(payload)))
+  }
 }

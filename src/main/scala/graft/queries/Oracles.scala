@@ -3268,6 +3268,33 @@ object Oracles {
     FROM f
     ORDER BY bm25f DESC, doc_id LIMIT 20"""
 
+  /** q175: triage-routed image decode — a pure residue decision table:
+    * the GATE is that the Spark side must reproduce it through the real
+    * header walks (route/reason/dims from triage, never from the class)
+    * AND real pixel decodes (mean_ok demands PNG-exact / JPEG-bounded
+    * agreement with the planted pixels; a quarantined class that
+    * somehow decoded, or a routed class that failed decode, reds the
+    * flag). */
+  val q175 = """
+    SELECT doc_id,
+      CASE WHEN doc_id % 6 IN (0, 3) THEN 'decode'
+           WHEN doc_id % 6 = 1 THEN 'decode'
+           WHEN doc_id % 6 = 2 THEN 'quarantine'
+           WHEN doc_id % 6 = 4 THEN 'quarantine'
+           ELSE 'decode_progressive' END AS route,
+      CASE WHEN doc_id % 6 = 2 THEN 'unknown format'
+           WHEN doc_id % 6 = 4 THEN 'truncated'
+           ELSE '' END AS reason,
+      CAST(CASE WHEN doc_id % 6 IN (2, 4) THEN -1 ELSE 8 END AS BIGINT)
+        AS w,
+      CAST(CASE WHEN doc_id % 6 IN (2, 4) THEN -1 ELSE 8 END AS BIGINT)
+        AS h,
+      CAST(CASE WHEN doc_id % 6 IN (2, 4) THEN 0 ELSE 64 END AS BIGINT)
+        AS n_px,
+      CAST(CASE WHEN doc_id % 6 IN (2, 4) THEN 0 ELSE 1 END AS BIGINT)
+        AS mean_ok
+    FROM documents ORDER BY doc_id"""
+
   /** q141: exact substring dedup — brute-force replay over the literal
     * strings: EVERY (position, m) window for m in [16, n] — UNCAPPED, so
     * the Spark side's anchor-doubling extension past its band cap is
@@ -4945,6 +4972,7 @@ object Oracles {
     "q170_sitemap_seeds" -> q170,
     "q171_canonical_dedup" -> q171,
     "q172_crawl_pipeline_v3" -> q172,
-    "q173_anchor_bm25f" -> q173
+    "q173_anchor_bm25f" -> q173,
+    "q175_image_triage_route" -> q175
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

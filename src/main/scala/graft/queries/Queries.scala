@@ -2119,9 +2119,15 @@ object Queries {
     val hashed = withTwins
       .repartition(s.sparkContext.defaultParallelism, col("img_id"))
       .as[(Long, Seq[Int])]
-      .map { case (imgId, ps) =>
+      .flatMap { case (imgId, ps) =>
         val img = Multimodal.encodePgm(8, 8, ps.toArray)
-        (imgId, new Multimodal.PgmDecoder().aHash64(img))
+        // triage gates the hash path (q175's router): only routed blobs
+        // reach the decoder — all fixture blobs are valid P5, so the
+        // gate is semantics-preserving here and load-bearing on a real
+        // corpus (bad magic/truncation costs a header peek, not decode)
+        if (Multimodal.imageTriage(img).route == "decode")
+          Some((imgId, new Multimodal.PgmDecoder().aHash64(img)))
+        else None
       }.toDF("doc_id", "sh")
     Dedup.hammingNearDupPairs(hashed, maxHamming = 4,
         policy = CheckpointPolicy.fromSession(s))
@@ -4241,6 +4247,50 @@ object Queries {
       graft.functions.TextOps.tokens(coalesce(col("text"), lit(""))),
       anchors, col("aid"), col("anchor"), col("cnt"),
       Seq("join", "filter", "window"), k = 20, wAnchor = 2.0)
+  }
+
+  /** q175: triage-routed image decode ([[Multimodal.imageTriage]] —
+    * the [[Jpeg]] header walk finally ROUTING the pixel path instead of
+    * running standalone): per doc a mixed-corpus blob by residue — real
+    * baseline JPEG (%6∈{0,3}, JDK writer at quality 0.9), real PNG
+    * (%6=1), a bad-magic blob (%6=2 → quarantined as unknown format,
+    * never decoded), a JPEG cut mid-header (%6=4 → the walk's
+    * "truncated" quarantine), and a real PROGRESSIVE JPEG (%6=5 → the
+    * separate decode pool) — routed by the header triage and, for
+    * routed blobs only, decoded for exact (PNG, lossless) or
+    * 4-gray-level-bounded (JPEG, the q55 DC-quantization argument)
+    * mean agreement with the planted pixels. MultimodalSpec's counting
+    * decoder proves the quarantined classes never invoke ImageIO; the
+    * oracle pins every route/reason/dimension/flag closed-form. */
+  def q175ImageTriageRoute(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .map { id =>
+        val px = Array.tabulate(64)(i => ((id + 7L * i) % 256L).toInt)
+        val blob: Array[Byte] = (id % 6) match {
+          case 0 | 3 => Multimodal.encodeJpeg(8, 8, px)
+          case 1     => Multimodal.encodeImage(8, 8, px, "png")
+          case 2     => s"NOTANIMAGE$id".getBytes("US-ASCII")
+          case 4     => Multimodal.encodeJpeg(8, 8, px).take(10)
+          case _     => Multimodal.encodeJpeg(8, 8, px, progressive = true)
+        }
+        val (r, stats) = Multimodal.triagedImageStats(blob)
+        val srcSum = px.map(_.toLong).sum
+        val meanOk = stats match {
+          case Some((n, s1, _, _)) if id % 6 == 1 => // PNG: exact
+            if (n == 64 && s1 == srcSum) 1L else 0L
+          case Some((n, s1, _, _)) => // JPEG: DC-quantization bound
+            if (n == 64 &&
+                math.abs(s1.toDouble / n - srcSum.toDouble / 64.0) <= 4.0)
+              1L
+            else 0L
+          case None => 0L
+        }
+        (id, r.route, r.reason, r.width.toLong, r.height.toLong,
+          stats.map(_._1).getOrElse(0L), meanOk)
+      }
+      .toDF("doc_id", "route", "reason", "w", "h", "n_px", "mean_ok")
+      .orderBy("doc_id")
   }
 
   def q159BlockwordScan(s: SparkSession, d: String): DataFrame =

@@ -670,4 +670,53 @@ class MultimodalSpec extends SparkSpec {
     assert(dec.aHash64(Multimodal.encodePgm(16, 16, big)) == h0,
       "nearest-neighbor resize path diverged")
   }
+
+  test("imageTriage routes by header and rejected blobs NEVER reach ImageIO") {
+    class CountingDecoder extends Multimodal.ImageIoDecoder {
+      var n = 0
+      override def rawStats(p: Array[Byte]): (Long, Long, Long, Long) = {
+        n += 1; super.rawStats(p)
+      }
+    }
+    val px = Array.tabulate(64)(i => i * 3 % 256)
+    val jpeg = Multimodal.encodeJpeg(8, 8, px)
+    val prog = Multimodal.encodeJpeg(8, 8, px, progressive = true)
+    val png = Multimodal.encodeImage(8, 8, px, "png")
+    val pgm = Multimodal.encodePgm(8, 8, px)
+    val bad = "NOTANIMAGE".getBytes("US-ASCII")
+    val trunc = jpeg.take(10)
+
+    // routing verdicts
+    assert(Multimodal.imageTriage(jpeg) ==
+      Multimodal.ImageRoute("decode", "", 8, 8, progressive = false))
+    assert(Multimodal.imageTriage(prog) ==
+      Multimodal.ImageRoute("decode_progressive", "", 8, 8,
+        progressive = true))
+    assert(Multimodal.imageTriage(png).route == "decode")
+    assert(Multimodal.imageTriage(pgm).route == "decode")
+    assert(Multimodal.imageTriage(bad) ==
+      Multimodal.ImageRoute("quarantine", "unknown format", -1, -1,
+        progressive = false))
+    assert(Multimodal.imageTriage(trunc).route == "quarantine")
+    assert(Multimodal.imageTriage(trunc).reason == "truncated")
+    // decompression-bomb fence: header dims authorize decode cost
+    assert(Multimodal.imageTriage(png, maxPixels = 63) ==
+      Multimodal.ImageRoute("quarantine", "too large", 8, 8,
+        progressive = false))
+    assert(Multimodal.imageTriage(jpeg, maxPixels = 63).reason ==
+      "too large")
+
+    // the decode-count gate: of the six blobs, only JPEG+progressive+PNG
+    // may invoke ImageIO (PGM routes to the raster walk; bad magic and
+    // the truncated header never decode at all)
+    val counter = new CountingDecoder
+    val results = Seq(jpeg, prog, png, pgm, bad, trunc)
+      .map(b => Multimodal.triagedImageStats(b, decoder = counter))
+    assert(counter.n == 3,
+      s"ImageIO invoked ${counter.n} times; triage must gate it to 3")
+    assert(results.count(_._2.isDefined) == 4) // jpeg, prog, png, pgm
+    // PGM stats came from the raster walk, exactly
+    val pgmStats = Multimodal.triagedImageStats(pgm, decoder = counter)._2.get
+    assert(pgmStats._1 == 64 && pgmStats._2 == px.map(_.toLong).sum)
+  }
 }
