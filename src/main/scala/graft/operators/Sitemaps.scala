@@ -166,6 +166,45 @@ object Sitemaps {
     out.result()
   }
 
+  /** Coverage audit — the third sitemap use named in the class doc:
+    * what a site ADVERTISES vs what the crawl CAPTURED, the frame a
+    * recrawl scheduler and a politeness audit both read. Both sides key
+    * on the NORMALIZED URL form ([[Urls.normalizeUrl]] — an advertised
+    * clean URL must match its dirty capture), deduplicate (latest
+    * declared lastmod wins on the advertised side, earliest fetch on
+    * the captured side), and full-outer join once. Output per URL:
+    * (url, domain, status 'both'|'advertised_only'|'captured_only',
+    * stale) — `stale` = 1 on a captured URL whose declared lastmod
+    * (ISO date, string-comparable) postdates its fetch: the site says
+    * the content changed since we took it, i.e. recrawl due.
+    *
+    * 100 TB shape: two map-side-combined key aggregates and one
+    * URL-keyed shuffle join; per-domain rollups are one further
+    * aggregate on the emitted `domain` column. */
+  def coverageAudit(advertised: DataFrame, loc: Column, lastmod: Column,
+                    captured: DataFrame, url: Column,
+                    fetched: Column): DataFrame = {
+    val a = advertised
+      .select(Urls.normalizeUrl(loc).as("url"),
+        coalesce(lastmod.cast("string"), lit("")).as("lastmod"))
+      .groupBy("url").agg(max(col("lastmod")).as("lastmod"))
+      .withColumn("__adv", lit(1))
+    val c = captured
+      .select(Urls.normalizeUrl(url).as("url"),
+        coalesce(fetched.cast("string"), lit("")).as("fetched"))
+      .groupBy("url").agg(min(col("fetched")).as("fetched"))
+      .withColumn("__cap", lit(1))
+    a.join(c, Seq("url"), "full_outer")
+      .select(col("url"),
+        Urls.registeredDomain(col("url")).as("domain"),
+        when(col("__adv").isNotNull && col("__cap").isNotNull, lit("both"))
+          .when(col("__adv").isNotNull, lit("advertised_only"))
+          .otherwise(lit("captured_only")).as("status"),
+        when(col("__adv").isNotNull && col("__cap").isNotNull &&
+            col("lastmod") =!= "" && col("lastmod") > col("fetched"), 1L)
+          .otherwise(0L).as("stale"))
+  }
+
   /** Per-file entries: (doc_id, entry_idx, kind, loc, lastmod,
     * changefreq, priority, error). Typed flatMap — per-row local parse,
     * zero shuffles (see class doc for why the spec's 50k-entry file cap

@@ -3295,6 +3295,50 @@ object Oracles {
         AS mean_ok
     FROM documents ORDER BY doc_id"""
 
+  /** q174: sitemap coverage audit — advertised side rebuilt from the
+    * q170 urlset arithmetic (d11≠5 docs, entries 0 and 1; the entity
+    * in entry 1's loc decodes; index docs advertise nothing), captured
+    * side from the parity/`%9` plants with normalization folded in
+    * (uppercase scheme/host lowers to the advertised form), one FULL
+    * OUTER join, and the stale rule as a string-date compare (planted
+    * month > March ⟺ d9 ≥ 3). */
+  val q174 = """
+    WITH t AS (SELECT doc_id, doc_id % 9 AS d9, doc_id % 3 AS d3,
+        doc_id % 11 AS d11,
+        CASE WHEN doc_id % 5 = 0 THEN 'example.com'
+             WHEN doc_id % 5 = 1 THEN 'example.co.uk'
+             WHEN doc_id % 5 = 2 THEN 'badsite.com'
+             WHEN doc_id % 5 = 3 THEN 'example.org'
+             ELSE 'site.com' END AS dom
+      FROM documents),
+    adv AS (
+      SELECT 'https://' || dom || '/a/1?p=' || CAST(doc_id AS VARCHAR)
+               AS url, dom,
+             '2024-0' || CAST(d9 + 1 AS VARCHAR) || '-1' ||
+               CAST(d3 AS VARCHAR) AS lastmod
+      FROM t WHERE d11 <> 5
+      UNION ALL
+      SELECT 'https://' || dom || '/b/' || CAST(doc_id AS VARCHAR) ||
+               '?x=1&y=2', dom, ''
+      FROM t WHERE d11 <> 5),
+    cap AS (
+      SELECT 'https://' || dom || '/a/1?p=' || CAST(doc_id AS VARCHAR)
+               AS url, dom
+      FROM t WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT 'https://' || dom || '/c/' || CAST(doc_id AS VARCHAR), dom
+      FROM t WHERE d9 = 0)
+    SELECT coalesce(a.url, c.url) AS url,
+           coalesce(a.dom, c.dom) AS domain,
+           CASE WHEN a.url IS NOT NULL AND c.url IS NOT NULL THEN 'both'
+                WHEN a.url IS NOT NULL THEN 'advertised_only'
+                ELSE 'captured_only' END AS status,
+           CAST(CASE WHEN a.url IS NOT NULL AND c.url IS NOT NULL
+                      AND a.lastmod <> '' AND a.lastmod > '2024-03-15'
+                 THEN 1 ELSE 0 END AS BIGINT) AS stale
+    FROM adv a FULL OUTER JOIN cap c ON a.url = c.url
+    ORDER BY url"""
+
   /** q141: exact substring dedup — brute-force replay over the literal
     * strings: EVERY (position, m) window for m in [16, n] — UNCAPPED, so
     * the Spark side's anchor-doubling extension past its band cap is
@@ -4973,6 +5017,7 @@ object Oracles {
     "q171_canonical_dedup" -> q171,
     "q172_crawl_pipeline_v3" -> q172,
     "q173_anchor_bm25f" -> q173,
+    "q174_sitemap_coverage" -> q174,
     "q175_image_triage_route" -> q175
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

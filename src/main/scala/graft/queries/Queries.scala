@@ -3944,13 +3944,18 @@ object Queries {
     * GraftBot `/a/` + `*1$` pattern catches exactly the last-digit-1 ids;
     * example.com's allow-wins tie admits the `/a/1` prefix). The
     * oracle rebuilds every entry AND every verdict closed-form. */
-  def q170SitemapSeeds(s: SparkSession, d: String): DataFrame = {
-    val id = col("doc_id")
-    val domain = when(id % 5 === 0, lit("example.com"))
+  /** The q170/q174 domain grid (the q156 robots fixture's five). */
+  private def q170Domain(id: Column): Column =
+    when(id % 5 === 0, lit("example.com"))
       .when(id % 5 === 1, lit("example.co.uk"))
       .when(id % 5 === 2, lit("badsite.com"))
       .when(id % 5 === 3, lit("example.org"))
       .otherwise(lit("site.com"))
+
+  /** The q170/q174 sitemap plant: per doc a urlset (or, on the %11=5
+    * class, a sitemapindex) — see q170's scaladoc for the classes. */
+  private def q170SitemapXml(id: Column): Column = {
+    val domain = q170Domain(id)
     val urlset = concat(
       lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
         "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n" +
@@ -3972,9 +3977,13 @@ object Queries {
       lit("/maps/m1.xml</loc>\n    <lastmod>2024-02-02</lastmod>\n" +
         "  </sitemap>\n  <sitemap>\n    <loc>https://"), domain,
       lit("/maps/m2.xml</loc>\n  </sitemap>\n</sitemapindex>"))
-    val xml = when(id % 11 === 5, index).otherwise(urlset)
+    when(id % 11 === 5, index).otherwise(urlset)
+  }
+
+  def q170SitemapSeeds(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
     val ent = Sitemaps.entries(
-      Tables.documents(s, d).select(id, xml.as("x")),
+      Tables.documents(s, d).select(id, q170SitemapXml(id).as("x")),
       col("doc_id"), col("x"))
     // admission on every advertised URL; entries re-key as
     // doc_id*4 + entry_idx (≤ 3 entries per file by construction)
@@ -4291,6 +4300,39 @@ object Queries {
       }
       .toDF("doc_id", "route", "reason", "w", "h", "n_px", "mean_ok")
       .orderBy("doc_id")
+  }
+
+  /** q174: sitemap coverage audit ([[Sitemaps.coverageAudit]]) — the
+    * advertised-vs-captured reconciliation over the q170 plant: the
+    * advertised side is the REAL parse of q170's per-doc sitemaps (url
+    * entries only — index children and the missing-loc quarantine stay
+    * out), the captured side plants a DIRTY half-coverage crawl (even
+    * ids captured their entry-0 URL with uppercase scheme/host — the
+    * normalization join the audit exists for — all fetched 2024-03-15)
+    * plus an unadvertised capture class (%9=0 → `/c/` URLs). Statuses:
+    * entry-0 URLs split both/advertised_only on id parity (and the %11=5
+    * sitemapindex docs' captures are captured_only — nothing advertised
+    * them), entry-1 URLs are advertised_only, `/c/` captured_only;
+    * `stale` fires exactly on captured entry-0 rows whose planted
+    * lastmod month exceeds March (d9 ≥ 3 — the string-date compare).
+    * The oracle rebuilds every row and both flags closed-form. */
+  def q174SitemapCoverage(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val ent = Sitemaps.entries(
+      Tables.documents(s, d).select(id, q170SitemapXml(id).as("x")),
+      col("doc_id"), col("x"))
+    val adv = ent.filter(col("kind") === "url")
+      .select(col("loc"), col("lastmod"))
+    val domUpper = upper(q170Domain(id))
+    val captured = Tables.documents(s, d).filter(id % 2 === 0)
+      .select(concat(lit("HTTPS://"), domUpper, lit("/a/1?p="), id)
+        .as("curl"), lit("2024-03-15").as("fetched"))
+      .unionByName(Tables.documents(s, d).filter(id % 9 === 0)
+        .select(concat(lit("https://"), q170Domain(id), lit("/c/"), id)
+          .as("curl"), lit("2024-03-15").as("fetched")))
+    Sitemaps.coverageAudit(adv, col("loc"), col("lastmod"),
+        captured, col("curl"), col("fetched"))
+      .orderBy("url")
   }
 
   def q159BlockwordScan(s: SparkSession, d: String): DataFrame =
