@@ -3339,6 +3339,85 @@ object Oracles {
     FROM adv a FULL OUTER JOIN cap c ON a.url = c.url
     ORDER BY url"""
 
+  /** q176: trust-gated curation — the q100 stage-chain replay (same
+    * `curationPrefix` CTEs, same kept/reason derivation) composed with
+    * the q169 PPR unroll (CTEs t-prefixed to avoid the `edges`/`dg`
+    * collisions), joined on the doc's planted q165 host; `admitted` is
+    * the literal AND of the two signals and `trust` the 9-dp-fenced
+    * r5 rank itself (0.0 for the unseeded, unreachable site hosts). */
+  val q176: String = {
+    val head = s"""
+    $curationPrefix,
+    tb AS (SELECT doc_id % 5 AS k, doc_id % 4 AS m FROM documents),
+    tde AS (
+      SELECT 'site' || CAST(k AS VARCHAR) || '.example' AS src,
+             CASE WHEN m IN (0, 1) THEN 'news.example'
+                  WHEN m = 2 THEN 'redir.example'
+                  ELSE 'shop.example' END AS dst
+      FROM tb
+      UNION ALL
+      SELECT 'site' || CAST(k AS VARCHAR) || '.example', 'news.example'
+      FROM tb),
+    tedges AS (SELECT src, dst, CAST(count(*) AS DOUBLE) AS w
+               FROM tde GROUP BY 1, 2),
+    tsrcs AS (SELECT 'site0.example' AS node
+              UNION ALL SELECT 'site1.example'),
+    tgnodes AS (SELECT DISTINCT node FROM (
+      SELECT src AS node FROM tedges UNION ALL SELECT dst FROM tedges)),
+    tnodes AS (SELECT DISTINCT node FROM (
+      SELECT node FROM tgnodes UNION ALL SELECT node FROM tsrcs)),
+    tns AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tsrcs),
+    toutw AS (SELECT src, sum(w) AS ow FROM tedges GROUP BY src),
+    tnr AS (SELECT tnodes.node,
+              CASE WHEN s.node IS NOT NULL THEN 1.0 / tns.n
+                   ELSE 0.0 END AS rst
+            FROM tnodes CROSS JOIN tns
+            LEFT JOIN tsrcs s ON s.node = tnodes.node),
+    tr0 AS (SELECT node, rst, floor(rst * 1e9 + 0.5) / 1e9 AS rnk
+            FROM tnr)"""
+    val its = (1 to 5).map { i =>
+      s"""
+    tc$i AS (SELECT e.dst AS node, sum(r.rnk * e.w / o.ow) AS inw
+             FROM tedges e JOIN toutw o ON e.src = o.src
+             JOIN tr${i - 1} r ON r.node = e.src
+             GROUP BY e.dst),
+    tdg$i AS (SELECT floor(coalesce(sum(r.rnk), 0.0) * 1e9 + 0.5) / 1e9
+                AS dm
+              FROM tr${i - 1} r LEFT JOIN toutw o ON o.src = r.node
+              WHERE o.src IS NULL),
+    tr$i AS (SELECT n.node, n.rst,
+               floor(((1.0 - 0.85) * n.rst
+                      + 0.85 * (coalesce(c.inw, 0.0) + tdg$i.dm * n.rst))
+                     * 1e9 + 0.5) / 1e9 AS rnk
+             FROM tnr n CROSS JOIN tdg$i
+             LEFT JOIN tc$i c ON c.node = n.node)"""
+    }.mkString(",")
+    head + "," + its + """
+    SELECT c.doc_id,
+           'site' || CAST(c.doc_id % 5 AS VARCHAR) || '.example' AS domain,
+           CAST(CASE WHEN p4.doc_id IS NOT NULL AND p5.doc_id IS NULL
+                 THEN 1 ELSE 0 END AS BIGINT) AS kept,
+           CASE WHEN p1.doc_id IS NULL THEN 'rules'
+                WHEN p2.doc_id IS NULL THEN 'repetition'
+                WHEN p3.doc_id IS NULL THEN 'exact_dup'
+                WHEN p4.doc_id IS NULL THEN 'near_dup'
+                WHEN p5.doc_id IS NOT NULL THEN 'contaminated'
+                ELSE 'kept' END AS reason,
+           coalesce(t.rnk, 0.0) AS trust,
+           CAST(CASE WHEN p4.doc_id IS NOT NULL AND p5.doc_id IS NULL
+                      AND coalesce(t.rnk, 0.0) > 0.0
+                 THEN 1 ELSE 0 END AS BIGINT) AS admitted
+    FROM corpus c
+    LEFT JOIN s1 p1 ON p1.doc_id = c.doc_id
+    LEFT JOIN s2 p2 ON p2.doc_id = c.doc_id
+    LEFT JOIN s3 p3 ON p3.doc_id = c.doc_id
+    LEFT JOIN s4 p4 ON p4.doc_id = c.doc_id
+    LEFT JOIN contam p5 ON p5.doc_id = c.doc_id
+    LEFT JOIN tr5 t ON t.node =
+      'site' || CAST(c.doc_id % 5 AS VARCHAR) || '.example'
+    ORDER BY c.doc_id"""
+  }
+
   /** q141: exact substring dedup — brute-force replay over the literal
     * strings: EVERY (position, m) window for m in [16, n] — UNCAPPED, so
     * the Spark side's anchor-doubling extension past its band cap is
@@ -5018,6 +5097,7 @@ object Oracles {
     "q172_crawl_pipeline_v3" -> q172,
     "q173_anchor_bm25f" -> q173,
     "q174_sitemap_coverage" -> q174,
-    "q175_image_triage_route" -> q175
+    "q175_image_triage_route" -> q175,
+    "q176_trust_gated_curation" -> q176
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

@@ -4335,6 +4335,36 @@ object Queries {
       .orderBy("url")
   }
 
+  /** q176: TRUST-GATED curation ([[CorpusPipeline.curateAudit]] ×
+    * [[LinkAnalysis.personalizedPageRank]]) — q169's domain TrustRank
+    * finally CONSUMED: the explainable curation audit (q100's shared
+    * stage chain, cache included) joined with the host-trust prior from
+    * the q165 crawl-derived domain graph, seeded at the q169 trusted
+    * two. Each doc's capture host is its q165 page host
+    * (`site{id%5}.example`), so seed-adjacent hosts carry positive
+    * trust while the unseeded site hosts fence to exactly 0.0 — and
+    * admission becomes the PRODUCT of the two signals: content-kept
+    * AND trusted (`admitted`), the Gyöngyi-style spam-demotion gate a
+    * training-corpus pipeline runs after content curation. The oracle
+    * replays the FULL q100 stage chain and the FULL 5-iteration PPR
+    * unroll in one statement and joins them exactly as the query does. */
+  def q176TrustGatedCuration(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val seeds = Seq("site0.example", "site1.example").toDF("node")
+    val trust = LinkAnalysis.personalizedPageRank(q165DomainEdges(s, d),
+      seeds, iters = 5, policy = CheckpointPolicy.fromSession(s))
+    curationAuditFor(s, d)
+      .withColumn("domain",
+        concat(lit("site"), col("doc_id") % 5, lit(".example")))
+      .join(trust.select(col("node").as("domain"),
+        col("rank").as("trust")), Seq("domain"), "left")
+      .select(col("doc_id"), col("domain"), col("kept"), col("reason"),
+        coalesce(col("trust"), lit(0.0)).as("trust"),
+        (col("kept") === 1L && coalesce(col("trust"), lit(0.0)) > 0.0)
+          .cast("long").as("admitted"))
+      .orderBy("doc_id")
+  }
+
   def q159BlockwordScan(s: SparkSession, d: String): DataFrame =
     BlockWords.scan(Tables.documents(s, d), col("doc_id"), col("text"),
       Seq("spark" -> 1.0, "slow" -> 2.0, "dup" -> 5.0, "batch" -> 1.0,
