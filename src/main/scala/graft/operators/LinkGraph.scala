@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Web-graph construction — the stage that turns a crawl into the edge
@@ -107,11 +107,150 @@ object LinkGraph {
         anchor.cast("string").as("anchor"))
       .filter(col("target").isNotNull)
       .groupBy("target", "anchor").agg(count(lit(1)).as("cnt"))
+    electTopAnchors(cnt, k)
+  }
+
+  /** The bounded top-k election shared by [[anchorCorpus]] (one-shot)
+    * and [[servedAnchorCorpus]] (artifact-served): `cnt` is
+    * (target, anchor, cnt). */
+  private def electTopAnchors(cnt: DataFrame, k: Int): DataFrame =
     Selection.topKPerGroupTagged(cnt, Seq("target"),
         col("cnt").cast("double"), col("anchor"), k)
       .select(col("target"), col("rank"), col("tag").as("anchor"),
         // the election score IS the count (exact in double far past any
         // real inlink count) — no join back needed
         col("score").cast("long").as("cnt"))
+
+  // ---- incremental link-graph artifact (the ArtifactFold contract) ----
+  //
+  // A daily-ingest crawl re-extracts edges per arrival; recomputing the
+  // domain graph and anchor corpus from all captures every day is a full
+  // re-scan of the corpus. Instead each ingest batch appends its OWN
+  // aggregates (domain-edge weights, anchor-phrase counts — both
+  // map-side-combined, both tiny next to the pages), serving re-sums
+  // across partitions, and compaction folds the per-batch partitions
+  // into the reserved base partition exactly like
+  // [[Retrieval.compactBm25Postings]]: watermark written BEFORE the
+  // staged dual-rename swap, so a replayed already-folded batch no-ops
+  // in the append path instead of double-counting.
+
+  private def foldManifestPath(dir: String) =
+    new org.apache.hadoop.fs.Path(s"$dir/compacted_watermark")
+
+  /** Highest batch id folded into the base partitions by
+    * [[compactLinkArtifacts]] (Long.MinValue if never compacted). */
+  private[operators] def foldedWatermark(spark: SparkSession,
+                                         dir: String): Long = {
+    val p = foldManifestPath(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Long.MinValue
+    else {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      finally in.close()
+    }
+  }
+
+  /** Append one ingest batch's link-graph aggregates. `edges` is the
+    * batch's per-link frame (already extracted, redirect-canonicalized
+    * and whatever else the pipeline does upstream); per batch this
+    * writes
+    *
+    *  - `dir/edges`: (src, dst, w) — `srcDomain`→`dstDomain` counts
+    *    with intra-domain edges CUT (the q165 convention: same-site
+    *    links say nothing about inter-site endorsement);
+    *  - `dir/anchors`: (target, anchor, cnt) — per resolved-target
+    *    anchor-phrase counts, NOT domain-cut (same-site anchors are
+    *    still retrieval evidence).
+    *
+    * Idempotence: batches at or below the fold watermark no-op (their
+    * rows live in batch_id=-1 now); a retry first deletes its own
+    * batch partitions, so it is exact regardless of what it emits. */
+  def appendLinkBatch(edges: DataFrame, srcDomain: Column,
+                      dstDomain: Column, target: Column, anchor: Column,
+                      dir: String, batchId: Long): Unit = {
+    val spark = edges.sparkSession
+    if (batchId <= foldedWatermark(spark, dir)) return
+    val conf = spark.sparkContext.hadoopConfiguration
+    for (sub <- Seq("edges", "anchors")) {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$sub/batch_id=$batchId")
+      val fs = p.getFileSystem(conf)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    // one extraction feeds both aggregates
+    val e = edges.select(srcDomain.cast("string").as("sd"),
+        dstDomain.cast("string").as("dd"),
+        target.cast("string").as("tgt"),
+        anchor.cast("string").as("anchor"))
+      .localCheckpoint()
+    e.filter(col("sd") =!= col("dd"))
+      .groupBy(col("sd").as("src"), col("dd").as("dst"))
+      .agg(count(lit(1)).cast("double").as("w"))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(s"$dir/edges")
+    e.filter(col("tgt").isNotNull)
+      .groupBy(col("tgt").as("target"), col("anchor"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(s"$dir/anchors")
+  }
+
+  /** The domain-edge frame served FROM the artifact: per-batch partial
+    * weights re-summed — drop-in for the one-shot aggregate feeding
+    * [[LinkAnalysis.pageRank]]/`personalizedPageRank`. */
+  def servedDomainEdges(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/edges")
+      .groupBy("src", "dst").agg(sum(col("w")).cast("double").as("w"))
+
+  /** The anchor corpus served FROM the artifact: per-batch counts
+    * re-summed, then the same bounded top-k election as
+    * [[anchorCorpus]]. */
+  def servedAnchorCorpus(spark: SparkSession, dir: String,
+                         k: Int): DataFrame =
+    electTopAnchors(
+      spark.read.parquet(s"$dir/anchors")
+        .groupBy("target", "anchor").agg(sum(col("cnt")).as("cnt")),
+      k)
+
+  /** Fold the accumulated per-batch partitions of both artifacts into
+    * the reserved base partition `batch_id=-1` (maintenance-window
+    * operation, the [[Retrieval.compactBm25Postings]] posture):
+    * watermark BEFORE the swap — a crash between them merely blocks
+    * replays of batches whose rows are already fully present — then a
+    * staged dual-rename per subdir. */
+  def compactLinkArtifacts(spark: SparkSession, dir: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val edgesPath = new org.apache.hadoop.fs.Path(s"$dir/edges")
+    val fs = edgesPath.getFileSystem(conf)
+    if (!fs.exists(edgesPath)) return
+    val live = spark.read.parquet(edgesPath.toString)
+    val maxBatch = math.max(
+      live.agg(max(col("batch_id").cast("long"))).head().getLong(0),
+      foldedWatermark(spark, dir))
+    live.groupBy("src", "dst").agg(sum(col("w")).cast("double").as("w"))
+      .withColumn("batch_id", lit(-1L))
+      .coalesce(1).write.mode("overwrite").partitionBy("batch_id")
+      .parquet(s"$dir/edges_tmp")
+    spark.read.parquet(s"$dir/anchors")
+      .groupBy("target", "anchor").agg(sum(col("cnt")).as("cnt"))
+      .withColumn("batch_id", lit(-1L))
+      .coalesce(1).write.mode("overwrite").partitionBy("batch_id")
+      .parquet(s"$dir/anchors_tmp")
+    val out = fs.create(foldManifestPath(dir), true)
+    try out.write(maxBatch.toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    for (sub <- Seq("edges", "anchors")) {
+      val liveP = new org.apache.hadoop.fs.Path(s"$dir/$sub")
+      val tmp = new org.apache.hadoop.fs.Path(s"$dir/${sub}_tmp")
+      val old = new org.apache.hadoop.fs.Path(s"$dir/${sub}_old")
+      if (fs.exists(old)) fs.delete(old, true) // stale from a prior crash
+      require(fs.rename(liveP, old), s"rename failed for $liveP")
+      require(fs.rename(tmp, liveP), s"rename failed for $tmp")
+      fs.delete(old, true)
+    }
   }
 }

@@ -5098,6 +5098,9 @@ object Oracles {
     "q173_anchor_bm25f" -> q173,
     "q174_sitemap_coverage" -> q174,
     "q175_image_triage_route" -> q175,
-    "q176_trust_gated_curation" -> q176
+    "q176_trust_gated_curation" -> q176,
+    // q177 serves q165's graph from the incremental artifact — the fold
+    // must be invisible, so the oracle IS q165's replay
+    "q177_incremental_centrality" -> q165
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

@@ -1165,7 +1165,7 @@ object Queries {
       jsonlDirCache.values ++ cmsDirCache.values ++ histDirCache.values ++
       annAppendDirCache.values ++ csvDirCache.values ++ orcDirCache.values ++
       kmvDirCache.values ++ avroDirCache.values ++ warcDirCache.values ++
-      rankDirCache.values)
+      rankDirCache.values ++ linkArtifactCache.values)
       .foreach { case (_, dir) =>
         try deleteDirTree(dir) catch { case _: Exception => () }
       }))
@@ -3757,8 +3757,9 @@ object Queries {
   /** The crawl-derived registered-domain edge frame q165 and q169 rank:
     * real extractor → redirect canonicalization → intra-domain cut →
     * domain aggregation (see q165's scaladoc for the plant). */
-  private def q165DomainEdges(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
+  /** The q165/q177 page plant: every doc's capture lives on its class
+    * host and links a redirect hub, a static news URL, and a local nav. */
+  private def q165Pages(s: SparkSession, d: String): DataFrame = {
     val id = col("doc_id")
     val base = concat(lit("https://site"), id % 5, lit(".example/a/b/doc"),
       id, lit(".html"))
@@ -3766,7 +3767,15 @@ object Queries {
       lit("<div><a href=\"https://redir.example/r"), id % 4,
       lit("\">Hub</a><a href=\"https://news.example/static\">News</a>" +
         "<a href=\"/local/nav\">Nav</a></div>"))
-    val pages = Tables.documents(s, d).select(id, base.as("u"), html.as("h"))
+    Tables.documents(s, d).select(id, base.as("u"), html.as("h"))
+  }
+
+  /** Per-link canonicalized rows of the q165 chain over `pages`:
+    * extraction → redirect resolution → (source domain, target domain,
+    * canonical target, anchor) — the frame BOTH the one-shot aggregate
+    * (q165/q169) and the per-batch artifact append (q177) consume. */
+  private def q165EdgeRows(s: SparkSession, pages: DataFrame): DataFrame = {
+    import s.implicits._
     val e = LinkGraph.edges(pages, col("doc_id"), col("u"), col("h"))
     val redirects = Seq(
       ("https://redir.example/r0", "https://news.example/final0"),
@@ -3780,11 +3789,16 @@ object Queries {
         col("terminated")), col("resolved") === col("__rs"), "left")
       .select(col("doc_id"),
         when(col("terminated") === 1L, col("final_dst"))
-          .otherwise(col("resolved")).as("tgt"))
-    val withSrc = canon.join(pages.select(col("doc_id"), col("u")),
-      Seq("doc_id"))
-    val dom = withSrc.select(Urls.registeredDomain(col("u")).as("sd"),
-        Urls.registeredDomain(col("tgt")).as("dd"))
+          .otherwise(col("resolved")).as("tgt"),
+        col("anchor"))
+    canon.join(pages.select(col("doc_id"), col("u")), Seq("doc_id"))
+      .select(Urls.registeredDomain(col("u")).as("sd"),
+        Urls.registeredDomain(col("tgt")).as("dd"),
+        col("tgt"), col("anchor"))
+  }
+
+  private def q165DomainEdges(s: SparkSession, d: String): DataFrame = {
+    val dom = q165EdgeRows(s, q165Pages(s, d))
       .filter(col("sd") =!= col("dd"))
     // PIN the aggregated edge frame: PageRank's setup consumes it on
     // four branches (node union x2, out-weights, the edge join) and a
@@ -4364,6 +4378,56 @@ object Queries {
           .cast("long").as("admitted"))
       .orderBy("doc_id")
   }
+
+  // one persisted link-graph artifact per fixture, built through the
+  // full incremental lifecycle (three ingest batches + compaction + a
+  // folded-batch replay that must no-op) — the q89/q64 index convention
+  private val linkArtifactCache =
+    new scala.collection.concurrent.TrieMap[String, (String, String)]()
+  private def linkArtifactFor(s: SparkSession, d: String): String = {
+    val sig = tableSignature(s, d, "documents")
+    linkArtifactCache.synchronized {
+      linkArtifactCache.get(d) match {
+        case Some((s0, dir)) if s0 == sig => dir
+        case prev =>
+          prev.foreach { case (_, old) =>
+            try deleteDirTree(old) catch { case _: Exception => () } }
+          val tmp = java.nio.file.Files.createTempDirectory("graft_linkg_").toString
+          val pages = q165Pages(s, d)
+          (0 until 3).foreach { b =>
+            val rows = q165EdgeRows(s, pages.filter(col("doc_id") % 3 === b))
+            LinkGraph.appendLinkBatch(rows, col("sd"), col("dd"),
+              col("tgt"), col("anchor"), tmp, batchId = b)
+          }
+          LinkGraph.compactLinkArtifacts(s, tmp)
+          // a replay of a folded batch MUST no-op (the ArtifactFold
+          // contract) — served results below would double-count otherwise
+          val replay = q165EdgeRows(s, pages.filter(col("doc_id") % 3 === 0))
+          LinkGraph.appendLinkBatch(replay, col("sd"), col("dd"),
+            col("tgt"), col("anchor"), tmp, batchId = 0)
+          linkArtifactCache.update(d, (sig, tmp))
+          tmp
+      }
+    }
+  }
+
+  /** q177: INCREMENTAL centrality — q165's PageRank served from the
+    * persisted link-graph artifact instead of a full recompute: three
+    * per-batch [[LinkGraph.appendLinkBatch]] ingests (each writing only
+    * its own map-side-combined domain-edge/anchor aggregates) folded by
+    * [[LinkGraph.compactLinkArtifacts]], then a FOLDED-BATCH REPLAY
+    * that must no-op, then [[LinkGraph.servedDomainEdges]] re-summing
+    * the partial weights into the same frame the one-shot chain builds.
+    * Oracle: EXACTLY q165's 5-iteration replay — batching, folding, and
+    * the no-op replay must be invisible in every rank digit. (The
+    * anchors side of the same artifact is gated in LinkGraphSpec
+    * against the one-shot [[LinkGraph.anchorCorpus]].) */
+  def q177IncrementalCentrality(s: SparkSession, d: String): DataFrame =
+    LinkAnalysis.pageRank(
+        CheckpointPolicy.fromSession(s).pin(
+          LinkGraph.servedDomainEdges(s, linkArtifactFor(s, d))),
+        iters = 5, policy = CheckpointPolicy.fromSession(s))
+      .orderBy("node")
 
   def q159BlockwordScan(s: SparkSession, d: String): DataFrame =
     BlockWords.scan(Tables.documents(s, d), col("doc_id"), col("text"),

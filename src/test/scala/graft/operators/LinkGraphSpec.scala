@@ -135,4 +135,70 @@ class LinkGraphSpec extends SparkSpec {
       (0L, "https://s.example/a/x", "one"),
       (1L, "https://s.example/r", "two")))
   }
+
+  test("incremental link artifact: served == one-shot, folded replay " +
+       "no-ops, watermark visible with folded data") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-linkart").toString
+    // three ingest batches over a small edge universe (sd, dd, tgt, anchor)
+    def batch(rows: Seq[(String, String, String, String)]) =
+      rows.toDF("sd", "dd", "tgt", "anchor")
+    val b0 = batch(Seq(
+      ("a.com", "b.com", "https://b.com/p", "Beta"),
+      ("a.com", "b.com", "https://b.com/p", "Beta"),
+      ("a.com", "a.com", "https://a.com/self", "Self"))) // intra: edge-cut
+    val b1 = batch(Seq(
+      ("c.com", "b.com", "https://b.com/p", "Beta"),
+      ("c.com", "b.com", "https://b.com/p", "Best"),
+      ("a.com", "c.com", "https://c.com/q", "Gamma")))
+    val b2 = batch(Seq(
+      ("b.com", "c.com", "https://c.com/q", "Gamma"),
+      ("a.com", "b.com", "https://b.com/p", "Beta")))
+    def append(b: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      LinkGraph.appendLinkBatch(b, col("sd"), col("dd"), col("tgt"),
+        col("anchor"), dir, id)
+    append(b0, 0); append(b1, 1); append(b2, 2)
+
+    val union = b0.unionByName(b1).unionByName(b2)
+    def oneShotEdges = union.filter(col("sd") =!= col("dd"))
+      .groupBy(col("sd").as("src"), col("dd").as("dst"))
+      .agg(count(lit(1)).cast("double").as("w"))
+      .as[(String, String, Double)].collect().toSet
+    def oneShotAnchors = LinkGraph.anchorCorpus(
+        union, col("tgt"), col("anchor"), k = 2)
+      .as[(String, Long, String, Long)].collect().toSet
+    def servedEdges = LinkGraph.servedDomainEdges(spark, dir)
+      .as[(String, String, Double)].collect().toSet
+    def servedAnchors = LinkGraph.servedAnchorCorpus(spark, dir, k = 2)
+      .as[(String, Long, String, Long)].collect().toSet
+
+    assert(servedEdges == oneShotEdges)
+    assert(servedAnchors == oneShotAnchors)
+    // intra-domain edge was cut, the self anchor still counted
+    assert(!servedEdges.exists { case (s, d, _) => s == d })
+    assert(servedAnchors.exists(_._3 == "Self"))
+
+    // compact: same answers, ONE base partition per artifact, watermark
+    // visible together with folded data
+    LinkGraph.compactLinkArtifacts(spark, dir)
+    assert(LinkGraph.foldedWatermark(spark, dir) == 2L)
+    assert(servedEdges == oneShotEdges)
+    assert(servedAnchors == oneShotAnchors)
+    def partitions(sub: String) =
+      new java.io.File(s"$dir/$sub").listFiles()
+        .map(_.getName).filter(_.startsWith("batch_id=")).toSet
+    assert(partitions("edges") == Set("batch_id=-1"))
+    assert(partitions("anchors") == Set("batch_id=-1"))
+
+    // folded-batch replay MUST no-op: counts unchanged, still one
+    // partition, no double-counted weights
+    append(b0, 0)
+    assert(partitions("edges") == Set("batch_id=-1"))
+    assert(servedEdges == oneShotEdges)
+    assert(servedAnchors == oneShotAnchors)
+
+    // a genuinely NEW batch past the watermark still appends
+    append(batch(Seq(("d.com", "b.com", "https://b.com/p", "Beta"))), 3)
+    assert(servedEdges.contains(("d.com", "b.com", 1.0)))
+    assert(partitions("edges") == Set("batch_id=-1", "batch_id=3"))
+  }
 }
