@@ -6,6 +6,13 @@ Usage:
     python3 scripts/bench_compare.py OLD.json NEW.json \
         [--threshold 2.0] [--min-abs 0.5] [--waivers scripts/bench_waivers.txt]
 
+Either side may be a DIRECTORY of sweep JSONs: per-query timings become
+the MIN across the sweeps (the multi-run envelope — this host's load
+flaps disjoint query sets per sweep, so the envelope is the honest
+same-code figure) and the canary becomes the fastest window's. With the
+sweeps committed, the envelope is reproducible arithmetic instead of
+prose.
+
 Accepts both artifact shapes:
   * a pinned local run: the Bench main's own JSON line
     ({"metric": ..., "queries": {...}, ...});
@@ -27,7 +34,25 @@ import re
 import sys
 
 
+def sweep_files(path):
+    """The JSON files a directory-envelope argument expands to."""
+    import os
+    return sorted(os.path.join(path, f) for f in os.listdir(path)
+                  if f.endswith(".json"))
+
+
 def load_queries(path):
+    import os
+    if os.path.isdir(path):
+        sweeps = [load_queries(p) for p in sweep_files(path)]
+        if not sweeps:
+            raise SystemExit(f"{path}: no sweep JSONs in directory")
+        out = {}
+        for s in sweeps:
+            for k, v in s.items():
+                out[k] = min(out[k], v) if k in out else v
+        print(f"{path}: MIN envelope over {len(sweeps)} sweeps")
+        return out
     with open(path) as f:
         data = json.load(f)
     if isinstance(data, dict):
@@ -50,7 +75,15 @@ def load_queries(path):
 
 def load_canary(path):
     """Measured host-speed canary (see graft.HostCanary): returns the
-    canary dict or None for pre-round-12 artifacts."""
+    canary dict or None for pre-round-12 artifacts. For a directory,
+    the fastest window's canary (min by sustained-multicore speed) —
+    consistent with the MIN-envelope query semantics."""
+    import os
+    if os.path.isdir(path):
+        cs = [c for c in (load_canary(p) for p in sweep_files(path)) if c]
+        if not cs:
+            return None
+        return min(cs, key=lambda c: canary_speed(c) or float("inf"))
     with open(path) as f:
         data = json.load(f)
     if isinstance(data, dict):
