@@ -68,17 +68,12 @@ object LinkGraph {
       .as[(Long, String, String)]
       .map { case (d, base, h) =>
         val refs = Html.headRefs(h)
-        val canon = refs.collectFirst {
-          case Html.HeadRef("canonical", href)
-            if Urls.resolveRef(base, href) != null =>
-            ("canonical", Urls.resolveRef(base, href))
-        }
-        val og = refs.collectFirst {
-          case Html.HeadRef("og:url", href)
-            if Urls.resolveRef(base, href) != null =>
-            ("og:url", Urls.resolveRef(base, href))
-        }
-        val (src, url) = canon.orElse(og).getOrElse(("self", base))
+        def elect(kind: String): Option[(String, String)] =
+          refs.iterator.filter(_.kind == kind)
+            .map(r => Urls.resolveRef(base, r.href))
+            .collectFirst { case u if u != null => (kind, u) }
+        val (src, url) = elect("canonical").orElse(elect("og:url"))
+          .getOrElse(("self", base))
         (d, src, url)
       }
       .toDF("doc_id", "canon_src", "__raw")
