@@ -80,7 +80,12 @@ object DeadPins {
   /** Queries whose construction pins DataFrames REUSED by later queries
     * (the shared curation audit serving q66 + q100). Their pins survive. */
   val sharedStateQueries: Set[String] =
-    Set("q100_curation_audit", "q66_corpus_to_dataloader")
+    Set("q100_curation_audit", "q66_corpus_to_dataloader",
+      // q176 consumes the SAME signature-cached audit frame — sweeping
+      // after it would unpersist pins q100/q66 still need (truncated
+      // localCheckpoint lineage is unrecoverable) whenever q176 is the
+      // first of the three to build the cache
+      "q176_trust_gated_curation")
 
   def snapshot(spark: SparkSession): Set[Int] =
     spark.sparkContext.getPersistentRDDs.keySet.toSet
