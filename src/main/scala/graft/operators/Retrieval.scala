@@ -109,7 +109,6 @@ object Retrieval {
     require(ts.nonEmpty, "need at least one query term")
     require(k > 0, "k must be positive")
     val tfCols = ts.indices.map(i => s"__tf$i")
-    val atfCols = ts.indices.map(i => s"__atf$i")
     val withTf = docs.select(
       (id.cast("long").as("doc_id") +:
         size(toks).cast("double").as("__dl") +:
@@ -118,18 +117,8 @@ object Retrieval {
         }): _*)
     // anchor field: per-row phrase tf × inlink count, then one
     // target-keyed sum (map-side combined)
-    val atoks = graft.functions.TextOps.tokens(anchorText)
-    val anchorRows = anchors.select(
-      (anchorId.cast("long").as("doc_id") +:
-        (anchorCnt.cast("double") * size(atoks).cast("double")).as("__dla") +:
-        ts.zipWithIndex.map { case (t, i) =>
-          (anchorCnt.cast("double") *
-            size(filter(atoks, x => x === lit(t))).cast("double"))
-            .as(atfCols(i))
-        }): _*)
-    val anchorAgg = anchorRows.groupBy("doc_id")
-      .agg(sum(col("__dla")).as("__dla"),
-        ts.indices.map(i => sum(col(atfCols(i))).as(atfCols(i))): _*)
+    val anchorAgg = anchorFieldAgg(anchors, anchorId, anchorText,
+      anchorCnt, ts)
     val bodyStatCols =
       count(lit(1)).cast("double").as("__n") +:
         avg(col("__dl")).as("__avgdl") +:
@@ -137,21 +126,58 @@ object Retrieval {
           sum(when(col(tfCols(i)) > 0, 1L).otherwise(0L)).cast("double")
             .as(s"__df$i"))
     val bodyStats = withTf.agg(bodyStatCols.head, bodyStatCols.tail: _*)
+    fuseAndCut(withTf, anchorAgg, bodyStats, ts.size, k,
+      wBody, wAnchor, k1, b, joinType = "left")
+  }
+
+  /** The per-anchor-row field columns [[bm25fTopK]] and
+    * [[bm25fTopKIndexed]] both aggregate: inlink-count-weighted phrase
+    * length and per-term occurrences. */
+  private def anchorFieldAgg(anchors: DataFrame, anchorId: Column,
+                             anchorText: Column, anchorCnt: Column,
+                             ts: Seq[String]): DataFrame = {
+    val atfCols = ts.indices.map(i => s"__atf$i")
+    val atoks = graft.functions.TextOps.tokens(anchorText)
+    anchors.select(
+      (anchorId.cast("long").as("doc_id") +:
+        (anchorCnt.cast("double") * size(atoks).cast("double")).as("__dla") +:
+        ts.zipWithIndex.map { case (t, i) =>
+          (anchorCnt.cast("double") *
+            size(filter(atoks, x => x === lit(t))).cast("double"))
+            .as(atfCols(i))
+        }): _*)
+      .groupBy("doc_id")
+      .agg(sum(col("__dla")).as("__dla"),
+        ts.indices.map(i => sum(col(atfCols(i))).as(atfCols(i))): _*)
+  }
+
+  /** The shared BM25F tail: join body (`doc_id, __dl, __tf$i`) with the
+    * anchor aggregate (`doc_id, __dla, __atf$i`), broadcast the stat
+    * rows, score fused + body-only, cut. The expression tree is ONE
+    * shape for the scan and indexed paths so their doubles agree
+    * bit-for-bit (the [[scoreExpr]] convention). */
+  private def fuseAndCut(body: DataFrame, anchorAgg: DataFrame,
+                         bodyStats: DataFrame, nTerms: Int, k: Int,
+                         wBody: Double, wAnchor: Double,
+                         k1: Double, b: Double,
+                         joinType: String): DataFrame = {
+    val tfCols = (0 until nTerms).map(i => s"__tf$i")
+    val atfCols = (0 until nTerms).map(i => s"__atf$i")
     val anchorStats = anchorAgg.filter(col("__dla") > 0)
       .agg(avg(col("__dla")).as("__avgdla"))
-    val joined = withTf.join(anchorAgg, Seq("doc_id"), "left")
-      .na.fill(0.0, "__dla" +: atfCols)
+    val joined = body.join(anchorAgg, Seq("doc_id"), joinType)
+      .na.fill(0.0, ("__dl" +: "__dla" +: (tfCols ++ atfCols)).toSeq)
       .crossJoin(broadcast(bodyStats))
       .crossJoin(broadcast(anchorStats))
     val bB = lit(1.0 - b) + lit(b) * col("__dl") / col("__avgdl")
     val bA = lit(1.0 - b) + lit(b) * col("__dla") / col("__avgdla")
     def score(withAnchor: Boolean): Column =
-      ts.indices.map { i =>
+      (0 until nTerms).map { i =>
         val idf = log(lit(1.0) +
           (col("__n") - col(s"__df$i") + 0.5) / (col(s"__df$i") + 0.5))
-        val tft = lit(wBody) * col(tfCols(i)) / bB +
+        val tft = lit(wBody) * col(s"__tf$i") / bB +
           (if (withAnchor)
-            when(col("__dla") > 0, lit(wAnchor) * col(atfCols(i)) / bA)
+            when(col("__dla") > 0, lit(wAnchor) * col(s"__atf$i") / bA)
               .otherwise(lit(0.0))
           else lit(0.0))
         idf * tft * lit(k1 + 1.0) / (tft + lit(k1))
@@ -162,6 +188,60 @@ object Retrieval {
         round(score(withAnchor = false), 6).as("bm25_body"))
       .orderBy(col("bm25f").desc, col("doc_id").asc)
       .limit(k)
+  }
+
+  /** BM25F served from PERSISTED artifacts — the repeated-query form of
+    * [[bm25fTopK]] the way [[bm25TopKIndexed]] is of [[bm25TopK]]: the
+    * body field comes from the inverted index at `dir` (term-bucket
+    * partition pruning, per-doc tf/dl off the postings, corpus n/avgdl
+    * off the stats artifact, df from the pruned postings themselves),
+    * the anchor field from `anchors` rows — e.g.
+    * [[graft.operators.LinkGraph.servedAnchorCorpus]], the incremental
+    * link artifact, completing the all-artifacts serving triangle
+    * (postings + link graph; no corpus scan anywhere).
+    *
+    * Candidates are the UNION of body matches and anchor matches (full
+    * outer join): a page nobody's body mentions but everybody's links
+    * name — the page the anchor field exists for — still surfaces,
+    * with its body contribution exactly 0 (its dl is irrelevant: a
+    * zero tf zeroes the term regardless of length normalization).
+    * CALLER CONTRACT: `anchors` must cover corpus documents only (the
+    * scan path scores only corpus docs; semi-join your anchor side to
+    * the corpus if targets may point outside it). */
+  def bm25fTopKIndexed(spark: SparkSession, dir: String,
+                       anchors: DataFrame, anchorId: Column,
+                       anchorText: Column, anchorCnt: Column,
+                       terms: Seq[String], k: Int,
+                       wBody: Double = 1.0, wAnchor: Double = 1.0,
+                       k1: Double = 1.2, b: Double = 0.75,
+                       buckets: Int = 64): DataFrame = {
+    val ts = terms.distinct
+    require(ts.nonEmpty, "need at least one query term")
+    require(k > 0, "k must be positive")
+    import spark.implicits._
+    val tsBuckets = ts.toDF("t")
+      .select(pmod(xxhash64(col("t")), lit(buckets.toLong))).as[Long]
+      .collect().distinct.toSeq
+    val post = spark.read.parquet(s"$dir/postings")
+      .filter(col("bucket").isin(tsBuckets.map(_.toInt): _*))
+      .filter(col("term").isin(ts: _*))
+    val stats = readStats(spark, dir)
+    val dfAggs = ts.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === lit(t), 1L).otherwise(0L)).cast("double")
+        .as(s"__df$i")
+    }
+    val dfs = post.agg(dfAggs.head, dfAggs.tail: _*)
+    val tfAggs =
+      max(col("dl")).as("__dl") +:
+        ts.zipWithIndex.map { case (t, i) =>
+          coalesce(sum(when(col("term") === lit(t), col("tf"))), lit(0.0))
+            .as(s"__tf$i")
+        }
+    val perDoc = post.groupBy("doc_id").agg(tfAggs.head, tfAggs.tail: _*)
+    fuseAndCut(perDoc,
+      anchorFieldAgg(anchors, anchorId, anchorText, anchorCnt, ts),
+      stats.crossJoin(dfs), ts.size, k, wBody, wAnchor, k1, b,
+      joinType = "full_outer")
   }
 
   /** Reciprocal-rank fusion — the standard hybrid-retrieval serving

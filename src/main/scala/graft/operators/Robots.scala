@@ -14,8 +14,10 @@ import org.apache.spark.sql.functions._
   * (RFC 9309 + the de-facto Google REP extensions):
   *
   *  - line-based parse: `#` comments strip, keys (`user-agent`,
-  *    `allow`, `disallow`) match case-insensitively, unknown directives
-  *    (`sitemap`, `crawl-delay`, …) are ignored;
+  *    `allow`, `disallow`, `crawl-delay`) match case-insensitively,
+  *    unknown directives (`sitemap`, `host`, …) are ignored (`Sitemap:`
+  *    is read file-wide by [[Sitemaps.sitemapRefs]]; `Crawl-delay` is
+  *    group-scoped here and feeds [[Frontier.schedule]]);
   *  - GROUP semantics: consecutive `user-agent` lines head one group
   *    and share its rules; a `user-agent` line after a rule line starts
   *    a new group; rules before any group are ignored; empty-valued
@@ -71,12 +73,27 @@ object Robots {
   // parser
   // ------------------------------------------------------------------
 
+  /** One robots.txt's parsed directives: admission rules plus the
+    * group-scoped `Crawl-delay` values (agent token → seconds) — the
+    * de-facto Bing/Yandex politeness extension (not in RFC 9309;
+    * Google ignores it — we honor it as a fetch-rate floor, the
+    * [[Frontier]] consumer). */
+  final case class Directives(rules: Seq[Rule],
+                              delays: Seq[(String, Double)])
+
   /** Parse one robots.txt payload into its rule list (group structure
     * flattened into per-agent rules — see class doc). Total: never
     * throws; unparseable lines are skipped. */
-  def parse(txt: String): Seq[Rule] = {
+  def parse(txt: String): Seq[Rule] = parseAll(txt).rules
+
+  /** The full directive parse behind [[parse]]: one group walk emits
+    * rules AND crawl-delays (a delay line is a group-body line, so —
+    * like a rule — it closes agent accumulation: a `user-agent` after
+    * it starts a NEW group). Non-numeric/negative delay values skip. */
+  def parseAll(txt: String): Directives = {
     val s = if (txt == null) "" else txt
     val out = Seq.newBuilder[Rule]
+    val dl = Seq.newBuilder[(String, Double)]
     var agents = List.empty[String] // current group head, reverse order
     var sawRule = false
     s.split("\n", -1).foreach { raw =>
@@ -100,11 +117,18 @@ object Robots {
               if (value.nonEmpty)
                 agents.foreach(a => out += Rule(a, key == "allow", value))
             }
-          case _ => () // sitemap, crawl-delay, …: ignored
+          case "crawl-delay" =>
+            if (agents.nonEmpty) {
+              sawRule = true
+              val v = try value.toDouble
+                      catch { case _: NumberFormatException => -1.0 }
+              if (v >= 0) agents.foreach(a => dl += (a -> v))
+            }
+          case _ => () // sitemap, host, …: ignored
         }
       }
     }
-    out.result()
+    Directives(out.result(), dl.result())
   }
 
   /** The rules that bind `agent`: exact-token groups when any exist,
@@ -112,6 +136,23 @@ object Robots {
   def rulesFor(rules: Seq[Rule], agent: String): Seq[Rule] = {
     val specific = rules.filter(_.agent.equalsIgnoreCase(agent))
     if (specific.nonEmpty) specific else rules.filter(_.agent == "*")
+  }
+
+  /** The crawl delay binding `agent` — the [[rulesFor]] group
+    * precedence applied to the WHOLE group, not just its delays: when
+    * the agent has an exact-token group anywhere in the file (visible
+    * through its rules OR its delays), only that group's delays bind —
+    * an exact group that declares none yields None, never the `*`
+    * group's (one group's directives travel together). The SMALLEST
+    * declared value wins when a selected group repeats the directive
+    * (conservative: the slowest promise). */
+  def delayFor(d: Directives, agent: String): Option[Double] = {
+    val hasExact = d.rules.exists(_.agent.equalsIgnoreCase(agent)) ||
+      d.delays.exists(_._1.equalsIgnoreCase(agent))
+    val selected =
+      if (hasExact) d.delays.filter(_._1.equalsIgnoreCase(agent))
+      else d.delays.filter(_._1 == "*")
+    if (selected.isEmpty) None else Some(selected.map(_._2).min)
   }
 
   // ------------------------------------------------------------------

@@ -3418,6 +3418,32 @@ object Oracles {
     ORDER BY c.doc_id"""
   }
 
+  /** q178: crawl frontier — the plantedUrl domain grid, the per-domain
+    * slot window, the delay decision table (10 from the `*` group,
+    * 2.5 as the smallest of the GraftBot group's repeated values with
+    * the `*` group's 99 shadowed, defaults for the invalid / silent /
+    * missing classes), and `fetch_at` as the literal product. */
+  val q178 = """
+    WITH t AS (SELECT doc_id,
+        CASE WHEN doc_id % 5 = 0 THEN 'example.com'
+             WHEN doc_id % 5 = 1 THEN 'example.co.uk'
+             WHEN doc_id % 5 = 2 THEN 'badsite.com'
+             WHEN doc_id % 5 = 3 THEN 'example.org'
+             ELSE 'site.com' END AS domain
+      FROM documents),
+    r AS (SELECT doc_id, domain,
+        row_number() OVER (PARTITION BY domain ORDER BY doc_id) - 1
+          AS slot
+      FROM t)
+    SELECT doc_id, domain, CAST(slot AS BIGINT) AS slot,
+           CASE WHEN domain = 'example.com' THEN 10.0
+                WHEN domain = 'example.co.uk' THEN 2.5
+                ELSE 1.0 END AS delay,
+           slot * (CASE WHEN domain = 'example.com' THEN 10.0
+                        WHEN domain = 'example.co.uk' THEN 2.5
+                        ELSE 1.0 END) AS fetch_at
+    FROM r ORDER BY doc_id"""
+
   /** q141: exact substring dedup — brute-force replay over the literal
     * strings: EVERY (position, m) window for m in [16, n] — UNCAPPED, so
     * the Spark side's anchor-doubling extension past its band cap is
@@ -5101,6 +5127,10 @@ object Oracles {
     "q176_trust_gated_curation" -> q176,
     // q177 serves q165's graph from the incremental artifact — the fold
     // must be invisible, so the oracle IS q165's replay
-    "q177_incremental_centrality" -> q165
+    "q177_incremental_centrality" -> q165,
+    "q178_crawl_frontier" -> q178,
+    // q179 serves q173 from the postings index + anchor corpus — the
+    // artifact path must be invisible, so the oracle IS q173's replay
+    "q179_indexed_anchor_bm25f" -> q173
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

@@ -4251,7 +4251,10 @@ object Queries {
     * saturation, and the rounded top-20 cut closed-form. Hub pages
     * re-rank above their body-only standing — the reason a web corpus
     * builds the anchor field at all. */
-  def q173AnchorBm25f(s: SparkSession, d: String): DataFrame = {
+  /** The q173/q179 anchor corpus: the 50-bucket hub-link plant run
+    * through real edge extraction + the bounded top-k election, keyed
+    * back to target doc ids. */
+  private def q173Anchors(s: SparkSession, d: String): DataFrame = {
     val id = col("doc_id")
     val base = concat(lit("https://site.example/p/doc"), id, lit(".html"))
     val html = concat(
@@ -4262,15 +4265,30 @@ object Queries {
     val e = LinkGraph.edges(pages, col("doc_id"), col("u"), col("h"))
     val corpus = LinkGraph.anchorCorpus(e, col("resolved"), col("anchor"),
       k = 3)
-    val anchors = corpus.select(
+    corpus.select(
       regexp_extract(col("target"), "/p/doc(\\d+)\\.html$", 1)
         .cast("long").as("aid"),
       col("anchor"), col("cnt"))
+  }
+
+  def q173AnchorBm25f(s: SparkSession, d: String): DataFrame =
     Retrieval.bm25fTopK(Tables.documents(s, d), col("doc_id"),
       graft.functions.TextOps.tokens(coalesce(col("text"), lit(""))),
-      anchors, col("aid"), col("anchor"), col("cnt"),
+      q173Anchors(s, d), col("aid"), col("anchor"), col("cnt"),
       Seq("join", "filter", "window"), k = 20, wAnchor = 2.0)
-  }
+
+  /** q179: BM25F served from PERSISTED ARTIFACTS
+    * ([[Retrieval.bm25fTopKIndexed]]) — the all-artifacts serving
+    * triangle closed: the body field reads q89's incremental inverted
+    * index (term-bucket pruning, postings tf/dl, stats n/avgdl), the
+    * anchor field the q173 corpus, candidates the UNION of body and
+    * anchor matches — no corpus scan anywhere. Oracle: EXACTLY q173's
+    * replay — the index lifecycle (three appends + compaction) and the
+    * full-outer candidate union must be invisible in every 6-dp score. */
+  def q179IndexedAnchorBm25f(s: SparkSession, d: String): DataFrame =
+    Retrieval.bm25fTopKIndexed(s, bm25IndexFor(s, d),
+      q173Anchors(s, d), col("aid"), col("anchor"), col("cnt"),
+      Seq("join", "filter", "window"), k = 20, wAnchor = 2.0)
 
   /** q175: triage-routed image decode ([[Multimodal.imageTriage]] —
     * the [[Jpeg]] header walk finally ROUTING the pixel path instead of
@@ -4428,6 +4446,43 @@ object Queries {
           LinkGraph.servedDomainEdges(s, linkArtifactFor(s, d))),
         iters = 5, policy = CheckpointPolicy.fromSession(s))
       .orderBy("node")
+
+  /** The q178 robots fixture — one `Crawl-delay` shape per domain:
+    * example.com declares 10 in its `*` group; example.co.uk's GraftBot
+    * group declares it TWICE (2.5 and 4 — the smallest wins) and its
+    * `*` group's 99 must be shadowed; badsite.com's value is
+    * non-numeric (skipped → default); example.org declares none;
+    * site.com has no robots row at all. */
+  private def q178Robots(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      ("example.com",
+        "User-agent: *\nDisallow: /private/\nCrawl-delay: 10\n"),
+      ("example.co.uk",
+        "User-agent: GraftBot\nCrawl-delay: 2.5\ncrawl-delay: 4\n" +
+        "\nUser-agent: *\nCrawl-delay: 99\n"),
+      ("badsite.com",
+        "User-agent: *\nCrawl-delay: oops\n"),
+      ("example.org",
+        "User-agent: graftbot\nDisallow:\n")
+    ).toDF("domain", "robots_txt")
+  }
+
+  /** q178: politeness-scheduled crawl frontier ([[Frontier.schedule]])
+    * — the stage between admission and the fetcher fleet: per-domain
+    * fetch slots over [[plantedUrl]]'s URL grid, delays from the q178
+    * robots fixture (group precedence, smallest repeated value,
+    * invalid→default, missing-robots default — every extraction shape
+    * planted), `fetch_at = slot × delay`. The oracle replays the
+    * domain grid, the per-domain slot window, the delay decision
+    * table, and the product closed-form. */
+  def q178CrawlFrontier(s: SparkSession, d: String): DataFrame =
+    Frontier.schedule(
+      Tables.documents(s, d)
+        .select(col("doc_id"), plantedUrl(col("doc_id")).as("url")),
+      col("doc_id"), col("url"),
+      q178Robots(s), col("domain"), col("robots_txt"), agent = "GraftBot")
+      .orderBy("doc_id")
 
   def q159BlockwordScan(s: SparkSession, d: String): DataFrame =
     BlockWords.scan(Tables.documents(s, d), col("doc_id"), col("text"),

@@ -73,6 +73,41 @@ class RetrievalSpec extends SparkSpec {
     assert(f2 == r6(math.log(2.0) * tft * 2.2 / (tft + 1.2)))
   }
 
+  test("bm25fTopKIndexed equals the scan path bit-for-bit incl. " +
+       "anchor-only candidates") {
+    val big = (0L until 60L).map { i =>
+      val extra = if (i % 3 == 0) Seq("cat") else if (i % 3 == 1) Seq("dog")
+                  else Seq.empty
+      (i, Seq(s"w$i", s"u${i % 7}", s"v${i % 11}") ++ extra)
+    }.toDF("doc_id", "toks")
+    // doc 2 (i%3==2: NO query term in body) gets heavy anchor evidence —
+    // it must surface through the index path's full-outer candidate union
+    val anchors = Seq((2L, "cat", 5L), (9L, "dog cat", 2L))
+      .toDF("aid", "anchor", "cnt")
+    val dir = java.nio.file.Files.createTempDirectory("bm25fidx").toString
+    try {
+      Retrieval.writeBm25Index(big, col("doc_id"), col("toks"), dir,
+        buckets = 16)
+      val scan = Retrieval.bm25fTopK(big, col("doc_id"), col("toks"),
+          anchors, col("aid"), col("anchor"), col("cnt"),
+          Seq("cat", "dog"), k = 15, wAnchor = 2.0)
+        .as[(Long, Double, Double)].collect().toSeq
+      val idx = Retrieval.bm25fTopKIndexed(spark, dir,
+          anchors, col("aid"), col("anchor"), col("cnt"),
+          Seq("cat", "dog"), k = 15, wAnchor = 2.0, buckets = 16)
+        .as[(Long, Double, Double)].collect().toSeq
+      assert(idx == scan, s"indexed != scan:\n$idx\n$scan")
+      assert(scan.exists { case (id, f, b) => id == 2L && b == 0.0 && f > 0 },
+        "anchor-only doc must surface with zero body score")
+    } finally {
+      import java.nio.file.{Files, Paths}
+      val walk = Files.walk(Paths.get(dir))
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+
   test("k cut is deterministic with doc_id tie-break") {
     // docs 10 and 11 are identical => identical scores; k=2 must keep the
     // top scorer and then the LOWER id of the tied pair

@@ -265,4 +265,59 @@ class RobotsSpec extends SparkSpec {
     assert(kept.columns.toSeq == Seq("doc_id", "url", "extra"))
     assert(kept.select("doc_id").as[Long].collect().toSeq == Seq(2L))
   }
+
+  test("parseAll/delayFor: group-scoped crawl-delay, precedence, min " +
+       "of repeats, invalid skip, group boundary") {
+    val txt =
+      """User-agent: GraftBot
+        |Crawl-delay: 2.5
+        |crawl-delay: 4
+        |User-agent: Late
+        |Disallow: /x
+        |
+        |User-agent: *
+        |Crawl-delay: 99
+        |""".stripMargin
+    val d = Robots.parseAll(txt)
+    // a delay line closes agent accumulation: Late starts a NEW group
+    // and inherits neither GraftBot's delays nor its membership
+    assert(Robots.delayFor(d, "GraftBot") == Some(2.5)) // min(2.5, 4)
+    assert(Robots.delayFor(d, "Late") == None)
+    assert(Robots.delayFor(d, "OtherBot") == Some(99.0)) // * group
+    assert(Robots.delayFor(d, "graftbot") == Some(2.5)) // case-insensitive
+    // Late's Disallow still parsed as its own group's rule
+    assert(Robots.rulesFor(d.rules, "Late") ==
+      Seq(Robots.Rule("Late", false, "/x")))
+    // invalid and negative values skip; no groups at all → None
+    assert(Robots.delayFor(
+      Robots.parseAll("User-agent: *\nCrawl-delay: oops\n"),
+      "GraftBot") == None)
+    assert(Robots.delayFor(
+      Robots.parseAll("User-agent: *\nCrawl-delay: -3\n"),
+      "GraftBot") == None)
+    assert(Robots.delayFor(Robots.parseAll(""), "GraftBot") == None)
+  }
+
+  test("Frontier.schedule: per-domain slots, delay decision, defaults") {
+    val robots = Seq(
+      ("a.com", "User-agent: *\nCrawl-delay: 10\n"),
+      ("b.com", "User-agent: GraftBot\nCrawl-delay: 2.5\n" +
+        "User-agent: *\nCrawl-delay: 99\n")
+    ).toDF("domain", "robots_txt")
+    val urls = Seq(
+      (1L, "https://a.com/1"), (2L, "https://b.com/2"),
+      (3L, "https://a.com/3"), (4L, "https://c.com/4"),
+      (5L, "https://b.com/5")
+    ).toDF("doc_id", "url")
+    val out = Frontier.schedule(urls, col("doc_id"), col("url"),
+        robots, col("domain"), col("robots_txt"), agent = "GraftBot",
+        defaultDelay = 1.5)
+      .as[(Long, String, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out(1L) == (("a.com", 0L, 10.0, 0.0)))
+    assert(out(3L) == (("a.com", 1L, 10.0, 10.0)))
+    assert(out(2L) == (("b.com", 0L, 2.5, 0.0)))
+    assert(out(5L) == (("b.com", 1L, 2.5, 2.5)))
+    assert(out(4L) == (("c.com", 0L, 1.5, 0.0))) // no robots → default
+  }
 }
