@@ -3444,6 +3444,61 @@ object Oracles {
                         ELSE 1.0 END) AS fetch_at
     FROM r ORDER BY doc_id"""
 
+  /** q180: recrawl wave — the q174 audit replay filtered to the due
+    * set (advertised-never-captured ∪ stale captures), then the q178
+    * slot window per domain ordered by URL and the delay decision
+    * table; fetch_at the literal product. */
+  val q180 = """
+    WITH t AS (SELECT doc_id, doc_id % 9 AS d9, doc_id % 3 AS d3,
+        doc_id % 11 AS d11,
+        CASE WHEN doc_id % 5 = 0 THEN 'example.com'
+             WHEN doc_id % 5 = 1 THEN 'example.co.uk'
+             WHEN doc_id % 5 = 2 THEN 'badsite.com'
+             WHEN doc_id % 5 = 3 THEN 'example.org'
+             ELSE 'site.com' END AS dom
+      FROM documents),
+    adv AS (
+      SELECT 'https://' || dom || '/a/1?p=' || CAST(doc_id AS VARCHAR)
+               AS url, dom,
+             '2024-0' || CAST(d9 + 1 AS VARCHAR) || '-1' ||
+               CAST(d3 AS VARCHAR) AS lastmod
+      FROM t WHERE d11 <> 5
+      UNION ALL
+      SELECT 'https://' || dom || '/b/' || CAST(doc_id AS VARCHAR) ||
+               '?x=1&y=2', dom, ''
+      FROM t WHERE d11 <> 5),
+    cap AS (
+      SELECT 'https://' || dom || '/a/1?p=' || CAST(doc_id AS VARCHAR)
+               AS url, dom
+      FROM t WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT 'https://' || dom || '/c/' || CAST(doc_id AS VARCHAR), dom
+      FROM t WHERE d9 = 0),
+    au AS (SELECT coalesce(a.url, c.url) AS url,
+             coalesce(a.dom, c.dom) AS domain,
+             CASE WHEN a.url IS NOT NULL AND c.url IS NOT NULL THEN 'both'
+                  WHEN a.url IS NOT NULL THEN 'advertised_only'
+                  ELSE 'captured_only' END AS status,
+             CASE WHEN a.url IS NOT NULL AND c.url IS NOT NULL
+                   AND a.lastmod <> '' AND a.lastmod > '2024-03-15'
+              THEN 1 ELSE 0 END AS stale
+           FROM adv a FULL OUTER JOIN cap c ON a.url = c.url),
+    due AS (SELECT * FROM au
+            WHERE status = 'advertised_only' OR stale = 1),
+    r AS (SELECT url, domain, status, stale,
+            row_number() OVER (PARTITION BY domain ORDER BY url) - 1
+              AS slot
+          FROM due)
+    SELECT url, domain, status, CAST(stale AS BIGINT) AS stale,
+           CAST(slot AS BIGINT) AS slot,
+           CASE WHEN domain = 'example.com' THEN 10.0
+                WHEN domain = 'example.co.uk' THEN 2.5
+                ELSE 1.0 END AS delay,
+           slot * (CASE WHEN domain = 'example.com' THEN 10.0
+                        WHEN domain = 'example.co.uk' THEN 2.5
+                        ELSE 1.0 END) AS fetch_at
+    FROM r ORDER BY url"""
+
   /** q141: exact substring dedup — brute-force replay over the literal
     * strings: EVERY (position, m) window for m in [16, n] — UNCAPPED, so
     * the Spark side's anchor-doubling extension past its band cap is
@@ -5131,6 +5186,7 @@ object Oracles {
     "q178_crawl_frontier" -> q178,
     // q179 serves q173 from the postings index + anchor corpus — the
     // artifact path must be invisible, so the oracle IS q173's replay
-    "q179_indexed_anchor_bm25f" -> q173
+    "q179_indexed_anchor_bm25f" -> q173,
+    "q180_recrawl_wave" -> q180
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

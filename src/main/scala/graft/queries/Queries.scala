@@ -4484,6 +4484,52 @@ object Queries {
       q178Robots(s), col("domain"), col("robots_txt"), agent = "GraftBot")
       .orderBy("doc_id")
 
+  /** q180: the RECRAWL WAVE — the politeness trio composed end-to-end:
+    * [[Sitemaps.coverageAudit]] (q174's advertised-vs-captured frame)
+    * decides WHAT to fetch — advertised-but-never-captured URLs plus
+    * captured URLs whose declared lastmod postdates their fetch — and
+    * [[Frontier.schedule]] decides WHEN, slotting the wave per domain
+    * under the q178 robots crawl-delays. Discovery → audit → frontier:
+    * each stage individually gated (q170/q174/q178), chained here
+    * through real frames. URLs order by their normalized form within a
+    * domain (the audit's key — a deterministic priority stand-in), via
+    * a dense per-domain id assigned by the same bounded window the
+    * scheduler uses. The oracle replays the audit selection, the
+    * delay table, and the slot arithmetic closed-form. */
+  def q180RecrawlWave(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val ent = Sitemaps.entries(
+      Tables.documents(s, d).select(id, q170SitemapXml(id).as("x")),
+      col("doc_id"), col("x"))
+    val adv = ent.filter(col("kind") === "url")
+      .select(col("loc"), col("lastmod"))
+    val domUpper = upper(q170Domain(id))
+    val captured = Tables.documents(s, d).filter(id % 2 === 0)
+      .select(concat(lit("HTTPS://"), domUpper, lit("/a/1?p="), id)
+        .as("curl"), lit("2024-03-15").as("fetched"))
+      .unionByName(Tables.documents(s, d).filter(id % 9 === 0)
+        .select(concat(lit("https://"), q170Domain(id), lit("/c/"), id)
+          .as("curl"), lit("2024-03-15").as("fetched")))
+    val due = Sitemaps.coverageAudit(adv, col("loc"), col("lastmod"),
+        captured, col("curl"), col("fetched"))
+      .filter(col("status") === "advertised_only" || col("stale") === 1L)
+    // the scheduler keys slots by an id; the wave's priority is the
+    // URL's lexicographic order within its domain (deterministic), so
+    // assign a dense per-domain id first (same bounded-window shape)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("domain").orderBy("url")
+    val keyed = due.withColumn("wid", row_number().over(w).cast("long"))
+    Frontier.schedule(keyed, col("wid"), col("url"),
+        q178Robots(s), col("domain"), col("robots_txt"),
+        agent = "GraftBot")
+      .join(keyed.select(col("wid").as("__w"), col("domain").as("__d"),
+        col("url"), col("status"), col("stale")),
+        col("doc_id") === col("__w") && col("domain") === col("__d"))
+      .select(col("url"), col("domain"), col("status"), col("stale"),
+        col("slot"), col("delay"), col("fetch_at"))
+      .orderBy("url")
+  }
+
   def q159BlockwordScan(s: SparkSession, d: String): DataFrame =
     BlockWords.scan(Tables.documents(s, d), col("doc_id"), col("text"),
       Seq("spark" -> 1.0, "slow" -> 2.0, "dup" -> 5.0, "batch" -> 1.0,
