@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.operators.{Html, WarcSources}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -141,6 +141,70 @@ object CrawlStreams {
           writePartition(flags.filter(col("admitted") === 1L)
             .select("doc_id", "canonical", "batch_id"), historyDir)
         }
+        ()
+      }
+    checkpointDir.foreach(d => writer.option("checkpointLocation", d))
+    writer.start()
+  }
+
+  /** Watch `dir` for arriving sitemap XML files (whole-file rows —
+    * the spec's 50k-entry/50 MB per-file cap makes per-file decode the
+    * right streaming granularity, same argument as [[readWarcFiles]]). */
+  def readSitemapFiles(spark: SparkSession, dir: String,
+                       glob: String = "*.xml"): DataFrame =
+    spark.readStream.format("binaryFile")
+      .schema(binaryFileSchema)
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(col("path"), col("content"))
+
+  /** Streaming sitemap DISCOVERY — the q170 seed-list chain per
+    * arrival: sites drop/refresh sitemap files continuously, and the
+    * crawl frontier should learn advertised URLs per arrival instead
+    * of in a nightly batch. Per micro-batch every new file parses
+    * through the SAME forward scanner as the batch path
+    * ([[graft.operators.Sitemaps.parse]] — one implementation, two
+    * execution modes), url entries run robots admission via the
+    * streaming-composable rule filter
+    * ([[graft.operators.Robots.filterAllowedStreaming]] — driver rule
+    * map, bounded by its documented require), and admitted seeds land
+    * `batch_id`-partitioned under dynamic partition overwrite (the
+    * at-least-once idempotence device: a replayed micro-batch REPLACES
+    * its own partitions). Quarantined entries (missing loc, bad
+    * priority) land beside the seeds with their error strings — same
+    * totality posture as the batch parse. No cross-batch state: parse
+    * is per-file local; chain [[foreachBatchCanonicalAdmit]]-style
+    * dedup downstream when the same URL may be advertised twice. */
+  def foreachBatchSeedIngest(files: DataFrame,
+                             robots: DataFrame, domainCol: Column,
+                             txtCol: Column, agent: String,
+                             seedDir: String,
+                             checkpointDir: Option[String] = None): StreamingQuery = {
+    // the robots rule map re-collects per micro-batch (one small driver
+    // job per arrival, bounded by filterAllowedStreaming's documented
+    // require) — which also means a robots refresh lands without a
+    // stream restart
+    val writer = files.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val ents = batch.select(col("path"), col("content"))
+          .as[(String, Array[Byte])]
+          .flatMap { case (p, bytes) =>
+            val xml = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+            graft.operators.Sitemaps.parse(xml).map(e =>
+              (p, e.idx.toLong, e.kind, e.loc, e.lastmod, e.changefreq,
+                e.priority, e.error))
+          }
+          .toDF("file", "entry_idx", "kind", "loc", "lastmod",
+            "changefreq", "priority", "error")
+        val urls = ents.filter(col("kind") === "url")
+        val admitted = graft.operators.Robots.filterAllowedStreaming(
+          urls, col("loc"), robots, domainCol, txtCol, agent)
+        val out = admitted
+          .unionByName(ents.filter(col("kind") === "error"))
+          .withColumn("batch_id", lit(batchId))
+        writePartition(out, seedDir)
         ()
       }
     checkpointDir.foreach(d => writer.option("checkpointLocation", d))

@@ -256,6 +256,72 @@ class CrawlStreamsSpec extends SparkSpec {
     assert(streamCorpus.map(_._1) == Set(1L, 3L))
   }
 
+  test("sitemap seed ingest: stream seeds across a seam equal the batch " +
+       "parse + robots admission; quarantine rides along") {
+    import spark.implicits._
+    import graft.operators.{Robots, Sitemaps}
+    val land = java.nio.file.Files.createTempDirectory("graft-seed-land").toString
+    val seedDir = java.nio.file.Files.createTempDirectory("graft-seed-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-seed-ckpt").toString
+    val robots = Seq(
+      ("open.example", "User-agent: *\nDisallow: /private/\n"),
+      ("closed.example", "User-agent: *\nDisallow: /\n")
+    ).toDF("domain", "robots_txt")
+
+    def drop(name: String, xml: String): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(land, name),
+        xml.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+    // arrival 1: allowed + path-disallowed + whole-domain-disallowed
+    // entries, plus a missing-loc quarantine
+    drop("a.xml",
+      """<urlset>
+        |  <url><loc>https://open.example/a</loc><lastmod>2024-01-02</lastmod></url>
+        |  <url><loc>https://open.example/private/x</loc></url>
+        |  <url><loc>https://closed.example/y</loc></url>
+        |  <url><lastmod>2024-03-03</lastmod></url>
+        |</urlset>""".stripMargin)
+
+    val q = CrawlStreams.foreachBatchSeedIngest(
+      CrawlStreams.readSitemapFiles(spark, land),
+      robots, col("domain"), col("robots_txt"), agent = "GraftBot",
+      seedDir, checkpointDir = Some(ckpt))
+    try {
+      q.processAllAvailable()
+      // arrival 2 (a later micro-batch): one more allowed seed
+      drop("b.xml",
+        "<urlset><url><loc>https://open.example/b?z=1</loc></url></urlset>")
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val out = spark.read.parquet(seedDir)
+    assert(out.select("batch_id").distinct().count() == 2)
+    val seeds = out.filter(col("kind") === "url")
+      .select("loc").as[String].collect().toSet
+    assert(seeds == Set("https://open.example/a",
+      "https://open.example/b?z=1"),
+      s"disallowed URLs must never land as seeds: $seeds")
+    val quar = out.filter(col("kind") === "error").collect()
+    assert(quar.length == 1 &&
+      quar(0).getAs[String]("error") == "missing loc" &&
+      quar(0).getAs[String]("lastmod") == "2024-03-03")
+
+    // stream == batch: the one-shot parse + admission over the same files
+    val files = new java.io.File(land).listFiles().map(f =>
+      (f.getName, new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)))
+      .toSeq.toDF("f", "xml")
+      .withColumn("fid", monotonically_increasing_id())
+    val batchEnts = Sitemaps.entries(files, col("fid"), col("xml"))
+      .filter(col("kind") === "url")
+    val batchSeeds = Robots.filterAllowed(
+        batchEnts.withColumn("rid", monotonically_increasing_id()),
+        col("rid"), col("loc"),
+        robots, col("domain"), col("robots_txt"), agent = "GraftBot")
+      .select("loc").as[String].collect().toSet
+    assert(seeds == batchSeeds)
+  }
+
   test("canonical-dedup stage: stream admissions across a seam equal the " +
        "batch canonical keeper election (q172's stage 3)") {
     import spark.implicits._
