@@ -3499,6 +3499,32 @@ object Oracles {
                         ELSE 1.0 END) AS fetch_at
     FROM r ORDER BY url"""
 
+  /** q181: incremental anchor corpus — per canonicalized target the
+    * residue counts (hub anchors land on the redirect FINALS, m=2 on
+    * the unterminated self-cycle URL; News on the static URL; the
+    * intra-domain Nav on each site host), then the (count desc, anchor
+    * asc) election — the q166 convention over the q165 plant. */
+  val q181 = """
+    WITH b AS (SELECT doc_id % 5 AS k, doc_id % 4 AS m FROM documents),
+    an AS (
+      SELECT CASE WHEN m IN (0, 1) THEN 'https://news.example/final0'
+                  WHEN m = 2 THEN 'https://redir.example/r2'
+                  ELSE 'https://shop.example/final3' END AS target,
+             'Hub' AS anchor FROM b
+      UNION ALL
+      SELECT 'https://news.example/static', 'News' FROM b
+      UNION ALL
+      SELECT 'https://site' || CAST(k AS VARCHAR) || '.example/local/nav',
+             'Nav' FROM b),
+    cnt AS (SELECT target, anchor, count(*) AS cnt FROM an GROUP BY 1, 2),
+    rk AS (SELECT target, anchor, cnt,
+             row_number() OVER (PARTITION BY target
+                                ORDER BY cnt DESC, anchor ASC) AS rnk
+           FROM cnt)
+    SELECT target, CAST(rnk AS BIGINT) AS "rank", anchor,
+           CAST(cnt AS BIGINT) AS cnt
+    FROM rk WHERE rnk <= 3 ORDER BY target, "rank""""
+
   /** q141: exact substring dedup — brute-force replay over the literal
     * strings: EVERY (position, m) window for m in [16, n] — UNCAPPED, so
     * the Spark side's anchor-doubling extension past its band cap is
@@ -5187,6 +5213,7 @@ object Oracles {
     // q179 serves q173 from the postings index + anchor corpus — the
     // artifact path must be invisible, so the oracle IS q173's replay
     "q179_indexed_anchor_bm25f" -> q173,
-    "q180_recrawl_wave" -> q180
+    "q180_recrawl_wave" -> q180,
+    "q181_incremental_anchor_corpus" -> q181
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

@@ -4530,6 +4530,21 @@ object Queries {
       .orderBy("url")
   }
 
+  /** q181: the OTHER half of the incremental link artifact — the
+    * anchor corpus served from the same per-batch aggregates q177's
+    * centrality reads ([[LinkGraph.servedAnchorCorpus]]: partial
+    * counts re-summed, then the bounded top-k election). Targets are
+    * the REDIRECT-CANONICALIZED forms (the artifact stores what the
+    * pipeline appended: hub anchors collapse onto final destinations,
+    * the r2 self-cycle keeps its unterminated URL) and intra-domain
+    * Nav anchors COUNT (the anchors side is not domain-cut — same-site
+    * anchors are still retrieval evidence). The oracle replays the
+    * residue counts and the election; the three-batch fold + no-op
+    * replay must be invisible. */
+  def q181IncrementalAnchorCorpus(s: SparkSession, d: String): DataFrame =
+    LinkGraph.servedAnchorCorpus(s, linkArtifactFor(s, d), k = 3)
+      .orderBy("target", "rank")
+
   def q159BlockwordScan(s: SparkSession, d: String): DataFrame =
     BlockWords.scan(Tables.documents(s, d), col("doc_id"), col("text"),
       Seq("spark" -> 1.0, "slow" -> 2.0, "dup" -> 5.0, "batch" -> 1.0,
