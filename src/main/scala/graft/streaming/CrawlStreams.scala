@@ -211,6 +211,40 @@ object CrawlStreams {
     writer.start()
   }
 
+  /** Continuous link-graph ingest — the streaming twin of the q177
+    * artifact build: captured pages arrive (doc_id, url, html) per
+    * micro-batch, edges extract locally
+    * ([[graft.operators.LinkGraph.edges]]), domain keys attach as
+    * codegen columns, and the batch's aggregates append through the
+    * SAME [[graft.operators.LinkGraph.appendLinkBatch]] as the batch
+    * path — its watermark no-op guard and partition-delete retry
+    * safety come with it, so stream == batch by construction and
+    * q165/q166-class serving ([[graft.operators.LinkGraph
+    * .servedDomainEdges]] / `servedAnchorCorpus`) reads a continuously
+    * growing artifact. Batch-id contract: one stable checkpoint
+    * lineage (the [[graft.operators.ArtifactFold]] monotonicity rule —
+    * a fresh checkpoint would restart ids at 0 and the fold watermark
+    * would wrongly no-op them). */
+  def foreachBatchLinkIngest(pages: DataFrame, artifactDir: String,
+                             checkpointDir: Option[String] = None): StreamingQuery = {
+    val writer = pages.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val e = graft.operators.LinkGraph.edges(batch,
+          col("doc_id"), col("url"), col("html"))
+        val rows = e.join(batch.select(col("doc_id"), col("url")),
+            Seq("doc_id"))
+          .select(
+            graft.operators.Urls.registeredDomain(col("url")).as("sd"),
+            graft.operators.Urls.registeredDomain(col("resolved")).as("dd"),
+            col("resolved").as("tgt"), col("anchor"))
+        graft.operators.LinkGraph.appendLinkBatch(rows, col("sd"),
+          col("dd"), col("tgt"), col("anchor"), artifactDir, batchId)
+        ()
+      }
+    checkpointDir.foreach(d => writer.option("checkpointLocation", d))
+    writer.start()
+  }
+
   private def loadCanonicalHistory(spark: SparkSession, dir: String,
                                    excludeBatchId: Long): DataFrame = {
     import org.apache.spark.sql.types._

@@ -322,6 +322,71 @@ class CrawlStreamsSpec extends SparkSpec {
     assert(seeds == batchSeeds)
   }
 
+  test("link-graph ingest: artifact grown across a seam serves the same " +
+       "edges and anchors as the one-shot batch aggregate") {
+    import spark.implicits._
+    import graft.operators.LinkGraph
+    val land = java.nio.file.Files.createTempDirectory("graft-lg-land").toString
+    val art = java.nio.file.Files.createTempDirectory("graft-lg-art").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-lg-ckpt").toString
+
+    def page(id: Long, host: String, hrefHost: String,
+             anchor: String): (Long, String, String) =
+      (id, s"https://$host/p/$id",
+        s"""<a href="https://$hrefHost/t">$anchor</a>""" +
+          """<a href="/nav">Nav</a>""")
+    val batch1 = Seq(page(1, "a.com", "b.com", "Beta"),
+      page(2, "a.com", "b.com", "Beta"))
+    val batch2 = Seq(page(3, "c.com", "b.com", "Best"),
+      page(4, "b.com", "c.com", "Gamma"))
+    def drop(name: String, rows: Seq[(Long, String, String)]): Unit =
+      rows.toDF("doc_id", "url", "html").coalesce(1)
+        .write.parquet(s"$land/$name")
+
+    drop("b1", batch1)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("url",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("html",
+        org.apache.spark.sql.types.StringType)))
+    val q = CrawlStreams.foreachBatchLinkIngest(
+      spark.readStream.schema(schema).parquet(s"$land/*"),
+      art, checkpointDir = Some(ckpt))
+    try {
+      q.processAllAvailable()
+      drop("b2", batch2)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // one-shot twin over the union
+    val all = (batch1 ++ batch2).toDF("doc_id", "url", "html")
+    val e = LinkGraph.edges(all, col("doc_id"), col("url"), col("html"))
+      .join(all.select(col("doc_id"), col("url")), Seq("doc_id"))
+      .select(graft.operators.Urls.registeredDomain(col("url")).as("sd"),
+        graft.operators.Urls.registeredDomain(col("resolved")).as("dd"),
+        col("resolved").as("tgt"), col("anchor"))
+    val oneShotEdges = e.filter(col("sd") =!= col("dd"))
+      .groupBy(col("sd").as("src"), col("dd").as("dst"))
+      .agg(count(lit(1)).cast("double").as("w"))
+      .as[(String, String, Double)].collect().toSet
+    val served = LinkGraph.servedDomainEdges(spark, art)
+      .as[(String, String, Double)].collect().toSet
+    assert(served == oneShotEdges, s"$served\nvs\n$oneShotEdges")
+    assert(served.contains(("a.com", "b.com", 2.0))) // summed across rows
+    val servedAnchors = LinkGraph.servedAnchorCorpus(spark, art, k = 2)
+      .as[(String, Long, String, Long)].collect().toSet
+    val oneShotAnchors = LinkGraph.anchorCorpus(e, col("tgt"),
+        col("anchor"), k = 2)
+      .as[(String, Long, String, Long)].collect().toSet
+    assert(servedAnchors == oneShotAnchors)
+    // the seam was real: two batch partitions before any compaction
+    val parts = new java.io.File(s"$art/edges").listFiles()
+      .map(_.getName).filter(_.startsWith("batch_id=")).toSet
+    assert(parts == Set("batch_id=0", "batch_id=1"))
+  }
+
   test("canonical-dedup stage: stream admissions across a seam equal the " +
        "batch canonical keeper election (q172's stage 3)") {
     import spark.implicits._
