@@ -64,6 +64,21 @@ private[graft] object ArtifactFold {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** Refuse to touch an artifact left in [[commitFold]]'s between-renames
+    * crash window: `<dir>__fold_old` present with no live dir means the
+    * old dir holds the ONLY copy of the data — an append that blindly
+    * recreated the live dir would orphan all pre-crash history, and the
+    * next fold's debris delete would then destroy it. Recovery is one
+    * manual rename back. Append paths call this before writing. */
+  def requireNoCrashDebris(spark: SparkSession, dir: String): Unit = {
+    val live = new org.apache.hadoop.fs.Path(dir)
+    val old = new org.apache.hadoop.fs.Path(dir + "__fold_old")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(old) || fs.exists(live),
+      s"fold crash debris: $old exists without $live — rename it back " +
+        "to recover before appending or folding")
+  }
+
   /** The staging dir a fold writes into before [[commitFold]] swaps it
     * live. `write.mode("overwrite")` clears any crashed prior attempt. */
   def stagePath(dir: String): String = dir + "__fold_tmp"
@@ -88,7 +103,15 @@ private[graft] object ArtifactFold {
     val fs = live.getFileSystem(conf)
     val tmp = new org.apache.hadoop.fs.Path(stagePath(dir))
     val old = new org.apache.hadoop.fs.Path(dir + "__fold_old")
-    if (fs.exists(old)) fs.delete(old, true) // stale from a prior crash
+    if (fs.exists(old)) {
+      // old WITH live = debris from a crash after the swap: safe to clear.
+      // old WITHOUT live = crash BETWEEN the renames — `old` is the only
+      // copy; deleting it here would destroy the artifact, so refuse.
+      require(fs.exists(live),
+        s"fold crash debris: $old exists without $live — rename it back " +
+          "to recover before folding")
+      fs.delete(old, true)
+    }
     val out = fs.create(new org.apache.hadoop.fs.Path(tmp, WatermarkFile), true)
     try out.write(maxBatch.toString
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -100,15 +123,20 @@ private[graft] object ArtifactFold {
 
   /** Materialize `folded` (must NOT carry a batch_id column) under the
     * reserved base partition `batch_id=-1` in the staging dir, then
-    * [[commitFold]]. `targetFiles` bounds the folded file count
-    * (sketch-sized artifacts pass 1; doc-sized histories pass something
-    * proportional to size). */
+    * [[commitFold]]. `targetFiles` bounds the folded file count:
+    * sketch-sized artifacts pass 1; pass 0 for SIZE-AWARE sizing — no
+    * manual coalesce, AQE's partition coalescing collapses the fold
+    * aggregate's shuffle output to advisory-sized partitions, so a tiny
+    * artifact still lands as one file while a corpus-shaped one (the
+    * anchors side of a link artifact) fans out instead of funneling
+    * through a one-task write. */
   def swapInFolded(spark: SparkSession, dir: String, folded: DataFrame,
                    targetFiles: Int): Unit = {
-    require(targetFiles >= 1, "need at least one output file")
+    require(targetFiles >= 0, "targetFiles: 0 (AQE-sized) or >= 1")
     val maxBatch = liveMaxBatch(spark, dir)
-    folded.withColumn("batch_id", lit(-1L))
-      .coalesce(targetFiles).write.mode("overwrite").partitionBy("batch_id")
+    val sized = if (targetFiles == 0) folded else folded.coalesce(targetFiles)
+    sized.withColumn("batch_id", lit(-1L))
+      .write.mode("overwrite").partitionBy("batch_id")
       .parquet(stagePath(dir))
     commitFold(spark, dir, maxBatch)
   }

@@ -51,6 +51,14 @@ object Frontier {
           .getOrElse(-1.0))
       }
       .toDF("domain", "__delay")
+      // ONE row per domain before the join: a domain whose robots was
+      // fetched twice must not duplicate every URL of that domain (the
+      // join would fan out). Smallest declared delay wins across
+      // fetches (the conservative delayFor convention); min skips the
+      // -1 no-declaration marker via the when-null, so a declaring
+      // fetch beats a silent one and all-silent stays null → default.
+      .groupBy("domain")
+      .agg(min(when(col("__delay") >= 0, col("__delay"))).as("__delay"))
     val w = Window.partitionBy("domain").orderBy("doc_id")
     urls.select(id.cast("long").as("doc_id"), urlKey(url).as("domain"))
       .join(delayRows, Seq("domain"), "left")

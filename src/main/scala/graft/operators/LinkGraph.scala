@@ -123,29 +123,23 @@ object LinkGraph {
   // re-scan of the corpus. Instead each ingest batch appends its OWN
   // aggregates (domain-edge weights, anchor-phrase counts — both
   // map-side-combined, both tiny next to the pages), serving re-sums
-  // across partitions, and compaction folds the per-batch partitions
-  // into the reserved base partition exactly like
-  // [[Retrieval.compactBm25Postings]]: watermark written BEFORE the
-  // staged dual-rename swap, so a replayed already-folded batch no-ops
-  // in the append path instead of double-counting.
+  // across partitions, and compaction folds each subdir's per-batch
+  // partitions into the reserved base partition through the SHARED
+  // [[ArtifactFold]] plumbing: per-subdir `_folded_watermark` stamped
+  // INTO the staged dir, so watermark and folded data become visible
+  // together at the rename swap, a replayed already-folded batch no-ops
+  // in the append path, and between-renames crash debris is refused
+  // (never silently recreated over) by append and fold alike.
 
-  private def foldManifestPath(dir: String) =
-    new org.apache.hadoop.fs.Path(s"$dir/compacted_watermark")
-
-  /** Highest batch id folded into the base partitions by
-    * [[compactLinkArtifacts]] (Long.MinValue if never compacted). */
+  /** Lowest batch id folded into BOTH subdirs' base partitions
+    * (Long.MinValue if never compacted) — below this, [[appendLinkBatch]]
+    * is a whole-batch no-op. The min of the per-subdir watermarks: a
+    * crash between the two subdir folds leaves them divergent, and each
+    * subdir then no-ops its own replays independently. */
   private[operators] def foldedWatermark(spark: SparkSession,
-                                         dir: String): Long = {
-    val p = foldManifestPath(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Long.MinValue
-    else {
-      val in = fs.open(p)
-      try new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-      finally in.close()
-    }
-  }
+                                         dir: String): Long =
+    math.min(ArtifactFold.foldedWatermark(spark, s"$dir/edges"),
+      ArtifactFold.foldedWatermark(spark, s"$dir/anchors"))
 
   /** Append one ingest batch's link-graph aggregates. `edges` is the
     * batch's per-link frame (already extracted, redirect-canonicalized
@@ -159,38 +153,42 @@ object LinkGraph {
     *    anchor-phrase counts, NOT domain-cut (same-site anchors are
     *    still retrieval evidence).
     *
-    * Idempotence: batches at or below the fold watermark no-op (their
-    * rows live in batch_id=-1 now); a retry first deletes its own
-    * batch partitions, so it is exact regardless of what it emits. */
+    * Idempotence: per subdir, batches at or below its fold watermark
+    * no-op (their rows live in batch_id=-1 now); a retry first deletes
+    * its own batch partitions, so it is exact regardless of what it
+    * emits. Refuses an artifact left in the fold's crash window
+    * ([[ArtifactFold.requireNoCrashDebris]]). */
   def appendLinkBatch(edges: DataFrame, srcDomain: Column,
                       dstDomain: Column, target: Column, anchor: Column,
                       dir: String, batchId: Long): Unit = {
     val spark = edges.sparkSession
-    if (batchId <= foldedWatermark(spark, dir)) return
-    val conf = spark.sparkContext.hadoopConfiguration
-    for (sub <- Seq("edges", "anchors")) {
-      val p = new org.apache.hadoop.fs.Path(s"$dir/$sub/batch_id=$batchId")
-      val fs = p.getFileSystem(conf)
-      if (fs.exists(p)) fs.delete(p, true)
-    }
+    val subs = Seq("edges", "anchors")
+    subs.foreach(sub => ArtifactFold.requireNoCrashDebris(spark, s"$dir/$sub"))
+    val pending = subs.filter(sub =>
+      batchId > ArtifactFold.foldedWatermark(spark, s"$dir/$sub"))
+    if (pending.isEmpty) return
+    pending.foreach(sub =>
+      ArtifactFold.deleteBatchPartition(spark, s"$dir/$sub", batchId))
     // one extraction feeds both aggregates
     val e = edges.select(srcDomain.cast("string").as("sd"),
         dstDomain.cast("string").as("dd"),
         target.cast("string").as("tgt"),
         anchor.cast("string").as("anchor"))
       .localCheckpoint()
-    e.filter(col("sd") =!= col("dd"))
-      .groupBy(col("sd").as("src"), col("dd").as("dst"))
-      .agg(count(lit(1)).cast("double").as("w"))
-      .withColumn("batch_id", lit(batchId))
-      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id").parquet(s"$dir/edges")
-    e.filter(col("tgt").isNotNull)
-      .groupBy(col("tgt").as("target"), col("anchor"))
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("batch_id", lit(batchId))
-      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id").parquet(s"$dir/anchors")
+    if (pending.contains("edges"))
+      e.filter(col("sd") =!= col("dd"))
+        .groupBy(col("sd").as("src"), col("dd").as("dst"))
+        .agg(count(lit(1)).cast("double").as("w"))
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(s"$dir/edges")
+    if (pending.contains("anchors"))
+      e.filter(col("tgt").isNotNull)
+        .groupBy(col("tgt").as("target"), col("anchor"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(s"$dir/anchors")
   }
 
   /** The domain-edge frame served FROM the artifact: per-batch partial
@@ -211,41 +209,32 @@ object LinkGraph {
       k)
 
   /** Fold the accumulated per-batch partitions of both artifacts into
-    * the reserved base partition `batch_id=-1` (maintenance-window
-    * operation, the [[Retrieval.compactBm25Postings]] posture):
-    * watermark BEFORE the swap — a crash between them merely blocks
-    * replays of batches whose rows are already fully present — then a
-    * staged dual-rename per subdir. */
+    * the reserved base partition `batch_id=-1` via
+    * [[ArtifactFold.swapInFolded]] per subdir (maintenance-window
+    * operation — the swap is not transactional against concurrent
+    * readers or a live [[graft.streaming.CrawlStreams
+    * .foreachBatchLinkIngest]] writer; stop the stream first): each
+    * subdir's watermark is stamped INTO its staged dir so watermark and
+    * folded rows become visible together, and a crash between the two
+    * subdir folds leaves the un-swapped subdir fully intact with its
+    * old watermark (its replays keep no-opping independently).
+    *
+    * File sizing is AQE's (`targetFiles = 0`): the edges artifact is
+    * domain-graph-sized and folds to one file, but the anchors artifact
+    * is (target × anchor)-shaped — corpus-scale at a real crawl — and a
+    * `coalesce(1)` there would funnel the whole fold through one task
+    * and one file; AQE's advisory-size coalescing keeps both honest. */
   def compactLinkArtifacts(spark: SparkSession, dir: String): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val edgesPath = new org.apache.hadoop.fs.Path(s"$dir/edges")
-    val fs = edgesPath.getFileSystem(conf)
-    if (!fs.exists(edgesPath)) return
-    val live = spark.read.parquet(edgesPath.toString)
-    val maxBatch = math.max(
-      live.agg(max(col("batch_id").cast("long"))).head().getLong(0),
-      foldedWatermark(spark, dir))
-    live.groupBy("src", "dst").agg(sum(col("w")).cast("double").as("w"))
-      .withColumn("batch_id", lit(-1L))
-      .coalesce(1).write.mode("overwrite").partitionBy("batch_id")
-      .parquet(s"$dir/edges_tmp")
-    spark.read.parquet(s"$dir/anchors")
-      .groupBy("target", "anchor").agg(sum(col("cnt")).as("cnt"))
-      .withColumn("batch_id", lit(-1L))
-      .coalesce(1).write.mode("overwrite").partitionBy("batch_id")
-      .parquet(s"$dir/anchors_tmp")
-    val out = fs.create(foldManifestPath(dir), true)
-    try out.write(maxBatch.toString
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    for (sub <- Seq("edges", "anchors")) {
-      val liveP = new org.apache.hadoop.fs.Path(s"$dir/$sub")
-      val tmp = new org.apache.hadoop.fs.Path(s"$dir/${sub}_tmp")
-      val old = new org.apache.hadoop.fs.Path(s"$dir/${sub}_old")
-      if (fs.exists(old)) fs.delete(old, true) // stale from a prior crash
-      require(fs.rename(liveP, old), s"rename failed for $liveP")
-      require(fs.rename(tmp, liveP), s"rename failed for $tmp")
-      fs.delete(old, true)
-    }
+    Seq("edges", "anchors").foreach(sub =>
+      ArtifactFold.requireNoCrashDebris(spark, s"$dir/$sub"))
+    if (!ArtifactFold.exists(spark, s"$dir/edges")) return
+    ArtifactFold.swapInFolded(spark, s"$dir/edges",
+      spark.read.parquet(s"$dir/edges")
+        .groupBy("src", "dst").agg(sum(col("w")).cast("double").as("w")),
+      targetFiles = 0)
+    ArtifactFold.swapInFolded(spark, s"$dir/anchors",
+      spark.read.parquet(s"$dir/anchors")
+        .groupBy("target", "anchor").agg(sum(col("cnt")).as("cnt")),
+      targetFiles = 0)
   }
 }

@@ -226,9 +226,13 @@ object Retrieval {
       .filter(col("bucket").isin(tsBuckets.map(_.toInt): _*))
       .filter(col("term").isin(ts: _*))
     val stats = readStats(spark, dir)
+    // coalesce: a term in NO document body must have df 0 (the scan
+    // path's value — max idf), not NULL. With `post` empty the global
+    // aggregate still emits one row, and a null df would null every
+    // score of the anchor-only candidates the full-outer union surfaces.
     val dfAggs = ts.zipWithIndex.map { case (t, i) =>
-      sum(when(col("term") === lit(t), 1L).otherwise(0L)).cast("double")
-        .as(s"__df$i")
+      coalesce(sum(when(col("term") === lit(t), 1L).otherwise(0L)), lit(0L))
+        .cast("double").as(s"__df$i")
     }
     val dfs = post.agg(dfAggs.head, dfAggs.tail: _*)
     val tfAggs =
@@ -479,9 +483,12 @@ object Retrieval {
       .filter(col("bucket").isin(tsBuckets.map(_.toInt): _*))
       .filter(col("term").isin(ts: _*))
     val stats = readStats(spark, dir)
+    // coalesce df to 0 on empty postings (the bm25fTopKIndexed fix —
+    // dead here because no candidates survive either, kept identical so
+    // the two indexed paths share one aggregate shape)
     val dfAggs = ts.zipWithIndex.map { case (t, i) =>
-      sum(when(col("term") === lit(t), 1L).otherwise(0L)).cast("double")
-        .as(s"__df$i")
+      coalesce(sum(when(col("term") === lit(t), 1L).otherwise(0L)), lit(0L))
+        .cast("double").as(s"__df$i")
     }
     val dfs = post.agg(dfAggs.head, dfAggs.tail: _*)
     val tfAggs =

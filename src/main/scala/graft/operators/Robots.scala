@@ -78,8 +78,14 @@ object Robots {
     * de-facto Bing/Yandex politeness extension (not in RFC 9309;
     * Google ignores it — we honor it as a fetch-rate floor, the
     * [[Frontier]] consumer). */
+  /** `agents` records every token that headed a group, independently of
+    * whether that group EMITTED anything (an exact group holding only an
+    * empty-valued `Disallow:` — "no restriction" — emits no rule and no
+    * delay, yet its existence must still shadow the `*` group for
+    * [[delayFor]]'s group precedence). Lowercased. */
   final case class Directives(rules: Seq[Rule],
-                              delays: Seq[(String, Double)])
+                              delays: Seq[(String, Double)],
+                              agents: Set[String])
 
   /** Parse one robots.txt payload into its rule list (group structure
     * flattened into per-agent rules — see class doc). Total: never
@@ -94,6 +100,7 @@ object Robots {
     val s = if (txt == null) "" else txt
     val out = Seq.newBuilder[Rule]
     val dl = Seq.newBuilder[(String, Double)]
+    val heads = Set.newBuilder[String] // every group-head token seen
     var agents = List.empty[String] // current group head, reverse order
     var sawRule = false
     s.split("\n", -1).foreach { raw =>
@@ -109,7 +116,7 @@ object Robots {
         key match {
           case "user-agent" =>
             if (sawRule) { agents = Nil; sawRule = false }
-            if (value.nonEmpty) agents ::= value
+            if (value.nonEmpty) { agents ::= value; heads += value.toLowerCase }
           case "allow" | "disallow" =>
             if (agents.nonEmpty) {
               sawRule = true
@@ -128,7 +135,7 @@ object Robots {
         }
       }
     }
-    Directives(out.result(), dl.result())
+    Directives(out.result(), dl.result(), heads.result())
   }
 
   /** The rules that bind `agent`: exact-token groups when any exist,
@@ -140,15 +147,18 @@ object Robots {
 
   /** The crawl delay binding `agent` — the [[rulesFor]] group
     * precedence applied to the WHOLE group, not just its delays: when
-    * the agent has an exact-token group anywhere in the file (visible
-    * through its rules OR its delays), only that group's delays bind —
+    * the agent has an exact-token group anywhere in the file (recorded
+    * as a group HEAD at parse time — even a group that emits no rule
+    * and no delay counts), only that group's delays bind —
     * an exact group that declares none yields None, never the `*`
     * group's (one group's directives travel together). The SMALLEST
     * declared value wins when a selected group repeats the directive
     * (conservative: the slowest promise). */
   def delayFor(d: Directives, agent: String): Option[Double] = {
-    val hasExact = d.rules.exists(_.agent.equalsIgnoreCase(agent)) ||
-      d.delays.exists(_._1.equalsIgnoreCase(agent))
+    // membership comes from the recorded group HEADS, not from emitted
+    // rules/delays: a group whose only body line is an empty `Disallow:`
+    // emits nothing, yet it still exists and shadows the `*` group
+    val hasExact = d.agents.contains(agent.toLowerCase)
     val selected =
       if (hasExact) d.delays.filter(_._1.equalsIgnoreCase(agent))
       else d.delays.filter(_._1 == "*")

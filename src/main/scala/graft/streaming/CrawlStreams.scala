@@ -89,8 +89,8 @@ object CrawlStreams {
           .toDF("file", "offset", "url", "date", "record_type",
             "title", "text")
         val text = conv.unionByName(respText).withColumn("batch_id", lit(batchId))
-        writePartition(text, textDir)
-        writePartition(quarantine, quarantineDir)
+        writePartition(text, textDir, batchId)
+        writePartition(quarantine, quarantineDir, batchId)
         ()
       }
     checkpointDir.foreach(d => writer.option("checkpointLocation", d))
@@ -137,9 +137,9 @@ object CrawlStreams {
                 .cast("long").as("admitted"))
             .withColumn("batch_id", lit(batchId))
             .localCheckpoint() // pin BEFORE history mutates beneath the plan
-          writePartition(flags, admitDir)
+          writePartition(flags, admitDir, batchId)
           writePartition(flags.filter(col("admitted") === 1L)
-            .select("doc_id", "canonical", "batch_id"), historyDir)
+            .select("doc_id", "canonical", "batch_id"), historyDir, batchId)
         }
         ()
       }
@@ -204,7 +204,7 @@ object CrawlStreams {
         val out = admitted
           .unionByName(ents.filter(col("kind") === "error"))
           .withColumn("batch_id", lit(batchId))
-        writePartition(out, seedDir)
+        writePartition(out, seedDir, batchId)
         ()
       }
     checkpointDir.foreach(d => writer.option("checkpointLocation", d))
@@ -262,8 +262,16 @@ object CrawlStreams {
           StructField("canonical", StringType))))
   }
 
-  private def writePartition(df: DataFrame, dir: String): Unit =
+  /** Drop the batch's partition FIRST ([[graft.operators.ArtifactFold
+    * .deleteBatchPartition]] — the retry safety shared by append paths:
+    * dynamic overwrite alone leaves a first attempt's stale partition
+    * behind when the retry's input lost rows), then land the frame. */
+  private def writePartition(df: DataFrame, dir: String,
+                             batchId: Long): Unit = {
+    graft.operators.ArtifactFold.deleteBatchPartition(df.sparkSession,
+      dir, batchId)
     df.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id").parquet(dir)
+  }
 }

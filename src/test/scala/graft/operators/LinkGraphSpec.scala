@@ -200,5 +200,42 @@ class LinkGraphSpec extends SparkSpec {
     append(batch(Seq(("d.com", "b.com", "https://b.com/p", "Beta"))), 3)
     assert(servedEdges.contains(("d.com", "b.com", 1.0)))
     assert(partitions("edges") == Set("batch_id=-1", "batch_id=3"))
+
+    // per-subdir watermark rides INSIDE each artifact dir (visible
+    // together with the folded rows — the ArtifactFold posture, not a
+    // root-level side file the swap could decouple from)
+    for (sub <- Seq("edges", "anchors"))
+      assert(new java.io.File(s"$dir/$sub/_folded_watermark").isFile)
+  }
+
+  test("link artifact: fold crash debris (old without live) refuses " +
+       "append and fold; rename-back recovers") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-linkdbr").toString
+    def append(rows: Seq[(String, String, String, String)], id: Long): Unit =
+      LinkGraph.appendLinkBatch(rows.toDF("sd", "dd", "tgt", "anchor"),
+        col("sd"), col("dd"), col("tgt"), col("anchor"), dir, id)
+    append(Seq(("a.com", "b.com", "https://b.com/p", "Beta")), 0)
+    LinkGraph.compactLinkArtifacts(spark, dir)
+    // simulate a crash between commitFold's two renames: the live edges
+    // dir is gone and `edges__fold_old` holds the only copy
+    val live = new java.io.File(s"$dir/edges")
+    val old = new java.io.File(s"$dir/edges__fold_old")
+    assert(live.renameTo(old))
+    val eA = intercept[IllegalArgumentException] {
+      append(Seq(("c.com", "b.com", "https://b.com/p", "Best")), 1)
+    }
+    assert(eA.getMessage.contains("crash debris"))
+    val eF = intercept[IllegalArgumentException] {
+      LinkGraph.compactLinkArtifacts(spark, dir)
+    }
+    assert(eF.getMessage.contains("crash debris"))
+    // no silent recreation happened — the live dir is still absent
+    assert(!live.exists())
+    // the documented recovery: rename back, then everything proceeds
+    assert(old.renameTo(live))
+    append(Seq(("c.com", "b.com", "https://b.com/p", "Best")), 1)
+    val served = LinkGraph.servedDomainEdges(spark, dir)
+      .as[(String, String, Double)].collect().toSet
+    assert(served == Set(("a.com", "b.com", 1.0), ("c.com", "b.com", 1.0)))
   }
 }

@@ -298,6 +298,25 @@ class RobotsSpec extends SparkSpec {
     assert(Robots.delayFor(Robots.parseAll(""), "GraftBot") == None)
   }
 
+  test("delayFor: an exact group that EMITS nothing (empty Disallow only) " +
+       "still shadows the * group's delay") {
+    // `Disallow:` with an empty value is "no restriction" (RFC 9309) and
+    // emits no rule — but the GROUP exists, so its (absent) delay binds:
+    // the agent gets None (caller default), never the * group's 99.
+    val txt =
+      """User-agent: GraftBot
+        |Disallow:
+        |
+        |User-agent: *
+        |Crawl-delay: 99
+        |""".stripMargin
+    val d = Robots.parseAll(txt)
+    assert(d.rules.isEmpty && d.delays == Seq("*" -> 99.0))
+    assert(d.agents == Set("graftbot", "*"))
+    assert(Robots.delayFor(d, "GraftBot") == None)
+    assert(Robots.delayFor(d, "OtherBot") == Some(99.0))
+  }
+
   test("Frontier.schedule: per-domain slots, delay decision, defaults") {
     val robots = Seq(
       ("a.com", "User-agent: *\nCrawl-delay: 10\n"),
@@ -319,5 +338,34 @@ class RobotsSpec extends SparkSpec {
     assert(out(2L) == (("b.com", 0L, 2.5, 0.0)))
     assert(out(5L) == (("b.com", 1L, 2.5, 2.5)))
     assert(out(4L) == (("c.com", 0L, 1.5, 0.0))) // no robots → default
+  }
+
+  test("Frontier.schedule: duplicate robots rows for one domain collapse " +
+       "to one delay row — no URL fan-out, smallest declared delay wins") {
+    val robots = Seq(
+      // a.com fetched twice with different declarations: min declared (3)
+      ("a.com", "User-agent: *\nCrawl-delay: 10\n"),
+      ("a.com", "User-agent: *\nCrawl-delay: 3\n"),
+      // b.com fetched twice, one silent: the declaring fetch wins
+      ("b.com", "User-agent: *\n Disallow: /x\n"),
+      ("b.com", "User-agent: *\nCrawl-delay: 7\n"),
+      // c.com fetched twice, both silent → caller default
+      ("c.com", "User-agent: *\nDisallow: /x\n"),
+      ("c.com", "User-agent: *\nDisallow: /y\n")
+    ).toDF("domain", "robots_txt")
+    val urls = Seq(
+      (1L, "https://a.com/1"), (2L, "https://a.com/2"),
+      (3L, "https://b.com/3"), (4L, "https://c.com/4")
+    ).toDF("doc_id", "url")
+    val rows = Frontier.schedule(urls, col("doc_id"), col("url"),
+        robots, col("domain"), col("robots_txt"), agent = "GraftBot",
+        defaultDelay = 1.5)
+      .as[(Long, String, Long, Double, Double)].collect()
+    assert(rows.length == 4) // one row per URL — the join did not fan out
+    val out = rows.map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out(1L) == (("a.com", 0L, 3.0, 0.0)))
+    assert(out(2L) == (("a.com", 1L, 3.0, 3.0)))
+    assert(out(3L) == (("b.com", 0L, 7.0, 0.0)))
+    assert(out(4L) == (("c.com", 0L, 1.5, 0.0)))
   }
 }
