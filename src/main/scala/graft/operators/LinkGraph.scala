@@ -191,11 +191,30 @@ object LinkGraph {
         .partitionBy("batch_id").parquet(s"$dir/anchors")
   }
 
+  /** Does the subdir hold any partition at all? A batch whose aggregate
+    * came up EMPTY (e.g. an all-intra-domain crawl slice leaves the
+    * edge-cut frame with zero rows) writes only a `_SUCCESS` marker —
+    * legitimate, and schema inference on such a dir fails, so the serve
+    * and fold paths must treat it as an empty artifact, not an error. */
+  private def subHasData(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p)
+      .exists(_.getPath.getName.startsWith("batch_id="))
+  }
+
+  private def emptyFrame(spark: SparkSession, ddl: String): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(ddl))
+
   /** The domain-edge frame served FROM the artifact: per-batch partial
     * weights re-summed — drop-in for the one-shot aggregate feeding
     * [[LinkAnalysis.pageRank]]/`personalizedPageRank`. */
   def servedDomainEdges(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/edges")
+    if (!subHasData(spark, s"$dir/edges"))
+      emptyFrame(spark, "src STRING, dst STRING, w DOUBLE")
+    else spark.read.parquet(s"$dir/edges")
       .groupBy("src", "dst").agg(sum(col("w")).cast("double").as("w"))
 
   /** The anchor corpus served FROM the artifact: per-batch counts
@@ -203,7 +222,9 @@ object LinkGraph {
     * [[anchorCorpus]]. */
   def servedAnchorCorpus(spark: SparkSession, dir: String,
                          k: Int): DataFrame =
-    electTopAnchors(
+    if (!subHasData(spark, s"$dir/anchors"))
+      emptyFrame(spark, "target STRING, rank BIGINT, anchor STRING, cnt BIGINT")
+    else electTopAnchors(
       spark.read.parquet(s"$dir/anchors")
         .groupBy("target", "anchor").agg(sum(col("cnt")).as("cnt")),
       k)
@@ -227,14 +248,17 @@ object LinkGraph {
   def compactLinkArtifacts(spark: SparkSession, dir: String): Unit = {
     Seq("edges", "anchors").foreach(sub =>
       ArtifactFold.requireNoCrashDebris(spark, s"$dir/$sub"))
-    if (!ArtifactFold.exists(spark, s"$dir/edges")) return
-    ArtifactFold.swapInFolded(spark, s"$dir/edges",
-      spark.read.parquet(s"$dir/edges")
-        .groupBy("src", "dst").agg(sum(col("w")).cast("double").as("w")),
-      targetFiles = 0)
-    ArtifactFold.swapInFolded(spark, s"$dir/anchors",
-      spark.read.parquet(s"$dir/anchors")
-        .groupBy("target", "anchor").agg(sum(col("cnt")).as("cnt")),
-      targetFiles = 0)
+    // a subdir with no partitions has nothing to fold (and no schema to
+    // read) — its replays stay guarded by the per-subdir delete-then-write
+    if (subHasData(spark, s"$dir/edges"))
+      ArtifactFold.swapInFolded(spark, s"$dir/edges",
+        spark.read.parquet(s"$dir/edges")
+          .groupBy("src", "dst").agg(sum(col("w")).cast("double").as("w")),
+        targetFiles = 0)
+    if (subHasData(spark, s"$dir/anchors"))
+      ArtifactFold.swapInFolded(spark, s"$dir/anchors",
+        spark.read.parquet(s"$dir/anchors")
+          .groupBy("target", "anchor").agg(sum(col("cnt")).as("cnt")),
+        targetFiles = 0)
   }
 }

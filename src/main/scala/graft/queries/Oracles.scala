@@ -2901,7 +2901,11 @@ object Oracles {
     * association) over the q165 crawl-derived domain edge CTEs with a
     * two-host literal seed set. Unreachable unseeded hosts must fence
     * to exactly 0.0. */
-  val q169: String = {
+  /** Shared CTE prefix for q169/q182: the q165 crawl-derived domain
+    * edges + the full 5-iteration personalized-PageRank unroll (final
+    * ranks land in `r5`; `b` holds the per-doc residue classes for
+    * downstream count rebuilds). */
+  private def q169TrustCtes: String = {
     val head = """
     WITH b AS (SELECT doc_id % 5 AS k, doc_id % 4 AS m FROM documents),
     de AS (
@@ -2941,9 +2945,52 @@ object Oracles {
                     * 1e9 + 0.5) / 1e9 AS rnk
             FROM nr n CROSS JOIN dg$i LEFT JOIN c$i c ON c.node = n.node)"""
     }.mkString(",")
-    head + "," + its + """
-    SELECT node, rnk AS "rank" FROM r5 ORDER BY node"""
+    head + "," + its
   }
+
+  val q169: String = q169TrustCtes + """
+    SELECT node, rnk AS "rank" FROM r5 ORDER BY node"""
+
+  /** q182: trust-prioritized recrawl frontier — the q169 PPR unroll,
+    * then per-target endorsement rebuilt from the residue classes (each
+    * doc endorses its redirect-canonicalized hub class + the static
+    * news URL; nav is intra-domain and dies on the edge cut), the 9-dp
+    * endorsement fence, the per-domain (endorsement desc, url) slot
+    * window, and the delay decision table: news declares 5 for
+    * GraftBot; shop's GraftBot group exists but declares nothing (empty
+    * Disallow) so the `*` group's 99 must NOT bind → default 1; redir
+    * has no robots row → default 1. */
+  val q182: String = q169TrustCtes + """,
+    pc AS (
+      SELECT 'site' || CAST(k AS VARCHAR) || '.example' AS sd,
+             CASE WHEN m IN (0, 1) THEN 'https://news.example/final0'
+                  WHEN m = 2 THEN 'https://redir.example/r2'
+                  ELSE 'https://shop.example/final3' END AS tgt
+      FROM b
+      UNION ALL
+      SELECT 'site' || CAST(k AS VARCHAR) || '.example',
+             'https://news.example/static'
+      FROM b),
+    pcc AS (SELECT sd, tgt, CAST(count(*) AS DOUBLE) AS c
+            FROM pc GROUP BY 1, 2),
+    en AS (SELECT p.tgt AS url,
+             floor(sum(r.rnk * p.c) * 1e9 + 0.5) / 1e9 AS endorsement
+           FROM pcc p JOIN r5 r ON r.node = p.sd GROUP BY p.tgt),
+    wv AS (SELECT url, endorsement,
+             CASE WHEN url LIKE 'https://news.example/%' THEN 'news.example'
+                  WHEN url LIKE 'https://redir.example/%'
+                    THEN 'redir.example'
+                  ELSE 'shop.example' END AS domain
+           FROM en),
+    sl AS (SELECT url, domain, endorsement,
+             row_number() OVER (PARTITION BY domain
+                                ORDER BY endorsement DESC, url) - 1 AS slot
+           FROM wv)
+    SELECT url, domain, endorsement, CAST(slot AS BIGINT) AS slot,
+           CASE WHEN domain = 'news.example' THEN 5.0 ELSE 1.0 END AS delay,
+           slot * (CASE WHEN domain = 'news.example' THEN 5.0 ELSE 1.0 END)
+             AS fetch_at
+    FROM sl ORDER BY url"""
 
   /** q166: anchor-text corpus — counts per (class target, anchor)
     * replayed by GROUP BY over the residue plant, the top-3 election as
@@ -5214,6 +5261,7 @@ object Oracles {
     // artifact path must be invisible, so the oracle IS q173's replay
     "q179_indexed_anchor_bm25f" -> q173,
     "q180_recrawl_wave" -> q180,
-    "q181_incremental_anchor_corpus" -> q181
+    "q181_incremental_anchor_corpus" -> q181,
+    "q182_trust_frontier" -> q182
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

@@ -3818,8 +3818,11 @@ object Queries {
   /** q169: domain TRUSTRANK — the trust-seeded sibling of q165's global
     * centrality, completing the "distance from trust" quality prior
     * (Gyöngyi et al. 2004) over the REAL crawl-derived domain graph
-    * instead of the synthetic purchase graph q147 pins: the same
-    * extractor→canonicalize→cut→aggregate edge frame, ranked by
+    * instead of the synthetic purchase graph q147 pins: the
+    * extractor→canonicalize→cut→aggregate edge frame SERVED from the
+    * incremental link artifact ([[LinkGraph.servedDomainEdges]] — the
+    * q177 convention: a daily-ingest trust gate must not re-pay the
+    * whole extraction every run), ranked by
     * [[LinkAnalysis.personalizedPageRank]] with a two-host trusted seed
     * set. The plant exercises every PPR regime at once: seeds keep
     * restart mass, news.example receives from BOTH seeds (and all other
@@ -3831,7 +3834,7 @@ object Queries {
   def q169DomainTrustRank(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val seeds = Seq("site0.example", "site1.example").toDF("node")
-    LinkAnalysis.personalizedPageRank(q165DomainEdges(s, d), seeds,
+    LinkAnalysis.personalizedPageRank(servedQ165Edges(s, d), seeds,
         iters = 5, policy = CheckpointPolicy.fromSession(s))
       .orderBy("node")
   }
@@ -4251,25 +4254,47 @@ object Queries {
     * saturation, and the rounded top-20 cut closed-form. Hub pages
     * re-rank above their body-only standing — the reason a web corpus
     * builds the anchor field at all. */
-  /** The q173/q179 anchor corpus: the 50-bucket hub-link plant run
-    * through real edge extraction + the bounded top-k election, keyed
-    * back to target doc ids. */
-  private def q173Anchors(s: SparkSession, d: String): DataFrame = {
+  /** The q173/q179 page plant: every doc links to its 50-bucket hub
+    * page, id%5=0 docs calling it "join window" and the rest "misc
+    * link" — all links INTRA-domain (the targets are corpus docs), so
+    * the plant also exercises the artifact's empty-edges-subdir path
+    * (the edge-cut frame is empty; only the anchors side has rows). */
+  private def q173Pages(s: SparkSession, d: String): DataFrame = {
     val id = col("doc_id")
     val base = concat(lit("https://site.example/p/doc"), id, lit(".html"))
     val html = concat(
       lit("<p><a href=\"/p/doc"), id - id % 50, lit(".html\">"),
       when(id % 5 === 0, lit("join window")).otherwise(lit("misc link")),
       lit("</a></p>"))
-    val pages = Tables.documents(s, d).select(id, base.as("u"), html.as("h"))
+    Tables.documents(s, d).select(id, base.as("u"), html.as("h"))
+  }
+
+  /** Per-link rows of the q173 plant over `pages` in the
+    * [[LinkGraph.appendLinkBatch]] shape (sd, dd, tgt, anchor) — the
+    * frame the per-batch anchor-artifact ingest appends. */
+  private def q173EdgeRows(s: SparkSession, pages: DataFrame): DataFrame = {
     val e = LinkGraph.edges(pages, col("doc_id"), col("u"), col("h"))
-    val corpus = LinkGraph.anchorCorpus(e, col("resolved"), col("anchor"),
-      k = 3)
+    e.join(pages.select(col("doc_id"), col("u")), Seq("doc_id"))
+      .select(Urls.registeredDomain(col("u")).as("sd"),
+        Urls.registeredDomain(col("resolved")).as("dd"),
+        col("resolved").as("tgt"), col("anchor"))
+  }
+
+  /** Key an anchor-corpus frame (target, anchor, cnt — one-shot or
+    * artifact-served) back to target doc ids — the q173/q179 anchor
+    * side. */
+  private def q173KeyAnchors(corpus: DataFrame): DataFrame =
     corpus.select(
       regexp_extract(col("target"), "/p/doc(\\d+)\\.html$", 1)
         .cast("long").as("aid"),
       col("anchor"), col("cnt"))
-  }
+
+  /** The q173 anchor corpus, one-shot: real edge extraction + the
+    * bounded top-k election. */
+  private def q173Anchors(s: SparkSession, d: String): DataFrame =
+    q173KeyAnchors(LinkGraph.anchorCorpus(
+      LinkGraph.edges(q173Pages(s, d), col("doc_id"), col("u"), col("h")),
+      col("resolved"), col("anchor"), k = 3))
 
   def q173AnchorBm25f(s: SparkSession, d: String): DataFrame =
     Retrieval.bm25fTopK(Tables.documents(s, d), col("doc_id"),
@@ -4277,18 +4302,62 @@ object Queries {
       q173Anchors(s, d), col("aid"), col("anchor"), col("cnt"),
       Seq("join", "filter", "window"), k = 20, wAnchor = 2.0)
 
+  // one persisted ANCHOR-corpus link artifact per fixture, built from
+  // the q173 plant through the full incremental lifecycle (three ingest
+  // batches split on source doc_id + compaction + a folded-batch replay
+  // that must no-op) — the linkArtifactFor convention over the OTHER
+  // plant: here every link is intra-domain, so the edges subdir stays
+  // empty and only the anchors side accretes
+  private val anchorArtifactCache =
+    new scala.collection.concurrent.TrieMap[String, (String, String)]()
+  private def anchorArtifactFor(s: SparkSession, d: String): String = {
+    val sig = tableSignature(s, d, "documents")
+    anchorArtifactCache.synchronized {
+      anchorArtifactCache.get(d) match {
+        case Some((s0, dir)) if s0 == sig => dir
+        case prev =>
+          prev.foreach { case (_, old) =>
+            try deleteDirTree(old) catch { case _: Exception => () } }
+          val tmp = java.nio.file.Files.createTempDirectory("graft_anchg_").toString
+          val pages = q173Pages(s, d)
+          (0 until 3).foreach { b =>
+            val rows = q173EdgeRows(s, pages.filter(col("doc_id") % 3 === b))
+            LinkGraph.appendLinkBatch(rows, col("sd"), col("dd"),
+              col("tgt"), col("anchor"), tmp, batchId = b)
+          }
+          LinkGraph.compactLinkArtifacts(s, tmp)
+          val replay = q173EdgeRows(s, pages.filter(col("doc_id") % 3 === 0))
+          LinkGraph.appendLinkBatch(replay, col("sd"), col("dd"),
+            col("tgt"), col("anchor"), tmp, batchId = 0)
+          anchorArtifactCache.update(d, (sig, tmp))
+          tmp
+      }
+    }
+  }
+
   /** q179: BM25F served from PERSISTED ARTIFACTS
     * ([[Retrieval.bm25fTopKIndexed]]) — the all-artifacts serving
-    * triangle closed: the body field reads q89's incremental inverted
-    * index (term-bucket pruning, postings tf/dl, stats n/avgdl), the
-    * anchor field the q173 corpus, candidates the UNION of body and
-    * anchor matches — no corpus scan anywhere. Oracle: EXACTLY q173's
-    * replay — the index lifecycle (three appends + compaction) and the
-    * full-outer candidate union must be invisible in every 6-dp score. */
-  def q179IndexedAnchorBm25f(s: SparkSession, d: String): DataFrame =
+    * triangle closed for BOTH fields: the body field reads q89's
+    * incremental inverted index (term-bucket pruning, postings tf/dl,
+    * stats n/avgdl), the anchor field reads the incremental link
+    * artifact ([[LinkGraph.servedAnchorCorpus]] over the q173 plant's
+    * three-batch build — partial counts re-summed, then the bounded
+    * election), candidates the UNION of body and anchor matches — no
+    * corpus scan anywhere in the serving plan. The anchor side is
+    * semi-joined to corpus doc ids per the `bm25fTopKIndexed` caller
+    * contract (artifact targets may outlive corpus membership). Oracle:
+    * EXACTLY q173's replay — BOTH index lifecycles (appends +
+    * compaction + no-op replays) and the full-outer candidate union
+    * must be invisible in every 6-dp score. */
+  def q179IndexedAnchorBm25f(s: SparkSession, d: String): DataFrame = {
+    val served = q173KeyAnchors(
+        LinkGraph.servedAnchorCorpus(s, anchorArtifactFor(s, d), k = 3))
+      .join(Tables.documents(s, d).select(col("doc_id").as("aid")),
+        Seq("aid"), "left_semi")
     Retrieval.bm25fTopKIndexed(s, bm25IndexFor(s, d),
-      q173Anchors(s, d), col("aid"), col("anchor"), col("cnt"),
+      served, col("aid"), col("anchor"), col("cnt"),
       Seq("join", "filter", "window"), k = 20, wAnchor = 2.0)
+  }
 
   /** q175: triage-routed image decode ([[Multimodal.imageTriage]] —
     * the [[Jpeg]] header walk finally ROUTING the pixel path instead of
@@ -4371,8 +4440,9 @@ object Queries {
     * [[LinkAnalysis.personalizedPageRank]]) — q169's domain TrustRank
     * finally CONSUMED: the explainable curation audit (q100's shared
     * stage chain, cache included) joined with the host-trust prior from
-    * the q165 crawl-derived domain graph, seeded at the q169 trusted
-    * two. Each doc's capture host is its q165 page host
+    * the q165 crawl-derived domain graph — served from the incremental
+    * link artifact ([[LinkGraph.servedDomainEdges]], the q177
+    * convention) — seeded at the q169 trusted two. Each doc's capture host is its q165 page host
     * (`site{id%5}.example`), so seed-adjacent hosts carry positive
     * trust while the unseeded site hosts fence to exactly 0.0 — and
     * admission becomes the PRODUCT of the two signals: content-kept
@@ -4383,7 +4453,7 @@ object Queries {
   def q176TrustGatedCuration(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val seeds = Seq("site0.example", "site1.example").toDF("node")
-    val trust = LinkAnalysis.personalizedPageRank(q165DomainEdges(s, d),
+    val trust = LinkAnalysis.personalizedPageRank(servedQ165Edges(s, d),
       seeds, iters = 5, policy = CheckpointPolicy.fromSession(s))
     curationAuditFor(s, d)
       .withColumn("domain",
@@ -4429,6 +4499,17 @@ object Queries {
     }
   }
 
+  /** The q165 domain-edge frame SERVED from the incremental link
+    * artifact — the frame every link-derived ranking consumes (q177
+    * PageRank, q169/q176 TrustRank, q182 frontier priority): per-batch
+    * partial weights re-summed, pinned once per caller (the iterative
+    * rankers reference it on four branches — the q165DomainEdges
+    * precedent). Must be digit-identical to the one-shot aggregate:
+    * every consumer's oracle replays the one-shot chain. */
+  private def servedQ165Edges(s: SparkSession, d: String): DataFrame =
+    CheckpointPolicy.fromSession(s).pin(
+      LinkGraph.servedDomainEdges(s, linkArtifactFor(s, d)))
+
   /** q177: INCREMENTAL centrality — q165's PageRank served from the
     * persisted link-graph artifact instead of a full recompute: three
     * per-batch [[LinkGraph.appendLinkBatch]] ingests (each writing only
@@ -4439,11 +4520,10 @@ object Queries {
     * Oracle: EXACTLY q165's 5-iteration replay — batching, folding, and
     * the no-op replay must be invisible in every rank digit. (The
     * anchors side of the same artifact is gated in LinkGraphSpec
-    * against the one-shot [[LinkGraph.anchorCorpus]].) */
+    * against the one-shot [[LinkGraph.anchorCorpus]], and standalone by
+    * q181.) */
   def q177IncrementalCentrality(s: SparkSession, d: String): DataFrame =
-    LinkAnalysis.pageRank(
-        CheckpointPolicy.fromSession(s).pin(
-          LinkGraph.servedDomainEdges(s, linkArtifactFor(s, d))),
+    LinkAnalysis.pageRank(servedQ165Edges(s, d),
         iters = 5, policy = CheckpointPolicy.fromSession(s))
       .orderBy("node")
 
@@ -4544,6 +4624,76 @@ object Queries {
   def q181IncrementalAnchorCorpus(s: SparkSession, d: String): DataFrame =
     LinkGraph.servedAnchorCorpus(s, linkArtifactFor(s, d), k = 3)
       .orderBy("target", "rank")
+
+  /** The q182 robots fixture over the q165 crawl's TARGET domains:
+    * news.example declares a GraftBot delay (5); shop.example's GraftBot
+    * group holds ONLY an empty `Disallow:` — it emits nothing, yet the
+    * group's existence must shadow the `*` group's 99 (the delayFor
+    * group-membership gate) → caller default; redir.example has no
+    * robots row at all → default. */
+  private def q182Robots(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      ("news.example", "User-agent: GraftBot\nCrawl-delay: 5\n"),
+      ("shop.example",
+        "User-agent: GraftBot\nDisallow:\n\nUser-agent: *\nCrawl-delay: 99\n")
+    ).toDF("domain", "robots_txt")
+  }
+
+  /** q182: TRUST-PRIORITIZED recrawl frontier — the priority key
+    * [[Frontier]] documents ("discovery order, PageRank, …") finally
+    * fed by centrality, the composition a real recrawl planner runs:
+    * each discovered target URL's priority is its ENDORSEMENT MASS —
+    * the TrustRank of every endorsing source domain (q169's PPR over
+    * the artifact-served q165 domain graph, [[servedQ165Edges]])
+    * weighted by that domain's inlink count to the URL (the OPIC-style
+    * "trusted hosts vouch for this page" signal; a link farm of
+    * zero-trust hosts contributes exactly 0). Per fetch domain the
+    * wave orders by (endorsement desc, url) into politeness slots under
+    * the q182 robots delays — news.example's two targets make the
+    * priority window live (the all-docs `static` URL outranks the
+    * m∈{0,1} redirect-canonicalized `final0`), and shop.example's
+    * empty-but-present GraftBot group gates the delayFor membership
+    * fix. Intra-domain nav links never reach the wave (the domain
+    * cut). The oracle unrolls the full 5-iteration PPR, rebuilds the
+    * per-(source, target) residue counts, fences the endorsement sum
+    * to 9 dp, and replays the slot window + delay decision table
+    * closed-form.
+    *
+    * 100 TB shape: endorsement is one (sd, tgt)-keyed count aggregate
+    * (map-side combined) joined to the domain-sized trust frame, then a
+    * tgt-keyed sum; the slot window is per-domain bounded (the
+    * [[Frontier.schedule]] argument) — no global sort, no driver state. */
+  def q182TrustFrontier(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val seeds = Seq("site0.example", "site1.example").toDF("node")
+    val trust = LinkAnalysis.personalizedPageRank(servedQ165Edges(s, d),
+      seeds, iters = 5, policy = CheckpointPolicy.fromSession(s))
+    val perSrc = q165EdgeRows(s, q165Pages(s, d))
+      .filter(col("sd") =!= col("dd"))
+      .groupBy(col("sd"), col("tgt"))
+      .agg(count(lit(1)).cast("double").as("c"))
+    val endo = perSrc
+      .join(trust.select(col("node").as("sd"), col("rank")), Seq("sd"))
+      .groupBy(col("tgt").as("url"))
+      .agg((floor(sum(col("rank") * col("c")) * lit(1e9) + lit(0.5))
+        / lit(1e9)).as("endorsement"))
+    // dense per-domain id in priority order — the q180 convention for
+    // feeding a caller-defined priority through the scheduler's id key
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("domain").orderBy(desc("endorsement"), col("url"))
+    val keyed = endo
+      .withColumn("domain", Urls.registeredDomain(col("url")))
+      .withColumn("wid", row_number().over(w).cast("long"))
+    Frontier.schedule(keyed, col("wid"), col("url"), q182Robots(s),
+        col("domain"), col("robots_txt"), agent = "GraftBot")
+      .join(keyed.select(col("wid").as("__w"), col("domain").as("__d"),
+        col("url"), col("endorsement")),
+        col("doc_id") === col("__w") && col("domain") === col("__d"))
+      .select(col("url"), col("domain"), col("endorsement"),
+        col("slot"), col("delay"), col("fetch_at"))
+      .orderBy("url")
+  }
 
   def q159BlockwordScan(s: SparkSession, d: String): DataFrame =
     BlockWords.scan(Tables.documents(s, d), col("doc_id"), col("text"),
