@@ -224,7 +224,17 @@ object CrawlStreams {
     * growing artifact. Batch-id contract: one stable checkpoint
     * lineage (the [[graft.operators.ArtifactFold]] monotonicity rule —
     * a fresh checkpoint would restart ids at 0 and the fold watermark
-    * would wrongly no-op them). */
+    * would wrongly no-op them).
+    *
+    * SINGLE-WRITER / MAINTENANCE-WINDOW CONTRACT:
+    * [[graft.operators.LinkGraph.compactLinkArtifacts]]'s rename swap
+    * is not transactional against this stream — run the fold only with
+    * the stream STOPPED (a micro-batch landing mid-swap could append
+    * against the vanished live dir, and a concurrent serve read could
+    * miss it), then restart from the SAME checkpoint; the per-subdir
+    * watermark makes any replayed pre-fold micro-batch a no-op and
+    * post-fold ids keep appending (CrawlStreamsSpec drives the full
+    * stop → fold → restart seam). */
   def foreachBatchLinkIngest(pages: DataFrame, artifactDir: String,
                              checkpointDir: Option[String] = None): StreamingQuery = {
     val writer = pages.writeStream

@@ -387,6 +387,76 @@ class CrawlStreamsSpec extends SparkSpec {
     assert(parts == Set("batch_id=0", "batch_id=1"))
   }
 
+  test("link-graph ingest: compaction in the stopped maintenance window, " +
+       "then restart from the SAME checkpoint — served == one-shot across " +
+       "the fold seam, post-fold micro-batch ids keep appending") {
+    import spark.implicits._
+    import graft.operators.LinkGraph
+    val land = java.nio.file.Files.createTempDirectory("graft-lgf-land").toString
+    val art = java.nio.file.Files.createTempDirectory("graft-lgf-art").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-lgf-ckpt").toString
+    def page(id: Long, host: String, hrefHost: String,
+             anchor: String): (Long, String, String) =
+      (id, s"https://$host/p/$id",
+        s"""<a href="https://$hrefHost/t">$anchor</a>""")
+    val b0 = Seq(page(1, "a.com", "b.com", "Beta"),
+      page(2, "a.com", "b.com", "Beta"))
+    val b1 = Seq(page(3, "c.com", "b.com", "Best"))
+    val b2 = Seq(page(4, "b.com", "c.com", "Gamma"),
+      page(5, "a.com", "b.com", "Beta"))
+    def drop(name: String, rows: Seq[(Long, String, String)]): Unit =
+      rows.toDF("doc_id", "url", "html").coalesce(1)
+        .write.parquet(s"$land/$name")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("url",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("html",
+        org.apache.spark.sql.types.StringType)))
+    def start() = CrawlStreams.foreachBatchLinkIngest(
+      spark.readStream.schema(schema).parquet(s"$land/*"),
+      art, checkpointDir = Some(ckpt))
+
+    // micro-batches 0 and 1 land, then the stream STOPS (the documented
+    // single-writer contract: folding runs only in this window)
+    drop("b0", b0)
+    val q1 = start()
+    try { q1.processAllAvailable(); drop("b1", b1); q1.processAllAvailable() }
+    finally q1.stop()
+    LinkGraph.compactLinkArtifacts(spark, art)
+    def parts(sub: String) = new java.io.File(s"$art/$sub").listFiles()
+      .map(_.getName).filter(_.startsWith("batch_id=")).toSet
+    assert(parts("edges") == Set("batch_id=-1"))
+
+    // restart from the SAME checkpoint (one stable lineage — the
+    // ArtifactFold batch-id monotonicity rule): the next micro-batch id
+    // continues past the fold watermark and appends normally
+    drop("b2", b2)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(parts("edges") == Set("batch_id=-1", "batch_id=2"))
+
+    // served across the fold seam == one-shot over all three batches
+    val all = (b0 ++ b1 ++ b2).toDF("doc_id", "url", "html")
+    val e = LinkGraph.edges(all, col("doc_id"), col("url"), col("html"))
+      .join(all.select(col("doc_id"), col("url")), Seq("doc_id"))
+      .select(graft.operators.Urls.registeredDomain(col("url")).as("sd"),
+        graft.operators.Urls.registeredDomain(col("resolved")).as("dd"),
+        col("resolved").as("tgt"), col("anchor"))
+    val oneShotEdges = e.filter(col("sd") =!= col("dd"))
+      .groupBy(col("sd").as("src"), col("dd").as("dst"))
+      .agg(count(lit(1)).cast("double").as("w"))
+      .as[(String, String, Double)].collect().toSet
+    assert(LinkGraph.servedDomainEdges(spark, art)
+      .as[(String, String, Double)].collect().toSet == oneShotEdges)
+    assert(oneShotEdges.contains(("a.com", "b.com", 3.0))) // spans the seam
+    assert(LinkGraph.servedAnchorCorpus(spark, art, k = 2)
+        .as[(String, Long, String, Long)].collect().toSet ==
+      LinkGraph.anchorCorpus(e, col("tgt"), col("anchor"), k = 2)
+        .as[(String, Long, String, Long)].collect().toSet)
+  }
+
   test("canonical-dedup stage: stream admissions across a seam equal the " +
        "batch canonical keeper election (q172's stage 3)") {
     import spark.implicits._
