@@ -185,6 +185,70 @@ object LinkAnalysis {
     ranks.select("node", "rank")
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999, public method) over
+    * directed weighted `edges(src, dst, w)` — the mutual-reinforcement
+    * complement to [[pageRank]]'s walk centrality: a good HUB links to
+    * good authorities, a good AUTHORITY is linked by good hubs. The
+    * crawl-curation use: authority ranks the pages worth keeping, hub
+    * ranks the directory/index pages whose ANCHOR TEXT is worth
+    * harvesting (the [[LinkGraph.anchorCorpus]] quality prior).
+    *
+    * Fixed-iteration, L1-normalized (each half-step divides by the 9-dp
+    * fenced total so scores form a distribution — any norm yields the
+    * same ranking; L1 keeps the arithmetic oracle-replayable): per
+    * round auth'(v) = Σ_{(u,v)} hub(u)·w then normalize, hub'(u) =
+    * Σ_{(u,v)} auth(v)·w then normalize. Init: uniform 1/n hubs. Nodes
+    * with no in-edges fence to auth 0.0, no out-edges to hub 0.0.
+    * Output: (node, hub, auth) for every node appearing as src or dst.
+    *
+    * Same 100 TB shape as [[pageRank]]: the edge frame is pinned once,
+    * each half-iteration shuffles only (node, score) pairs against it;
+    * the norm scalar is a driver `.head()` on the pinned raw frame (the
+    * personalizedPageRank-measured convention — cheaper than a
+    * broadcast-crossJoin subtree). Same 9-dp fence, same left-assoc
+    * score·w products, oracle-replayable iteration for iteration. */
+  def hits(edges: DataFrame, iters: Int,
+           policy: CheckpointPolicy = CheckpointPolicy.Local): DataFrame = {
+    require(iters >= 1, s"iters >= 1: $iters")
+    val e = edges.select(col("src"), col("dst"), col("w").cast("double").as("w"))
+    val eP = policy.pin(e)
+    val nodes = policy.pin(
+      eP.select(col("src").as("node"))
+        .unionByName(eP.select(col("dst").as("node"))).distinct())
+    val n = nodes.count().toDouble
+    def fencedTotal(raw: DataFrame): Double = {
+      val t = raw.agg(coalesce(sum("raw"), lit(0.0))).head().getDouble(0)
+      math.floor(t * 1e9 + 0.5) / 1e9
+    }
+    // one half-step: weighted mass onto `key`, L1-normalize over nodes.
+    // An edgeless graph (total 0) degenerates to all-zero scores rather
+    // than dividing by zero.
+    def halfStep(scores: DataFrame, scoreCol: String, from: String,
+                 onto: String, outCol: String): DataFrame = {
+      val raw = policy.pin(
+        eP.join(scores, eP(from) === scores("node"))
+          .select(col(onto).as("__k"),
+            (col(scoreCol) * col("w")).as("c"))
+          .groupBy("__k").agg(sum("c").as("raw")))
+      val total = fencedTotal(raw)
+      val normed =
+        if (total == 0.0) lit(0.0)
+        else fence9(coalesce(col("raw"), lit(0.0)) / lit(total))
+      nodes.join(raw, nodes("node") === raw("__k"), "left")
+        .select(col("node"), normed.as(outCol))
+    }
+    var hub = policy.pin(nodes.select(col("node"),
+      fence9(lit(1.0) / lit(n)).as("hub")))
+    var auth: DataFrame = null
+    for (_ <- 1 to iters) {
+      auth = policy.pin(halfStep(hub, "hub", "src", "dst", "auth"))
+      hub = policy.pin(halfStep(auth, "auth", "dst", "src", "hub"))
+    }
+    hub.join(auth.select(col("node").as("__n"), col("auth")),
+        hub("node") === col("__n"))
+      .select(col("node"), col("hub"), col("auth"))
+  }
+
   /** Exact triangle counting + local clustering coefficients over an
     * undirected simple graph, via degree-ordered edge orientation
     * (Schank & Wagner 2005; Suri & Vassilvitskii 2011 — public methods).

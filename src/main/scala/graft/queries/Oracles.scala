@@ -2992,6 +2992,62 @@ object Oracles {
              AS fetch_at
     FROM sl ORDER BY url"""
 
+  /** q183: HITS over the q165 domain edges — both half-steps of all 5
+    * iterations unrolled: per round the weighted in-mass aggregate, the
+    * 9-dp-fenced L1 total, the fenced normalize (auth then hub), from a
+    * uniform 1/n hub init. Sinks (news/redir/shop) fence to hub 0.0,
+    * sources (the site hosts) to auth 0.0. The iteration CTEs are
+    * MATERIALIZED (the q108 convention): each ar/hr is referenced twice
+    * (L1 total + normalize), so inlining doubles the expression tree
+    * per half-step — 2^10 rebuilds of the documents scan by r5,
+    * observed as DuckDB fd exhaustion. */
+  val q183: String = {
+    val head = """
+    WITH b AS (SELECT doc_id % 5 AS k, doc_id % 4 AS m FROM documents),
+    de AS (
+      SELECT 'site' || CAST(k AS VARCHAR) || '.example' AS src,
+             CASE WHEN m IN (0, 1) THEN 'news.example'
+                  WHEN m = 2 THEN 'redir.example'
+                  ELSE 'shop.example' END AS dst
+      FROM b
+      UNION ALL
+      SELECT 'site' || CAST(k AS VARCHAR) || '.example', 'news.example'
+      FROM b),
+    edges AS MATERIALIZED (SELECT src, dst, CAST(count(*) AS DOUBLE) AS w
+              FROM de GROUP BY 1, 2),
+    nodes AS MATERIALIZED (SELECT DISTINCT node FROM (
+      SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    h0 AS (SELECT node, floor(1.0 / nn.n * 1e9 + 0.5) / 1e9 AS hub
+           FROM nodes, nn)"""
+    val its = (1 to 5).map { i =>
+      s"""
+    ar$i AS MATERIALIZED (SELECT e.dst AS node, sum(h.hub * e.w) AS raw
+             FROM edges e JOIN h${i - 1} h ON h.node = e.src
+             GROUP BY e.dst),
+    at$i AS (SELECT floor(coalesce(sum(raw), 0.0) * 1e9 + 0.5) / 1e9 AS t
+             FROM ar$i),
+    a$i AS MATERIALIZED (SELECT n.node,
+              floor(coalesce(ar.raw, 0.0) / at$i.t * 1e9 + 0.5) / 1e9
+                AS auth
+            FROM nodes n CROSS JOIN at$i
+            LEFT JOIN ar$i ar ON ar.node = n.node),
+    hr$i AS MATERIALIZED (SELECT e.src AS node, sum(a.auth * e.w) AS raw
+             FROM edges e JOIN a$i a ON a.node = e.dst
+             GROUP BY e.src),
+    ht$i AS (SELECT floor(coalesce(sum(raw), 0.0) * 1e9 + 0.5) / 1e9 AS t
+             FROM hr$i),
+    h$i AS MATERIALIZED (SELECT n.node,
+              floor(coalesce(hr.raw, 0.0) / ht$i.t * 1e9 + 0.5) / 1e9
+                AS hub
+            FROM nodes n CROSS JOIN ht$i
+            LEFT JOIN hr$i hr ON hr.node = n.node)"""
+    }.mkString(",")
+    head + "," + its + """
+    SELECT h5.node, h5.hub, a5.auth
+    FROM h5 JOIN a5 ON a5.node = h5.node ORDER BY h5.node"""
+  }
+
   /** q166: anchor-text corpus — counts per (class target, anchor)
     * replayed by GROUP BY over the residue plant, the top-3 election as
     * an explicit (count desc, anchor asc) window; the near-equal class
@@ -5262,6 +5318,7 @@ object Oracles {
     "q179_indexed_anchor_bm25f" -> q173,
     "q180_recrawl_wave" -> q180,
     "q181_incremental_anchor_corpus" -> q181,
-    "q182_trust_frontier" -> q182
+    "q182_trust_frontier" -> q182,
+    "q183_hits_domains" -> q183
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

@@ -4695,6 +4695,24 @@ object Queries {
       .orderBy("url")
   }
 
+  /** q183: HITS hubs & authorities ([[LinkAnalysis.hits]]) over the
+    * artifact-served q165 domain graph ([[servedQ165Edges]] — the
+    * third ranking family riding the incremental link artifact, after
+    * q177's PageRank and q169's TrustRank): authorities rank the
+    * domains worth keeping, hubs the domains whose anchor text is worth
+    * harvesting. The q165 plant exercises both degeneracies at once —
+    * news/redir/shop are pure SINKS (hub fences to exactly 0.0) and the
+    * site hosts are pure SOURCES (auth fences to exactly 0.0) — while
+    * news.example's double inlink weight separates the authority
+    * ordering. Oracle: all 5 iterations unrolled closed-form — per
+    * half-step the weighted mass aggregate, the 9-dp-fenced L1 total,
+    * and the fenced normalize, the [[LinkAnalysis.pageRank]] replay
+    * convention applied to the two-score recurrence. */
+  def q183HitsDomains(s: SparkSession, d: String): DataFrame =
+    LinkAnalysis.hits(servedQ165Edges(s, d), iters = 5,
+        policy = CheckpointPolicy.fromSession(s))
+      .orderBy("node")
+
   def q159BlockwordScan(s: SparkSession, d: String): DataFrame =
     BlockWords.scan(Tables.documents(s, d), col("doc_id"), col("text"),
       Seq("spark" -> 1.0, "slow" -> 2.0, "dup" -> 5.0, "batch" -> 1.0,

@@ -114,6 +114,57 @@ class LinkAnalysisSpec extends SparkSpec {
       assert(math.abs(v - global(k)) < 2e-9, s"$k: $v vs ${global(k)}") }
   }
 
+  test("hits matches a hand-rolled reference on a small weighted graph") {
+    // a -> c (1.0), b -> c (2.0), b -> d (1.0): b is the better hub
+    // (it finds both authorities, with weight), c the better authority
+    val edges = Seq(("a", "c", 1.0), ("b", "c", 2.0), ("b", "d", 1.0))
+      .toDF("src", "dst", "w")
+    val got = LinkAnalysis.hits(edges, iters = 2)
+      .collect().map(r => (r.getString(0), (r.getDouble(1), r.getDouble(2))))
+      .toMap
+
+    // reference: same fence, same L1 half-step normalization, driver-side
+    var hub = Map("a" -> fence9(0.25), "b" -> fence9(0.25),
+      "c" -> fence9(0.25), "d" -> fence9(0.25))
+    var auth = Map.empty[String, Double]
+    for (_ <- 1 to 2) {
+      val aRaw = Map("c" -> (hub("a") * 1.0 + hub("b") * 2.0),
+        "d" -> hub("b") * 1.0)
+      val at = fence9(aRaw.values.sum)
+      auth = Map("a" -> 0.0, "b" -> 0.0,
+        "c" -> fence9(aRaw("c") / at), "d" -> fence9(aRaw("d") / at))
+      val hRaw = Map("a" -> auth("c") * 1.0,
+        "b" -> (auth("c") * 2.0 + auth("d") * 1.0))
+      val ht = fence9(hRaw.values.sum)
+      hub = Map("a" -> fence9(hRaw("a") / ht),
+        "b" -> fence9(hRaw("b") / ht), "c" -> 0.0, "d" -> 0.0)
+    }
+    got.foreach { case (k, (h, a)) =>
+      assert(math.abs(h - hub(k)) < 2e-9, s"hub $k: $h vs ${hub(k)}")
+      assert(math.abs(a - auth(k)) < 2e-9, s"auth $k: $a vs ${auth(k)}")
+    }
+    // degeneracies fence EXACTLY: sinks have hub 0, sources auth 0
+    assert(got("c")._1 == 0.0 && got("d")._1 == 0.0)
+    assert(got("a")._2 == 0.0 && got("b")._2 == 0.0)
+    // L1 normalization: each score family sums to ~1
+    assert(math.abs(got.values.map(_._1).sum - 1.0) < 1e-8)
+    assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-8)
+    // b out-hubs a, c out-ranks d
+    assert(got("b")._1 > got("a")._1 && got("c")._2 > got("d")._2)
+  }
+
+  test("hits is deterministic under repartitioning") {
+    val edges = Seq(("a", "c", 1.0), ("b", "c", 2.0), ("b", "d", 1.0),
+      ("c", "a", 1.0), ("d", "a", 3.0)).toDF("src", "dst", "w")
+    val one = LinkAnalysis.hits(edges, iters = 5)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      .toSet
+    val two = LinkAnalysis.hits(edges.repartition(7), iters = 5)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      .toSet
+    assert(one == two)
+  }
+
   test("triangles: K4 is all-ones clustering, every node in 3 triangles") {
     val k4 = (for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)).toDF("a", "b")
     val got = k4.transform(LinkAnalysis.triangles)
