@@ -44,10 +44,25 @@ object LinkAnalysis {
     * expression and the whole-chain job ran ~1.5× SLOWER at sf0.1 (18.4 s
     * vs 11.9 s cold) than materializing each round. With dangling nodes
     * the rank frame is also consumed twice per iteration (the mass
-    * aggregate), which forces the per-round pin regardless. */
+    * aggregate), which forces the per-round pin regardless.
+    *
+    * `init`: WARM START — an optional (node, rank) frame the power
+    * iteration begins from instead of the uniform vector (power-method
+    * restart from a prior fixed point: after an incremental edge-batch
+    * append, yesterday's ranks are near today's fixed point, so far
+    * fewer iterations recover converged-quality ranks — the standard
+    * incremental-PageRank maintenance move; see Langville & Meyer,
+    * "Updating PageRank" surveys, public method). Nodes ABSENT from
+    * `init` (hosts first seen in the new batch) start at the uniform
+    * fenced 1/n; init rows for nodes no longer in the graph are
+    * ignored. The init vector is used as given — NOT renormalized —
+    * because each damped iteration restores total mass toward 1 on its
+    * own and renormalizing would break replay parity with the era that
+    * produced it. */
   def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85,
                pinEvery: Int = 1,
-               policy: CheckpointPolicy = CheckpointPolicy.Local): DataFrame = {
+               policy: CheckpointPolicy = CheckpointPolicy.Local,
+               init: Option[DataFrame] = None): DataFrame = {
     require(iters >= 1, s"iters >= 1: $iters")
     val e = edges.select(col("src"), col("dst"), col("w").cast("double").as("w"))
     val nodes = e.select(col("src").as("node"))
@@ -59,8 +74,17 @@ object LinkAnalysis {
     val nodesPinned = policy.pin(nodes)
     val n = nodesPinned.count().toDouble
     val base = lit(1.0 - damping) / lit(n)
-    var ranks = policy.pin(
-      nodesPinned.withColumn("rank", fence9(lit(1.0) / lit(n))))
+    var ranks = policy.pin(init match {
+      case None =>
+        nodesPinned.withColumn("rank", fence9(lit(1.0) / lit(n)))
+      case Some(prev) =>
+        nodesPinned.join(
+            prev.select(col("node").as("__in"),
+              col("rank").cast("double").as("__ir")),
+            nodesPinned("node") === col("__in"), "left")
+          .select(col("node"),
+            coalesce(col("__ir"), fence9(lit(1.0) / lit(n))).as("rank"))
+    })
     // the DANGLING NODE SET is static — decide once whether the
     // per-iteration mass action is needed at all; when it is not, adding
     // the 0.0/n term is the IEEE identity and is skipped (the oracle

@@ -160,6 +160,24 @@ object Retrieval {
                          bodyStats: DataFrame, nTerms: Int, k: Int,
                          wBody: Double, wAnchor: Double,
                          k1: Double, b: Double,
+                         joinType: String): DataFrame =
+    fuseScores(body, anchorAgg, bodyStats, nTerms, wBody, wAnchor,
+        k1, b, joinType)
+      .select(col("doc_id"),
+        round(col("__rawf"), 6).as("bm25f"),
+        round(col("__rawb"), 6).as("bm25_body"))
+      .orderBy(col("bm25f").desc, col("doc_id").asc)
+      .limit(k)
+
+  /** The UN-CUT, UN-ROUNDED form of [[fuseAndCut]] — candidate rows
+    * (doc_id, __rawf fused, __rawb body-only) for callers that fuse a
+    * further signal before rounding and cutting
+    * ([[blendStaticPrior]]). Same expression tree as the cut path, so
+    * round(__rawf, 6) reproduces its `bm25f` bit-for-bit. */
+  private def fuseScores(body: DataFrame, anchorAgg: DataFrame,
+                         bodyStats: DataFrame, nTerms: Int,
+                         wBody: Double, wAnchor: Double,
+                         k1: Double, b: Double,
                          joinType: String): DataFrame = {
     val tfCols = (0 until nTerms).map(i => s"__tf$i")
     val atfCols = (0 until nTerms).map(i => s"__atf$i")
@@ -184,10 +202,8 @@ object Retrieval {
       }.reduceLeft(_ + _)
     joined
       .filter(greatest(lit(0.0) +: (tfCols ++ atfCols).map(col): _*) > 0)
-      .select(col("doc_id"), round(score(withAnchor = true), 6).as("bm25f"),
-        round(score(withAnchor = false), 6).as("bm25_body"))
-      .orderBy(col("bm25f").desc, col("doc_id").asc)
-      .limit(k)
+      .select(col("doc_id"), score(withAnchor = true).as("__rawf"),
+        score(withAnchor = false).as("__rawb"))
   }
 
   /** BM25F served from PERSISTED artifacts — the repeated-query form of
@@ -218,6 +234,19 @@ object Retrieval {
     val ts = terms.distinct
     require(ts.nonEmpty, "need at least one query term")
     require(k > 0, "k must be positive")
+    val (perDoc, statFrame) = indexedBodyFrames(spark, dir, ts, buckets)
+    fuseAndCut(perDoc,
+      anchorFieldAgg(anchors, anchorId, anchorText, anchorCnt, ts),
+      statFrame, ts.size, k, wBody, wAnchor, k1, b,
+      joinType = "full_outer")
+  }
+
+  /** The indexed body field: per-candidate tf/dl off the pruned
+    * postings plus the single stat row (n, avgdl, per-term df) —
+    * shared by [[bm25fTopKIndexed]] and [[bm25fScoresIndexed]]. */
+  private def indexedBodyFrames(spark: SparkSession, dir: String,
+                                ts: Seq[String], buckets: Int)
+      : (DataFrame, DataFrame) = {
     import spark.implicits._
     val tsBuckets = ts.toDF("t")
       .select(pmod(xxhash64(col("t")), lit(buckets.toLong))).as[Long]
@@ -242,10 +271,72 @@ object Retrieval {
             .as(s"__tf$i")
         }
     val perDoc = post.groupBy("doc_id").agg(tfAggs.head, tfAggs.tail: _*)
-    fuseAndCut(perDoc,
+    (perDoc, stats.crossJoin(dfs))
+  }
+
+  /** [[bm25fTopKIndexed]] WITHOUT the round/cut tail: every candidate
+    * (body or anchor match) with its raw fused and body-only scores —
+    * (doc_id, bm25f_raw, bm25_body_raw). The frame downstream fusion
+    * stages consume ([[blendStaticPrior]]): rounding before blending
+    * would bake the cross-engine fence into the wrong place, and
+    * cutting before blending would drop docs a strong prior should
+    * promote. Same candidate set and expression tree as the cut path —
+    * round(bm25f_raw, 6) IS its `bm25f`. Caller contract on `anchors`
+    * is [[bm25fTopKIndexed]]'s (corpus-covered targets only). */
+  def bm25fScoresIndexed(spark: SparkSession, dir: String,
+                         anchors: DataFrame, anchorId: Column,
+                         anchorText: Column, anchorCnt: Column,
+                         terms: Seq[String],
+                         wBody: Double = 1.0, wAnchor: Double = 1.0,
+                         k1: Double = 1.2, b: Double = 0.75,
+                         buckets: Int = 64): DataFrame = {
+    val ts = terms.distinct
+    require(ts.nonEmpty, "need at least one query term")
+    val (perDoc, statFrame) = indexedBodyFrames(spark, dir, ts, buckets)
+    fuseScores(perDoc,
       anchorFieldAgg(anchors, anchorId, anchorText, anchorCnt, ts),
-      stats.crossJoin(dfs), ts.size, k, wBody, wAnchor, k1, b,
+      statFrame, ts.size, wBody, wAnchor, k1, b,
       joinType = "full_outer")
+      .select(col("doc_id"), col("__rawf").as("bm25f_raw"),
+        col("__rawb").as("bm25_body_raw"))
+  }
+
+  /** Static-rank blending — fuse a QUERY-INDEPENDENT document prior
+    * (link centrality, domain trust, freshness) into a per-query
+    * relevance score, the classic web-ranking composition (a BM25-family
+    * text score plus a PageRank-family static score; see e.g. the LETOR
+    * feature families): `blended = round6(raw + lambda·prior)`.
+    *
+    * `scored` is an UN-CUT candidate frame ([[bm25fScoresIndexed]]) —
+    * blending after a top-k cut would silently drop documents a strong
+    * prior should promote into the final page. `domainOf` maps each
+    * candidate row to the key of `prior` (a hosting-domain expression or
+    * joined metadata column); candidates whose domain has no prior row
+    * blend with 0.0. Output: (doc_id, domain, prior, bm25f, blended) cut
+    * to top `k` by (blended desc, doc_id), scores rounded to 6 dp AFTER
+    * the blend so both engines fence the same final double.
+    *
+    * 100 TB shape: one broadcast hash join (the prior is domain-sized —
+    * graph nodes, not corpus docs) onto the candidate frame, then a
+    * TakeOrdered cut — no corpus scan, no extra shuffle. */
+  def blendStaticPrior(scored: DataFrame, raw: Column, domainOf: Column,
+                       prior: DataFrame, priorDomain: Column,
+                       priorScore: Column, lambda: Double,
+                       k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val p = prior.select(priorDomain.cast("string").as("__pd"),
+      priorScore.cast("double").as("__ps"))
+    scored
+      .withColumn("__domain", domainOf)
+      .withColumn("__raw", raw.cast("double"))
+      .join(broadcast(p), col("__domain") === col("__pd"), "left")
+      .withColumn("__prior", coalesce(col("__ps"), lit(0.0)))
+      .select(col("doc_id"), col("__domain").as("domain"),
+        col("__prior").as("prior"),
+        round(col("__raw"), 6).as("bm25f"),
+        round(col("__raw") + lit(lambda) * col("__prior"), 6).as("blended"))
+      .orderBy(col("blended").desc, col("doc_id").asc)
+      .limit(k)
   }
 
   /** Reciprocal-rank fusion — the standard hybrid-retrieval serving

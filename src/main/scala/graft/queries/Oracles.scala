@@ -2855,9 +2855,13 @@ object Oracles {
     * redir have no out-edges): the dangling scalar is 9-dp fenced on
     * both engines (the q147 dg convention), redistributed uniformly
     * (dm / n), and every rank re-fences per iteration. */
-  val q165: String = {
+  /** The q165 CTE list WITHOUT the WITH keyword (b … r5, final ranks in
+    * `r5`) — shared by [[q165]] (and q177, whose oracle IS q165's
+    * replay) and embedded into composite oracles that join a PageRank
+    * prior onto another replay (q184). */
+  private val q165RankCtes: String = {
     val head = """
-    WITH b AS (SELECT doc_id % 5 AS k, doc_id % 4 AS m FROM documents),
+    b AS (SELECT doc_id % 5 AS k, doc_id % 4 AS m FROM documents),
     de AS (
       SELECT 'site' || CAST(k AS VARCHAR) || '.example' AS src,
              CASE WHEN m IN (0, 1) THEN 'news.example'
@@ -2891,9 +2895,11 @@ object Oracles {
             FROM nodes n CROSS JOIN nn CROSS JOIN dg$i
             LEFT JOIN c$i c ON c.node = n.node)"""
     }.mkString(",")
-    head + "," + its + """
-    SELECT node, rnk AS "rank" FROM r5 ORDER BY node"""
+    head + "," + its
   }
+
+  val q165: String = "WITH " + q165RankCtes + """
+    SELECT node, rnk AS "rank" FROM r5 ORDER BY node"""
 
   /** q169: domain TrustRank — the q147 personalized-PageRank replay
     * (rst seed mass, per-iteration 9-dp-fenced dangling scalar
@@ -3046,6 +3052,68 @@ object Oracles {
     head + "," + its + """
     SELECT h5.node, h5.hub, a5.auth
     FROM h5 JOIN a5 ON a5.node = h5.node ORDER BY h5.node"""
+  }
+
+  /** q185: warm-start incremental re-rank — BOTH eras unrolled
+    * closed-form with a prefix-parametrized copy of the q165 rank
+    * arithmetic: era `y` (yesterday) is the 5-iteration cold unroll
+    * over the batch-0 site0/site1 slice of the crawl plant; era `t`
+    * (today) is 2 iterations over the FULL graph whose r0 is
+    * coalesce(yr5.rnk, fenced 1/n) — the warm seam, with the three
+    * hosts absent from yesterday's vector taking the uniform default.
+    * Same fences, same dangling scalar, same left-assoc contribution
+    * as q165's replay. */
+  val q185: String = {
+    def unroll(p: String, where: String, iters: Int, r0: String): String = {
+      val head = s"""
+    ${p}b AS (SELECT doc_id % 5 AS k, doc_id % 4 AS m FROM documents$where),
+    ${p}de AS (
+      SELECT 'site' || CAST(k AS VARCHAR) || '.example' AS src,
+             CASE WHEN m IN (0, 1) THEN 'news.example'
+                  WHEN m = 2 THEN 'redir.example'
+                  ELSE 'shop.example' END AS dst
+      FROM ${p}b
+      UNION ALL
+      SELECT 'site' || CAST(k AS VARCHAR) || '.example', 'news.example'
+      FROM ${p}b),
+    ${p}edges AS (SELECT src, dst, CAST(count(*) AS DOUBLE) AS w
+              FROM ${p}de GROUP BY 1, 2),
+    ${p}nodes AS (SELECT DISTINCT node FROM (
+      SELECT src AS node FROM ${p}edges
+      UNION ALL SELECT dst FROM ${p}edges)),
+    ${p}nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM ${p}nodes),
+    ${p}outw AS (SELECT src, sum(w) AS ow FROM ${p}edges GROUP BY src),
+    $r0"""
+      val its = (1 to iters).map { i =>
+        s"""
+    ${p}c$i AS (SELECT e.dst AS node, sum(r.rnk * e.w / o.ow) AS inw
+            FROM ${p}edges e JOIN ${p}outw o ON e.src = o.src
+            JOIN ${p}r${i - 1} r ON r.node = e.src
+            GROUP BY e.dst),
+    ${p}dg$i AS (SELECT floor(coalesce(sum(r.rnk), 0.0) * 1e9 + 0.5) / 1e9
+               AS dm
+             FROM ${p}r${i - 1} r LEFT JOIN ${p}outw o ON o.src = r.node
+             WHERE o.src IS NULL),
+    ${p}r$i AS (SELECT n.node,
+              floor(((1.0 - 0.85) / nn.n
+                     + 0.85 * (coalesce(c.inw, 0.0) + dg.dm / nn.n))
+                    * 1e9 + 0.5) / 1e9 AS rnk
+            FROM ${p}nodes n CROSS JOIN ${p}nn nn CROSS JOIN ${p}dg$i dg
+            LEFT JOIN ${p}c$i c ON c.node = n.node)"""
+      }.mkString(",")
+      head + "," + its
+    }
+    "WITH " +
+      unroll("y", " WHERE doc_id % 3 = 0 AND doc_id % 5 < 2", 5,
+        """yr0 AS (SELECT node, floor(1.0 / nn.n * 1e9 + 0.5) / 1e9 AS rnk
+           FROM ynodes, ynn nn)""") +
+      "," +
+      unroll("t", "", 2,
+        """tr0 AS (SELECT n.node,
+             coalesce(y.rnk, floor(1.0 / nn.n * 1e9 + 0.5) / 1e9) AS rnk
+           FROM tnodes n CROSS JOIN tnn nn
+           LEFT JOIN yr5 y ON y.node = n.node)""") + """
+    SELECT node, rnk AS "rank" FROM tr2 ORDER BY node"""
   }
 
   /** q166: anchor-text corpus — counts per (class target, anchor)
@@ -3308,7 +3376,11 @@ object Oracles {
     * per-field length normalization, weight-2 anchor fusion, single
     * saturation, and the 6-dp rounded (bm25f desc, doc_id) top-20 cut
     * — all mirroring the Spark expression's operation order. */
-  val q173 = """
+  /** The q173 CTE prefix (t … f — per-candidate per-term fused/body
+    * contributions land in `f`) — shared by [[q173]] (and q179, whose
+    * oracle IS q173's replay) and embedded into composite oracles that
+    * blend a further signal onto the raw BM25F score (q184). */
+  private val q173Ctes = """
     WITH t AS (SELECT doc_id,
                  CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN []::VARCHAR[]
                       ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
@@ -3360,7 +3432,9 @@ object Oracles {
         1.0 * tf1 / bb + 0.0 AS b1,
         1.0 * tf2 / bb + 0.0 AS b2,
         idf0, idf1, idf2
-      FROM sc)
+      FROM sc)"""
+
+  val q173: String = q173Ctes + """
     SELECT doc_id,
            round(idf0 * t0 * 2.2 / (t0 + 1.2)
                + idf1 * t1 * 2.2 / (t1 + 1.2)
@@ -3370,6 +3444,35 @@ object Oracles {
                + idf2 * b2 * 2.2 / (b2 + 1.2), 6) AS bm25_body
     FROM f
     ORDER BY bm25f DESC, doc_id LIMIT 20"""
+
+  /** q184: centrality-blended artifact serving — the q173 BM25F replay
+    * (CTEs t…f, both index lifecycles must be invisible) JOINED with
+    * the q165 PageRank unroll (CTEs b…r5, the fold must be invisible),
+    * then the static-rank blend: each candidate's hosting domain by
+    * doc_id%8 over the 8 crawl hosts, prior = that domain's
+    * 9-dp-fenced rank (coalesced to 0.0 — posture; every host is in
+    * the graph), blended = round6(raw_bm25f + 0.5·prior), top-20 by
+    * (blended desc, doc_id). The two CTE families are name-disjoint by
+    * construction. */
+  val q184: String = q173Ctes + "," + q165RankCtes + """,
+    hb AS (SELECT f.doc_id,
+             CASE WHEN f.doc_id % 8 = 0 THEN 'site0.example'
+                  WHEN f.doc_id % 8 = 1 THEN 'site1.example'
+                  WHEN f.doc_id % 8 = 2 THEN 'site2.example'
+                  WHEN f.doc_id % 8 = 3 THEN 'site3.example'
+                  WHEN f.doc_id % 8 = 4 THEN 'site4.example'
+                  WHEN f.doc_id % 8 = 5 THEN 'news.example'
+                  WHEN f.doc_id % 8 = 6 THEN 'redir.example'
+                  ELSE 'shop.example' END AS domain,
+             idf0 * t0 * 2.2 / (t0 + 1.2) + idf1 * t1 * 2.2 / (t1 + 1.2)
+               + idf2 * t2 * 2.2 / (t2 + 1.2) AS raw
+           FROM f),
+    hj AS (SELECT hb.doc_id, hb.domain, coalesce(r.rnk, 0.0) AS prior,
+             hb.raw
+           FROM hb LEFT JOIN r5 r ON r.node = hb.domain)
+    SELECT doc_id, domain, prior, round(raw, 6) AS bm25f,
+           round(raw + 0.5 * prior, 6) AS blended
+    FROM hj ORDER BY blended DESC, doc_id LIMIT 20"""
 
   /** q175: triage-routed image decode — a pure residue decision table:
     * the GATE is that the Spark side must reproduce it through the real
@@ -5319,6 +5422,8 @@ object Oracles {
     "q180_recrawl_wave" -> q180,
     "q181_incremental_anchor_corpus" -> q181,
     "q182_trust_frontier" -> q182,
-    "q183_hits_domains" -> q183
+    "q183_hits_domains" -> q183,
+    "q184_centrality_blended_serving" -> q184,
+    "q185_warm_rerank" -> q185
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

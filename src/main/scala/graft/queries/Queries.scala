@@ -4713,6 +4713,71 @@ object Queries {
         policy = CheckpointPolicy.fromSession(s))
       .orderBy("node")
 
+  /** q184: centrality-blended artifact serving
+    * ([[Retrieval.blendStaticPrior]]) — ALL THREE persisted artifacts
+    * in ONE corpus-scan-free ranking plan: the body field from q89's
+    * incremental inverted index, the anchor field from the incremental
+    * link artifact's anchor corpus (the q179 serving pair), and a
+    * QUERY-INDEPENDENT static prior — the artifact-served q165
+    * PageRank ([[servedQ165Edges]], q177's frame) of each candidate's
+    * hosting domain (doc_id%8 over the crawl's 8 hosts) — blended
+    * post-scoring, pre-cut: blended = round6(raw_bm25f + 0.5·prior).
+    * The classic web-ranking composition (text relevance + link
+    * centrality). The blend is LIVE: news.example's rank dwarfs the
+    * uniform source ranks, so its docs outrank same-bm25f site docs in
+    * the final 20. Oracle: q173's BM25F replay CTEs joined to q165's
+    * rank unroll, the blend and cut replayed digit-for-digit — BOTH
+    * index lifecycles and the link-artifact fold must be invisible. */
+  def q184CentralityBlendedServing(s: SparkSession, d: String): DataFrame = {
+    val served = q173KeyAnchors(
+        LinkGraph.servedAnchorCorpus(s, anchorArtifactFor(s, d), k = 3))
+      .join(Tables.documents(s, d).select(col("doc_id").as("aid")),
+        Seq("aid"), "left_semi")
+    val scored = Retrieval.bm25fScoresIndexed(s, bm25IndexFor(s, d),
+      served, col("aid"), col("anchor"), col("cnt"),
+      Seq("join", "filter", "window"), wAnchor = 2.0)
+    val pr = LinkAnalysis.pageRank(servedQ165Edges(s, d), iters = 5,
+      policy = CheckpointPolicy.fromSession(s))
+    val hosts = Seq("site0.example", "site1.example", "site2.example",
+      "site3.example", "site4.example", "news.example", "redir.example",
+      "shop.example")
+    Retrieval.blendStaticPrior(scored, col("bm25f_raw"),
+      element_at(array(hosts.map(lit): _*),
+        (pmod(col("doc_id"), lit(8L)) + lit(1L)).cast("int")),
+      pr, col("node"), col("rank"), lambda = 0.5, k = 20)
+  }
+
+  /** q185: WARM-START incremental re-rank ([[LinkAnalysis.pageRank]]
+    * `init`) — the SCORES-side complement of the artifact increments:
+    * q177 serves yesterday's EDGES incrementally; q185 re-ranks
+    * today's grown graph starting FROM yesterday's ranks instead of
+    * uniform, in 2 iterations instead of 5 (power-method restart near
+    * the fixed point — the incremental-maintenance move a daily-ingest
+    * ranker runs). "Yesterday" is the batch-0 site0/site1 slice of the
+    * q165 crawl (5 hosts), ranked cold; "today" is the full
+    * artifact-served graph ([[servedQ165Edges]]), whose three NEW
+    * hosts (site2-4) exercise the init default: absent from
+    * yesterday's vector, they start at the uniform fenced 1/n. Oracle:
+    * both eras unrolled closed-form — the 5-iteration cold era over
+    * the sliced plant, then 2 warm iterations whose r0 is
+    * coalesce(yesterday.r5, 1/n) — batching, folding, and the warm
+    * seam must be invisible in every digit. */
+  def q185WarmRerank(s: SparkSession, d: String): DataFrame = {
+    val pol = CheckpointPolicy.fromSession(s)
+    // yesterday's graph: the batch-0 ingest slice, sites 0-1 only —
+    // pinned for the same four-branch reason as q165DomainEdges
+    val yEdges = pol.pin(
+      q165EdgeRows(s, q165Pages(s, d)
+          .filter(col("doc_id") % 3 === 0 && col("doc_id") % 5 < 2))
+        .filter(col("sd") =!= col("dd"))
+        .groupBy(col("sd").as("src"), col("dd").as("dst"))
+        .agg(count(lit(1)).cast("double").as("w")))
+    val yRanks = LinkAnalysis.pageRank(yEdges, iters = 5, policy = pol)
+    LinkAnalysis.pageRank(servedQ165Edges(s, d), iters = 2,
+        policy = pol, init = Some(yRanks))
+      .orderBy("node")
+  }
+
   def q159BlockwordScan(s: SparkSession, d: String): DataFrame =
     BlockWords.scan(Tables.documents(s, d), col("doc_id"), col("text"),
       Seq("spark" -> 1.0, "slow" -> 2.0, "dup" -> 5.0, "batch" -> 1.0,

@@ -114,6 +114,49 @@ class LinkAnalysisSpec extends SparkSpec {
       assert(math.abs(v - global(k)) < 2e-9, s"$k: $v vs ${global(k)}") }
   }
 
+  test("pageRank warm start: uniform init IS the cold path, digit for digit") {
+    val edges = Seq(("a", "b", 1.0), ("b", "c", 2.0), ("c", "a", 1.0),
+      ("a", "c", 1.0)).toDF("src", "dst", "w")
+    val cold = LinkAnalysis.pageRank(edges, iters = 3)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    val uni = Seq("a", "b", "c").map(n => (n, fence9(1.0 / 3)))
+      .toDF("node", "rank")
+    val warm = LinkAnalysis.pageRank(edges, iters = 3, init = Some(uni))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    assert(warm == cold)
+  }
+
+  test("pageRank warm start: old ranks beat cold at equal iterations " +
+       "after an edge-batch append; unseen nodes default to uniform") {
+    // era 1: a 30-spoke hub graph ranked to (near) convergence. Warm
+    // start pays off when (a) the append perturbs a small FRACTION of
+    // the graph (the daily-ingest regime) and (b) the stationary
+    // distribution is far from uniform (real link graphs are skewed) —
+    // on a near-regular graph the uniform cold start is already the
+    // fixed point and there is nothing to warm.
+    val spokes = (0 until 30).map(i => (s"n$i", "h", 1.0)) ++
+      Seq(("h", "n0", 1.0), ("h", "n1", 1.0))
+    val g1 = spokes.toDF("src", "dst", "w")
+    val old = LinkAnalysis.pageRank(g1, iters = 20)
+    // era 2: the appended batch adds ONE spoke x (absent from `old` —
+    // takes the uniform default)
+    val g2 = (spokes :+ ("x", "h", 1.0)).toDF("src", "dst", "w")
+    val truth = LinkAnalysis.pageRank(g2, iters = 30)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    def l1(df: org.apache.spark.sql.DataFrame): Double = df.collect()
+      .map(r => math.abs(r.getDouble(1) - truth(r.getString(0)))).sum
+    val warm = l1(LinkAnalysis.pageRank(g2, iters = 2, init = Some(old)))
+    val cold = l1(LinkAnalysis.pageRank(g2, iters = 2))
+    assert(warm < cold, s"warm L1 $warm !< cold L1 $cold")
+    // init rows for nodes no longer in the graph are ignored
+    val extra = old.unionByName(Seq(("zombie", 9.9)).toDF("node", "rank"))
+    val same = LinkAnalysis.pageRank(g2, iters = 2, init = Some(extra))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    val base = LinkAnalysis.pageRank(g2, iters = 2, init = Some(old))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    assert(same == base)
+  }
+
   test("hits matches a hand-rolled reference on a small weighted graph") {
     // a -> c (1.0), b -> c (2.0), b -> d (1.0): b is the better hub
     // (it finds both authorities, with weight), c the better authority

@@ -108,6 +108,63 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("bm25fScoresIndexed: round6(raw) IS the cut path's bm25f, " +
+       "candidate set identical") {
+    val big = (0L until 60L).map { i =>
+      val extra = if (i % 3 == 0) Seq("cat") else if (i % 3 == 1) Seq("dog")
+                  else Seq.empty
+      (i, Seq(s"w$i", s"u${i % 7}", s"v${i % 11}") ++ extra)
+    }.toDF("doc_id", "toks")
+    val anchors = Seq((2L, "cat", 5L), (9L, "dog cat", 2L))
+      .toDF("aid", "anchor", "cnt")
+    val dir = java.nio.file.Files.createTempDirectory("bm25fraw").toString
+    try {
+      Retrieval.writeBm25Index(big, col("doc_id"), col("toks"), dir,
+        buckets = 16)
+      val cut = Retrieval.bm25fTopKIndexed(spark, dir,
+          anchors, col("aid"), col("anchor"), col("cnt"),
+          Seq("cat", "dog"), k = 1000, wAnchor = 2.0, buckets = 16)
+        .as[(Long, Double, Double)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+      val raw = Retrieval.bm25fScoresIndexed(spark, dir,
+          anchors, col("aid"), col("anchor"), col("cnt"),
+          Seq("cat", "dog"), wAnchor = 2.0, buckets = 16)
+        .select(col("doc_id"), round(col("bm25f_raw"), 6),
+          round(col("bm25_body_raw"), 6))
+        .as[(Long, Double, Double)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+      assert(raw == cut, s"raw-rounded != cut:\n$raw\n$cut")
+    } finally {
+      import java.nio.file.{Files, Paths}
+      val walk = Files.walk(Paths.get(dir))
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+
+  test("blendStaticPrior: prior promotes past higher text score, " +
+       "missing domain blends 0, cut is deterministic") {
+    // doc 2's weaker text score rides domain b's strong prior past
+    // doc 1; doc 3's domain has no prior row and must blend with 0.0
+    val scored = Seq((1L, 2.0), (2L, 1.5), (3L, 1.9))
+      .toDF("doc_id", "raw")
+    val prior = Seq(("a", 0.1), ("b", 0.3)).toDF("domain", "p")
+    val domainOf = when(col("doc_id") === 1L, "a")
+      .when(col("doc_id") === 2L, "b").otherwise("zzz")
+    val got = Retrieval.blendStaticPrior(scored, col("raw"), domainOf,
+        prior, col("domain"), col("p"), lambda = 10.0, k = 3)
+      .as[(Long, String, Double, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      (2L, "b", 0.3, 1.5, 4.5),
+      (1L, "a", 0.1, 2.0, 3.0),
+      (3L, "zzz", 0.0, 1.9, 1.9)), got.toString)
+    // the cut happens AFTER the blend: k=1 keeps the blended winner,
+    // not the text-score winner
+    val top = Retrieval.blendStaticPrior(scored, col("raw"), domainOf,
+        prior, col("domain"), col("p"), lambda = 10.0, k = 1)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(top == Seq(2L))
+  }
+
   test("k cut is deterministic with doc_id tie-break") {
     // docs 10 and 11 are identical => identical scores; k=2 must keep the
     // top scorer and then the LOWER id of the tied pair
