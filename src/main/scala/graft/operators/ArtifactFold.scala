@@ -34,8 +34,15 @@ private[graft] object ArtifactFold {
   private val WatermarkFile = "_folded_watermark"
 
   /** Highest batch id folded into the base partition (Long.MinValue if
-    * never compacted) — the no-op-replay guard for append paths. */
+    * never compacted) — the no-op-replay guard for append paths.
+    * Refuses fold crash debris FIRST: with the live dir gone
+    * mid-[[commitFold]], "no watermark file" would read as "never
+    * compacted" and the caller would rebuild/re-admit against an
+    * artifact whose only copy sits under `__fold_old` — silently. Every
+    * append and history-load path consults the watermark, so this is
+    * the shared refuse point. */
   def foldedWatermark(spark: SparkSession, dir: String): Long = {
+    requireNoCrashDebris(spark, dir)
     val p = new org.apache.hadoop.fs.Path(dir, WatermarkFile)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Long.MinValue
@@ -47,13 +54,30 @@ private[graft] object ArtifactFold {
     }
   }
 
+  /** Stamp `value` as the fold watermark of `dir` directly (no fold) —
+    * the migration hook for artifacts written under a legacy watermark
+    * convention. Normal folds never call this: [[commitFold]] stamps
+    * the watermark into the staged dir so it appears with the data. */
+  private[operators] def writeWatermark(spark: SparkSession, dir: String,
+                                        value: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir, WatermarkFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(value.toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
   /** Retry safety shared by append paths: drop this batch's partition
     * BEFORE the write. Dynamic partition overwrite only replaces
     * partitions present in the retry's output — a retry whose input went
     * empty (or lost rows) would otherwise leave the first attempt's
-    * stale partition to double-count. */
+    * stale partition to double-count. Refuses fold crash debris first
+    * (every append path deletes before writing, so this is the shared
+    * refuse point for appends that skipped the watermark consult). */
   def deleteBatchPartition(spark: SparkSession, dir: String,
                            batchId: Long): Unit = {
+    requireNoCrashDebris(spark, dir)
     val p = new org.apache.hadoop.fs.Path(s"$dir/batch_id=$batchId")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
@@ -132,9 +156,26 @@ private[graft] object ArtifactFold {
     * through a one-task write. */
   def swapInFolded(spark: SparkSession, dir: String, folded: DataFrame,
                    targetFiles: Int): Unit = {
-    require(targetFiles >= 0, "targetFiles: 0 (AQE-sized) or >= 1")
+    require(targetFiles >= 0, "targetFiles: 0 (size-aware) or >= 1")
     val maxBatch = liveMaxBatch(spark, dir)
-    val sized = if (targetFiles == 0) folded else folded.coalesce(targetFiles)
+    val sized =
+      if (targetFiles >= 1) folded.coalesce(targetFiles)
+      else if (spark.conf.get("spark.sql.adaptive.enabled", "true").toBoolean &&
+        spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled",
+          "true").toBoolean)
+        folded // AQE collapses the fold aggregate to advisory-sized files
+      else {
+        // AQE off: without this, the fold writes one near-empty file per
+        // shuffle partition and re-accretes the small files it exists to
+        // remove. Size-aware fallback from the live artifact's bytes (the
+        // folded aggregate is no larger than its input) at 64 MiB/file.
+        val live = new org.apache.hadoop.fs.Path(dir)
+        val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val bytes = fs.getContentSummary(live).getLength
+        folded.coalesce(math.max(1L, math.min(
+          spark.sparkContext.defaultParallelism.toLong,
+          (bytes + (64L << 20) - 1) / (64L << 20))).toInt)
+      }
     sized.withColumn("batch_id", lit(-1L))
       .write.mode("overwrite").partitionBy("batch_id")
       .parquet(stagePath(dir))

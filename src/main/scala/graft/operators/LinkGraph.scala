@@ -137,9 +137,39 @@ object LinkGraph {
     * crash between the two subdir folds leaves them divergent, and each
     * subdir then no-ops its own replays independently. */
   private[operators] def foldedWatermark(spark: SparkSession,
-                                         dir: String): Long =
+                                         dir: String): Long = {
+    migrateLegacyWatermark(spark, dir)
     math.min(ArtifactFold.foldedWatermark(spark, s"$dir/edges"),
       ArtifactFold.foldedWatermark(spark, s"$dir/anchors"))
+  }
+
+  /** One-time in-place migration from the pre-[[ArtifactFold]] layout:
+    * early artifacts stamped a single root-level `compacted_watermark`
+    * file instead of today's per-subdir `_folded_watermark`. Ignoring
+    * it would read a migrated-but-uncompacted-since artifact as "never
+    * folded" and a replay of an already-folded batch (the streaming
+    * restart contract: same checkpoint lineage) would re-append next to
+    * the folded base and double-count. Carries the legacy value into
+    * each existing subdir that has no per-subdir watermark yet, then
+    * removes the root file; idempotent, no-op when no legacy file. */
+  private def migrateLegacyWatermark(spark: SparkSession,
+                                     dir: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(dir, "compacted_watermark")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    val in = fs.open(root)
+    val legacy =
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      finally in.close()
+    Seq("edges", "anchors").foreach { sub =>
+      val subPath = new org.apache.hadoop.fs.Path(s"$dir/$sub")
+      if (fs.exists(subPath) &&
+          ArtifactFold.foldedWatermark(spark, s"$dir/$sub") < legacy)
+        ArtifactFold.writeWatermark(spark, s"$dir/$sub", legacy)
+    }
+    fs.delete(root, false)
+  }
 
   /** Append one ingest batch's link-graph aggregates. `edges` is the
     * batch's per-link frame (already extracted, redirect-canonicalized
@@ -164,6 +194,7 @@ object LinkGraph {
     val spark = edges.sparkSession
     val subs = Seq("edges", "anchors")
     subs.foreach(sub => ArtifactFold.requireNoCrashDebris(spark, s"$dir/$sub"))
+    migrateLegacyWatermark(spark, dir)
     val pending = subs.filter(sub =>
       batchId > ArtifactFold.foldedWatermark(spark, s"$dir/$sub"))
     if (pending.isEmpty) return
@@ -211,23 +242,30 @@ object LinkGraph {
   /** The domain-edge frame served FROM the artifact: per-batch partial
     * weights re-summed — drop-in for the one-shot aggregate feeding
     * [[LinkAnalysis.pageRank]]/`personalizedPageRank`. */
-  def servedDomainEdges(spark: SparkSession, dir: String): DataFrame =
+  def servedDomainEdges(spark: SparkSession, dir: String): DataFrame = {
+    // serving must refuse the fold's crash window too: a vanished live
+    // subdir with `__fold_old` debris is NOT an empty graph, and an
+    // empty frame here would turn into silently-zero rankings downstream
+    ArtifactFold.requireNoCrashDebris(spark, s"$dir/edges")
     if (!subHasData(spark, s"$dir/edges"))
       emptyFrame(spark, "src STRING, dst STRING, w DOUBLE")
     else spark.read.parquet(s"$dir/edges")
       .groupBy("src", "dst").agg(sum(col("w")).cast("double").as("w"))
+  }
 
   /** The anchor corpus served FROM the artifact: per-batch counts
     * re-summed, then the same bounded top-k election as
     * [[anchorCorpus]]. */
   def servedAnchorCorpus(spark: SparkSession, dir: String,
-                         k: Int): DataFrame =
+                         k: Int): DataFrame = {
+    ArtifactFold.requireNoCrashDebris(spark, s"$dir/anchors")
     if (!subHasData(spark, s"$dir/anchors"))
       emptyFrame(spark, "target STRING, rank BIGINT, anchor STRING, cnt BIGINT")
     else electTopAnchors(
       spark.read.parquet(s"$dir/anchors")
         .groupBy("target", "anchor").agg(sum(col("cnt")).as("cnt")),
       k)
+  }
 
   /** Fold the accumulated per-batch partitions of both artifacts into
     * the reserved base partition `batch_id=-1` via
@@ -248,6 +286,7 @@ object LinkGraph {
   def compactLinkArtifacts(spark: SparkSession, dir: String): Unit = {
     Seq("edges", "anchors").foreach(sub =>
       ArtifactFold.requireNoCrashDebris(spark, s"$dir/$sub"))
+    migrateLegacyWatermark(spark, dir)
     // a subdir with no partitions has nothing to fold (and no schema to
     // read) — its replays stay guarded by the per-subdir delete-then-write
     if (subHasData(spark, s"$dir/edges"))

@@ -324,8 +324,14 @@ object Retrieval {
                        priorScore: Column, lambda: Double,
                        k: Int): DataFrame = {
     require(k > 0, "k must be positive")
+    // collapse duplicate prior rows per domain (max wins, deterministic)
+    // BEFORE the join: an un-aggregated prior frame (per-batch partials)
+    // would otherwise fan every candidate of that domain out through the
+    // left join and put duplicate doc_ids inside the top-k page — the
+    // Frontier.schedule delay-rows precedent
     val p = prior.select(priorDomain.cast("string").as("__pd"),
       priorScore.cast("double").as("__ps"))
+      .groupBy("__pd").agg(max(col("__ps")).as("__ps"))
     scored
       .withColumn("__domain", domainOf)
       .withColumn("__raw", raw.cast("double"))
@@ -418,6 +424,7 @@ object Retrieval {
   def appendBm25Postings(df: DataFrame, id: Column, toks: Column, dir: String,
                          batchId: Long, buckets: Int = 64): Unit = {
     require(buckets >= 1, "need at least one bucket")
+    requireNoBm25CrashDebris(df.sparkSession, dir)
     // A replay of a batch that compaction already folded into the base
     // partition must be a no-op — its rows are in batch_id=-1 now, so the
     // prefix delete below would remove nothing and the write would
@@ -455,6 +462,26 @@ object Retrieval {
   private def foldManifestPath(dir: String) =
     new org.apache.hadoop.fs.Path(s"$dir/compacted_watermark")
 
+  /** Refuse an index left in [[compactBm25Postings]]'s between-renames
+    * crash window (the [[ArtifactFold.requireNoCrashDebris]] posture
+    * for this index's own `<sub>_old` naming): `<sub>_old` present with
+    * no live `<sub>` means the old dir holds the ONLY copy — an append
+    * would rebuild next to orphaned history, and a serve would read an
+    * empty index as if the corpus were empty. Recovery is one manual
+    * rename back. */
+  private def requireNoBm25CrashDebris(spark: SparkSession,
+                                       dir: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    for (sub <- Seq("postings", "stats_parts")) {
+      val live = new org.apache.hadoop.fs.Path(s"$dir/$sub")
+      val old = new org.apache.hadoop.fs.Path(s"$dir/${sub}_old")
+      val fs = live.getFileSystem(conf)
+      require(!fs.exists(old) || fs.exists(live),
+        s"fold crash debris: $old exists without $live — rename it back " +
+          "to recover before appending, folding, or serving")
+    }
+  }
+
   /** Highest batch id folded into the base partition by
     * [[compactBm25Postings]] (Long.MinValue if never compacted). */
   private[operators] def foldedWatermark(
@@ -486,6 +513,7 @@ object Retrieval {
     * concurrent readers. */
   def compactBm25Postings(spark: SparkSession, dir: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
+    requireNoBm25CrashDebris(spark, dir)
     val postings = new org.apache.hadoop.fs.Path(s"$dir/postings")
     val statsParts = new org.apache.hadoop.fs.Path(s"$dir/stats_parts")
     val fs = postings.getFileSystem(conf)
@@ -535,6 +563,10 @@ object Retrieval {
   /** Corpus stats for an index dir: the one-shot artifact when present,
     * else the sum of the appended partials. */
   private def readStats(spark: SparkSession, dir: String): DataFrame = {
+    // the serve choke point (every indexed bm25/bm25f path reads stats):
+    // refuse the fold's crash window instead of scoring over a
+    // half-vanished index
+    requireNoBm25CrashDebris(spark, dir)
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/stats")))

@@ -145,6 +145,20 @@ object Robots {
     if (specific.nonEmpty) specific else rules.filter(_.agent == "*")
   }
 
+  /** Group-membership-aware [[rulesFor]] (RFC 9309 §2.2.1 group
+    * selection — one group's directives travel together, the same
+    * contract [[delayFor]] applies to delays): when the agent has an
+    * exact-token group anywhere in the file — even one whose only body
+    * line is an empty `Disallow:`, which emits NO rule — only that
+    * group's rules bind. An exact group that declares nothing yields
+    * the EMPTY rule set (allow-all), never the `*` group's rules. The
+    * Seq[Rule] overload can't see empty groups (membership inferred
+    * from emitted rules only) — the allow/deny paths use this one. */
+  def rulesFor(d: Directives, agent: String): Seq[Rule] =
+    if (d.agents.contains(agent.toLowerCase))
+      d.rules.filter(_.agent.equalsIgnoreCase(agent))
+    else d.rules.filter(_.agent == "*")
+
   /** The crawl delay binding `agent` — the [[rulesFor]] group
     * precedence applied to the WHOLE group, not just its delays: when
     * the agent has an exact-token group anywhere in the file (recorded
@@ -264,7 +278,7 @@ object Robots {
     val parsed = robots.select(domainCol.cast("string"), txtCol.cast("string"))
       .as[(String, String)]
       .map { case (dom, txt) =>
-        (dom, rulesFor(parse(txt), agent).map(r => (r.allow, r.pattern)))
+        (dom, rulesFor(parseAll(txt), agent).map(r => (r.allow, r.pattern)))
       }
       .toDF("domain", "__rules")
     // join-strategy sizing must happen at plan time: a caller-supplied
@@ -337,7 +351,7 @@ object Robots {
       robots.select(domainCol.cast("string"), txtCol.cast("string"))
         .collect()
         .map(r => r.getString(0) ->
-          rulesFor(parse(r.getString(1)), agent))
+          rulesFor(parseAll(r.getString(1)), agent))
         .toMap
     val withCols = urls
       .withColumn("__rb_domain", urlKey(url))

@@ -1165,7 +1165,8 @@ object Queries {
       jsonlDirCache.values ++ cmsDirCache.values ++ histDirCache.values ++
       annAppendDirCache.values ++ csvDirCache.values ++ orcDirCache.values ++
       kmvDirCache.values ++ avroDirCache.values ++ warcDirCache.values ++
-      rankDirCache.values ++ linkArtifactCache.values)
+      rankDirCache.values ++ linkArtifactCache.values ++
+      anchorArtifactCache.values)
       .foreach { case (_, dir) =>
         try deleteDirTree(dir) catch { case _: Exception => () }
       }))
@@ -4310,26 +4311,41 @@ object Queries {
   // empty and only the anchors side accretes
   private val anchorArtifactCache =
     new scala.collection.concurrent.TrieMap[String, (String, String)]()
-  private def anchorArtifactFor(s: SparkSession, d: String): String = {
+  private def anchorArtifactFor(s: SparkSession, d: String): String =
+    buildLinkArtifact(s, d, anchorArtifactCache, "graft_anchg_") { b =>
+      q173EdgeRows(s, q173Pages(s, d).filter(col("doc_id") % 3 === b))
+    }
+
+  /** The shared incremental-lifecycle builder behind [[linkArtifactFor]]
+    * and [[anchorArtifactFor]]: one persisted artifact per fixture
+    * signature, built through three [[LinkGraph.appendLinkBatch]]
+    * ingests of `batchRows(b)` (split on doc_id%3), a
+    * [[LinkGraph.compactLinkArtifacts]] fold, and a folded-batch replay
+    * that must no-op — so every serve off either artifact exercises the
+    * whole [[graft.operators.ArtifactFold]] contract. Registered in the
+    * JVM shutdown hook through its cache like every other query-artifact
+    * temp dir. */
+  private def buildLinkArtifact(s: SparkSession, d: String,
+      cache: scala.collection.concurrent.TrieMap[String, (String, String)],
+      tmpPrefix: String)(batchRows: Int => DataFrame): String = {
     val sig = tableSignature(s, d, "documents")
-    anchorArtifactCache.synchronized {
-      anchorArtifactCache.get(d) match {
+    cache.synchronized {
+      cache.get(d) match {
         case Some((s0, dir)) if s0 == sig => dir
         case prev =>
           prev.foreach { case (_, old) =>
             try deleteDirTree(old) catch { case _: Exception => () } }
-          val tmp = java.nio.file.Files.createTempDirectory("graft_anchg_").toString
-          val pages = q173Pages(s, d)
+          val tmp = java.nio.file.Files.createTempDirectory(tmpPrefix).toString
           (0 until 3).foreach { b =>
-            val rows = q173EdgeRows(s, pages.filter(col("doc_id") % 3 === b))
-            LinkGraph.appendLinkBatch(rows, col("sd"), col("dd"),
+            LinkGraph.appendLinkBatch(batchRows(b), col("sd"), col("dd"),
               col("tgt"), col("anchor"), tmp, batchId = b)
           }
           LinkGraph.compactLinkArtifacts(s, tmp)
-          val replay = q173EdgeRows(s, pages.filter(col("doc_id") % 3 === 0))
-          LinkGraph.appendLinkBatch(replay, col("sd"), col("dd"),
+          // a replay of a folded batch MUST no-op (the ArtifactFold
+          // contract) — served results would double-count otherwise
+          LinkGraph.appendLinkBatch(batchRows(0), col("sd"), col("dd"),
             col("tgt"), col("anchor"), tmp, batchId = 0)
-          anchorArtifactCache.update(d, (sig, tmp))
+          cache.update(d, (sig, tmp))
           tmp
       }
     }
@@ -4472,32 +4488,10 @@ object Queries {
   // folded-batch replay that must no-op) — the q89/q64 index convention
   private val linkArtifactCache =
     new scala.collection.concurrent.TrieMap[String, (String, String)]()
-  private def linkArtifactFor(s: SparkSession, d: String): String = {
-    val sig = tableSignature(s, d, "documents")
-    linkArtifactCache.synchronized {
-      linkArtifactCache.get(d) match {
-        case Some((s0, dir)) if s0 == sig => dir
-        case prev =>
-          prev.foreach { case (_, old) =>
-            try deleteDirTree(old) catch { case _: Exception => () } }
-          val tmp = java.nio.file.Files.createTempDirectory("graft_linkg_").toString
-          val pages = q165Pages(s, d)
-          (0 until 3).foreach { b =>
-            val rows = q165EdgeRows(s, pages.filter(col("doc_id") % 3 === b))
-            LinkGraph.appendLinkBatch(rows, col("sd"), col("dd"),
-              col("tgt"), col("anchor"), tmp, batchId = b)
-          }
-          LinkGraph.compactLinkArtifacts(s, tmp)
-          // a replay of a folded batch MUST no-op (the ArtifactFold
-          // contract) — served results below would double-count otherwise
-          val replay = q165EdgeRows(s, pages.filter(col("doc_id") % 3 === 0))
-          LinkGraph.appendLinkBatch(replay, col("sd"), col("dd"),
-            col("tgt"), col("anchor"), tmp, batchId = 0)
-          linkArtifactCache.update(d, (sig, tmp))
-          tmp
-      }
+  private def linkArtifactFor(s: SparkSession, d: String): String =
+    buildLinkArtifact(s, d, linkArtifactCache, "graft_linkg_") { b =>
+      q165EdgeRows(s, q165Pages(s, d).filter(col("doc_id") % 3 === b))
     }
-  }
 
   /** The q165 domain-edge frame SERVED from the incremental link
     * artifact — the frame every link-derived ranking consumes (q177

@@ -229,6 +229,12 @@ class LinkGraphSpec extends SparkSpec {
       LinkGraph.compactLinkArtifacts(spark, dir)
     }
     assert(eF.getMessage.contains("crash debris"))
+    // SERVING refuses too — an empty frame here would read as "empty
+    // graph" and turn into silently-zero rankings downstream
+    val eS = intercept[IllegalArgumentException] {
+      LinkGraph.servedDomainEdges(spark, dir).collect()
+    }
+    assert(eS.getMessage.contains("crash debris"))
     // no silent recreation happened — the live dir is still absent
     assert(!live.exists())
     // the documented recovery: rename back, then everything proceeds
@@ -237,5 +243,37 @@ class LinkGraphSpec extends SparkSpec {
     val served = LinkGraph.servedDomainEdges(spark, dir)
       .as[(String, String, Double)].collect().toSet
     assert(served == Set(("a.com", "b.com", 1.0), ("c.com", "b.com", 1.0)))
+  }
+
+  test("link artifact: a legacy root compacted_watermark migrates to " +
+       "per-subdir watermarks and folded replays keep no-opping") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-linkmig").toString
+    def append(rows: Seq[(String, String, String, String)], id: Long): Unit =
+      LinkGraph.appendLinkBatch(rows.toDF("sd", "dd", "tgt", "anchor"),
+        col("sd"), col("dd"), col("tgt"), col("anchor"), dir, id)
+    append(Seq(("a.com", "b.com", "https://b.com/p", "Beta")), 0)
+    LinkGraph.compactLinkArtifacts(spark, dir)
+    // simulate a pre-upgrade artifact: rows folded into batch_id=-1 but
+    // the watermark recorded ONLY as the old root-level file
+    for (sub <- Seq("edges", "anchors"))
+      assert(new java.io.File(s"$dir/$sub/_folded_watermark").delete())
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/compacted_watermark"), "0")
+    // a replay of folded batch 0 must STILL no-op: migration carries the
+    // legacy value into each subdir before the pending check
+    append(Seq(("a.com", "b.com", "https://b.com/p", "Beta")), 0)
+    val served = LinkGraph.servedDomainEdges(spark, dir)
+      .as[(String, String, Double)].collect().toSet
+    assert(served == Set(("a.com", "b.com", 1.0)), "replay double-counted")
+    // the legacy file is consumed; the per-subdir convention is in place
+    assert(!new java.io.File(s"$dir/compacted_watermark").exists())
+    for (sub <- Seq("edges", "anchors"))
+      assert(new java.io.File(s"$dir/$sub/_folded_watermark").isFile)
+    // post-migration appends and folds proceed normally
+    append(Seq(("c.com", "b.com", "https://b.com/p", "Best")), 1)
+    LinkGraph.compactLinkArtifacts(spark, dir)
+    val after = LinkGraph.servedDomainEdges(spark, dir)
+      .as[(String, String, Double)].collect().toSet
+    assert(after == Set(("a.com", "b.com", 1.0), ("c.com", "b.com", 1.0)))
   }
 }

@@ -317,6 +317,34 @@ class RobotsSpec extends SparkSpec {
     assert(Robots.delayFor(d, "OtherBot") == Some(99.0))
   }
 
+  test("rulesFor(Directives): an exact group that EMITS nothing (empty " +
+       "Disallow only) shadows the * group's rules too — allow-all") {
+    // same group-selection contract as delayFor, applied to the
+    // allow/deny rules: GraftBot's group exists (explicit allow-all via
+    // empty Disallow), so the * group's Disallow: / must NOT bind it
+    val txt =
+      """User-agent: GraftBot
+        |Disallow:
+        |
+        |User-agent: *
+        |Disallow: /
+        |""".stripMargin
+    val d = Robots.parseAll(txt)
+    assert(Robots.rulesFor(d, "GraftBot").isEmpty)     // allow-all
+    assert(Robots.rulesFor(d, "OtherBot").nonEmpty)    // * binds others
+    // the legacy Seq[Rule] overload cannot see empty groups — documented
+    assert(Robots.rulesFor(d.rules, "GraftBot").nonEmpty)
+    // end-to-end: verdicts grants GraftBot and blocks OtherBot
+    val robots = Seq(("ex.com", txt)).toDF("domain", "txt")
+    val urls = Seq((1L, "https://ex.com/a")).toDF("id", "url")
+    def verdictFor(agent: String): Long =
+      Robots.verdicts(urls, col("id"), col("url"), robots,
+          col("domain"), col("txt"), agent)
+        .select("allowed").as[Long].head()
+    assert(verdictFor("GraftBot") == 1L)
+    assert(verdictFor("OtherBot") == 0L)
+  }
+
   test("Frontier.schedule: per-domain slots, delay decision, defaults") {
     val robots = Seq(
       ("a.com", "User-agent: *\nCrawl-delay: 10\n"),
