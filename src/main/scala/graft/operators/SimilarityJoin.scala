@@ -132,19 +132,50 @@ object SimilarityJoin {
   def editNeighborPairs(words: DataFrame, word: Column): DataFrame = {
     val w = words.select(word.cast("string").as("word"))
       .filter(col("word").isNotNull).distinct()
+    // Deletion keys TAGGED with the edit position, grouped — no join at
+    // all. The untagged SymSpell equi-join admits every cross-position
+    // collision as a candidate (on a fixed-format vocabulary like
+    // "prefix + digits" that is millions of rows, all killed by the
+    // verifier) and pays a second exchange + broadcast for the self-join.
+    // Tagging by position makes bucket membership EXACT:
+    //  - SUBSTITUTION: a, b equal length differing at exactly position i
+    //    ⇒ delete_i(a) = delete_i(b) — both land in bucket (i, key) and
+    //    in no other shared bucket;
+    //  - INSERT/DELETE: b = a minus the char at i ⇒ b IS a's deletion key
+    //    — b's IDENTITY rows are tagged at every insert position
+    //    1..len(b)+1, so bucket (i, b) holds both (a run of equal chars
+    //    meets at each of its positions — deduped at the end);
+    //  - EQUAL strings cannot pair (the input is distinct).
+    // Every pair sharing a bucket therefore has lev ≤ 1 (same-tag same-key
+    // rows agree everywhere but the tagged position), and every lev ≤ 1
+    // pair shares one: pairs fall out of ONE (pos, key) aggregation.
+    // Bucket width is bounded by |alphabet|+1 (one char varies at a fixed
+    // position, plus the identity), so the per-bucket pair expansion is
+    // alphabet-bounded — never the positions × alphabet fan-out of the
+    // untagged join. The levenshtein guard runs on OUTPUT-sized data.
     val keyed = w.select(col("word"), explode(concat(
-        array(col("word")),
+        transform(sequence(lit(1), length(col("word")) + 1), i =>
+          struct(i.as("pos"), col("word").as("key"))),
         transform(sequence(lit(1), length(col("word"))), i =>
-          concat(col("word").substr(lit(1), i - 1),
-            col("word").substr(i + 1, length(col("word"))))))).as("key"))
-      .distinct() // duplicate chars give duplicate deletion keys
-    // verify BEFORE deduplicating: the codegen levenshtein is cheaper per
-    // row than shuffling every multi-key candidate into the distinct —
-    // only true pairs (× their key multiplicity, ≤ 3) reach the exchange
-    keyed.select(col("key"), col("word").as("word_a"))
-      .join(keyed.select(col("key"), col("word").as("word_b")), Seq("key"))
-      .filter(col("word_a") < col("word_b") &&
-        levenshtein(col("word_a"), col("word_b")) <= 1)
-      .select("word_a", "word_b").distinct()
+          struct(i.as("pos"),
+            concat(col("word").substr(lit(1), i - 1),
+              col("word").substr(i + 1, length(col("word")))).as("key")))))
+        .as("pk"))
+      .select(col("pk.pos").as("pos"), col("pk.key").as("key"), col("word"))
+    // NO distinct here: (pos, key, word) rows are unique by construction —
+    // identity tags are distinct positions, deletion keys are one row per
+    // position, and an identity row can never equal a deletion row (their
+    // key lengths differ). A run of equal chars duplicates the KEY across
+    // positions, which is exactly the multi-bucket membership the indel
+    // case needs; the duplicate PAIRS it emits die in the final distinct.
+    val buckets = keyed.groupBy("pos", "key")
+      .agg(sort_array(collect_list(col("word"))).as("ws"))
+      .filter(size(col("ws")) > 1)
+    buckets.select(explode(flatten(transform(col("ws"), (x, i) =>
+        transform(slice(col("ws"), i + lit(2), size(col("ws")) - i - 1), y =>
+          struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a").as("word_a"), col("p.b").as("word_b"))
+      .filter(levenshtein(col("word_a"), col("word_b")) <= 1)
+      .distinct()
   }
 }
