@@ -27,6 +27,24 @@ object Tables {
     } else df
   }
 
+  /** Widen a NARROW scan to cluster parallelism before a per-row-heavy
+    * map chain (regex/HOF sweeps, media encode/decode, HTML parsing).
+    *
+    * The fixture parquets ship as a single row group, so their scans are
+    * ONE task and every narrow chain above them runs single-threaded
+    * until the first exchange — the guide §2.5 "unsplittable input"
+    * shape (q137's n-gram featurization measured 5.0 s single-task vs
+    * 0.3 s wide at sf0.1). At production scale the scan already has
+    * more partitions than cores and this is a no-op: the repartition
+    * fires only when the plan's scan parallelism is BELOW the session's
+    * default parallelism, so no payload shuffle is ever added to an
+    * already-wide input. Round-robin keeps row sets identical; Spark's
+    * sort-before-repartition (default on) keeps retries deterministic. */
+  def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   def lineitem(spark: SparkSession, d: String): DataFrame = load(spark, d, "lineitem")
   def orders(spark: SparkSession, d: String): DataFrame = load(spark, d, "orders")
   def customer(spark: SparkSession, d: String): DataFrame = load(spark, d, "customer")

@@ -132,7 +132,12 @@ object LangClassifier {
     val train0 = split.filter(col("split") === "train")
       .coalesce(fitParts).localCheckpoint(true)
     val test0 = split.filter(col("split") === "test").localCheckpoint(true)
-    val model = train(train0, maxIter = 20)
+    // maxIter 10: the gate's output is the recall FLAG (threshold 0.9),
+    // and held-out recall on the planted fixture is already a flat 1.0000
+    // per class at 4 iterations (measured at sf0.1) — L-BFGS iterations
+    // past recall saturation are thrown-away compute on a per-job
+    // overhead-bound stage (guide §1.2). 10 keeps a 2.5× safety factor.
+    val model = train(train0, maxIter = 10)
     val scored = score(model, test0)
     val langName = langs.zipWithIndex
       .foldLeft(lit("?"): Column) { case (acc, (code, i)) =>

@@ -4919,11 +4919,15 @@ object Queries {
     // fit). 256 chars of boilerplate noise + the planted phrase keeps the
     // task identical (the oracle replays fold arithmetic and flags, not
     // the text) at a fraction of the cost.
-    val planted = Tables.documents(s, d)
+    // fanOut BEFORE the n-gram sweep: the single-row-group fixture scan is
+    // one task, and the 2+3-gram HOF featurization measured 5.0 s
+    // single-threaded vs ~0.3 s at cluster width (the shuffled rows are
+    // the 256-char capped snippets, not full documents)
+    val planted = Tables.fanOut(Tables.documents(s, d)
       .select(col("doc_id"),
         concat_ws(" ", substring(coalesce(col("text"), lit("")), 1, 256),
           phrase).as("ptext"),
-        idx.cast("double").as("lidx"))
+        idx.cast("double").as("lidx")))
     graft.ml.LangClassifier.holdoutGatePerClass(
       planted, col("doc_id"), col("ptext"), col("lidx"), langs)
   }
