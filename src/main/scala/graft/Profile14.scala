@@ -159,6 +159,29 @@ object Profile14 {
 
     stage("q160_full")(noop(SparkEntry.queries("q160_crawl_pipeline_v2")(spark, sfDir)))
     stage("q160_full_warm")(noop(SparkEntry.queries("q160_crawl_pipeline_v2")(spark, sfDir)))
+    locally {
+      import org.apache.spark.sql.functions._
+      import graft.operators._
+      val dir = graft.queries.Queries.profCrawlWarcDir(spark, sfDir)
+      val recs = WarcSources.readWarc(spark, dir)
+        .filter(col("error").isNull && col("record_type") === "response")
+        .select(
+          regexp_extract(col("url"), "/doc/(\\d+)$", 1).cast("long").as("id"),
+          decode(col("content"), "UTF-8").as("html"))
+      stage("q160_read_only")(noop(recs))
+      val kept = recs // robots/decontam skipped: isolate the block stage
+      val blocksNarrow = Boilerplate.blocks(
+        kept.select(col("id"), col("html")), col("id"), col("html"))
+      stage("q160_blocks_asis")(noop(blocksNarrow))
+      val blocksWide = Boilerplate.blocks(
+        kept.select(col("id"), col("html"))
+          .repartition(spark.sparkContext.defaultParallelism, col("id")),
+        col("id"), col("html"))
+      stage("q160_blocks_wide")(noop(blocksWide))
+      val clean0 = Boilerplate.cleanText(Boilerplate.classify(
+        blocksNarrow, minWords = 5, maxLinkDensity = 0.33))
+      stage("q160_clean_asis")(noop(clean0))
+    }
 
     stage("q172_full")(noop(SparkEntry.queries("q172_crawl_pipeline_v3")(spark, sfDir)))
     stage("q172_full_warm")(noop(SparkEntry.queries("q172_crawl_pipeline_v3")(spark, sfDir)))

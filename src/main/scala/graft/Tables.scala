@@ -40,9 +40,16 @@ object Tables {
     * default parallelism, so no payload shuffle is ever added to an
     * already-wide input. Round-robin keeps row sets identical; Spark's
     * sort-before-repartition (default on) keeps retries deterministic. */
-  def fanOut(df: DataFrame): DataFrame = {
+  def fanOut(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame = {
+    if (sys.env.get("SPARK_GRAFT_FANOUT").contains("0")) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    if (df.rdd.getNumPartitions >= target) df
+    // hash-partition when the caller names keys: deterministic, no
+    // sort-before-repartition, and the exchange is reusable across the
+    // plan's branches (a round-robin exchange re-pays its local sort on
+    // every recompute of a pure-projection frame)
+    else if (keys.nonEmpty) df.repartition(target, keys: _*)
+    else df.repartition(target)
   }
 
   def lineitem(spark: SparkSession, d: String): DataFrame = load(spark, d, "lineitem")

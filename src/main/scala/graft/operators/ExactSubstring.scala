@@ -130,7 +130,13 @@ object ExactSubstring {
                           minLevel: Int, policy: CheckpointPolicy): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val ds = df.select(id.cast("long").as("doc_id"), toks.as("toks"))
+    // fanOut: the ladder build is per-doc local arithmetic behind the
+    // typed-map boundary — on a single-row-group fixture scan it would
+    // run (and be PINNED) at one partition, single-threading every
+    // downstream band explode until the first exchange
+    val ds = graft.Tables.fanOut(
+        df.select(id.cast("long").as("doc_id"), toks.as("toks")),
+        col("doc_id"))
       .as[(Long, Seq[String])]
       .map { case (d, t) =>
         val tt = if (t == null) Seq.empty[String] else t

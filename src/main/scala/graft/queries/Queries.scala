@@ -2891,8 +2891,10 @@ object Queries {
           prev.foreach { case (_, old) =>
             try deleteDirTree(old) catch { case _: Exception => () } }
           val tmp = java.nio.file.Files.createTempDirectory("graft_warc_").toString
+          // fanOut: one member file per partition — a single-partition
+          // source would make every downstream readWarc single-task
           WarcSources.writeWarc(
-            Tables.documents(s, d).select(
+            Tables.fanOut(Tables.documents(s, d), col("doc_id")).select(
               lit("conversion").as("record_type"),
               concat(lit("https://example.com/doc/"), col("doc_id")).as("url"),
               lit("2024-05-01T00:00:00Z").as("date"),
@@ -2948,6 +2950,10 @@ object Queries {
     * record per document, page = every classic extractor trap around the
     * escaped doc text (see q144's scaladoc); cached per fixture
     * signature. */
+  /** Profiling access to the cached q144/q146 WARC dir (Profile14). */
+  private[graft] def profCrawlWarcDir(s: SparkSession, d: String): String =
+    crawlWarcDir(s, d)
+
   private def crawlWarcDir(s: SparkSession, d: String): String = {
     val sig = tableSignature(s, d, "documents")
     warcHtmlDirCache.synchronized {
@@ -2970,7 +2976,7 @@ object Queries {
               "<div><a href=\"/x?q=1>2\" class='y>z'>anchor text</a></div>" +
               "<ul><li>item one</li><li>item two</li></ul></BODY></html>"))
           WarcSources.writeWarc(
-            Tables.documents(s, d).select(
+            Tables.fanOut(Tables.documents(s, d), col("doc_id")).select(
               lit("response").as("record_type"),
               concat(lit("https://example.com/doc/"), col("doc_id")).as("url"),
               lit("2024-05-01T00:00:00Z").as("date"),
@@ -3734,7 +3740,8 @@ object Queries {
       lit("</a><a name=\"anchor\" title=\"a href=decoy\">NoHref</a>" +
         "</div></body></html>"))
     val e = LinkGraph.edges(
-      Tables.documents(s, d).select(id, base.as("u"), html.as("h")),
+      Tables.fanOut(Tables.documents(s, d).select(id, base.as("u"), html.as("h")),
+        id),
       col("doc_id"), col("u"), col("h"))
     e.select(col("doc_id"), col("link_idx"), col("href"), col("resolved"),
         col("anchor"), Urls.registeredDomain(col("resolved")).as("domain"))
@@ -3768,7 +3775,10 @@ object Queries {
       lit("<div><a href=\"https://redir.example/r"), id % 4,
       lit("\">Hub</a><a href=\"https://news.example/static\">News</a>" +
         "<a href=\"/local/nav\">Nav</a></div>"))
-    Tables.documents(s, d).select(id, base.as("u"), html.as("h"))
+    // fanOut: the HTML parse + URL resolution in LinkGraph.edges is a
+    // per-row flatMap straight over the single-row-group scan (one task)
+    Tables.fanOut(Tables.documents(s, d).select(id, base.as("u"), html.as("h")),
+      id)
   }
 
   /** Per-link canonicalized rows of the q165 chain over `pages`:
@@ -3903,7 +3913,8 @@ object Queries {
       lit(".example/page\">A"), id % 4,
       lit("</a> and <a href=\"https://t"), id % 3,
       lit(".example/page\">Common</a></p>"))
-    val pages = Tables.documents(s, d).select(id, base.as("u"), html.as("h"))
+    val pages = Tables.fanOut(
+      Tables.documents(s, d).select(id, base.as("u"), html.as("h")), id)
     val e = LinkGraph.edges(pages, col("doc_id"), col("u"), col("h"))
     LinkGraph.anchorCorpus(e, col("resolved"), col("anchor"), k = 3)
       .orderBy("target", "rank")
@@ -4111,7 +4122,7 @@ object Queries {
               "<div><a href=\"/x?q=1>2\" class='y>z'>anchor text</a></div>" +
               "<ul><li>item one</li><li>item two</li></ul></BODY></html>"))
           WarcSources.writeWarc(
-            Tables.documents(s, d).select(
+            Tables.fanOut(Tables.documents(s, d), col("doc_id")).select(
               lit("response").as("record_type"),
               concat(lit("https://example.com/doc/"), id).as("url"),
               lit("2024-05-01T00:00:00Z").as("date"),
@@ -4267,7 +4278,8 @@ object Queries {
       lit("<p><a href=\"/p/doc"), id - id % 50, lit(".html\">"),
       when(id % 5 === 0, lit("join window")).otherwise(lit("misc link")),
       lit("</a></p>"))
-    Tables.documents(s, d).select(id, base.as("u"), html.as("h"))
+    Tables.fanOut(Tables.documents(s, d).select(id, base.as("u"), html.as("h")),
+      id)
   }
 
   /** Per-link rows of the q173 plant over `pages` in the
@@ -4803,9 +4815,12 @@ object Queries {
     new scala.collection.concurrent.TrieMap[String, (String, Seq[Vocab.BpeMerge])]()
 
   private def q143Raw(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d).select(col("doc_id"),
+    // fanOut: the GPT-2 pretokenizer regex + byte-map sweep downstream is
+    // per-row-heavy and would otherwise run on the one-task fixture scan
+    Tables.fanOut(Tables.documents(s, d).select(col("doc_id"),
       concat(rtrim(coalesce(col("text"), lit(""))), lit(Gpt2Plant),
-        (col("doc_id") % 7).cast("string"), lit(" ")).as("raw"))
+        (col("doc_id") % 7).cast("string"), lit(" ")).as("raw")),
+      col("doc_id"))
 
   private[graft] def byteBpeMergesFor(s: SparkSession, d: String): Seq[Vocab.BpeMerge] = {
     val sig = tableSignature(s, d, "documents")
@@ -4927,7 +4942,8 @@ object Queries {
       .select(col("doc_id"),
         concat_ws(" ", substring(coalesce(col("text"), lit("")), 1, 256),
           phrase).as("ptext"),
-        idx.cast("double").as("lidx")))
+        idx.cast("double").as("lidx")),
+      col("doc_id"))
     graft.ml.LangClassifier.holdoutGatePerClass(
       planted, col("doc_id"), col("ptext"), col("lidx"), langs)
   }
