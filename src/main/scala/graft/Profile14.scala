@@ -124,9 +124,10 @@ object Profile14 {
       }
       var model: org.apache.spark.ml.classification.LogisticRegressionModel = null
       stage("q137_fit") { model = LangClassifier.train(train0, maxIter = 20) }
-      println("  q137 fit totalIterations=" + model.summary.totalIterations)
+      if (model != null)
+        println("  q137 fit totalIterations=" + model.summary.totalIterations)
       stage("q137_score")(noop(LangClassifier.score(model, test0)))
-      for (mi <- Seq(4, 6, 8, 10)) {
+      for (mi <- Seq(4, 6, 8, 10) if model != null) {
         var m2: org.apache.spark.ml.classification.LogisticRegressionModel = null
         stage(s"q137_fit_mi$mi") { m2 = LangClassifier.train(train0, maxIter = mi) }
         val acc = LangClassifier.score(m2, test0)
@@ -181,6 +182,35 @@ object Profile14 {
       val clean0 = Boilerplate.cleanText(Boilerplate.classify(
         blocksNarrow, minWords = 5, maxLinkDensity = 0.33))
       stage("q160_clean_asis")(noop(clean0))
+      val recsU = recs.withColumn("curl",
+        graft.queries.Queries.profPlantedUrl(col("id")))
+      val allowed = Robots.filterAllowed(recsU, col("id"), col("curl"),
+        graft.queries.Queries.profPlantedRobots(spark), col("domain"),
+        col("robots_txt"), agent = "GraftBot")
+      stage("q160_robots")(noop(allowed))
+      val kept2 = Urls.decontaminateByDomain(allowed, col("curl"),
+        Seq("badsite.com"))
+      stage("q160_kept")(noop(kept2))
+      val cleanDocs2 = Boilerplate.cleanText(Boilerplate.classify(
+        Boilerplate.blocks(kept2.select(col("id"), col("html")),
+          col("id"), col("html")),
+        minWords = 5, maxLinkDensity = 0.33))
+      stage("q160_cleandocs")(noop(cleanDocs2))
+      val clean2 = QualityRules.c4LineFilter(cleanDocs2, col("doc_id"),
+        col("text_clean"), minWords = 3, banned = Seq.empty)
+      stage("q160_c4")(noop(clean2))
+      val keepers2 = clean2.groupBy("text_clean")
+        .agg(min(col("doc_id")).as("keeper_id"))
+      stage("q160_keepers")(noop(clean2.join(keepers2, Seq("text_clean"))))
+      val cleanPinned = cleanDocs2.localCheckpoint()
+      stage("q160_c4_pinned") {
+        noop(QualityRules.c4LineFilter(cleanPinned, col("doc_id"),
+          col("text_clean"), minWords = 3, banned = Seq.empty))
+      }
+      stage("q160_c4_pinned2") {
+        noop(QualityRules.c4LineFilter(cleanPinned, col("doc_id"),
+          col("text_clean"), minWords = 3, banned = Seq.empty))
+      }
     }
 
     stage("q172_full")(noop(SparkEntry.queries("q172_crawl_pipeline_v3")(spark, sfDir)))
@@ -193,6 +223,30 @@ object Profile14 {
     stage("q182_full")(noop(SparkEntry.queries("q182_trust_frontier")(spark, sfDir)))
     stage("q182_full_warm")(noop(SparkEntry.queries("q182_trust_frontier")(spark, sfDir)))
 
+    locally {
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      val seeds = Seq("site0.example", "site1.example").toDF("node")
+      var served: DataFrame = null
+      stage("q182_served_edges") {
+        served = graft.queries.Queries.profServedQ165Edges(spark, sfDir)
+        noop(served)
+      }
+      stage("q182_ppr") {
+        noop(graft.operators.LinkAnalysis.personalizedPageRank(served,
+          seeds, iters = 5,
+          policy = graft.operators.CheckpointPolicy.fromSession(spark)))
+      }
+      stage("q182_persrc") {
+        noop(graft.queries.Queries.profQ165EdgeRows(spark, sfDir)
+          .filter(col("sd") =!= col("dd"))
+          .groupBy(col("sd"), col("tgt"))
+          .agg(count(lit(1)).cast("double").as("c")))
+      }
+      stage("q182_robots_parse") {
+        noop(graft.queries.Queries.profQ182Robots(spark))
+      }
+    }
     stage("q185_full")(noop(SparkEntry.queries("q185_warm_rerank")(spark, sfDir)))
     stage("q185_full_warm")(noop(SparkEntry.queries("q185_warm_rerank")(spark, sfDir)))
 

@@ -3038,8 +3038,11 @@ object Queries {
     val kept = Urls.decontaminateByDomain(recs, col("curl"), Seq("badsite.com"))
     val ext = Html.extract(kept.select(col("id"), col("html")),
       col("id"), col("html"))
+    // pinned: clean feeds BOTH the keeper election and the join-back —
+    // unpinned, the whole WARC-read -> extract -> line-filter chain
+    // recomputes per branch (measured ~2x the chain at sf0.1)
     val clean = QualityRules.c4LineFilter(ext, col("doc_id"), col("text"),
-      minWords = 3, banned = Seq.empty)
+      minWords = 3, banned = Seq.empty).localCheckpoint()
     val keepers = clean.groupBy("text_clean")
       .agg(min(col("doc_id")).as("keeper_id"))
     clean.join(keepers, Seq("text_clean"))
@@ -3340,6 +3343,10 @@ object Queries {
 
   /** The planted dirty URL keyed on a document id — shared by q145 (over
     * doc_id) and q146 (over the id recovered from the WARC record). */
+  private[graft] def profPlantedUrl(id: Column): Column = plantedUrl(id)
+  private[graft] def profPlantedRobots(s: SparkSession): DataFrame =
+    plantedRobots(s)
+
   private def plantedUrl(id: Column): Column = {
     val m2 = id % 2
     val m3 = id % 3
@@ -3609,16 +3616,23 @@ object Queries {
         regexp_extract(col("url"), "/doc/(\\d+)$", 1).cast("long").as("id"),
         decode(col("content"), "UTF-8").as("html"))
       .withColumn("curl", plantedUrl(col("id")))
+      // pinned: filterAllowed consumes its input on TWO branches (the
+      // verdict map and the semi-join left side), and the RDD-backed WARC
+      // source has no column pruning — unpinned, the full decode runs twice
+      .localCheckpoint()
     val allowed = Robots.filterAllowed(recs, col("id"), col("curl"),
-      plantedRobots(s), col("domain"), col("robots_txt"), agent = "GraftBot")
+      plantedRobots(s), col("domain"), col("robots_txt"), agent = "GraftBot",
+      robotsSizeHint = Some(4L))
     val kept = Urls.decontaminateByDomain(allowed, col("curl"),
       Seq("badsite.com"))
     val cleanDocs = Boilerplate.cleanText(Boilerplate.classify(
       Boilerplate.blocks(kept.select(col("id"), col("html")),
         col("id"), col("html")),
       minWords = 5, maxLinkDensity = 0.33))
+    // pinned: clean feeds the keeper election AND the join-back (the
+    // q146 convention — the robots/boilerplate chain is the query's cost)
     val clean = QualityRules.c4LineFilter(cleanDocs, col("doc_id"),
-      col("text_clean"), minWords = 3, banned = Seq.empty)
+      col("text_clean"), minWords = 3, banned = Seq.empty).localCheckpoint()
     val keepers = clean.groupBy("text_clean")
       .agg(min(col("doc_id")).as("keeper_id"))
     clean.join(keepers, Seq("text_clean"))
@@ -4215,6 +4229,9 @@ object Queries {
       .join(adv, Seq("__norm"), "left")
       .select(col("id"), col("html"), col("curl"),
         coalesce(col("advertised"), lit(0L)).as("advertised"))
+      // pinned: the q160 convention — filterAllowed reads this twice, and
+      // each unpinned recompute re-pays the WARC decode + sitemap join
+      .localCheckpoint()
     val allowed = Robots.filterAllowed(flagged, col("id"), col("curl"),
       plantedRobots(s), col("domain"), col("robots_txt"),
       agent = "GraftBot", robotsSizeHint = Some(4L))
@@ -4236,8 +4253,10 @@ object Queries {
       Boilerplate.blocks(keeperPages.select(col("id"), col("html")),
         col("id"), col("html")),
       minWords = 5, maxLinkDensity = 0.33))
+    // pinned: the q146/q160 convention — clean feeds the keeper election
+    // and the join-back; unpinned it recomputes boilerplate + line filter
     val clean = QualityRules.c4LineFilter(cleanDocs, col("doc_id"),
-      col("text_clean"), minWords = 3, banned = Seq.empty)
+      col("text_clean"), minWords = 3, banned = Seq.empty).localCheckpoint()
     val keepers = clean.groupBy("text_clean")
       .agg(min(col("doc_id")).as("keeper_id"))
     clean.join(keepers, Seq("text_clean"))
@@ -4512,6 +4531,13 @@ object Queries {
     * rankers reference it on four branches — the q165DomainEdges
     * precedent). Must be digit-identical to the one-shot aggregate:
     * every consumer's oracle replays the one-shot chain. */
+  private[graft] def profServedQ165Edges(s: SparkSession, d: String): DataFrame =
+    servedQ165Edges(s, d)
+  private[graft] def profQ165EdgeRows(s: SparkSession, d: String): DataFrame =
+    q165EdgeRows(s, q165Pages(s, d))
+  private[graft] def profQ182Robots(s: SparkSession): DataFrame =
+    q182Robots(s)
+
   private def servedQ165Edges(s: SparkSession, d: String): DataFrame =
     CheckpointPolicy.fromSession(s).pin(
       LinkGraph.servedDomainEdges(s, linkArtifactFor(s, d)))
@@ -4688,9 +4714,13 @@ object Queries {
     // feeding a caller-defined priority through the scheduler's id key
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("domain").orderBy(desc("endorsement"), col("url"))
+    // pinned: keyed feeds BOTH the scheduler and the attribute join-back —
+    // unpinned, each branch recomputes the full q165 extraction + the PPR
+    // trust join (measured ~4 s per recompute at sf0.1)
     val keyed = endo
       .withColumn("domain", Urls.registeredDomain(col("url")))
       .withColumn("wid", row_number().over(w).cast("long"))
+      .localCheckpoint()
     Frontier.schedule(keyed, col("wid"), col("url"), q182Robots(s),
         col("domain"), col("robots_txt"), agent = "GraftBot")
       .join(keyed.select(col("wid").as("__w"), col("domain").as("__d"),
